@@ -1,0 +1,499 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{q, rowsOnly}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Tier B — the PostgreSQL-flavored passthrough surface reachable through
+  * the reference's `execute`/`fetch` (`risingwave/core.py:161-212`); matrix
+  * in SURVEY §2.11. Core relational operators are expressed in the
+  * DataFrame/Dataset API (idiomatic Spark — lets Catalyst pick physical
+  * strategies); long-tail SQL constructs go through `SparkSession.sql`,
+  * which IS the passthrough path of our engine.
+  *
+  * Determinism rules for the DuckDB hash-compare:
+  *  - money sums are decimal-cast BEFORE aggregation (order-independent);
+  *  - floating aggregates are `round(x, 4)`;
+  *  - every ORDER BY carries a unique tiebreaker;
+  *  - timestamps are output as epoch BIGINT or formatted strings.
+  */
+object TierB {
+
+  private val dec = DecimalType(38, 6)
+
+  /** Same SQL string runs on Spark and DuckDB (shared-dialect subset). */
+  private def sqlBoth(name: String, sql: String): QueryDef =
+    q(name, sql) { (s, dir) => Tables.registerAll(s, dir); s.sql(sql) }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregation core -------------------------------------------------
+
+    // TPC-H Q1 shape: wide grouped aggregate with derived measures.
+    // Map-side partial agg + 2-key hash agg; decimal sums are exact.
+    q("b_q1_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base,
+        |  SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS sum_disc,
+        |  SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).as("sum_disc"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast(dec)).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+    },
+
+    // Filter + narrow projection — both must reach the parquet scan
+    // (PushedFilters / 3-column ReadSchema at 100 TB is the difference
+    // between reading 3% and 100% of the table).
+    q("b_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                round(col("l_extendedprice"), 2).as("price"))
+    },
+
+    q("b_agg_stats",
+      """SELECT l_returnflag,
+        |  round(min(l_quantity), 4) AS min_q, round(max(l_quantity), 4) AS max_q,
+        |  round(avg(l_quantity), 4) AS avg_q,
+        |  round(stddev_samp(l_quantity), 4) AS sd_q,
+        |  round(var_samp(l_quantity), 4) AS var_q
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(min("l_quantity"), 4).as("min_q"),
+        round(max("l_quantity"), 4).as("max_q"),
+        round(avg("l_quantity"), 4).as("avg_q"),
+        round(stddev_samp("l_quantity"), 4).as("sd_q"),
+        round(var_samp("l_quantity"), 4).as("var_q"))
+    },
+
+    q("b_agg_distinct",
+      """SELECT l_linestatus,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_linestatus").agg(
+        countDistinct("l_suppkey").as("n_supp"),
+        countDistinct("l_partkey").as("n_part"),
+        count(lit(1)).as("n"))
+    },
+
+    sqlBoth("b_agg_filter_where",
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE value > 100) AS n_big,
+        |  count(*) FILTER (WHERE user_id % 2 = 0) AS n_even,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin),
+
+    q("b_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("sum_qty"), col("n"))
+    },
+
+    sqlBoth("b_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
+
+    sqlBoth("b_grouping_sets",
+      """SELECT coalesce(event_type, 'ALL') AS et,
+        |  coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS cohort,
+        |  count(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sv
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin),
+
+    q("b_having",
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+        |FROM part GROUP BY p_brand HAVING count(*) > 20""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "part").groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_price"))
+        .filter(col("n") > 20)
+    },
+
+    q("b_distinct",
+      "SELECT DISTINCT c_mktsegment FROM customer") { (s, dir) =>
+      Tables(s, dir, "customer").select("c_mktsegment").distinct()
+    },
+
+    // string_agg / listagg with deterministic in-group order.
+    q("b_string_agg",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "nation").groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"))
+    },
+
+    // approx sketch — values are engine-specific, so rows-only check; the
+    // exact/approx gap is asserted in ScalaTest instead.
+    rowsOnly("b_approx_distinct") { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+             countDistinct("l_partkey").as("exact_parts"))
+    },
+
+    // ---- joins ------------------------------------------------------------
+
+    // Star-schema join: dims broadcast (no shuffle of the fact side for the
+    // dim joins); at 100 TB this is the canonical plan — verify in explain.
+    q("b_join_star",
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast(dec)).as("revenue"))
+    },
+
+    // Fact-fact join (both sides large → shuffle on the join key; AQE may
+    // still broadcast at small SF, which is exactly right).
+    q("b_join_fact_fact",
+      """SELECT o_orderpriority,
+        |  SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).as("revenue"),
+             count(lit(1)).as("n"))
+    },
+
+    q("b_join_left",
+      """SELECT c_mktsegment,
+        |  count(*) AS n_cust,
+        |  count(o_orderkey) AS n_orders,
+        |  SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(38,6))) AS revenue
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+             count(col("o_orderkey")).as("n_orders"),
+             sum(coalesce(col("o_totalprice"), lit(0)).cast(dec)).as("revenue"))
+    },
+
+    q("b_join_full_outer",
+      """SELECT coalesce(c.k, s.k) AS nationkey,
+        |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |ON c.k = s.k""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("ck") === col("sk"), "full")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+                coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+                coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    },
+
+    // EXISTS → left_semi (no duplication of the left side, early-out probe).
+    q("b_join_semi",
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      Tables(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    },
+
+    // NOT EXISTS → left_anti.
+    q("b_join_anti",
+      """SELECT c_nationkey, count(*) AS n_cust_no_orders
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust_no_orders"))
+    },
+
+    q("b_join_cross",
+      """SELECT a.r_name AS r1, b.r_name AS r2
+        |FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey""".stripMargin) {
+      (s, dir) =>
+        val a = Tables(s, dir, "region").select(col("r_regionkey").as("k1"), col("r_name").as("r1"))
+        val b = Tables(s, dir, "region").select(col("r_regionkey").as("k2"), col("r_name").as("r2"))
+        a.crossJoin(b).filter(col("k1") < col("k2")).select("r1", "r2")
+    },
+
+    // Theta join (non-equi): banded price comparison on a broadcast side.
+    q("b_join_theta",
+      """SELECT p_brand, count(*) AS n_cheaper
+        |FROM part JOIN (SELECT round(avg(p_retailprice), 4) AS ap FROM part) t
+        |ON p_retailprice < t.ap - 100
+        |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir, "part")
+      val avgP = p.agg(round(avg("p_retailprice"), 4).as("ap"))
+      p.join(broadcast(avgP), col("p_retailprice") < col("ap") - 100)
+        .groupBy("p_brand").agg(count(lit(1)).as("n_cheaper"))
+    },
+
+    // ---- window functions -------------------------------------------------
+
+    q("b_win_topk_per_group",
+      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
+        |  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+                round(col("o_totalprice"), 2).as("price"), col("rn"))
+    },
+
+    q("b_win_frames",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  lag(l_quantity) OVER w AS prev_q,
+        |  lead(l_quantity) OVER w AS next_q,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_q,
+        |  round(avg(l_quantity) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin) {
+      (s, dir) =>
+        val ord = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        Tables(s, dir, "lineitem").select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          lag(col("l_quantity"), 1).over(ord).as("prev_q"),
+          lead(col("l_quantity"), 1).over(ord).as("next_q"),
+          sum(col("l_quantity").cast(dec))
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_q"),
+          round(avg(col("l_quantity")).over(ord.rowsBetween(-2, Window.currentRow)), 4).as("mov_avg"))
+    },
+
+    q("b_win_rank_ntile",
+      """SELECT o_orderkey,
+        |  rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |  dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drk,
+        |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+        |  round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val byStatus = Window.partitionBy(col("o_orderstatus"))
+      val global = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        rank().over(byStatus.orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rk"),
+        dense_rank().over(byStatus.orderBy(col("o_orderpriority"))).as("drk"),
+        ntile(4).over(global).as("quartile"),
+        round(percent_rank().over(global), 6).as("pr"))
+    },
+
+    // ---- sort / limit / set ops -------------------------------------------
+
+    q("b_sort_limit",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      // TakeOrderedAndProject: top-k per partition then merge — no full sort.
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    },
+
+    q("b_sort_nulls_first",
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal
+        |FROM customer ORDER BY bal ASC NULLS FIRST, c_custkey LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+                when(col("c_acctbal") < 0, lit(null)).otherwise(round(col("c_acctbal"), 2)).as("bal"))
+        .orderBy(col("bal").asc_nulls_first, col("c_custkey"))
+        .limit(50)
+    },
+
+    sqlBoth("b_set_ops",
+      """SELECT 'both' AS tag, k FROM
+        |  (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) t
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, k FROM
+        |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) t
+        |UNION ALL
+        |SELECT 'union_n' AS tag, count(*) AS k FROM
+        |  (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) t""".stripMargin),
+
+    // ---- subqueries / CTE -------------------------------------------------
+
+    sqlBoth("b_subq_scalar",
+      """SELECT p_brand, count(*) AS n_expensive
+        |FROM part
+        |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY p_brand""".stripMargin),
+
+    sqlBoth("b_subq_in",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    sqlBoth("b_cte_topn",
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS total
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_name, total FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |ORDER BY total DESC, s_name LIMIT 10""".stripMargin),
+
+    // ---- scalar expressions ----------------------------------------------
+
+    sqlBoth("b_case_scalar",
+      """SELECT p_partkey,
+        |  CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class,
+        |  coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other,
+        |  p_size BETWEEN 10 AND 20 AS mid_size,
+        |  p_type LIKE '%BRASS%' AS is_brass,
+        |  p_name IS NOT NULL AS has_name
+        |FROM part WHERE p_partkey <= 500""".stripMargin),
+
+    sqlBoth("b_string_fns",
+      """SELECT c_custkey,
+        |  length(c_name) AS name_len,
+        |  upper(c_mktsegment) AS seg_up,
+        |  lower(c_name) AS name_lo,
+        |  substr(c_name, 1, 8) AS name_pre,
+        |  replace(c_name, '#', '-') AS name_rep,
+        |  split_part(c_name, '#', 1) AS name_head,
+        |  position('0' IN c_name) AS zero_pos,
+        |  c_mktsegment || '/' || c_name AS seg_name,
+        |  md5(c_name) AS name_md5,
+        |  trim('  ' || c_mktsegment || ' ') AS seg_trim
+        |FROM customer WHERE c_custkey <= 300""".stripMargin),
+
+    // regexp_replace: DuckDB needs the 'g' flag for replace-all; Spark
+    // replaces all matches by default → split strings.
+    q("b_regexp",
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+        |FROM part WHERE p_partkey <= 400""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "part").filter(col("p_partkey") <= 400)
+        .select(col("p_partkey"),
+                regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"),
+                regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"))
+    },
+
+    // Date/time: extract/date_trunc shared; format string differs
+    // (date_format vs strftime) → split strings. Dates out as strings.
+    q("b_datetime",
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+        |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+        |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+        |  strftime(max(o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d') AS last_plus30,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+                 month(col("o_orderdate")).cast("long").as("m"))
+        .agg(date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+             date_format(max(col("o_orderdate") + expr("INTERVAL 30 DAY")), "yyyy-MM-dd").as("last_plus30"),
+             count(lit(1)).as("n"))
+    },
+
+    sqlBoth("b_math_fns",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS r1,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS cq, CAST(floor(l_quantity) AS BIGINT) AS fq,
+        |  abs(l_quantity - 25) AS aq,
+        |  round(power(1 + l_discount, 2), 6) AS pw,
+        |  round(sqrt(l_extendedprice), 6) AS sq,
+        |  round(ln(l_extendedprice), 6) AS lnp,
+        |  round(log10(l_extendedprice), 6) AS lg,
+        |  l_linenumber % 3 AS md,
+        |  CAST(sign(l_quantity - 25) AS BIGINT) AS sg
+        |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin),
+
+    // JSON access on events.props — split: get_json_object vs
+    // json_extract_string.
+    q("b_json",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+             count(lit(1)).as("n"))
+    },
+
+    // ---- arrays / nested --------------------------------------------------
+
+    q("b_array_ops",
+      """SELECT label,
+        |  max(len(embedding)) AS dim,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first,
+        |  round(avg(CAST(embedding[64] AS DOUBLE)), 4) AS avg_last,
+        |  count(*) AS n
+        |FROM embeddings GROUP BY label""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(max(size(col("embedding"))).as("dim"),
+             round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("avg_first"),
+             round(avg(element_at(col("embedding"), 64).cast("double")), 4).as("avg_last"),
+             count(lit(1)).as("n"))
+    },
+
+    q("b_explode_unnest",
+      """SELECT label, round(SUM(CAST(x AS DECIMAL(38,6))), 4) AS s, count(*) AS n
+        |FROM (SELECT label, unnest(list_slice(embedding, 1, 4)) AS x FROM embeddings) t
+        |GROUP BY label""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), explode(slice(col("embedding"), 1, 4)).as("x"))
+        .groupBy("label")
+        .agg(round(sum(col("x").cast(dec)), 4).as("s"), count(lit(1)).as("n"))
+    },
+
+    // generate_series ↔ explode(sequence(...)).
+    q("b_series",
+      """SELECT CAST(SUM(x) AS BIGINT) AS s, count(*) AS n, min(x) AS lo, max(x) AS hi
+        |FROM generate_series(1, 1000) t(x)""".stripMargin) { (s, _) =>
+      s.range(1, 1001).toDF("x")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"), min("x").as("lo"), max("x").as("hi"))
+    }
+  )
+}
