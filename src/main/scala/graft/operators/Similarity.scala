@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Scale design: the query set is tiny and the corpus is huge, so the
+  * corpus-side scan must stay shuffle-free — queries are broadcast, scores
+  * computed inside the scan stage, and only the per-query top-k survives
+  * (rank filter = TopK per partition after AQE). The LSH variant prunes the
+  * corpus to colliding buckets first, trading recall for a ~2^planes
+  * candidate reduction.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k cosine neighbors for the given query ids.
+    * The broadcast of the query rows makes this a map-only scan over the
+    * corpus + one shuffle for the per-query rank. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = df
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("qv"), col(vecCol)).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("cos"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH (seeded; public
+    * random-projection construction). */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucketed ANN:
+    *   1. each vector gets an `nPlanes`-bit signature (sign of projection on
+    *      seeded random hyperplanes) — map-only;
+    *   2. candidates = corpus rows whose signature is within `maxHamming`
+    *      bits of the query signature (join on broadcast query signatures);
+    *   3. exact cosine + top-k on the candidate set.
+    * Approximate: recall depends on nPlanes/maxHamming; the exact variant
+    * above is the oracle. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int,
+              nPlanes: Int = 16, dim: Int = 64, maxHamming: Int = 5,
+              seed: Long = 7L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      when(dotD(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+    val signed = df.select(col(idCol), col(vecCol), sigBits.as("sig"))
+    val q = signed.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("sig").as("qsig"))
+
+    val cands = signed.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id") &&
+        bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxHamming)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("qv"), col(vecCol)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf, "documents")
+
+  test("exact dedup: fingerprints partition all docs, survivors unique") {
+    val out = Dedup.exact(docs, "doc_id", "text").cache()
+    val total = out.agg(sum("group_size")).head.getLong(0)
+    assert(total == docs.count())
+    assert(out.select("keep_id").distinct().count() == out.count())
+  }
+
+  test("minhash-LSH pairs == exact all-pairs jaccard at tau=0.8") {
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash blocking finds all pairs within hamming budget (vs brute force)") {
+    val sig = docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val a = sig.toDF("id_a", "sig_a"); val b = sig.toDF("id_b", "sig_b")
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute) // pigeonhole blocking is exact for ham<=3
+  }
+
+  test("simhash of near-identical docs is close, unrelated docs far") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different words about spark catalyst optimizer internals")
+    ).toDF("id", "t")
+    val sigs = df.select(col("id"), simhash64(tokens(col("t"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+}

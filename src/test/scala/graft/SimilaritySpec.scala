@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sf, "embeddings")
+  private val qids = Seq(0L, 1L, 2L, 3L, 4L)
+
+  test("brute-force top-k: k rows per query, scores in [-1,1] descending") {
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10).cache()
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == qids.toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      val scores = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("LSH top-k recall vs exact top-k is substantial") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // sign-LSH with 16 planes / ham<=5 on near-orthogonal data: expect
+    // meaningful but not perfect recall; pin a floor to catch regressions.
+    assert(recall >= 0.3, s"recall=$recall")
+    assert(approx.nonEmpty)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf, "documents")
+
+  test("token stats invariants: n_unique <= n_tokens, n_chars matches source") {
+    val out = TextAnalysis.tokenStats(docs, "doc_id", "text")
+    assert(out.filter(col("n_unique") > col("n_tokens")).count() == 0)
+    assert(out.filter(col("n_tokens") <= 0).count() == 0)
+    assert(out.count() == docs.count())
+  }
+
+  test("langid outputs a known label and is deterministic") {
+    val a = TextAnalysis.languageId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.languageId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val labels = a.values.toSet
+    assert(labels.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
+  }
+
+  test("langid picks the dominant stopword profile on clear-cut text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist nicht in der stadt und das ist gut"),
+      (3L, "le chat est dans la maison et la porte est ouverte"),
+      (4L, "el perro es grande y la casa es de los padres")
+    ).toDF("id", "t")
+    val got = TextAnalysis.languageId(df, "id", "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
+  }
+
+  test("quality score lands in [0,1] with sane ratios") {
+    val out = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    assert(out.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    assert(out.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
+    assert(out.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+  }
+
+  test("multimodal stub decode: deterministic, fixed dims, byte-derived") {
+    val f1 = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
+    val f2 = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == 8)
+    assert(Multimodal.stubDecode(Array.emptyByteArray).forall(_ == 0.0))
+
+    val media = Multimodal.asMedia(docs.limit(20), "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    assert(feats.length == 20)
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(f => f.n_bytes > 0))
+  }
+}
