@@ -1,0 +1,129 @@
+package graft.engine
+
+/** PostgreSQL/RisingWave-dialect → Spark SQL shim (SURVEY §2.11): a pure
+  * `String => String` pre-rewrite applied by `Connection.execute/fetch`
+  * before `SparkSession.sql`. Only the spellings Spark's parser rejects are
+  * rewritten; everything else passes through untouched so Catalyst sees the
+  * original query shape.
+  *
+  * Covered: `tumble(t, col, interval 'd')` TVF, `expr::type` casts,
+  * `->>'k'`/`->'k'` JSON access, `string_agg`, `to_char` date formats, and
+  * schema-qualified names for registered catalog objects (Spark temp views
+  * cannot carry a schema part — they are mangled to `schema__name`).
+  */
+object Dialect {
+
+  /** `FROM tumble(tbl, ts_col, interval '10 seconds')` (reference
+    * `demo.py:99`) → derived-table form exposing `window_start`/`window_end`
+    * via Spark's native `window()`, which keeps streaming-aggregation
+    * support intact. */
+  private val tumbleRe =
+    """(?is)tumble\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*,\s*interval\s+'([^']+)'\s*\)""".r
+
+  def rewriteTumble(sql: String): String =
+    tumbleRe.replaceAllIn(sql, m => {
+      val (tbl, col, dur) = (m.group(1), m.group(2), m.group(3))
+      s"(SELECT *, (window($col, '$dur')).start AS window_start, " +
+        s"(window($col, '$dur')).end AS window_end FROM $tbl)"
+    })
+
+  /** `expr::type` → `CAST(expr AS type)`. A small scanner (not regex): the
+    * operand may be a quoted literal, a dotted identifier, or a balanced
+    * parenthesized expression/function call; chains (`x::int::text`) resolve
+    * left-to-right. */
+  private def mapCastType(t: String): String = t.toUpperCase.replaceAll("\\s+", "") match {
+    case "INT2" => "SMALLINT"
+    case "INT4" => "INT"
+    case "INT8" => "BIGINT"
+    case "FLOAT4" => "FLOAT"
+    case "FLOAT8" => "DOUBLE"
+    case "TEXT" | "VARCHAR" => "STRING"
+    case other => other
+  }
+
+  def rewriteCasts(sql: String): String = {
+    val typeRe = """^\s*(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)""".r
+    var cur = sql
+    var guard = 0
+    while (guard < 1000) {
+      guard += 1
+      val i = cur.indexOf("::")
+      if (i <= 0) return cur
+      typeRe.findFirstMatchIn(cur.substring(i + 2)) match {
+        case None => return cur
+        case Some(tm) =>
+          val typeEnd = i + 2 + tm.end
+          var start = i
+          cur.charAt(i - 1) match {
+            case ')' =>
+              var depth = 0; var j = i - 1
+              while (j >= 0 && { val c = cur.charAt(j)
+                if (c == ')') depth += 1 else if (c == '(') depth -= 1; depth != 0 }) j -= 1
+              var k = j - 1
+              while (k >= 0 && (cur.charAt(k).isLetterOrDigit || cur.charAt(k) == '_' || cur.charAt(k) == '.')) k -= 1
+              start = k + 1
+            case '\'' =>
+              var j = i - 2
+              while (j >= 0 && cur.charAt(j) != '\'') j -= 1
+              start = j
+            case _ =>
+              var j = i - 1
+              while (j >= 0 && (cur.charAt(j).isLetterOrDigit || cur.charAt(j) == '_' || cur.charAt(j) == '.')) j -= 1
+              start = j + 1
+          }
+          val operand = cur.substring(start, i)
+          cur = cur.substring(0, start) +
+            s"CAST($operand AS ${mapCastType(tm.group(1))})" + cur.substring(typeEnd)
+      }
+    }
+    cur
+  }
+
+  /** `col ->> 'k'` / `col -> 'k'` → `get_json_object(col, '$.k')`. */
+  private val jsonTextRe = """([\w.]+)\s*->>\s*'([^']+)'""".r
+  private val jsonObjRe = """([\w.]+)\s*->\s*'([^']+)'""".r
+
+  def rewriteJsonOps(sql: String): String = {
+    val a = jsonTextRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
+    jsonObjRe.replaceAllIn(a, m =>
+      java.util.regex.Matcher.quoteReplacement(s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
+  }
+
+  /** `string_agg(x, 'd')` → `listagg(x, 'd')` (Spark 4 built-in; WITHIN
+    * GROUP ordering passes through unchanged). */
+  def rewriteStringAgg(sql: String): String =
+    sql.replaceAll("(?i)\\bstring_agg\\s*\\(", "listagg(")
+
+  /** `to_char(ts, 'YYYY-MM-DD HH24:MI:SS')` → `date_format` with PG format
+    * tokens translated to java.time patterns. */
+  private val toCharRe = """(?i)to_char\s*\(\s*([^,]+?)\s*,\s*'([^']+)'\s*\)""".r
+  private val tokenMap = Seq(
+    "YYYY" -> "yyyy", "YY" -> "yy", "MM" -> "MM", "DD" -> "dd",
+    "HH24" -> "HH", "HH12" -> "hh", "MI" -> "mm", "SS" -> "ss", "MS" -> "SSS")
+
+  def rewriteToChar(sql: String): String =
+    toCharRe.replaceAllIn(sql, m => {
+      val fmt = tokenMap.foldLeft(m.group(2)) { case (s, (pg, jt)) => s.replace(pg, jt) }
+      java.util.regex.Matcher.quoteReplacement(s"date_format(${m.group(1)}, '$fmt')")
+    })
+
+  /** Qualify-mangle: occurrences of registered `schema.name` become the
+    * session temp-view name `schema__name`. Only known catalog objects are
+    * touched, so `alias.column` references survive. */
+  def rewriteQualified(sql: String, qualified: Iterable[(String, String)]): String =
+    qualified.foldLeft(sql) { case (s, (schema, name)) =>
+      s.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(s"$schema.$name")}\\b",
+        java.util.regex.Matcher.quoteReplacement(mangle(schema, name)))
+    }
+
+  def mangle(schema: String, name: String): String =
+    if (schema == "public") name else s"${schema}__$name"
+
+  def apply(sql: String, qualified: Iterable[(String, String)] = Nil): String = {
+    val steps: Seq[String => String] = Seq(
+      rewriteTumble, rewriteCasts, rewriteJsonOps, rewriteStringAgg, rewriteToChar,
+      s => rewriteQualified(s, qualified))
+    steps.foldLeft(sql)((acc, f) => f(acc))
+  }
+}

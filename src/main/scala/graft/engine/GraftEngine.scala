@@ -1,0 +1,339 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** The engine facade — API-parity with the reference's `RisingWave` /
+  * `RisingWaveConnection` (`risingwave/core.py:155-648`) over one embedded
+  * SparkSession (≈ the embedded-server autostart, C2).
+  *
+  * Surfaces: `execute`/`fetch`/`fetchOne` (C7, dialect-shimmed SQL
+  * passthrough), buffered `insertRow` + DataFrame `insert` + FLUSH barrier
+  * (K1–K5), `createTable` with PK/version-column upsert metadata (D2/D3/K6),
+  * `mv` (D4/D5/C10), `onChange` subscriptions (C9, D6–D8), catalog
+  * introspection (S2/S3/C8) and `version()` (S4/C12).
+  */
+final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
+
+  private val schemas = mutable.LinkedHashSet[String]("public", "information_schema")
+  private val liveTables = mutable.LinkedHashMap[(String, String), LiveTable]()
+  private val mvs = mutable.LinkedHashMap[(String, String), MaterializedView]()
+  private val subscriptionSources = mutable.LinkedHashMap[String, (String, String)]()
+
+  registerVersionFunction()
+  handshake()
+
+  // ---- SQL surface (C7) ---------------------------------------------------
+
+  private[engine] def rewrite(sql: String): String = {
+    val q = (liveTables.keys ++ mvs.keys).toSeq
+    Dialect(sql, q)
+      .replaceAll("(?i)\\binformation_schema\\.columns\\b", "graft_information_schema_columns")
+      .replaceAll("(?i)\\binformation_schema\\.tables\\b", "graft_information_schema_tables")
+  }
+
+  private val createSchemaRe = """(?is)\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w]+)\s*""".r
+  private val createTableRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)""".r
+  private val createMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.*)""".r
+  private val dropMvRe =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*""".r
+  private val createSubRe =
+    """(?is)\s*CREATE\s+SUBSCRIPTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+FROM\s+([\w.]+)\s+WITH.*""".r
+  private val insertRe =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)""".r
+
+  private def splitQualified(n: String): (String, String) = n.split('.') match {
+    case Array(s, t) => (s, t)
+    case Array(t) => ("public", t)
+    case other => (other.init.mkString("."), other.last)
+  }
+
+  /** Execute a statement: DDL/DML on engine objects is intercepted, `FLUSH`
+    * is the consistency barrier (K5), everything else goes to Spark SQL. */
+  def execute(sql: String): Unit = sql.trim.stripSuffix(";") match {
+    case s if s.equalsIgnoreCase("FLUSH") => flush()
+    case createSchemaRe(name) => createSchema(name)
+    case createTableRe(qname, rest) =>
+      val (sn, tn) = splitQualified(qname)
+      if (!liveTables.contains((sn, tn))) {
+        // balance parens: `rest` is everything after the first '(' — the
+        // column list ends at its matching ')', the tail is ON CONFLICT etc.
+        var depth = 1; var i = 0
+        while (i < rest.length && depth > 0) {
+          rest.charAt(i) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => }
+          i += 1
+        }
+        val colsDdl = rest.substring(0, i - 1)
+        val conflict = rest.substring(i).trim
+        val (schema, pk, ver) = DdlParser.parse(colsDdl, Option(conflict).filter(_.nonEmpty))
+        createTable(tn, schema, sn, pk, ver)
+      }
+    case createMvRe(qname, stmt) =>
+      val (sn, vn) = splitQualified(qname)
+      if (!mvs.contains((sn, vn))) mv(stmt, vn, sn)
+    case dropMvRe(qname) =>
+      val (sn, vn) = splitQualified(qname)
+      mvs.remove((sn, vn)).foreach(_.stop())
+    case createSubRe(subQ, srcQ) =>
+      val (_, subName) = splitQualified(subQ)
+      subscriptionSources(subName) = splitQualified(srcQ)
+    case insertRe(qname, cols, values) =>
+      val (sn, tn) = splitQualified(qname)
+      liveTables.get((sn, tn)) match {
+        case Some(t) =>
+          val colNames: Seq[String] =
+            if (cols != null && cols.trim.nonEmpty) cols.split(",").map(_.trim).toSeq
+            else t.schema.fieldNames.toSeq
+          // align VALUES tuple types to the declared column types (K3)
+          val valDf = spark.sql(s"SELECT * FROM VALUES $values")
+          val typed = valDf.select(valDf.columns.toSeq.zip(colNames).map { case (c, n) =>
+            org.apache.spark.sql.functions.col(c).cast(t.schema(n).dataType).as(n)
+          }: _*)
+          typed.collect().foreach(r => t.insertRow(colNames.zip(r.toSeq).toMap))
+          t.flushBuffer()
+        case None => spark.sql(rewrite(sql))
+      }
+    case other =>
+      spark.sql(rewrite(other))
+  }
+
+  /** Run a query, return all rows / a DataFrame per the output format. */
+  def fetchDF(sql: String): DataFrame = { refreshInformationSchema(); spark.sql(rewrite(sql)) }
+  def fetch(sql: String): Seq[Row] = fetchDF(sql).collect().toSeq
+  def fetchOne(sql: String): Option[Row] = fetchDF(sql).take(1).headOption
+
+  // ---- catalog (D1–D3, S2/S3, C8) ----------------------------------------
+
+  def createSchema(name: String): Unit = schemas += name
+
+  def createTable(name: String, schema: StructType, schemaName: String = "public",
+                  primaryKey: Seq[String] = Nil,
+                  versionColumn: Option[String] = None): LiveTable = {
+    val t = new LiveTable(spark, schemaName, name, schema, primaryKey, versionColumn)
+    liveTables((schemaName, name)) = t
+    t.refreshView()
+    refreshInformationSchema()
+    t
+  }
+
+  def table(name: String, schemaName: String = "public"): Option[LiveTable] =
+    liveTables.get((schemaName, name))
+
+  def checkExist(name: String, schemaName: String = "public"): Boolean =
+    liveTables.contains((schemaName, name)) || mvs.contains((schemaName, name)) ||
+      spark.catalog.tableExists(name)
+
+  /** information_schema compatibility views (S2/S3). */
+  private def refreshInformationSchema(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val colRows = (liveTables.values.map(t => (t.schemaName, t.name, t.schema)) ++
+      mvs.values.map(m => (m.schemaName, m.name, m.outputSchema))).flatMap {
+      case (sn, tn, st) => st.fields.zipWithIndex.map { case (f, i) =>
+        Row(sn, tn, f.name, i + 1, f.dataType.simpleString)
+      }
+    }.toList
+    val colSchema = StructType(Seq(
+      StructField("table_schema", StringType), StructField("table_name", StringType),
+      StructField("column_name", StringType), StructField("ordinal_position", IntegerType),
+      StructField("data_type", StringType)))
+    spark.createDataFrame(colRows.asJava, colSchema)
+      .createOrReplaceTempView("graft_information_schema_columns")
+
+    val tblRows = (liveTables.values.map(t => Row(t.schemaName, t.name, "BASE TABLE")) ++
+      mvs.values.map(m => Row(m.schemaName, m.name, "MATERIALIZED VIEW"))).toList
+    val tblSchema = StructType(Seq(
+      StructField("table_schema", StringType), StructField("table_name", StringType),
+      StructField("table_type", StringType)))
+    spark.createDataFrame(tblRows.asJava, tblSchema)
+      .createOrReplaceTempView("graft_information_schema_tables")
+  }
+
+  // ---- ingest (K2–K5) -----------------------------------------------------
+
+  def insertRow(tableName: String, schemaName: String = "public",
+                forceFlush: Boolean = false, values: Map[String, Any]): Unit = {
+    val t = liveTables.getOrElse((schemaName, tableName),
+      throw new RuntimeException(s"Table $schemaName.$tableName does not exist"))
+    t.insertRow(values, forceFlush)
+    if (forceFlush) flush()
+  }
+
+  def insert(df: DataFrame, tableName: String, schemaName: String = "public",
+             forceFlush: Boolean = false): Unit = {
+    val t = liveTables.getOrElse((schemaName, tableName),
+      throw new RuntimeException(s"Table $schemaName.$tableName does not exist"))
+    t.insertDF(df)
+    if (forceFlush) flush()
+  }
+
+  /** K5 — the FLUSH consistency barrier: buffered rows become micro-batches,
+    * then every MV maintainer drains (streaming) or re-evaluates (batch), in
+    * creation order so MV-on-MV chains see their upstream first. */
+  def flush(): Unit = {
+    liveTables.values.foreach(_.flushBuffer())
+    mvs.values.foreach(_.refresh())
+  }
+
+  // ---- MVs + subscriptions (D4–D8, C9/C10) --------------------------------
+
+  def mv(stmt: String, name: String, schemaName: String = "public"): MaterializedView = {
+    val m = new MaterializedView(this, schemaName, name, stmt)
+    mvs((schemaName, name)) = m
+    m.start()
+    refreshInformationSchema()
+    m
+  }
+
+  def mvByName(name: String, schemaName: String = "public"): Option[MaterializedView] =
+    mvs.get((schemaName, name))
+
+  /** C9 — end-to-end subscribe: waits for the source (bounded retry here vs
+    * the reference's infinite loop), defaults `sub_name = src + "_sub"`,
+    * subscribes to an MV or to a live table via an implicit identity MV. */
+  def onChange(subscribeFrom: String,
+               handler: Seq[Row] => Unit,
+               schemaName: String = "public",
+               subName: String = "",
+               maxBatchSize: Int = 10,
+               retentionSeconds: Long = 86400L,
+               persistProgress: Boolean = false,
+               errorIfNotExist: Boolean = false): Subscription = {
+    if (!checkExist(subscribeFrom, schemaName) && errorIfNotExist)
+      throw new RuntimeException(s"$schemaName.$subscribeFrom does not exist")
+    val m = resolveChangeSource(subscribeFrom, schemaName)
+    val sn = if (subName.nonEmpty) subName else s"${subscribeFrom}_sub"
+    val sub = subscribe(m, sn, retentionSeconds, persistProgress)
+    sub.consume(handler, maxBatchSize)
+    sub
+  }
+
+  /** Non-blocking variant of C9 (declare only; caller drives FETCH). */
+  def subscriptionFor(subscribeFrom: String, schemaName: String = "public",
+                      subName: String = "", retentionSeconds: Long = 86400L,
+                      persistProgress: Boolean = false): Subscription = {
+    val m = resolveChangeSource(subscribeFrom, schemaName)
+    val sn = if (subName.nonEmpty) subName else s"${subscribeFrom}_sub"
+    subscribe(m, sn, retentionSeconds, persistProgress)
+  }
+
+  private def resolveChangeSource(name: String, schemaName: String): MaterializedView =
+    mvs.getOrElse((schemaName, name), {
+      // live table: subscribe through an implicit identity MV (the "MV" of a
+      // base table is the identity query — SURVEY §3.3)
+      val ident = (schemaName, s"__changes_$name")
+      mvs.getOrElse(ident, {
+        require(liveTables.contains((schemaName, name)),
+          s"$schemaName.$name does not exist")
+        mv(s"SELECT * FROM ${if (schemaName == "public") name else s"$schemaName.$name"}",
+          s"__changes_$name", schemaName)
+      })
+    })
+
+  private[engine] def subscribe(m: MaterializedView, subName: String,
+                                retentionSeconds: Long,
+                                persistProgress: Boolean): Subscription = {
+    if (persistProgress) ensureProgressTable()
+    new Subscription(this, m, subName, retentionSeconds, persistProgress)
+  }
+
+  // ---- progress table (K6/K7) ---------------------------------------------
+
+  private[engine] var progressTable: Option[LiveTable] = None
+
+  private def ensureProgressTable(): Unit = synchronized {
+    if (progressTable.isEmpty)
+      progressTable = Some(createTable("risingwave_py_sub_progress",
+        StructType(Seq(
+          StructField("sub_name", StringType, nullable = false),
+          StructField("progress", LongType))),
+        primaryKey = Seq("sub_name"), versionColumn = Some("progress")))
+  }
+
+  // ---- streaming-view binding (used by Mv.start) --------------------------
+
+  /** Temporarily rebind live-table views to their streaming faces, evaluate,
+    * restore. Synchronized: view rebinding is session-global. */
+  private[engine] def withStreamingViews[T](thunk: => T): T = synchronized {
+    liveTables.values.foreach(t => t.streamingDF.createOrReplaceTempView(t.viewName))
+    try thunk
+    finally liveTables.values.foreach(_.refreshView())
+  }
+
+  // ---- handshake (C4/C12/S4) ----------------------------------------------
+
+  private def registerVersionFunction(): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "version", _ => Literal.create(Version.string, StringType), "built-in")
+  }
+
+  private def handshake(): Unit = {
+    val t = createTable("_risingwave_py_version",
+      StructType(Seq(StructField("version", IntegerType, nullable = false))),
+      primaryKey = Seq("version"))
+    t.insertRow(Map("version" -> 1), forceFlush = true)
+  }
+
+  override def close(): Unit = {
+    mvs.values.foreach(_.stop())
+    mvs.clear()
+  }
+}
+
+object GraftEngine {
+  /** Embedded bootstrap (C1/C2): options accepted for API parity; the
+    * session is the engine. */
+  def open(options: ConnOptions = ConnOptions(),
+           existing: Option[SparkSession] = None): GraftEngine = {
+    val spark = existing.getOrElse {
+      SparkSession.builder()
+        .master("local[*]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+    Retry.retry(intervalMs = 500, times = 60) { new GraftEngine(spark) }
+  }
+}
+
+/** Minimal RisingWave-DDL column-list parser (covers the reference's DDL:
+  * `demo.py:120-131`, `risingwave/core.py:509`, `:599`). */
+private[engine] object DdlParser {
+  private val typeMap: Map[String, DataType] = Map(
+    "STRING" -> StringType, "VARCHAR" -> StringType, "TEXT" -> StringType,
+    "TIMESTAMPTZ" -> TimestampType, "TIMESTAMP" -> TimestampNTZType,
+    "FLOAT" -> DoubleType, "DOUBLE" -> DoubleType, "DOUBLE PRECISION" -> DoubleType,
+    "REAL" -> FloatType, "INT" -> IntegerType, "INTEGER" -> IntegerType,
+    "SMALLINT" -> ShortType, "BIGINT" -> LongType, "BOOLEAN" -> BooleanType,
+    "DATE" -> DateType, "BYTEA" -> BinaryType, "JSONB" -> StringType,
+    "DECIMAL" -> DecimalType(38, 18), "NUMERIC" -> DecimalType(38, 18))
+
+  /** Returns (schema, primaryKey, versionColumn). */
+  def parse(colsDdl: String, conflictClause: Option[String]): (StructType, Seq[String], Option[String]) = {
+    val parts = colsDdl.split(",").map(_.trim).filter(_.nonEmpty)
+    val pk = scala.collection.mutable.ArrayBuffer[String]()
+    val fields = parts.flatMap {
+      case p if p.toUpperCase.startsWith("PRIMARY KEY") =>
+        pk ++= p.replaceAll("(?i)PRIMARY\\s+KEY\\s*\\(?", "").stripSuffix(")")
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        None
+      case p =>
+        val toks = p.split("\\s+")
+        val name = toks.head
+        val tpe = toks.drop(1).takeWhile(t => !t.equalsIgnoreCase("PRIMARY")).mkString(" ").toUpperCase
+        if (p.toUpperCase.contains("PRIMARY KEY")) pk += name
+        Some(StructField(name, typeMap.getOrElse(tpe.replaceAll("\\(.*", ""), StringType)))
+    }
+    val version = conflictClause.flatMap { c =>
+      """(?is)VERSION\s+COLUMN\s*\(\s*(\w+)\s*\)""".r.findFirstMatchIn(c).map(_.group(1))
+    }
+    (StructType(fields.toSeq), pk.toSeq, version)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** A live (streamable) table: the engine-native form of the reference's
+  * row-stream-backed table (`demo.py:120-131`, upsert form
+  * `risingwave/core.py:506-513`).
+  *
+  * Dual representation:
+  *  - a [[MemoryStream]] feeding Structured Streaming MVs (each MV's query
+  *    tracks its own offsets — multiple readers are fine);
+  *  - an accumulated batch view under the (schema-mangled) table name for
+  *    interactive `fetch` SQL.
+  *
+  * Ingest mirrors the reference exactly: per-table row buffer flushed at
+  * `bufSize = 5` (`risingwave/core.py:68`), missing columns NULL-filled with
+  * a warning (`risingwave/core.py:102-122`), and DataFrame inserts flush the
+  * row buffer first to preserve arrival order (`risingwave/core.py:280-281`).
+  *
+  * Scale note: the in-memory accumulation is the local test harness; at
+  * 100 TB a live table is a log-compacted table format and the MemoryStream
+  * is a real source (Kafka etc.). All consumers only see DataFrames, so the
+  * swap is confined to this class.
+  */
+final class LiveTable(
+    spark: SparkSession,
+    val schemaName: String,
+    val name: String,
+    val schema: StructType,
+    val primaryKey: Seq[String] = Nil,
+    val versionColumn: Option[String] = None) {
+
+  val bufSize = 5
+
+  private val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
+  private[engine] val stream: MemoryStream[Row] = MemoryStream[Row](enc, spark)
+
+  private val buffer = ArrayBuffer[Row]()
+  private val allRows = ArrayBuffer[Row]()
+
+  def viewName: String = Dialect.mangle(schemaName, name)
+
+  /** Streaming face (for MV maintainers). */
+  def streamingDF: DataFrame = stream.toDF()
+
+  /** Batch face: all ingested rows, with upsert-by-primary-key semantics
+    * applied (keep the max-version row; version NULLs never overwrite — the
+    * `ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN` contract). */
+  def batchDF: DataFrame = synchronized {
+    val base = spark.createDataFrame(allRows.toList.asJava, withSeq)
+    val df =
+      if (primaryKey.isEmpty) base.drop("__seq")
+      else {
+        val ver = versionColumn.map(col).getOrElse(col("__seq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(primaryKey.map(col): _*)
+          .orderBy(ver.desc_nulls_last, col("__seq").desc)
+        base.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__seq")
+      }
+    df
+  }
+
+  private def withSeq: StructType =
+    schema.add("__seq", org.apache.spark.sql.types.LongType, nullable = false)
+
+  private var seq = 0L
+
+  def refreshView(): Unit = batchDF.createOrReplaceTempView(viewName)
+
+  /** K2/K3 — buffered single-row insert with NULL fill. */
+  def insertRow(values: Map[String, Any], forceFlush: Boolean = false): Unit = synchronized {
+    val missing = schema.fieldNames.filterNot(values.contains)
+    if (missing.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"insertRow($schemaName.$name): missing columns ${missing.mkString(",")} filled with NULL")
+    buffer += alignRow(values)
+    if (buffer.size >= bufSize || forceFlush) flushBuffer()
+  }
+
+  private def alignRow(values: Map[String, Any]): Row = {
+    seq += 1
+    Row.fromSeq(schema.fields.map(f => values.getOrElse(f.name, null)).toSeq :+ seq)
+  }
+
+  /** K4 — DataFrame/batch append (flushes the row buffer first). */
+  def insert(rows: Seq[Row]): Unit = synchronized {
+    flushBuffer()
+    addBatch(rows.map(r => { seq += 1; Row.fromSeq(r.toSeq :+ seq) }))
+  }
+
+  def insertDF(df: DataFrame): Unit = insert(df.select(schema.fieldNames.map(col): _*).collect().toSeq)
+
+  /** Flush this table's row buffer into one micro-batch (K1's multi-row
+    * INSERT equivalent). */
+  def flushBuffer(): Unit = synchronized {
+    if (buffer.nonEmpty) {
+      addBatch(buffer.toList)
+      buffer.clear()
+    }
+  }
+
+  private def addBatch(rows: Seq[Row]): Unit = {
+    allRows ++= rows
+    // the streaming face carries the declared schema (no __seq)
+    stream.addData(rows.map(r => Row.fromSeq(r.toSeq.dropRight(1))))
+    refreshView()
+  }
+
+  def rowCount: Long = synchronized(allRows.size.toLong)
+}

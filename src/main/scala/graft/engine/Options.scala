@@ -1,0 +1,36 @@
+package graft.engine
+
+/** Result format of `fetch` — reference `OutputFormat` enum
+  * (`risingwave/core.py:150-152`): RAW = row tuples, DATAFRAME = columnar
+  * handle (pandas there, Spark DataFrame here). */
+sealed trait OutputFormat
+object OutputFormat {
+  case object RAW extends OutputFormat
+  case object DATAFRAME extends OutputFormat
+}
+
+/** Connection options — API-parity shape of `RisingWaveConnOptions`
+  * (`risingwave/core.py:125-147`). The engine is embedded (one SparkSession
+  * per JVM, ≈ the reference's embedded-server autostart path
+  * `risingwave/core.py:575-592`), so host/port/DSN are accepted and
+  * recorded but do not open sockets. */
+final case class ConnOptions(
+    connStr: Option[String] = None,
+    host: String = "localhost",
+    port: Int = 4566,
+    user: String = "root",
+    password: String = "",
+    database: String = "dev",
+    ssl: String = "disable")
+
+object ConnOptions {
+  /** `postgresql://` DSNs are accepted exactly like the reference rewrites
+    * them (`risingwave/core.py:136-139`). */
+  def fromConnStr(s: String): ConnOptions =
+    ConnOptions(connStr = Some(s.replaceFirst("^postgresql://", "risingwave://")))
+
+  def fromConnectionInfo(host: String, port: Int, user: String,
+                         password: String, database: String,
+                         ssl: String = "disable"): ConnOptions =
+    ConnOptions(None, host, port, user, password, database, ssl)
+}

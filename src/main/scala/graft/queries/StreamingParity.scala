@@ -1,10 +1,141 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{q, rowsOnly}
+import graft.engine.{ConnOptions, GraftEngine}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Streaming parity — MV incremental maintenance replayed over the `events`
-  * fixture, with a batch-SQL oracle (the MV invariant: incremental state ==
-  * batch re-evaluation). Filled in with graft.engine.Mv. */
+/** Streaming parity — the MV invariant, driver-verifiable: the `events`
+  * fixture is replayed through the engine's live-table → MV → changelog
+  * runtime in 8 contiguous event_id chunks with a FLUSH barrier after each,
+  * and the DuckDB oracle checks
+  *   (a) final incremental MV state == batch evaluation of the defining
+  *       query, and
+  *   (b) the changelog op counts == what chunked incremental maintenance
+  *       must emit (1 Insert per key + one UpdateDelete/UpdateInsert pair
+  *       per additional chunk that touches the key).
+  */
 object StreamingParity {
-  val defs: Seq[QueryDef] = Seq()
+
+  private val CHUNKS = 8
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Replay events into a fresh live table in event_id-chunked epochs,
+    * flushing between chunks; returns the engine for inspection. */
+  private def replay(spark: SparkSession, dir: String, table: String,
+                     mvName: Option[(String, String)]): GraftEngine = {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable(table, eventsSchema)
+    mvName.foreach { case (name, stmt) => rw.mv(stmt, name) }
+    val rows = Tables(spark, dir, "events")
+      .select(eventsSchema.fieldNames.map(col): _*)
+      .collect().sortBy(_.getLong(0))
+    val n = rows.length
+    val chunkSize = (n + CHUNKS - 1) / CHUNKS
+    rows.grouped(chunkSize).foreach { chunk =>
+      rw.table(table).get.insert(chunk.toSeq)
+      rw.flush()
+    }
+    rw
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A3/A4 — incrementally-maintained grouped aggregate: final state must
+    // equal the batch aggregate (decimal sums exact, avg rounded).
+    q("m_mv_groupagg_incremental",
+      """SELECT event_type, count(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(38,6))) AS sv,
+        |  round(avg(value), 4) AS avg_v
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_agg", Some(("m_agg_mv",
+        """SELECT event_type, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(38,6))) AS sv,
+          |  round(avg(value), 4) AS avg_v
+          |FROM m_ev_agg GROUP BY event_type""".stripMargin)))
+      rw.mvByName("m_agg_mv").get.df
+    },
+
+    // W1/W2/A4 — incrementally-maintained tumble-window aggregate (the
+    // demo_simple MV shape, `demo.py:98-100`) over 10-minute windows.
+    q("m_mv_tumble_incremental",
+      """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS ws, event_type,
+        |  count(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sv
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_tw", Some(("m_tw_mv",
+        """SELECT window_start, event_type, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(38,6))) AS sv
+          |FROM tumble(m_ev_tw, ts, interval '10 minutes')
+          |GROUP BY window_start, event_type""".stripMargin)))
+      rw.mvByName("m_tw_mv").get.df
+        .select(col("window_start").cast("long").as("ws"), col("event_type"),
+          col("n"), col("sv"))
+    },
+
+    // W3/W4 — the changelog itself: op counts of chunked incremental
+    // maintenance are predictable from chunk/key co-occurrence (count(*)
+    // strictly grows per touch, so every later touch is an UD/UI pair).
+    q("m_changelog_ops",
+      s"""WITH ch AS (SELECT *,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |k AS (SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS ws, event_type,
+         |    count(DISTINCT chunk) AS nc
+         |  FROM ch GROUP BY 1, 2)
+         |SELECT count(*) AS n_insert,
+         |  CAST(SUM(nc) - count(*) AS BIGINT) AS n_update_insert,
+         |  CAST(SUM(nc) - count(*) AS BIGINT) AS n_update_delete
+         |FROM k""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_cl", Some(("m_cl_mv",
+        """SELECT window_start, event_type, count(*) AS n
+          |FROM tumble(m_ev_cl, ts, interval '10 minutes')
+          |GROUP BY window_start, event_type""".stripMargin)))
+      val sub = rw.mvByName("m_cl_mv").get.subscription().declareCursor(Some(0L))
+      val ops = Iterator.continually(sub.fetch(10000)).takeWhile(_.nonEmpty).flatten.toSeq
+      val counts = ops.groupBy(r => r.getString(r.length - 2)).view.mapValues(_.size.toLong).toMap
+      import s.implicits._
+      Seq((counts.getOrElse("Insert", 0L),
+        counts.getOrElse("UpdateInsert", 0L),
+        counts.getOrElse("UpdateDelete", 0L)))
+        .toDF("n_insert", "n_update_insert", "n_update_delete")
+    },
+
+    // K6 — upsert table with version column, fed through the live ingest
+    // path: latest event per user wins.
+    q("m_upsert_version_table",
+      """SELECT user_id, arg_max(value, event_id) AS value, max(event_id) AS event_id
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val t = rw.createTable("m_upsert_t",
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("value", DoubleType), StructField("event_id", LongType))),
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        t.insert(chunk.toSeq); rw.flush()
+      }
+      t.batchDF.select("user_id", "value", "event_id")
+    },
+
+    // W5 — SINCE replay determinism: two cursors, one live from offset 0 and
+    // one declared after the fact with SINCE 0, must see identical payload
+    // sequences (rows-only; the invariant itself is asserted in EngineSpec).
+    rowsOnly("m_subscription_since_replay") { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_since", Some(("m_since_mv",
+        "SELECT event_type, count(*) AS n FROM m_ev_since GROUP BY event_type")))
+      val sub = rw.mvByName("m_since_mv").get.subscription().declareCursor(Some(0L))
+      val ops = Iterator.continually(sub.fetch(10000)).takeWhile(_.nonEmpty).flatten.toSeq
+      import s.implicits._
+      ops.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toDF("event_type", "n", "op")
+    }
+  )
 }

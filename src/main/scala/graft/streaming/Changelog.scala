@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** 4-op changelog generation (SURVEY §2.6 W3): diff of two keyed snapshots
+  * into RisingWave's change envelope — `Insert`, `Delete`, and the
+  * retraction pair `UpdateDelete`/`UpdateInsert` (observed ops
+  * `demo.py:50`; the full envelope is RisingWave's documented public
+  * contract). Emission order within an epoch is deterministic: sorted by
+  * key, with UpdateDelete immediately preceding its UpdateInsert.
+  *
+  * This is a distributed diff (full outer join on the key columns) — the
+  * component Spark itself lacks (SURVEY §4.2): stateful streaming aggs give
+  * you new values, not retractions.
+  */
+object Changelog {
+  val OpInsert = "Insert"
+  val OpDelete = "Delete"
+  val OpUpdateDelete = "UpdateDelete"
+  val OpUpdateInsert = "UpdateInsert"
+
+  /** Order rank used to serialize an epoch's ops deterministically. */
+  private val opRank = map(
+    lit(OpDelete), lit(0), lit(OpUpdateDelete), lit(1),
+    lit(OpUpdateInsert), lit(2), lit(OpInsert), lit(3))
+
+  /** Diff `prev` → `next` keyed by `keyCols`; both must share a schema.
+    * Returns the change rows: payload columns + `op`, sorted by key then op
+    * rank. `prev = None` means everything in `next` is an Insert. */
+  def diff(prev: Option[DataFrame], next: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val cols = next.columns.toSeq
+    val valueCols = cols.filterNot(keyCols.contains)
+
+    prev match {
+      case None =>
+        next.withColumn("op", lit(OpInsert))
+          .orderBy(keyCols.map(col) :+ col("op"): _*)
+      case Some(p) =>
+        val pr = p.select(cols.map(c => col(c).as(s"__p_$c")): _*)
+        val nr = next.select(cols.map(c => col(c).as(s"__n_$c")): _*)
+        val cond = keyCols.map(k => col(s"__p_$k") <=> col(s"__n_$k")).reduce(_ && _)
+        val joined = pr.join(nr, cond, "full_outer")
+
+        // presence test: a side absent from the outer join is all-null
+        val pPresent = joined.columns.filter(_.startsWith("__p_")).map(col(_).isNotNull).reduce(_ || _)
+        val nPresent = joined.columns.filter(_.startsWith("__n_")).map(col(_).isNotNull).reduce(_ || _)
+        val changed =
+          if (valueCols.isEmpty) lit(false)
+          else !(struct(valueCols.map(c => col(s"__p_$c")): _*) <=>
+                 struct(valueCols.map(c => col(s"__n_$c")): _*))
+
+        val inserts = joined.filter(!pPresent && nPresent)
+          .select(cols.map(c => col(s"__n_$c").as(c)) :+ lit(OpInsert).as("op"): _*)
+        val deletes = joined.filter(pPresent && !nPresent)
+          .select(cols.map(c => col(s"__p_$c").as(c)) :+ lit(OpDelete).as("op"): _*)
+        val updatesOld = joined.filter(pPresent && nPresent && changed)
+          .select(cols.map(c => col(s"__p_$c").as(c)) :+ lit(OpUpdateDelete).as("op"): _*)
+        val updatesNew = joined.filter(pPresent && nPresent && changed)
+          .select(cols.map(c => col(s"__n_$c").as(c)) :+ lit(OpUpdateInsert).as("op"): _*)
+
+        inserts.union(deletes).union(updatesOld).union(updatesNew)
+          .orderBy(keyCols.map(col) :+ element_at(opRank, col("op")): _*)
+    }
+  }
+}

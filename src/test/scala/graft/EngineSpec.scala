@@ -1,0 +1,190 @@
+package graft
+
+import graft.engine.{ConnOptions, GraftEngine}
+import graft.streaming.Changelog
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+import scala.collection.mutable.ArrayBuffer
+
+/** API-parity tests: the README walkthrough (README.md:29-123) and the
+  * demo_simple scenario (demo.py:58-108) re-expressed on the Scala facade,
+  * plus MV/changelog/subscription semantics. */
+class EngineSpec extends SparkSpec {
+
+  private lazy val rw: GraftEngine = GraftEngine.open(ConnOptions(), Some(spark))
+
+  private def productSchema = StructType(Seq(
+    StructField("product", StringType), StructField("price", DoubleType)))
+
+  test("handshake: version table + version() function") {
+    assert(rw.fetch("SELECT version() AS v").head.getString(0).startsWith("graft-"))
+    assert(rw.fetch("SELECT * FROM _risingwave_py_version").map(_.getInt(0)) == Seq(1))
+  }
+
+  test("README walkthrough: table -> inserts -> MV avg -> incremental update") {
+    rw.createTable("test_product", productSchema)
+    // buffered inserts: buf_size=5, nothing visible pre-flush boundary
+    rw.insertRow("test_product", values = Map("product" -> "A", "price" -> 10.0))
+    rw.insertRow("test_product", values = Map("product" -> "A", "price" -> 20.0))
+    rw.insertRow("test_product", values = Map("product" -> "B", "price" -> 30.0))
+    rw.insertRow("test_product", values = Map("product" -> "B", "price" -> 50.0), forceFlush = true)
+
+    val m = rw.mv("SELECT product, avg(price) AS avg_price FROM test_product GROUP BY product",
+      "product_avg")
+    rw.flush()
+    val state1 = rw.fetch("SELECT * FROM product_avg").map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(state1 == Map("A" -> 15.0, "B" -> 40.0))
+
+    // incremental: new insert shifts only A
+    rw.insertRow("test_product", values = Map("product" -> "A", "price" -> 30.0), forceFlush = true)
+    val state2 = rw.fetch("SELECT * FROM product_avg").map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(state2 == Map("A" -> 20.0, "B" -> 40.0))
+  }
+
+  test("MV invariant: incremental state equals batch re-evaluation") {
+    rw.createTable("inv_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType))))
+    val rnd = new scala.util.Random(7)
+    rw.mv("SELECT k, sum(v) AS sv, count(*) AS n FROM inv_t GROUP BY k", "inv_mv")
+    for (_ <- 1 to 3) {
+      for (_ <- 1 to 17)
+        rw.insertRow("inv_t", values = Map("k" -> s"k${rnd.nextInt(5)}", "v" -> rnd.nextInt(100).toDouble))
+      rw.flush()
+      val inc = rw.fetch("SELECT * FROM inv_mv")
+        .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+      val batch = rw.fetch("SELECT k, sum(v) AS sv, count(*) AS n FROM inv_t GROUP BY k")
+        .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+      assert(inc == batch)
+    }
+  }
+
+  test("demo_simple: tumble MV via SQL DDL, changelog ops incl. corrections") {
+    rw.execute("CREATE SCHEMA IF NOT EXISTS risingwave_py_demo")
+    rw.execute(
+      """CREATE TABLE IF NOT EXISTS risingwave_py_demo.tick (
+        |  symbol STRING, timestamp TIMESTAMPTZ, open FLOAT, high FLOAT,
+        |  low FLOAT, close FLOAT, volume FLOAT)""".stripMargin)
+    rw.execute(
+      """CREATE MATERIALIZED VIEW IF NOT EXISTS risingwave_py_demo.tick_analytics AS
+        |SELECT window_start, window_end, symbol, ROUND(avg(close)) AS avg_price
+        |FROM tumble(risingwave_py_demo.tick, timestamp, interval '10 seconds')
+        |GROUP BY window_start, window_end, symbol""".stripMargin)
+
+    val ops = ArrayBuffer[(String, Double)]()
+    val sub = rw.subscriptionFor("tick_analytics", "risingwave_py_demo").declareCursor()
+
+    def tick(sym: String, ts: String, close: Double) =
+      rw.insertRow("tick", "risingwave_py_demo", forceFlush = false, Map(
+        "symbol" -> sym, "timestamp" -> Timestamp.valueOf(ts),
+        "open" -> close, "high" -> close, "low" -> close,
+        "close" -> close, "volume" -> 1.0))
+
+    tick("ANT", "2024-01-01 00:00:01", 100.0)
+    tick("ANT", "2024-01-01 00:00:03", 200.0)
+    rw.execute("FLUSH")
+    tick("ANT", "2024-01-01 00:00:07", 600.0) // same window -> correction
+    tick("BEE", "2024-01-01 00:00:12", 50.0)  // new window  -> insert
+    rw.execute("FLUSH")
+
+    val seen = Iterator.continually(sub.fetch(10)).takeWhile(_.nonEmpty).flatten.toSeq
+    // change row layout: payload..., op (second-to-last), rw_timestamp (last)
+    val opNames = seen.map(r => r.getString(r.length - 2))
+    assert(opNames.contains(Changelog.OpInsert))
+    assert(opNames.contains(Changelog.OpUpdateDelete))
+    assert(opNames.contains(Changelog.OpUpdateInsert))
+    // rw_timestamp (last col) strictly increasing
+    val ts = seen.map(r => r.getLong(r.length - 1))
+    assert(ts == ts.sorted && ts.distinct.size == ts.size)
+
+    // final MV state equals batch recompute over the raw ticks
+    val got = rw.fetch(
+      "SELECT symbol, avg_price FROM risingwave_py_demo.tick_analytics ORDER BY symbol, avg_price")
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val exp = rw.fetch(
+      """SELECT symbol, ROUND(avg(close)) AS avg_price
+        |FROM tumble(risingwave_py_demo.tick, timestamp, interval '10 seconds')
+        |GROUP BY window_start, window_end, symbol ORDER BY symbol, avg_price""".stripMargin)
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got == exp)
+    assert(got.map(_._2).toSet == Set(300.0, 50.0)) // corrected avg for ANT window 0-10s
+  }
+
+  test("subscription: SINCE replay and blocking consume with at-least-once progress") {
+    rw.createTable("sub_t", StructType(Seq(StructField("x", LongType))))
+    rw.mv("SELECT x FROM sub_t", "sub_mv") // identity (append) MV
+    val subAll = rw.subscriptionFor("sub_mv").declareCursor(Some(0L))
+
+    (1L to 7L).foreach(x => rw.insertRow("sub_t", values = Map("x" -> x)))
+    rw.flush()
+
+    // SINCE 0 replays everything; fetch respects max batch size
+    val b1 = subAll.fetch(3)
+    assert(b1.size == 3)
+    val rest = subAll.fetch(100)
+    assert(b1.size + rest.size == 7)
+    assert((b1 ++ rest).map(_.getLong(0)).toSet == (1L to 7L).toSet)
+    assert((b1 ++ rest).forall(_.getString(1) == Changelog.OpInsert))
+
+    // blocking consume on a user thread (reference threading pattern)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val sub2 = rw.subscriptionFor("sub_mv", subName = "sub_mv_progress", persistProgress = true)
+      .declareCursor(Some(0L))
+    val th = new Thread(() => sub2.consume(rows => rows.foreach(r => seen.add(r.getLong(0))), 5))
+    th.start()
+    rw.insertRow("sub_t", values = Map("x" -> 8L), forceFlush = true)
+    val deadline = System.currentTimeMillis() + 10000
+    while (seen.size < 8 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    sub2.close(); th.join(5000)
+    assert(seen.size == 8)
+    // progress persisted after delivery (K7): stored offset == cursor position
+    val prog = rw.fetch("SELECT progress FROM risingwave_py_sub_progress WHERE sub_name = 'sub_mv_progress'")
+    assert(prog.nonEmpty && prog.head.getLong(0) == sub2.currentPosition)
+  }
+
+  test("upsert table with version column keeps max-version row (K6)") {
+    rw.execute(
+      """CREATE TABLE vt (k STRING PRIMARY KEY, v BIGINT)
+        |ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(v)""".stripMargin)
+    rw.execute("INSERT INTO vt VALUES ('a', 2)")
+    rw.execute("INSERT INTO vt VALUES ('a', 5)")
+    rw.execute("INSERT INTO vt VALUES ('a', 3)") // stale version: must not win
+    rw.execute("INSERT INTO vt VALUES ('b', 1)")
+    rw.execute("FLUSH")
+    val got = rw.fetch("SELECT k, v FROM vt ORDER BY k").map(r => (r.getString(0), r.getLong(1)))
+    assert(got == Seq(("a", 5L), ("b", 1L)))
+  }
+
+  test("batch-rerun MV over static parquet emits Delete on shrink") {
+    // MV over a filtered live table: deleting is modeled by key disappearing
+    rw.createTable("del_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    // batch-mode MV: aggregate with HAVING is not streamable -> batch rerun
+    rw.mv("SELECT k, sum(v) AS sv FROM del_t GROUP BY k HAVING sum(v) < 100", "del_mv")
+    rw.insertRow("del_t", values = Map("k" -> "a", "v" -> 10L), forceFlush = true)
+    assert(rw.fetch("SELECT * FROM del_mv").map(_.getString(0)) == Seq("a"))
+    rw.insertRow("del_t", values = Map("k" -> "a", "v" -> 200L), forceFlush = true) // a out of HAVING
+    val sub = rw.subscriptionFor("del_mv").declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(100)).takeWhile(_.nonEmpty).flatten.toSeq
+      .map(r => r.getString(r.length - 2))
+    assert(ops.contains(Changelog.OpInsert) && ops.contains(Changelog.OpDelete))
+    assert(rw.fetch("SELECT * FROM del_mv").isEmpty)
+  }
+
+  test("information_schema + checkExist (S2/S3/C8)") {
+    val cols = rw.fetch(
+      """SELECT column_name FROM information_schema.columns
+        |WHERE table_name = 'test_product' AND table_schema = 'public'
+        |ORDER BY ordinal_position""".stripMargin).map(_.getString(0))
+    assert(cols == Seq("product", "price"))
+    assert(rw.checkExist("test_product"))
+    assert(!rw.checkExist("nope_not_here"))
+  }
+
+  test("insert via SQL errors on missing table like the reference (RuntimeError)") {
+    intercept[RuntimeException] {
+      rw.insertRow("missing_table", values = Map("x" -> 1))
+    }
+  }
+}
