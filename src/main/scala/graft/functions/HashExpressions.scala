@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the sketch hot paths.
+  *
+  * Rationale (measured): Spark's higher-order functions (`transform` /
+  * `aggregate`) are CodegenFallback — every lambda step is interpreted, so a
+  * k=128-permutation MinHash over ~250 shingles costs ~32k interpreted
+  * expression evaluations per row. These expressions do the same work in one
+  * tight JVM loop per row: one xxhash64 over each element's bytes, then k
+  * splitmix64-style salted mixes (plain Long arithmetic — a custom `eval` is
+  * outside ANSI overflow checking, wraparound is the hash space).
+  */
+object HashExpressions {
+
+  /** splitmix64 finalizer — public-domain avalanche mix. */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline private def hashElem(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** k-permutation MinHash signature of an array<string> set. */
+  case class MinHashSig(child: Expression, k: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hashElem(arr.getUTF8String(i), seed)
+        var p = 0
+        while (p < k) {
+          val hp = mix64(h ^ (seed + 0x9e3779b97f4a7c15L * (p + 1)))
+          if (hp < sig(p)) sig(p) = hp
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** 64-bit SimHash of an array<string> token multiset. */
+  case class SimHash(child: Expression, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = hashElem(arr.getUTF8String(i), seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
+  }
+
+  /** Distinct word n-gram shingles of a string, in one pass (split + slide +
+    * dedup). Matches the declarative form exactly: tokens are `\s+` splits
+    * of the trimmed text, shingles joined by single spaces, first-occurrence
+    * order. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private val ws = "\\s+".r.pattern
+    override def nullSafeEval(input: Any): Any = {
+      val toks = ws.split(input.asInstanceOf[UTF8String].toString.trim)
+      if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k2 = 0
+      while (it.hasNext) { out(k2) = UTF8String.fromString(it.next()); k2 += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
+  private val eu = org.apache.spark.sql.GraftColumnBridge
+
+  def wordShingles(c: Column, n: Int): Column =
+    eu.column(WordShingles(eu.expression(c), n))
+
+  def minhashSig(c: Column, k: Int, seed: Long): Column =
+    eu.column(MinHashSig(eu.expression(c), k, seed))
+
+  def simhash(c: Column, seed: Long): Column =
+    eu.column(SimHash(eu.expression(c), seed))
+}

@@ -22,59 +22,29 @@ object TextFunctions {
     * so it doubles as the exact-dedup key). */
   def fingerprintMd5(c: Column): Column = md5(normText(c))
 
-  /** Distinct word n-gram shingles. Safe on short docs (returns empty array
-    * when fewer than n tokens — `sequence` would otherwise count DOWN). */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    val grams = transform(
-      sequence(lit(1), size(t) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))
-    array_distinct(when(size(t) >= n, grams).otherwise(array().cast("array<string>")))
-  }
+  /** Distinct word n-gram shingles (native single-pass expression —
+    * [[HashExpressions.WordShingles]]; empty array below n tokens). */
+  def shingles(c: Column, n: Int): Column = HashExpressions.wordShingles(c, n)
 
   // ---- MinHash ------------------------------------------------------------
 
-  /** Seeded per-permutation salt constants. Deterministic across runs. */
-  private def permConstants(k: Int, seed: Long): Seq[Long] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)(rnd.nextLong())
-  }
-
   /** k-permutation MinHash signature of a string-array column (the shingle
-    * set). One xxhash64 per element, then k salted re-hashes
-    * (`xxhash64(h, salt_i)` — a random function family with no overflow,
-    * which ANSI mode would reject for affine multiply-add). All codegen'd,
-    * O(k·|set|) per row, no shuffle. */
-  def minhashSignature(setCol: Column, k: Int = 128, seed: Long = 42L): Column = {
-    val saltLit = typedLit(permConstants(k, seed))
-    val hashes = transform(setCol, s => xxhash64(s))
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(
-        hashes,
-        h => xxhash64(h, element_at(saltLit, (i + 1).cast("int"))))))
-  }
+    * set): one xxhash64 per element + k splitmix64 salted mixes in a native
+    * Catalyst expression ([[HashExpressions.MinHashSig]]). A higher-order-
+    * function formulation was ~100× slower — Spark's `transform`/`aggregate`
+    * lambdas are interpreted (CodegenFallback), catastrophic at k·|set|
+    * evaluations per row. */
+  def minhashSignature(setCol: Column, k: Int = 128, seed: Long = 42L): Column =
+    HashExpressions.minhashSig(setCol, k, seed)
 
   // ---- SimHash ------------------------------------------------------------
 
-  private val bitMasks: Seq[Long] = Seq.tabulate(64)(b => 1L << b)
-
   /** 64-bit SimHash over the token multiset: per-bit ±1 votes from each
-    * token's xxhash64, sign-packed into a Long. Near-dup docs land within a
-    * small Hamming distance. */
-  def simhash64(tokensCol: Column): Column = {
-    val masks = typedLit(bitMasks)
-    val hashes = transform(tokensCol, t => xxhash64(t))
-    val votes = aggregate(
-      hashes,
-      typedLit(Seq.fill(64)(0L)),
-      (acc, h) => zip_with(acc, masks, (v, m) =>
-        v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0L, m).otherwise(0L)),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+    * token's xxhash64, sign-packed into a Long — native expression
+    * ([[HashExpressions.SimHash]]) for the same interpreted-HOF reason as
+    * MinHash. Near-dup docs land within a small Hamming distance. */
+  def simhash64(tokensCol: Column): Column =
+    HashExpressions.simhash(tokensCol, 42L)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -58,24 +58,30 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sets = shingleSets(df, idCol, textCol, n)
-    val sig = sets.select(col(idCol).as("id"), col("sh"),
-      minhashSignature(col("sh"), k).as("sig"))
 
-    // (id, band, bucket-hash) — murmur3 over the band slice of the signature
-    val banded = sig.select(
-      col("id"), col("sh"),
+    // (id, band, bucket-hash) only — the shingle arrays must NOT ride
+    // through the self-join shuffle (at 100 TB they dominate the shuffle
+    // volume; candidate verification re-joins them by id instead). Persist:
+    // both sides of the self-join read this, and signatures are the
+    // expensive stage.
+    val banded = sets.select(
+      col(idCol).as("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        j => hash(slice(col("sig"), j * lit(r) + 1, lit(r))))).as(Seq("band", "bucket")))
+        j => hash(slice(minhashSignature(col("sh"), k), j * lit(r) + 1, lit(r)))))
+        .as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val l = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
-    val rgt = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
-    val cands = l.join(rgt, Seq("band", "bucket"))
+    val cands = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    cands
+    val a = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
       .filter(col("j") >= tau)
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
@@ -90,10 +96,13 @@ object Dedup {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val sig = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig"))
+    // persisted: the self-join would otherwise recompute the signature
+    // (64 bit-votes per token) on both sides
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))
       }: _*)).as(Seq("chunk", "v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"), col("chunk"), col("v"))
     val rgt = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"), col("chunk"), col("v"))
