@@ -278,10 +278,43 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     t.insertRow(Map("version" -> 1), forceFlush = true)
   }
 
+  /** C5 — connection handle: the reference hands out
+    * `RisingWaveConnection`s from a pool (`risingwave/core.py:608-615`) and
+    * opens a dedicated one per MV; here every handle shares the (thread-
+    * safe) SparkSession, so a handle is a thin facade. */
+  def getconn(): Connection = new Connection(this)
+
   override def close(): Unit = {
     mvs.values.foreach(_.stop())
     mvs.clear()
   }
+}
+
+/** C5/C6/C7 — per-use connection facade (`RisingWaveConnection`,
+  * `risingwave/core.py:155-362`): same surface as the engine, loanable via
+  * `AutoCloseable` (the reference's context-manager `__enter__`/`__exit__`).
+  */
+final class Connection private[engine](engine: GraftEngine) extends AutoCloseable {
+  def execute(sql: String): Unit = engine.execute(sql)
+  def fetch(sql: String): Seq[Row] = engine.fetch(sql)
+  def fetchDF(sql: String): DataFrame = engine.fetchDF(sql)
+  def fetchOne(sql: String): Option[Row] = engine.fetchOne(sql)
+  def insertRow(tableName: String, schemaName: String = "public",
+                forceFlush: Boolean = false, values: Map[String, Any]): Unit =
+    engine.insertRow(tableName, schemaName, forceFlush, values)
+  def insert(df: DataFrame, tableName: String, schemaName: String = "public",
+             forceFlush: Boolean = false): Unit =
+    engine.insert(df, tableName, schemaName, forceFlush)
+  def checkExist(name: String, schemaName: String = "public"): Boolean =
+    engine.checkExist(name, schemaName)
+  def onChange(subscribeFrom: String, handler: Seq[Row] => Unit,
+               schemaName: String = "public", subName: String = "",
+               maxBatchSize: Int = 10, retentionSeconds: Long = 86400L,
+               persistProgress: Boolean = false,
+               errorIfNotExist: Boolean = false): Subscription =
+    engine.onChange(subscribeFrom, handler, schemaName, subName, maxBatchSize,
+      retentionSeconds, persistProgress, errorIfNotExist)
+  override def close(): Unit = () // shared session — nothing to release
 }
 
 object GraftEngine {

@@ -488,6 +488,86 @@ object TierB {
         .agg(round(sum(col("x").cast(dec)), 4).as("s"), count(lit(1)).as("n"))
     },
 
+    // Sliding (hop) window: 30-minute windows every 10 minutes — each event
+    // lands in 3 windows. The oracle enumerates the hops explicitly.
+    q("b_win_sliding",
+      """SELECT CAST(floor(epoch(ts)/600)*600 - j*600 AS BIGINT) AS ws, event_type,
+        |  count(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sv
+        |FROM events, (SELECT unnest(range(3)) AS j)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
+        .select(col("window.start").cast("long").as("ws"), col("event_type"),
+          col("n"), col("sv"))
+    },
+
+    // Session window (5-minute gap) per user; oracle reconstructs sessions
+    // with a lag/running-sum break detector.
+    q("b_win_session",
+      """WITH o AS (SELECT user_id, epoch(ts) AS e FROM events),
+        |m AS (SELECT user_id, e,
+        |  CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w >= 300 THEN 1 ELSE 0 END AS brk
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY e)),
+        |s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY e) AS sid
+        |  FROM m)
+        |SELECT user_id, count(DISTINCT sid) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("cnt").as("n_events"))
+    },
+
+    // Exact percentiles with linear interpolation (Spark percentile ==
+    // DuckDB quantile_cont).
+    q("b_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
+    },
+
+    // PIVOT (DataFrame relational pivot; oracle = conditional aggregation).
+    q("b_pivot",
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // Correlated LATERAL subquery with per-row ORDER BY/LIMIT (top-2 nations
+    // per region).
+    sqlBoth("b_lateral_topn",
+      """SELECT r_name, n_name
+        |FROM region, LATERAL (
+        |  SELECT n_name FROM nation WHERE n_regionkey = r_regionkey
+        |  ORDER BY n_name LIMIT 2) t""".stripMargin),
+
+    // first_value/last_value with explicit frames + IS DISTINCT FROM.
+    sqlBoth("b_win_first_last",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  first_value(l_quantity) OVER w AS first_q,
+        |  last_value(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_q,
+        |  l_quantity IS DISTINCT FROM 25 AS not_25
+        |FROM lineitem
+        |WHERE l_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin),
+
     // generate_series ↔ explode(sequence(...)).
     q("b_series",
       """SELECT CAST(SUM(x) AS BIGINT) AS s, count(*) AS n, min(x) AS lo, max(x) AS hi
