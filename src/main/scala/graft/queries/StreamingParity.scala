@@ -51,12 +51,12 @@ object StreamingParity {
     // equal the batch aggregate (decimal sums exact, avg rounded).
     q("m_mv_groupagg_incremental",
       """SELECT event_type, count(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(38,6))) AS sv,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS sv,
         |  round(avg(value), 4) AS avg_v
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       val rw = replay(s, dir, "m_ev_agg", Some(("m_agg_mv",
         """SELECT event_type, count(*) AS n,
-          |  SUM(CAST(value AS DECIMAL(38,6))) AS sv,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv,
           |  round(avg(value), 4) AS avg_v
           |FROM m_ev_agg GROUP BY event_type""".stripMargin)))
       rw.mvByName("m_agg_mv").get.df
@@ -66,11 +66,11 @@ object StreamingParity {
     // demo_simple MV shape, `demo.py:98-100`) over 10-minute windows.
     q("m_mv_tumble_incremental",
       """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS ws, event_type,
-        |  count(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sv
+        |  count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val rw = replay(s, dir, "m_ev_tw", Some(("m_tw_mv",
         """SELECT window_start, event_type, count(*) AS n,
-          |  SUM(CAST(value AS DECIMAL(38,6))) AS sv
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM tumble(m_ev_tw, ts, interval '10 minutes')
           |GROUP BY window_start, event_type""".stripMargin)))
       rw.mvByName("m_tw_mv").get.df

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TierB {
 
-  private val dec = DecimalType(38, 6)
+  private val dec = DecimalType(18, 6)
 
   /** Same SQL string runs on Spark and DuckDB (shared-dialect subset). */
   private def sqlBoth(name: String, sql: String): QueryDef =
@@ -36,10 +36,10 @@ object TierB {
     // Map-side partial agg + 2-key hash agg; decimal sums are exact.
     q("b_q1_pricing",
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base,
-        |  SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS sum_disc,
-        |  SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS sum_charge,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base,
+        |  SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS sum_disc,
+        |  SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS n
@@ -105,7 +105,7 @@ object TierB {
 
     q("b_rollup",
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, count(*) AS n
+        |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
       Tables(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -123,7 +123,7 @@ object TierB {
     sqlBoth("b_grouping_sets",
       """SELECT coalesce(event_type, 'ALL') AS et,
         |  coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS cohort,
-        |  count(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sv
+        |  count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin),
 
@@ -162,7 +162,7 @@ object TierB {
     // dim joins); at 100 TB this is the canonical plan — verify in explain.
     q("b_join_star",
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -181,7 +181,7 @@ object TierB {
     // still broadcast at small SF, which is exactly right).
     q("b_join_fact_fact",
       """SELECT o_orderpriority,
-        |  SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS revenue,
+        |  SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
@@ -198,7 +198,7 @@ object TierB {
       """SELECT c_mktsegment,
         |  count(*) AS n_cust,
         |  count(o_orderkey) AS n_orders,
-        |  SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(38,6))) AS revenue
+        |  SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,6))) AS revenue
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
       Tables(s, dir, "customer")
@@ -288,7 +288,7 @@ object TierB {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  lag(l_quantity) OVER w AS prev_q,
         |  lead(l_quantity) OVER w AS next_q,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+        |  SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_q,
         |  round(avg(l_quantity) OVER (
@@ -375,7 +375,7 @@ object TierB {
     sqlBoth("b_cte_topn",
       """WITH revenue AS (
         |  SELECT l_suppkey,
-        |    SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS total
+        |    SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS total
         |  FROM lineitem GROUP BY l_suppkey)
         |SELECT s_name, total FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |ORDER BY total DESC, s_name LIMIT 10""".stripMargin),
@@ -479,7 +479,7 @@ object TierB {
     },
 
     q("b_explode_unnest",
-      """SELECT label, round(SUM(CAST(x AS DECIMAL(38,6))), 4) AS s, count(*) AS n
+      """SELECT label, round(SUM(CAST(x AS DECIMAL(18,6))), 4) AS s, count(*) AS n
         |FROM (SELECT label, unnest(list_slice(embedding, 1, 4)) AS x FROM embeddings) t
         |GROUP BY label""".stripMargin) { (s, dir) =>
       Tables(s, dir, "embeddings")
@@ -492,7 +492,7 @@ object TierB {
     // lands in 3 windows. The oracle enumerates the hops explicitly.
     q("b_win_sliding",
       """SELECT CAST(floor(epoch(ts)/600)*600 - j*600 AS BIGINT) AS ws, event_type,
-        |  count(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sv
+        |  count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
         |FROM events, (SELECT unnest(range(3)) AS j)
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Tables(s, dir, "events")

@@ -1,0 +1,123 @@
+package graft
+
+import graft.engine.{ConnOptions, GraftEngine}
+import graft.streaming.Changelog
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, rng}
+
+/** Property-based tests (SURVEY §5.2 item 4), driven by seeded ScalaCheck
+  * generators for determinism:
+  *  - the MV invariant under random insert/flush interleavings;
+  *  - subscription kill/resume at arbitrary offsets = at-least-once, no gaps;
+  *  - Changelog.diff round-trip: applying the ops to `prev` reproduces `next`.
+  */
+class PropertySpec extends SparkSpec {
+
+  private lazy val rw: GraftEngine = GraftEngine.open(ConnOptions(), Some(spark))
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, rng.Seed(seed))
+
+  sealed trait OpKind
+  case object InsertOne extends OpKind
+  case object InsertBatch extends OpKind
+  case object Flush extends OpKind
+
+  private val opGen: Gen[(OpKind, String, Double)] = for {
+    kind <- Gen.frequency(5 -> InsertOne, 2 -> InsertBatch, 2 -> Flush)
+    k <- Gen.oneOf("a", "b", "c", "d")
+    v <- Gen.choose(0, 999).map(_.toDouble)
+  } yield (kind, k, v)
+
+  test("MV invariant holds under random insert/flush interleavings") {
+    for (scenario <- 1 to 3) {
+      val tbl = s"prop_t_$scenario"
+      rw.createTable(tbl, StructType(Seq(
+        StructField("k", StringType), StructField("v", DoubleType))))
+      rw.mv(s"SELECT k, count(*) AS n, sum(v) AS sv FROM $tbl GROUP BY k", s"prop_mv_$scenario")
+      val ops = sample(Gen.listOfN(40, opGen), seed = 1000 + scenario)
+      ops.foreach {
+        case (InsertOne, k, v) => rw.insertRow(tbl, values = Map("k" -> k, "v" -> v))
+        case (InsertBatch, k, v) =>
+          rw.table(tbl).get.insert(Seq(Row(k, v), Row(k, v + 1), Row("z", v)))
+        case (Flush, _, _) => rw.flush()
+      }
+      rw.flush()
+      val inc = rw.fetch(s"SELECT * FROM prop_mv_$scenario")
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val batch = rw.fetch(s"SELECT k, count(*) AS n, sum(v) AS sv FROM $tbl GROUP BY k")
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(inc == batch, s"scenario $scenario")
+    }
+  }
+
+  test("subscription kill/resume at arbitrary offsets is at-least-once with no gaps") {
+    val tbl = "prop_resume_t"
+    rw.createTable(tbl, StructType(Seq(StructField("x", LongType))))
+    rw.mv(s"SELECT x FROM $tbl", "prop_resume_mv")
+    (1L to 40L).grouped(7).foreach { g =>
+      rw.table(tbl).get.insert(g.map(Row(_)).toSeq); rw.flush()
+    }
+    val mv = rw.mvByName("prop_resume_mv").get
+
+    val cutGen = Gen.choose(1, 12)
+    var seen = Vector.empty[Long]
+    var sub = mv.subscription().declareCursor(Some(0L))
+    var resumeAt = 0L
+    var iter = 0
+    var done = false
+    while (!done && iter < 50) {
+      iter += 1
+      val n = sample(cutGen, seed = 7000 + iter)
+      val batch = sub.fetch(n)
+      if (batch.isEmpty) done = true
+      else {
+        seen ++= batch.map(_.getLong(0))
+        resumeAt = sub.currentPosition
+        // kill the cursor and resume from the persisted offset (W5)
+        sub = mv.subscription().declareCursor(Some(resumeAt))
+      }
+    }
+    assert(seen.sorted == (1L to 40L).toVector) // exactly-once here (progress saved post-batch)
+
+    // resume from an EARLIER offset → replay (at-least-once, never gaps)
+    val replay = mv.subscription().declareCursor(Some(0L))
+    val all = Iterator.continually(replay.fetch(9)).takeWhile(_.nonEmpty).flatten.toSeq
+    assert(all.map(_.getLong(0)).sorted == (1L to 40L).toSeq)
+  }
+
+  test("Changelog.diff round-trip: prev + ops == next") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType)))
+    val kvGen = for {
+      ks <- Gen.someOf(Seq("a", "b", "c", "d", "e", "f"))
+      vs <- Gen.listOfN(ks.size, Gen.choose(0, 9))
+    } yield ks.zip(vs).toMap
+
+    for (i <- 1 to 5) {
+      val prev = sample(kvGen, 300 + i)
+      val next = sample(kvGen, 400 + i)
+      import scala.jdk.CollectionConverters._
+      val prevDf = spark.createDataFrame(prev.toList.map { case (k, v) => Row(k, v) }.asJava, schema)
+      val nextDf = spark.createDataFrame(next.toList.map { case (k, v) => Row(k, v) }.asJava, schema)
+      val ops = Changelog.diff(Some(prevDf), nextDf, Seq("k")).collect()
+
+      // apply ops to prev
+      var state = prev
+      ops.foreach { r =>
+        val (k, v, op) = (r.getString(0), r.getInt(1), r.getString(2))
+        op match {
+          case Changelog.OpInsert | Changelog.OpUpdateInsert => state = state + (k -> v)
+          case Changelog.OpDelete => state = state - k
+          case Changelog.OpUpdateDelete => // retraction half; UI follows
+        }
+      }
+      assert(state == next, s"case $i: ops=${ops.mkString(",")}")
+      // retraction pairing: every UD is followed (same key) by a UI
+      val uds = ops.filter(_.getString(2) == Changelog.OpUpdateDelete).map(_.getString(0)).toSet
+      val uis = ops.filter(_.getString(2) == Changelog.OpUpdateInsert).map(_.getString(0)).toSet
+      assert(uds == uis)
+    }
+  }
+}
