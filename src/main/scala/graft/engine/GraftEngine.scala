@@ -180,8 +180,14 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
 
   // ---- MVs + subscriptions (D4–D8, C9/C10) --------------------------------
 
-  def mv(stmt: String, name: String, schemaName: String = "public"): MaterializedView = {
-    val m = new MaterializedView(this, schemaName, name, stmt)
+  /** D4 — create + start a materialized view. `watermarks` (W9) optionally
+    * bounds streaming state: tableName → (eventTimeCol, delay), applied to
+    * the source's streaming face. Default is NO watermark — RisingWave
+    * semantics (results always correctable, state unbounded); at 100 TB
+    * scale a watermark (or RocksDB state store) is the state-bounding knob. */
+  def mv(stmt: String, name: String, schemaName: String = "public",
+         watermarks: Map[String, (String, String)] = Map.empty): MaterializedView = {
+    val m = new MaterializedView(this, schemaName, name, stmt, watermarks)
     mvs((schemaName, name)) = m
     m.start()
     refreshInformationSchema()
@@ -255,10 +261,18 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
 
   // ---- streaming-view binding (used by Mv.start) --------------------------
 
-  /** Temporarily rebind live-table views to their streaming faces, evaluate,
-    * restore. Synchronized: view rebinding is session-global. */
-  private[engine] def withStreamingViews[T](thunk: => T): T = synchronized {
-    liveTables.values.foreach(t => t.streamingDF.createOrReplaceTempView(t.viewName))
+  /** Temporarily rebind live-table views to their streaming faces (with
+    * optional per-table watermarks), evaluate, restore. Synchronized: view
+    * rebinding is session-global. */
+  private[engine] def withStreamingViews[T](
+      watermarks: Map[String, (String, String)] = Map.empty)(thunk: => T): T = synchronized {
+    liveTables.values.foreach { t =>
+      val sdf = watermarks.get(t.name) match {
+        case Some((tsCol, delay)) => t.streamingDF.withWatermark(tsCol, delay)
+        case None => t.streamingDF
+      }
+      sdf.createOrReplaceTempView(t.viewName)
+    }
     try thunk
     finally liveTables.values.foreach(_.refreshView())
   }

@@ -31,7 +31,8 @@ final class MaterializedView private[engine](
     engine: GraftEngine,
     val schemaName: String,
     val name: String,
-    val stmt: String) {
+    val stmt: String,
+    watermarks: Map[String, (String, String)] = Map.empty) {
 
   private val spark = engine.spark
   def viewName: String = Dialect.mangle(schemaName, name)
@@ -79,7 +80,7 @@ final class MaterializedView private[engine](
 
   private[engine] def start(): Unit = {
     val streamDf =
-      try Some(engine.withStreamingViews(spark.sql(engine.rewrite(stmt))))
+      try Some(engine.withStreamingViews(watermarks)(spark.sql(engine.rewrite(stmt))))
         .filter(df => streamingSafe(df.queryExecution.analyzed))
       catch { case _: Throwable => None }
 
@@ -90,6 +91,9 @@ final class MaterializedView private[engine](
         keyCols = if (isAgg) deriveKeys(sdf) else sdf.columns.toSeq
         val handler: (Dataset[Row], Long) => Unit =
           (batch, _) => handleDelta(batch.toDF(), isAgg)
+        // make the (still empty) MV immediately queryable/referencable —
+        // dependent MVs and fetches may resolve it before the first epoch
+        if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
         query = Some(
           sdf.writeStream
             .outputMode(if (isAgg) "update" else "append")

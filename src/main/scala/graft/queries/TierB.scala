@@ -568,6 +568,23 @@ object TierB {
         |WHERE l_orderkey <= 2000
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin),
 
+    // Boolean aggregates + array_agg with deterministic order.
+    q("b_bool_array_agg",
+      """SELECT n_regionkey,
+        |  bool_and(n_nationkey >= 0) AS all_nonneg,
+        |  bool_or(n_nationkey > 20) AS any_big,
+        |  array_to_string(list_sort(list(n_name)), '|') AS names,
+        |  CAST(len(list(n_name)) AS INT) AS n_names
+        |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, dir) =>
+      // array columns are kept out of the output (row-sorting comparators
+      // can't hash them) — the aggregate is exercised, the string survives
+      Tables(s, dir, "nation").groupBy("n_regionkey").agg(
+        bool_and(col("n_nationkey") >= 0).as("all_nonneg"),
+        bool_or(col("n_nationkey") > 20).as("any_big"),
+        array_join(array_sort(collect_list("n_name")), "|").as("names"),
+        size(collect_list("n_name")).as("n_names"))
+    },
+
     // generate_series ↔ explode(sequence(...)).
     q("b_series",
       """SELECT CAST(SUM(x) AS BIGINT) AS s, count(*) AS n, min(x) AS lo, max(x) AS hi

@@ -182,6 +182,46 @@ class EngineSpec extends SparkSpec {
     assert(!rw.checkExist("nope_not_here"))
   }
 
+  test("watermarked MV (W9): state-bounded tumble agg still matches batch on in-order data") {
+    rw.createTable("wm_t", StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", DoubleType))))
+    rw.mv(
+      """SELECT window_start, count(*) AS n FROM tumble(wm_t, ts, interval '10 seconds')
+        |GROUP BY window_start""".stripMargin,
+      "wm_mv", watermarks = Map("wm_t" -> ("ts", "30 seconds")))
+    def ins(ts: String, v: Double) =
+      rw.insertRow("wm_t", values = Map("ts" -> Timestamp.valueOf(ts), "v" -> v))
+    ins("2024-01-01 00:00:01", 1); ins("2024-01-01 00:00:05", 2)
+    rw.flush()
+    ins("2024-01-01 00:00:11", 3); ins("2024-01-01 00:00:21", 4)
+    rw.flush()
+    val got = rw.fetch("SELECT count(*) AS windows, sum(n) AS rows FROM wm_mv").head
+    assert(got.getLong(0) == 3 && got.getLong(1) == 4)
+  }
+
+  test("EXPLAIN / SHOW / DESCRIBE introspection passthrough (2.11)") {
+    assert(rw.fetch("EXPLAIN SELECT * FROM test_product").head.getString(0)
+      .contains("Physical Plan"))
+    assert(rw.fetch("SHOW TABLES").nonEmpty)
+    val desc = rw.fetch("DESCRIBE test_product").map(_.getString(0))
+    assert(desc.contains("product") && desc.contains("price"))
+  }
+
+  test("MV-on-MV chain: FLUSH propagates through dependent views in order") {
+    rw.createTable("chain_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType))))
+    rw.mv("SELECT k, sum(v) AS sv FROM chain_t GROUP BY k", "chain_mv1")
+    // second MV reads the first (batch-rerun mode; refreshed after mv1 at FLUSH)
+    rw.mv("SELECT count(*) AS n_keys, sum(sv) AS total FROM chain_mv1", "chain_mv2")
+    rw.insertRow("chain_t", values = Map("k" -> "a", "v" -> 1.0))
+    rw.insertRow("chain_t", values = Map("k" -> "b", "v" -> 2.0), forceFlush = true)
+    val r1 = rw.fetch("SELECT * FROM chain_mv2").head
+    assert(r1.getLong(0) == 2 && r1.getDouble(1) == 3.0)
+    rw.insertRow("chain_t", values = Map("k" -> "c", "v" -> 4.0), forceFlush = true)
+    val r2 = rw.fetch("SELECT * FROM chain_mv2").head
+    assert(r2.getLong(0) == 3 && r2.getDouble(1) == 7.0)
+  }
+
   test("insert via SQL errors on missing table like the reference (RuntimeError)") {
     intercept[RuntimeException] {
       rw.insertRow("missing_table", values = Map("x" -> 1))
