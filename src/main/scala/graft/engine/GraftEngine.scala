@@ -98,12 +98,27 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
         case None => spark.sql(rewrite(sql))
       }
     case other =>
-      spark.sql(rewrite(other))
+      logged("executing statement", other)(spark.sql(rewrite(other)))
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** §2.10 error discipline: SQL failures are logged then rethrown, exactly
+    * like the reference (`risingwave/core.py:179-181`, `:208-212`). */
+  private def logged[T](what: String, sql: String)(f: => T): T =
+    try f catch {
+      case e: Throwable =>
+        log.error(s"Error $what: $sql -> ${e.getMessage}")
+        throw e
+    }
+
   /** Run a query, return all rows / a DataFrame per the output format. */
-  def fetchDF(sql: String): DataFrame = { refreshInformationSchema(); spark.sql(rewrite(sql)) }
-  def fetch(sql: String): Seq[Row] = fetchDF(sql).collect().toSeq
+  def fetchDF(sql: String): DataFrame = logged("fetching data", sql) {
+    refreshInformationSchema(); spark.sql(rewrite(sql))
+  }
+  def fetch(sql: String): Seq[Row] = logged("fetching data", sql) {
+    fetchDF(sql).collect().toSeq
+  }
   def fetchOne(sql: String): Option[Row] = fetchDF(sql).take(1).headOption
 
   // ---- catalog (D1–D3, S2/S3, C8) ----------------------------------------

@@ -115,12 +115,37 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ tau. O(n²) exact form (oracle path);
-    * the LSH-bucketed scale path lives in [[Similarity]]. */
+    * [[embeddingDupPairsLsh]] is the scale path. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         tau: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("c"))
+      .filter(col("c") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+  }
+
+  /** Sign-LSH bucketed embedding near-dup (the 100 TB path): candidates =
+    * pairs whose random-hyperplane signatures agree on ≥1 of the band
+    * chunks (pigeonhole over the signature, like SimHash blocking), then
+    * exact cosine ≥ tau on candidates only. Approximate in recall; the
+    * exact form above is the oracle. */
+  def embeddingDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                           tau: Double, nPlanes: Int = 16, bandBits: Int = 4,
+                           seed: Long = 7L): DataFrame = {
+    val sig = graft.operators.Similarity.signature(df, idCol, vecCol, nPlanes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBands = nPlanes / bandBits
+    val chunked = sig.select(col("id"), col("v"),
+      posexplode(array((0 until nBands).map { c =>
+        shiftright(col("sig"), c * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+      }: _*)).as(Seq("chunk", "cv")))
+    val l = chunked.select(col("id").as("id_a"), col("v").as("v_a"), col("chunk"), col("cv"))
+    val r = chunked.select(col("id").as("id_b"), col("v").as("v_b"), col("chunk"), col("cv"))
+    l.join(r, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("c"))
       .filter(col("c") >= tau)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))

@@ -43,6 +43,17 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** (id, v, sig): nPlanes-bit sign-LSH signature per vector — shared by
+    * [[lshTopK]] and [[Dedup.embeddingDupPairsLsh]]. */
+  private[operators] def signature(df: DataFrame, idCol: String, vecCol: String,
+                                   nPlanes: Int, seed: Long): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64, seed)
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      when(dotD(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"), sigBits.as("sig"))
+  }
+
   /** Sign-LSH bucketed ANN:
     *   1. each vector gets an `nPlanes`-bit signature (sign of projection on
     *      seeded random hyperplanes) — map-only;
@@ -55,24 +66,19 @@ object Similarity {
               queryIds: Seq[Long], k: Int,
               nPlanes: Int = 16, dim: Int = 64, maxHamming: Int = 5,
               seed: Long = 7L): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
-    val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      when(dotD(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-    val signed = df.select(col(idCol), col(vecCol), sigBits.as("sig"))
-    val q = signed.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("sig").as("qsig"))
+    val signed = signature(df, idCol, vecCol, nPlanes, seed)
+    val q = signed.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("sig").as("qsig"))
 
     val cands = signed.crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col("query_id") &&
+      .filter(col("id") =!= col("query_id") &&
         bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxHamming)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     cands
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("qv"), col(vecCol)).as("score"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),

@@ -76,6 +76,12 @@ object Extensions {
         Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
     },
 
+    // Sign-LSH bucketed embedding dedup (the scale path; approximate recall
+    // → rows-only, subset-of-exact asserted in SimilaritySpec).
+    rowsOnly("x_dedup_embedding_lsh") { (s, dir) =>
+      Dedup.embeddingDupPairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
+    },
+
     // ---- similarity search ------------------------------------------------
 
     q("x_sim_topk_exact",

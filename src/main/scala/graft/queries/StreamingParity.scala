@@ -59,7 +59,9 @@ object StreamingParity {
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv,
           |  round(avg(value), 4) AS avg_v
           |FROM m_ev_agg GROUP BY event_type""".stripMargin)))
-      rw.mvByName("m_agg_mv").get.df
+      val out = rw.mvByName("m_agg_mv").get.df
+      rw.close() // snapshot stays valid (checkpointed RDD); maintainers stop
+      out
     },
 
     // W1/W2/A4 — incrementally-maintained tumble-window aggregate (the
@@ -73,9 +75,12 @@ object StreamingParity {
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM tumble(m_ev_tw, ts, interval '10 minutes')
           |GROUP BY window_start, event_type""".stripMargin)))
-      rw.mvByName("m_tw_mv").get.df
+      val out = rw.mvByName("m_tw_mv").get.df
         .select(col("window_start").cast("long").as("ws"), col("event_type"),
           col("n"), col("sv"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
     },
 
     // W3/W4 — the changelog itself: op counts of chunked incremental
@@ -98,6 +103,7 @@ object StreamingParity {
           |GROUP BY window_start, event_type""".stripMargin)))
       val sub = rw.mvByName("m_cl_mv").get.subscription().declareCursor(Some(0L))
       val ops = Iterator.continually(sub.fetch(10000)).takeWhile(_.nonEmpty).flatten.toSeq
+      rw.close()
       val counts = ops.groupBy(r => r.getString(r.length - 2)).view.mapValues(_.size.toLong).toMap
       import s.implicits._
       Seq((counts.getOrElse("Insert", 0L),
@@ -122,7 +128,9 @@ object StreamingParity {
       rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
         t.insert(chunk.toSeq); rw.flush()
       }
-      t.batchDF.select("user_id", "value", "event_id")
+      val out = t.batchDF.select("user_id", "value", "event_id")
+      rw.close()
+      out
     },
 
     // W5 — SINCE replay determinism: two cursors, one live from offset 0 and
@@ -133,6 +141,7 @@ object StreamingParity {
         "SELECT event_type, count(*) AS n FROM m_ev_since GROUP BY event_type")))
       val sub = rw.mvByName("m_since_mv").get.subscription().declareCursor(Some(0L))
       val ops = Iterator.continually(sub.fetch(10000)).takeWhile(_.nonEmpty).flatten.toSeq
+      rw.close()
       import s.implicits._
       ops.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
         .toDF("event_type", "n", "op")

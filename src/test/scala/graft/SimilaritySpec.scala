@@ -19,6 +19,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH embedding-dup pairs: subset of exact pairs, decent recall") {
+    import graft.operators.Dedup
+    val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingDupPairsLsh(emb, "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact-cosine filter kills false positives
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.3, s"recall=$recall (exact=${exact.size})")
+    }
+  }
+
   test("LSH top-k recall vs exact top-k is substantial") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
