@@ -388,6 +388,8 @@ object TierB {
         |  coalesce(nullif(p_brand, 'Brand#11'), 'OTHER') AS brand_or_other,
         |  p_size BETWEEN 10 AND 20 AS mid_size,
         |  p_type LIKE '%BRASS%' AS is_brass,
+        |  p_type ILIKE '%brass%' AS is_brass_ci,
+        |  p_brand IN ('Brand#11', 'Brand#22', 'Brand#33') AS known_brand,
         |  p_name IS NOT NULL AS has_name
         |FROM part WHERE p_partkey <= 500""".stripMargin),
 
