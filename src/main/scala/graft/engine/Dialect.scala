@@ -120,9 +120,18 @@ object Dialect {
   def mangle(schema: String, name: String): String =
     if (schema == "public") name else s"${schema}__$name"
 
+  /** `FROM generate_series(a, b)` (PG/RisingWave set-returning function) →
+    * exploded `sequence`; the output column keeps PG's name. */
+  private val seriesRe = """(?i)generate_series\s*\(\s*([^,()]+)\s*,\s*([^,()]+)\s*\)""".r
+
+  def rewriteGenerateSeries(sql: String): String =
+    seriesRe.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+      s"(SELECT explode(sequence(${m.group(1)}, ${m.group(2)})) AS generate_series)"))
+
   def apply(sql: String, qualified: Iterable[(String, String)] = Nil): String = {
     val steps: Seq[String => String] = Seq(
       rewriteTumble, rewriteCasts, rewriteJsonOps, rewriteStringAgg, rewriteToChar,
+      rewriteGenerateSeries,
       s => rewriteQualified(s, qualified))
     steps.foldLeft(sql)((acc, f) => f(acc))
   }

@@ -298,6 +298,14 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     import org.apache.spark.sql.catalyst.expressions.Literal
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "version", _ => Literal.create(Version.string, StringType), "built-in")
+    // extension sketch functions, exposed to the SQL passthrough surface
+    import graft.functions.HashExpressions
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => HashExpressions.MinHashSig(exprs.head, 128, 42L), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => HashExpressions.SimHash(exprs.head, 42L), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => HashExpressions.WordShingles(exprs.head, 3), "built-in")
   }
 
   private def handshake(): Unit = {

@@ -43,6 +43,22 @@ class DialectSpec extends SparkSpec {
     assert(out.contains("other.tbl"))
   }
 
+  test("generate_series rewrites to exploded sequence and runs") {
+    val sql = Dialect("SELECT sum(generate_series) AS s FROM generate_series(1, 10)")
+    assert(spark.sql(sql).head.getLong(0) == 55L)
+  }
+
+  test("engine-registered SQL functions: version, simhash64, word_shingles, minhash_sig") {
+    val rw = graft.engine.GraftEngine.open(existing = Some(spark))
+    val r = rw.fetch(
+      """SELECT simhash64(word_shingles('the quick brown fox jumps')) AS sh,
+        |  size(minhash_sig(word_shingles('the quick brown fox jumps'))) AS k""".stripMargin).head
+    assert(r.getInt(1) == 128)
+    // deterministic across calls
+    val r2 = rw.fetch("SELECT simhash64(word_shingles('the quick brown fox jumps')) AS sh").head
+    assert(r.getLong(0) == r2.getLong(0))
+  }
+
   test("rewritten SQL executes on Spark: casts + json + to_char") {
     import spark.implicits._
     Seq(("""{"k": 7}""", "2024-03-01 10:20:30")).toDF("props", "s")
