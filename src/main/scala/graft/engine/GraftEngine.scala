@@ -385,9 +385,26 @@ private[engine] object DdlParser {
     "DATE" -> DateType, "BYTEA" -> BinaryType, "JSONB" -> StringType,
     "DECIMAL" -> DecimalType(38, 18), "NUMERIC" -> DecimalType(38, 18))
 
+  /** Paren-depth-aware top-level comma split: `PRIMARY KEY (a, b)` and
+    * `DECIMAL(10,2)` stay whole (same technique as the outer balance scan in
+    * `execute`). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
   /** Returns (schema, primaryKey, versionColumn). */
   def parse(colsDdl: String, conflictClause: Option[String]): (StructType, Seq[String], Option[String]) = {
-    val parts = colsDdl.split(",").map(_.trim).filter(_.nonEmpty)
+    val parts = splitTopLevel(colsDdl).map(_.trim).filter(_.nonEmpty)
     val pk = scala.collection.mutable.ArrayBuffer[String]()
     val fields = parts.flatMap {
       case p if p.toUpperCase.startsWith("PRIMARY KEY") =>
@@ -399,7 +416,15 @@ private[engine] object DdlParser {
         val name = toks.head
         val tpe = toks.drop(1).takeWhile(t => !t.equalsIgnoreCase("PRIMARY")).mkString(" ").toUpperCase
         if (p.toUpperCase.contains("PRIMARY KEY")) pk += name
-        Some(StructField(name, typeMap.getOrElse(tpe.replaceAll("\\(.*", ""), StringType)))
+        val decRe = """(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)""".r
+        val dt = decRe.findFirstMatchIn(tpe) match {
+          case Some(m) => DecimalType(m.group(1).toInt, Option(m.group(2)).map(_.toInt).getOrElse(0))
+          case None =>
+            val vcRe = """(?:VARCHAR|CHAR)\s*\(\s*\d+\s*\)""".r
+            if (vcRe.findFirstIn(tpe).isDefined) StringType
+            else typeMap.getOrElse(tpe.replaceAll("\\(.*", "").trim, StringType)
+        }
+        Some(StructField(name, dt))
     }
     val version = conflictClause.flatMap { c =>
       """(?is)VERSION\s+COLUMN\s*\(\s*(\w+)\s*\)""".r.findFirstMatchIn(c).map(_.group(1))

@@ -41,39 +41,54 @@ final class MaterializedView private[engine](
   @volatile private var snapshot: Option[DataFrame] = None
   @volatile private var query: Option[StreamingQuery] = None
   private var keyCols: Seq[String] = Nil
+  private var keyMode: MaterializedView.KeyMode = MaterializedView.Multiset
   private var streamingMode = false
 
   /** Output schema of the MV (resolved at creation). */
   lazy val outputSchema: org.apache.spark.sql.types.StructType =
     spark.sql(engine.rewrite(stmt)).schema
 
-  /** Grouping-key column names from the top-level Aggregate, if any: the
-    * upsert key of the MV result. Falls back to all output columns (append/
-    * distinct-row semantics). */
-  private def deriveKeys(df: DataFrame): Seq[String] = {
+  /** How epoch diffs are keyed (SURVEY §4.2 W3):
+    *  - [[MaterializedView.Keyed]]: the output retains grouping keys → keyed
+    *    upsert diff (UpdateDelete/UpdateInsert per changed key);
+    *  - [[MaterializedView.GlobalRow]]: a global aggregate — one row, keyed
+    *    on nothing; its change is an update pair;
+    *  - [[MaterializedView.Multiset]]: keyless multi-row results (grouping
+    *    keys projected away, or plain row streams) — per-distinct-row count
+    *    deltas, correct under duplicate rows.
+    * Only Keyed plans may run in streaming update mode: an update-mode delta
+    * without key columns can't be merged back into the snapshot (it would
+    * key on aggregate VALUES and retain stale rows). */
+  private def deriveMode(df: DataFrame): MaterializedView.KeyMode = {
     val plan = df.queryExecution.analyzed
-    val fromAgg = plan.collectFirst { case a: Aggregate =>
-      a.aggregateExpressions.collect {
-        case ar: AttributeReference if a.groupingExpressions.exists(_.semanticEquals(ar)) => ar.name
-        case al: Alias if a.groupingExpressions.exists(_.semanticEquals(al.child)) => al.name
+    plan.collectFirst { case a: Aggregate =>
+      if (a.groupingExpressions.isEmpty) MaterializedView.GlobalRow
+      else {
+        val keys = a.aggregateExpressions.collect {
+          case ar: AttributeReference if a.groupingExpressions.exists(_.semanticEquals(ar)) => ar.name
+          case al: Alias if a.groupingExpressions.exists(_.semanticEquals(al.child)) => al.name
+        }
+        if (keys.nonEmpty) MaterializedView.Keyed(keys) else MaterializedView.Multiset
       }
-    }
-    fromAgg.filter(_.nonEmpty).getOrElse(df.columns.toSeq)
+    }.getOrElse(MaterializedView.Multiset)
   }
 
   /** Streaming-update mode is only safe when every node between the root and
     * the top-level Aggregate is a Project/SubqueryAlias: a Filter above the
     * agg (HAVING) would silently swallow retractions of keys that leave the
     * predicate, and joins/sorts of aggregates are not incremental in update
-    * mode either. Everything else falls back to batch re-run (correct under
-    * flush-gated visibility). */
+    * mode either. The Aggregate's own subtree must also be aggregate-free —
+    * stacked aggregations are rejected by Spark's streaming planner at
+    * start(), so they fall back to batch re-run here. */
   private def streamingSafe(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    def aggFree(p: LogicalPlan): Boolean =
+      !p.exists { case _: Aggregate => true; case _ => false }
     def walk(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
+      case a: Aggregate => a.children.forall(aggFree)
       case pr: Project => walk(pr.child)
       case s: SubqueryAlias => walk(s.child)
-      case other => !other.exists { case _: Aggregate => true; case _ => false }
+      case other => aggFree(other)
     }
     walk(plan)
   }
@@ -81,31 +96,50 @@ final class MaterializedView private[engine](
   private[engine] def start(): Unit = {
     val streamDf =
       try Some(engine.withStreamingViews(watermarks)(spark.sql(engine.rewrite(stmt))))
-        .filter(df => streamingSafe(df.queryExecution.analyzed))
+        .filter { df =>
+          val isAgg = df.queryExecution.analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
+          streamingSafe(df.queryExecution.analyzed) &&
+            (!isAgg || deriveMode(df).isInstanceOf[MaterializedView.Keyed])
+        }
       catch { case _: Throwable => None }
 
-    streamDf.filter(_.isStreaming) match {
-      case Some(sdf) =>
-        streamingMode = true
-        val isAgg = sdf.queryExecution.analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
-        keyCols = if (isAgg) deriveKeys(sdf) else sdf.columns.toSeq
-        val handler: (Dataset[Row], Long) => Unit =
-          (batch, _) => handleDelta(batch.toDF(), isAgg)
-        // make the (still empty) MV immediately queryable/referencable —
-        // dependent MVs and fetches may resolve it before the first epoch
-        if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
+    val startedStreaming = streamDf.filter(_.isStreaming).exists { sdf =>
+      val isAgg = sdf.queryExecution.analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
+      keyMode = if (isAgg) deriveMode(sdf) else MaterializedView.Multiset
+      keyCols = keyMode match {
+        case MaterializedView.Keyed(ks) => ks
+        case _ => sdf.columns.toSeq
+      }
+      val handler: (Dataset[Row], Long) => Unit =
+        (batch, _) => handleDelta(batch.toDF(), isAgg)
+      // make the (still empty) MV immediately queryable/referencable —
+      // dependent MVs and fetches may resolve it before the first epoch
+      if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
+      // streaming start can still fail for plan shapes the classifier lets
+      // through (Spark's UnsupportedOperationChecker is stricter) — any such
+      // failure falls back to batch re-run mode, which is always correct
+      try {
         query = Some(
           sdf.writeStream
             .outputMode(if (isAgg) "update" else "append")
             .foreachBatch(handler)
             .queryName(s"${viewName}_maintainer")
             .start())
-      case None =>
-        // batch re-run mode over the current batch views
-        streamingMode = false
-        val df = spark.sql(engine.rewrite(stmt))
-        keyCols = deriveKeys(df)
-        refresh()
+        streamingMode = true
+        true
+      } catch { case _: Throwable => false }
+    }
+
+    if (!startedStreaming) {
+      // batch re-run mode over the current batch views
+      streamingMode = false
+      val df = spark.sql(engine.rewrite(stmt))
+      keyMode = deriveMode(df)
+      keyCols = keyMode match {
+        case MaterializedView.Keyed(ks) => ks
+        case _ => df.columns.toSeq
+      }
+      refresh()
     }
   }
 
@@ -143,12 +177,16 @@ final class MaterializedView private[engine](
   }
 
   /** FLUSH barrier hook: drain the stream (streaming mode) or re-evaluate
-    * and diff (batch mode). */
+    * and diff (batch mode) — the diff shape follows [[keyMode]]. */
   private[engine] def refresh(): Unit = {
     if (streamingMode) query.foreach(_.processAllAvailable())
     else synchronized {
       val next = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
-      val ops = Changelog.diff(snapshot, next, keyCols)
+      val ops = keyMode match {
+        case MaterializedView.Keyed(ks) => Changelog.diff(snapshot, next, ks)
+        case MaterializedView.GlobalRow => Changelog.diff(snapshot, next, Nil)
+        case MaterializedView.Multiset => Changelog.multisetDiff(snapshot, next)
+      }
       changeLog.append(ops.collect().toSeq)
       snapshot = Some(next)
       next.createOrReplaceTempView(viewName)
@@ -181,4 +219,12 @@ final class MaterializedView private[engine](
     query.foreach(_.stop())
     spark.catalog.dropTempView(viewName)
   }
+}
+
+object MaterializedView {
+  /** Epoch-diff keying strategy — see [[MaterializedView#deriveMode]]. */
+  private[engine] sealed trait KeyMode
+  private[engine] final case class Keyed(keys: Seq[String]) extends KeyMode
+  private[engine] case object GlobalRow extends KeyMode
+  private[engine] case object Multiset extends KeyMode
 }

@@ -81,10 +81,16 @@ object Dedup {
 
     val a = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    cands.join(a, "id_a").join(b, "id_b")
+    val pairs = cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("j"))
       .filter(col("j") >= tau)
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
+    // materialize the (small) pairs, then release the cached bands — a
+    // shared long-lived session must not accumulate storage memory
+    // (ContextCleaner reclaims the checkpointed blocks once unreferenced)
+    val out = pairs.localCheckpoint(true)
+    banded.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. Pigeonhole
@@ -106,12 +112,15 @@ object Dedup {
 
     val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"), col("chunk"), col("v"))
     val rgt = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"), col("chunk"), col("v"))
-    l.join(rgt, Seq("chunk", "v"))
+    val pairs = l.join(rgt, Seq("chunk", "v"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    val out = pairs.localCheckpoint(true)
+    chunked.unpersist()
+    out
   }
 
   /** Embedding near-dup pairs: cosine ≥ tau. O(n²) exact form (oracle path);
@@ -133,8 +142,8 @@ object Dedup {
     * exact form above is the oracle. */
   def embeddingDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                            tau: Double, nPlanes: Int = 16, bandBits: Int = 4,
-                           seed: Long = 7L): DataFrame = {
-    val sig = graft.operators.Similarity.signature(df, idCol, vecCol, nPlanes, seed)
+                           dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val sig = graft.operators.Similarity.signature(df, idCol, vecCol, nPlanes, dim, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = nPlanes / bandBits
     val chunked = sig.select(col("id"), col("v"),
@@ -143,11 +152,14 @@ object Dedup {
       }: _*)).as(Seq("chunk", "cv")))
     val l = chunked.select(col("id").as("id_a"), col("v").as("v_a"), col("chunk"), col("cv"))
     val r = chunked.select(col("id").as("id_b"), col("v").as("v_b"), col("chunk"), col("cv"))
-    l.join(r, Seq("chunk", "cv"))
+    val pairs = l.join(r, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("c"))
       .filter(col("c") >= tau)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+    val out = pairs.localCheckpoint(true)
+    sig.unpersist()
+    out
   }
 }

@@ -37,17 +37,20 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes for sign-LSH (seeded; public
-    * random-projection construction). */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    * random-projection construction). Exposed within graft so the DuckDB
+    * oracle can embed the same constants and replicate signatures exactly. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
   /** (id, v, sig): nPlanes-bit sign-LSH signature per vector — shared by
-    * [[lshTopK]] and [[Dedup.embeddingDupPairsLsh]]. */
+    * [[lshTopK]] and [[Dedup.embeddingDupPairsLsh]]. `dim` must match the
+    * embedding dimensionality: a short hyperplane would zip_with-pad with
+    * nulls and degenerate every signature to 0 (no pruning). */
   private[operators] def signature(df: DataFrame, idCol: String, vecCol: String,
-                                   nPlanes: Int, seed: Long): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64, seed)
+                                   nPlanes: Int, dim: Int, seed: Long): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
       when(dotD(col(vecCol), typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -66,7 +69,7 @@ object Similarity {
               queryIds: Seq[Long], k: Int,
               nPlanes: Int = 16, dim: Int = 64, maxHamming: Int = 5,
               seed: Long = 7L): DataFrame = {
-    val signed = signature(df, idCol, vecCol, nPlanes, seed)
+    val signed = signature(df, idCol, vecCol, nPlanes, dim, seed)
     val q = signed.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"), col("sig").as("qsig"))
 

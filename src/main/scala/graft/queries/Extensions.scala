@@ -35,6 +35,25 @@ object Extensions {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin
 
+  /** Sign-LSH signatures replicated in DuckDB: the seeded hyperplanes are
+    * embedded as literals (Scala `Double.toString` round-trips), the dot
+    * product uses the same sequential fold as [[graft.functions
+    * .VectorFunctions.dotD]], so signatures — and therefore candidate sets —
+    * are identical across engines. */
+  private def duckSigCtes(nPlanes: Int, dim: Int, seed: Long): String = {
+    val planes = Similarity.hyperplanes(nPlanes, dim, seed).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(",")}])" }
+      .mkString(",\n|  ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+       |           FROM embeddings),
+       |planes(pid, p) AS (VALUES $planes),
+       |s AS (SELECT v.vec_id,
+       |  CAST(sum(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> v.e[i] * pl.p[i])) > 0
+       |    THEN (1::BIGINT << pl.pid) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM v CROSS JOIN planes pl GROUP BY v.vec_id),
+       |sv AS (SELECT s.vec_id, s.sig, v.e FROM s JOIN v USING (vec_id))""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- deduplication ----------------------------------------------------
@@ -76,10 +95,22 @@ object Extensions {
         Dedup.embeddingDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
     },
 
-    // Sign-LSH bucketed embedding dedup (the scale path; approximate recall
-    // → rows-only, subset-of-exact asserted in SimilaritySpec).
-    rowsOnly("x_dedup_embedding_lsh") { (s, dir) =>
-      Dedup.embeddingDupPairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
+    // Sign-LSH bucketed embedding dedup (the scale path). The oracle
+    // replicates the seeded signatures in DuckDB, so the exact candidate
+    // set — pairs colliding on ≥1 of the 4×4-bit bands — and the cosine
+    // verification are both hash-checked.
+    q("x_dedup_embedding_lsh",
+      s"""${duckSigCtes(16, 64, 7L)},
+         |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${duckCos("a.e", "b.e")} AS cc
+         |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+         |  WHERE ((a.sig >> 0) & 15) = ((b.sig >> 0) & 15)
+         |     OR ((a.sig >> 4) & 15) = ((b.sig >> 4) & 15)
+         |     OR ((a.sig >> 8) & 15) = ((b.sig >> 8) & 15)
+         |     OR ((a.sig >> 12) & 15) = ((b.sig >> 12) & 15))
+         |SELECT id_a, id_b, round(cc, 6) AS cos FROM c WHERE cc >= 0.45""".stripMargin) {
+      (s, dir) =>
+        Dedup.embeddingDupPairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
     },
 
     // ---- similarity search ------------------------------------------------
@@ -100,11 +131,27 @@ object Extensions {
         .withColumnRenamed("rank", "rnk")
     },
 
-    // Sign-LSH ANN (approximate by construction → rows-only; recall vs the
-    // exact top-k is asserted in SimilaritySpec).
-    rowsOnly("x_sim_topk_lsh") { (s, dir) =>
+    // Sign-LSH ANN: approximate vs the true top-k, but fully deterministic —
+    // the oracle rebuilds the same signatures and Hamming-≤5 candidate set,
+    // so the result is hash-checked (recall vs exact asserted in
+    // SimilaritySpec).
+    q("x_sim_topk_lsh",
+      s"""${duckSigCtes(16, 64, 7L)},
+         |qq AS (SELECT vec_id AS query_id, sig AS qsig, e AS qe FROM sv
+         |       WHERE vec_id IN (0,1,2,3,4)),
+         |c AS (SELECT qq.query_id, sv.vec_id AS neighbor_id,
+         |    ${duckCos("qq.qe", "sv.e")} AS cc
+         |  FROM sv CROSS JOIN qq
+         |  WHERE sv.vec_id <> qq.query_id
+         |    AND bit_count(xor(sv.sig, qq.qsig)) <= 5),
+         |r AS (SELECT query_id, neighbor_id, cc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cc DESC, neighbor_id) AS rn
+         |  FROM c)
+         |SELECT query_id, neighbor_id, round(cc, 6) AS cos, rn AS rnk
+         |FROM r WHERE rn <= 10""".stripMargin) { (s, dir) =>
       Similarity.lshTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .withColumnRenamed("rank", "rnk")
     },
 
     // ---- text analysis ----------------------------------------------------
@@ -136,9 +183,27 @@ object Extensions {
       TextAnalysis.qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
-    // Heuristic langid — model-specific output, rows-only; determinism and
-    // label domain pinned in TextAnalysisSpec.
-    rowsOnly("x_text_langid") { (s, dir) =>
+    // Heuristic langid: stopword-profile argmax with profile-order
+    // tie-break — the whole model is 5×10 public stopword lists, so the
+    // oracle replays it verbatim.
+    q("x_text_langid",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','des','du','pour'], x))) fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','un','una','de','por'], x))) es,
+        |  len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有','我','他','这'], x))) zh
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+        |  WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+        |  WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+        |  WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+        |  WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
+        |  ELSE 'zh' END AS lang_pred
+        |FROM s""".stripMargin) { (s, dir) =>
       TextAnalysis.languageId(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
@@ -152,8 +217,22 @@ object Extensions {
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + stubbed decode (no codec libs in the
-    // container — see Multimodal scaladoc). Deterministic fake features.
-    rowsOnly("x_multimodal_features") { (s, dir) =>
+    // container — see Multimodal scaladoc). The stub is deterministic
+    // stripe-means over the payload bytes, and the fixture text is pure
+    // ASCII, so the oracle recomputes the same features from character
+    // codes (byte == codepoint).
+    q("x_multimodal_features",
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+        |    strlen(text) AS nb, greatest(strlen(text) // 8, 1) AS st
+        |  FROM documents)
+        |SELECT media_id, 'image/png' AS mime, CAST(nb AS BIGINT) AS n_bytes,
+        |  round(list_sum(list_transform(range(1, least(nb, st) + 1),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1))))::DOUBLE / least(nb, st), 4) AS f1,
+        |  round(CASE WHEN 7*st >= nb THEN 0.0 ELSE
+        |    list_sum(list_transform(range(7*st + 1, least(nb, 8*st) + 1),
+        |      i -> ascii(substr(text, CAST(i AS INT), 1))))::DOUBLE / (least(nb, 8*st) - 7*st)
+        |    END, 4) AS f8
+        |FROM m""".stripMargin) { (s, dir) =>
       val media = Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(s, media).toDF()
         .select(col("media_id"), col("mime"), col("n_bytes"),
@@ -161,9 +240,15 @@ object Extensions {
           round(element_at(col("features"), 8), 4).as("f8"))
     },
 
-    rowsOnly("x_multimodal_frames") { (s, dir) =>
-      val media = Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text")
-      Multimodal.sampleFrames(media, everyK = 4)
+    q("x_multimodal_frames",
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    greatest(strlen(text) // 1024, 1) AS nf
+        |  FROM documents),
+        |f AS (SELECT media_id, unnest(range(0, nf)) AS fx FROM m)
+        |SELECT media_id, CAST(fx AS INT) AS frame_idx FROM f WHERE fx % 4 = 0""".stripMargin) {
+      (s, dir) =>
+        val media = Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text")
+        Multimodal.sampleFrames(media, everyK = 4)
     }
   )
 }

@@ -51,7 +51,7 @@ object StreamingParity {
     // equal the batch aggregate (decimal sums exact, avg rounded).
     q("m_mv_groupagg_incremental",
       """SELECT event_type, count(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
         |  round(avg(value), 4) AS avg_v
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       val rw = replay(s, dir, "m_ev_agg", Some(("m_agg_mv",
@@ -59,16 +59,20 @@ object StreamingParity {
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv,
           |  round(avg(value), 4) AS avg_v
           |FROM m_ev_agg GROUP BY event_type""".stripMargin)))
+      // decimal internally (exact incremental sums); double at the output
+      // boundary (no decimal-typed columns reach the driver's hasher)
       val out = rw.mvByName("m_agg_mv").get.df
+        .withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
       rw.close() // snapshot stays valid (checkpointed RDD); maintainers stop
-      out
+      materialized
     },
 
     // W1/W2/A4 — incrementally-maintained tumble-window aggregate (the
     // demo_simple MV shape, `demo.py:98-100`) over 10-minute windows.
     q("m_mv_tumble_incremental",
       """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS ws, event_type,
-        |  count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val rw = replay(s, dir, "m_ev_tw", Some(("m_tw_mv",
         """SELECT window_start, event_type, count(*) AS n,
@@ -77,7 +81,7 @@ object StreamingParity {
           |GROUP BY window_start, event_type""".stripMargin)))
       val out = rw.mvByName("m_tw_mv").get.df
         .select(col("window_start").cast("long").as("ws"), col("event_type"),
-          col("n"), col("sv"))
+          col("n"), col("sv").cast("double").as("sv"))
       val materialized = out.localCheckpoint(true)
       rw.close()
       materialized
@@ -133,10 +137,27 @@ object StreamingParity {
       out
     },
 
-    // W5 — SINCE replay determinism: two cursors, one live from offset 0 and
-    // one declared after the fact with SINCE 0, must see identical payload
-    // sequences (rows-only; the invariant itself is asserted in EngineSpec).
-    rowsOnly("m_subscription_since_replay") { (s, dir) =>
+    // W5 — SINCE-0 replay: the full change history of a chunked incremental
+    // count MV is predictable — per event_type, an Insert at its first
+    // touching chunk (cumulative count), then an UpdateDelete/UpdateInsert
+    // pair per later touching chunk. Cursor-vs-cursor replay identity is
+    // asserted in EngineSpec.
+    q("m_subscription_since_replay",
+      s"""WITH ch AS (SELECT event_type,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |cc AS (SELECT event_type, chunk, count(*) AS c FROM ch GROUP BY 1, 2),
+         |cum AS (SELECT event_type, chunk,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY chunk) AS BIGINT) AS cum,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY chunk) AS rn
+         |  FROM cc)
+         |SELECT event_type, cum AS n,
+         |  CASE WHEN rn = 1 THEN 'Insert' ELSE 'UpdateInsert' END AS op FROM cum
+         |UNION ALL
+         |SELECT event_type,
+         |  lag(cum) OVER (PARTITION BY event_type ORDER BY chunk) AS n,
+         |  'UpdateDelete' AS op
+         |FROM cum QUALIFY rn > 1""".stripMargin) { (s, dir) =>
       val rw = replay(s, dir, "m_ev_since", Some(("m_since_mv",
         "SELECT event_type, count(*) AS n FROM m_ev_since GROUP BY event_type")))
       val sub = rw.mvByName("m_since_mv").get.subscription().declareCursor(Some(0L))

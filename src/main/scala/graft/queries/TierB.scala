@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.DecimalType
   * which IS the passthrough path of our engine.
   *
   * Determinism rules for the DuckDB hash-compare:
-  *  - money sums are decimal-cast BEFORE aggregation (order-independent);
+  *  - money sums are decimal-cast BEFORE aggregation (order-independent)
+  *    and double-cast AFTER (the driver's hasher reads Spark parquet
+  *    decimals and DuckDB decimals through different dtype paths — round 1
+  *    showed every decimal-typed output column hash-mismatching even with
+  *    identical values, so no query emits a decimal column);
   *  - floating aggregates are `round(x, 4)`;
   *  - every ORDER BY carries a unique tiebreaker;
   *  - timestamps are output as epoch BIGINT or formatted strings.
@@ -36,10 +40,10 @@ object TierB {
     // Map-side partial agg + 2-key hash agg; decimal sums are exact.
     q("b_q1_pricing",
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base,
-        |  SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS sum_disc,
-        |  SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS n
@@ -47,10 +51,10 @@ object TierB {
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).as("sum_disc"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast(dec)).as("sum_charge"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).cast("double").as("sum_disc"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast(dec)).cast("double").as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("n"))
@@ -105,11 +109,11 @@ object TierB {
 
     q("b_rollup",
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, count(*) AS n
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
       Tables(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"), count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
                 coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
                 col("sum_qty"), col("n"))
@@ -123,7 +127,7 @@ object TierB {
     sqlBoth("b_grouping_sets",
       """SELECT coalesce(event_type, 'ALL') AS et,
         |  coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS cohort,
-        |  count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin),
 
@@ -148,12 +152,17 @@ object TierB {
         .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"))
     },
 
-    // approx sketch — values are engine-specific, so rows-only check; the
-    // exact/approx gap is asserted in ScalaTest instead.
-    rowsOnly("b_approx_distinct") { (s, dir) =>
+    // approx sketch — the HLL value itself is engine-specific, so the
+    // hash-checked contract is "approx within 20% of exact" (default
+    // rsd = 0.05, so 20% is a > 3σ bound) alongside the exact counts.
+    q("b_approx_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-             countDistinct("l_partkey").as("exact_parts"))
+        .agg(countDistinct("l_partkey").as("exact_parts"),
+             approx_count_distinct("l_partkey").as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <= col("exact_parts") * 0.2).as("approx_ok"))
     },
 
     // ---- joins ------------------------------------------------------------
@@ -162,7 +171,7 @@ object TierB {
     // dim joins); at 100 TB this is the canonical plan — verify in explain.
     q("b_join_star",
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -174,14 +183,14 @@ object TierB {
         .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_orders"),
-             sum(col("o_totalprice").cast(dec)).as("revenue"))
+             sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
     },
 
     // Fact-fact join (both sides large → shuffle on the join key; AQE may
     // still broadcast at small SF, which is exactly right).
     q("b_join_fact_fact",
       """SELECT o_orderpriority,
-        |  SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
@@ -190,7 +199,7 @@ object TierB {
       val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).as("revenue"),
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).cast("double").as("revenue"),
              count(lit(1)).as("n"))
     },
 
@@ -198,7 +207,7 @@ object TierB {
       """SELECT c_mktsegment,
         |  count(*) AS n_cust,
         |  count(o_orderkey) AS n_orders,
-        |  SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,6))) AS revenue
+        |  CAST(SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
       Tables(s, dir, "customer")
@@ -206,7 +215,7 @@ object TierB {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"),
              count(col("o_orderkey")).as("n_orders"),
-             sum(coalesce(col("o_totalprice"), lit(0)).cast(dec)).as("revenue"))
+             sum(coalesce(col("o_totalprice"), lit(0)).cast(dec)).cast("double").as("revenue"))
     },
 
     q("b_join_full_outer",
@@ -288,9 +297,9 @@ object TierB {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  lag(l_quantity) OVER w AS prev_q,
         |  lead(l_quantity) OVER w AS next_q,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_q,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_q,
         |  round(avg(l_quantity) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
@@ -304,7 +313,8 @@ object TierB {
           lag(col("l_quantity"), 1).over(ord).as("prev_q"),
           lead(col("l_quantity"), 1).over(ord).as("next_q"),
           sum(col("l_quantity").cast(dec))
-            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_q"),
+            .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_q"),
           round(avg(col("l_quantity")).over(ord.rowsBetween(-2, Window.currentRow)), 4).as("mov_avg"))
     },
 
@@ -375,7 +385,7 @@ object TierB {
     sqlBoth("b_cte_topn",
       """WITH revenue AS (
         |  SELECT l_suppkey,
-        |    SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS total
+        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total
         |  FROM lineitem GROUP BY l_suppkey)
         |SELECT s_name, total FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |ORDER BY total DESC, s_name LIMIT 10""".stripMargin),
@@ -481,25 +491,25 @@ object TierB {
     },
 
     q("b_explode_unnest",
-      """SELECT label, round(SUM(CAST(x AS DECIMAL(18,6))), 4) AS s, count(*) AS n
+      """SELECT label, CAST(round(SUM(CAST(x AS DECIMAL(18,6))), 4) AS DOUBLE) AS s, count(*) AS n
         |FROM (SELECT label, unnest(list_slice(embedding, 1, 4)) AS x FROM embeddings) t
         |GROUP BY label""".stripMargin) { (s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("label"), explode(slice(col("embedding"), 1, 4)).as("x"))
         .groupBy("label")
-        .agg(round(sum(col("x").cast(dec)), 4).as("s"), count(lit(1)).as("n"))
+        .agg(round(sum(col("x").cast(dec)), 4).cast("double").as("s"), count(lit(1)).as("n"))
     },
 
     // Sliding (hop) window: 30-minute windows every 10 minutes — each event
     // lands in 3 windows. The oracle enumerates the hops explicitly.
     q("b_win_sliding",
       """SELECT CAST(floor(epoch(ts)/600)*600 - j*600 AS BIGINT) AS ws, event_type,
-        |  count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
         |FROM events, (SELECT unnest(range(3)) AS j)
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast("double").as("sv"))
         .select(col("window.start").cast("long").as("ws"), col("event_type"),
           col("n"), col("sv"))
     },

@@ -27,7 +27,10 @@ object Changelog {
 
   /** Diff `prev` → `next` keyed by `keyCols`; both must share a schema.
     * Returns the change rows: payload columns + `op`, sorted by key then op
-    * rank. `prev = None` means everything in `next` is an Insert. */
+    * rank. `prev = None` means everything in `next` is an Insert.
+    * `keyCols = Nil` means a single-row (global aggregate) result: the one
+    * row's change is an UpdateDelete/UpdateInsert pair, never Insert+Delete.
+    * For keyless multi-row snapshots use [[multisetDiff]]. */
   def diff(prev: Option[DataFrame], next: DataFrame, keyCols: Seq[String]): DataFrame = {
     val cols = next.columns.toSeq
     val valueCols = cols.filterNot(keyCols.contains)
@@ -39,7 +42,8 @@ object Changelog {
       case Some(p) =>
         val pr = p.select(cols.map(c => col(c).as(s"__p_$c")): _*)
         val nr = next.select(cols.map(c => col(c).as(s"__n_$c")): _*)
-        val cond = keyCols.map(k => col(s"__p_$k") <=> col(s"__n_$k")).reduce(_ && _)
+        val cond = keyCols.map(k => col(s"__p_$k") <=> col(s"__n_$k"))
+          .reduceOption(_ && _).getOrElse(lit(true))
         val joined = pr.join(nr, cond, "full_outer")
 
         // presence test: a side absent from the outer join is all-null
@@ -61,6 +65,31 @@ object Changelog {
 
         inserts.union(deletes).union(updatesOld).union(updatesNew)
           .orderBy(keyCols.map(col) :+ element_at(opRank, col("op")): _*)
+    }
+  }
+
+  /** Multiset diff for keyless snapshots (no grouping key survives in the
+    * output, or the MV is a plain row stream that can hold duplicate rows):
+    * per distinct row, emit |Δcount| Inserts or Deletes. Correct where a
+    * row-equality full-outer join would collapse or multiply duplicates. */
+  def multisetDiff(prev: Option[DataFrame], next: DataFrame): DataFrame = {
+    val cols = next.columns.toSeq
+    prev match {
+      case None =>
+        next.withColumn("op", lit(OpInsert)).orderBy(cols.map(col): _*)
+      case Some(p) =>
+        val pc = p.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__pc"))
+        val nc = next.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nc"))
+        val delta = pc.join(nc, cols, "full_outer")
+          .select(cols.map(col) :+
+            (coalesce(col("__nc"), lit(0L)) - coalesce(col("__pc"), lit(0L))).as("__d"): _*)
+          .filter(col("__d") =!= 0)
+        delta
+          .select(cols.map(col) :+ col("__d") :+
+            explode(sequence(lit(1L), abs(col("__d")))).as("__i"): _*)
+          .select(cols.map(col) :+
+            when(col("__d") > 0, lit(OpInsert)).otherwise(lit(OpDelete)).as("op"): _*)
+          .orderBy(cols.map(col) :+ element_at(opRank, col("op")): _*)
     }
   }
 }

@@ -227,4 +227,58 @@ class EngineSpec extends SparkSpec {
       rw.insertRow("missing_table", values = Map("x" -> 1))
     }
   }
+
+  test("global-aggregate MV (no grouping keys in output) stays correct across epochs") {
+    // `SELECT count(*) FROM t` has no key columns to merge update-mode deltas
+    // on — must maintain via batch re-run, never retain stale rows
+    rw.createTable("glob_t", StructType(Seq(StructField("x", LongType))))
+    val m = rw.mv("SELECT count(*) AS n, sum(x) AS sx FROM glob_t", "glob_mv")
+    for (epoch <- 1 to 3) {
+      rw.insertRow("glob_t", values = Map("x" -> epoch.toLong), forceFlush = true)
+      val rows = rw.fetch("SELECT * FROM glob_mv")
+      assert(rows.length == 1, s"epoch $epoch: expected 1 row, got ${rows.length}")
+      assert(rows.head.getLong(0) == epoch.toLong)
+      assert(rows.head.getLong(1) == (1 to epoch).sum.toLong)
+    }
+    // changelog must carry retractions (UpdateDelete/UpdateInsert), not
+    // bare Inserts of each new aggregate value: one Insert for the initial
+    // (0, null) row the empty table materializes, then an update pair per
+    // epoch
+    val sub = m.subscription().declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(1000)).takeWhile(_.nonEmpty).flatten.toSeq
+      .map(r => r.getString(r.length - 2))
+    assert(ops.count(_ == "Insert") == 1)
+    assert(ops.count(_ == "UpdateInsert") == 3)
+    assert(ops.count(_ == "UpdateDelete") == 3)
+    assert(ops.count(_ == "Delete") == 0)
+  }
+
+  test("aggregate projecting away its grouping key maintains distinct-value rows") {
+    rw.createTable("proj_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    rw.mv("SELECT sum(v) AS sv FROM proj_t GROUP BY k", "proj_mv")
+    rw.insertRow("proj_t", values = Map("k" -> "a", "v" -> 1L))
+    rw.insertRow("proj_t", values = Map("k" -> "b", "v" -> 10L), forceFlush = true)
+    rw.insertRow("proj_t", values = Map("k" -> "a", "v" -> 2L), forceFlush = true)
+    val got = rw.fetch("SELECT * FROM proj_mv").map(_.getLong(0)).sorted
+    assert(got == Seq(3L, 10L), s"got $got")
+  }
+
+  test("composite table-level PRIMARY KEY (a, b) and DECIMAL(10,2) parse correctly") {
+    rw.execute(
+      """CREATE TABLE ddl_pk2 (a INT, b INT, price DECIMAL(10,2), note VARCHAR(32),
+        |PRIMARY KEY (a, b))""".stripMargin)
+    val t = rw.table("ddl_pk2").get
+    assert(t.schema.fieldNames.toSeq == Seq("a", "b", "price", "note"))
+    assert(t.schema("price").dataType == DecimalType(10, 2))
+    assert(t.schema("note").dataType == StringType)
+    assert(t.primaryKey == Seq("a", "b"))
+    // upsert on the composite key: same (a,b) replaces, different b appends
+    rw.execute("INSERT INTO ddl_pk2 VALUES (1, 1, 10.00, 'x'), (1, 2, 20.00, 'y')")
+    rw.execute("INSERT INTO ddl_pk2 VALUES (1, 1, 30.00, 'z')")
+    rw.execute("FLUSH")
+    val rows = rw.fetch("SELECT a, b, CAST(price AS DOUBLE) AS p FROM ddl_pk2 ORDER BY a, b")
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(rows == Seq((1, 1, 30.0), (1, 2, 20.0)))
+  }
 }
