@@ -27,6 +27,40 @@ object Dialect {
         s"(window($col, '$dur')).end AS window_end FROM $tbl)"
     })
 
+  /** `hop(tbl, ts_col, interval 'slide', interval 'size')` (RisingWave's
+    * sliding-window TVF) → derived table assigning each row to every
+    * covering window via an exploded start sequence: starts are the
+    * multiples of `slide` in `(t - size, t]`. Spark's `window(c, size,
+    * slide)` only expands inside aggregation, so the TVF form needs the
+    * explicit explode; second granularity (the TVF contract here). */
+  private val hopRe =
+    """(?is)hop\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*,\s*interval\s+'([^']+)'\s*,\s*interval\s+'([^']+)'\s*\)""".r
+
+  private[engine] def intervalSeconds(s: String): Long = {
+    val m = """(?i)\s*(\d+)\s*(second|minute|hour|day)s?\s*""".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"unsupported interval: $s"))
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case "second" => n
+      case "minute" => n * 60
+      case "hour" => n * 3600
+      case "day" => n * 86400
+    }
+  }
+
+  def rewriteHop(sql: String): String =
+    hopRe.replaceAllIn(sql, m => {
+      val (tbl, c) = (m.group(1), m.group(2))
+      val sl = intervalSeconds(m.group(3))
+      val sz = intervalSeconds(m.group(4))
+      s"(SELECT * EXCEPT(__hs), timestamp_seconds(__hs) AS window_start, " +
+        s"timestamp_seconds(__hs + $sz) AS window_end FROM $tbl " +
+        s"LATERAL VIEW explode(sequence(" +
+        s"(CAST(floor((unix_timestamp($c) - $sz) / $sl) AS BIGINT) + 1) * $sl, " +
+        s"CAST(floor(unix_timestamp($c) / $sl) AS BIGINT) * $sl, $sl)) __hv AS __hs)"
+    })
+
   /** `expr::type` → `CAST(expr AS type)`. A small scanner (not regex): the
     * operand may be a quoted literal, a dotted identifier, or a balanced
     * parenthesized expression/function call; chains (`x::int::text`) resolve
@@ -120,6 +154,70 @@ object Dialect {
   def mangle(schema: String, name: String): String =
     if (schema == "public") name else s"${schema}__$name"
 
+  /** First index of keyword `kw` at paren-depth 0 outside string literals,
+    * or -1. */
+  private def topLevelIndexOf(s: String, kw: String, from: Int = 0): Int = {
+    var depth = 0; var inQ = false; var i = from
+    val u = s.toUpperCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && u.startsWith(kw, i) &&
+            (i == 0 || !u.charAt(i - 1).isLetterOrDigit) &&
+            (i + kw.length >= u.length || !u.charAt(i + kw.length).isLetterOrDigit))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** `SELECT DISTINCT ON (keys) list FROM ... ORDER BY ...` (PG/RisingWave;
+    * no Spark equivalent) → keep the first row per key group under the
+    * query's ORDER BY, via a `row_number` window. Applied to top-level
+    * SELECT DISTINCT ON statements only (the spelling the reference's
+    * passthrough would receive). */
+  def rewriteDistinctOn(sql: String): String = {
+    val head = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r.findFirstMatchIn(sql)
+      .getOrElse(return sql)
+    var i = head.end - 1
+    var depth = 0
+    while (i < sql.length && { val c = sql.charAt(i)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1; depth != 0 }) i += 1
+    val keys = sql.substring(head.end, i).trim
+    val rest = sql.substring(i + 1)
+    val fromIdx = topLevelIndexOf(rest, "FROM")
+    if (fromIdx < 0) return sql
+    val selectList = rest.substring(0, fromIdx).trim
+    val tail = rest.substring(fromIdx + 4)
+    val orderIdx = topLevelIndexOf(tail, "ORDER")
+    val (fromPart, orderPart) =
+      if (orderIdx < 0) (tail.trim, "")
+      else (tail.substring(0, orderIdx).trim,
+        tail.substring(orderIdx).replaceAll("(?is)^ORDER\\s+BY", "").trim)
+    val limIdx = topLevelIndexOf(orderPart, "LIMIT")
+    val windowOrder =
+      if (orderPart.isEmpty) keys
+      else if (limIdx < 0) orderPart
+      else orderPart.substring(0, limIdx).trim
+    val outerOrder = if (orderPart.isEmpty) "" else s" ORDER BY $orderPart"
+    s"SELECT $selectList FROM (SELECT *, row_number() OVER (" +
+      s"PARTITION BY $keys ORDER BY $windowOrder) AS __rn FROM $fromPart) __don " +
+      s"WHERE __rn = 1$outerOrder"
+  }
+
+  /** `EMIT ON WINDOW CLOSE` (RisingWave emit-policy clause) is accepted and
+    * stripped: our MVs emit eager corrections (update mode / epoch diffs),
+    * whose final state is identical — RisingWave's clause only suppresses
+    * the intermediate emissions. */
+  def rewriteEmitClause(sql: String): String =
+    sql.replaceAll("(?i)\\bEMIT\\s+ON\\s+WINDOW\\s+CLOSE\\b", " ")
+
   /** `FROM generate_series(a, b)` (PG/RisingWave set-returning function) →
     * exploded `sequence`; the output column keeps PG's name. */
   private val seriesRe = """(?i)generate_series\s*\(\s*([^,()]+)\s*,\s*([^,()]+)\s*\)""".r
@@ -130,8 +228,9 @@ object Dialect {
 
   def apply(sql: String, qualified: Iterable[(String, String)] = Nil): String = {
     val steps: Seq[String => String] = Seq(
-      rewriteTumble, rewriteCasts, rewriteJsonOps, rewriteStringAgg, rewriteToChar,
-      rewriteGenerateSeries,
+      rewriteTumble, rewriteHop, rewriteDistinctOn, rewriteEmitClause,
+      rewriteCasts, rewriteJsonOps, rewriteStringAgg,
+      rewriteToChar, rewriteGenerateSeries,
       s => rewriteQualified(s, qualified))
     steps.foldLeft(sql)((acc, f) => f(acc))
   }

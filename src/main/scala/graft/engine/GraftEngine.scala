@@ -45,6 +45,10 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     """(?is)\s*CREATE\s+SUBSCRIPTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+FROM\s+([\w.]+)\s+WITH.*""".r
   private val insertRe =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)""".r
+  private val updateRe =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)""".r
+  private val deleteRe =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*(?:WHERE\s+(.*))?""".r
 
   private def splitQualified(n: String): (String, String) = n.split('.') match {
     case Array(s, t) => (s, t)
@@ -97,9 +101,83 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
           t.flushBuffer()
         case None => spark.sql(rewrite(sql))
       }
+    case updateRe(qname, rest) if liveTables.contains(splitQualified(qname)) =>
+      val t = liveTables(splitQualified(qname))
+      // split "SET assigns [WHERE pred]" at the first top-level WHERE
+      val whereIdx = topLevelIndexOf(rest, "WHERE")
+      val (setClause, whereClause) =
+        if (whereIdx < 0) (rest, None)
+        else (rest.substring(0, whereIdx), Some(rest.substring(whereIdx + 5)))
+      val assigns = DdlParser.splitTopLevel(setClause).map(_.trim).filter(_.nonEmpty)
+        .map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"bad SET assignment: $a")
+          a.substring(0, i).trim -> a.substring(i + 1).trim
+        }.toMap
+      mutateTable(t) { df =>
+        import org.apache.spark.sql.functions.{col, expr, when}
+        val cond = whereClause.map(w => expr(rewrite(w))).getOrElse(expr("true"))
+        df.select(t.schema.fields.map { f =>
+          assigns.get(f.name) match {
+            case Some(e) => when(cond, expr(rewrite(e)).cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+      }
+    case deleteRe(qname, where) if liveTables.contains(splitQualified(qname)) =>
+      val t = liveTables(splitQualified(qname))
+      mutateTable(t) { df =>
+        import org.apache.spark.sql.functions.{expr, not}
+        if (where == null || where.trim.isEmpty) df.limit(0)
+        else df.filter(not(expr(rewrite(where))))
+      }
     case other =>
       logged("executing statement", other)(spark.sql(rewrite(other)))
   }
+
+  /** First index of keyword `kw` at paren-depth 0 outside quotes, or -1. */
+  private def topLevelIndexOf(s: String, kw: String): Int = {
+    var depth = 0; var inQ = false; var i = 0
+    val u = s.toUpperCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && u.startsWith(kw, i) &&
+            (i == 0 || !u.charAt(i - 1).isLetterOrDigit) &&
+            (i + kw.length >= u.length || !u.charAt(i + kw.length).isLetterOrDigit))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** UPDATE/DELETE path: demote dependent streaming MVs to batch re-run
+    * (MemoryStream can't retract), then apply the state transform. Changes
+    * become visible to MVs/changelogs at the next FLUSH barrier, like
+    * inserts. */
+  private def mutateTable(t: LiveTable)(f: DataFrame => DataFrame): Unit = {
+    mvs.values.filter(m => referencedLiveTables(m.stmt).contains(t))
+      .foreach(_.demoteToBatch())
+    t.mutate(f)
+  }
+
+  /** Live tables whose (qualified or bare) name appears in `stmt` — a
+    * word-boundary text match, used for MV dependency checks (over-matching
+    * is safe: it only forces batch re-run mode). */
+  private[engine] def referencedLiveTables(stmt: String): Seq[LiveTable] =
+    liveTables.values.filter { t =>
+      val pats = Seq(t.viewName, s"${t.schemaName}.${t.name}", t.name)
+      pats.exists(p =>
+        java.util.regex.Pattern.compile(s"(?i)\\b${java.util.regex.Pattern.quote(p)}\\b")
+          .matcher(stmt).find())
+    }.toSeq
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -387,8 +465,8 @@ private[engine] object DdlParser {
 
   /** Paren-depth-aware top-level comma split: `PRIMARY KEY (a, b)` and
     * `DECIMAL(10,2)` stay whole (same technique as the outer balance scan in
-    * `execute`). */
-  private def splitTopLevel(s: String): Seq[String] = {
+    * `execute`). Also used for UPDATE's SET-assignment list. */
+  private[engine] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var depth = 0

@@ -116,4 +116,18 @@ final class LiveTable(
   }
 
   def rowCount: Long = synchronized(allRows.size.toLong)
+
+  /** UPDATE/DELETE support: replace the table's state with a transformation
+    * of its current (PK-resolved) batch face. The streaming face is NOT fed
+    * — MemoryStream is append-only, so the engine demotes every MV reading
+    * this table to batch re-run mode before calling this (their diffs then
+    * emit the correct Delete / UpdateDelete+UpdateInsert ops). */
+  private[engine] def mutate(f: DataFrame => DataFrame): Unit = synchronized {
+    flushBuffer()
+    val next = f(batchDF).select(schema.fieldNames.map(col): _*).collect()
+    allRows.clear()
+    seq = 0L
+    allRows ++= next.map(r => { seq += 1; Row.fromSeq(r.toSeq :+ seq) })
+    refreshView()
+  }
 }

@@ -70,7 +70,16 @@ final class MaterializedView private[engine](
         }
         if (keys.nonEmpty) MaterializedView.Keyed(keys) else MaterializedView.Multiset
       }
-    }.getOrElse(MaterializedView.Multiset)
+    }.getOrElse {
+      // aggregate-free plan over exactly one PK table that keeps the full
+      // PK in its output: diff on the PK, so row updates surface as
+      // UpdateDelete/UpdateInsert pairs rather than unrelated Delete+Insert
+      engine.referencedLiveTables(stmt).filter(_.primaryKey.nonEmpty) match {
+        case Seq(t) if t.primaryKey.forall(df.columns.contains) =>
+          MaterializedView.Keyed(t.primaryKey)
+        case _ => MaterializedView.Multiset
+      }
+    }
   }
 
   /** Streaming-update mode is only safe when every node between the root and
@@ -94,8 +103,14 @@ final class MaterializedView private[engine](
   }
 
   private[engine] def start(): Unit = {
+    // MVs over PK/upsert tables must re-run in batch mode: the streaming
+    // face is the raw version-append log, so a streaming aggregate would
+    // count every version of a key; the batch face applies the upsert
+    // resolution first. (Also the path for UPDATE/DELETE correctness.)
+    val readsPkTable = engine.referencedLiveTables(stmt).exists(_.primaryKey.nonEmpty)
     val streamDf =
-      try Some(engine.withStreamingViews(watermarks)(spark.sql(engine.rewrite(stmt))))
+      if (readsPkTable) None
+      else try Some(engine.withStreamingViews(watermarks)(spark.sql(engine.rewrite(stmt))))
         .filter { df =>
           val isAgg = df.queryExecution.analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
           streamingSafe(df.queryExecution.analyzed) &&
@@ -214,6 +229,24 @@ final class MaterializedView private[engine](
                    retentionSeconds: Long = 86400L,
                    persistProgress: Boolean = false): Subscription =
     engine.subscribe(this, subName, retentionSeconds, persistProgress)
+
+  /** Switch a streaming MV to batch re-run mode (called before UPDATE/
+    * DELETE mutates a source table — MemoryStream can't retract, so the
+    * maintainer re-evaluates and diffs from here on; the changelog stays
+    * continuous because refresh() diffs against the existing snapshot). */
+  private[engine] def demoteToBatch(): Unit = synchronized {
+    if (streamingMode) {
+      query.foreach(_.stop())
+      query = None
+      streamingMode = false
+      val df = spark.sql(engine.rewrite(stmt))
+      keyMode = deriveMode(df)
+      keyCols = keyMode match {
+        case MaterializedView.Keyed(ks) => ks
+        case _ => df.columns.toSeq
+      }
+    }
+  }
 
   private[engine] def stop(): Unit = {
     query.foreach(_.stop())

@@ -55,6 +55,46 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   }
 
+  /** Banded MinHash bucket hashes: the k-perm signature computed once, then
+    * each of the `bands` r-slices (r = k/bands) folded to a single bucket
+    * hash. One expression evaluation per row — formulating this as
+    * `transform(slice(minhash_sig(...)))` re-evaluates the whole signature
+    * once per band (HOF lambda bodies are re-evaluated per element and
+    * CollapseProject inlines single-use aliases). */
+  case class MinHashBands(child: Expression, k: Int, bands: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(k % bands == 0, "bands must divide k")
+    private val r = k / bands
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hashElem(arr.getUTF8String(i), seed)
+        var p = 0
+        while (p < k) {
+          val hp = mix64(h ^ (seed + 0x9e3779b97f4a7c15L * (p + 1)))
+          if (hp < sig(p)) sig(p) = hp
+          p += 1
+        }
+        i += 1
+      }
+      val out = new Array[Any](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = seed + b
+        var j = b * r
+        while (j < (b + 1) * r) { acc = mix64(acc ^ sig(j)); j += 1 }
+        out(b) = acc
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
+  }
+
   /** 64-bit SimHash of an array<string> token multiset. */
   case class SimHash(child: Expression, seed: Long)
       extends UnaryExpression with CodegenFallback {
@@ -117,6 +157,9 @@ object HashExpressions {
 
   def minhashSig(c: Column, k: Int, seed: Long): Column =
     eu.column(MinHashSig(eu.expression(c), k, seed))
+
+  def minhashBands(c: Column, k: Int, bands: Int, seed: Long): Column =
+    eu.column(MinHashBands(eu.expression(c), k, bands, seed))
 
   def simhash(c: Column, seed: Long): Column =
     eu.column(SimHash(eu.expression(c), seed))

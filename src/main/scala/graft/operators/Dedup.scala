@@ -63,12 +63,12 @@ object Dedup {
     // through the self-join shuffle (at 100 TB they dominate the shuffle
     // volume; candidate verification re-joins them by id instead). Persist:
     // both sides of the self-join read this, and signatures are the
-    // expensive stage.
+    // expensive stage. MinHashBands computes the k-perm signature ONCE per
+    // row and folds each band internally (a transform-over-slices spelling
+    // re-evaluated the signature per band — 16x the dominant cost).
     val banded = sets.select(
       col(idCol).as("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        j => hash(slice(minhashSignature(col("sh"), k), j * lit(r) + 1, lit(r)))))
+      posexplode(graft.functions.HashExpressions.minhashBands(col("sh"), k, bands, 42L))
         .as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -54,6 +54,22 @@ object TierA {
                 col("event_type"), col("avg_price"))
     },
 
+    // W1 (sliding form) — the hop() TVF through the dialect shim: 30-minute
+    // windows sliding every 10 minutes, so each event lands in 3 windows.
+    // The oracle enumerates the 3 covering hops per event explicitly.
+    q("a_w2_hop_avg",
+      """SELECT CAST(floor(epoch(ts)/600)*600 - j*600 AS BIGINT) AS ws, event_type,
+        |  count(*) AS n, round(avg(value), 4) AS avg_v
+        |FROM events, (SELECT unnest(range(3)) AS j)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(graft.engine.Dialect(
+        """SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws, event_type,
+          |  count(*) AS n, round(avg(value), 4) AS avg_v
+          |FROM hop(events, ts, interval '10 minutes', interval '30 minutes')
+          |GROUP BY 1, 2""".stripMargin))
+    },
+
     // P4 — conjunctive equality predicate WHERE a='x' AND b='y'
     // (risingwave/core.py:71, :351) + P2 projection.
     q("a_p4_conjunctive_filter",

@@ -144,6 +144,19 @@ object TierB {
       Tables(s, dir, "customer").select("c_mktsegment").distinct()
     },
 
+    // PG DISTINCT ON — first row per key under the query order; DuckDB
+    // supports the spelling natively, Spark gets it via the dialect shim's
+    // row_number rewrite.
+    q("b_distinct_on",
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderpriority
+        |FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        s.sql(graft.engine.Dialect(
+          """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderpriority
+            |FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
+    },
+
     // string_agg / listagg with deterministic in-group order.
     q("b_string_agg",
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
@@ -257,6 +270,17 @@ object TierB {
         .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust_no_orders"))
     },
 
+    q("b_join_right",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), count(col("o_orderkey")).as("n_orders"))
+    },
+
     q("b_join_cross",
       """SELECT a.r_name AS r1, b.r_name AS r2
         |FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey""".stripMargin) {
@@ -318,6 +342,19 @@ object TierB {
           round(avg(col("l_quantity")).over(ord.rowsBetween(-2, Window.currentRow)), 4).as("mov_avg"))
     },
 
+    // RANGE BETWEEN frame (value-based, vs the row-based frames above):
+    // all orders within 1000 of the current price count as peers.
+    q("b_win_range_frame",
+      """SELECT o_orderkey,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_peers
+        |FROM orders WHERE o_orderkey <= 5000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+      Tables(s, dir, "orders").filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"), count(lit(1)).over(w).as("n_peers"))
+    },
+
     q("b_win_rank_ntile",
       """SELECT o_orderkey,
         |  rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rk,
@@ -357,6 +394,11 @@ object TierB {
         .orderBy(col("bal").asc_nulls_first, col("c_custkey"))
         .limit(50)
     },
+
+    // LIMIT + OFFSET pagination (deterministic page: unique sort key).
+    sqlBoth("b_sort_offset",
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10""".stripMargin),
 
     sqlBoth("b_set_ops",
       """SELECT 'both' AS tag, k FROM

@@ -69,4 +69,38 @@ class DialectSpec extends SparkSpec {
     val r = spark.sql(sql).head
     assert(r.getString(0) == "7" && r.getInt(1) == 12 && r.getString(2) == "2024-03")
   }
+
+  test("DISTINCT ON rewrites to row_number window and runs") {
+    import spark.implicits._
+    Seq(("a", 1, 10), ("a", 2, 30), ("b", 3, 20)).toDF("k", "id", "v")
+      .createOrReplaceTempView("don_t")
+    val sql = Dialect("SELECT DISTINCT ON (k) k, id FROM don_t ORDER BY k, v DESC, id")
+    assert(sql.contains("row_number() OVER"))
+    val rows = spark.sql(sql).collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows == Seq(("a", 2), ("b", 3)))
+  }
+
+  test("EMIT ON WINDOW CLOSE is accepted and stripped") {
+    val out = Dialect("SELECT a FROM t EMIT ON WINDOW CLOSE")
+    assert(out.trim == "SELECT a FROM t")
+  }
+
+  test("hop TVF: each row lands in size/slide sliding windows") {
+    import spark.implicits._
+    // events at 00:05 and 00:25 (epoch seconds 300, 1500)
+    Seq(300L, 1500L).map(e => new java.sql.Timestamp(e * 1000)).toDF("ts")
+      .createOrReplaceTempView("hop_t")
+    val sql = Dialect(
+      """SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws,
+        |  CAST(unix_timestamp(window_end) AS BIGINT) AS we, count(*) AS n
+        |FROM hop(hop_t, ts, interval '10 minutes', interval '30 minutes')
+        |GROUP BY 1, 2""".stripMargin)
+    val rows = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // t=300 → starts {-1200,-600,0}; t=1500 → starts {0,600,1200}; start 0
+    // covers both events
+    assert(rows == Set(
+      (-1200L, 600L, 1L), (-600L, 1200L, 1L), (0L, 1800L, 2L),
+      (600L, 2400L, 1L), (1200L, 3000L, 1L)))
+  }
 }

@@ -264,6 +264,45 @@ class EngineSpec extends SparkSpec {
     assert(got == Seq(3L, 10L), s"got $got")
   }
 
+  test("UPDATE and DELETE on a PK table flow through to MV state and changelog") {
+    rw.execute("CREATE TABLE dml_t (k STRING PRIMARY KEY, v BIGINT)")
+    val m = rw.mv("SELECT k, v FROM dml_t", "dml_mv")
+    rw.execute("INSERT INTO dml_t VALUES ('a', 1), ('b', 2), ('c', 3)")
+    rw.execute("FLUSH")
+    rw.execute("UPDATE dml_t SET v = v * 10 WHERE k <> 'c'")
+    rw.execute("FLUSH")
+    val afterUpdate = rw.fetch("SELECT k, v FROM dml_t ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(afterUpdate == Seq(("a", 10L), ("b", 20L), ("c", 3L)))
+    rw.execute("DELETE FROM dml_t WHERE v >= 20")
+    rw.execute("FLUSH")
+    val afterDelete = rw.fetch("SELECT k, v FROM dml_mv ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(afterDelete == Seq(("a", 10L), ("c", 3L)))
+    // changelog saw the retractions, not just inserts
+    val sub = m.subscription().declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(1000)).takeWhile(_.nonEmpty).flatten.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(ops.count(_._3 == "Insert") == 3)
+    assert(ops.contains(("a", 1L, "UpdateDelete")) && ops.contains(("a", 10L, "UpdateInsert")))
+    assert(ops.contains(("b", 20L, "Delete")))
+  }
+
+  test("streaming MV over an upsert (PK) table resolves versions, not raw appends") {
+    rw.execute(
+      """CREATE TABLE upsmv_t (id STRING PRIMARY KEY, grp STRING, v BIGINT)
+        |ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(v)""".stripMargin)
+    rw.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM upsmv_t GROUP BY grp", "upsmv_mv")
+    rw.execute("INSERT INTO upsmv_t VALUES ('x', 'g1', 1), ('y', 'g1', 2)")
+    rw.execute("FLUSH")
+    // re-insert key x with a higher version — count must stay 2, not 3
+    rw.execute("INSERT INTO upsmv_t VALUES ('x', 'g1', 5)")
+    rw.execute("FLUSH")
+    val st = rw.fetch("SELECT grp, n, sv FROM upsmv_mv")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(st == Seq(("g1", 2L, 7L)))
+  }
+
   test("composite table-level PRIMARY KEY (a, b) and DECIMAL(10,2) parse correctly") {
     rw.execute(
       """CREATE TABLE ddl_pk2 (a INT, b INT, price DECIMAL(10,2), note VARCHAR(32),
