@@ -57,6 +57,53 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("v"), sigBits.as("sig"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to LSH:
+    *   1. coarse quantizer: a deterministic sample of the corpus (every
+    *      `centroidStride`-th id) serves as centroids — broadcast, tiny;
+    *   2. one map pass assigns each vector to its nearest centroid
+    *      (cos desc, centroid-id tiebreak) → the inverted lists, which at
+    *      scale would be the partitioning/bucketing key of the stored table;
+    *   3. a query probes its `nProbe` nearest centroids and brute-forces
+    *      only those lists — candidate volume ~ nProbe/|C| of the corpus.
+    * Deterministic end to end (no trained k-means), so the DuckDB oracle
+    * replays it exactly. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int,
+              centroidStride: Int = 50, nProbe: Int = 2): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = v.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cid"), col("v").as("cv"))
+
+    // nearest centroid per corpus vector (map-only: centroids broadcast)
+    val aw = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("csc"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("id"), col("v"), col("cid"))
+
+    // nProbe nearest centroids per query vector
+    val qv = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("csc").desc, col("cid"))
+    val probes = qv.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("csc"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    // brute-force inside the probed lists only
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), "cid")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("cos"), col("rank"))
+  }
+
   /** Sign-LSH bucketed ANN:
     *   1. each vector gets an `nPlanes`-bit signature (sign of projection on
     *      seeded random hyperplanes) — map-only;

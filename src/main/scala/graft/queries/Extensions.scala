@@ -154,6 +154,39 @@ object Extensions {
         .withColumnRenamed("rank", "rnk")
     },
 
+    // IVF ANN: deterministic coarse quantizer (every 50th id), nearest-
+    // centroid inverted lists, 2-probe search. The oracle replays the
+    // whole pipeline — assignment, probes, in-list ranking — in DuckDB.
+    q("x_sim_topk_ivf",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id % 50 = 0),
+         |sc AS (SELECT v.vec_id, c.cid, ${duckCos("v.e", "c.cv")} AS csc
+         |       FROM v CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc) t
+         |  WHERE rn = 1),
+         |qp AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc
+         |    WHERE vec_id IN (0,1,2,3,4)) t
+         |  WHERE rn <= 2),
+         |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+         |    ${duckCos("qv.e", "nv.e")} AS cc
+         |  FROM qp JOIN asg a USING (cid)
+         |  JOIN v qv ON qv.vec_id = qp.query_id
+         |  JOIN v nv ON nv.vec_id = a.vec_id
+         |  WHERE a.vec_id <> qp.query_id),
+         |r AS (SELECT query_id, neighbor_id, cc, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cc DESC, neighbor_id) AS rn FROM cand)
+         |SELECT query_id, neighbor_id, round(cc, 6) AS cos, rn AS rnk
+         |FROM r WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, centroidStride = 50, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+    },
+
     // ---- text analysis ----------------------------------------------------
 
     q("x_text_tokens",

@@ -32,6 +32,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: probed-list results rank correctly and scores match brute force") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 10,
+      centroidStride = 10, nProbe = 3).collect()
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val scores = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // every candidate the IVF scores agrees with the exact cosine
+    ivf.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+  }
+
   test("LSH top-k recall vs exact top-k is substantial") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
