@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -10,39 +11,84 @@ import scala.collection.mutable.ArrayBuffer
   * seq`, totally ordered within the MV). Retention prunes by the timestamp's
   * epoch part (W7; default 86400 s like `risingwave/core.py:372`).
   *
-  * Driver-resident by design: this log is the client-delivery buffer (the
-  * reference's FETCH batches terminate at the client too); the distributed
-  * artifacts are the MV snapshot and the diff that produced the rows. At
-  * scale the same interface would be backed by a parquet/Kafka delta log.
+  * Memory-bounded: only the newest `spillThreshold` entries stay on the
+  * driver (they are the client-delivery buffer — the reference's FETCH
+  * batches terminate at the client too). Older history spills to parquet
+  * segment files and is replayed through a filtered scan on `SINCE` cursors,
+  * so 24 h of retained changes never has to fit in driver memory. At cluster
+  * scale the segment directory is the same layout on shared storage (or a
+  * Kafka topic); the interface here is unchanged.
   */
-final class ChangeLog {
+final class ChangeLog(spark: SparkSession, rowSchema: () => StructType) {
   private val entries = ArrayBuffer[(Long, Row)]()
   private var lastTs = 0L
 
-  /** Stamp rows with fresh monotone offsets and append atomically. */
+  /** (minTs, maxTs, path) per spilled parquet segment, in offset order. */
+  private val segments = ArrayBuffer[(Long, Long, String)]()
+  private lazy val spillDir = java.nio.file.Files
+    .createTempDirectory("graft-changelog-").toString
+  private def spillThreshold: Int =
+    spark.conf.getOption("graft.changelog.spillThreshold").map(_.toInt).getOrElse(100000)
+
+  private def changeSchema: StructType =
+    rowSchema().add("op", StringType).add("rw_timestamp", LongType, nullable = false)
+
+  /** Stamp rows with fresh monotone offsets and append atomically; spill
+    * the oldest half of the in-memory window when it overflows. */
   def append(rows: Seq[Row]): Unit = synchronized {
     rows.foreach { r =>
       lastTs = math.max(lastTs + 1, System.currentTimeMillis() << 16)
       entries += ((lastTs, Row.fromSeq(r.toSeq :+ lastTs)))
     }
+    val limit = spillThreshold
+    if (entries.size > limit) {
+      val n = entries.size - limit / 2
+      val spill = entries.take(n)
+      val path = s"$spillDir/seg-${spill.head._1}"
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(spill.map(_._2).toList.asJava, changeSchema)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      segments += ((spill.head._1, spill.last._1, path))
+      entries.remove(0, n)
+    }
     notifyAll()
   }
 
-  /** Rows with offset strictly greater than `after`, up to `limit`. */
-  def fetchAfter(after: Long, limit: Int): Seq[Row] = synchronized {
-    entries.iterator.filter(_._1 > after).take(limit).map(_._2).toSeq
+  /** Rows with offset strictly greater than `after`, up to `limit` —
+    * spilled segments first (offset-filtered parquet scan), then the
+    * in-memory tail. */
+  def fetchAfter(after: Long, limit: Int): Seq[Row] = {
+    val (segs, memRows) = synchronized {
+      (segments.filter(_._2 > after).toList,
+        entries.iterator.filter(_._1 > after).take(limit).map(_._2).toList)
+    }
+    if (segs.isEmpty) memRows
+    else {
+      import org.apache.spark.sql.functions.col
+      val spilled = spark.read.parquet(segs.map(_._3): _*)
+        .filter(col("rw_timestamp") > after)
+        .orderBy("rw_timestamp")
+        .limit(limit)
+        .collect().toSeq
+      (spilled ++ memRows).take(limit)
+    }
   }
 
   def latestOffset: Long = synchronized(lastTs)
 
-  def size: Int = synchronized(entries.size)
+  def size: Int = synchronized(entries.size + segments.size)
 
-  /** Drop entries older than `retentionSeconds` (epoch part of the offset). */
+  /** Drop history older than `retentionSeconds` (epoch part of the offset):
+    * whole spilled segments are unlinked, the memory tail is filtered. */
   def prune(retentionSeconds: Long): Unit = synchronized {
     val cutoff = (System.currentTimeMillis() - retentionSeconds * 1000L) << 16
-    val keep = entries.filter(_._1 >= cutoff)
-    entries.clear()
-    entries ++= keep
+    val (drop, keep) = segments.partition(_._2 < cutoff)
+    drop.foreach { case (_, _, p) =>
+      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    }
+    segments.clear(); segments ++= keep
+    val keepMem = entries.filter(_._1 >= cutoff)
+    entries.clear(); entries ++= keepMem
   }
 
   /** Block until an entry with offset > `after` exists (used by blocking

@@ -384,6 +384,8 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
       "simhash64", exprs => HashExpressions.SimHash(exprs.head, 42L), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => HashExpressions.WordShingles(exprs.head, 3), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => HashExpressions.RollingHash(exprs.head, 31L, 1000000007L), "built-in")
   }
 
   private def handshake(): Unit = {

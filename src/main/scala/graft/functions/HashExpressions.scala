@@ -150,6 +150,23 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** Polynomial rolling hash of a string's bytes, mod a sub-2³¹ prime so
+    * every intermediate stays below 2⁶³ — the same fold is expressible in
+    * overflow-checked engines (DuckDB oracle), unlike wraparound hashes. */
+  case class RollingHash(child: Expression, mult: Long, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val n = s.numBytes()
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * mult + (s.getByte(i) & 0xff)) % mod; i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
+  }
+
   private val eu = org.apache.spark.sql.GraftColumnBridge
 
   def wordShingles(c: Column, n: Int): Column =
@@ -163,4 +180,7 @@ object HashExpressions {
 
   def simhash(c: Column, seed: Long): Column =
     eu.column(SimHash(eu.expression(c), seed))
+
+  def rollingHash(c: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
+    eu.column(RollingHash(eu.expression(c), mult, mod))
 }

@@ -21,13 +21,17 @@ object Similarity {
     * corpus + one shuffle for the per-query rank. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      queryIds: Seq[Long], k: Int): DataFrame = {
-    val q = df.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = df
+    // norms are precomputed per side BEFORE the cross join (a projection
+    // below the join evaluates once per row, not once per pair) — the score
+    // dot/(vn*qn) is the same expression tree as cosine(), bit-identical
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), normD(col(vecCol)).as("vn"))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("vn").as("qn"))
+    val scored = v
       .crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("qv"), col(vecCol)).as("score"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dotD(col("qv"), col("v")) / (col("qn") * col("vn"))).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -70,34 +74,38 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
               centroidStride: Int = 50, nProbe: Int = 2): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // per-vector norms precomputed below every join (bit-identical to
+    // cosine(): dot/(an*bn) is the same expression tree, evaluated once)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), normD(col(vecCol)).as("vn"))
     val cents = v.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cid"), col("v").as("cv"))
+      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
 
     // nearest centroid per corpus vector (map-only: centroids broadcast)
     val aw = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
     val assigned = v.crossJoin(broadcast(cents))
-      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("csc"))
+      .select(col("id"), col("v"), col("vn"), col("cid"),
+        (dotD(col("v"), col("cv")) / (col("vn") * col("cn"))).as("csc"))
       .withColumn("arn", row_number().over(aw))
       .filter(col("arn") === 1)
-      .select(col("id"), col("v"), col("cid"))
+      .select(col("id"), col("v"), col("vn"), col("cid"))
 
     // nProbe nearest centroids per query vector
     val qv = v.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("v").as("qv"))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("vn").as("qn"))
     val pw = Window.partitionBy(col("query_id")).orderBy(col("csc").desc, col("cid"))
     val probes = qv.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("csc"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+        (dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("csc"))
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
 
     // brute-force inside the probed lists only
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), "cid")
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("score"))
+        (dotD(col("qv"), col("v")) / (col("qn") * col("vn"))).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),

@@ -43,4 +43,25 @@ object TextAnalysis {
   /** Content fingerprint (md5 of canonical text). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), fingerprintMd5(col(textCol)).as("fp"))
+
+  /** BPE-ish token counting: the classic pre-tokenizer split — letter runs,
+    * digit runs, single punctuation marks — as a regex, the standard proxy
+    * for subword-token budgeting when the real tokenizer isn't in the
+    * pipeline. */
+  val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(bpePattern), lit(0))).cast("long").as("n_bpe"),
+      size(regexp_extract_all(t, lit("[a-zA-Z]+"), lit(0))).cast("long").as("n_alpha"),
+      size(regexp_extract_all(t, lit("[0-9]+"), lit(0))).cast("long").as("n_num"))
+  }
+
+  /** Rolling-hash fingerprint: order-sensitive polynomial hash of the
+    * canonical text ([[graft.functions.HashExpressions.RollingHash]]) —
+    * cheaper than md5 and incremental-friendly (chunk hashes combine). */
+  def rollingFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.HashExpressions.rollingHash(normText(col(textCol))).as("rfp"))
 }

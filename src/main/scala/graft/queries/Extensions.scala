@@ -247,6 +247,32 @@ object Extensions {
       TextAnalysis.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // BPE-ish pre-tokenizer counting — same regex in both engines.
+    q("x_text_tokens_bpe",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num
+        |FROM documents""".stripMargin) { (s, dir) =>
+      TextAnalysis.bpeTokenStats(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Rolling-hash fingerprint: (h*31 + byte) mod 1e9+7 over the canonical
+    // text — the modulus keeps every intermediate overflow-free, so DuckDB
+    // replays the identical fold (ASCII fixture: byte == character code).
+    q("x_text_rolling_fp",
+      """WITH c AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, strlen(t) + 1),
+        |      i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
+        |FROM c""".stripMargin) { (s, dir) =>
+      TextAnalysis.rollingFingerprint(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + stubbed decode (no codec libs in the

@@ -120,4 +120,30 @@ class PropertySpec extends SparkSpec {
       assert(uds == uis)
     }
   }
+
+  test("multisetDiff round-trip: prev + ops == next as multisets, incl. duplicates") {
+    val schema = StructType(Seq(StructField("k", StringType), StructField("v", IntegerType)))
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 3)
+    } yield (k, v)
+    for (i <- 1 to 5) {
+      val prev = sample(Gen.listOfN(12, rowGen), 500 + i)
+      val next = sample(Gen.listOfN(12, rowGen), 600 + i)
+      import scala.jdk.CollectionConverters._
+      val prevDf = spark.createDataFrame(prev.map { case (k, v) => Row(k, v) }.asJava, schema)
+      val nextDf = spark.createDataFrame(next.map { case (k, v) => Row(k, v) }.asJava, schema)
+      val ops = Changelog.multisetDiff(Some(prevDf), nextDf).collect()
+        .map(r => ((r.getString(0), r.getInt(1)), r.getString(2)))
+
+      var counts = prev.groupBy(identity).view.mapValues(_.size).toMap
+      ops.foreach {
+        case (kv, Changelog.OpInsert) => counts = counts + (kv -> (counts.getOrElse(kv, 0) + 1))
+        case (kv, Changelog.OpDelete) => counts = counts + (kv -> (counts(kv) - 1))
+        case (kv, op) => fail(s"unexpected op $op for $kv")
+      }
+      val expect = next.groupBy(identity).view.mapValues(_.size).toMap
+      assert(counts.filter(_._2 != 0) == expect, s"case $i")
+    }
+  }
 }

@@ -44,6 +44,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
   }
 
+  test("BPE-ish token counts: splits letter runs, digit runs, punctuation") {
+    import spark.implicits._
+    val df = Seq((1L, "it's 42 words, ok")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokenStats(df, "doc_id", "text").head
+    // it | ' | s | 42 | words | , | ok → 7 bpe, 4 alpha runs, 1 number
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((7L, 4L, 1L)))
+  }
+
+  test("rolling-hash fingerprint: order-sensitive, whitespace-canonical, bounded") {
+    import spark.implicits._
+    val df = Seq((1L, "ab c"), (2L, "ab  c"), (3L, "ba c"), (4L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.rollingFingerprint(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))     // canonicalized whitespace
+    assert(m(1L) != m(3L))     // order matters
+    assert(m(4L) == 0L)        // empty text
+    assert(m.values.forall(v => v >= 0 && v < 1000000007L))
+    // fold spelled out: ((a*31+b)*31+' ')*31+c mod p, over "ab c"
+    val expect = "ab c".getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    assert(m(1L) == expect)
+  }
+
   test("multimodal stub decode: deterministic, fixed dims, byte-derived") {
     val f1 = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
     val f2 = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
