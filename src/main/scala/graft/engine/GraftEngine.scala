@@ -449,6 +449,9 @@ object GraftEngine {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     }
+    if (options.stateStore.equalsIgnoreCase("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     Retry.retry(intervalMs = 500, times = 60) { new GraftEngine(spark) }
   }
 }

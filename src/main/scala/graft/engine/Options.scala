@@ -21,7 +21,12 @@ final case class ConnOptions(
     user: String = "root",
     password: String = "",
     database: String = "dev",
-    ssl: String = "disable")
+    ssl: String = "disable",
+    /** Streaming-aggregation state backend: "memory" (HDFS-backed default)
+      * or "rocksdb". RocksDB keeps MV state off-heap and spillable — the
+      * state-bounding knob for unbounded (no-watermark) aggregations at
+      * scale, next to the per-table watermark option (SURVEY W9/§7 (e)). */
+    stateStore: String = "memory")
 
 object ConnOptions {
   /** `postgresql://` DSNs are accepted exactly like the reference rewrites

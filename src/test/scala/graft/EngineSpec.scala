@@ -324,6 +324,27 @@ class EngineSpec extends SparkSpec {
     } finally spark.conf.unset("graft.changelog.spillThreshold")
   }
 
+  test("streaming MV on the RocksDB state store backend stays correct") {
+    val rdb = GraftEngine.open(ConnOptions(stateStore = "rocksdb"), Some(spark))
+    try {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      rdb.createTable("rdb_t", StructType(Seq(
+        StructField("k", StringType), StructField("v", DoubleType))))
+      rdb.mv("SELECT k, count(*) AS n, sum(v) AS sv FROM rdb_t GROUP BY k", "rdb_mv")
+      for (epoch <- 1 to 2) {
+        for (i <- 1 to 7)
+          rdb.insertRow("rdb_t", values = Map("k" -> s"k${i % 3}", "v" -> i.toDouble))
+        rdb.flush()
+        val inc = rdb.fetch("SELECT * FROM rdb_mv")
+          .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+        val batch = rdb.fetch("SELECT k, count(*) AS n, sum(v) AS sv FROM rdb_t GROUP BY k")
+          .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+        assert(inc == batch, s"epoch $epoch")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("composite table-level PRIMARY KEY (a, b) and DECIMAL(10,2) parse correctly") {
     rw.execute(
       """CREATE TABLE ddl_pk2 (a INT, b INT, price DECIMAL(10,2), note VARCHAR(32),
