@@ -150,6 +150,41 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** SimHash over an array<string> token multiset with the mod-prime
+    * rolling hash as the per-token hash — weaker mixing than xxhash64 but
+    * every arithmetic step is expressible in overflow-checked SQL, so the
+    * whole near-dup pipeline gets a DuckDB oracle ([[SimHash]] stays the
+    * fast engine-native variant). `bits` ≤ 30 (the prime's usable bits). */
+  case class SimHashMod(child: Expression, bits: Int, mult: Long, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(bits > 0 && bits <= 30, "bits must be in 1..30")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](bits)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val nb = s.numBytes()
+        var h = 0L
+        var j = 0
+        while (j < nb) { h = (h * mult + (s.getByte(j) & 0xff)) % mod; j += 1 }
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashMod = copy(child = c)
+  }
+
   /** Polynomial rolling hash of a string's bytes, mod a sub-2³¹ prime so
     * every intermediate stays below 2⁶³ — the same fold is expressible in
     * overflow-checked engines (DuckDB oracle), unlike wraparound hashes. */
@@ -183,4 +218,8 @@ object HashExpressions {
 
   def rollingHash(c: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     eu.column(RollingHash(eu.expression(c), mult, mod))
+
+  def simhashMod(c: Column, bits: Int = 28,
+                 mult: Long = 31L, mod: Long = 1073741789L): Column =
+    eu.column(SimHashMod(eu.expression(c), bits, mult, mod))
 }

@@ -123,6 +123,37 @@ object Dedup {
     out
   }
 
+  /** [[simhashPairs]] with the mod-prime token hash
+    * ([[graft.functions.HashExpressions.SimHashMod]]) instead of xxhash64:
+    * same pigeonhole blocking, weaker bit mixing, but every step replays in
+    * overflow-checked SQL — this is the variant the DuckDB oracle verifies
+    * end-to-end; the xxhash64 form above is the production-fast one. */
+  def simhashModPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bits: Int = 28): DataFrame = {
+    val chunks = maxHamming + 1
+    require(bits % chunks == 0, "chunks must divide bits")
+    val bitsPer = bits / chunks
+    val sig = df.select(col(idCol).as("id"),
+      graft.functions.HashExpressions.simhashMod(tokens(col(textCol)), bits).as("sig"))
+    val chunked = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))
+      }: _*)).as(Seq("chunk", "v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"), col("chunk"), col("v"))
+    val rgt = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"), col("chunk"), col("v"))
+    val pairs = l.join(rgt, Seq("chunk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val out = pairs.localCheckpoint(true)
+    chunked.unpersist()
+    out
+  }
+
   /** Embedding near-dup pairs: cosine ≥ tau. O(n²) exact form (oracle path);
     * [[embeddingDupPairsLsh]] is the scale path. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -78,10 +78,39 @@ object Extensions {
         n = 3, tau = 0.8, k = 128, bands = 16)
     },
 
-    // SimHash near-dup candidates (engine-specific signature → rows-only;
-    // pinned against brute-force Hamming in DedupSpec).
+    // SimHash near-dup candidates (xxhash64 signature — not expressible in
+    // overflow-checked SQL → rows-only; pinned against brute-force Hamming
+    // in DedupSpec; the mod-hash variant below is the oracle-verified twin).
     rowsOnly("x_dedup_simhash") { (s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    },
+
+    // SimHash with the mod-prime token hash: signature bits, pigeonhole
+    // blocking, and the Hamming filter all replayed in DuckDB.
+    q("x_dedup_simhash_mod",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, strlen(w) + 1),
+        |      i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1073741789) AS h
+        |  FROM tok),
+        |bv AS (SELECT doc_id, j,
+        |    sum(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h, (SELECT unnest(range(28)) AS j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+        |    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bv GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE ((a.sig >> 0) & 127) = ((b.sig >> 0) & 127)
+        |     OR ((a.sig >> 7) & 127) = ((b.sig >> 7) & 127)
+        |     OR ((a.sig >> 14) & 127) = ((b.sig >> 14) & 127)
+        |     OR ((a.sig >> 21) & 127) = ((b.sig >> 21) & 127))
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin) { (s, dir) =>
+      Dedup.simhashModPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bits = 28)
     },
 
     // Embedding near-dup pairs, exact cosine ≥ 0.45.

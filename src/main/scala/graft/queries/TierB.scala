@@ -489,6 +489,19 @@ object TierB {
              count(lit(1)).as("n"))
     },
 
+    // date_trunc + interval arithmetic; truncated timestamps out as strings
+    // (Spark returns TIMESTAMP, DuckDB DATE-ish — strings are unambiguous).
+    q("b_date_trunc",
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mth,
+        |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mth"),
+                 date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("qtr"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     sqlBoth("b_math_fns",
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice, 1) AS r1,

@@ -1,0 +1,47 @@
+package graft
+
+/** Plan-shape regression tests: the properties that decide 100 TB viability
+  * must hold in the compiled plan, not just in intent — filters and
+  * projections reach the parquet scan, dimension joins broadcast, top-k
+  * avoids a global sort. A refactor that silently loses one of these
+  * wouldn't change sf0.01 results at all, so the correctness gate can't
+  * catch it; these specs do. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("b_filter_pushdown: predicates and projection reach the parquet scan") {
+    val p = plan("b_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_returnflag)"),
+      "filters must push into the scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    // 5 columns read (3 projected + 2 filtered), not all 16 of lineitem
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"scan must prune unused columns: $readSchema")
+  }
+
+  test("b_join_star: every dimension join broadcasts (no fact-side shuffle)") {
+    val p = plan("b_join_star")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "nation/region (broadcast-hinted) must build broadcast joins")
+  }
+
+  test("b_sort_limit: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("b_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$p")
+  }
+
+  test("b_q1_pricing: aggregation is partial+final (map-side combine before shuffle)") {
+    val p = plan("b_q1_pricing")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected partial and final HashAggregate stages")
+  }
+
+  test("x_sim_topk_exact: corpus side stays shuffle-free until the rank") {
+    val df = SparkEntry.queries("x_sim_topk_exact")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query rows must broadcast; the corpus scan must not shuffle for the join")
+  }
+}
