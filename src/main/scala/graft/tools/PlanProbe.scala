@@ -54,6 +54,32 @@ object PlanProbe {
       emb, "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 10)))
     time("q1 decimal")(noop(graft.SparkEntry.queries("b_q1_pricing")(spark, dir)))
     time("cte_topn")(noop(graft.SparkEntry.queries("b_cte_topn")(spark, dir)))
+
+    // decimal-agg headroom: what would the same aggregate cost in double /
+    // scaled-long arithmetic?
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, dir, "lineitem")
+    time("q1 shape, double sums")(noop(
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity")).as("a"),
+        sum(col("l_extendedprice")).as("b"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("c"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("d"),
+        avg("l_quantity"), avg("l_discount"), count(lit(1)))))
+    time("q1 shape, decimal(8,2) sums")(noop(
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast("decimal(8,2)")).as("a"),
+        sum(col("l_extendedprice").cast("decimal(8,2)")).as("b"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(8,2)")).as("c"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast("decimal(8,2)")).as("d"),
+        avg("l_quantity"), avg("l_discount"), count(lit(1)))))
+    time("q1 shape, scaled-long sums")(noop(
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(round(col("l_quantity") * 100).cast("long")).as("a"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("b"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("c"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) * 100).cast("long")).as("d"),
+        avg("l_quantity"), avg("l_discount"), count(lit(1)))))
     spark.stop()
   }
 }
