@@ -432,6 +432,14 @@ object TierB {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority""".stripMargin),
 
+    // NOT IN with a non-null subquery domain (the PG three-valued-logic
+    // shape; both engines agree when the subquery yields no NULLs).
+    sqlBoth("b_subq_not_in",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |GROUP BY o_orderstatus""".stripMargin),
+
     sqlBoth("b_cte_topn",
       """WITH revenue AS (
         |  SELECT l_suppkey,

@@ -324,6 +324,32 @@ class EngineSpec extends SparkSpec {
     } finally spark.conf.unset("graft.changelog.spillThreshold")
   }
 
+  test("hop-window MV via SQL DDL maintains sliding aggregates incrementally") {
+    rw.execute(
+      """CREATE TABLE hopmv_t (sym STRING, ts TIMESTAMPTZ, price FLOAT)""")
+    rw.execute(
+      """CREATE MATERIALIZED VIEW hop_avg AS
+        |SELECT window_start, sym, round(avg(price)) AS avg_price, count(*) AS n
+        |FROM hop(hopmv_t, ts, interval '10 seconds', interval '30 seconds')
+        |GROUP BY window_start, sym""".stripMargin)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    rw.insertRow("hopmv_t", values = Map("sym" -> "A", "ts" -> ts(5), "price" -> 10.0))
+    rw.insertRow("hopmv_t", values = Map("sym" -> "A", "ts" -> ts(15), "price" -> 30.0), forceFlush = true)
+    // t=5 covers starts {-20,-10,0}; t=15 covers {-10,0,10}: both land in -10 and 0
+    val st = rw.fetch(
+      "SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws, avg_price, n FROM hop_avg ORDER BY ws")
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(st == Seq(
+      (-20L, 10.0, 1L), (-10L, 20.0, 2L), (0L, 20.0, 2L), (10L, 30.0, 1L)))
+    // incremental: one more tick updates only the windows it falls into
+    rw.insertRow("hopmv_t", values = Map("sym" -> "A", "ts" -> ts(25), "price" -> 50.0), forceFlush = true)
+    val st2 = rw.fetch(
+      "SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws, avg_price, n FROM hop_avg ORDER BY ws")
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(st2 == Seq(
+      (-20L, 10.0, 1L), (-10L, 20.0, 2L), (0L, 30.0, 3L), (10L, 40.0, 2L), (20L, 50.0, 1L)))
+  }
+
   test("streaming MV on the RocksDB state store backend stays correct") {
     val rdb = GraftEngine.open(ConnOptions(stateStore = "rocksdb"), Some(spark))
     try {
