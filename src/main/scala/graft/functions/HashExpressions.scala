@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -202,6 +202,39 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
   }
 
+  /** Dot product of two numeric arrays in double precision — one tight JVM
+    * loop with the SAME sequential left-to-right fold as the declarative
+    * `aggregate(zip_with(...))` spelling (bit-identical results, so DuckDB
+    * `list_sum(list_transform(...))` oracles keep matching) but without the
+    * interpreted-HOF overhead: Spark's lambda HOFs are CodegenFallback, so
+    * the old form paid ~2·dim interpreted expression evaluations per call. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def num(a: ArrayData, et: DataType, i: Int): Double = et match {
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case IntegerType => a.getInt(i).toDouble
+      case LongType => a.getLong(i).toDouble
+      case other => throw new IllegalArgumentException(s"VecDot: unsupported element $other")
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val ae = left.dataType.asInstanceOf[ArrayType].elementType
+      val be = right.dataType.asInstanceOf[ArrayType].elementType
+      require(a.numElements() == b.numElements(),
+        s"VecDot: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
+      val n = a.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += num(a, ae, i) * num(b, be, i); i += 1 }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+      copy(left = l, right = r)
+  }
+
   private val eu = org.apache.spark.sql.GraftColumnBridge
 
   def wordShingles(c: Column, n: Int): Column =
@@ -222,4 +255,7 @@ object HashExpressions {
   def simhashMod(c: Column, bits: Int = 28,
                  mult: Long = 31L, mod: Long = 1073741789L): Column =
     eu.column(SimHashMod(eu.expression(c), bits, mult, mod))
+
+  def vecDot(a: Column, b: Column): Column =
+    eu.column(VecDot(eu.expression(a), eu.expression(b)))
 }
