@@ -32,6 +32,11 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     Dialect(sql, q)
       .replaceAll("(?i)\\binformation_schema\\.columns\\b", "graft_information_schema_columns")
       .replaceAll("(?i)\\binformation_schema\\.tables\\b", "graft_information_schema_tables")
+      .replaceAll("(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s*$",
+        "SELECT table_name AS name FROM graft_information_schema_tables " +
+          "WHERE table_type = 'MATERIALIZED VIEW' ORDER BY table_name")
+      .replaceAll("(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+information_schema\\s*$",
+        "SELECT table_name AS name FROM graft_information_schema_tables ORDER BY table_name")
   }
 
   private val createSchemaRe = """(?is)\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w]+)\s*""".r
@@ -81,6 +86,15 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
       if (!mvs.contains((sn, vn))) mv(stmt, vn, sn)
     case dropMvRe(qname) =>
       val (sn, vn) = splitQualified(qname)
+      // RisingWave rejects dropping an MV that others are defined on
+      val spellings = Seq(Dialect.mangle(sn, vn), s"$sn.$vn", vn)
+      val dependents = mvs.filter { case ((ds, dn), m) =>
+        (ds, dn) != ((sn, vn)) && spellings.exists(sp => referencesName(m.stmt, sp))
+      }
+      if (dependents.nonEmpty)
+        throw new RuntimeException(
+          s"cannot drop materialized view $qname: " +
+            s"${dependents.keys.map(k => s"${k._1}.${k._2}").mkString(", ")} depend(s) on it")
       mvs.remove((sn, vn)).foreach(_.stop())
     case createSubRe(subQ, srcQ) =>
       val (_, subName) = splitQualified(subQ)
@@ -159,14 +173,27 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
   }
 
   /** UPDATE/DELETE path: demote dependent streaming MVs to batch re-run
-    * (MemoryStream can't retract), then apply the state transform. Changes
-    * become visible to MVs/changelogs at the next FLUSH barrier, like
-    * inserts. */
+    * (MemoryStream can't retract), then apply the state transform. Demotion
+    * cascades: an MV chained on a demoted MV's streaming face loses its
+    * feed, so it demotes too (fixpoint over the name-reference graph).
+    * Changes become visible to MVs/changelogs at the next FLUSH barrier,
+    * like inserts. */
   private def mutateTable(t: LiveTable)(f: DataFrame => DataFrame): Unit = {
-    mvs.values.filter(m => referencedLiveTables(m.stmt).contains(t))
-      .foreach(_.demoteToBatch())
+    val direct = mvs.values.filter(m => referencedLiveTables(m.stmt).contains(t)).toSeq
+    direct.foreach(_.demoteToBatch())
+    var frontier = direct.map(_.viewName).toSet
+    while (frontier.nonEmpty) {
+      val next = mvs.values.filter(m => m.isStreamingMode &&
+        frontier.exists(n => referencesName(m.stmt, n))).toSeq
+      next.foreach(_.demoteToBatch())
+      frontier = next.map(_.viewName).toSet
+    }
     t.mutate(f)
   }
+
+  private def referencesName(stmt: String, name: String): Boolean =
+    java.util.regex.Pattern.compile(s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\b")
+      .matcher(stmt).find()
 
   /** Live tables whose (qualified or bare) name appears in `stmt` — a
     * word-boundary text match, used for MV dependency checks (over-matching
@@ -354,9 +381,10 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
 
   // ---- streaming-view binding (used by Mv.start) --------------------------
 
-  /** Temporarily rebind live-table views to their streaming faces (with
-    * optional per-table watermarks), evaluate, restore. Synchronized: view
-    * rebinding is session-global. */
+  /** Temporarily rebind live-table views — and the streaming faces of
+    * append-only streaming MVs (MV-on-MV chains) — to their streaming
+    * forms (with optional per-table watermarks), evaluate, restore.
+    * Synchronized: view rebinding is session-global. */
   private[engine] def withStreamingViews[T](
       watermarks: Map[String, (String, String)] = Map.empty)(thunk: => T): T = synchronized {
     liveTables.values.foreach { t =>
@@ -366,8 +394,13 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
       }
       sdf.createOrReplaceTempView(t.viewName)
     }
+    mvs.values.foreach(m =>
+      m.streamingFace.foreach(_.createOrReplaceTempView(m.viewName)))
     try thunk
-    finally liveTables.values.foreach(_.refreshView())
+    finally {
+      liveTables.values.foreach(_.refreshView())
+      mvs.values.foreach(_.restoreView())
+    }
   }
 
   // ---- handshake (C4/C12/S4) ----------------------------------------------

@@ -43,6 +43,24 @@ final class MaterializedView private[engine](
   private var keyCols: Seq[String] = Nil
   private var keyMode: MaterializedView.KeyMode = MaterializedView.Multiset
   private var streamingMode = false
+  private var isAggMode = false
+
+  /** For append-only streaming MVs (stateless plans): the MV's own
+    * streaming face, fed one micro-batch per epoch — downstream MVs bind to
+    * it and maintain incrementally (streaming MV-on-MV chains). Aggregating
+    * MVs have no face: their deltas are updates, which a downstream
+    * streaming aggregate would double-count; chains over them re-run in
+    * batch mode instead. */
+  private var outStream: Option[org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row]] = None
+
+  private[engine] def streamingFace: Option[DataFrame] =
+    if (streamingMode && !isAggMode) outStream.map(_.toDF()) else None
+
+  private[engine] def isStreamingMode: Boolean = streamingMode
+
+  /** Rebind the MV's name to its current snapshot (after withStreamingViews
+    * temporarily bound the streaming face). */
+  private[engine] def restoreView(): Unit = df.createOrReplaceTempView(viewName)
 
   /** Output schema of the MV (resolved at creation). */
   lazy val outputSchema: org.apache.spark.sql.types.StructType =
@@ -120,10 +138,17 @@ final class MaterializedView private[engine](
 
     val startedStreaming = streamDf.filter(_.isStreaming).exists { sdf =>
       val isAgg = sdf.queryExecution.analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
+      isAggMode = isAgg
       keyMode = if (isAgg) deriveMode(sdf) else MaterializedView.Multiset
       keyCols = keyMode match {
         case MaterializedView.Keyed(ks) => ks
         case _ => sdf.columns.toSeq
+      }
+      if (!isAgg) {
+        import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+        val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outputSchema))
+        outStream = Some(
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](enc, spark))
       }
       val handler: (Dataset[Row], Long) => Unit =
         (batch, _) => handleDelta(batch.toDF(), isAgg)
@@ -168,6 +193,8 @@ final class MaterializedView private[engine](
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (d.isEmpty) return
+    // feed downstream streaming chains: append-mode deltas are pure inserts
+    if (!isAgg) outStream.foreach(_.addData(d.collect().toSeq))
     val ops =
       if (!isAgg || snapshot.isEmpty) Changelog.diff(None, d, keyCols)
       else {
@@ -239,6 +266,7 @@ final class MaterializedView private[engine](
       query.foreach(_.stop())
       query = None
       streamingMode = false
+      outStream = None // face dies with streaming mode (engine cascades)
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
       keyCols = keyMode match {

@@ -205,6 +205,8 @@ class EngineSpec extends SparkSpec {
     assert(rw.fetch("SHOW TABLES").nonEmpty)
     val desc = rw.fetch("DESCRIBE test_product").map(_.getString(0))
     assert(desc.contains("product") && desc.contains("price"))
+    val mvNames = rw.fetch("SHOW MATERIALIZED VIEWS").map(_.getString(0))
+    assert(mvNames.contains("product_avg"), s"got $mvNames")
   }
 
   test("MV-on-MV chain: FLUSH propagates through dependent views in order") {
@@ -322,6 +324,33 @@ class EngineSpec extends SparkSpec {
       assert(offs == offs.sorted, "replay must preserve offset order across the spill boundary")
       assert(ops.map(_.getString(0)).toSet == (0 until 24).map(i => s"k$i").toSet)
     } finally spark.conf.unset("graft.changelog.spillThreshold")
+  }
+
+  test("streaming MV-on-MV chain: stateless cleanse feeds an incremental aggregate") {
+    rw.createTable("chs_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType))))
+    // MV1: stateless filter (streaming append mode → has a streaming face)
+    rw.mv("SELECT k, v FROM chs_t WHERE v >= 0", "chs_clean")
+    // MV2: aggregate OVER MV1 — must run as a streaming update-mode agg
+    val m2 = rw.mv("SELECT k, count(*) AS n, sum(v) AS sv FROM chs_clean GROUP BY k", "chs_agg")
+    rw.insertRow("chs_t", values = Map("k" -> "a", "v" -> 1.0))
+    rw.insertRow("chs_t", values = Map("k" -> "a", "v" -> -5.0)) // filtered out
+    rw.insertRow("chs_t", values = Map("k" -> "b", "v" -> 2.0), forceFlush = true)
+    val s1 = rw.fetch("SELECT k, n, sv FROM chs_agg")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(s1 == Map("a" -> ((1L, 1.0)), "b" -> ((1L, 2.0))))
+    rw.insertRow("chs_t", values = Map("k" -> "a", "v" -> 3.0), forceFlush = true)
+    val s2 = rw.fetch("SELECT k, n, sv FROM chs_agg")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(s2 == Map("a" -> ((2L, 4.0)), "b" -> ((1L, 2.0))))
+    // the downstream changelog carries keyed update pairs, not rebuild noise
+    val sub = m2.subscription().declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(1000)).takeWhile(_.nonEmpty).flatten.toSeq
+      .map(r => r.getString(r.length - 2))
+    assert(ops.count(_ == "Insert") == 2)
+    assert(ops.count(_ == "UpdateInsert") == 1 && ops.count(_ == "UpdateDelete") == 1)
+    // dropping the upstream while a dependent exists must be rejected
+    intercept[RuntimeException] { rw.execute("DROP MATERIALIZED VIEW chs_clean") }
   }
 
   test("hop-window MV via SQL DDL maintains sliding aggregates incrementally") {
