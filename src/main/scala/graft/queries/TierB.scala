@@ -418,6 +418,14 @@ object TierB {
         |SELECT 'union_n' AS tag, count(*) AS k FROM
         |  (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) t""".stripMargin),
 
+    // Multiset set ops: ALL variants keep duplicates (bag semantics).
+    sqlBoth("b_set_ops_all",
+      """SELECT 'int_all' AS tag, count(*) AS n FROM
+        |  (SELECT c_nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) t
+        |UNION ALL
+        |SELECT 'exc_all' AS tag, count(*) AS n FROM
+        |  (SELECT c_nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) t""".stripMargin),
+
     // ---- subqueries / CTE -------------------------------------------------
 
     sqlBoth("b_subq_scalar",
@@ -447,6 +455,13 @@ object TierB {
         |  FROM lineitem GROUP BY l_suppkey)
         |SELECT s_name, total FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |ORDER BY total DESC, s_name LIMIT 10""".stripMargin),
+
+    // Recursive CTE (Spark 4 native; same spelling in DuckDB).
+    sqlBoth("b_recursive_cte",
+      """WITH RECURSIVE seq(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 100)
+        |SELECT n % 7 AS r, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS s
+        |FROM seq GROUP BY 1""".stripMargin),
 
     // ---- scalar expressions ----------------------------------------------
 
