@@ -79,4 +79,38 @@ object Multimodal {
       .filter(col("frame_idx") % everyK === 0)
       .select(col("media_id"), col("frame_idx"))
   }
+
+  /** Resize planning: fit (width, height) into a bounding box preserving
+    * aspect ratio — the metadata half of an image-resize operator (the
+    * pixel half is the stubbed decode). Pure column arithmetic: the scale
+    * is min(maxW/w, maxH/h) capped at 1 (never upscale), dims floored. */
+  def resizePlan(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0))
+    media.select(col("media_id"), col("width"), col("height"),
+      round(scale, 6).as("scale"),
+      floor(col("width") * scale).cast("int").as("out_w"),
+      floor(col("height") * scale).cast("int").as("out_h"))
+  }
+
+  /** Audio-shaped stub: treat the payload as 8-bit samples and emit one
+    * mean-energy value per `frameBytes` window — the batched-decode shape
+    * of an audio feature extractor (windowing, per-window reduce), done as
+    * a partition-wise iterator like [[decodeFeatures]]. */
+  case class AudioFrame(media_id: Long, frame_no: Int, energy: Double)
+
+  def audioFrameEnergy(spark: SparkSession, media: DataFrame,
+                       frameBytes: Int = 256): Dataset[AudioFrame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val bytes = if (r.bytes == null) Array.emptyByteArray else r.bytes
+      val n = (bytes.length + frameBytes - 1) / frameBytes
+      (0 until n).map { f =>
+        val from = f * frameBytes
+        val to = math.min(bytes.length, from + frameBytes)
+        var s = 0L; var i = from
+        while (i < to) { s += bytes(i) & 0xff; i += 1 }
+        AudioFrame(r.media_id, f, s.toDouble / (to - from))
+      }
+    }
+  }
 }

@@ -328,6 +328,75 @@ object Extensions {
           round(element_at(col("features"), 8), 4).as("f8"))
     },
 
+    // Aspect-preserving resize planning (metadata half of image resize).
+    q("x_multimodal_resize",
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(strlen(text) % 640 + 32 AS INT) AS width, 480 AS height
+        |  FROM documents),
+        |s AS (SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS sc FROM m)
+        |SELECT media_id, width, height, round(sc, 6) AS scale,
+        |  CAST(floor(width * sc) AS INT) AS out_w,
+        |  CAST(floor(height * sc) AS INT) AS out_h
+        |FROM s""".stripMargin) { (s, dir) =>
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resizePlan(media, maxW = 256, maxH = 256)
+    },
+
+    // Audio-shaped windowed energy over payload bytes (ASCII fixture:
+    // byte == character code, so the oracle recomputes per-window means).
+    q("x_multimodal_audio",
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+        |    strlen(text) AS nb FROM documents),
+        |f AS (SELECT media_id, text, nb,
+        |    CAST(unnest(range((nb + 255) // 256)) AS INT) AS frame_no FROM m)
+        |SELECT media_id, frame_no,
+        |  round(list_sum(list_transform(
+        |    range(frame_no * 256 + 1, least(nb, (frame_no + 1) * 256) + 1),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1))))::DOUBLE
+        |    / (least(nb, (frame_no + 1) * 256) - frame_no * 256), 4) AS energy
+        |FROM f""".stripMargin) { (s, dir) =>
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text")
+      Multimodal.audioFrameEnergy(s, media, frameBytes = 256).toDF()
+        .select(col("media_id"), col("frame_no"), round(col("energy"), 4).as("energy"))
+    },
+
+    // Pipeline composition: quality filter -> exact-dedup survivors ->
+    // per-language counts (the shape of a real corpus-cleaning job; each
+    // stage is an operator verified on its own above).
+    q("x_pipeline_clean_corpus",
+      """WITH q AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio
+        |  FROM documents),
+        |flt AS (SELECT doc_id, text FROM q
+        |  WHERE len(toks) >= 5 AND punct_ratio <= 0.2),
+        |ded AS (SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+        |  FROM (SELECT doc_id, text,
+        |      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    FROM flt) t
+        |  GROUP BY fp),
+        |lng AS (SELECT d.doc_id,
+        |    CASE WHEN len(list_filter(string_split_regex(trim(lower(d.text)), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) > 0
+        |    THEN 'en' ELSE 'und' END AS lang
+        |  FROM ded d)
+        |SELECT lang, count(*) AS n_docs FROM lng GROUP BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val punct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") / length(col("text"))
+      val filtered = docs.filter(size(toks) >= 5 && punct <= 0.2)
+      val survivors = filtered
+        .groupBy(graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
+      val en = graft.functions.TextFunctions
+        .langScore(graft.functions.TextFunctions.tokens(lower(col("text"))),
+          graft.functions.TextFunctions.langProfiles.head._2)
+      survivors
+        .select(when(en > 0, "en").otherwise("und").as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    },
+
     q("x_multimodal_frames",
       """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
         |    greatest(strlen(text) // 1024, 1) AS nf
