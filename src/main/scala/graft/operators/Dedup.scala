@@ -154,6 +154,43 @@ object Dedup {
     out
   }
 
+  /** Duplicate-cluster formation: connected components over a near-dup
+    * pair graph by iterative min-label propagation — the step that turns
+    * pairwise matches into dedup groups (keep `min(cluster)` per group).
+    * Each round is one shuffle (join + min-aggregate) and the loop runs
+    * O(component diameter) rounds — near-dup components are shallow (a
+    * handful of rounds even at 100 TB), and every round's frontier is
+    * checkpointed so lineage stays flat. Output: (id, cluster_id) where
+    * cluster_id = min id reachable through the pair graph. */
+  def duplicateClusters(pairs: DataFrame,
+                        aCol: String = "id_a", bCol: String = "id_b",
+                        maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nl"))
+        .select(col("src").as("nid"), col("nl"))
+      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ tau. O(n²) exact form (oracle path);
     * [[embeddingDupPairsLsh]] is the scale path. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -113,6 +113,25 @@ object Extensions {
         maxHamming = 3, bits = 28)
     },
 
+    // Duplicate clusters: connected components over the exact-Jaccard pair
+    // graph (min reachable id per doc). The oracle walks the same graph
+    // with a recursive CTE.
+    q("x_dedup_clusters",
+      s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT s AS id, s AS r FROM e
+         |  UNION
+         |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id)
+         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.jaccardPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.8)
+      Dedup.duplicateClusters(pairs)
+    },
+
     // Embedding near-dup pairs, exact cosine ≥ 0.45.
     q("x_dedup_embedding",
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e

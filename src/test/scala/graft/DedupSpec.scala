@@ -37,6 +37,27 @@ class DedupSpec extends SparkSpec {
     assert(blocked == brute) // pigeonhole blocking is exact for ham<=3
   }
 
+  test("duplicateClusters equals brute-force union-find on a random pair graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pairs = (1 to 40).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val df = pairs.toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val ids = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val groups = ids.groupBy(find)
+    val expect = groups.flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m) }.toMap
+    assert(got == expect)
+  }
+
   test("simhash of near-identical docs is close, unrelated docs far") {
     import spark.implicits._
     val df = Seq(
