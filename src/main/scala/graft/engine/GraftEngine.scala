@@ -50,6 +50,8 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     """(?is)\s*CREATE\s+SUBSCRIPTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+FROM\s+([\w.]+)\s+WITH.*""".r
   private val insertRe =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)""".r
+  private val insertSelectRe =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(SELECT\s.*|WITH\s.*)""".r
   private val updateRe =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)""".r
   private val deleteRe =
@@ -115,6 +117,31 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
           t.flushBuffer()
         case None => spark.sql(rewrite(sql))
       }
+    case insertSelectRe(qname, cols, select) if liveTables.contains(splitQualified(qname)) =>
+      // INSERT ... SELECT: evaluate the query over current state, align
+      // columns (explicit list by name with NULL fill, otherwise by
+      // position), append through the live-ingest path
+      val t = liveTables(splitQualified(qname))
+      val src = logged("executing statement", select)(spark.sql(rewrite(select)))
+      val aligned =
+        if (cols != null && cols.trim.nonEmpty) {
+          val names = cols.split(",").map(_.trim)
+          require(names.length == src.columns.length,
+            s"INSERT column list arity ${names.length} != SELECT arity ${src.columns.length}")
+          val renamed = src.toDF(names.toSeq: _*)
+          import org.apache.spark.sql.functions.{col, lit}
+          renamed.select(t.schema.fields.map { f =>
+            if (names.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        } else {
+          require(src.columns.length == t.schema.fields.length,
+            s"INSERT SELECT arity ${src.columns.length} != table arity ${t.schema.fields.length}")
+          import org.apache.spark.sql.functions.col
+          val renamed = src.toDF(t.schema.fieldNames.toSeq: _*)
+          renamed.select(t.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        }
+      t.insertDF(aligned)
     case updateRe(qname, rest) if liveTables.contains(splitQualified(qname)) =>
       val t = liveTables(splitQualified(qname))
       // split "SET assigns [WHERE pred]" at the first top-level WHERE

@@ -379,6 +379,40 @@ class EngineSpec extends SparkSpec {
       (-20L, 10.0, 1L), (-10L, 20.0, 2L), (0L, 30.0, 3L), (10L, 40.0, 2L), (20L, 50.0, 1L)))
   }
 
+  test("INSERT INTO ... SELECT appends through the live ingest path") {
+    rw.execute("CREATE TABLE insel_src (k STRING, v BIGINT)")
+    rw.execute("CREATE TABLE insel_dst (k STRING, v BIGINT)")
+    rw.execute("INSERT INTO insel_src VALUES ('a', 1), ('b', 2), ('c', 3)")
+    rw.execute("FLUSH")
+    rw.execute("INSERT INTO insel_dst SELECT k, v * 10 FROM insel_src WHERE v >= 2")
+    rw.execute("FLUSH")
+    val got = rw.fetch("SELECT k, v FROM insel_dst ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got == Seq(("b", 20L), ("c", 30L)))
+    // explicit column list with NULL fill
+    rw.execute("INSERT INTO insel_dst (k) SELECT upper(k) FROM insel_src WHERE v = 1")
+    rw.execute("FLUSH")
+    val withNull = rw.fetch("SELECT k, v FROM insel_dst WHERE k = 'A'").head
+    assert(withNull.isNullAt(1))
+  }
+
+  test("registered extension functions compose with streaming MVs") {
+    rw.execute("CREATE TABLE xfn_t (id BIGINT, text STRING)")
+    // stateless projection using engine-registered sketch functions →
+    // streaming append MV
+    rw.mv("""SELECT id, rolling_hash(text) AS rfp,
+             simhash64(split(trim(text), '\\s+')) AS sig FROM xfn_t""", "xfn_mv")
+    rw.execute("INSERT INTO xfn_t VALUES (1, 'alpha beta gamma'), (2, 'alpha beta gamma')")
+    rw.execute("FLUSH")
+    val rows = rw.fetch("SELECT id, rfp, sig FROM xfn_mv ORDER BY id")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 2)
+    assert(rows(0)._2 == rows(1)._2 && rows(0)._3 == rows(1)._3) // same text, same sketches
+    val expected = "alpha beta gamma".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    assert(rows(0)._2 == expected)
+  }
+
   test("streaming MV on the RocksDB state store backend stays correct") {
     val rdb = GraftEngine.open(ConnOptions(stateStore = "rocksdb"), Some(spark))
     try {
