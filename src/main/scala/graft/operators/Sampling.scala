@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.functions.HashExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Sampling decisions hash the row's ID (mod-prime rolling hash of its
+  * string form) instead of drawing RNG state: the same row is kept or
+  * dropped on every run, on any cluster layout, and the decision is
+  * replayable in plain SQL (the DuckDB oracle recomputes it). Map-only —
+  * the filter runs inside the scan stage, no shuffle, no driver
+  * coordination, so it behaves identically at 100 TB.
+  */
+object Sampling {
+
+  private val Mod = 1000000007L
+
+  private def bucket(idCol: Column): Column =
+    HashExpressions.rollingHash(idCol.cast("string"))
+
+  /** Keep ~`rate` of rows (0..1), decided by id hash. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(bucket(col(idCol)) < (Mod * rate).toLong)
+
+  /** Per-stratum rates: rows in strata absent from `rates` are dropped.
+    * The stratum column is compared as a string. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (k, r)) =>
+      when(col(stratumCol).cast("string") === k, lit((Mod * r).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < threshold)
+  }
+}

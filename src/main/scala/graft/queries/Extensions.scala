@@ -321,6 +321,29 @@ object Extensions {
       TextAnalysis.rollingFingerprint(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Deterministic stratified sampling: per-stratum keep rates decided by
+    // the mod-prime id hash — the oracle recomputes every keep/drop
+    // decision, so the sampled set itself is hash-verified.
+    q("x_sample_stratified",
+      """WITH h AS (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS stratum,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, strlen(doc_id::VARCHAR) + 1),
+        |        i -> CAST(ascii(substr(doc_id::VARCHAR, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS hb
+        |  FROM documents),
+        |kept AS (SELECT doc_id, stratum FROM h
+        |  WHERE (stratum = '0' AND hb < CAST(1000000007 * 0.5 AS BIGINT))
+        |     OR (stratum = '1' AND hb < CAST(1000000007 * 0.2 AS BIGINT)))
+        |SELECT stratum, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_id
+        |FROM kept GROUP BY stratum""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("stratum", (col("doc_id") % 3).cast("string"))
+      graft.operators.Sampling
+        .stratifiedSample(docs, "doc_id", "stratum", Map("0" -> 0.5, "1" -> 0.2))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"))
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + stubbed decode (no codec libs in the
