@@ -120,6 +120,35 @@ final class MaterializedView private[engine](
     walk(plan)
   }
 
+  /** RisingWave's emit policy clause: final-only emission of closed
+    * windows. Detected on the raw statement (the dialect strips it before
+    * parsing). The aggregate still runs in update mode; the maintainer
+    * holds each window in a pending buffer and emits it exactly once, as an
+    * Insert, when the watermark passes window_start + the TVF's window
+    * size ([[closeDurMs]]). Requires a watermarked source, a tumble()/hop()
+    * TVF (for the window size), and window_start in the output — otherwise
+    * the MV falls back to batch re-run (eager-emission superset). */
+  private val emitOnClose =
+    "(?i)EMIT\\s+ON\\s+WINDOW\\s+CLOSE".r.findFirstIn(stmt).nonEmpty
+
+  /** Window size of the statement's tumble/hop TVF, for closure checks. */
+  private lazy val closeDurMs: Option[Long] = {
+    val tum = """(?is)tumble\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*,\s*interval\s+'([^']+)'\s*\)""".r
+    val hop = """(?is)hop\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*,\s*interval\s+'[^']+'\s*,\s*interval\s+'([^']+)'\s*\)""".r
+    hop.findFirstMatchIn(stmt).map(m => Dialect.intervalSeconds(m.group(1)) * 1000L)
+      .orElse(tum.findFirstMatchIn(stmt).map(m => Dialect.intervalSeconds(m.group(1)) * 1000L))
+  }
+
+  /** Current event-time watermark (ms) of the maintainer query — the value
+    * used by the most recent completed micro-batch. 0 before the first. */
+  private def watermarkMs: Long =
+    query.flatMap(q => Option(q.lastProgress))
+      .flatMap(p => Option(p.eventTime).flatMap(m => Option(m.get("watermark"))))
+      .map(ts => java.time.Instant.parse(ts).toEpochMilli)
+      .getOrElse(0L)
+
+  @volatile private var pending: Option[DataFrame] = None
+
   private[engine] def start(): Unit = {
     // MVs over PK/upsert tables must re-run in batch mode: the streaming
     // face is the raw version-append log, so a streaming aggregate would
@@ -132,7 +161,7 @@ final class MaterializedView private[engine](
         .filter { df =>
           val isAgg = df.queryExecution.analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
           streamingSafe(df.queryExecution.analyzed) &&
-            (!isAgg || deriveMode(df).isInstanceOf[MaterializedView.Keyed])
+            (!isAgg || emitOnClose || deriveMode(df).isInstanceOf[MaterializedView.Keyed])
         }
       catch { case _: Throwable => None }
 
@@ -144,6 +173,10 @@ final class MaterializedView private[engine](
         case MaterializedView.Keyed(ks) => ks
         case _ => sdf.columns.toSeq
       }
+      // EMIT ON WINDOW CLOSE needs the window size, window_start in the
+      // output, and a watermarked source to ever close anything
+      val eowc = isAgg && emitOnClose && closeDurMs.nonEmpty &&
+        sdf.columns.contains("window_start") && watermarks.nonEmpty
       if (!isAgg) {
         import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
         val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outputSchema))
@@ -151,13 +184,15 @@ final class MaterializedView private[engine](
           org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](enc, spark))
       }
       val handler: (Dataset[Row], Long) => Unit =
-        (batch, _) => handleDelta(batch.toDF(), isAgg)
+        if (eowc) (batch, _) => handleEowcDelta(batch.toDF())
+        else (batch, _) => handleDelta(batch.toDF(), isAgg)
       // make the (still empty) MV immediately queryable/referencable —
       // dependent MVs and fetches may resolve it before the first epoch
       if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
       // streaming start can still fail for plan shapes the classifier lets
       // through (Spark's UnsupportedOperationChecker is stricter) — any such
       // failure falls back to batch re-run mode, which is always correct
+      // (batch EOWC emits open windows too — an eager-emission superset)
       try {
         query = Some(
           sdf.writeStream
@@ -216,6 +251,40 @@ final class MaterializedView private[engine](
     }
     snapshot = Some(next.localCheckpoint(true))
     snapshot.get.createOrReplaceTempView(viewName)
+  }
+
+  /** EMIT ON WINDOW CLOSE micro-batch: merge the update-mode delta into the
+    * pending (open-window) buffer, then move every window whose end has
+    * passed the watermark into the visible snapshot — once, as an Insert.
+    * Late rows for closed windows are dropped by Spark's watermark before
+    * they reach the delta, so emitted values are final. */
+  private def handleEowcDelta(delta: DataFrame): Unit = synchronized {
+    import org.apache.spark.sql.functions.col
+    val clone = delta.localCheckpoint(true)
+    val d = spark.createDataFrame(clone.rdd, clone.schema)
+    if (!d.isEmpty) {
+      val next = pending match {
+        case None => d
+        case Some(p) =>
+          val keys = d.select(keyCols.map(col): _*).distinct()
+          p.join(keys, keyCols, "left_anti").union(d)
+      }
+      pending = Some(next.localCheckpoint(true))
+    }
+    val wm = watermarkMs
+    pending.foreach { p =>
+      val closed = p.filter(col("window_start").cast("long") * 1000 + closeDurMs.get <= wm)
+      val newlyClosed = snapshot match {
+        case None => closed
+        case Some(s) => closed.join(s.select(keyCols.map(col): _*), keyCols, "left_anti")
+      }
+      val nc = newlyClosed.localCheckpoint(true)
+      if (!nc.isEmpty) {
+        changeLog.append(Changelog.diff(None, nc, keyCols).collect().toSeq)
+        snapshot = Some(snapshot.map(_.union(nc).localCheckpoint(true)).getOrElse(nc))
+        snapshot.get.createOrReplaceTempView(viewName)
+      }
+    }
   }
 
   /** FLUSH barrier hook: drain the stream (streaming mode) or re-evaluate

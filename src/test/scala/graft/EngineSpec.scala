@@ -413,6 +413,38 @@ class EngineSpec extends SparkSpec {
     assert(rows(0)._2 == expected)
   }
 
+  test("EMIT ON WINDOW CLOSE + watermark emits only finalized windows, insert-only") {
+    rw.createTable("eowc_t", StructType(Seq(
+      StructField("sym", StringType), StructField("ts", TimestampType),
+      StructField("price", DoubleType))))
+    val m = rw.mv(
+      """SELECT window_start, count(*) AS n
+        |FROM tumble(eowc_t, ts, interval '10 seconds')
+        |GROUP BY window_start EMIT ON WINDOW CLOSE""".stripMargin,
+      "eowc_mv", watermarks = Map("eowc_t" -> (("ts", "0 seconds"))))
+    def tick(sec: Long) =
+      rw.insertRow("eowc_t", values = Map(
+        "sym" -> "A", "ts" -> new Timestamp(sec * 1000), "price" -> 1.0), forceFlush = true)
+    tick(1); tick(5)
+    // watermark hasn't passed window [0,10) yet → nothing emitted
+    assert(rw.fetch("SELECT * FROM eowc_mv").isEmpty)
+    tick(15)
+    tick(16) // extra tick so the watermark update (from t=15) takes effect
+    val s1 = rw.fetch("SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws, n FROM eowc_mv")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1 == Seq((0L, 2L)), s"got $s1")
+    tick(27); tick(28)
+    val s2 = rw.fetch(
+      "SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws, n FROM eowc_mv ORDER BY ws")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s2 == Seq((0L, 2L), (10L, 2L)), s"got $s2")
+    // final-only emission: the changelog never retracts
+    val sub = m.subscription().declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(1000)).takeWhile(_.nonEmpty).flatten.toSeq
+      .map(r => r.getString(r.length - 2))
+    assert(ops.nonEmpty && ops.forall(_ == "Insert"))
+  }
+
   test("streaming MV on the RocksDB state store backend stays correct") {
     val rdb = GraftEngine.open(ConnOptions(stateStore = "rocksdb"), Some(spark))
     try {
