@@ -632,6 +632,21 @@ object TierB {
         round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"))
     },
 
+    // Approx percentile sketch — like b_approx_distinct, the hash-checked
+    // contract is "approx within 10% of the exact quantile" next to the
+    // exact values.
+    q("b_approx_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("approx") - col("exact_p50")) <= col("exact_p50") * 0.1).as("approx_ok"))
+    },
+
     // PIVOT (DataFrame relational pivot; oracle = conditional aggregation).
     q("b_pivot",
       """SELECT o_orderpriority,
