@@ -56,12 +56,12 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType) {
 
   /** Rows with offset strictly greater than `after`, up to `limit` —
     * spilled segments first (offset-filtered parquet scan), then the
-    * in-memory tail. */
-  def fetchAfter(after: Long, limit: Int): Seq[Row] = {
-    val (segs, memRows) = synchronized {
-      (segments.filter(_._2 > after).toList,
-        entries.iterator.filter(_._1 > after).take(limit).map(_._2).toList)
-    }
+    * in-memory tail. The whole read holds the monitor so a concurrent
+    * [[prune]] cannot unlink segment files mid-scan (fetch batches are
+    * small; retention pruning is rare). */
+  def fetchAfter(after: Long, limit: Int): Seq[Row] = synchronized {
+    val segs = segments.filter(_._2 > after).toList
+    val memRows = entries.iterator.filter(_._1 > after).take(limit).map(_._2).toList
     if (segs.isEmpty) memRows
     else {
       import org.apache.spark.sql.functions.col

@@ -128,11 +128,16 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
           val names = cols.split(",").map(_.trim)
           require(names.length == src.columns.length,
             s"INSERT column list arity ${names.length} != SELECT arity ${src.columns.length}")
+          val lower = names.map(_.toLowerCase).toSet
+          val unknown = lower.diff(t.schema.fieldNames.map(_.toLowerCase).toSet)
+          require(unknown.isEmpty, s"INSERT: unknown column(s) ${unknown.mkString(", ")}")
           val renamed = src.toDF(names.toSeq: _*)
           import org.apache.spark.sql.functions.{col, lit}
           renamed.select(t.schema.fields.map { f =>
-            if (names.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
+            names.find(_.equalsIgnoreCase(f.name)) match {
+              case Some(n) => col(n).cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
           }.toSeq: _*)
         } else {
           require(src.columns.length == t.schema.fields.length,
@@ -155,11 +160,16 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
           require(i > 0, s"bad SET assignment: $a")
           a.substring(0, i).trim -> a.substring(i + 1).trim
         }.toMap
+      // SQL identifiers are case-insensitive: match SET targets to schema
+      // fields ignoring case (a mismatch must not silently no-op)
+      val assignsCi = assigns.map { case (k, v) => k.toLowerCase -> v }
+      val unknown = assignsCi.keySet.diff(t.schema.fieldNames.map(_.toLowerCase).toSet)
+      require(unknown.isEmpty, s"UPDATE: unknown column(s) ${unknown.mkString(", ")}")
       mutateTable(t) { df =>
         import org.apache.spark.sql.functions.{col, expr, when}
         val cond = whereClause.map(w => expr(rewrite(w))).getOrElse(expr("true"))
         df.select(t.schema.fields.map { f =>
-          assigns.get(f.name) match {
+          assignsCi.get(f.name.toLowerCase) match {
             case Some(e) => when(cond, expr(rewrite(e)).cast(f.dataType))
               .otherwise(col(f.name)).as(f.name)
             case None => col(f.name)
@@ -206,14 +216,16 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     * Changes become visible to MVs/changelogs at the next FLUSH barrier,
     * like inserts. */
   private def mutateTable(t: LiveTable)(f: DataFrame => DataFrame): Unit = {
+    def spellings(m: MaterializedView): Set[String] =
+      Set(m.viewName, s"${m.schemaName}.${m.name}", m.name)
     val direct = mvs.values.filter(m => referencedLiveTables(m.stmt).contains(t)).toSeq
     direct.foreach(_.demoteToBatch())
-    var frontier = direct.map(_.viewName).toSet
+    var frontier = direct.flatMap(spellings).toSet
     while (frontier.nonEmpty) {
       val next = mvs.values.filter(m => m.isStreamingMode &&
         frontier.exists(n => referencesName(m.stmt, n))).toSeq
       next.foreach(_.demoteToBatch())
-      frontier = next.map(_.viewName).toSet
+      frontier = next.flatMap(spellings).toSet
     }
     t.mutate(f)
   }
@@ -528,17 +540,20 @@ private[engine] object DdlParser {
     "DATE" -> DateType, "BYTEA" -> BinaryType, "JSONB" -> StringType,
     "DECIMAL" -> DecimalType(38, 18), "NUMERIC" -> DecimalType(38, 18))
 
-  /** Paren-depth-aware top-level comma split: `PRIMARY KEY (a, b)` and
-    * `DECIMAL(10,2)` stay whole (same technique as the outer balance scan in
-    * `execute`). Also used for UPDATE's SET-assignment list. */
+  /** Paren-depth- and quote-aware top-level comma split: `PRIMARY KEY
+    * (a, b)`, `DECIMAL(10,2)`, and string literals containing commas
+    * (`SET name = 'a,b'`) all stay whole. Used for DDL column lists and
+    * UPDATE's SET-assignment list. */
   private[engine] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var depth = 0
+    var inQ = false
     s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case ',' if !inQ && depth == 0 => out += cur.result(); cur.clear()
       case c => cur += c
     }
     out += cur.result()

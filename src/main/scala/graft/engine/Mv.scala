@@ -53,8 +53,18 @@ final class MaterializedView private[engine](
     * batch mode instead. */
   private var outStream: Option[org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row]] = None
 
-  private[engine] def streamingFace: Option[DataFrame] =
-    if (streamingMode && !isAggMode) outStream.map(_.toDF()) else None
+  private val faceRequested = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private[engine] def streamingFace: Option[DataFrame] = synchronized {
+    if (streamingMode && !isAggMode) outStream.map { st =>
+      // first bind: backfill the full history (for an append-only MV the
+      // snapshot IS the history), then handleDelta keeps feeding; MVs with
+      // no downstream reader never buffer anything (no driver-memory leak)
+      if (faceRequested.compareAndSet(false, true))
+        snapshot.foreach(s => st.addData(s.collect().toSeq))
+      st.toDF()
+    } else None
+  }
 
   private[engine] def isStreamingMode: Boolean = streamingMode
 
@@ -139,6 +149,16 @@ final class MaterializedView private[engine](
       .orElse(tum.findFirstMatchIn(stmt).map(m => Dialect.intervalSeconds(m.group(1)) * 1000L))
   }
 
+  /** EMIT ON WINDOW CLOSE is only usable when the window size is known
+    * (tumble/hop TVF present), window_start survives in the output, and the
+    * source carries a watermark (otherwise nothing would ever close). Must
+    * hold BEFORE admitting a non-Keyed aggregate to streaming mode — a
+    * failed precondition with the clause present must fall back to batch
+    * re-run, not to a value-keyed update merge. */
+  private def eowcEligible(df: DataFrame): Boolean =
+    emitOnClose && closeDurMs.nonEmpty &&
+      df.columns.contains("window_start") && watermarks.nonEmpty
+
   /** Current event-time watermark (ms) of the maintainer query — the value
     * used by the most recent completed micro-batch. 0 before the first. */
   private def watermarkMs: Long =
@@ -148,6 +168,15 @@ final class MaterializedView private[engine](
       .getOrElse(0L)
 
   @volatile private var pending: Option[DataFrame] = None
+
+  /** Null-safe (<=>) semi/anti join on the key columns — grouping keys can
+    * legitimately be NULL, and a plain equi-join would never match them, so
+    * the snapshot would retain stale NULL-key rows forever. */
+  private def keyJoin(left: DataFrame, keysDf: DataFrame, how: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val kr = keysDf.toDF(keyCols.map(c => s"__k_$c"): _*)
+    left.join(kr, keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), how)
+  }
 
   private[engine] def start(): Unit = {
     // MVs over PK/upsert tables must re-run in batch mode: the streaming
@@ -161,7 +190,7 @@ final class MaterializedView private[engine](
         .filter { df =>
           val isAgg = df.queryExecution.analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
           streamingSafe(df.queryExecution.analyzed) &&
-            (!isAgg || emitOnClose || deriveMode(df).isInstanceOf[MaterializedView.Keyed])
+            (!isAgg || deriveMode(df).isInstanceOf[MaterializedView.Keyed] || eowcEligible(df))
         }
       catch { case _: Throwable => None }
 
@@ -173,10 +202,7 @@ final class MaterializedView private[engine](
         case MaterializedView.Keyed(ks) => ks
         case _ => sdf.columns.toSeq
       }
-      // EMIT ON WINDOW CLOSE needs the window size, window_start in the
-      // output, and a watermarked source to ever close anything
-      val eowc = isAgg && emitOnClose && closeDurMs.nonEmpty &&
-        sdf.columns.contains("window_start") && watermarks.nonEmpty
+      val eowc = isAgg && eowcEligible(sdf)
       if (!isAgg) {
         import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
         val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outputSchema))
@@ -228,8 +254,9 @@ final class MaterializedView private[engine](
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (d.isEmpty) return
-    // feed downstream streaming chains: append-mode deltas are pure inserts
-    if (!isAgg) outStream.foreach(_.addData(d.collect().toSeq))
+    // feed downstream streaming chains (only once a chain is bound —
+    // backfill happens at bind time): append-mode deltas are pure inserts
+    if (!isAgg && faceRequested.get) outStream.foreach(_.addData(d.collect().toSeq))
     val ops =
       if (!isAgg || snapshot.isEmpty) Changelog.diff(None, d, keyCols)
       else {
@@ -237,7 +264,7 @@ final class MaterializedView private[engine](
         // yields Insert for new keys and UpdateDelete/UpdateInsert for
         // changed ones (update mode never retracts whole keys)
         val keys = d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-        val prevTouched = snapshot.get.join(keys, keyCols, "left_semi")
+        val prevTouched = keyJoin(snapshot.get, keys, "left_semi")
         Changelog.diff(Some(prevTouched), d, keyCols)
       }
     changeLog.append(ops.collect().toSeq)
@@ -247,7 +274,7 @@ final class MaterializedView private[engine](
       case Some(s) if !isAgg => s.union(d)
       case Some(s) =>
         val keys = d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-        s.join(keys, keyCols, "left_anti").union(d)
+        keyJoin(s, keys, "left_anti").union(d)
     }
     snapshot = Some(next.localCheckpoint(true))
     snapshot.get.createOrReplaceTempView(viewName)
@@ -267,22 +294,22 @@ final class MaterializedView private[engine](
         case None => d
         case Some(p) =>
           val keys = d.select(keyCols.map(col): _*).distinct()
-          p.join(keys, keyCols, "left_anti").union(d)
+          keyJoin(p, keys, "left_anti").union(d)
       }
       pending = Some(next.localCheckpoint(true))
     }
     val wm = watermarkMs
     pending.foreach { p =>
-      val closed = p.filter(col("window_start").cast("long") * 1000 + closeDurMs.get <= wm)
-      val newlyClosed = snapshot match {
-        case None => closed
-        case Some(s) => closed.join(s.select(keyCols.map(col): _*), keyCols, "left_anti")
-      }
-      val nc = newlyClosed.localCheckpoint(true)
+      val closedPred = col("window_start").cast("long") * 1000 + closeDurMs.get <= wm
+      val nc = p.filter(closedPred).localCheckpoint(true)
       if (!nc.isEmpty) {
         changeLog.append(Changelog.diff(None, nc, keyCols).collect().toSeq)
         snapshot = Some(snapshot.map(_.union(nc).localCheckpoint(true)).getOrElse(nc))
         snapshot.get.createOrReplaceTempView(viewName)
+        // closed windows leave the pending buffer: the watermark already
+        // drops their late rows, and keeping them would re-scan the whole
+        // window history every epoch (unbounded growth)
+        pending = Some(p.filter(!closedPred).localCheckpoint(true))
       }
     }
   }

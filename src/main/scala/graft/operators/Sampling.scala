@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   private val Mod = 1000000007L
+  /** Knuth multiplicative constant; Scramble * Mod < 2^63, so the product
+    * never overflows and the same fold replays in overflow-checked SQL. */
+  private val Scramble = 2654435761L
 
+  /** The raw rolling hash is monotone in short id strings (h("42") is just
+    * the polynomial of two digits — far below any percentage threshold),
+    * which would turn "sample 1%" into "keep the lowest ids". One
+    * multiplicative round mod the prime permutes the bucket space. */
   private def bucket(idCol: Column): Column =
-    HashExpressions.rollingHash(idCol.cast("string"))
+    HashExpressions.rollingHash(idCol.cast("string")) * Scramble % Mod
 
   /** Keep ~`rate` of rows (0..1), decided by id hash. */
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =

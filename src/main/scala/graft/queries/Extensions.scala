@@ -326,10 +326,10 @@ object Extensions {
     // decision, so the sampled set itself is hash-verified.
     q("x_sample_stratified",
       """WITH h AS (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS stratum,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(1, strlen(doc_id::VARCHAR) + 1),
         |        i -> CAST(ascii(substr(doc_id::VARCHAR, CAST(i AS INT), 1)) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS hb
+        |      (a, b) -> (a * 31 + b) % 1000000007) * 2654435761) % 1000000007 AS hb
         |  FROM documents),
         |kept AS (SELECT doc_id, stratum FROM h
         |  WHERE (stratum = '0' AND hb < CAST(1000000007 * 0.5 AS BIGINT))

@@ -78,10 +78,15 @@ object Changelog {
       case None =>
         next.withColumn("op", lit(OpInsert)).orderBy(cols.map(col): _*)
       case Some(p) =>
+        // null-safe (<=>) join keys: a row containing NULL must match
+        // itself across epochs, else every refresh emits a phantom
+        // Delete+Insert pair for it
         val pc = p.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__pc"))
+          .select(cols.map(c => col(c).as(s"__p_$c")) :+ col("__pc"): _*)
         val nc = next.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nc"))
-        val delta = pc.join(nc, cols, "full_outer")
-          .select(cols.map(col) :+
+        val cond = cols.map(c => col(s"__p_$c") <=> col(c)).reduce(_ && _)
+        val delta = pc.join(nc, cond, "full_outer")
+          .select(cols.map(c => coalesce(col(c), col(s"__p_$c")).as(c)) :+
             (coalesce(col("__nc"), lit(0L)) - coalesce(col("__pc"), lit(0L))).as("__d"): _*)
           .filter(col("__d") =!= 0)
         delta
