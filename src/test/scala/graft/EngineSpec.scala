@@ -466,6 +466,27 @@ class EngineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming MV with NULL grouping keys merges the NULL group correctly") {
+    rw.createTable("nullk_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    val m = rw.mv("SELECT k, count(*) AS n, sum(v) AS sv FROM nullk_t GROUP BY k", "nullk_mv")
+    rw.table("nullk_t").get.insert(Seq(Row(null, 1L), Row("a", 2L)))
+    rw.flush()
+    rw.table("nullk_t").get.insert(Seq(Row(null, 10L)))
+    rw.flush()
+    val rows = rw.fetch("SELECT k, n, sv FROM nullk_mv")
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // exactly ONE row for the NULL group, with merged state
+    assert(rows == Seq(("<null>", 2L, 11L), ("a", 1L, 2L)), s"got $rows")
+    // and its second change is an update pair, not a duplicate Insert
+    val sub = m.subscription().declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(1000)).takeWhile(_.nonEmpty).flatten.toSeq
+      .filter(r => r.isNullAt(0)).map(r => r.getString(r.length - 2))
+    assert(ops.count(_ == "Insert") == 1 && ops.count(_ == "UpdateInsert") == 1,
+      s"null-group ops: $ops")
+  }
+
   test("composite table-level PRIMARY KEY (a, b) and DECIMAL(10,2) parse correctly") {
     rw.execute(
       """CREATE TABLE ddl_pk2 (a INT, b INT, price DECIMAL(10,2), note VARCHAR(32),
