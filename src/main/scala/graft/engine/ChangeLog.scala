@@ -23,8 +23,8 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType) {
   private val entries = ArrayBuffer[(Long, Row)]()
   private var lastTs = 0L
 
-  /** (minTs, maxTs, path) per spilled parquet segment, in offset order. */
-  private val segments = ArrayBuffer[(Long, Long, String)]()
+  /** (minTs, maxTs, path, rowCount) per spilled segment, in offset order. */
+  private val segments = ArrayBuffer[(Long, Long, String, Long)]()
   private lazy val spillDir = java.nio.file.Files
     .createTempDirectory("graft-changelog-").toString
   private def spillThreshold: Int =
@@ -48,7 +48,7 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType) {
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(spill.map(_._2).toList.asJava, changeSchema)
         .coalesce(1).write.mode("overwrite").parquet(path)
-      segments += ((spill.head._1, spill.last._1, path))
+      segments += ((spill.head._1, spill.last._1, path, n.toLong))
       entries.remove(0, n)
     }
     notifyAll()
@@ -76,14 +76,15 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType) {
 
   def latestOffset: Long = synchronized(lastTs)
 
-  def size: Int = synchronized(entries.size + segments.size)
+  /** Total retained rows (memory tail + spilled segments). */
+  def size: Long = synchronized(entries.size.toLong + segments.map(_._4).sum)
 
   /** Drop history older than `retentionSeconds` (epoch part of the offset):
     * whole spilled segments are unlinked, the memory tail is filtered. */
   def prune(retentionSeconds: Long): Unit = synchronized {
     val cutoff = (System.currentTimeMillis() - retentionSeconds * 1000L) << 16
     val (drop, keep) = segments.partition(_._2 < cutoff)
-    drop.foreach { case (_, _, p) =>
+    drop.foreach { case (_, _, p, _) =>
       scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
     }
     segments.clear(); segments ++= keep

@@ -155,8 +155,8 @@ object Dialect {
     if (schema == "public") name else s"${schema}__$name"
 
   /** First index of keyword `kw` at paren-depth 0 outside string literals,
-    * or -1. */
-  private def topLevelIndexOf(s: String, kw: String, from: Int = 0): Int = {
+    * or -1. Shared with the engine's UPDATE/WHERE splitting. */
+  private[engine] def topLevelIndexOf(s: String, kw: String, from: Int = 0): Int = {
     var depth = 0; var inQ = false; var i = from
     val u = s.toUpperCase
     while (i < s.length) {
@@ -196,11 +196,22 @@ object Dialect {
     val selectList = rest.substring(0, fromIdx).trim
     val tail = rest.substring(fromIdx + 4)
     val orderIdx = topLevelIndexOf(tail, "ORDER")
-    val (fromPart, orderPart) =
+    val (fromPart0, orderPart) =
       if (orderIdx < 0) (tail.trim, "")
       else (tail.substring(0, orderIdx).trim,
         tail.substring(orderIdx).replaceAll("(?is)^ORDER\\s+BY", "").trim)
-    val limIdx = topLevelIndexOf(orderPart, "LIMIT")
+    // LIMIT/OFFSET must not stay inside the derived table (they would
+    // apply BEFORE deduplication — PG applies them after) nor leak into
+    // the window ORDER BY
+    def cutAt(str: String): Int =
+      Seq(topLevelIndexOf(str, "LIMIT"), topLevelIndexOf(str, "OFFSET"))
+        .filter(_ >= 0).minOption.getOrElse(-1)
+    val bareLimIdx = if (orderIdx < 0) cutAt(fromPart0) else -1
+    val (fromPart, bareLimit) =
+      if (bareLimIdx < 0) (fromPart0, "")
+      else (fromPart0.substring(0, bareLimIdx).trim,
+        " " + fromPart0.substring(bareLimIdx).trim)
+    val limIdx = cutAt(orderPart)
     val windowOrder =
       if (orderPart.isEmpty) keys
       else if (limIdx < 0) orderPart
@@ -208,7 +219,7 @@ object Dialect {
     val outerOrder = if (orderPart.isEmpty) "" else s" ORDER BY $orderPart"
     s"SELECT $selectList FROM (SELECT *, row_number() OVER (" +
       s"PARTITION BY $keys ORDER BY $windowOrder) AS __rn FROM $fromPart) __don " +
-      s"WHERE __rn = 1$outerOrder"
+      s"WHERE __rn = 1$outerOrder$bareLimit"
   }
 
   /** `EMIT ON WINDOW CLOSE` (RisingWave emit-policy clause) is accepted and

@@ -88,10 +88,16 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
       if (!mvs.contains((sn, vn))) mv(stmt, vn, sn)
     case dropMvRe(qname) =>
       val (sn, vn) = splitQualified(qname)
-      // RisingWave rejects dropping an MV that others are defined on
+      // RisingWave rejects dropping an MV that others are defined on.
+      // Match only source positions (FROM / JOIN / comma list) so a column
+      // or unrelated table sharing the name doesn't block the drop.
       val spellings = Seq(Dialect.mangle(sn, vn), s"$sn.$vn", vn)
+      def referencedAsSource(stmt: String, sp: String): Boolean =
+        java.util.regex.Pattern.compile(
+          s"(?is)(\\bFROM\\b|\\bJOIN\\b|,)\\s*${java.util.regex.Pattern.quote(sp)}\\b")
+          .matcher(stmt).find()
       val dependents = mvs.filter { case ((ds, dn), m) =>
-        (ds, dn) != ((sn, vn)) && spellings.exists(sp => referencesName(m.stmt, sp))
+        (ds, dn) != ((sn, vn)) && spellings.exists(sp => referencedAsSource(m.stmt, sp))
       }
       if (dependents.nonEmpty)
         throw new RuntimeException(
@@ -179,35 +185,19 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     case deleteRe(qname, where) if liveTables.contains(splitQualified(qname)) =>
       val t = liveTables(splitQualified(qname))
       mutateTable(t) { df =>
-        import org.apache.spark.sql.functions.{expr, not}
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
         if (where == null || where.trim.isEmpty) df.limit(0)
-        else df.filter(not(expr(rewrite(where))))
+        // SQL three-valued logic: DELETE removes rows where the predicate
+        // is TRUE; rows where it's NULL are KEPT (not(NULL) is NULL and a
+        // bare filter would drop them — silently deleting extra rows)
+        else df.filter(coalesce(not(expr(rewrite(where))), lit(true)))
       }
     case other =>
       logged("executing statement", other)(spark.sql(rewrite(other)))
   }
 
-  /** First index of keyword `kw` at paren-depth 0 outside quotes, or -1. */
-  private def topLevelIndexOf(s: String, kw: String): Int = {
-    var depth = 0; var inQ = false; var i = 0
-    val u = s.toUpperCase
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && u.startsWith(kw, i) &&
-            (i == 0 || !u.charAt(i - 1).isLetterOrDigit) &&
-            (i + kw.length >= u.length || !u.charAt(i + kw.length).isLetterOrDigit))
-            return i
-      }
-      i += 1
-    }
-    -1
-  }
+  private def topLevelIndexOf(s: String, kw: String): Int =
+    Dialect.topLevelIndexOf(s, kw)
 
   /** UPDATE/DELETE path: demote dependent streaming MVs to batch re-run
     * (MemoryStream can't retract), then apply the state transform. Demotion
@@ -524,6 +514,10 @@ object GraftEngine {
     if (options.stateStore.equalsIgnoreCase("rocksdb"))
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else
+      // the conf is session-global: an earlier rocksdb engine on a shared
+      // session must not leak its backend into this engine's maintainers
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     Retry.retry(intervalMs = 500, times = 60) { new GraftEngine(spark) }
   }
 }

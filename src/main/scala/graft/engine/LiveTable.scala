@@ -117,12 +117,19 @@ final class LiveTable(
 
   def rowCount: Long = synchronized(allRows.size.toLong)
 
+  /** Set once UPDATE/DELETE has rewritten state: the MemoryStream no
+    * longer reflects the table, so MVs created later must run in batch
+    * re-run mode (existing ones are demoted by the engine at mutate time). */
+  @volatile private[engine] var mutated = false
+
   /** UPDATE/DELETE support: replace the table's state with a transformation
     * of its current (PK-resolved) batch face. The streaming face is NOT fed
     * — MemoryStream is append-only, so the engine demotes every MV reading
     * this table to batch re-run mode before calling this (their diffs then
     * emit the correct Delete / UpdateDelete+UpdateInsert ops). */
+
   private[engine] def mutate(f: DataFrame => DataFrame): Unit = synchronized {
+    mutated = true
     flushBuffer()
     val next = f(batchDF).select(schema.fieldNames.map(col): _*).collect()
     allRows.clear()

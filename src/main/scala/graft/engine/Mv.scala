@@ -96,7 +96,16 @@ final class MaterializedView private[engine](
           case ar: AttributeReference if a.groupingExpressions.exists(_.semanticEquals(ar)) => ar.name
           case al: Alias if a.groupingExpressions.exists(_.semanticEquals(al.child)) => al.name
         }
-        if (keys.nonEmpty) MaterializedView.Keyed(keys) else MaterializedView.Multiset
+        // Keyed is only sound when EVERY grouping expression survives in
+        // the output: a partial key (GROUP BY k1, k2 projecting only k1)
+        // is non-unique, and merging on it would drop sibling groups' rows
+        val allCovered = a.groupingExpressions.forall(g => a.aggregateExpressions.exists {
+          case ar: AttributeReference => ar.semanticEquals(g)
+          case al: Alias => al.child.semanticEquals(g)
+          case _ => false
+        })
+        if (allCovered && keys.nonEmpty) MaterializedView.Keyed(keys.distinct)
+        else MaterializedView.Multiset
       }
     }.getOrElse {
       // aggregate-free plan over exactly one PK table that keeps the full
@@ -182,8 +191,10 @@ final class MaterializedView private[engine](
     // MVs over PK/upsert tables must re-run in batch mode: the streaming
     // face is the raw version-append log, so a streaming aggregate would
     // count every version of a key; the batch face applies the upsert
-    // resolution first. (Also the path for UPDATE/DELETE correctness.)
-    val readsPkTable = engine.referencedLiveTables(stmt).exists(_.primaryKey.nonEmpty)
+    // resolution first. Same for tables already rewritten by UPDATE/DELETE
+    // — their MemoryStream still replays the pre-mutation appends.
+    val readsPkTable = engine.referencedLiveTables(stmt)
+      .exists(t => t.primaryKey.nonEmpty || t.mutated)
     val streamDf =
       if (readsPkTable) None
       else try Some(engine.withStreamingViews(watermarks)(spark.sql(engine.rewrite(stmt))))

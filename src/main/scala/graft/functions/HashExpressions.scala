@@ -228,7 +228,13 @@ object HashExpressions {
       val n = a.numElements()
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += num(a, ae, i) * num(b, be, i); i += 1 }
+      while (i < n) {
+        // NULL elements propagate (like the declarative fold this
+        // replaced) — treating them as 0 would fabricate finite scores
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += num(a, ae, i) * num(b, be, i)
+        i += 1
+      }
       java.lang.Double.valueOf(acc)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =

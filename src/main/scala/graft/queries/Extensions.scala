@@ -332,8 +332,8 @@ object Extensions {
         |      (a, b) -> (a * 31 + b) % 1000000007) * 2654435761) % 1000000007 AS hb
         |  FROM documents),
         |kept AS (SELECT doc_id, stratum FROM h
-        |  WHERE (stratum = '0' AND hb < CAST(1000000007 * 0.5 AS BIGINT))
-        |     OR (stratum = '1' AND hb < CAST(1000000007 * 0.2 AS BIGINT)))
+        |  WHERE (stratum = '0' AND hb < CAST(floor(1000000007 * 0.5) AS BIGINT))
+        |     OR (stratum = '1' AND hb < CAST(floor(1000000007 * 0.2) AS BIGINT)))
         |SELECT stratum, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_id
         |FROM kept GROUP BY stratum""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")

@@ -80,6 +80,14 @@ class DialectSpec extends SparkSpec {
     assert(rows == Seq(("a", 2), ("b", 3)))
   }
 
+  test("DISTINCT ON with LIMIT but no ORDER BY limits after deduplication") {
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("k", "v")
+      .createOrReplaceTempView("donl_t")
+    val sql = Dialect("SELECT DISTINCT ON (k) k FROM donl_t LIMIT 2")
+    assert(spark.sql(sql).count() == 2) // 3 distinct keys, limited after dedup
+  }
+
   test("EMIT ON WINDOW CLOSE is accepted and stripped") {
     val out = Dialect("SELECT a FROM t EMIT ON WINDOW CLOSE")
     assert(out.trim == "SELECT a FROM t")
