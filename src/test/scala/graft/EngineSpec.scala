@@ -487,6 +487,46 @@ class EngineSpec extends SparkSpec {
       s"null-group ops: $ops")
   }
 
+  test("DELETE keeps rows where the predicate is NULL (three-valued logic)") {
+    rw.execute("CREATE TABLE del3vl_t (k STRING, v BIGINT)")
+    rw.table("del3vl_t").get.insert(Seq(Row("a", null), Row("b", 5L), Row("c", 30L)))
+    rw.execute("FLUSH")
+    rw.execute("DELETE FROM del3vl_t WHERE v >= 20")
+    rw.execute("FLUSH")
+    val left = rw.fetch("SELECT k FROM del3vl_t ORDER BY k").map(_.getString(0))
+    assert(left == Seq("a", "b"), s"got $left — NULL-predicate row must survive")
+  }
+
+  test("MV projecting only part of its grouping keys never drops sibling groups") {
+    rw.createTable("partk_t", StructType(Seq(
+      StructField("k1", StringType), StructField("k2", StringType),
+      StructField("v", LongType))))
+    // grouped by (k1, k2) but only k1 survives → must NOT maintain keyed
+    // on the non-unique k1 (that would drop sibling (k1, k2') rows)
+    rw.mv("SELECT k1, sum(v) AS sv FROM partk_t GROUP BY k1, k2", "partk_mv")
+    rw.table("partk_t").get.insert(Seq(Row("a", "x", 1L), Row("a", "y", 10L)))
+    rw.execute("FLUSH")
+    rw.table("partk_t").get.insert(Seq(Row("a", "x", 2L)))
+    rw.execute("FLUSH")
+    val rows = rw.fetch("SELECT k1, sv FROM partk_mv ORDER BY sv")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows == Seq(("a", 3L), ("a", 10L)), s"got $rows")
+  }
+
+  test("streaming MV created after UPDATE on a non-PK table sees mutated state") {
+    rw.execute("CREATE TABLE postmut_t (k STRING, v BIGINT)")
+    rw.execute("INSERT INTO postmut_t VALUES ('a', 1), ('b', 2)")
+    rw.execute("FLUSH")
+    rw.execute("UPDATE postmut_t SET v = 100 WHERE k = 'a'")
+    rw.execute("FLUSH")
+    // created after the mutation: must not replay the stale append log
+    rw.mv("SELECT k, sum(v) AS sv FROM postmut_t GROUP BY k", "postmut_mv")
+    rw.execute("FLUSH")
+    val rows = rw.fetch("SELECT k, sv FROM postmut_mv ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows == Seq(("a", 100L), ("b", 2L)), s"got $rows")
+  }
+
   test("composite table-level PRIMARY KEY (a, b) and DECIMAL(10,2) parse correctly") {
     rw.execute(
       """CREATE TABLE ddl_pk2 (a INT, b INT, price DECIMAL(10,2), note VARCHAR(32),
