@@ -124,6 +124,20 @@ object Dialect {
       java.util.regex.Matcher.quoteReplacement(s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
   }
 
+  /** PG regex-match operators: `expr ~ 'pat'` → `expr RLIKE 'pat'`,
+    * `~*` (case-insensitive) → `RLIKE '(?i)pat'`, `!~`/`!~*` negated. The
+    * operand side is a word/dotted identifier or quoted literal (the
+    * spelling the reference's passthrough receives). */
+  private val regexOpRe = """([\w.]+|'[^']*')\s*(!?~\*?)\s*'([^']*)'""".r
+
+  def rewriteRegexMatch(sql: String): String =
+    regexOpRe.replaceAllIn(sql, m => {
+      val (lhs, op, pat) = (m.group(1), m.group(2), m.group(3))
+      val ci = if (op.endsWith("*")) "(?i)" else ""
+      val not = if (op.startsWith("!")) "NOT " else ""
+      java.util.regex.Matcher.quoteReplacement(s"($not$lhs RLIKE '$ci$pat')")
+    })
+
   /** `string_agg(x, 'd')` → `listagg(x, 'd')` (Spark 4 built-in; WITHIN
     * GROUP ordering passes through unchanged). */
   def rewriteStringAgg(sql: String): String =
@@ -241,7 +255,7 @@ object Dialect {
     val steps: Seq[String => String] = Seq(
       rewriteTumble, rewriteHop, rewriteDistinctOn, rewriteEmitClause,
       rewriteCasts, rewriteJsonOps, rewriteStringAgg,
-      rewriteToChar, rewriteGenerateSeries,
+      rewriteToChar, rewriteGenerateSeries, rewriteRegexMatch,
       s => rewriteQualified(s, qualified))
     steps.foldLeft(sql)((acc, f) => f(acc))
   }

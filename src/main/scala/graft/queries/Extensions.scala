@@ -132,6 +132,42 @@ object Extensions {
       Dedup.duplicateClusters(pairs)
     },
 
+    // Near-dup survivor selection: the full dedup pipeline — pairs →
+    // clusters → keep the min-id representative per cluster, plus all
+    // singletons — producing the deduplicated corpus size per cluster kind.
+    q("x_dedup_survivors",
+      s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT s AS id, s AS r FROM e
+         |  UNION
+         |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |surv AS (
+         |  SELECT cluster_id AS keep_id, count(*) AS members FROM cl
+         |  GROUP BY cluster_id
+         |  UNION ALL
+         |  SELECT doc_id, 1 FROM documents WHERE doc_id NOT IN (SELECT id FROM cl))
+         |SELECT count(*) AS n_survivors,
+         |  CAST(SUM(members) AS BIGINT) AS n_docs,
+         |  count(*) FILTER (WHERE members > 1) AS n_dup_clusters
+         |FROM surv""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text", n = 3, tau = 0.8)
+      val clusters = Dedup.duplicateClusters(pairs)
+      val clustered = clusters.groupBy(col("cluster_id").as("keep_id"))
+        .agg(count(lit(1)).as("members"))
+      val singletons = docs.join(clusters, docs("doc_id") === clusters("id"), "left_anti")
+        .select(col("doc_id").as("keep_id"), lit(1L).as("members"))
+      clustered.union(singletons).agg(
+        count(lit(1)).as("n_survivors"),
+        sum("members").as("n_docs"),
+        count(when(col("members") > 1, 1)).as("n_dup_clusters"))
+    },
+
     // Embedding near-dup pairs, exact cosine ≥ 0.45.
     q("x_dedup_embedding",
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e

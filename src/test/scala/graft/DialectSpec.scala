@@ -80,6 +80,18 @@ class DialectSpec extends SparkSpec {
     assert(rows == Seq(("a", 2), ("b", 3)))
   }
 
+  test("PG regex operators rewrite to RLIKE and run") {
+    import spark.implicits._
+    Seq("Alpha", "beta").toDF("s").createOrReplaceTempView("rx_t")
+    assert(Dialect.rewriteRegexMatch("SELECT s ~ '^a' FROM t") ==
+      "SELECT (s RLIKE '^a') FROM t")
+    assert(Dialect.rewriteRegexMatch("SELECT s !~* 'x$' FROM t") ==
+      "SELECT (NOT s RLIKE '(?i)x$') FROM t")
+    val rows = spark.sql(Dialect("SELECT s FROM rx_t WHERE s ~* '^al' ORDER BY s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("Alpha"))
+  }
+
   test("DISTINCT ON with LIMIT but no ORDER BY limits after deduplication") {
     import spark.implicits._
     Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("k", "v")
