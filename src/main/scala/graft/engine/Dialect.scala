@@ -75,13 +75,27 @@ object Dialect {
     case other => other
   }
 
+  /** Index of the next `::` OUTSIDE string literals (a pattern like
+    * `s RLIKE 'a::b'` must keep its literal intact). */
+  private def nextCastIdx(s: String): Int = {
+    var i = 0
+    var inQ = false
+    while (i < s.length - 1) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == ':' && s.charAt(i + 1) == ':') return i
+      i += 1
+    }
+    -1
+  }
+
   def rewriteCasts(sql: String): String = {
     val typeRe = """^\s*(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)""".r
     var cur = sql
     var guard = 0
     while (guard < 1000) {
       guard += 1
-      val i = cur.indexOf("::")
+      val i = nextCastIdx(cur)
       if (i <= 0) return cur
       typeRe.findFirstMatchIn(cur.substring(i + 2)) match {
         case None => return cur
@@ -124,19 +138,67 @@ object Dialect {
       java.util.regex.Matcher.quoteReplacement(s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
   }
 
-  /** PG regex-match operators: `expr ~ 'pat'` → `expr RLIKE 'pat'`,
-    * `~*` (case-insensitive) → `RLIKE '(?i)pat'`, `!~`/`!~*` negated. The
-    * operand side is a word/dotted identifier or quoted literal (the
-    * spelling the reference's passthrough receives). */
-  private val regexOpRe = """([\w.]+|'[^']*')\s*(!?~\*?)\s*'([^']*)'""".r
-
-  def rewriteRegexMatch(sql: String): String =
-    regexOpRe.replaceAllIn(sql, m => {
-      val (lhs, op, pat) = (m.group(1), m.group(2), m.group(3))
-      val ci = if (op.endsWith("*")) "(?i)" else ""
-      val not = if (op.startsWith("!")) "NOT " else ""
-      java.util.regex.Matcher.quoteReplacement(s"($not$lhs RLIKE '$ci$pat')")
-    })
+  /** PG regex-match operators: `ident ~ 'pat'` → `(ident RLIKE 'pat')`,
+    * `~*` (case-insensitive) → `(?i)` prefix, `!~`/`!~*` negated. A
+    * literal-aware scanner, not a regex: tilde text INSIDE string literals
+    * is copied verbatim (including PG `''` escapes), and pattern
+    * backslashes are doubled — Spark's literal parser strips single
+    * backslash escapes, which would turn `\d+` into `d+`. */
+  def rewriteRegexMatch(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        // copy a string literal verbatim ('' escapes included)
+        val start = i
+        i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        out.append(sql.substring(start, i))
+      } else if (c == '~' || (c == '!' && i + 1 < sql.length && sql.charAt(i + 1) == '~')) {
+        val opStart = i
+        val neg = c == '!'
+        var j = i + (if (neg) 2 else 1)
+        val ci = j < sql.length && sql.charAt(j) == '*'
+        if (ci) j += 1
+        // LHS: the identifier already emitted to `out`
+        var e = out.length
+        while (e > 0 && out.charAt(e - 1).isWhitespace) e -= 1
+        var bgn = e
+        while (bgn > 0 && { val ch = out.charAt(bgn - 1)
+          ch.isLetterOrDigit || ch == '_' || ch == '.' }) bgn -= 1
+        // RHS: a quoted pattern literal
+        var k = j
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (bgn < e && k < sql.length && sql.charAt(k) == '\'') {
+          val pat = new StringBuilder
+          var p = k + 1
+          var closed = false
+          while (p < sql.length && !closed) {
+            if (sql.charAt(p) == '\'') {
+              if (p + 1 < sql.length && sql.charAt(p + 1) == '\'') { pat.append("''"); p += 2 }
+              else { closed = true; p += 1 }
+            } else { pat.append(sql.charAt(p)); p += 1 }
+          }
+          val lhs = out.substring(bgn, e)
+          out.delete(bgn, out.length)
+          val esc = (if (ci) "(?i)" else "") + pat.result().replace("\\", "\\\\")
+          out.append(if (neg) s"(NOT $lhs RLIKE '$esc')" else s"($lhs RLIKE '$esc')")
+          i = p
+        } else {
+          out.append(sql.substring(opStart, j))
+          i = j
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
 
   /** `string_agg(x, 'd')` → `listagg(x, 'd')` (Spark 4 built-in; WITHIN
     * GROUP ordering passes through unchanged). */

@@ -54,6 +54,21 @@ object Extensions {
        |sv AS (SELECT s.vec_id, s.sig, v.e FROM s JOIN v USING (vec_id))""".stripMargin
   }
 
+  /** Near-dup cluster CTEs shared by the clusters and survivors oracles:
+    * Jaccard pairs → undirected edges → recursive reachability → min
+    * reachable id per doc (requires WITH RECURSIVE at the statement head). */
+  private val duckClusterCtes =
+    s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+       |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT s AS id, s AS r FROM e
+       |  UNION
+       |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id),
+       |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- deduplication ----------------------------------------------------
@@ -117,16 +132,8 @@ object Extensions {
     // graph (min reachable id per doc). The oracle walks the same graph
     // with a recursive CTE.
     q("x_dedup_clusters",
-      s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
-         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-         |reach AS (
-         |  SELECT s AS id, s AS r FROM e
-         |  UNION
-         |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id)
-         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
+      s"""$duckClusterCtes
+         |SELECT id, cluster_id FROM cl""".stripMargin) { (s, dir) =>
       val pairs = Dedup.jaccardPairsExact(Tables(s, dir, "documents"), "doc_id", "text",
         n = 3, tau = 0.8)
       Dedup.duplicateClusters(pairs)
@@ -136,16 +143,7 @@ object Extensions {
     // clusters → keep the min-id representative per cluster, plus all
     // singletons — producing the deduplicated corpus size per cluster kind.
     q("x_dedup_survivors",
-      s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
-         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
-         |reach AS (
-         |  SELECT s AS id, s AS r FROM e
-         |  UNION
-         |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id),
-         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      s"""$duckClusterCtes,
          |surv AS (
          |  SELECT cluster_id AS keep_id, count(*) AS members FROM cl
          |  GROUP BY cluster_id

@@ -90,6 +90,18 @@ class DialectSpec extends SparkSpec {
     val rows = spark.sql(Dialect("SELECT s FROM rx_t WHERE s ~* '^al' ORDER BY s"))
       .collect().map(_.getString(0)).toSeq
     assert(rows == Seq("Alpha"))
+    // backslash classes survive Spark's literal unescaping
+    Seq("x7y", "xdy").toDF("s").createOrReplaceTempView("rxd_t")
+    val digits = spark.sql(Dialect("SELECT s FROM rxd_t WHERE s ~ '\\d+'"))
+      .collect().map(_.getString(0)).toSeq
+    assert(digits == Seq("x7y"), s"got $digits")
+    // tildes INSIDE string literals are untouched; '' escapes survive
+    assert(Dialect.rewriteRegexMatch("SELECT 'count ~ ', 'x' FROM t") ==
+      "SELECT 'count ~ ', 'x' FROM t")
+    assert(Dialect.rewriteRegexMatch("SELECT s ~ 'it''s' FROM t") ==
+      "SELECT (s RLIKE 'it''s') FROM t")
+    // a :: inside a regex pattern is not mangled into a CAST
+    assert(Dialect("SELECT s FROM t WHERE s ~ 'a::b'").contains("RLIKE 'a::b'"))
   }
 
   test("DISTINCT ON with LIMIT but no ORDER BY limits after deduplication") {
