@@ -36,29 +36,42 @@ object Dialect {
   private val hopRe =
     """(?is)hop\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*,\s*interval\s+'([^']+)'\s*,\s*interval\s+'([^']+)'\s*\)""".r
 
-  private[engine] def intervalSeconds(s: String): Long = {
-    val m = """(?i)\s*(\d+)\s*(second|minute|hour|day)s?\s*""".r
-      .findFirstMatchIn(s)
-      .getOrElse(throw new IllegalArgumentException(s"unsupported interval: $s"))
-    val n = m.group(1).toLong
-    m.group(2).toLowerCase match {
-      case "second" => n
-      case "minute" => n * 60
-      case "hour" => n * 3600
-      case "day" => n * 86400
-    }
+  /** Interval string → milliseconds. Accepts sub-second units
+    * (`millisecond(s)`/`ms` — RisingWave allows them in tumble/hop) and
+    * compound intervals (`'1 hour 30 minutes'`, summed). Unparseable text or
+    * residue beyond the unit terms throws — a silently-dropped term would
+    * produce wrong window sizes with no error. */
+  private[engine] def intervalMillis(s: String): Long = {
+    val term = """(?i)(\d+)\s*(milliseconds?|ms|seconds?|secs?|minutes?|mins?|hours?|days?)""".r
+    val terms = term.findAllMatchIn(s).toSeq
+    val residue = term.replaceAllIn(s, "").trim
+    if (terms.isEmpty || residue.nonEmpty)
+      throw new IllegalArgumentException(s"unsupported interval: $s")
+    terms.map { m =>
+      val n = m.group(1).toLong
+      m.group(2).toLowerCase match {
+        case u if u.startsWith("millisecond") || u == "ms" => n
+        case u if u.startsWith("sec") => n * 1000L
+        case u if u.startsWith("min") => n * 60000L
+        case u if u.startsWith("hour") => n * 3600000L
+        case u if u.startsWith("day") => n * 86400000L
+      }
+    }.sum
   }
 
   def rewriteHop(sql: String): String =
     hopRe.replaceAllIn(sql, m => {
       val (tbl, c) = (m.group(1), m.group(2))
-      val sl = intervalSeconds(m.group(3))
-      val sz = intervalSeconds(m.group(4))
-      s"(SELECT * EXCEPT(__hs), timestamp_seconds(__hs) AS window_start, " +
-        s"timestamp_seconds(__hs + $sz) AS window_end FROM $tbl " +
+      val sl = intervalMillis(m.group(3))
+      val sz = intervalMillis(m.group(4))
+      // ms arithmetic: for whole-second slides this matches the old
+      // truncated-seconds math exactly (floor(floor(t)/n) == floor(t/n)),
+      // and it additionally supports sub-second slide/size
+      s"(SELECT * EXCEPT(__hs), timestamp_millis(__hs) AS window_start, " +
+        s"timestamp_millis(__hs + $sz) AS window_end FROM $tbl " +
         s"LATERAL VIEW explode(sequence(" +
-        s"(CAST(floor((unix_timestamp($c) - $sz) / $sl) AS BIGINT) + 1) * $sl, " +
-        s"CAST(floor(unix_timestamp($c) / $sl) AS BIGINT) * $sl, $sl)) __hv AS __hs)"
+        s"(CAST(floor((unix_millis(CAST($c AS TIMESTAMP)) - $sz) / $sl) AS BIGINT) + 1) * $sl, " +
+        s"CAST(floor(unix_millis(CAST($c AS TIMESTAMP)) / $sl) AS BIGINT) * $sl, $sl)) __hv AS __hs)"
     })
 
   /** `expr::type` → `CAST(expr AS type)`. A small scanner (not regex): the
@@ -243,9 +256,13 @@ object Dialect {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
+          // '_' is part of SQL identifiers: without it in the boundary test
+          // a keyword is matched INSIDE snake_case names (valid_from,
+          // sort_order, rate_limit), mis-splitting the statement
           if (depth == 0 && u.startsWith(kw, i) &&
-            (i == 0 || !u.charAt(i - 1).isLetterOrDigit) &&
-            (i + kw.length >= u.length || !u.charAt(i + kw.length).isLetterOrDigit))
+            (i == 0 || { val p = u.charAt(i - 1); !(p.isLetterOrDigit || p == '_') }) &&
+            (i + kw.length >= u.length ||
+              { val n = u.charAt(i + kw.length); !(n.isLetterOrDigit || n == '_') }))
             return i
       }
       i += 1

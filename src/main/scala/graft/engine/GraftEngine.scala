@@ -89,15 +89,24 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     case dropMvRe(qname) =>
       val (sn, vn) = splitQualified(qname)
       // RisingWave rejects dropping an MV that others are defined on.
-      // Match only source positions (FROM / JOIN / comma list) so a column
-      // or unrelated table sharing the name doesn't block the drop.
-      val spellings = Seq(Dialect.mangle(sn, vn), s"$sn.$vn", vn)
-      def referencedAsSource(stmt: String, sp: String): Boolean =
-        java.util.regex.Pattern.compile(
-          s"(?is)(\\bFROM\\b|\\bJOIN\\b|,)\\s*${java.util.regex.Pattern.quote(sp)}\\b")
-          .matcher(stmt).find()
+      // Resolve dependencies from the PARSED plan's relation references —
+      // a text match can't tell `FROM mv` from `SELECT x, mv_col` (a
+      // select-list comma) or a same-named column, in either direction.
+      val spellings = Seq(Dialect.mangle(sn, vn), s"$sn.$vn", vn).map(_.toLowerCase).toSet
+      def sourceRelations(stmt: String): Set[String] =
+        try spark.sessionState.sqlParser.parsePlan(rewrite(stmt)).collect {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            r.multipartIdentifier.mkString(".").toLowerCase
+        }.toSet
+        catch {
+          // unparsable statement (shouldn't happen for a created MV):
+          // conservative word-boundary fallback
+          case _: Throwable => spellings.filter(sp =>
+            java.util.regex.Pattern.compile(s"(?i)\\b${java.util.regex.Pattern.quote(sp)}\\b")
+              .matcher(stmt).find())
+        }
       val dependents = mvs.filter { case ((ds, dn), m) =>
-        (ds, dn) != ((sn, vn)) && spellings.exists(sp => referencedAsSource(m.stmt, sp))
+        (ds, dn) != ((sn, vn)) && sourceRelations(m.stmt).exists(spellings.contains)
       }
       if (dependents.nonEmpty)
         throw new RuntimeException(
@@ -413,9 +422,16 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
   /** Temporarily rebind live-table views — and the streaming faces of
     * append-only streaming MVs (MV-on-MV chains) — to their streaming
     * forms (with optional per-table watermarks), evaluate, restore.
-    * Synchronized: view rebinding is session-global. */
+    * Synchronized: view rebinding is session-global.
+    *
+    * Only MVs actually referenced by `forStmt` get their streaming face
+    * bound: binding a face flips its one-shot backfill latch
+    * (`faceRequested`), after which every epoch's delta is buffered into
+    * the MemoryStream — doing that for every existing MV on every create
+    * would grow driver memory for faces nothing ever reads. */
   private[engine] def withStreamingViews[T](
-      watermarks: Map[String, (String, String)] = Map.empty)(thunk: => T): T = synchronized {
+      watermarks: Map[String, (String, String)] = Map.empty,
+      forStmt: String = "")(thunk: => T): T = synchronized {
     liveTables.values.foreach { t =>
       val sdf = watermarks.get(t.name) match {
         case Some((tsCol, delay)) => t.streamingDF.withWatermark(tsCol, delay)
@@ -423,8 +439,12 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
       }
       sdf.createOrReplaceTempView(t.viewName)
     }
-    mvs.values.foreach(m =>
-      m.streamingFace.foreach(_.createOrReplaceTempView(m.viewName)))
+    mvs.values.foreach { m =>
+      val referenced = forStmt.isEmpty ||
+        Seq(m.viewName, s"${m.schemaName}.${m.name}", m.name)
+          .exists(n => referencesName(forStmt, n))
+      if (referenced) m.streamingFace.foreach(_.createOrReplaceTempView(m.viewName))
+    }
     try thunk
     finally {
       liveTables.values.foreach(_.refreshView())

@@ -66,7 +66,7 @@ final class MaterializedView private[engine](
     } else None
   }
 
-  private[engine] def isStreamingMode: Boolean = streamingMode
+  private[graft] def isStreamingMode: Boolean = streamingMode
 
   /** Rebind the MV's name to its current snapshot (after withStreamingViews
     * temporarily bound the streaming face). */
@@ -154,8 +154,8 @@ final class MaterializedView private[engine](
   private lazy val closeDurMs: Option[Long] = {
     val tum = """(?is)tumble\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*,\s*interval\s+'([^']+)'\s*\)""".r
     val hop = """(?is)hop\s*\(\s*[\w.]+\s*,\s*[\w.]+\s*,\s*interval\s+'[^']+'\s*,\s*interval\s+'([^']+)'\s*\)""".r
-    hop.findFirstMatchIn(stmt).map(m => Dialect.intervalSeconds(m.group(1)) * 1000L)
-      .orElse(tum.findFirstMatchIn(stmt).map(m => Dialect.intervalSeconds(m.group(1)) * 1000L))
+    hop.findFirstMatchIn(stmt).map(m => Dialect.intervalMillis(m.group(1)))
+      .orElse(tum.findFirstMatchIn(stmt).map(m => Dialect.intervalMillis(m.group(1))))
   }
 
   /** EMIT ON WINDOW CLOSE is only usable when the window size is known
@@ -197,11 +197,16 @@ final class MaterializedView private[engine](
       .exists(t => t.primaryKey.nonEmpty || t.mutated)
     val streamDf =
       if (readsPkTable) None
-      else try Some(engine.withStreamingViews(watermarks)(spark.sql(engine.rewrite(stmt))))
+      else try Some(engine.withStreamingViews(watermarks, stmt)(spark.sql(engine.rewrite(stmt))))
         .filter { df =>
           val isAgg = df.queryExecution.analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
+          // Keyed is required even under EMIT ON WINDOW CLOSE: the pending
+          // buffer merges on keyCols, and a non-Keyed aggregate would merge
+          // on aggregate VALUES — a window whose aggregate updates while
+          // open would then emit BOTH versions at close. Non-Keyed EOWC
+          // falls back to batch re-run (eager-emission superset, correct).
           streamingSafe(df.queryExecution.analyzed) &&
-            (!isAgg || deriveMode(df).isInstanceOf[MaterializedView.Keyed] || eowcEligible(df))
+            (!isAgg || deriveMode(df).isInstanceOf[MaterializedView.Keyed])
         }
       catch { case _: Throwable => None }
 

@@ -451,7 +451,7 @@ object TierB {
     sqlBoth("b_cte_topn",
       """WITH revenue AS (
         |  SELECT l_suppkey,
-        |    SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS total
+        |    CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
         |  FROM lineitem GROUP BY l_suppkey)
         |SELECT s_name, total FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |ORDER BY total DESC, s_name LIMIT 10""".stripMargin),

@@ -117,6 +117,30 @@ class DialectSpec extends SparkSpec {
     assert(out.trim == "SELECT a FROM t")
   }
 
+  test("DISTINCT ON survives snake_case columns containing keywords") {
+    import spark.implicits._
+    Seq(("a", 1, 10), ("a", 2, 30), ("b", 3, 20))
+      .toDF("k", "valid_from", "sort_order").createOrReplaceTempView("donsc_t")
+    val sql = Dialect(
+      "SELECT DISTINCT ON (k) k, valid_from FROM donsc_t ORDER BY k, sort_order DESC")
+    val rows = spark.sql(sql).collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows == Seq(("a", 2), ("b", 3)), s"got $rows")
+  }
+
+  test("hop TVF with sub-second slide and size") {
+    import spark.implicits._
+    Seq(250L, 1250L).map(ms => new java.sql.Timestamp(ms)).toDF("ts")
+      .createOrReplaceTempView("hopms_t")
+    val sql = Dialect(
+      """SELECT CAST(unix_millis(window_start) AS BIGINT) AS ws, count(*) AS n
+        |FROM hop(hopms_t, ts, interval '500 milliseconds', interval '2 seconds')
+        |GROUP BY 1""".stripMargin)
+    val rows = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // t=250ms → starts {-1500,-1000,-500,0}; t=1250ms → {-500,0,500,1000}
+    assert(rows == Map(-1500L -> 1L, -1000L -> 1L, -500L -> 2L,
+      0L -> 2L, 500L -> 1L, 1000L -> 1L), s"got $rows")
+  }
+
   test("hop TVF: each row lands in size/slide sliding windows") {
     import spark.implicits._
     // events at 00:05 and 00:25 (epoch seconds 300, 1500)

@@ -527,6 +527,65 @@ class EngineSpec extends SparkSpec {
     assert(rows == Seq(("a", 100L), ("b", 2L)), s"got $rows")
   }
 
+  test("DROP MV is not blocked by a same-named column in another MV's select list") {
+    rw.createTable("dropq_t", StructType(Seq(
+      StructField("target_mv", IntegerType), StructField("v", IntegerType))))
+    rw.execute("CREATE MATERIALIZED VIEW target_mv AS SELECT v FROM dropq_t")
+    // other_mv references `target_mv` only as a COLUMN after a select-list
+    // comma — the old text match blocked this drop spuriously
+    rw.execute("CREATE MATERIALIZED VIEW other_mv AS SELECT v, target_mv FROM dropq_t")
+    rw.execute("DROP MATERIALIZED VIEW target_mv")
+    assert(!rw.checkExist("target_mv"))
+    // a REAL source dependency still blocks, in FROM and in JOIN position
+    rw.execute("CREATE MATERIALIZED VIEW base_mv AS SELECT v FROM dropq_t")
+    rw.execute("CREATE MATERIALIZED VIEW dep_mv AS SELECT v FROM base_mv")
+    intercept[RuntimeException](rw.execute("DROP MATERIALIZED VIEW base_mv"))
+    rw.execute("DROP MATERIALIZED VIEW dep_mv")
+    rw.execute("DROP MATERIALIZED VIEW base_mv")
+    rw.execute("DROP MATERIALIZED VIEW other_mv")
+  }
+
+  test("tumble MV with a sub-second window size") {
+    rw.createTable("msw_t", StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType))))
+    rw.mv(
+      """SELECT window_start, count(*) AS n, sum(v) AS sv
+        |FROM tumble(msw_t, ts, interval '500 milliseconds')
+        |GROUP BY window_start""".stripMargin, "msw_mv")
+    rw.table("msw_t").get.insert(Seq(
+      Row(new Timestamp(100L), 1L), Row(new Timestamp(400L), 2L),
+      Row(new Timestamp(700L), 4L), Row(new Timestamp(1200L), 8L)))
+    rw.flush()
+    val rows = rw.fetch(
+      "SELECT CAST(unix_millis(window_start) AS BIGINT) AS ws, n, sv FROM msw_mv ORDER BY ws")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows == Seq((0L, 2L, 3L), (500L, 1L, 4L), (1000L, 1L, 8L)), s"got $rows")
+  }
+
+  test("EOWC with a non-Keyed aggregate falls back to batch and stays correct") {
+    rw.createTable("eowcnk_t", StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("v", LongType))))
+    // GROUP BY (window_start, k) projecting k away → Multiset mode: must
+    // NOT stream EOWC (the pending buffer would merge on aggregate values
+    // and double-emit updated windows); batch fallback is correct
+    val m = rw.mv(
+      """SELECT window_start, sum(v) AS sv
+        |FROM tumble(eowcnk_t, ts, interval '10 seconds')
+        |GROUP BY window_start, k EMIT ON WINDOW CLOSE""".stripMargin,
+      "eowcnk_mv", watermarks = Map("eowcnk_t" -> (("ts", "0 seconds"))))
+    assert(!m.isStreamingMode, "non-Keyed EOWC must not be admitted to streaming")
+    def tick(sec: Long, k: String, v: Long) =
+      rw.insertRow("eowcnk_t", values = Map(
+        "k" -> k, "ts" -> new Timestamp(sec * 1000), "v" -> v), forceFlush = true)
+    tick(1, "a", 1); tick(5, "a", 2); tick(3, "b", 10)
+    tick(15, "a", 4); tick(16, "b", 20)
+    val rows = rw.fetch(
+      "SELECT CAST(unix_timestamp(window_start) AS BIGINT) AS ws, sv FROM eowcnk_mv ORDER BY ws, sv")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows == Seq((0L, 3L), (0L, 10L), (10L, 4L), (10L, 20L)), s"got $rows")
+  }
+
   test("composite table-level PRIMARY KEY (a, b) and DECIMAL(10,2) parse correctly") {
     rw.execute(
       """CREATE TABLE ddl_pk2 (a INT, b INT, price DECIMAL(10,2), note VARCHAR(32),
