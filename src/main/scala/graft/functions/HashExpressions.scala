@@ -241,6 +241,59 @@ object HashExpressions {
       copy(left = l, right = r)
   }
 
+  /** Nearest-centroid id by cosine similarity against a FIXED centroid set
+    * embedded in the expression (ids ascending; vectors pre-cast to double;
+    * norms precomputed with the same sqrt∘fold as [[VecDot]]-based normD).
+    * This is the IVF assignment step as a map-side argmax: one pass per row,
+    * no join, no shuffle — the centroid set is the quantizer "model", fixed
+    * K regardless of corpus size. Ties (equal cosine) keep the smallest
+    * centroid id, matching `ORDER BY csc DESC, cid` in the oracle replay. */
+  case class NearestCentroid(child: Expression, cids: Array[Long],
+                             cents: Array[Array[Double]], cnorms: Array[Double])
+      extends UnaryExpression with CodegenFallback {
+    require(cids.length == cents.length && cids.length == cnorms.length && cids.nonEmpty)
+    require(cids.sameElements(cids.sorted), "centroid ids must be ascending")
+    override def dataType: DataType = LongType
+    private def elemAt(a: ArrayData, et: DataType, i: Int): Double = et match {
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case other => throw new IllegalArgumentException(s"NearestCentroid: unsupported element $other")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val n = a.numElements()
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        v(i) = elemAt(a, et, i)
+        i += 1
+      }
+      // ‖v‖ with the same sequential fold as normD (bit-identical scores)
+      var sq = 0.0
+      i = 0
+      while (i < n) { sq += v(i) * v(i); i += 1 }
+      val vn = math.sqrt(sq)
+      var bestScore = Double.NegativeInfinity
+      var bestId = cids(0)
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        require(cv.length == n, s"NearestCentroid: dimension mismatch ${cv.length} vs $n")
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += v(i) * cv(i); i += 1 }
+        val score = dot / (vn * cnorms(c))
+        // strict > and ascending-cid iteration ⇒ min cid wins exact ties
+        if (score > bestScore) { bestScore = score; bestId = cids(c) }
+        c += 1
+      }
+      java.lang.Long.valueOf(bestId)
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
+  }
+
   private val eu = org.apache.spark.sql.GraftColumnBridge
 
   def wordShingles(c: Column, n: Int): Column =
@@ -264,4 +317,8 @@ object HashExpressions {
 
   def vecDot(a: Column, b: Column): Column =
     eu.column(VecDot(eu.expression(a), eu.expression(b)))
+
+  def nearestCentroid(v: Column, cids: Array[Long],
+                      cents: Array[Array[Double]], cnorms: Array[Double]): Column =
+    eu.column(NearestCentroid(eu.expression(v), cids, cents, cnorms))
 }

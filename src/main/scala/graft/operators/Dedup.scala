@@ -213,21 +213,35 @@ object Dedup {
                            dim: Int = 64, seed: Long = 7L): DataFrame = {
     val sig = graft.operators.Similarity.signature(df, idCol, vecCol, nPlanes, dim, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBands = nPlanes / bandBits
-    val chunked = sig.select(col("id"), col("v"),
-      posexplode(array((0 until nBands).map { c =>
-        shiftright(col("sig"), c * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
-      }: _*)).as(Seq("chunk", "cv")))
-    val l = chunked.select(col("id").as("id_a"), col("v").as("v_a"), col("chunk"), col("cv"))
-    val r = chunked.select(col("id").as("id_b"), col("v").as("v_b"), col("chunk"), col("cv"))
-    val pairs = l.join(r, Seq("chunk", "cv"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cands = embeddingLshCandidates(sig, nPlanes / bandBits, bandBits)
+    val va = sig.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = sig.select(col("id").as("id_b"), col("v").as("v_b"))
+    val pairs = cands.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("c"))
       .filter(col("c") >= tau)
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
     val out = pairs.localCheckpoint(true)
     sig.unpersist()
     out
+  }
+
+  /** Candidate stage of [[embeddingDupPairsLsh]]: pairs whose signatures
+    * collide on ≥1 band. Projects (id, chunk, band-value) ONLY — the
+    * embedding vectors must NOT ride the bucket self-join shuffle (at
+    * 100 TB the vectors dominate shuffle volume); the caller re-joins
+    * payloads by id afterwards, the same shape as [[minhashLshPairs]]'
+    * shingle re-join. PlanShapeSpec pins the vector-free property. */
+  private[graft] def embeddingLshCandidates(sig: DataFrame, nBands: Int,
+                                            bandBits: Int): DataFrame = {
+    val chunked = sig.select(col("id"),
+      posexplode(array((0 until nBands).map { c =>
+        shiftright(col("sig"), c * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+      }: _*)).as(Seq("chunk", "cv")))
+    val l = chunked.select(col("id").as("id_a"), col("chunk"), col("cv"))
+    val r = chunked.select(col("id").as("id_b"), col("chunk"), col("cv"))
+    l.join(r, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -52,7 +52,7 @@ object Similarity {
     * [[lshTopK]] and [[Dedup.embeddingDupPairsLsh]]. `dim` must match the
     * embedding dimensionality: a short hyperplane would zip_with-pad with
     * nulls and degenerate every signature to 0 (no pruning). */
-  private[operators] def signature(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def signature(df: DataFrame, idCol: String, vecCol: String,
                                    nPlanes: Int, dim: Int, seed: Long): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
     val sigBits = planes.zipWithIndex.map { case (p, i) =>
@@ -61,39 +61,67 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("v"), sigBits.as("sig"))
   }
 
+  /** IVF coarse-quantizer "fit": `numCentroids` deterministic hash-sampled
+    * corpus vectors — a FIXED K independent of corpus size (the round-2
+    * `id % stride` rule grew |C| linearly with n, making assignment
+    * O(n²/stride)). The scramble `(id·2654435761) mod 104729` is replayable
+    * in overflow-checked SQL; `orderBy.limit` compiles to
+    * TakeOrderedAndProject (map-side top-K + tiny driver merge, no global
+    * sort). Collecting K rows is the model-fit step of the quantizer
+    * (analogous to a trained k-means codebook), not a data path.
+    * Returns (cid, cv double-cast, cn) sorted by cid ascending. */
+  private[graft] def ivfCentroids(v: DataFrame, numCentroids: Int): Array[(Long, Array[Double], Double)] =
+    v.orderBy(pmod(col("id") * lit(2654435761L), lit(104729L)), col("id"))
+      .limit(numCentroids)
+      .select(col("id"), col("v").cast("array<double>"), col("vn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** IVF assignment as a map-side argmax: (id, v, vn, cid) with NO shuffle
+    * between the corpus scan and the assignment — the centroid set rides
+    * inside a native [[graft.functions.HashExpressions.NearestCentroid]]
+    * expression (one tight loop per row), so the inverted lists materialize
+    * inside the scan stage. At scale `cid` becomes the partitioning /
+    * bucketing key of the stored index. PlanShapeSpec pins the no-Exchange
+    * property. */
+  private[graft] def ivfAssignments(df: DataFrame, idCol: String, vecCol: String,
+                                    numCentroids: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), normD(col(vecCol)).as("vn"))
+    val cents = ivfCentroids(v, numCentroids)
+    v.withColumn("cid", graft.functions.HashExpressions.nearestCentroid(
+      col("v"), cents.map(_._1), cents.map(_._2), cents.map(_._3)))
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path next to LSH:
-    *   1. coarse quantizer: a deterministic sample of the corpus (every
-    *      `centroidStride`-th id) serves as centroids — broadcast, tiny;
+    *   1. coarse quantizer: a fixed-K deterministic hash-sample of the
+    *      corpus serves as centroids ([[ivfCentroids]]);
     *   2. one map pass assigns each vector to its nearest centroid
-    *      (cos desc, centroid-id tiebreak) → the inverted lists, which at
-    *      scale would be the partitioning/bucketing key of the stored table;
+    *      (cos desc, centroid-id tiebreak) → the inverted lists
+    *      ([[ivfAssignments]] — argmax inside the scan stage, no shuffle);
     *   3. a query probes its `nProbe` nearest centroids and brute-forces
-    *      only those lists — candidate volume ~ nProbe/|C| of the corpus.
+    *      only those lists — candidate volume ~ nProbe/K of the corpus.
     * Deterministic end to end (no trained k-means), so the DuckDB oracle
     * replays it exactly. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
-              centroidStride: Int = 50, nProbe: Int = 2): DataFrame = {
+              numCentroids: Int = 32, nProbe: Int = 2): DataFrame = {
     // per-vector norms precomputed below every join (bit-identical to
     // cosine(): dot/(an*bn) is the same expression tree, evaluated once)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), normD(col(vecCol)).as("vn"))
-    val cents = v.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cid"), col("v").as("cv"), col("vn").as("cn"))
+    val cents = ivfCentroids(v, numCentroids)
+    val assigned = v.withColumn("cid", graft.functions.HashExpressions.nearestCentroid(
+      col("v"), cents.map(_._1), cents.map(_._2), cents.map(_._3)))
 
-    // nearest centroid per corpus vector (map-only: centroids broadcast)
-    val aw = Window.partitionBy(col("id")).orderBy(col("csc").desc, col("cid"))
-    val assigned = v.crossJoin(broadcast(cents))
-      .select(col("id"), col("v"), col("vn"), col("cid"),
-        (dotD(col("v"), col("cv")) / (col("vn") * col("cn"))).as("csc"))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("id"), col("v"), col("vn"), col("cid"))
-
-    // nProbe nearest centroids per query vector
+    // nProbe nearest centroids per query vector (queries × K rows — tiny)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = cents.toSeq.map { case (cid, cv, cn) => (cid, cv.toSeq, cn) }
+      .toDF("cid", "cv", "cn")
     val qv = v.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"), col("vn").as("qn"))
     val pw = Window.partitionBy(col("query_id")).orderBy(col("csc").desc, col("cid"))
-    val probes = qv.crossJoin(broadcast(cents))
+    val probes = qv.crossJoin(broadcast(centDf))
       .select(col("query_id"), col("qv"), col("qn"), col("cid"),
         (dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("csc"))
       .withColumn("prn", row_number().over(pw))

@@ -236,13 +236,16 @@ object Extensions {
         .withColumnRenamed("rank", "rnk")
     },
 
-    // IVF ANN: deterministic coarse quantizer (every 50th id), nearest-
-    // centroid inverted lists, 2-probe search. The oracle replays the
-    // whole pipeline — assignment, probes, in-list ranking — in DuckDB.
+    // IVF ANN: deterministic coarse quantizer (fixed K=32 hash-sampled
+    // vectors — K independent of corpus size), nearest-centroid inverted
+    // lists built by a map-side argmax, 2-probe search. The oracle replays
+    // the whole pipeline — centroid sample, assignment, probes, in-list
+    // ranking — in DuckDB.
     q("x_sim_topk_ivf",
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
          |           FROM embeddings),
-         |c AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS cid, e AS cv FROM v
+         |      ORDER BY (vec_id * 2654435761) % 104729, vec_id LIMIT 32),
          |sc AS (SELECT v.vec_id, c.cid, ${duckCos("v.e", "c.cv")} AS csc
          |       FROM v CROSS JOIN c),
          |asg AS (SELECT vec_id, cid FROM (
@@ -265,7 +268,7 @@ object Extensions {
          |SELECT query_id, neighbor_id, round(cc, 6) AS cos, rn AS rnk
          |FROM r WHERE rn <= 10""".stripMargin) { (s, dir) =>
       Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, centroidStride = 50, nProbe = 2)
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, numCentroids = 32, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
     },
 

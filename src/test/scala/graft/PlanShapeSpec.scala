@@ -38,6 +38,18 @@ class PlanShapeSpec extends SparkSpec {
       "expected partial and final HashAggregate stages")
   }
 
+  test("embedding-LSH candidates: bucket shuffle carries no vector payload") {
+    val emb = Tables(spark, sf, "embeddings")
+    val sig = graft.operators.Similarity.signature(emb, "vec_id", "embedding", 16, 64, 7L)
+    val p = graft.operators.Dedup.embeddingLshCandidates(sig, 4, 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange"), s"expected a bucket-key shuffle in:\n$p")
+    // `\bv#` does not match cv#/csc# (no word boundary inside cv): only the
+    // vector alias v / v_a / v_b themselves are banned from the plan
+    assert(!p.matches("(?s).*\\bv#\\d.*") && !p.contains("v_a#") && !p.contains("v_b#"),
+      s"vector column must not ride the candidate shuffle:\n$p")
+  }
+
   test("x_sim_topk_exact: corpus side stays shuffle-free until the rank") {
     val df = SparkEntry.queries("x_sim_topk_exact")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

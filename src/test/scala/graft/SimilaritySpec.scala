@@ -36,7 +36,7 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 10,
-      centroidStride = 10, nProbe = 3).collect()
+      numCentroids = 16, nProbe = 3).collect()
     assert(ivf.nonEmpty)
     val byQ = ivf.groupBy(_.getLong(0))
     byQ.values.foreach { rows =>
@@ -49,6 +49,25 @@ class SimilaritySpec extends SparkSpec {
         assert(math.abs(c - r.getDouble(2)) < 1e-9)
       }
     }
+  }
+
+  test("IVF assignment is map-side: no Exchange between scan and argmax") {
+    val plan = Similarity.ivfAssignments(emb, "vec_id", "embedding", 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"IVF assignment must stay inside the scan stage:\n$plan")
+    assert(plan.contains("nearestcentroid") || plan.contains("NearestCentroid"),
+      s"expected the native argmax expression in:\n$plan")
+  }
+
+  test("IVF centroid count is fixed regardless of corpus size") {
+    val all = Similarity.ivfAssignments(emb, "vec_id", "embedding", 16)
+    assert(all.select("cid").distinct().count() <= 16)
+    // half the corpus, same K — |C| must not scale with n
+    val half = Similarity.ivfAssignments(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 250),
+      "vec_id", "embedding", 16)
+    assert(half.select("cid").distinct().count() <= 16)
   }
 
   test("LSH top-k recall vs exact top-k is substantial") {
