@@ -431,11 +431,15 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     * would grow driver memory for faces nothing ever reads. */
   private[engine] def withStreamingViews[T](
       watermarks: Map[String, (String, String)] = Map.empty,
-      forStmt: String = "")(thunk: => T): T = synchronized {
-    liveTables.values.foreach { t =>
+      forStmt: String = "", readerKey: String = "")(thunk: => T): T = synchronized {
+    // only tables the statement references get (or keep) a reader stream —
+    // attaching every table would buffer batches for readers that never
+    // commit them (unbounded driver growth); unreferenced tables keep
+    // their batch views, which the statement doesn't touch anyway
+    referencedLiveTables(forStmt).foreach { t =>
       val sdf = watermarks.get(t.name) match {
-        case Some((tsCol, delay)) => t.streamingDF.withWatermark(tsCol, delay)
-        case None => t.streamingDF
+        case Some((tsCol, delay)) => t.streamingDFFor(readerKey).withWatermark(tsCol, delay)
+        case None => t.streamingDFFor(readerKey)
       }
       sdf.createOrReplaceTempView(t.viewName)
     }
@@ -451,6 +455,11 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
       mvs.values.foreach(_.restoreView())
     }
   }
+
+  /** Release `readerKey`'s per-table streams (MV dropped / demoted /
+    * streaming start failed) so the tables stop buffering for it. */
+  private[engine] def releaseStreamReaders(stmt: String, readerKey: String): Unit =
+    referencedLiveTables(stmt).foreach(_.dropReader(readerKey))
 
   // ---- handshake (C4/C12/S4) ----------------------------------------------
 

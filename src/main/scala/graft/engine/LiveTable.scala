@@ -14,8 +14,9 @@ import scala.jdk.CollectionConverters._
   * `risingwave/core.py:506-513`).
   *
   * Dual representation:
-  *  - a [[MemoryStream]] feeding Structured Streaming MVs (each MV's query
-  *    tracks its own offsets — multiple readers are fine);
+  *  - a [[MemoryStream]] PER MV maintainer (each backfilled with history at
+  *    attach time — a shared stream would let one query's commits prune
+  *    batches another query hasn't read);
   *  - an accumulated batch view under the (schema-mangled) table name for
   *    interactive `fetch` SQL.
   *
@@ -40,15 +41,37 @@ final class LiveTable(
   val bufSize = 5
 
   private val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
-  private[engine] val stream: MemoryStream[Row] = MemoryStream[Row](enc, spark)
 
   private val buffer = ArrayBuffer[Row]()
   private val allRows = ArrayBuffer[Row]()
 
+  /** One MemoryStream per reader (= MV maintainer). A SHARED stream is
+    * wrong twice over: MemoryStream prunes batches once its reading query
+    * commits them, so (a) two queries reading at different paces race for
+    * the same buffer, and (b) an MV created after ingest started misses the
+    * pruned history entirely. Each reader instead gets its own stream,
+    * seeded with the full row history at attach time (the CREATE MV
+    * backfill the reference's server performs) and fed every subsequent
+    * batch until released. */
+  private val readerStreams = scala.collection.mutable.Map[String, MemoryStream[Row]]()
+
   def viewName: String = Dialect.mangle(schemaName, name)
 
-  /** Streaming face (for MV maintainers). */
-  def streamingDF: DataFrame = stream.toDF()
+  /** Streaming face for one named reader — backfills existing rows on first
+    * attach. Call [[dropReader]] when the reader goes away (MV dropped,
+    * demoted, or failed to start) or its stream buffers forever. */
+  def streamingDFFor(reader: String): DataFrame = synchronized {
+    val ms = readerStreams.getOrElseUpdate(reader, {
+      val s = MemoryStream[Row](enc, spark)
+      if (allRows.nonEmpty)
+        s.addData(allRows.toList.map(r => Row.fromSeq(r.toSeq.dropRight(1))))
+      s
+    })
+    ms.toDF()
+  }
+
+  /** Stop buffering batches for a reader (its maintainer no longer runs). */
+  def dropReader(reader: String): Unit = synchronized { readerStreams -= reader }
 
   /** Batch face: all ingested rows, with upsert-by-primary-key semantics
     * applied (keep the max-version row; version NULLs never overwrite — the
@@ -110,8 +133,9 @@ final class LiveTable(
 
   private def addBatch(rows: Seq[Row]): Unit = {
     allRows ++= rows
-    // the streaming face carries the declared schema (no __seq)
-    stream.addData(rows.map(r => Row.fromSeq(r.toSeq.dropRight(1))))
+    // the streaming faces carry the declared schema (no __seq)
+    val faces = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1)))
+    readerStreams.values.foreach(_.addData(faces))
     refreshView()
   }
 

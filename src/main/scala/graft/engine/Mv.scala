@@ -197,7 +197,7 @@ final class MaterializedView private[engine](
       .exists(t => t.primaryKey.nonEmpty || t.mutated)
     val streamDf =
       if (readsPkTable) None
-      else try Some(engine.withStreamingViews(watermarks, stmt)(spark.sql(engine.rewrite(stmt))))
+      else try Some(engine.withStreamingViews(watermarks, stmt, viewName)(spark.sql(engine.rewrite(stmt))))
         .filter { df =>
           val isAgg = df.queryExecution.analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
           // Keyed is required even under EMIT ON WINDOW CLOSE: the pending
@@ -248,7 +248,10 @@ final class MaterializedView private[engine](
     }
 
     if (!startedStreaming) {
-      // batch re-run mode over the current batch views
+      // batch re-run mode over the current batch views; release any reader
+      // streams the failed streaming attempt attached (they would buffer
+      // every future batch for a maintainer that never runs)
+      engine.releaseStreamReaders(stmt, viewName)
       streamingMode = false
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
@@ -378,6 +381,7 @@ final class MaterializedView private[engine](
       query.foreach(_.stop())
       query = None
       streamingMode = false
+      engine.releaseStreamReaders(stmt, viewName)
       outStream = None // face dies with streaming mode (engine cascades)
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
@@ -390,6 +394,7 @@ final class MaterializedView private[engine](
 
   private[engine] def stop(): Unit = {
     query.foreach(_.stop())
+    engine.releaseStreamReaders(stmt, viewName)
     spark.catalog.dropTempView(viewName)
   }
 }

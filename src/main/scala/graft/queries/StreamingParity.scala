@@ -87,6 +87,32 @@ object StreamingParity {
       materialized
     },
 
+    // A4/§2.11 joins — incrementally-maintained stream⋈static enrichment MV
+    // (the canonical dimension-join MV): the live events stream joins the
+    // static `nation` dimension with an aggregate on top, maintained by the
+    // STREAMING path (asserted — a silent fall-back to per-flush batch
+    // re-run would still produce the right values, so the mode check is the
+    // actual gate), and the final state must equal the batch join+aggregate.
+    q("m_mv_join_incremental",
+      """SELECT n.n_name AS nation, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "nation").createOrReplaceTempView("nation")
+      val rw = replay(s, dir, "m_ev_join", Some(("m_join_mv",
+        """SELECT n.n_name AS nation, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM m_ev_join e JOIN nation n ON n.n_nationkey = e.user_id % 25
+          |GROUP BY n.n_name""".stripMargin)))
+      val mv = rw.mvByName("m_join_mv").get
+      require(mv.isStreamingMode,
+        "join MV fell back to batch re-run — must be maintained incrementally")
+      val out = mv.df.withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // W3/W4 — the changelog itself: op counts of chunked incremental
     // maintenance are predictable from chunk/key co-occurrence (count(*)
     // strictly grows per touch, so every later touch is an UD/UI pair).
