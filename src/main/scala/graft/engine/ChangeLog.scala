@@ -19,19 +19,45 @@ import scala.collection.mutable.ArrayBuffer
   * scale the segment directory is the same layout on shared storage (or a
   * Kafka topic); the interface here is unchanged.
   */
-final class ChangeLog(spark: SparkSession, rowSchema: () => StructType) {
+final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
+                      persistDir: Option[String] = None) {
   private val entries = ArrayBuffer[(Long, Row)]()
   private var lastTs = 0L
 
   /** (minTs, maxTs, path, rowCount) per spilled segment, in offset order. */
   private val segments = ArrayBuffer[(Long, Long, String, Long)]()
-  private lazy val spillDir = java.nio.file.Files
-    .createTempDirectory("graft-changelog-").toString
+  private lazy val spillDir = persistDir.map { d =>
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)); d
+  }.getOrElse(java.nio.file.Files.createTempDirectory("graft-changelog-").toString)
   private def spillThreshold: Int =
     spark.conf.getOption("graft.changelog.spillThreshold").map(_.toInt).getOrElse(100000)
 
+  // restart recovery: segment metadata is encoded in the directory name
+  // (seg-<minTs>-<maxTs>-<count>), so reattaching to a persistent dir needs
+  // no footer reads — rebuild the index and resume offsets past the max
+  private val segName = """seg-(\d+)-(\d+)-(\d+)""".r
+  persistDir.foreach { d =>
+    val f = new java.io.File(d)
+    if (f.isDirectory) {
+      val recovered = f.listFiles().toSeq.flatMap(s => s.getName match {
+        case segName(min, max, n) => Some((min.toLong, max.toLong, s.getAbsolutePath, n.toLong))
+        case _ => None
+      }).sortBy(_._1)
+      segments ++= recovered
+      recovered.lastOption.foreach { case (_, max, _, _) => lastTs = max }
+    }
+  }
+
   private def changeSchema: StructType =
     rowSchema().add("op", StringType).add("rw_timestamp", LongType, nullable = false)
+
+  private def writeSegment(spill: Seq[(Long, Row)]): Unit = {
+    val path = s"$spillDir/seg-${spill.head._1}-${spill.last._1}-${spill.size}"
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(spill.map(_._2).toList.asJava, changeSchema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    segments += ((spill.head._1, spill.last._1, path, spill.size.toLong))
+  }
 
   /** Stamp rows with fresh monotone offsets and append atomically; spill
     * the oldest half of the in-memory window when it overflows. */
@@ -43,15 +69,20 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType) {
     val limit = spillThreshold
     if (entries.size > limit) {
       val n = entries.size - limit / 2
-      val spill = entries.take(n)
-      val path = s"$spillDir/seg-${spill.head._1}"
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(spill.map(_._2).toList.asJava, changeSchema)
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      segments += ((spill.head._1, spill.last._1, path, n.toLong))
+      writeSegment(entries.take(n).toList)
       entries.remove(0, n)
     }
     notifyAll()
+  }
+
+  /** Durable-mode shutdown hook: spill the in-memory tail so the whole
+    * retained history is on disk for the next engine open. No-op when the
+    * changelog is ephemeral (no persist dir). */
+  def flushTail(): Unit = synchronized {
+    if (persistDir.nonEmpty && entries.nonEmpty) {
+      writeSegment(entries.toList)
+      entries.clear()
+    }
   }
 
   /** Rows with offset strictly greater than `after`, up to `limit` —

@@ -15,12 +15,17 @@ import scala.collection.mutable
   * `mv` (D4/D5/C10), `onChange` subscriptions (C9, D6–D8), catalog
   * introspection (S2/S3/C8) and `version()` (S4/C12).
   */
-final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
+final class GraftEngine(val spark: SparkSession,
+                        val options: ConnOptions = ConnOptions()) extends AutoCloseable {
 
   private val schemas = mutable.LinkedHashSet[String]("public", "information_schema")
   private val liveTables = mutable.LinkedHashMap[(String, String), LiveTable]()
   private val mvs = mutable.LinkedHashMap[(String, String), MaterializedView]()
   private val subscriptionSources = mutable.LinkedHashMap[String, (String, String)]()
+
+  /** Persistent changelog location for one MV (None = ephemeral). */
+  private[engine] def changelogDirFor(viewName: String): Option[String] =
+    options.dataDir.map(d => s"$d/changelog/$viewName")
 
   registerVersionFunction()
   handshake()
@@ -417,6 +422,10 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
         primaryKey = Seq("sub_name"), versionColumn = Some("progress")))
   }
 
+  // runs AFTER progressTable's declaration — Scala initializes constructor
+  // statements in declaration order, and restore touches the field
+  restoreProgress()
+
   // ---- streaming-view binding (used by Mv.start) --------------------------
 
   /** Temporarily rebind live-table views — and the streaming faces of
@@ -492,7 +501,32 @@ final class GraftEngine(val spark: SparkSession) extends AutoCloseable {
     * safe) SparkSession, so a handle is a thin facade. */
   def getconn(): Connection = new Connection(this)
 
+  /** Load persisted subscription progress (if the data dir has any) into
+    * the progress upsert table, so `declareCursor()` with persisted progress
+    * resumes across engine restarts. */
+  private def restoreProgress(): Unit = options.dataDir.foreach { d =>
+    val f = new java.io.File(s"$d/progress")
+    if (f.isDirectory) {
+      ensureProgressTable()
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select("sub_name", "progress").collect()
+      progressTable.foreach { t =>
+        rows.foreach(r => t.insertRow(
+          Map("sub_name" -> r.getString(0), "progress" -> r.getLong(1)), forceFlush = true))
+      }
+    }
+  }
+
   override def close(): Unit = {
+    // durable mode: changelog tails + progress snapshot to the data dir
+    // BEFORE maintainers stop, so a reopen on the same dir resumes SINCE
+    // cursors and checkpointed subscriptions
+    mvs.values.foreach(_.changeLog.flushTail())
+    options.dataDir.foreach { d =>
+      progressTable.foreach { t =>
+        t.batchDF.coalesce(1).write.mode("overwrite").parquet(s"$d/progress")
+      }
+    }
     mvs.values.foreach(_.stop())
     mvs.clear()
   }
@@ -547,7 +581,7 @@ object GraftEngine {
       // the conf is session-global: an earlier rocksdb engine on a shared
       // session must not leak its backend into this engine's maintainers
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    Retry.retry(intervalMs = 500, times = 60) { new GraftEngine(spark) }
+    Retry.retry(intervalMs = 500, times = 60) { new GraftEngine(spark, options) }
   }
 }
 

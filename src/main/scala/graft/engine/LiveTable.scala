@@ -120,7 +120,19 @@ final class LiveTable(
     addBatch(rows.map(r => { seq += 1; Row.fromSeq(r.toSeq :+ seq) }))
   }
 
-  def insertDF(df: DataFrame): Unit = insert(df.select(schema.fieldNames.map(col): _*).collect().toSeq)
+  /** K4 — DataFrame insert for arbitrary input sizes: rows stream to the
+    * driver one partition at a time (`toLocalIterator`) and append in
+    * `batchSize`-bounded chunks, so a large backfill holds at most one
+    * partition + one chunk in driver memory at a time — never the whole
+    * DataFrame (the old single `collect()` OOM'd the driver for big
+    * inputs). A chunked insert lands as multiple micro-batches: identical
+    * final state, but MV changelogs may record intermediate per-chunk ops
+    * if a FLUSH runs mid-insert. */
+  def insertDF(df: DataFrame, batchSize: Int = 100000): Unit = {
+    import scala.jdk.CollectionConverters._
+    df.select(schema.fieldNames.map(col): _*).toLocalIterator().asScala
+      .grouped(batchSize).foreach(chunk => insert(chunk))
+  }
 
   /** Flush this table's row buffer into one micro-batch (K1's multi-row
     * INSERT equivalent). */

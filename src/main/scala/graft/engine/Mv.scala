@@ -37,7 +37,8 @@ final class MaterializedView private[engine](
   private val spark = engine.spark
   def viewName: String = Dialect.mangle(schemaName, name)
 
-  private[engine] val changeLog = new ChangeLog(engine.spark, () => outputSchema)
+  private[engine] val changeLog =
+    new ChangeLog(engine.spark, () => outputSchema, engine.changelogDirFor(viewName))
   @volatile private var snapshot: Option[DataFrame] = None
   @volatile private var query: Option[StreamingQuery] = None
   private var keyCols: Seq[String] = Nil

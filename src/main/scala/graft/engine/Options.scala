@@ -26,7 +26,14 @@ final case class ConnOptions(
       * or "rocksdb". RocksDB keeps MV state off-heap and spillable — the
       * state-bounding knob for unbounded (no-watermark) aggregations at
       * scale, next to the per-table watermark option (SURVEY W9/§7 (e)). */
-    stateStore: String = "memory")
+    stateStore: String = "memory",
+    /** Engine data directory. When set, changelog segments and subscription
+      * progress persist under it and a later `GraftEngine.open` on the same
+      * dir resumes them — `SINCE` cursors replay history from before the
+      * restart, like the reference's server-side retention
+      * (`risingwave/core.py:526-536` checkpoints against a durable server).
+      * Unset = ephemeral temp dirs (test default). */
+    dataDir: Option[String] = None)
 
 object ConnOptions {
   /** `postgresql://` DSNs are accepted exactly like the reference rewrites

@@ -586,6 +586,18 @@ class EngineSpec extends SparkSpec {
     assert(rows == Seq((0L, 3L), (0L, 10L), (10L, 4L), (10L, 20L)), s"got $rows")
   }
 
+  test("insertDF streams large inputs in bounded chunks (no whole-DF collect)") {
+    rw.createTable("bulk_t", StructType(Seq(StructField("id", LongType))))
+    val t = rw.table("bulk_t").get
+    // 1M rows through the chunked toLocalIterator path: 10+ chunks at the
+    // 100k default — the old collect() materialized all rows at once
+    t.insertDF(spark.range(1000000).toDF("id"))
+    rw.flush()
+    assert(t.rowCount == 1000000L)
+    val agg = rw.fetch("SELECT count(*) AS n, sum(id) AS s FROM bulk_t").head
+    assert(agg.getLong(0) == 1000000L && agg.getLong(1) == 499999500000L)
+  }
+
   test("composite table-level PRIMARY KEY (a, b) and DECIMAL(10,2) parse correctly") {
     rw.execute(
       """CREATE TABLE ddl_pk2 (a INT, b INT, price DECIMAL(10,2), note VARCHAR(32),
