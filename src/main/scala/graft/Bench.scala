@@ -50,7 +50,7 @@ object Bench {
     // ±20% JIT/page-cache noise (round 2's x_text_fingerprint "+18%
     // regression" was exactly that), and min isolates the plan+execution
     // cost the benchmark is meant to track
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     def best(name: String): Double = {
       val ts = (1 to iters).map(_ => run(name))
       if (ts.exists(_ < 0)) -1.0 else ts.min

@@ -117,7 +117,7 @@ final class GraftEngine(val spark: SparkSession,
         throw new RuntimeException(
           s"cannot drop materialized view $qname: " +
             s"${dependents.keys.map(k => s"${k._1}.${k._2}").mkString(", ")} depend(s) on it")
-      mvs.remove((sn, vn)).foreach(_.stop())
+      mvs.remove((sn, vn)).foreach { m => m.stop(); m.purgeChangelog() }
     case createSubRe(subQ, srcQ) =>
       val (_, subName) = splitQualified(subQ)
       subscriptionSources(subName) = splitQualified(srcQ)
@@ -456,7 +456,7 @@ final class GraftEngine(val spark: SparkSession,
       val referenced = forStmt.isEmpty ||
         Seq(m.viewName, s"${m.schemaName}.${m.name}", m.name)
           .exists(n => referencesName(forStmt, n))
-      if (referenced) m.streamingFace.foreach(_.createOrReplaceTempView(m.viewName))
+      if (referenced) m.streamingFaceFor(readerKey).foreach(_.createOrReplaceTempView(m.viewName))
     }
     try thunk
     finally {
@@ -465,10 +465,14 @@ final class GraftEngine(val spark: SparkSession,
     }
   }
 
-  /** Release `readerKey`'s per-table streams (MV dropped / demoted /
-    * streaming start failed) so the tables stop buffering for it. */
-  private[engine] def releaseStreamReaders(stmt: String, readerKey: String): Unit =
+  /** Release `readerKey`'s per-table streams AND per-MV face streams (MV
+    * dropped / demoted / streaming start failed) so neither tables nor
+    * upstream MVs keep buffering for it. Dropping an unbound key is a
+    * no-op, so sweeping every MV is safe. */
+  private[engine] def releaseStreamReaders(stmt: String, readerKey: String): Unit = {
     referencedLiveTables(stmt).foreach(_.dropReader(readerKey))
+    mvs.values.foreach(_.dropFaceReader(readerKey))
+  }
 
   // ---- handshake (C4/C12/S4) ----------------------------------------------
 
@@ -518,16 +522,17 @@ final class GraftEngine(val spark: SparkSession,
   }
 
   override def close(): Unit = {
-    // durable mode: changelog tails + progress snapshot to the data dir
-    // BEFORE maintainers stop, so a reopen on the same dir resumes SINCE
-    // cursors and checkpointed subscriptions
+    // halt the maintainers FIRST — an in-flight micro-batch could append
+    // ops after a premature tail flush and lose them from durable history
+    mvs.values.foreach(_.stop())
+    // durable mode: changelog tails + progress snapshot to the data dir so
+    // a reopen resumes SINCE cursors and checkpointed subscriptions
     mvs.values.foreach(_.changeLog.flushTail())
     options.dataDir.foreach { d =>
       progressTable.foreach { t =>
         t.batchDF.coalesce(1).write.mode("overwrite").parquet(s"$d/progress")
       }
     }
-    mvs.values.foreach(_.stop())
     mvs.clear()
   }
 }

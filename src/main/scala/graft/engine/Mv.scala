@@ -46,26 +46,36 @@ final class MaterializedView private[engine](
   private var streamingMode = false
   private var isAggMode = false
 
-  /** For append-only streaming MVs (stateless plans): the MV's own
-    * streaming face, fed one micro-batch per epoch — downstream MVs bind to
-    * it and maintain incrementally (streaming MV-on-MV chains). Aggregating
-    * MVs have no face: their deltas are updates, which a downstream
-    * streaming aggregate would double-count; chains over them re-run in
-    * batch mode instead. */
-  private var outStream: Option[org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row]] = None
+  /** For append-only streaming MVs (stateless plans): the MV's streaming
+    * faces, fed one micro-batch per epoch — downstream MVs bind to one and
+    * maintain incrementally (streaming MV-on-MV chains). ONE MemoryStream
+    * PER downstream reader, backfilled with the snapshot at attach time —
+    * the same shape as [[LiveTable.streamingDFFor]], and for the same two
+    * reasons: a shared stream lets one reader's commits prune batches
+    * another hasn't read, and a late-attaching reader would miss the
+    * already-pruned history. Aggregating MVs have no face: their deltas are
+    * updates, which a downstream streaming aggregate would double-count;
+    * chains over them re-run in batch mode instead. MVs with no bound
+    * reader buffer nothing (no driver-memory leak). */
+  private val faceStreams = scala.collection.mutable.Map[String,
+    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row]]()
 
-  private val faceRequested = new java.util.concurrent.atomic.AtomicBoolean(false)
-
-  private[engine] def streamingFace: Option[DataFrame] = synchronized {
-    if (streamingMode && !isAggMode) outStream.map { st =>
-      // first bind: backfill the full history (for an append-only MV the
-      // snapshot IS the history), then handleDelta keeps feeding; MVs with
-      // no downstream reader never buffer anything (no driver-memory leak)
-      if (faceRequested.compareAndSet(false, true))
+  private[engine] def streamingFaceFor(reader: String): Option[DataFrame] = synchronized {
+    if (streamingMode && !isAggMode) Some {
+      faceStreams.getOrElseUpdate(reader, {
+        import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+        val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outputSchema))
+        val st = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](enc, spark)
+        // backfill: for an append-only MV the snapshot IS the history
         snapshot.foreach(s => st.addData(s.collect().toSeq))
-      st.toDF()
+        st
+      }).toDF()
     } else None
   }
+
+  /** Stop buffering face batches for a reader (downstream MV dropped,
+    * demoted, or failed to start streaming). */
+  private[engine] def dropFaceReader(reader: String): Unit = synchronized { faceStreams -= reader }
 
   private[graft] def isStreamingMode: Boolean = streamingMode
 
@@ -220,12 +230,6 @@ final class MaterializedView private[engine](
         case _ => sdf.columns.toSeq
       }
       val eowc = isAgg && eowcEligible(sdf)
-      if (!isAgg) {
-        import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-        val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outputSchema))
-        outStream = Some(
-          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](enc, spark))
-      }
       val handler: (Dataset[Row], Long) => Unit =
         if (eowc) (batch, _) => handleEowcDelta(batch.toDF())
         else (batch, _) => handleDelta(batch.toDF(), isAgg)
@@ -274,9 +278,12 @@ final class MaterializedView private[engine](
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (d.isEmpty) return
-    // feed downstream streaming chains (only once a chain is bound —
-    // backfill happens at bind time): append-mode deltas are pure inserts
-    if (!isAgg && faceRequested.get) outStream.foreach(_.addData(d.collect().toSeq))
+    // feed downstream streaming chains (each reader's face was backfilled
+    // at bind time): append-mode deltas are pure inserts
+    if (!isAgg && faceStreams.nonEmpty) {
+      val rows = d.collect().toSeq
+      faceStreams.values.foreach(_.addData(rows))
+    }
     val ops =
       if (!isAgg || snapshot.isEmpty) Changelog.diff(None, d, keyCols)
       else {
@@ -306,7 +313,7 @@ final class MaterializedView private[engine](
     * Late rows for closed windows are dropped by Spark's watermark before
     * they reach the delta, so emitted values are final. */
   private def handleEowcDelta(delta: DataFrame): Unit = synchronized {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, unix_millis}
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (!d.isEmpty) {
@@ -320,7 +327,9 @@ final class MaterializedView private[engine](
     }
     val wm = watermarkMs
     pending.foreach { p =>
-      val closedPred = col("window_start").cast("long") * 1000 + closeDurMs.get <= wm
+      // unix_millis, not cast-to-seconds×1000: sub-second windows (ms-unit
+      // intervals) would truncate their start and "close" half a window early
+      val closedPred = unix_millis(col("window_start")) + closeDurMs.get <= wm
       val nc = p.filter(closedPred).localCheckpoint(true)
       if (!nc.isEmpty) {
         changeLog.append(Changelog.diff(None, nc, keyCols).collect().toSeq)
@@ -383,7 +392,7 @@ final class MaterializedView private[engine](
       query = None
       streamingMode = false
       engine.releaseStreamReaders(stmt, viewName)
-      outStream = None // face dies with streaming mode (engine cascades)
+      faceStreams.clear() // faces die with streaming mode (engine cascades)
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
       keyCols = keyMode match {
@@ -396,8 +405,17 @@ final class MaterializedView private[engine](
   private[engine] def stop(): Unit = {
     query.foreach(_.stop())
     engine.releaseStreamReaders(stmt, viewName)
+    synchronized { faceStreams.clear() }
     spark.catalog.dropTempView(viewName)
   }
+
+  /** DROP MV in durable mode: the persisted changelog belongs to THIS MV
+    * incarnation — a later same-named MV (possibly a different query /
+    * schema) must not recover it as its own history. */
+  private[engine] def purgeChangelog(): Unit =
+    engine.changelogDirFor(viewName).foreach { d =>
+      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
 }
 
 object MaterializedView {

@@ -69,28 +69,36 @@ object Similarity {
     * TakeOrderedAndProject (map-side top-K + tiny driver merge, no global
     * sort). Collecting K rows is the model-fit step of the quantizer
     * (analogous to a trained k-means codebook), not a data path.
+    * Reduce-before-multiply: `((id mod p)·(m mod p)) mod p ≡ (id·m) mod p`
+    * with every intermediate < p² ≈ 1.1e10, so neither Spark (ANSI) nor the
+    * overflow-checked DuckDB oracle can wrap even for 2⁶³-scale ids.
     * Returns (cid, cv double-cast, cn) sorted by cid ascending. */
   private[graft] def ivfCentroids(v: DataFrame, numCentroids: Int): Array[(Long, Array[Double], Double)] =
-    v.orderBy(pmod(col("id") * lit(2654435761L), lit(104729L)), col("id"))
+    v.orderBy(pmod(pmod(col("id"), lit(104729L)) * lit(2654435761L % 104729L), lit(104729L)),
+        col("id"))
       .limit(numCentroids)
       .select(col("id"), col("v").cast("array<double>"), col("vn"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
 
-  /** IVF assignment as a map-side argmax: (id, v, vn, cid) with NO shuffle
-    * between the corpus scan and the assignment — the centroid set rides
-    * inside a native [[graft.functions.HashExpressions.NearestCentroid]]
-    * expression (one tight loop per row), so the inverted lists materialize
-    * inside the scan stage. At scale `cid` becomes the partitioning /
-    * bucketing key of the stored index. PlanShapeSpec pins the no-Exchange
-    * property. */
+  /** Map-side argmax over a fixed centroid set: `cid` of the nearest
+    * centroid appended to the prepared (id, v, vn) frame with NO shuffle —
+    * the centroids ride inside a native
+    * [[graft.functions.HashExpressions.NearestCentroid]] expression (one
+    * tight loop per row), so the inverted lists materialize inside the scan
+    * stage. At scale `cid` becomes the partitioning / bucketing key of the
+    * stored index. PlanShapeSpec pins the no-Exchange property. */
+  private def assignToCentroids(v: DataFrame,
+                                cents: Array[(Long, Array[Double], Double)]): DataFrame =
+    v.withColumn("cid", graft.functions.HashExpressions.nearestCentroid(
+      col("v"), cents.map(_._1), cents.map(_._2), cents.map(_._3)))
+
+  /** [[assignToCentroids]] from a raw corpus — the IVF index-build step. */
   private[graft] def ivfAssignments(df: DataFrame, idCol: String, vecCol: String,
                                     numCentroids: Int): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), normD(col(vecCol)).as("vn"))
-    val cents = ivfCentroids(v, numCentroids)
-    v.withColumn("cid", graft.functions.HashExpressions.nearestCentroid(
-      col("v"), cents.map(_._1), cents.map(_._2), cents.map(_._3)))
+    assignToCentroids(v, ivfCentroids(v, numCentroids))
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path next to LSH:
@@ -110,8 +118,7 @@ object Similarity {
     // cosine(): dot/(an*bn) is the same expression tree, evaluated once)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), normD(col(vecCol)).as("vn"))
     val cents = ivfCentroids(v, numCentroids)
-    val assigned = v.withColumn("cid", graft.functions.HashExpressions.nearestCentroid(
-      col("v"), cents.map(_._1), cents.map(_._2), cents.map(_._3)))
+    val assigned = assignToCentroids(v, cents)
 
     // nProbe nearest centroids per query vector (queries × K rows — tiny)
     val spark = df.sparkSession

@@ -245,7 +245,8 @@ object Extensions {
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
          |           FROM embeddings),
          |c AS (SELECT vec_id AS cid, e AS cv FROM v
-         |      ORDER BY (vec_id * 2654435761) % 104729, vec_id LIMIT 32),
+         |      ORDER BY ((vec_id % 104729) * (2654435761 % 104729)) % 104729, vec_id
+         |      LIMIT 32),
          |sc AS (SELECT v.vec_id, c.cid, ${duckCos("v.e", "c.cv")} AS csc
          |       FROM v CROSS JOIN c),
          |asg AS (SELECT vec_id, cid FROM (

@@ -53,6 +53,30 @@ class JoinMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("two downstream MVs chained on one streaming MV face see full history") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("jm_ev4", schema)
+    val t = rw.table("jm_ev4").get
+    rw.mv("SELECT event_id, user_id, value FROM jm_ev4 WHERE value >= 0", "jm_base")
+    assert(rw.mvByName("jm_base").get.isStreamingMode)
+    t.insert(Seq(Row(1L, 1L, 1.0), Row(2L, 2L, 2.0)))
+    rw.flush()
+    rw.mv("SELECT user_id, count(*) AS n FROM jm_base GROUP BY user_id", "jm_da")
+    t.insert(Seq(Row(3L, 1L, 3.0)))
+    rw.flush()
+    // second downstream attaches later still — its face must backfill the
+    // full upstream history, not just batches after its own bind
+    rw.mv("SELECT user_id, count(*) AS n FROM jm_base GROUP BY user_id", "jm_db")
+    t.insert(Seq(Row(4L, 2L, 4.0)))
+    rw.flush()
+    val expect = Map(1L -> 2L, 2L -> 2L)
+    val a = rw.mvByName("jm_da").get.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = rw.mvByName("jm_db").get.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == expect, s"first downstream saw $a")
+    assert(b == expect, s"late downstream saw $b")
+    rw.close()
+  }
+
   test("two MVs on one table see the full history independently") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("jm_ev3", schema)
