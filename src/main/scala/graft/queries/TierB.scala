@@ -448,6 +448,21 @@ object TierB {
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
         |GROUP BY o_orderstatus""".stripMargin),
 
+    // Correlated EXISTS / NOT EXISTS (decorrelated by Catalyst into
+    // semi/anti joins — the pushdown-friendly rewrite a row-at-a-time
+    // engine can't do).
+    sqlBoth("b_subq_exists",
+      """SELECT 'urgent' AS tag, c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin),
+
     sqlBoth("b_cte_topn",
       """WITH revenue AS (
         |  SELECT l_suppkey,
@@ -680,6 +695,19 @@ object TierB {
         |FROM lineitem
         |WHERE l_orderkey <= 2000
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin),
+
+    // lead/lag with offsets + defaults — the sequential-compare window
+    // shape (delta vs previous row, lookahead) used by change detection.
+    sqlBoth("b_win_lead_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_ok,
+        |  CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_ok,
+        |  CAST(lag(o_orderkey, 2, -1) OVER w AS BIGINT) AS prev2_ok,
+        |  round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS price_delta
+        |FROM orders
+        |WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
 
     // Boolean aggregates + array_agg with deterministic order.
     q("b_bool_array_agg",

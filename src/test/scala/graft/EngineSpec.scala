@@ -562,6 +562,34 @@ class EngineSpec extends SparkSpec {
     assert(rows == Seq((0L, 2L, 3L), (500L, 1L, 4L), (1000L, 1L, 8L)), s"got $rows")
   }
 
+  test("EOWC with sub-second windows closes at true window end (unix_millis)") {
+    rw.createTable("eowcms_t", StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType))))
+    val m = rw.mv(
+      """SELECT window_start, count(*) AS n
+        |FROM tumble(eowcms_t, ts, interval '500 milliseconds')
+        |GROUP BY window_start EMIT ON WINDOW CLOSE""".stripMargin,
+      "eowcms_mv", watermarks = Map("eowcms_t" -> (("ts", "0 seconds"))))
+    assert(m.isStreamingMode)
+    def tick(ms: Long) =
+      rw.insertRow("eowcms_t", values = Map("ts" -> new Timestamp(ms), "v" -> 1L),
+        forceFlush = true)
+    tick(100); tick(400)
+    assert(rw.fetch("SELECT * FROM eowcms_mv").isEmpty)
+    tick(700); tick(800)
+    // watermark 700ms: window [0,500) closed, but [500,1000) must stay
+    // pending — a whole-second close check truncated its start to 0 and
+    // computed close=500ms, emitting it half a window early
+    val s1 = rw.fetch("SELECT CAST(unix_millis(window_start) AS BIGINT) AS ws, n FROM eowcms_mv")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1 == Seq((0L, 2L)), s"got $s1")
+    tick(1300); tick(1400)
+    val s2 = rw.fetch(
+      "SELECT CAST(unix_millis(window_start) AS BIGINT) AS ws, n FROM eowcms_mv ORDER BY ws")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s2 == Seq((0L, 2L), (500L, 2L)), s"got $s2")
+  }
+
   test("EOWC with a non-Keyed aggregate falls back to batch and stays correct") {
     rw.createTable("eowcnk_t", StructType(Seq(
       StructField("k", StringType), StructField("ts", TimestampType),
