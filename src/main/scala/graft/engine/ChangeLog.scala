@@ -123,6 +123,22 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     entries.clear(); entries ++= keepMem
   }
 
+  /** DROP MV: irrevocably delete the retained history — memory tail,
+    * segment index, and the on-disk files (persistent or temp). Holds the
+    * monitor, honoring [[fetchAfter]]'s no-unlink-mid-scan invariant; a
+    * subscription that outlives the drop sees an empty log and drains
+    * cleanly instead of crashing on deleted segment paths. */
+  def purge(): Unit = synchronized {
+    entries.clear()
+    segments.foreach { case (_, _, p, _) =>
+      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    }
+    segments.clear()
+    persistDir.foreach { d =>
+      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+    }
+  }
+
   /** Block until an entry with offset > `after` exists (used by blocking
     * consume loops; 100 ms idle poll like `risingwave/core.py:20`). */
   def awaitAfter(after: Long, timeoutMs: Long): Boolean = synchronized {

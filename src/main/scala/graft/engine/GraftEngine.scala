@@ -428,35 +428,52 @@ final class GraftEngine(val spark: SparkSession,
 
   // ---- streaming-view binding (used by Mv.start) --------------------------
 
+  /** Source relation names of a statement from the PARSED plan (lowercase,
+    * as written — bare or qualified), or None when it doesn't parse. Used
+    * where reference precision matters: a word-boundary regex over-matches
+    * same-named columns/strings, which is harmless for demotion decisions
+    * (worst case: batch re-run) but NOT for reader-stream binding, where a
+    * spurious match would buffer a snapshot copy + every future delta for a
+    * reader that never consumes them. */
+  private def statementRelations(stmt: String): Option[Set[String]] =
+    try Some(spark.sessionState.sqlParser.parsePlan(rewrite(stmt)).collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.mkString(".").toLowerCase
+    }.toSet)
+    catch { case _: Throwable => None }
+
   /** Temporarily rebind live-table views — and the streaming faces of
     * append-only streaming MVs (MV-on-MV chains) — to their streaming
     * forms (with optional per-table watermarks), evaluate, restore.
     * Synchronized: view rebinding is session-global.
     *
-    * Only MVs actually referenced by `forStmt` get their streaming face
-    * bound: binding a face flips its one-shot backfill latch
-    * (`faceRequested`), after which every epoch's delta is buffered into
-    * the MemoryStream — doing that for every existing MV on every create
-    * would grow driver memory for faces nothing ever reads. */
+    * Binding attaches a dedicated backfilled MemoryStream per (source,
+    * readerKey) — see [[LiveTable.streamingDFFor]] /
+    * [[MaterializedView.streamingFaceFor]] — which the source then feeds
+    * every subsequent batch. So ONLY sources the statement actually reads
+    * may bind: resolution goes through the parsed plan's relation names
+    * (regex fallback for unparsable text), and a failed/demoted maintainer
+    * releases its readers via [[releaseStreamReaders]]. */
   private[engine] def withStreamingViews[T](
       watermarks: Map[String, (String, String)] = Map.empty,
       forStmt: String = "", readerKey: String = "")(thunk: => T): T = synchronized {
-    // only tables the statement references get (or keep) a reader stream —
-    // attaching every table would buffer batches for readers that never
-    // commit them (unbounded driver growth); unreferenced tables keep
-    // their batch views, which the statement doesn't touch anyway
-    referencedLiveTables(forStmt).foreach { t =>
-      val sdf = watermarks.get(t.name) match {
-        case Some((tsCol, delay)) => t.streamingDFFor(readerKey).withWatermark(tsCol, delay)
-        case None => t.streamingDFFor(readerKey)
+    val rels = statementRelations(forStmt)
+    def referenced(spellings: Seq[String]): Boolean = rels match {
+      case Some(rs) => spellings.exists(s => rs.contains(s.toLowerCase))
+      case None => spellings.exists(n => referencesName(forStmt, n))
+    }
+    liveTables.values.foreach { t =>
+      if (referenced(Seq(t.viewName, s"${t.schemaName}.${t.name}", t.name))) {
+        val sdf = watermarks.get(t.name) match {
+          case Some((tsCol, delay)) => t.streamingDFFor(readerKey).withWatermark(tsCol, delay)
+          case None => t.streamingDFFor(readerKey)
+        }
+        sdf.createOrReplaceTempView(t.viewName)
       }
-      sdf.createOrReplaceTempView(t.viewName)
     }
     mvs.values.foreach { m =>
-      val referenced = forStmt.isEmpty ||
-        Seq(m.viewName, s"${m.schemaName}.${m.name}", m.name)
-          .exists(n => referencesName(forStmt, n))
-      if (referenced) m.streamingFaceFor(readerKey).foreach(_.createOrReplaceTempView(m.viewName))
+      if (referenced(Seq(m.viewName, s"${m.schemaName}.${m.name}", m.name)))
+        m.streamingFaceFor(readerKey).foreach(_.createOrReplaceTempView(m.viewName))
     }
     try thunk
     finally {
@@ -468,9 +485,9 @@ final class GraftEngine(val spark: SparkSession,
   /** Release `readerKey`'s per-table streams AND per-MV face streams (MV
     * dropped / demoted / streaming start failed) so neither tables nor
     * upstream MVs keep buffering for it. Dropping an unbound key is a
-    * no-op, so sweeping every MV is safe. */
-  private[engine] def releaseStreamReaders(stmt: String, readerKey: String): Unit = {
-    referencedLiveTables(stmt).foreach(_.dropReader(readerKey))
+    * no-op, so the sweep covers every source without reference analysis. */
+  private[engine] def releaseStreamReaders(readerKey: String): Unit = {
+    liveTables.values.foreach(_.dropReader(readerKey))
     mvs.values.foreach(_.dropFaceReader(readerKey))
   }
 

@@ -256,7 +256,7 @@ final class MaterializedView private[engine](
       // batch re-run mode over the current batch views; release any reader
       // streams the failed streaming attempt attached (they would buffer
       // every future batch for a maintainer that never runs)
-      engine.releaseStreamReaders(stmt, viewName)
+      engine.releaseStreamReaders(viewName)
       streamingMode = false
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
@@ -391,7 +391,7 @@ final class MaterializedView private[engine](
       query.foreach(_.stop())
       query = None
       streamingMode = false
-      engine.releaseStreamReaders(stmt, viewName)
+      engine.releaseStreamReaders(viewName)
       faceStreams.clear() // faces die with streaming mode (engine cascades)
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
@@ -404,18 +404,17 @@ final class MaterializedView private[engine](
 
   private[engine] def stop(): Unit = {
     query.foreach(_.stop())
-    engine.releaseStreamReaders(stmt, viewName)
+    engine.releaseStreamReaders(viewName)
     synchronized { faceStreams.clear() }
     spark.catalog.dropTempView(viewName)
   }
 
-  /** DROP MV in durable mode: the persisted changelog belongs to THIS MV
-    * incarnation — a later same-named MV (possibly a different query /
-    * schema) must not recover it as its own history. */
-  private[engine] def purgeChangelog(): Unit =
-    engine.changelogDirFor(viewName).foreach { d =>
-      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
-    }
+  /** DROP MV: the retained changelog belongs to THIS MV incarnation — a
+    * later same-named MV (possibly a different query / schema) must not
+    * recover it as durable history, and the segment files must not outlive
+    * the drop. Delegated to [[ChangeLog.purge]] (which holds the log's own
+    * monitor, so in-flight fetches cannot race the unlink). */
+  private[engine] def purgeChangelog(): Unit = changeLog.purge()
 }
 
 object MaterializedView {
