@@ -166,6 +166,11 @@ final class LiveTable(
 
   private[engine] def mutate(f: DataFrame => DataFrame): Unit = synchronized {
     mutated = true
+    // the engine demotes every streaming MV reading this table BEFORE
+    // mutating, so no reader streams should remain; clearing is the safe
+    // backstop — feeding post-mutation appends to a pre-mutation reader
+    // would double-count rows the rewrite already folded in
+    readerStreams.clear()
     flushBuffer()
     val next = f(batchDF).select(schema.fieldNames.map(col): _*).collect()
     allRows.clear()
