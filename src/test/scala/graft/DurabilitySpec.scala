@@ -37,6 +37,28 @@ class DurabilitySpec extends SparkSpec {
     rw2.close()
   }
 
+  test("a subscription outliving DROP MV drains cleanly (purge under the log monitor)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
+    spark.conf.set("graft.changelog.spillThreshold", "4")
+    try {
+      val rw = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+      rw.createTable("dd_t", schema)
+      rw.mv("SELECT k, v FROM dd_t", "dd_mv")
+      val t = rw.table("dd_t").get
+      // enough ops to overflow the 4-row memory window → spilled segments
+      (1 to 12).foreach { i => t.insert(Seq(Row(s"k$i", i.toLong))); rw.flush() }
+      val sub = rw.mvByName("dd_mv").get.subscription().declareCursor(Some(0L))
+      assert(sub.fetch(3).size == 3) // reads through a spilled segment
+      rw.execute("DROP MATERIALIZED VIEW dd_mv")
+      assert(!new java.io.File(s"$dir/changelog").exists() ||
+        new java.io.File(s"$dir/changelog").listFiles().isEmpty,
+        "persisted segments must be purged on drop")
+      // the cursor survives the drop: empty log, no crash on deleted paths
+      assert(sub.fetch(100).isEmpty)
+      rw.close()
+    } finally spark.conf.unset("graft.changelog.spillThreshold")
+  }
+
   test("persisted subscription progress resumes across reopen") {
     val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))

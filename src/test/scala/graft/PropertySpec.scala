@@ -146,4 +146,39 @@ class PropertySpec extends SparkSpec {
       assert(counts.filter(_._2 != 0) == expect, s"case $i")
     }
   }
+
+  test("NearestCentroid equals an independent Scala argmax on random vectors") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(97L)
+    val dim = 16
+    val corpus = (0L until 200L).map(id => (id, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(corpus.map { case (id, v) => Row(id, v.toSeq) }: _*), schema)
+
+    val assigned = Similarity.ivfAssignments(df, "id", "v", 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+
+    // independent replication in plain Scala: same centroid-selection
+    // scramble, same double fold, same (score desc, cid asc) tie rule
+    val byId = corpus.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val cids = corpus.map(_._1)
+      .sortBy(id => (((id % 104729L) * (2654435761L % 104729L)) % 104729L, id))
+      .take(8).sorted
+    corpus.foreach { case (id, v) =>
+      val vn = norm(v)
+      val best = cids.map { cid =>
+        (dot(v, byId(cid)) / (vn * norm(byId(cid))), cid)
+      }.minBy { case (s, cid) => (-s, cid) }._2
+      assert(assigned(id) == best, s"id=$id: got ${assigned(id)}, want $best")
+    }
+  }
 }
