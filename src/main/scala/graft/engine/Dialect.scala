@@ -322,6 +322,19 @@ object Dialect {
   def rewriteEmitClause(sql: String): String =
     sql.replaceAll("(?i)\\bEMIT\\s+ON\\s+WINDOW\\s+CLOSE\\b", " ")
 
+  /** RisingWave process-time temporal join — `JOIN dim FOR SYSTEM_TIME AS
+    * OF PROCTIME() ON ...` joins each stream row against the dimension
+    * table's state at processing time. Our engine evaluates every statement
+    * against live tables' CURRENT snapshot, which is exactly the
+    * processing-time state, so the clause is accepted and stripped; a
+    * dependent MV re-reads the dimension's latest rows at each FLUSH epoch,
+    * matching RisingWave's no-backfill temporal-join semantics. Historical
+    * `FOR SYSTEM_TIME AS OF <timestamp>` reads are NOT supported and are
+    * left un-rewritten (they fail loudly at parse rather than silently
+    * reading the wrong snapshot). */
+  def rewriteTemporalJoin(sql: String): String =
+    sql.replaceAll("(?i)\\bFOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+PROCTIME\\s*\\(\\s*\\)", " ")
+
   /** `FROM generate_series(a, b)` (PG/RisingWave set-returning function) →
     * exploded `sequence`; the output column keeps PG's name. */
   private val seriesRe = """(?i)generate_series\s*\(\s*([^,()]+)\s*,\s*([^,()]+)\s*\)""".r
@@ -333,6 +346,7 @@ object Dialect {
   def apply(sql: String, qualified: Iterable[(String, String)] = Nil): String = {
     val steps: Seq[String => String] = Seq(
       rewriteTumble, rewriteHop, rewriteDistinctOn, rewriteEmitClause,
+      rewriteTemporalJoin,
       rewriteCasts, rewriteJsonOps, rewriteStringAgg,
       rewriteToChar, rewriteGenerateSeries, rewriteRegexMatch,
       s => rewriteQualified(s, qualified))

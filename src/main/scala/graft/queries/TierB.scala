@@ -310,6 +310,53 @@ object TierB {
         .groupBy("p_brand").agg(count(lit(1)).as("n_cheaper"))
     },
 
+    // As-of join (RisingWave `ASOF JOIN`): each click matched to the same
+    // user's most recent purchase at-or-before it. The Spark plan is the
+    // union+window LOCF in operators/AsofJoin.scala (one shuffle on user_id,
+    // no candidate blowup); DuckDB's native ASOF JOIN is a genuinely
+    // independent oracle implementation. Timestamps out as epoch micros
+    // (unix_micros == epoch_us, exact — no fractional-second rounding).
+    q("b_join_asof",
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  epoch_us(p.ts) AS p_ts_us, p.value AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin
+        .backward(clicks, purchases, "user_id", "ts", "ts", rightPrefix = "p_")
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("ts_us"),
+                unix_micros(col("p_ts")).as("p_ts_us"),
+                col("p_value"))
+    },
+
+    // Banded (range) non-equi join: rows routed into value bands from a
+    // tiny broadcast tier table — BroadcastNestedLoopJoin against 5 rows is
+    // a map-side band lookup, so the customer side reaches the aggregate
+    // without any join shuffle. The canonical histogram-bucketing shape.
+    q("b_join_range",
+      """SELECT t.tier, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal_sum
+        |FROM customer
+        |JOIN (VALUES (0, -1000.0, 0.0), (1, 0.0, 2500.0), (2, 2500.0, 5000.0),
+        |             (3, 5000.0, 7500.0), (4, 7500.0, 10000.0)) AS t(tier, lo, hi)
+        |ON c_acctbal >= t.lo AND c_acctbal < t.hi
+        |GROUP BY t.tier""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tiers = Seq((0, -1000.0, 0.0), (1, 0.0, 2500.0), (2, 2500.0, 5000.0),
+                      (3, 5000.0, 7500.0), (4, 7500.0, 10000.0)).toDF("tier", "lo", "hi")
+      Tables(s, dir, "customer")
+        .join(broadcast(tiers), col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("c_acctbal").cast(dec)).cast("double").as("bal_sum"))
+    },
+
     // ---- window functions -------------------------------------------------
 
     q("b_win_topk_per_group",
