@@ -20,7 +20,8 @@ object Bench {
     "b_q1_pricing", "b_filter_pushdown", "b_join_star", "b_join_fact_fact",
     "b_win_topk_per_group", "b_agg_distinct", "b_json", "a_w1_tumble_avg",
     "b_cte_topn", "x_dedup_minhash_lsh", "x_dedup_simhash", "x_sim_topk_exact",
-    "x_sim_topk_ivf", "x_text_quality", "x_text_fingerprint", "x_text_rolling_fp")
+    "x_sim_topk_ivf", "x_text_quality", "x_text_fingerprint", "x_text_rolling_fp",
+    "x_contam_ngram", "x_dedup_spans", "x_tfidf_topterms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

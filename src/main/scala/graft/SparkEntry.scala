@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.TierA.defs ++
     graft.queries.TierB.defs ++
     graft.queries.Extensions.defs ++
+    graft.queries.Pipeline.defs ++
     graft.queries.StreamingParity.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. A star-schema

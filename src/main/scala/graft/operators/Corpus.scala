@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data pipeline operators: benchmark-contamination
+  * detection, repetition/boilerplate quality signals, cross-document span
+  * dedup (C4-style), sequence packing, TF-IDF key terms, and character
+  * entropy. These are the corpus-shaping jobs a 100 TB pre-training
+  * pipeline runs between raw crawl and tokenizer — all expressed as
+  * declarative DataFrame plans so Catalyst keeps filters/projections at the
+  * scan and aggregations map-side partial.
+  *
+  * Scale notes per operator are on each method; the common theme: per-doc
+  * token work stays inside the scan stage (codegen'd expressions, no
+  * shuffle), and cross-document state (n-gram ownership, document
+  * frequency) is reached with exactly one hash shuffle on the smallest
+  * possible key.
+  */
+object Corpus {
+
+  /** Word n-grams as a multiset (order preserved, duplicates kept) — the
+    * counting complement of [[TextFunctions.shingles]] (which is distinct).
+    * Empty array below n tokens, mirroring `range(1, len-n+2)` in SQL. */
+  private def ngramMultiset(textCol: Column, n: Int): Column = {
+    val t = tokens(textCol)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark-contamination detection: flag training documents sharing any
+    * word `n`-gram with a held-out benchmark/eval set (the standard
+    * decontamination check before pre-training). Output: one row per
+    * contaminated training doc with the count of distinct shared n-grams
+    * and the contaminated fraction of its n-gram set.
+    *
+    * 100 TB shape: eval sets are tiny (MBs) next to the corpus, so the
+    * benchmark n-gram set is `broadcast` — the corpus side is scanned once,
+    * n-grams computed in the scan stage (native distinct-shingle
+    * expression), and the only shuffle is the per-doc match count, keyed on
+    * doc id AFTER the broadcast semi-match has discarded ~everything. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol), shingles(col(textCol), n).as("g"))
+    val bench = benchmark
+      .select(explode(shingles(col(textCol), n)).as("gram")).distinct()
+    grams
+      .select(col(idCol), size(col("g")).cast("long").as("n_grams"),
+        explode(col("g")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_contam"))
+      .select(col(idCol), col("n_contam"), col("n_grams"),
+        round(col("n_contam").cast("double") / col("n_grams"), 6).as("contam_frac"))
+  }
+
+  /** Repetition / boilerplate quality signals (Gopher-style): fraction of
+    * the document covered by its most frequent bigram, and the duplicate
+    * token fraction. High values mark templated or degenerate text.
+    *
+    * 100 TB shape: bigram counting is a two-level hash aggregate keyed on
+    * (doc, bigram) then (doc) — both map-side partial; no joins. Documents
+    * with fewer than 2 tokens have no bigrams and are excluded (mirrored by
+    * the oracle). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val exploded = docs.select(
+      col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_unique"),
+      explode(ngramMultiset(col(textCol), 2)).as("b"))
+    exploded
+      .groupBy(col(idCol), col("n_tokens"), col("n_unique"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_tokens"), col("n_unique"))
+      .agg(max("c").as("top_c"), sum("c").as("tot"))
+      .select(col(idCol),
+        round(col("top_c").cast("double") / col("tot"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"))
+  }
+
+  /** Cross-document span dedup (the C4/RefinedWeb move): chunk each
+    * document into fixed `spanTokens`-token spans, assign each distinct
+    * span to its lowest-id document, and report per document how many of
+    * its spans survive. A downstream rewrite would keep only surviving
+    * spans; here we emit the audit counts (deterministic and cheap to
+    * verify) plus the fingerprint of the surviving text.
+    *
+    * 100 TB shape: span ownership is a window `min(id) over (partition by
+    * span)` — one hash shuffle keyed on the span string (hash the span to
+    * 64-bit first at real scale; kept as text here so the oracle replays
+    * it), then a per-doc aggregate. No self-join: ownership and membership
+    * ride the same shuffled row. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val nChunks = floor((size(t) + (spanTokens - 1)) / spanTokens).cast("int")
+    val spans = when(size(t) >= 1,
+      transform(sequence(lit(0), nChunks - 1),
+        i => struct(i.as("pos"), array_join(slice(t, i * spanTokens + 1, lit(spanTokens)), " ").as("s"))))
+      .otherwise(array().cast("array<struct<pos:int,s:string>>"))
+    val exploded = docs
+      .select(col(idCol), explode(spans).as("sp"))
+      .select(col(idCol), col("sp.pos").as("pos"), col("sp.s").as("s"))
+    val keeper = min(col(idCol)).over(Window.partitionBy("s"))
+    exploded
+      .withColumn("keep", keeper === col(idCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(array_sort(collect_list(
+          when(col("keep"), struct(col("pos"), col("s"))))).getField("s"), " "))
+          .as("clean_fp"))
+      .select(col(idCol), col("n_spans"), col("n_kept"),
+        (col("n_spans") - col("n_kept")).as("n_dropped"), col("clean_fp"))
+  }
+
+  /** Sequence packing: assign documents (in stable id order, within a
+    * shard) to fixed-capacity context bins by running token count — the
+    * standard pre-tokenization packing pass that turns ragged documents
+    * into near-full training sequences. Emits per-bin occupancy.
+    *
+    * 100 TB shape: packing is per-shard (`shardCol`) exactly as a real
+    * pipeline packs per input split — the running sum is a window
+    * partitioned by shard, so no global sort and no single-partition
+    * bottleneck; shards pack in parallel. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, capacity: Int): DataFrame = {
+    val nt = size(tokens(col(textCol))).cast("long")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shardCol), col(idCol), nt.as("nt"))
+      .withColumn("cum", sum("nt").over(w))
+      .select(col(shardCol), floor((col("cum") - col("nt")) / capacity).as("bin"),
+        col("nt"))
+      .groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"))
+  }
+
+  /** TF-IDF key terms: top `k` terms per document by `tf · ln(N/df)`.
+    * Deterministic tie-break on the term string.
+    *
+    * 100 TB shape: term frequency is a (doc, term) hash aggregate (partial
+    * map-side); document frequency is a term-keyed aggregate whose result —
+    * bounded by vocabulary, not corpus, size — broadcasts back; the final
+    * top-k is a per-doc window. The corpus is never self-joined. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("term"), col("rk"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
+  /** Character unigram entropy per document (nats) — the cheap gibberish /
+    * binary-junk detector. Two-level hash aggregate keyed (doc, char) then
+    * (doc); both partial, no joins. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = filter(split(col(textCol), ""), c => c =!= lit(""))
+    docs
+      .select(col(idCol), length(col(textCol)).cast("double").as("len"),
+        explode(chars).as("ch"))
+      .groupBy(col(idCol), col("len"), col("ch"))
+      .agg(count(lit(1)).cast("double").as("k"))
+      .groupBy(col(idCol), col("len"))
+      .agg(round(-sum((col("k") / col("len")) * log(col("k") / col("len"))), 6)
+        .as("entropy"))
+      .select(col(idCol), col("entropy"))
+  }
+}

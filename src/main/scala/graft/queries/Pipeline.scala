@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping pipeline operators (SURVEY §7 extension phase, round 4):
+  * benchmark decontamination, repetition quality, cross-document span
+  * dedup, sequence packing, TF-IDF key terms, character entropy — the jobs
+  * between raw crawl and tokenizer in an LLM data pipeline.
+  *
+  * Oracle notes: every op is replayed exactly in DuckDB — integer counts
+  * are bit-exact; doubles (ratios, ln-based scores, entropy) are computed
+  * with the same operand shapes in both engines and rounded to 6 decimals
+  * at the output boundary only.
+  */
+object Pipeline {
+
+  /** DuckDB word tokens + distinct n-gram list (mirrors
+    * [[graft.functions.HashExpressions.WordShingles]]). */
+  private def duckNgrams(n: Int): String =
+    s"""toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') t FROM documents),
+       |ng AS (SELECT doc_id, source,
+       |  list_distinct([list_aggregate(t[i:i+${n - 1}], 'string_agg', ' ')
+       |                 for i in range(1, len(t) - ${n - 2})]) g
+       |  FROM toks)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- decontamination --------------------------------------------------
+
+    // Benchmark contamination: docs from source 'src0' act as the held-out
+    // eval set; training docs (all other sources) sharing any distinct word
+    // 5-gram with it are flagged with match counts.
+    q("x_contam_ngram",
+      s"""WITH ${duckNgrams(5)},
+         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM ng WHERE source = 'src0'),
+         |train AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams, unnest(g) AS gram
+         |          FROM ng WHERE source <> 'src0')
+         |SELECT doc_id, count(*) AS n_contam, max(n_grams) AS n_grams,
+         |  round(count(*)::DOUBLE / max(n_grams), 6) AS contam_frac
+         |FROM train JOIN bench USING (gram) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Corpus.contamination(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+    },
+
+    // ---- repetition / boilerplate quality ---------------------------------
+
+    q("x_quality_repetition",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |bg AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+        |  unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS b
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, n_tokens, n_unique, b, count(*) AS c
+        |        FROM bg GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id,
+        |  round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac,
+        |  round(1.0 - max(n_unique)::DOUBLE / max(n_tokens), 6) AS dup_token_frac
+        |FROM cnt GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.repetitionStats(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---- cross-document span dedup (C4-style) -----------------------------
+
+    // 10-token spans; each distinct span belongs to its lowest-id document;
+    // per-doc survival counts + fingerprint of the surviving text.
+    q("x_dedup_spans",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sp AS (SELECT doc_id, unnest([{'pos': i, 's':
+        |    list_aggregate(t[i*10+1:i*10+10], 'string_agg', ' ')}
+        |    for i in range(0, (len(t) + 9) // 10)]) AS u
+        |  FROM toks),
+        |f AS (SELECT doc_id, u.pos AS pos, u.s AS s,
+        |    min(doc_id) OVER (PARTITION BY u.s) = doc_id AS keep
+        |  FROM sp)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(s, ' ' ORDER BY pos) FILTER (keep), '')) AS clean_fp
+        |FROM f GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.spanDedup(Tables(s, dir, "documents"), "doc_id", "text", spanTokens = 10)
+    },
+
+    // ---- sequence packing -------------------------------------------------
+
+    // Pack docs into 256-token context bins per source shard by running
+    // token count (stable doc_id order within the shard).
+    q("x_pack_sequences",
+      """WITH toks AS (SELECT source, doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, nt,
+        |  sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks)
+        |SELECT source, CAST((cum - nt) // 256 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY source, bin""".stripMargin) { (s, dir) =>
+      Corpus.packSequences(Tables(s, dir, "documents"), "doc_id", "text",
+        shardCol = "source", capacity = 256)
+    },
+
+    // ---- TF-IDF key terms -------------------------------------------------
+
+    q("x_tfidf_topterms",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf,
+        |    tf::DOUBLE * ln(n_docs::DOUBLE / df) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM sc)
+        |SELECT doc_id, term, rk, round(score, 6) AS tfidf
+        |FROM r WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      Corpus.tfidfTopTerms(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+    },
+
+    // ---- character entropy ------------------------------------------------
+
+    q("x_text_entropy",
+      """WITH ch AS (SELECT doc_id, CAST(strlen(text) AS DOUBLE) AS len,
+        |  unnest([substr(text, CAST(i AS INT), 1)
+        |          for i in range(1, strlen(text) + 1)]) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, len, c, CAST(count(*) AS DOUBLE) AS k
+        |        FROM ch GROUP BY 1, 2, 3)
+        |SELECT doc_id, round(-sum((k / len) * ln(k / len)), 6) AS entropy
+        |FROM cnt GROUP BY doc_id, len""".stripMargin) { (s, dir) =>
+      Corpus.charEntropy(Tables(s, dir, "documents"), "doc_id", "text")
+    }
+  )
+}

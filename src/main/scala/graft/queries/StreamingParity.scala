@@ -27,12 +27,13 @@ object StreamingParity {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Replay events into a fresh live table in event_id-chunked epochs,
-    * flushing between chunks; returns the engine for inspection. */
+    * flushing between chunks; returns the engine for inspection. MVs are
+    * created in order, so later ones may reference earlier ones (cascades). */
   private def replay(spark: SparkSession, dir: String, table: String,
-                     mvName: Option[(String, String)]): GraftEngine = {
+                     mvDefs: Seq[(String, String)]): GraftEngine = {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable(table, eventsSchema)
-    mvName.foreach { case (name, stmt) => rw.mv(stmt, name) }
+    mvDefs.foreach { case (name, stmt) => rw.mv(stmt, name) }
     val rows = Tables(spark, dir, "events")
       .select(eventsSchema.fieldNames.map(col): _*)
       .collect().sortBy(_.getLong(0))
@@ -54,7 +55,7 @@ object StreamingParity {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
         |  round(avg(value), 4) AS avg_v
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
-      val rw = replay(s, dir, "m_ev_agg", Some(("m_agg_mv",
+      val rw = replay(s, dir, "m_ev_agg", Seq(("m_agg_mv",
         """SELECT event_type, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv,
           |  round(avg(value), 4) AS avg_v
@@ -74,7 +75,7 @@ object StreamingParity {
       """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS ws, event_type,
         |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val rw = replay(s, dir, "m_ev_tw", Some(("m_tw_mv",
+      val rw = replay(s, dir, "m_ev_tw", Seq(("m_tw_mv",
         """SELECT window_start, event_type, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM tumble(m_ev_tw, ts, interval '10 minutes')
@@ -99,7 +100,7 @@ object StreamingParity {
         |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
         |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
       Tables(s, dir, "nation").createOrReplaceTempView("nation")
-      val rw = replay(s, dir, "m_ev_join", Some(("m_join_mv",
+      val rw = replay(s, dir, "m_ev_join", Seq(("m_join_mv",
         """SELECT n.n_name AS nation, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM m_ev_join e JOIN nation n ON n.n_nationkey = e.user_id % 25
@@ -108,6 +109,37 @@ object StreamingParity {
       require(mv.isStreamingMode,
         "join MV fell back to batch re-run — must be maintained incrementally")
       val out = mv.df.withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // D4 cascade — streaming MV-on-MV: an append-only filter MV feeds a
+    // keyed aggregate MV through its streaming face (one backfilled
+    // MemoryStream per downstream reader). BOTH levels must run in
+    // streaming mode — the filter level as an append stream, the aggregate
+    // level incrementally over the filter's per-epoch face batches — and
+    // the final downstream state must equal the batch evaluation of the
+    // composed query. A silent fall-back to per-flush batch re-run would
+    // still produce the right values, so the mode assertions are the gate.
+    q("m_mv_cascade_incremental",
+      """SELECT user_id % 10 AS bucket, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM events WHERE event_type = 'click' GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_cas", Seq(
+        ("m_cas_filter",
+          "SELECT event_id, ts, user_id, event_type, value FROM m_ev_cas WHERE event_type = 'click'"),
+        ("m_cas_agg",
+          """SELECT user_id % 10 AS bucket, count(*) AS n,
+            |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+            |FROM m_cas_filter GROUP BY 1""".stripMargin)))
+      val up = rw.mvByName("m_cas_filter").get
+      val down = rw.mvByName("m_cas_agg").get
+      require(up.isStreamingMode,
+        "filter MV fell back to batch re-run — must stream")
+      require(down.isStreamingMode,
+        "cascaded aggregate MV fell back to batch re-run — must bind the upstream streaming face")
+      val out = down.df.withColumn("sv", col("sv").cast("double"))
       val materialized = out.localCheckpoint(true)
       rw.close()
       materialized
@@ -127,7 +159,7 @@ object StreamingParity {
          |  CAST(SUM(nc) - count(*) AS BIGINT) AS n_update_insert,
          |  CAST(SUM(nc) - count(*) AS BIGINT) AS n_update_delete
          |FROM k""".stripMargin) { (s, dir) =>
-      val rw = replay(s, dir, "m_ev_cl", Some(("m_cl_mv",
+      val rw = replay(s, dir, "m_ev_cl", Seq(("m_cl_mv",
         """SELECT window_start, event_type, count(*) AS n
           |FROM tumble(m_ev_cl, ts, interval '10 minutes')
           |GROUP BY window_start, event_type""".stripMargin)))
@@ -184,7 +216,7 @@ object StreamingParity {
          |  lag(cum) OVER (PARTITION BY event_type ORDER BY chunk) AS n,
          |  'UpdateDelete' AS op
          |FROM cum QUALIFY rn > 1""".stripMargin) { (s, dir) =>
-      val rw = replay(s, dir, "m_ev_since", Some(("m_since_mv",
+      val rw = replay(s, dir, "m_ev_since", Seq(("m_since_mv",
         "SELECT event_type, count(*) AS n FROM m_ev_since GROUP BY event_type")))
       val sub = rw.mvByName("m_since_mv").get.subscription().declareCursor(Some(0L))
       val ops = Iterator.continually(sub.fetch(10000)).takeWhile(_.nonEmpty).flatten.toSeq
