@@ -270,6 +270,26 @@ object Dialect {
     -1
   }
 
+  /** `<inner> ORDER BY <order> LIMIT <n>` tail of a top-N statement →
+    * (inner statement, order text, n). None when there is no top-level
+    * ORDER BY + literal LIMIT, or an OFFSET follows (offset top-N is not
+    * incrementally maintainable by truncation — rows below the offset
+    * window still matter). Used by the MV maintainer to run the inner
+    * statement as a stream and re-truncate per epoch. */
+  private[graft] def splitTopNTail(sql: String): Option[(String, String, Int)] = {
+    val oIdx = topLevelIndexOf(sql, "ORDER")
+    if (oIdx < 0) return None
+    val tail = sql.substring(oIdx)
+    if (!tail.toUpperCase.matches("(?s)ORDER\\s+BY\\b.*")) return None
+    if (topLevelIndexOf(sql, "OFFSET") >= 0) return None
+    val lIdx = topLevelIndexOf(tail, "LIMIT")
+    if (lIdx < 0) return None
+    val orderText = tail.substring(0, lIdx).replaceAll("(?is)^ORDER\\s+BY", "").trim
+    val limTxt = tail.substring(lIdx + 5).trim
+    if (orderText.isEmpty || !limTxt.matches("\\d+")) return None
+    Some((sql.substring(0, oIdx).trim, orderText, limTxt.toInt))
+  }
+
   /** `SELECT DISTINCT ON (keys) list FROM ... ORDER BY ...` (PG/RisingWave;
     * no Spark equivalent) → keep the first row per key group under the
     * query's ORDER BY, via a `row_number` window. Applied to top-level

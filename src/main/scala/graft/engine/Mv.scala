@@ -46,6 +46,17 @@ final class MaterializedView private[engine](
   private var streamingMode = false
   private var isAggMode = false
 
+  // incremental top-N state (RisingWave's TopN / GroupTopN operator shape):
+  // the inner (pre-ORDER/LIMIT) statement streams; the visible snapshot is
+  // its re-truncation per epoch. Raw top-N carries ≤ n rows of inner state;
+  // grouped top-N carries full per-key aggregate state (same bound as
+  // Spark's own update-mode state store).
+  private var topNMode = false
+  @volatile private var innerState: Option[DataFrame] = None
+  private var topNOrderText = ""
+  private var topNLimit = 0
+  private def topNSrcView = s"__topn_src_$viewName"
+
   /** For append-only streaming MVs (stateless plans): the MV's streaming
     * faces, fed one micro-batch per epoch — downstream MVs bind to one and
     * maintain incrementally (streaming MV-on-MV chains). ONE MemoryStream
@@ -61,7 +72,9 @@ final class MaterializedView private[engine](
     org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row]]()
 
   private[engine] def streamingFaceFor(reader: String): Option[DataFrame] = synchronized {
-    if (streamingMode && !isAggMode) Some {
+    // top-N MVs have no face either: rows LEAVE the snapshot when displaced,
+    // and an append-only face cannot retract them for a downstream reader
+    if (streamingMode && !isAggMode && !topNMode) Some {
       faceStreams.getOrElseUpdate(reader, {
         import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
         val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outputSchema))
@@ -78,6 +91,10 @@ final class MaterializedView private[engine](
   private[engine] def dropFaceReader(reader: String): Unit = synchronized { faceStreams -= reader }
 
   private[graft] def isStreamingMode: Boolean = streamingMode
+
+  /** True when maintained by the incremental top-N path (stream inner +
+    * re-truncate), not batch re-run. */
+  private[graft] def isTopNMode: Boolean = topNMode
 
   /** Rebind the MV's name to its current snapshot (after withStreamingViews
     * temporarily bound the streaming face). */
@@ -206,6 +223,15 @@ final class MaterializedView private[engine](
     // — their MemoryStream still replays the pre-mutation appends.
     val readsPkTable = engine.referencedLiveTables(stmt)
       .exists(t => t.primaryKey.nonEmpty || t.mutated)
+
+    // `... ORDER BY ... LIMIT n` statements are not streamable as-is
+    // (Spark's streaming planner rejects sorts), but they ARE incrementally
+    // maintainable: stream the inner statement and re-truncate per epoch.
+    if (!readsPkTable && !emitOnClose &&
+        Dialect.splitTopNTail(stmt).exists { case (inner, order, n) =>
+          tryStartTopN(inner, order, n) })
+      return
+
     val streamDf =
       if (readsPkTable) None
       else try Some(engine.withStreamingViews(watermarks, stmt, viewName)(spark.sql(engine.rewrite(stmt))))
@@ -266,6 +292,92 @@ final class MaterializedView private[engine](
       }
       refresh()
     }
+  }
+
+  /** Attempt incremental top-N maintenance. The inner statement must admit
+    * a streaming plan (stateless → append mode, or a Keyed aggregate →
+    * update mode), and the ORDER BY/LIMIT tail must analyze against the
+    * inner schema (it may reference ordinals or output columns; an ORDER BY
+    * over columns the projection dropped cannot re-truncate and falls back
+    * to batch re-run). Returns false — with reader streams released — on
+    * any ineligibility. */
+  private def tryStartTopN(innerStmt: String, orderText: String, n: Int): Boolean = {
+    try {
+      val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName)(
+        spark.sql(engine.rewrite(innerStmt)))
+      val analyzed = sdf.queryExecution.analyzed
+      val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
+      val innerMode = if (isAgg) deriveMode(sdf) else MaterializedView.Multiset
+      val eligible = sdf.isStreaming && streamingSafe(analyzed) &&
+        (!isAgg || innerMode.isInstanceOf[MaterializedView.Keyed])
+      if (!eligible) { engine.releaseStreamReaders(viewName); return false }
+      // pre-validate the truncation statement against the (empty) inner
+      // schema — a failure here must fall back, not strand a started stream
+      spark.createDataFrame(java.util.List.of[Row](), sdf.schema)
+        .createOrReplaceTempView(topNSrcView)
+      spark.sql(s"SELECT * FROM $topNSrcView ORDER BY $orderText LIMIT $n").schema
+
+      isAggMode = isAgg
+      keyMode = MaterializedView.Multiset // visible snapshot diffs as a multiset
+      keyCols = innerMode match {
+        case MaterializedView.Keyed(ks) => ks
+        case _ => sdf.columns.toSeq
+      }
+      topNOrderText = orderText
+      topNLimit = n
+      if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
+      query = Some(
+        sdf.writeStream
+          .outputMode(if (isAgg) "update" else "append")
+          .foreachBatch((batch: Dataset[Row], _: Long) =>
+            handleTopNDelta(batch.toDF(), isAgg))
+          .queryName(s"${viewName}_maintainer")
+          .start())
+      streamingMode = true
+      topNMode = true
+      true
+    } catch { case _: Throwable =>
+      engine.releaseStreamReaders(viewName); false
+    }
+  }
+
+  /** Re-truncate a state DataFrame with the statement's own ORDER BY/LIMIT
+    * tail (SQL evaluation, so ordinals and expression sorts behave exactly
+    * as the batch statement would). */
+  private def topNEval(state: DataFrame): DataFrame = {
+    state.createOrReplaceTempView(topNSrcView)
+    spark.sql(s"SELECT * FROM $topNSrcView ORDER BY $topNOrderText LIMIT $topNLimit")
+  }
+
+  /** Top-N micro-batch: merge the inner delta into the inner state, then
+    * re-truncate to the visible snapshot and diff it as a multiset (rows
+    * can leave the top-N when displaced — Deletes the plain streaming modes
+    * never emit).
+    *
+    * Raw (stateless-inner) top-N truncates the carried state itself: a row
+    * outside the current top n can never re-enter later (scores only get
+    * more competitive as rows append), so O(n) state suffices — the same
+    * argument RisingWave's TopN operator uses. Grouped (aggregate-inner)
+    * top-N keeps full per-key state: a key's aggregate can move INTO the
+    * top n on any update, so every key must stay rankable. */
+  private def handleTopNDelta(delta: DataFrame, isAgg: Boolean): Unit = synchronized {
+    val clone = delta.localCheckpoint(true)
+    val d = spark.createDataFrame(clone.rdd, clone.schema)
+    if (d.isEmpty) return
+    val merged = innerState match {
+      case None => d
+      case Some(s) if !isAgg => s.union(d)
+      case Some(s) =>
+        val keys = d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+        keyJoin(s, keys, "left_anti").union(d)
+    }
+    innerState = Some(
+      (if (isAgg) merged else topNEval(merged)).localCheckpoint(true))
+    val nextVisible =
+      if (isAgg) topNEval(innerState.get).localCheckpoint(true) else innerState.get
+    changeLog.append(Changelog.multisetDiff(snapshot, nextVisible).collect().toSeq)
+    snapshot = Some(nextVisible)
+    snapshot.get.createOrReplaceTempView(viewName)
   }
 
   /** Streaming micro-batch: `delta` holds the new value of every changed key
@@ -391,6 +503,8 @@ final class MaterializedView private[engine](
       query.foreach(_.stop())
       query = None
       streamingMode = false
+      topNMode = false
+      innerState = None
       engine.releaseStreamReaders(viewName)
       faceStreams.clear() // faces die with streaming mode (engine cascades)
       val df = spark.sql(engine.rewrite(stmt))
@@ -407,6 +521,7 @@ final class MaterializedView private[engine](
     engine.releaseStreamReaders(viewName)
     synchronized { faceStreams.clear() }
     spark.catalog.dropTempView(viewName)
+    if (topNMode) spark.catalog.dropTempView(topNSrcView)
   }
 
   /** DROP MV: the retained changelog belongs to THIS MV incarnation — a

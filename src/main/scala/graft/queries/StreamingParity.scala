@@ -145,6 +145,24 @@ object StreamingParity {
       materialized
     },
 
+    // TopN — incrementally-maintained `ORDER BY ... LIMIT` MV (RisingWave's
+    // TopN operator): the inner statement streams and the snapshot is
+    // re-truncated per epoch with O(n) carried state; displaced rows
+    // retract. Mode-asserted — batch re-run would match values anyway.
+    q("m_mv_topn_incremental",
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 25""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_topn", Seq(("m_topn_mv",
+        """SELECT event_id, user_id, value FROM m_ev_topn
+          |ORDER BY value DESC, event_id LIMIT 25""".stripMargin)))
+      val mv = rw.mvByName("m_topn_mv").get
+      require(mv.isStreamingMode && mv.isTopNMode,
+        "top-N MV fell back to batch re-run — must re-truncate incrementally")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // W3/W4 — the changelog itself: op counts of chunked incremental
     // maintenance are predictable from chunk/key co-occurrence (count(*)
     // strictly grows per touch, so every later touch is an UD/UI pair).

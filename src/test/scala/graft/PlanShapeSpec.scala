@@ -56,4 +56,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "query rows must broadcast; the corpus scan must not shuffle for the join")
   }
+
+  test("x_contam_ngram: benchmark n-gram set broadcasts; corpus scans once") {
+    val p = plan("x_contam_ngram")
+    assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastExchange"),
+      s"the (tiny) benchmark side must broadcast — corpus must not shuffle for the match:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "per-doc match count must partial-aggregate map-side")
+  }
+
+  test("x_tfidf_topterms: document-frequency table broadcasts back (no corpus self-shuffle join)") {
+    val p = plan("x_tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized df table must broadcast into the tf stream:\n$p")
+  }
+
+  test("x_dedup_spans: ownership is one window over the span shuffle, no self-join") {
+    val p = plan("x_dedup_spans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"span ownership must ride the window, not a self-join:\n$p")
+    assert(p.contains("Window"), "expected the min-over-span window")
+  }
 }

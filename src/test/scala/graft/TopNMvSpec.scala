@@ -1,0 +1,109 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Incremental top-N MVs (RisingWave's TopN / GroupTopN operator shape):
+  * `SELECT ... ORDER BY ... LIMIT n` statements stream their inner query
+  * and re-truncate per epoch instead of re-running the whole statement at
+  * every FLUSH. Displacement must emit Deletes (the op plain streaming
+  * modes never produce), and ineligible shapes must fall back to batch. */
+class TopNMvSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(StructField("id", LongType),
+    StructField("grp", StringType), StructField("score", DoubleType)))
+
+  test("raw top-N: incremental, displacement retracts, matches batch order") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tn_ev", schema)
+    rw.mv("SELECT id, score FROM tn_ev ORDER BY score DESC, id LIMIT 2", "tn_mv")
+    val mv = rw.mvByName("tn_mv").get
+    assert(mv.isStreamingMode && mv.isTopNMode, "must use the incremental top-N path")
+
+    val t = rw.table("tn_ev").get
+    t.insert(Seq(Row(1L, "a", 5.0), Row(2L, "a", 3.0), Row(3L, "a", 1.0)))
+    rw.flush()
+    assert(mv.df.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // new leader displaces id=2 from the top 2
+    t.insert(Seq(Row(4L, "a", 9.0)))
+    rw.flush()
+    assert(mv.df.collect().map(_.getLong(0)).toSet == Set(4L, 1L))
+    assert(mv.isTopNMode)
+
+    // the changelog carries the displacement as a Delete
+    val ops = mv.subscription().declareCursor(Some(0L))
+    val all = Iterator.continually(ops.fetch(100)).takeWhile(_.nonEmpty).flatten.toSeq
+    val byOp = all.groupBy(r => r.getString(r.length - 2)).view.mapValues(_.size).toMap
+    assert(byOp.getOrElse("Delete", 0) >= 1, s"displacement must retract: $byOp")
+    rw.close()
+  }
+
+  test("grouped top-N: aggregate inner keeps full key state so keys can re-enter") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tn_ev2", schema)
+    rw.mv("SELECT grp, count(*) AS n FROM tn_ev2 GROUP BY grp ORDER BY n DESC, grp LIMIT 2", "tn_mv2")
+    val mv = rw.mvByName("tn_mv2").get
+    assert(mv.isStreamingMode && mv.isTopNMode)
+
+    val t = rw.table("tn_ev2").get
+    t.insert(Seq(Row(1L, "a", 0.0), Row(2L, "a", 0.0), Row(3L, "b", 0.0),
+      Row(4L, "c", 0.0), Row(5L, "c", 0.0), Row(6L, "c", 0.0)))
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("c", 3L), ("a", 2L)))
+
+    // 'b' (currently outside the top 2) grows past 'a' — it must re-enter,
+    // which requires the full per-key state, not just the visible rows
+    t.insert(Seq(Row(7L, "b", 0.0), Row(8L, "b", 0.0), Row(9L, "b", 0.0)))
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("b", 4L), ("c", 3L)))
+    rw.close()
+  }
+
+  test("ORDER BY over a projected-away column falls back to batch re-run, stays correct") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tn_ev3", schema)
+    // score is not in the output list: the truncation cannot re-evaluate
+    // over the snapshot, so the MV must fall back (and still be right)
+    rw.mv("SELECT id FROM tn_ev3 ORDER BY score DESC, id LIMIT 2", "tn_mv3")
+    val mv = rw.mvByName("tn_mv3").get
+    assert(!mv.isTopNMode, "un-truncatable ORDER BY must not claim top-N mode")
+    val t = rw.table("tn_ev3").get
+    t.insert(Seq(Row(1L, "a", 1.0), Row(2L, "a", 8.0), Row(3L, "a", 5.0)))
+    rw.flush()
+    assert(mv.df.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    rw.close()
+  }
+
+  test("OFFSET disables incremental top-N (below-offset rows still matter)") {
+    assert(Dialect.splitTopNTail(
+      "SELECT id FROM t ORDER BY id LIMIT 5 OFFSET 2").isEmpty)
+    assert(Dialect.splitTopNTail("SELECT id FROM t ORDER BY id LIMIT 5") ==
+      Some(("SELECT id FROM t", "id", 5)))
+    // ORDER inside a window/subquery is not a top-N tail
+    assert(Dialect.splitTopNTail(
+      "SELECT rank() OVER (ORDER BY id) FROM t").isEmpty)
+    assert(Dialect.splitTopNTail(
+      "SELECT * FROM (SELECT id FROM t ORDER BY id LIMIT 3) s").isEmpty)
+  }
+
+  test("top-N MV as a cascade source demotes the downstream to batch (no stale face)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tn_ev4", schema)
+    rw.mv("SELECT id, score FROM tn_ev4 ORDER BY score DESC, id LIMIT 2", "tn_mv4")
+    rw.mv("SELECT count(*) AS n FROM tn_mv4", "tn_down")
+    val down = rw.mvByName("tn_down").get
+    val t = rw.table("tn_ev4").get
+    t.insert(Seq(Row(1L, "a", 5.0), Row(2L, "a", 3.0), Row(3L, "a", 7.0)))
+    rw.flush()
+    assert(down.df.head.getLong(0) == 2L,
+      "downstream must track the truncated snapshot, not a stale face")
+    t.insert(Seq(Row(4L, "a", 9.0)))
+    rw.flush()
+    assert(down.df.head.getLong(0) == 2L)
+    rw.close()
+  }
+}
