@@ -337,7 +337,11 @@ final class MaterializedView private[engine](
       topNMode = true
       true
     } catch { case _: Throwable =>
-      engine.releaseStreamReaders(viewName); false
+      engine.releaseStreamReaders(viewName)
+      // the validation view may already be registered when the truncation
+      // statement fails to analyze — don't leak it into the shared catalog
+      spark.catalog.dropTempView(topNSrcView)
+      false
     }
   }
 
@@ -364,13 +368,7 @@ final class MaterializedView private[engine](
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (d.isEmpty) return
-    val merged = innerState match {
-      case None => d
-      case Some(s) if !isAgg => s.union(d)
-      case Some(s) =>
-        val keys = d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-        keyJoin(s, keys, "left_anti").union(d)
-    }
+    val merged = mergeDelta(innerState, d, keyed = isAgg)
     innerState = Some(
       (if (isAgg) merged else topNEval(merged)).localCheckpoint(true))
     val nextVisible =
@@ -408,15 +406,21 @@ final class MaterializedView private[engine](
       }
     changeLog.append(ops.collect().toSeq)
 
-    val next = snapshot match {
-      case None => d
-      case Some(s) if !isAgg => s.union(d)
-      case Some(s) =>
-        val keys = d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-        keyJoin(s, keys, "left_anti").union(d)
-    }
-    snapshot = Some(next.localCheckpoint(true))
+    snapshot = Some(mergeDelta(snapshot, d, keyed = isAgg).localCheckpoint(true))
     snapshot.get.createOrReplaceTempView(viewName)
+  }
+
+  /** Merge a micro-batch delta into a carried state: plain append for
+    * stateless streams, null-safe replace-by-key ([[keyJoin]] on
+    * [[keyCols]]) for update-mode aggregates. Shared by the plain and
+    * top-N handlers so the keyed-merge semantics live in one place. */
+  private def mergeDelta(prev: Option[DataFrame], d: DataFrame,
+                         keyed: Boolean): DataFrame = prev match {
+    case None => d
+    case Some(s) if !keyed => s.union(d)
+    case Some(s) =>
+      val keys = d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+      keyJoin(s, keys, "left_anti").union(d)
   }
 
   /** EMIT ON WINDOW CLOSE micro-batch: merge the update-mode delta into the
@@ -428,15 +432,8 @@ final class MaterializedView private[engine](
     import org.apache.spark.sql.functions.{col, unix_millis}
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
-    if (!d.isEmpty) {
-      val next = pending match {
-        case None => d
-        case Some(p) =>
-          val keys = d.select(keyCols.map(col): _*).distinct()
-          keyJoin(p, keys, "left_anti").union(d)
-      }
-      pending = Some(next.localCheckpoint(true))
-    }
+    if (!d.isEmpty)
+      pending = Some(mergeDelta(pending, d, keyed = true).localCheckpoint(true))
     val wm = watermarkMs
     pending.foreach { p =>
       // unix_millis, not cast-to-seconds×1000: sub-second windows (ms-unit
@@ -498,20 +495,28 @@ final class MaterializedView private[engine](
     * DELETE mutates a source table — MemoryStream can't retract, so the
     * maintainer re-evaluates and diffs from here on; the changelog stays
     * continuous because refresh() diffs against the existing snapshot). */
-  private[engine] def demoteToBatch(): Unit = synchronized {
-    if (streamingMode) {
-      query.foreach(_.stop())
-      query = None
-      streamingMode = false
-      topNMode = false
-      innerState = None
-      engine.releaseStreamReaders(viewName)
-      faceStreams.clear() // faces die with streaming mode (engine cascades)
-      val df = spark.sql(engine.rewrite(stmt))
-      keyMode = deriveMode(df)
-      keyCols = keyMode match {
-        case MaterializedView.Keyed(ks) => ks
-        case _ => df.columns.toSeq
+  private[engine] def demoteToBatch(): Unit = {
+    // stop() OUTSIDE the MV monitor: the maintainer thread may already be
+    // parked on this MV's lock at a synchronized handler's entry, and a
+    // thread blocked on monitorenter is uninterruptible — stop() (which
+    // joins the maintainer) would never return while we hold the lock
+    val q = synchronized { if (streamingMode) query else None }
+    q.foreach(_.stop())
+    synchronized {
+      if (streamingMode) {
+        query = None
+        streamingMode = false
+        if (topNMode) spark.catalog.dropTempView(topNSrcView)
+        topNMode = false
+        innerState = None
+        engine.releaseStreamReaders(viewName)
+        faceStreams.clear() // faces die with streaming mode (engine cascades)
+        val df = spark.sql(engine.rewrite(stmt))
+        keyMode = deriveMode(df)
+        keyCols = keyMode match {
+          case MaterializedView.Keyed(ks) => ks
+          case _ => df.columns.toSeq
+        }
       }
     }
   }

@@ -154,11 +154,16 @@ object Corpus {
                     k: Int): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    // document frequency as a window over the (doc, term) aggregate — tf
+    // has exactly one row per distinct (doc, term), so count(*) per term IS
+    // the df. One corpus scan total; the alternative (re-aggregating a
+    // second tokenize pass and joining back) scans the raw text twice,
+    // which at 100 TB dwarfs the term-keyed shuffle of the far smaller tf
+    // table that the window costs.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf
-      .join(broadcast(dfreq), "term")
+    val scored = withDf
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")))

@@ -127,9 +127,9 @@ object Pipeline {
     // ---- character entropy ------------------------------------------------
 
     q("x_text_entropy",
-      """WITH ch AS (SELECT doc_id, CAST(strlen(text) AS DOUBLE) AS len,
+      """WITH ch AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len,
         |  unnest([substr(text, CAST(i AS INT), 1)
-        |          for i in range(1, strlen(text) + 1)]) AS c
+        |          for i in range(1, length(text) + 1)]) AS c
         |  FROM documents),
         |cnt AS (SELECT doc_id, len, c, CAST(count(*) AS DOUBLE) AS k
         |        FROM ch GROUP BY 1, 2, 3)

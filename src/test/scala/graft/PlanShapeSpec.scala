@@ -65,10 +65,12 @@ class PlanShapeSpec extends SparkSpec {
       "per-doc match count must partial-aggregate map-side")
   }
 
-  test("x_tfidf_topterms: document-frequency table broadcasts back (no corpus self-shuffle join)") {
+  test("x_tfidf_topterms: one corpus scan (df rides a window over tf, no second tokenize pass)") {
     val p = plan("x_tfidf_topterms")
-    assert(p.contains("BroadcastHashJoin"),
-      s"vocab-sized df table must broadcast into the tf stream:\n$p")
+    val docScans = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans <= 2, // 1 for tf, 1 for the broadcast count(*) — never a third tokenize pass
+      s"expected at most 2 scans of documents (tf + corpus count), got $docScans:\n$p")
+    assert(p.contains("Window"), "df must come from the term-partitioned window")
   }
 
   test("x_dedup_spans: ownership is one window over the span shuffle, no self-join") {
