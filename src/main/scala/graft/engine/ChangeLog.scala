@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import scala.collection.mutable.ArrayBuffer
@@ -11,26 +11,26 @@ import scala.collection.mutable.ArrayBuffer
   * seq`, totally ordered within the MV). Retention prunes by the timestamp's
   * epoch part (W7; default 86400 s like `risingwave/core.py:372`).
   *
-  * Memory-bounded: only the newest `spillThreshold` entries stay on the
-  * driver (they are the client-delivery buffer — the reference's FETCH
-  * batches terminate at the client too). Older history spills to parquet
-  * segment files and is replayed through a filtered scan on `SINCE` cursors,
-  * so 24 h of retained changes never has to fit in driver memory. At cluster
-  * scale the segment directory is the same layout on shared storage (or a
-  * Kafka topic); the interface here is unchanged.
+  * Storage is segment-structured and executor-written: each epoch's delta
+  * DataFrame is stamped and written straight to a parquet segment
+  * ([[appendDF]]) — delta rows never pass through the driver, which holds
+  * only the (minTs, maxTs, path, count) segment index. Rows reach the
+  * driver solely at the client's FETCH boundary (offset-filtered segment
+  * scan), exactly the reference's cursor protocol shape. At cluster scale
+  * the segment directory is the same layout on shared storage (or a Kafka
+  * topic); the interface here is unchanged. Durable mode points the segment
+  * directory under `ConnOptions.dataDir`; every epoch is durable as soon as
+  * it commits — there is no close-time tail to flush.
   */
 final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
                       persistDir: Option[String] = None) {
-  private val entries = ArrayBuffer[(Long, Row)]()
   private var lastTs = 0L
 
-  /** (minTs, maxTs, path, rowCount) per spilled segment, in offset order. */
+  /** (minTs, maxTs, path, rowCount) per segment, in offset order. */
   private val segments = ArrayBuffer[(Long, Long, String, Long)]()
   private lazy val spillDir = persistDir.map { d =>
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)); d
   }.getOrElse(java.nio.file.Files.createTempDirectory("graft-changelog-").toString)
-  private def spillThreshold: Int =
-    spark.conf.getOption("graft.changelog.spillThreshold").map(_.toInt).getOrElse(100000)
 
   // restart recovery: segment metadata is encoded in the directory name
   // (seg-<minTs>-<maxTs>-<count>), so reattaching to a persistent dir needs
@@ -51,67 +51,77 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
   private def changeSchema: StructType =
     rowSchema().add("op", StringType).add("rw_timestamp", LongType, nullable = false)
 
-  private def writeSegment(spill: Seq[(Long, Row)]): Unit = {
-    val path = s"$spillDir/seg-${spill.head._1}-${spill.last._1}-${spill.size}"
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(spill.map(_._2).toList.asJava, changeSchema)
-      .coalesce(1).write.mode("overwrite").parquet(path)
-    segments += ((spill.head._1, spill.last._1, path, spill.size.toLong))
+  /** Executor-side append (the per-epoch delta path of MV maintainers):
+    * stamps monotone offsets onto an already-deterministically-ordered ops
+    * DataFrame and writes it straight to a parquet segment — the delta rows
+    * NEVER pass through the driver; the driver records only (minTs, maxTs,
+    * path, count) metadata. `zipWithIndex` preserves the diff's sort order
+    * across partitions, so within-epoch op ordering (key, then
+    * Delete < UpdateDelete < UpdateInsert < Insert rank) matches the diff's
+    * own emission order. The count comes from the written files' parquet
+    * footers (metadata-only scan), not a re-execution of the plan.
+    *
+    * Holds the monitor across the write: epochs of one MV are already
+    * serialized by its handler lock, and a fetch observing a half-written
+    * segment would return rows the index doesn't own yet. */
+  def appendDF(ops: DataFrame): Unit = synchronized {
+    val base = math.max(lastTs, System.currentTimeMillis() << 16)
+    val stamped = spark.createDataFrame(
+      ops.toDF().rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (base + 1 + i))
+      }, changeSchema)
+    val staging = s"$spillDir/staging-$base"
+    stamped.write.mode("overwrite").parquet(staging)
+    val n = spark.read.parquet(staging).count()
+    val stagingDir = new java.io.File(staging)
+    if (n == 0) {
+      scala.reflect.io.Directory(stagingDir).deleteRecursively()
+    } else {
+      val path = s"$spillDir/seg-${base + 1}-${base + n}-$n"
+      if (!stagingDir.renameTo(new java.io.File(path)))
+        throw new RuntimeException(s"changelog segment rename failed: $staging -> $path")
+      segments += ((base + 1, base + n, path, n))
+      lastTs = base + n
+      notifyAll()
+    }
   }
 
-  /** Stamp rows with fresh monotone offsets and append atomically; spill
-    * the oldest half of the in-memory window when it overflows. */
-  def append(rows: Seq[Row]): Unit = synchronized {
-    rows.foreach { r =>
-      lastTs = math.max(lastTs + 1, System.currentTimeMillis() << 16)
-      entries += ((lastTs, Row.fromSeq(r.toSeq :+ lastTs)))
-    }
-    val limit = spillThreshold
-    if (entries.size > limit) {
-      val n = entries.size - limit / 2
-      writeSegment(entries.take(n).toList)
-      entries.remove(0, n)
-    }
-    notifyAll()
+  /** The retained log with offset > `after`, as a DataFrame over the
+    * parquet segments — the executor-side face of the log, consumed by
+    * changelog-driven MV cascades without a driver round-trip. */
+  def dfAfter(after: Long): DataFrame = synchronized {
+    import org.apache.spark.sql.functions.col
+    val segs = segments.filter(_._2 > after).map(_._3).toList
+    if (segs.isEmpty)
+      spark.createDataFrame(java.util.List.of[Row](), changeSchema)
+    else spark.read.parquet(segs: _*).filter(col("rw_timestamp") > after)
   }
 
-  /** Durable-mode shutdown hook: spill the in-memory tail so the whole
-    * retained history is on disk for the next engine open. No-op when the
-    * changelog is ephemeral (no persist dir). */
-  def flushTail(): Unit = synchronized {
-    if (persistDir.nonEmpty && entries.nonEmpty) {
-      writeSegment(entries.toList)
-      entries.clear()
-    }
-  }
-
-  /** Rows with offset strictly greater than `after`, up to `limit` —
-    * spilled segments first (offset-filtered parquet scan), then the
-    * in-memory tail. The whole read holds the monitor so a concurrent
-    * [[prune]] cannot unlink segment files mid-scan (fetch batches are
-    * small; retention pruning is rare). */
+  /** Rows with offset strictly greater than `after`, up to `limit` — the
+    * client FETCH boundary: an offset-filtered ordered scan of the
+    * segments. The whole read holds the monitor so a concurrent [[prune]]
+    * cannot unlink segment files mid-scan (fetch batches are small;
+    * retention pruning is rare). */
   def fetchAfter(after: Long, limit: Int): Seq[Row] = synchronized {
     val segs = segments.filter(_._2 > after).toList
-    val memRows = entries.iterator.filter(_._1 > after).take(limit).map(_._2).toList
-    if (segs.isEmpty) memRows
+    if (segs.isEmpty) Nil
     else {
       import org.apache.spark.sql.functions.col
-      val spilled = spark.read.parquet(segs.map(_._3): _*)
+      spark.read.parquet(segs.map(_._3): _*)
         .filter(col("rw_timestamp") > after)
         .orderBy("rw_timestamp")
         .limit(limit)
         .collect().toSeq
-      (spilled ++ memRows).take(limit)
     }
   }
 
   def latestOffset: Long = synchronized(lastTs)
 
-  /** Total retained rows (memory tail + spilled segments). */
-  def size: Long = synchronized(entries.size.toLong + segments.map(_._4).sum)
+  /** Total retained rows (sum of segment counts — index metadata only). */
+  def size: Long = synchronized(segments.map(_._4).sum)
 
   /** Drop history older than `retentionSeconds` (epoch part of the offset):
-    * whole spilled segments are unlinked, the memory tail is filtered. */
+    * whole segments are unlinked once their newest row ages out. */
   def prune(retentionSeconds: Long): Unit = synchronized {
     val cutoff = (System.currentTimeMillis() - retentionSeconds * 1000L) << 16
     val (drop, keep) = segments.partition(_._2 < cutoff)
@@ -119,17 +129,14 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
       scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
     }
     segments.clear(); segments ++= keep
-    val keepMem = entries.filter(_._1 >= cutoff)
-    entries.clear(); entries ++= keepMem
   }
 
-  /** DROP MV: irrevocably delete the retained history — memory tail,
-    * segment index, and the on-disk files (persistent or temp). Holds the
-    * monitor, honoring [[fetchAfter]]'s no-unlink-mid-scan invariant; a
-    * subscription that outlives the drop sees an empty log and drains
-    * cleanly instead of crashing on deleted segment paths. */
+  /** DROP MV: irrevocably delete the retained history — segment index and
+    * the on-disk files (persistent or temp). Holds the monitor, honoring
+    * [[fetchAfter]]'s no-unlink-mid-scan invariant; a subscription that
+    * outlives the drop sees an empty log and drains cleanly instead of
+    * crashing on deleted segment paths. */
   def purge(): Unit = synchronized {
-    entries.clear()
     segments.foreach { case (_, _, p, _) =>
       scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
     }

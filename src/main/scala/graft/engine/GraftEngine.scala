@@ -27,7 +27,12 @@ final class GraftEngine(val spark: SparkSession,
   private[engine] def changelogDirFor(viewName: String): Option[String] =
     options.dataDir.map(d => s"$d/changelog/$viewName")
 
+  /** Persistent row-segment location for one live table (None = ephemeral). */
+  private[engine] def tableDirFor(viewName: String): Option[String] =
+    options.dataDir.map(d => s"$d/tables/$viewName")
+
   registerVersionFunction()
+  restoreTables()
   handshake()
 
   // ---- SQL surface (C7) ---------------------------------------------------
@@ -273,14 +278,53 @@ final class GraftEngine(val spark: SparkSession,
 
   def createSchema(name: String): Unit = schemas += name
 
+  /** Idempotent: re-creating an existing table returns it (the reference's
+    * `IF NOT EXISTS` habit, and what a durable reopen needs — the restored
+    * table must not be shadowed by a fresh empty one). */
   def createTable(name: String, schema: StructType, schemaName: String = "public",
                   primaryKey: Seq[String] = Nil,
-                  versionColumn: Option[String] = None): LiveTable = {
-    val t = new LiveTable(spark, schemaName, name, schema, primaryKey, versionColumn)
-    liveTables((schemaName, name)) = t
-    t.refreshView()
-    refreshInformationSchema()
-    t
+                  versionColumn: Option[String] = None): LiveTable =
+    liveTables.getOrElse((schemaName, name), {
+      val t = new LiveTable(spark, schemaName, name, schema, primaryKey, versionColumn,
+        tableDirFor(Dialect.mangle(schemaName, name)))
+      liveTables((schemaName, name)) = t
+      writeTableMeta(t)
+      t.refreshView()
+      refreshInformationSchema()
+      t
+    })
+
+  /** Durable-mode table metadata (`_graft_meta` beside the row segments):
+    * identifiers + PK/version + the schema as DataType JSON — enough to
+    * reconstruct the LiveTable on reopen without the user re-issuing DDL.
+    * Line-oriented (SQL identifiers cannot contain newlines); the schema
+    * JSON occupies the remaining lines. */
+  private def writeTableMeta(t: LiveTable): Unit = tableDirFor(t.viewName).foreach { d =>
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    val meta = Seq(t.schemaName, t.name, t.primaryKey.mkString(","),
+      t.versionColumn.getOrElse(""), t.schema.json).mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/_graft_meta"),
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Reopen path: reconstruct every persisted live table from its meta
+    * file; the LiveTable recovers its own row segments. */
+  private def restoreTables(): Unit = options.dataDir.foreach { d =>
+    val root = new java.io.File(s"$d/tables")
+    if (root.isDirectory) root.listFiles().filter(_.isDirectory).sortBy(_.getName).foreach { td =>
+      val metaFile = new java.io.File(td, "_graft_meta")
+      if (metaFile.isFile) {
+        val lines = new String(java.nio.file.Files.readAllBytes(metaFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n", 5)
+        val schema = DataType.fromJson(lines(4)).asInstanceOf[StructType]
+        // restored tables re-register under their original identity; the
+        // progress table is re-adopted lazily by ensureProgressTable (the
+        // idempotent createTable returns this restored instance)
+        createTable(lines(1), schema, lines(0),
+          lines(2).split(",").filter(_.nonEmpty).toSeq,
+          Option(lines(3)).filter(_.nonEmpty))
+      }
+    }
   }
 
   def table(name: String, schemaName: String = "public"): Option[LiveTable] =
@@ -442,6 +486,34 @@ final class GraftEngine(val spark: SparkSession,
     }.toSet)
     catch { case _: Throwable => None }
 
+  /** MVs the statement reads (parsed-plan relation references; word-boundary
+    * fallback for unparsable text), excluding the asking MV itself. Used by
+    * the changelog-cascade admission check. */
+  private[engine] def referencedMvs(stmt: String,
+                                    excluding: (String, String)): Seq[MaterializedView] = {
+    val rels = statementRelations(stmt)
+    mvs.collect { case ((sn, vn), m) if (sn, vn) != excluding &&
+      (rels match {
+        case Some(rs) =>
+          Seq(m.viewName, s"$sn.$vn", vn).exists(s => rs.contains(s.toLowerCase))
+        case None =>
+          Seq(m.viewName, s"$sn.$vn", vn).exists(n => referencesName(stmt, n))
+      }) => m
+    }.toSeq
+  }
+
+  /** Temporarily rebind one MV's view name to `df`, evaluate, restore —
+    * synchronized with [[withStreamingViews]]: temp-view rebinding is
+    * session-global, and two concurrent rebinds of the same name would
+    * cross-talk. Evaluation must be EAGER inside the thunk (analysis
+    * resolves the temp view at `spark.sql` time; actions after restore
+    * still read the captured plan). */
+  private[engine] def withTempBinding[T](m: MaterializedView, df: DataFrame)(thunk: => T): T =
+    synchronized {
+      df.createOrReplaceTempView(m.viewName)
+      try thunk finally m.restoreView()
+    }
+
   /** Temporarily rebind live-table views — and the streaming faces of
     * append-only streaming MVs (MV-on-MV chains) — to their streaming
     * forms (with optional per-table watermarks), evaluate, restore.
@@ -539,12 +611,11 @@ final class GraftEngine(val spark: SparkSession,
   }
 
   override def close(): Unit = {
-    // halt the maintainers FIRST — an in-flight micro-batch could append
-    // ops after a premature tail flush and lose them from durable history
+    // halt the maintainers first; changelog segments are already durable
+    // (written executor-side at append time), so close only spills the
+    // live tables' in-memory tails and the progress snapshot
     mvs.values.foreach(_.stop())
-    // durable mode: changelog tails + progress snapshot to the data dir so
-    // a reopen resumes SINCE cursors and checkpointed subscriptions
-    mvs.values.foreach(_.changeLog.flushTail())
+    liveTables.values.foreach(_.spillAll())
     options.dataDir.foreach { d =>
       progressTable.foreach { t =>
         t.batchDF.coalesce(1).write.mode("overwrite").parquet(s"$d/progress")

@@ -25,10 +25,19 @@ import scala.jdk.CollectionConverters._
   * a warning (`risingwave/core.py:102-122`), and DataFrame inserts flush the
   * row buffer first to preserve arrival order (`risingwave/core.py:280-281`).
   *
-  * Scale note: the in-memory accumulation is the local test harness; at
-  * 100 TB a live table is a log-compacted table format and the MemoryStream
-  * is a real source (Kafka etc.). All consumers only see DataFrames, so the
-  * swap is confined to this class.
+  * Durability & memory bound: with a `persistDir` (durable mode,
+  * `ConnOptions.dataDir`), row history spills to self-describing parquet
+  * segments (`seg-<minSeq>-<maxSeq>-<count>`, the changelog's scheme) once
+  * the in-memory tail exceeds `graft.table.spillThreshold` (default 100k
+  * rows), and the remaining tail is spilled at engine close — so a reopened
+  * engine restores the table from its segments and driver memory never has
+  * to hold more than the un-spilled tail. The batch face unions the segment
+  * scan with the tail; the `__seq` ingestion-order column rides the
+  * segments, preserving upsert version resolution across restarts. Without
+  * a persistDir the table is purely in-memory, exactly as before. At
+  * cluster scale the segment directory is a log-compacted table format on
+  * shared storage; all consumers only see DataFrames, so the swap is
+  * confined to this class.
   */
 final class LiveTable(
     spark: SparkSession,
@@ -36,7 +45,8 @@ final class LiveTable(
     val name: String,
     val schema: StructType,
     val primaryKey: Seq[String] = Nil,
-    val versionColumn: Option[String] = None) {
+    val versionColumn: Option[String] = None,
+    persistDir: Option[String] = None) {
 
   val bufSize = 5
 
@@ -44,6 +54,11 @@ final class LiveTable(
 
   private val buffer = ArrayBuffer[Row]()
   private val allRows = ArrayBuffer[Row]()
+
+  /** (minSeq, maxSeq, path, rowCount) per spilled segment, in seq order. */
+  private val segments = ArrayBuffer[(Long, Long, String, Long)]()
+  private def spillThreshold: Int =
+    spark.conf.getOption("graft.table.spillThreshold").map(_.toInt).getOrElse(100000)
 
   /** One MemoryStream per reader (= MV maintainer). A SHARED stream is
     * wrong twice over: MemoryStream prunes batches once its reading query
@@ -57,13 +72,39 @@ final class LiveTable(
 
   def viewName: String = Dialect.mangle(schemaName, name)
 
-  /** Streaming face for one named reader — backfills existing rows on first
-    * attach. Call [[dropReader]] when the reader goes away (MV dropped,
-    * demoted, or failed to start) or its stream buffers forever. */
+  private var seq = 0L
+
+  // restart recovery (durable mode): rebuild the segment index from the
+  // self-describing directory names and resume the sequence counter
+  private val segName = """seg-(\d+)-(\d+)-(\d+)""".r
+  persistDir.foreach { d =>
+    val f = new java.io.File(d)
+    if (f.isDirectory) {
+      val recovered = f.listFiles().toSeq.flatMap(s => s.getName match {
+        case segName(min, max, n) => Some((min.toLong, max.toLong, s.getAbsolutePath, n.toLong))
+        case _ => None
+      }).sortBy(_._1)
+      segments ++= recovered
+      recovered.lastOption.foreach { case (_, max, _, _) => seq = max }
+    }
+  }
+
+  /** Streaming face for one named reader — backfills existing rows (spilled
+    * segments + memory tail, in ingestion order) on first attach. Call
+    * [[dropReader]] when the reader goes away (MV dropped, demoted, or
+    * failed to start) or its stream buffers forever. */
   def streamingDFFor(reader: String): DataFrame = synchronized {
     val ms = readerStreams.getOrElseUpdate(reader, {
       val s = MemoryStream[Row](enc, spark)
-      if (allRows.nonEmpty)
+      if (segments.nonEmpty) {
+        // segments + tail, in ingestion order; crosses the driver in
+        // bounded chunks (toLocalIterator holds one partition at a time) —
+        // the MemoryStream boundary is driver-side by construction, like
+        // the reference's insert path
+        rawHistoryDF.orderBy("__seq").drop("__seq")
+          .toLocalIterator().asScala.grouped(100000)
+          .foreach(chunk => s.addData(chunk.toSeq))
+      } else if (allRows.nonEmpty)
         s.addData(allRows.toList.map(r => Row.fromSeq(r.toSeq.dropRight(1))))
       s
     })
@@ -73,11 +114,19 @@ final class LiveTable(
   /** Stop buffering batches for a reader (its maintainer no longer runs). */
   def dropReader(reader: String): Unit = synchronized { readerStreams -= reader }
 
+  /** Raw append history with `__seq`, segments unioned with the memory
+    * tail (no upsert resolution). */
+  private def rawHistoryDF: DataFrame = {
+    val mem = spark.createDataFrame(allRows.toList.asJava, withSeq)
+    if (segments.isEmpty) mem
+    else spark.read.parquet(segments.map(_._3).toSeq: _*).unionByName(mem)
+  }
+
   /** Batch face: all ingested rows, with upsert-by-primary-key semantics
     * applied (keep the max-version row; version NULLs never overwrite — the
     * `ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN` contract). */
   def batchDF: DataFrame = synchronized {
-    val base = spark.createDataFrame(allRows.toList.asJava, withSeq)
+    val base = rawHistoryDF
     val df =
       if (primaryKey.isEmpty) base.drop("__seq")
       else {
@@ -94,8 +143,6 @@ final class LiveTable(
 
   private def withSeq: StructType =
     schema.add("__seq", org.apache.spark.sql.types.LongType, nullable = false)
-
-  private var seq = 0L
 
   def refreshView(): Unit = batchDF.createOrReplaceTempView(viewName)
 
@@ -129,7 +176,6 @@ final class LiveTable(
     * final state, but MV changelogs may record intermediate per-chunk ops
     * if a FLUSH runs mid-insert. */
   def insertDF(df: DataFrame, batchSize: Int = 100000): Unit = {
-    import scala.jdk.CollectionConverters._
     df.select(schema.fieldNames.map(col): _*).toLocalIterator().asScala
       .grouped(batchSize).foreach(chunk => insert(chunk))
   }
@@ -148,10 +194,38 @@ final class LiveTable(
     // the streaming faces carry the declared schema (no __seq)
     val faces = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1)))
     readerStreams.values.foreach(_.addData(faces))
+    // durable mode: bound the driver tail — spill the oldest half past the
+    // threshold into a parquet segment (the tail stays hot for cheap reads)
+    if (persistDir.nonEmpty && allRows.size > spillThreshold) {
+      val n = allRows.size - spillThreshold / 2
+      writeSegment(allRows.take(n).toList)
+      allRows.remove(0, n)
+    }
     refreshView()
   }
 
-  def rowCount: Long = synchronized(allRows.size.toLong)
+  private def writeSegment(rows: Seq[Row]): Unit = {
+    val d = persistDir.get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    val minSeq = rows.head.getLong(rows.head.length - 1)
+    val maxSeq = rows.last.getLong(rows.last.length - 1)
+    val path = s"$d/seg-$minSeq-$maxSeq-${rows.size}"
+    spark.createDataFrame(rows.toList.asJava, withSeq)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    segments += ((minSeq, maxSeq, path, rows.size.toLong))
+  }
+
+  /** Durable-mode close hook: spill the remaining in-memory tail so the
+    * whole table restores on the next open. No-op when ephemeral. */
+  def spillAll(): Unit = synchronized {
+    flushBuffer()
+    if (persistDir.nonEmpty && allRows.nonEmpty) {
+      writeSegment(allRows.toList)
+      allRows.clear()
+    }
+  }
+
+  def rowCount: Long = synchronized(allRows.size.toLong + segments.map(_._4).sum)
 
   /** Set once UPDATE/DELETE has rewritten state: the MemoryStream no
     * longer reflects the table, so MVs created later must run in batch
@@ -162,8 +236,9 @@ final class LiveTable(
     * of its current (PK-resolved) batch face. The streaming face is NOT fed
     * — MemoryStream is append-only, so the engine demotes every MV reading
     * this table to batch re-run mode before calling this (their diffs then
-    * emit the correct Delete / UpdateDelete+UpdateInsert ops). */
-
+    * emit the correct Delete / UpdateDelete+UpdateInsert ops). Spilled
+    * segments are superseded by the rewrite and deleted; the rewritten
+    * state re-spills past the threshold / at close. */
   private[engine] def mutate(f: DataFrame => DataFrame): Unit = synchronized {
     mutated = true
     // the engine demotes every streaming MV reading this table BEFORE
@@ -173,6 +248,10 @@ final class LiveTable(
     readerStreams.clear()
     flushBuffer()
     val next = f(batchDF).select(schema.fieldNames.map(col): _*).collect()
+    segments.foreach { case (_, _, p, _) =>
+      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    }
+    segments.clear()
     allRows.clear()
     seq = 0L
     allRows ++= next.map(r => { seq += 1; Row.fromSeq(r.toSeq :+ seq) })

@@ -24,8 +24,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * The snapshot is a distributed DataFrame, `localCheckpoint`ed per epoch to
   * cut lineage (at cluster scale: a reliable checkpoint / keyed table
-  * format). The changelog rows are collected to the driver-side
-  * [[ChangeLog]] — they are the client-delivery buffer for subscriptions.
+  * format). Changelog deltas are written executor-side into the MV's
+  * parquet segment log ([[ChangeLog.appendDF]]); the driver holds only
+  * (offset, count) metadata — rows cross to the driver solely at the
+  * client's FETCH boundary, mirroring the reference's cursor protocol.
   */
 final class MaterializedView private[engine](
     engine: GraftEngine,
@@ -56,6 +58,13 @@ final class MaterializedView private[engine](
   private var topNOrderText = ""
   private var topNLimit = 0
   private def topNSrcView = s"__topn_src_$viewName"
+
+  // changelog-cascade state (agg-over-agg MV chains): the downstream
+  // maintainer consumes the upstream MV's 4-op changelog as a retraction
+  // stream — see [[tryStartCascade]]/[[cascadeRefresh]]
+  private var cascadeMode = false
+  private var cascadeUpstream: Option[MaterializedView] = None
+  private var cascadeOffset = 0L
 
   /** For append-only streaming MVs (stateless plans): the MV's streaming
     * faces, fed one micro-batch per epoch — downstream MVs bind to one and
@@ -95,6 +104,11 @@ final class MaterializedView private[engine](
   /** True when maintained by the incremental top-N path (stream inner +
     * re-truncate), not batch re-run. */
   private[graft] def isTopNMode: Boolean = topNMode
+
+  /** True when maintained incrementally by consuming the upstream MV's 4-op
+    * changelog as a retraction stream (agg-over-agg chains), not batch
+    * re-run. */
+  private[graft] def isChangelogCascadeMode: Boolean = cascadeMode
 
   /** Rebind the MV's name to its current snapshot (after withStreamingViews
     * temporarily bound the streaming face). */
@@ -215,7 +229,24 @@ final class MaterializedView private[engine](
     left.join(kr, keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), how)
   }
 
+  /** True while the MV's initial materialization is rebuilding state a
+    * recovered (durable) changelog already records: a reopened engine
+    * restores tables and changelog segments, so the re-created MV's
+    * backfill diff would otherwise re-emit the whole history as fresh ops
+    * and SINCE-0 replay after reopen would diverge from before. Consumed
+    * entirely within [[start]] — the backfill epoch is drained
+    * synchronously there. */
+  @volatile private var recovering = false
+
+  private def emitOps(ops: DataFrame): Unit =
+    if (!recovering) changeLog.appendDF(ops)
+
   private[engine] def start(): Unit = {
+    recovering = changeLog.latestOffset > 0
+    try startModes() finally recovering = false
+  }
+
+  private def startModes(): Unit = {
     // MVs over PK/upsert tables must re-run in batch mode: the streaming
     // face is the raw version-append log, so a streaming aggregate would
     // count every version of a key; the batch face applies the upsert
@@ -274,16 +305,21 @@ final class MaterializedView private[engine](
             .queryName(s"${viewName}_maintainer")
             .start())
         streamingMode = true
+        // reopen recovery: drain the backfill epoch synchronously while
+        // suppression is active — it rebuilds state the recovered changelog
+        // already records (new ingest can only arrive after start returns)
+        if (recovering) query.foreach(_.processAllAvailable())
         true
       } catch { case _: Throwable => false }
     }
 
     if (!startedStreaming) {
-      // batch re-run mode over the current batch views; release any reader
-      // streams the failed streaming attempt attached (they would buffer
-      // every future batch for a maintainer that never runs)
+      // release any reader streams the failed streaming attempt attached
+      // (they would buffer every future batch for a maintainer that never
+      // runs), then try the changelog-cascade path before batch re-run
       engine.releaseStreamReaders(viewName)
       streamingMode = false
+      if (!readsPkTable && !emitOnClose && tryStartCascade()) return
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
       keyCols = keyMode match {
@@ -335,6 +371,7 @@ final class MaterializedView private[engine](
           .start())
       streamingMode = true
       topNMode = true
+      if (recovering) query.foreach(_.processAllAvailable())
       true
     } catch { case _: Throwable =>
       engine.releaseStreamReaders(viewName)
@@ -342,6 +379,95 @@ final class MaterializedView private[engine](
       // statement fails to analyze — don't leak it into the shared catalog
       spark.catalog.dropTempView(topNSrcView)
       false
+    }
+  }
+
+  /** Changelog-cascade admission: the statement is a Keyed aggregate over
+    * exactly ONE upstream MV (plus, optionally, static catalog tables) and
+    * references no live tables. Such chains can't bind a streaming face —
+    * the upstream's deltas are UPDATES/RETRACTIONS, which an append stream
+    * can't carry — but they ARE incrementally maintainable by consuming the
+    * upstream's 4-op changelog (the reference's server maintains arbitrary
+    * MV-on-MV chains this way, `risingwave/core.py:451-456`): per epoch,
+    * the delta payload (both halves of each retraction pair) names every
+    * downstream group whose input changed; only those groups are
+    * recomputed and folded into state ([[cascadeRefresh]]). Works over ANY
+    * changelog-emitting upstream — update-mode aggregate, top-N, EOWC,
+    * even one demoted to batch re-run — because the 4-op envelope is
+    * mode-independent. */
+  private def tryStartCascade(): Boolean = {
+    if (engine.referencedLiveTables(stmt).nonEmpty) return false
+    val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
+    if (ups.size != 1) return false
+    try {
+      val df = spark.sql(engine.rewrite(stmt))
+      val analyzed = df.queryExecution.analyzed
+      val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
+      // same shape rules as streaming update mode: a Filter above the
+      // aggregate (HAVING) would also break touched-key DETECTION here —
+      // a group's delta-local aggregate may fail the predicate even though
+      // its full-state aggregate changed
+      if (!isAgg || !streamingSafe(analyzed)) return false
+      val mode = deriveMode(df)
+      if (!mode.isInstanceOf[MaterializedView.Keyed]) return false
+      keyMode = mode
+      keyCols = mode.asInstanceOf[MaterializedView.Keyed].keys
+      isAggMode = true
+      cascadeUpstream = Some(ups.head)
+      cascadeMode = true
+      cascadeRefresh() // initial backfill over the upstream's current state
+      true
+    } catch { case _: Throwable =>
+      cascadeMode = false; cascadeUpstream = None
+      false
+    }
+  }
+
+  /** One cascade epoch: consume upstream changelog rows past the consumed
+    * offset (executor-side segment scan — no driver round-trip), derive the
+    * touched downstream keys by evaluating the statement over the delta
+    * payload, recompute exactly those groups against the upstream's current
+    * snapshot, and diff them against the carried state — emitting Inserts,
+    * UpdateDelete/UpdateInsert pairs, AND Deletes (a group whose last input
+    * rows retracted vanishes, which plain update-mode streaming never
+    * expresses).
+    *
+    * Offset discipline: `latest` is read BEFORE the delta/snapshot reads,
+    * so a concurrently-appended epoch is at worst re-consumed next time —
+    * and re-consumption is harmless because touched-key recomputation
+    * against the current snapshot is idempotent.
+    *
+    * 100 TB shape: per-epoch work = one aggregate over the upstream MV's
+    * state (already compacted — orders smaller than the raw table; no raw
+    * scan) + diffs/merges proportional to the touched keys. */
+  private def cascadeRefresh(): Unit = synchronized {
+    import org.apache.spark.sql.functions.col
+    val up = cascadeUpstream.getOrElse(return)
+    val latest = up.changeLog.latestOffset
+    if (latest <= cascadeOffset && snapshot.nonEmpty) return
+
+    if (snapshot.isEmpty) {
+      cascadeOffset = latest
+      val full = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
+      emitOps(Changelog.diff(None, full, keyCols))
+      snapshot = Some(full)
+      full.createOrReplaceTempView(viewName)
+    } else {
+      val payload = up.changeLog.dfAfter(cascadeOffset).drop("op", "rw_timestamp")
+      cascadeOffset = latest
+      val touched = engine.withTempBinding(up, payload) {
+        spark.sql(engine.rewrite(stmt)).select(keyCols.map(col): _*).distinct()
+          .localCheckpoint(true)
+      }
+      if (touched.isEmpty) return
+      val full = spark.sql(engine.rewrite(stmt))
+      val newTouched = keyJoin(full, touched, "left_semi").localCheckpoint(true)
+      val prevTouched = keyJoin(snapshot.get, touched, "left_semi")
+      emitOps(Changelog.diff(Some(prevTouched), newTouched, keyCols))
+      snapshot = Some(
+        keyJoin(snapshot.get, touched, "left_anti").union(newTouched)
+          .localCheckpoint(true))
+      snapshot.get.createOrReplaceTempView(viewName)
     }
   }
 
@@ -373,7 +499,7 @@ final class MaterializedView private[engine](
       (if (isAgg) merged else topNEval(merged)).localCheckpoint(true))
     val nextVisible =
       if (isAgg) topNEval(innerState.get).localCheckpoint(true) else innerState.get
-    changeLog.append(Changelog.multisetDiff(snapshot, nextVisible).collect().toSeq)
+    emitOps(Changelog.multisetDiff(snapshot, nextVisible))
     snapshot = Some(nextVisible)
     snapshot.get.createOrReplaceTempView(viewName)
   }
@@ -404,7 +530,7 @@ final class MaterializedView private[engine](
         val prevTouched = keyJoin(snapshot.get, keys, "left_semi")
         Changelog.diff(Some(prevTouched), d, keyCols)
       }
-    changeLog.append(ops.collect().toSeq)
+    emitOps(ops)
 
     snapshot = Some(mergeDelta(snapshot, d, keyed = isAgg).localCheckpoint(true))
     snapshot.get.createOrReplaceTempView(viewName)
@@ -441,7 +567,7 @@ final class MaterializedView private[engine](
       val closedPred = unix_millis(col("window_start")) + closeDurMs.get <= wm
       val nc = p.filter(closedPred).localCheckpoint(true)
       if (!nc.isEmpty) {
-        changeLog.append(Changelog.diff(None, nc, keyCols).collect().toSeq)
+        emitOps(Changelog.diff(None, nc, keyCols))
         snapshot = Some(snapshot.map(_.union(nc).localCheckpoint(true)).getOrElse(nc))
         snapshot.get.createOrReplaceTempView(viewName)
         // closed windows leave the pending buffer: the watermark already
@@ -452,10 +578,13 @@ final class MaterializedView private[engine](
     }
   }
 
-  /** FLUSH barrier hook: drain the stream (streaming mode) or re-evaluate
-    * and diff (batch mode) — the diff shape follows [[keyMode]]. */
+  /** FLUSH barrier hook: drain the stream (streaming mode), fold the
+    * upstream changelog (cascade mode), or re-evaluate and diff (batch
+    * mode) — the diff shape follows [[keyMode]]. Creation-order iteration
+    * in [[GraftEngine.flush]] guarantees the upstream refreshed first. */
   private[engine] def refresh(): Unit = {
     if (streamingMode) query.foreach(_.processAllAvailable())
+    else if (cascadeMode) cascadeRefresh()
     else synchronized {
       val next = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
       val ops = keyMode match {
@@ -463,7 +592,7 @@ final class MaterializedView private[engine](
         case MaterializedView.GlobalRow => Changelog.diff(snapshot, next, Nil)
         case MaterializedView.Multiset => Changelog.multisetDiff(snapshot, next)
       }
-      changeLog.append(ops.collect().toSeq)
+      emitOps(ops)
       snapshot = Some(next)
       next.createOrReplaceTempView(viewName)
     }

@@ -145,6 +145,41 @@ object StreamingParity {
       materialized
     },
 
+    // D4 cascade, aggregating upstream (round-4 verdict item 1) — the
+    // hourly→daily rollup shape: a streaming Keyed tumble-aggregate MV
+    // feeds a SECOND aggregate MV. The upstream's deltas are updates, so no
+    // append-only face exists; the downstream must consume the upstream's
+    // 4-op changelog as a retraction stream and fold UD/UI pairs into its
+    // own groups. BOTH maintenance modes are asserted (values alone
+    // wouldn't distinguish this from per-flush batch re-run), and the final
+    // state must equal the batch evaluation of the composed rollup.
+    q("m_mv_agg_cascade_incremental",
+      """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hs, event_type,
+        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_agc", Seq(
+        ("m_agc_up",
+          """SELECT window_start, event_type, count(*) AS n,
+            |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+            |FROM tumble(m_ev_agc, ts, interval '10 minutes')
+            |GROUP BY window_start, event_type""".stripMargin),
+        ("m_agc_daily",
+          """SELECT date_trunc('hour', window_start) AS hs, event_type,
+            |  CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+            |FROM m_agc_up GROUP BY date_trunc('hour', window_start), event_type""".stripMargin)))
+      val up = rw.mvByName("m_agc_up").get
+      val down = rw.mvByName("m_agc_daily").get
+      require(up.isStreamingMode,
+        "upstream aggregate MV fell back to batch re-run — must stream")
+      require(down.isChangelogCascadeMode,
+        "downstream rollup fell back to batch re-run — must consume the upstream changelog")
+      val out = down.df.select(col("hs").cast("long").as("hs"), col("event_type"),
+        col("n"), col("sv").cast("double").as("sv"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // TopN — incrementally-maintained `ORDER BY ... LIMIT` MV (RisingWave's
     // TopN operator): the inner statement streams and the snapshot is
     // re-truncated per epoch with O(n) carried state; displaced rows

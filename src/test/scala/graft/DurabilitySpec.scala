@@ -4,10 +4,12 @@ import graft.engine._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-/** Restart durability (SURVEY §9 gap, round-2 verdict #7): with a
-  * configured `dataDir`, changelog segments and subscription progress
-  * persist across `close()` + `GraftEngine.open` on the same dir — the
-  * reference's server retains both server-side. */
+/** Restart durability (SURVEY §9 gap; round-4 verdict item 2): with a
+  * configured `dataDir`, live-table rows, changelog segments, and
+  * subscription progress all persist across `close()` + `GraftEngine.open`
+  * on the same dir — the reference's server retains them server-side.
+  * Re-created MVs rebuild their snapshot from the restored tables WITHOUT
+  * re-emitting the recovered history as fresh changelog ops. */
 class DurabilitySpec extends SparkSpec {
 
   private val schema = StructType(Seq(
@@ -30,33 +32,83 @@ class DurabilitySpec extends SparkSpec {
     rw1.close()
 
     val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
-    rw2.createTable("du_t", schema) // fresh (live-table data is not durable)
+    // du_t was restored from its row segments; the re-created MV rebuilds
+    // its snapshot from the restored rows but must NOT re-emit them as ops
     rw2.mv("SELECT k, count(*) AS n FROM du_t GROUP BY k", "du_mv")
     val ops2 = drain(rw2.mvByName("du_mv").get.subscription().declareCursor(Some(0L)))
     assert(ops2 == ops1, "retained history (incl. offsets) must replay identically")
+    assert(rw2.mvByName("du_mv").get.df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet == Set(("a", 2L), ("b", 1L)), "snapshot must rebuild from restored rows")
+    rw2.close()
+  }
+
+  test("live table rows survive reopen; a dependent MV backfills from them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("dt_t", schema)
+    rw1.table("dt_t").get.insert(Seq(Row("a", 1L), Row("b", 2L), Row("a", 3L)))
+    rw1.flush()
+    rw1.close()
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    // no re-issued DDL: the table restores itself (schema from _graft_meta,
+    // rows from segments) and is immediately queryable
+    val rows = rw2.fetch("SELECT k, v FROM dt_t ORDER BY v")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows == Seq(("a", 1L), ("b", 2L), ("a", 3L)))
+    // a NEW MV over the restored table backfills through its face stream
+    val m = rw2.mv("SELECT k, count(*) AS n FROM dt_t GROUP BY k", "dt_mv")
+    rw2.flush()
+    assert(m.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("b", 1L)), "dependent MV must backfill restored rows")
+    // and being a FRESH MV (no recovered changelog), its backfill IS emitted
+    val ops = drain(m.subscription().declareCursor(Some(0L)))
+    assert(ops.map(_.head).toSet == Set("a", "b"))
+    // post-restore ingest continues the restored sequence (upsert ordering)
+    rw2.table("dt_t").get.insert(Seq(Row("c", 4L)))
+    rw2.flush()
+    assert(rw2.fetch("SELECT count(*) FROM dt_t").head.getLong(0) == 4L)
+    rw2.close()
+  }
+
+  test("upsert version resolution survives reopen (segment __seq continuity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.execute(
+      """CREATE TABLE dv_t (id STRING PRIMARY KEY, v BIGINT)
+        |ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(v)""".stripMargin)
+    rw1.execute("INSERT INTO dv_t VALUES ('x', 5), ('y', 1)")
+    rw1.execute("FLUSH")
+    rw1.close()
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    // a LOWER version arriving after reopen must not overwrite
+    rw2.execute("INSERT INTO dv_t VALUES ('x', 3)")
+    rw2.execute("FLUSH")
+    val st = rw2.fetch("SELECT id, v FROM dv_t ORDER BY id")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(st == Seq(("x", 5L), ("y", 1L)),
+      "restored version column must still gate upserts")
     rw2.close()
   }
 
   test("a subscription outliving DROP MV drains cleanly (purge under the log monitor)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
-    spark.conf.set("graft.changelog.spillThreshold", "4")
-    try {
-      val rw = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
-      rw.createTable("dd_t", schema)
-      rw.mv("SELECT k, v FROM dd_t", "dd_mv")
-      val t = rw.table("dd_t").get
-      // enough ops to overflow the 4-row memory window → spilled segments
-      (1 to 12).foreach { i => t.insert(Seq(Row(s"k$i", i.toLong))); rw.flush() }
-      val sub = rw.mvByName("dd_mv").get.subscription().declareCursor(Some(0L))
-      assert(sub.fetch(3).size == 3) // reads through a spilled segment
-      rw.execute("DROP MATERIALIZED VIEW dd_mv")
-      assert(!new java.io.File(s"$dir/changelog").exists() ||
-        new java.io.File(s"$dir/changelog").listFiles().isEmpty,
-        "persisted segments must be purged on drop")
-      // the cursor survives the drop: empty log, no crash on deleted paths
-      assert(sub.fetch(100).isEmpty)
-      rw.close()
-    } finally spark.conf.unset("graft.changelog.spillThreshold")
+    val rw = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw.createTable("dd_t", schema)
+    rw.mv("SELECT k, v FROM dd_t", "dd_mv")
+    val t = rw.table("dd_t").get
+    // one executor-written segment per epoch
+    (1 to 12).foreach { i => t.insert(Seq(Row(s"k$i", i.toLong))); rw.flush() }
+    val sub = rw.mvByName("dd_mv").get.subscription().declareCursor(Some(0L))
+    assert(sub.fetch(3).size == 3) // reads through a persisted segment
+    rw.execute("DROP MATERIALIZED VIEW dd_mv")
+    assert(!new java.io.File(s"$dir/changelog").exists() ||
+      new java.io.File(s"$dir/changelog").listFiles().isEmpty,
+      "persisted segments must be purged on drop")
+    // the cursor survives the drop: empty log, no crash on deleted paths
+    assert(sub.fetch(100).isEmpty)
+    rw.close()
   }
 
   test("persisted subscription progress resumes across reopen") {

@@ -305,25 +305,22 @@ class EngineSpec extends SparkSpec {
     assert(st == Seq(("g1", 2L, 7L)))
   }
 
-  test("changelog spills to parquet segments past the memory bound; SINCE replay crosses it") {
-    spark.conf.set("graft.changelog.spillThreshold", "8")
-    try {
-      rw.createTable("spill_t", StructType(Seq(
-        StructField("k", StringType), StructField("v", LongType))))
-      val m = rw.mv("SELECT k, v FROM spill_t", "spill_mv")
-      // 24 changelog rows in 6 epochs of 4 → multiple spill cycles
-      for (epoch <- 0 until 6) {
-        val rows = (0 until 4).map(i => Row(s"k${epoch * 4 + i}", (epoch * 4 + i).toLong))
-        rw.table("spill_t").get.insert(rows)
-        rw.flush()
-      }
-      val sub = m.subscription().declareCursor(Some(0L))
-      val ops = Iterator.continually(sub.fetch(5)).takeWhile(_.nonEmpty).flatten.toSeq
-      assert(ops.length == 24)
-      val offs = ops.map(r => r.getLong(r.length - 1))
-      assert(offs == offs.sorted, "replay must preserve offset order across the spill boundary")
-      assert(ops.map(_.getString(0)).toSet == (0 until 24).map(i => s"k$i").toSet)
-    } finally spark.conf.unset("graft.changelog.spillThreshold")
+  test("changelog persists as parquet segments; SINCE replay crosses segment boundaries") {
+    rw.createTable("spill_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    val m = rw.mv("SELECT k, v FROM spill_t", "spill_mv")
+    // 24 changelog rows in 6 epochs → 6 executor-written segments
+    for (epoch <- 0 until 6) {
+      val rows = (0 until 4).map(i => Row(s"k${epoch * 4 + i}", (epoch * 4 + i).toLong))
+      rw.table("spill_t").get.insert(rows)
+      rw.flush()
+    }
+    val sub = m.subscription().declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(5)).takeWhile(_.nonEmpty).flatten.toSeq
+    assert(ops.length == 24)
+    val offs = ops.map(r => r.getLong(r.length - 1))
+    assert(offs == offs.sorted, "replay must preserve offset order across segment boundaries")
+    assert(ops.map(_.getString(0)).toSet == (0 until 24).map(i => s"k$i").toSet)
   }
 
   test("streaming MV-on-MV chain: stateless cleanse feeds an incremental aggregate") {
