@@ -74,6 +74,76 @@ object Dialect {
         s"CAST(floor(unix_millis(CAST($c AS TIMESTAMP)) / $sl) AS BIGINT) * $sl, $sl)) __hv AS __hs)"
     })
 
+  /** `session(tbl, ts_col, interval 'gap')` TVF (the session-window
+    * complement of the tumble/hop TVFs). Session bounds depend on the WHOLE
+    * group — they cannot be derived per row like tumble's — so the rewrite
+    * targets Spark's aggregation-time `session_window`: the TVF collapses
+    * to its table, `window_start` in the GROUP BY becomes
+    * `session_window(ts, 'gap')` (a `window_end` grouping term is dropped —
+    * it names the same session), and remaining `window_start`/`window_end`
+    * references read the grouped struct's fields. Contract: the statement
+    * must GROUP BY window_start (the TVF's session identity); other
+    * spellings pass through and fail loudly at parse. */
+  private val sessionRe =
+    """(?is)session\s*\(\s*([\w.]+)\s*,\s*([\w.]+)\s*,\s*interval\s+'([^']+)'\s*\)""".r
+
+  /** (table, tsCol, gap) of the statement's session TVF, if present. */
+  private[graft] def sessionTvf(sql: String): Option[(String, String, String)] =
+    sessionRe.findFirstMatchIn(sql).map(m => (m.group(1), m.group(2), m.group(3)))
+
+  /** Re-aim the session TVF at a different source relation (the MV
+    * maintainer's carried-state view), leaving the spelling intact. */
+  private[graft] def retargetSessionTvf(sql: String, newTbl: String): String =
+    sessionRe.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+      s"session($newTbl, ${m.group(2)}, interval '${m.group(3)}')"))
+
+  def rewriteSession(sql: String): String = {
+    val m = sessionRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val (tbl, c, dur) = (m.group(1), m.group(2), m.group(3))
+    val collapsed = sessionRe.replaceAllIn(sql,
+      java.util.regex.Matcher.quoteReplacement(tbl))
+    val gIdx = topLevelIndexOf(collapsed, "GROUP")
+    if (gIdx < 0) return collapsed
+    val afterBy = collapsed.substring(gIdx).replaceFirst("(?is)^GROUP\\s+BY", "")
+    val byOffset = collapsed.length - afterBy.length
+    val clauseEnd = Seq("HAVING", "ORDER", "LIMIT", "OFFSET")
+      .map(k => topLevelIndexOf(afterBy, k)).filter(_ >= 0)
+      .minOption.getOrElse(afterBy.length)
+    val clause = afterBy.substring(0, clauseEnd)
+    val items = DdlParser.splitTopLevel(clause).map(_.trim).filter(_.nonEmpty)
+      .flatMap {
+        case i if i.equalsIgnoreCase("window_start") =>
+          Some(s"session_window($c, '$dur')")
+        case i if i.equalsIgnoreCase("window_end") => None
+        case i => Some(i)
+      }
+    // expression-position references read the grouped struct's fields
+    def fields(s: String): String = s
+      .replaceAll("(?i)\\bwindow_start\\b", "session_window.start")
+      .replaceAll("(?i)\\bwindow_end\\b", "session_window.end")
+    // bare top-level select items keep their TVF column names — an
+    // un-aliased field access would surface as `start`/`end`
+    val prefix = collapsed.substring(0, byOffset)
+    val selM = """(?is)^\s*SELECT\s+""".r.findFirstMatchIn(prefix)
+    val fromIdx = topLevelIndexOf(prefix, "FROM")
+    val rewrittenPrefix = selM match {
+      case Some(sm) if fromIdx > sm.end =>
+        val selItems = DdlParser.splitTopLevel(prefix.substring(sm.end, fromIdx))
+          .map(_.trim).map {
+            case i if i.equalsIgnoreCase("window_start") =>
+              "session_window.start AS window_start"
+            case i if i.equalsIgnoreCase("window_end") =>
+              "session_window.end AS window_end"
+            case i => fields(i)
+          }
+        prefix.substring(0, sm.end) + selItems.mkString(", ") + " " +
+          fields(prefix.substring(fromIdx))
+      case _ => fields(prefix)
+    }
+    rewrittenPrefix + " " + items.mkString(", ") + " " +
+      fields(afterBy.substring(clauseEnd))
+  }
+
   /** `expr::type` → `CAST(expr AS type)`. A small scanner (not regex): the
     * operand may be a quoted literal, a dotted identifier, or a balanced
     * parenthesized expression/function call; chains (`x::int::text`) resolve
@@ -365,7 +435,7 @@ object Dialect {
 
   def apply(sql: String, qualified: Iterable[(String, String)] = Nil): String = {
     val steps: Seq[String => String] = Seq(
-      rewriteTumble, rewriteHop, rewriteDistinctOn, rewriteEmitClause,
+      rewriteTumble, rewriteHop, rewriteSession, rewriteDistinctOn, rewriteEmitClause,
       rewriteTemporalJoin,
       rewriteCasts, rewriteJsonOps, rewriteStringAgg,
       rewriteToChar, rewriteGenerateSeries, rewriteRegexMatch,

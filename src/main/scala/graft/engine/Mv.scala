@@ -66,6 +66,13 @@ final class MaterializedView private[engine](
   private var cascadeUpstream: Option[MaterializedView] = None
   private var cascadeOffset = 0L
 
+  // session-window state (session TVF statements): raw source rows stream
+  // in append mode into a carried state, re-sessionized per epoch — see
+  // [[tryStartSession]]/[[handleSessionDelta]]
+  private var sessionMode = false
+  private var sessionOuterSql = ""
+  private def sessionSrcView = s"__sess_src_$viewName"
+
   /** For append-only streaming MVs (stateless plans): the MV's streaming
     * faces, fed one micro-batch per epoch — downstream MVs bind to one and
     * maintain incrementally (streaming MV-on-MV chains). ONE MemoryStream
@@ -109,6 +116,10 @@ final class MaterializedView private[engine](
     * changelog as a retraction stream (agg-over-agg chains), not batch
     * re-run. */
   private[graft] def isChangelogCascadeMode: Boolean = cascadeMode
+
+  /** True when maintained by the streaming session-window path (stream raw
+    * rows + re-sessionize the carried state per epoch), not batch re-run. */
+  private[graft] def isSessionMode: Boolean = sessionMode
 
   /** Rebind the MV's name to its current snapshot (after withStreamingViews
     * temporarily bound the streaming face). */
@@ -263,6 +274,13 @@ final class MaterializedView private[engine](
           tryStartTopN(inner, order, n) })
       return
 
+    // `session(...)` TVF statements stream through their own path: session
+    // bounds merge as rows arrive, which neither append nor update output
+    // modes can express (a merge retracts the sessions it absorbs)
+    if (!readsPkTable && !emitOnClose &&
+        Dialect.sessionTvf(stmt).exists { case (tbl, _, _) => tryStartSession(tbl) })
+      return
+
     val streamDf =
       if (readsPkTable) None
       else try Some(engine.withStreamingViews(watermarks, stmt, viewName)(spark.sql(engine.rewrite(stmt))))
@@ -380,6 +398,70 @@ final class MaterializedView private[engine](
       spark.catalog.dropTempView(topNSrcView)
       false
     }
+  }
+
+  /** Session-window MV maintenance: stream the source's raw rows (append
+    * mode — stateless, so any live table or append-only MV face binds),
+    * union them into a carried state, and re-evaluate the session
+    * aggregation over that state each epoch; the visible snapshot diffs as
+    * a multiset (session bounds are unstable keys — a merge retracts the
+    * sessions it absorbed, surfacing as Delete + Insert pairs, which is
+    * exactly RisingWave's changelog for merged session windows).
+    *
+    * State note (W9): without a watermark ANY late row may merge two
+    * existing sessions, so full raw history is the honest state bound —
+    * the same always-correctable stance the engine takes for non-windowed
+    * streaming aggregates. With a watermark, sessions whose end precedes
+    * watermark - gap can be frozen out of the carried state (their rows
+    * can never gain a neighbor); that compaction is the 100 TB knob and
+    * composes with the RocksDB state store option. */
+  private def tryStartSession(tbl: String): Boolean = {
+    try {
+      val innerStmt = s"SELECT * FROM $tbl"
+      val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName)(
+        spark.sql(engine.rewrite(innerStmt)))
+      if (!sdf.isStreaming) { engine.releaseStreamReaders(viewName); return false }
+      // the statement, re-aimed at the carried-state view; pre-validate
+      // against the (empty) inner schema before starting anything
+      sessionOuterSql = engine.rewrite(Dialect.retargetSessionTvf(stmt, sessionSrcView))
+      spark.createDataFrame(java.util.List.of[Row](), sdf.schema)
+        .createOrReplaceTempView(sessionSrcView)
+      spark.sql(sessionOuterSql).schema
+
+      isAggMode = true
+      keyMode = MaterializedView.Multiset
+      keyCols = Nil
+      if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
+      query = Some(
+        sdf.writeStream
+          .outputMode("append")
+          .foreachBatch((batch: Dataset[Row], _: Long) =>
+            handleSessionDelta(batch.toDF()))
+          .queryName(s"${viewName}_maintainer")
+          .start())
+      streamingMode = true
+      sessionMode = true
+      if (recovering) query.foreach(_.processAllAvailable())
+      true
+    } catch { case _: Throwable =>
+      engine.releaseStreamReaders(viewName)
+      spark.catalog.dropTempView(sessionSrcView)
+      false
+    }
+  }
+
+  /** Session micro-batch: append the delta to the carried raw state,
+    * re-sessionize, diff the visible snapshot as a multiset. */
+  private def handleSessionDelta(delta: DataFrame): Unit = synchronized {
+    val clone = delta.localCheckpoint(true)
+    val d = spark.createDataFrame(clone.rdd, clone.schema)
+    if (d.isEmpty) return
+    innerState = Some(innerState.map(_.union(d)).getOrElse(d).localCheckpoint(true))
+    innerState.get.createOrReplaceTempView(sessionSrcView)
+    val nextVisible = spark.sql(sessionOuterSql).localCheckpoint(true)
+    emitOps(Changelog.multisetDiff(snapshot, nextVisible))
+    snapshot = Some(nextVisible)
+    snapshot.get.createOrReplaceTempView(viewName)
   }
 
   /** Changelog-cascade admission: the statement is a Keyed aggregate over
@@ -636,7 +718,9 @@ final class MaterializedView private[engine](
         query = None
         streamingMode = false
         if (topNMode) spark.catalog.dropTempView(topNSrcView)
+        if (sessionMode) spark.catalog.dropTempView(sessionSrcView)
         topNMode = false
+        sessionMode = false
         innerState = None
         engine.releaseStreamReaders(viewName)
         faceStreams.clear() // faces die with streaming mode (engine cascades)
@@ -656,6 +740,7 @@ final class MaterializedView private[engine](
     synchronized { faceStreams.clear() }
     spark.catalog.dropTempView(viewName)
     if (topNMode) spark.catalog.dropTempView(topNSrcView)
+    if (sessionMode) spark.catalog.dropTempView(sessionSrcView)
   }
 
   /** DROP MV: the retained changelog belongs to THIS MV incarnation — a

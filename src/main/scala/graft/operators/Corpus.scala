@@ -92,12 +92,15 @@ object Corpus {
     * verify) plus the fingerprint of the surviving text.
     *
     * 100 TB shape: span ownership is a window `min(id) over (partition by
-    * span)` — one hash shuffle keyed on the span string (hash the span to
-    * 64-bit first at real scale; kept as text here so the oracle replays
-    * it), then a per-doc aggregate. No self-join: ownership and membership
-    * ride the same shuffled row. */
+    * span)` — one hash shuffle, then a per-doc aggregate. No self-join:
+    * ownership and membership ride the same shuffled row. `hashSpans = true`
+    * is the production spelling: the shuffle keys on `xxhash64(span)` (8
+    * bytes) instead of the raw span text (~`spanTokens` words), shrinking
+    * the dominant shuffle key volume ~30×; identical output up to 64-bit
+    * hash collisions (~n²/2⁶⁵ — negligible at any real corpus size).
+    * `false` keeps the text key so the DuckDB oracle replays byte-for-byte. */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
-                spanTokens: Int): DataFrame = {
+                spanTokens: Int, hashSpans: Boolean = false): DataFrame = {
     val t = tokens(col(textCol))
     val nChunks = floor((size(t) + (spanTokens - 1)) / spanTokens).cast("int")
     val spans = when(size(t) >= 1,
@@ -107,7 +110,8 @@ object Corpus {
     val exploded = docs
       .select(col(idCol), explode(spans).as("sp"))
       .select(col(idCol), col("sp.pos").as("pos"), col("sp.s").as("s"))
-    val keeper = min(col(idCol)).over(Window.partitionBy("s"))
+    val spanKey = if (hashSpans) xxhash64(col("s")) else col("s")
+    val keeper = min(col(idCol)).over(Window.partitionBy(spanKey))
     exploded
       .withColumn("keep", keeper === col(idCol))
       .groupBy(col(idCol))

@@ -198,6 +198,45 @@ object StreamingParity {
       materialized
     },
 
+    // W-session (round-4 verdict item 4, the last windowing gap) — an
+    // incrementally-maintained session-window aggregate: the session TVF
+    // maps to Spark's session_window, maintained by the dedicated session
+    // path (mode-asserted — sessions MERGE as rows arrive, which neither
+    // append nor update output modes can express, so the maintainer
+    // re-sessionizes its carried state per epoch and the changelog shows
+    // merges as Delete+Insert). Final state must equal batch sessionization
+    // (DuckDB: lag-gap breaks at >= 300 s — Spark's session_window opens a
+    // NEW session when the gap reaches the duration; bounds are
+    // [min ts, max ts + gap), floored to whole seconds on both sides).
+    q("m_mv_session_incremental",
+      """WITH o AS (SELECT event_type, epoch(ts) AS e, value FROM events),
+        |m AS (SELECT event_type, e, value,
+        |  CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w >= 300 THEN 1 ELSE 0 END AS brk
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY e)),
+        |s AS (SELECT event_type, e, value,
+        |  SUM(brk) OVER (PARTITION BY event_type ORDER BY e ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT CAST(floor(min(e)) AS BIGINT) AS ws,
+        |  CAST(floor(max(e) + 300) AS BIGINT) AS we,
+        |  event_type, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM s GROUP BY event_type, sid""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_sess", Seq(("m_sess_mv",
+        """SELECT window_start, window_end, event_type, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM session(m_ev_sess, ts, interval '5 minutes')
+          |GROUP BY window_start, window_end, event_type""".stripMargin)))
+      val mv = rw.mvByName("m_sess_mv").get
+      require(mv.isStreamingMode && mv.isSessionMode,
+        "session MV fell back to batch re-run — must re-sessionize incrementally")
+      val out = mv.df.select(
+        col("window_start").cast("long").as("ws"),
+        col("window_end").cast("long").as("we"),
+        col("event_type"), col("n"), col("sv").cast("double").as("sv"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // W3/W4 — the changelog itself: op counts of chunked incremental
     // maintenance are predictable from chunk/key co-occurrence (count(*)
     // strictly grows per touch, so every later touch is an UD/UI pair).

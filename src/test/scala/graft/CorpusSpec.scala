@@ -58,6 +58,13 @@ class CorpusSpec extends SparkSpec {
     assert(dropped > 0, "fixture's planted near-dups must collide on spans")
   }
 
+  test("spanDedup hashSpans=true (64-bit shuffle key) equals the text-key output") {
+    val textMode = Corpus.spanDedup(docs, "doc_id", "text", spanTokens = 10)
+    val hashMode = Corpus.spanDedup(docs, "doc_id", "text", spanTokens = 10, hashSpans = true)
+    assert(textMode.exceptAll(hashMode).isEmpty && hashMode.exceptAll(textMode).isEmpty,
+      "hashed span keys must not change ownership, counts, or fingerprints")
+  }
+
   test("packSequences: bins respect running-sum boundaries and cover all docs") {
     val d = Seq(
       ("s1", 1L, "a b c"), ("s1", 2L, "d e"), ("s1", 3L, "f g h i"),

@@ -90,6 +90,29 @@ class TopNMvSpec extends SparkSpec {
       "SELECT * FROM (SELECT id FROM t ORDER BY id LIMIT 3) s").isEmpty)
   }
 
+  test("two concurrent top-N MVs keep separate truncation views (no catalog collision)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tn_ca", schema)
+    rw.createTable("tn_cb", schema)
+    val ma = rw.mv("SELECT id, score FROM tn_ca ORDER BY score DESC, id LIMIT 2", "tn_mva")
+    val mb = rw.mv("SELECT id, score FROM tn_cb ORDER BY score ASC, id LIMIT 2", "tn_mvb")
+    assert(ma.isTopNMode && mb.isTopNMode)
+    val (ta, tb) = (rw.table("tn_ca").get, rw.table("tn_cb").get)
+    // interleaved epochs: each MV re-truncates against ITS per-MV source
+    // view (__topn_src_<view>); a shared name would cross-feed the states
+    ta.insert(Seq(Row(1L, "a", 5.0), Row(2L, "a", 9.0), Row(3L, "a", 1.0)))
+    tb.insert(Seq(Row(10L, "b", 5.0), Row(20L, "b", 9.0), Row(30L, "b", 1.0)))
+    rw.flush()
+    ta.insert(Seq(Row(4L, "a", 7.0)))
+    tb.insert(Seq(Row(40L, "b", 0.5)))
+    rw.flush()
+    assert(ma.df.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L),
+      "DESC top-2 of table a") // 9.0, 7.0
+    assert(mb.df.collect().map(_.getLong(0)).toSeq == Seq(40L, 30L),
+      "ASC top-2 of table b") // 0.5, 1.0
+    rw.close()
+  }
+
   test("top-N MV as a cascade source demotes the downstream to batch (no stale face)") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("tn_ev4", schema)
