@@ -157,7 +157,11 @@ object HashExpressions {
     * fast engine-native variant). `bits` ≤ 30 (the prime's usable bits). */
   case class SimHashMod(child: Expression, bits: Int, mult: Long, mod: Long)
       extends UnaryExpression with CodegenFallback {
-    require(bits > 0 && bits <= 30, "bits must be in 1..30")
+    require(bits > 0 && bits <= 62, "bits must be in 1..62")
+    // every fold step (h·mult + byte) must stay below 2⁶³ — the property
+    // that lets overflow-checked engines (the DuckDB oracle) replay it
+    require(mult > 0 && mod > 0 && mod - 1 <= (Long.MaxValue - 255L) / mult,
+      "mult·(mod-1)+255 must fit in a signed 64-bit long")
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]

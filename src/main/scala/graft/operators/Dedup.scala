@@ -93,17 +93,15 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. Pigeonhole
-    * blocking: the 64-bit signature splits into (maxHamming+1) chunks; any
-    * pair within the distance budget must collide on ≥1 chunk, so the join
-    * key is (chunk-index, chunk-value) — again O(n + candidates). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
-    val sig = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig"))
-    // persisted: the self-join would otherwise recompute the signature
-    // (64 bit-votes per token) on both sides
+  /** Pigeonhole blocking shared by every SimHash variant: the signature
+    * splits into `chunks` chunks of `bitsPer` bits; any pair within a
+    * Hamming budget of `chunks - 1` must agree on ≥1 chunk, so the join key
+    * is (chunk-index, chunk-value) — O(n + candidates), never all-pairs.
+    * `sig` is persisted by the caller contract here: the self-join would
+    * otherwise recompute the signature (bit-votes per token) on both
+    * sides. */
+  private def simhashBlocked(sig: DataFrame, chunks: Int, bitsPer: Int,
+                             maxHamming: Int): DataFrame = {
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))
@@ -123,35 +121,52 @@ object Dedup {
     out
   }
 
-  /** [[simhashPairs]] with the mod-prime token hash
-    * ([[graft.functions.HashExpressions.SimHashMod]]) instead of xxhash64:
-    * same pigeonhole blocking, weaker bit mixing, but every step replays in
-    * overflow-checked SQL — this is the variant the DuckDB oracle verifies
-    * end-to-end; the xxhash64 form above is the production-fast one. */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. The default
+    * signature is 56 bits built from TWO independent 28-bit mod-prime
+    * SimHashes concatenated (token hash `(h·m + byte) mod 1073741789`,
+    * multipliers 65537 / 65539 — large enough that even 2-character tokens
+    * fill ~24 bits before the first wrap, which a ·31 fold never does, and
+    * small enough that every fold step stays under 2⁴⁷). Every stage —
+    * both token folds, the bit votes, the 4×14-bit pigeonhole chunks, the
+    * Hamming filter — replays in overflow-checked SQL, which is what lets
+    * the driver hash-verify this query end-to-end instead of rows-only.
+    * [[simhashPairsXx]] is the xxhash64-mixed 64-bit twin (same blocking
+    * algebra, stronger mixing, not oracle-expressible); DedupSpec pins the
+    * pigeonhole exactness of both and their agreement on hamming-0 pairs. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    require(56 % chunks == 0, "chunks must divide 56")
+    import graft.functions.HashExpressions.simhashMod
+    val t = tokens(col(textCol))
+    val sig = df.select(col(idCol).as("id"),
+      simhashMod(t, 28, 65537L, 1073741789L)
+        .bitwiseOR(shiftleft(simhashMod(t, 28, 65539L, 1073741789L), 28)).as("sig"))
+    simhashBlocked(sig, chunks, 56 / chunks, maxHamming)
+  }
+
+  /** [[simhashPairs]] with xxhash64 token mixing and the full 64-bit
+    * signature — the spelling for engines where oracle expressibility is
+    * irrelevant. Wraparound arithmetic cannot replay in overflow-checked
+    * SQL, so this variant is pinned by ScalaTest (brute-force Hamming and
+    * agreement with the mod-prime default), not the driver oracle. */
+  def simhashPairsXx(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val sig = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig"))
+    simhashBlocked(sig, chunks, 64 / chunks, maxHamming)
+  }
+
+  /** Single-fold 28-bit mod-prime SimHash (multiplier 31) — the original
+    * oracle-expressible variant, kept as an independently-parameterized
+    * twin of [[simhashPairs]]'s two-fold default. */
   def simhashModPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, bits: Int = 28): DataFrame = {
     val chunks = maxHamming + 1
     require(bits % chunks == 0, "chunks must divide bits")
-    val bitsPer = bits / chunks
     val sig = df.select(col(idCol).as("id"),
       graft.functions.HashExpressions.simhashMod(tokens(col(textCol)), bits).as("sig"))
-    val chunked = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until chunks).map { c =>
-        shiftright(col("sig"), c * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))
-      }: _*)).as(Seq("chunk", "v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"), col("chunk"), col("v"))
-    val rgt = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"), col("chunk"), col("v"))
-    val pairs = l.join(rgt, Seq("chunk", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    val out = pairs.localCheckpoint(true)
-    chunked.unpersist()
-    out
+    simhashBlocked(sig, chunks, bits / chunks, maxHamming)
   }
 
   /** Duplicate-cluster formation: connected components over a near-dup

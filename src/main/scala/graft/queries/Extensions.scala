@@ -93,10 +93,43 @@ object Extensions {
         n = 3, tau = 0.8, k = 128, bands = 16)
     },
 
-    // SimHash near-dup candidates (xxhash64 signature — not expressible in
-    // overflow-checked SQL → rows-only; pinned against brute-force Hamming
-    // in DedupSpec; the mod-hash variant below is the oracle-verified twin).
-    rowsOnly("x_dedup_simhash") { (s, dir) =>
+    // SimHash near-dup pairs, 56-bit signature (default): two independent
+    // 28-bit mod-prime SimHashes concatenated (multipliers 65537/65539 mod
+    // 1073741789 — every fold step < 2⁴⁷), so both token folds, the bit
+    // votes, the 4×14-bit pigeonhole blocking, and the Hamming filter all
+    // replay in DuckDB — hash-verified end-to-end (round-2..4's one
+    // rows-only query, closed). The xxhash64-mixed 64-bit twin
+    // (simhashPairsXx) stays spec-pinned in DedupSpec.
+    q("x_dedup_simhash",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, strlen(w) + 1),
+        |      i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 65537 + b) % 1073741789) AS h1,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, strlen(w) + 1),
+        |      i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 65539 + b) % 1073741789) AS h2
+        |  FROM tok),
+        |bv AS (SELECT doc_id, j,
+        |    sum(CASE WHEN ((h1 >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS v1,
+        |    sum(CASE WHEN ((h2 >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS v2
+        |  FROM h, (SELECT unnest(range(28)) AS j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN v1 > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) +
+        |         (sum(CASE WHEN v2 > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) << 28)
+        |      AS BIGINT) AS sig
+        |  FROM bv GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE ((a.sig >> 0) & 16383) = ((b.sig >> 0) & 16383)
+        |     OR ((a.sig >> 14) & 16383) = ((b.sig >> 14) & 16383)
+        |     OR ((a.sig >> 28) & 16383) = ((b.sig >> 28) & 16383)
+        |     OR ((a.sig >> 42) & 16383) = ((b.sig >> 42) & 16383))
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin) { (s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
     },
 

@@ -24,8 +24,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
-  test("simhash blocking finds all pairs within hamming budget (vs brute force)") {
+  test("xx-simhash blocking finds all pairs within hamming budget (vs brute force)") {
     val sig = docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val a = sig.toDF("id_a", "sig_a"); val b = sig.toDF("id_b", "sig_b")
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairsXx(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute) // pigeonhole blocking is exact for ham<=3
+  }
+
+  test("mod-prime simhash blocking is exact vs brute force on its own signature") {
+    import graft.functions.HashExpressions.simhashMod
+    val t = tokens(col("text"))
+    val sig = docs.select(col("doc_id"),
+      simhashMod(t, 28, 65537L, 1073741789L)
+        .bitwiseOR(shiftleft(simhashMod(t, 28, 65539L, 1073741789L), 28)).as("sig"))
     val a = sig.toDF("id_a", "sig_a"); val b = sig.toDF("id_b", "sig_b")
     val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -34,7 +51,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val blocked = Dedup.simhashPairs(docs, "doc_id", "text", 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(blocked == brute) // pigeonhole blocking is exact for ham<=3
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    assert(blocked == brute, "pigeonhole blocking must be exact for ham<=3")
+  }
+
+  test("xxhash64 and mod-prime variants both collapse identical-token docs to hamming 0") {
+    // docs with IDENTICAL token multisets get identical bit votes under
+    // ANY token hash, so both variants must report those pairs at
+    // hamming 0 (near-identical docs may round to 0 in one hash space and
+    // not the other — vote margins differ — so this is the invariant, not
+    // whole-set equality)
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha  beta gamma\tdelta epsilon zeta"), // same tokens, ws differs
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "completely unrelated content about spark engines"),
+      (6L, "yet another different document with other words"))
+      .toDF("doc_id", "text")
+    val sameTokens = Set((1L, 2L), (3L, 4L))
+    def ham0(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("hamming") === 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sameTokens.subsetOf(ham0(Dedup.simhashPairsXx(planted, "doc_id", "text", 3))))
+    assert(sameTokens.subsetOf(ham0(Dedup.simhashPairs(planted, "doc_id", "text", 3))))
   }
 
   test("duplicateClusters equals brute-force union-find on a random pair graph") {
