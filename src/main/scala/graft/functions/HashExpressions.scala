@@ -189,6 +189,62 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): SimHashMod = copy(child = c)
   }
 
+  /** Two independent mod-prime SimHashes over the SAME token array in one
+    * pass, concatenated into a `2·bits`-wide signature (low half =
+    * multiplier `m1`, high half = `m2`). Equivalent to
+    * `SimHashMod(m1) | SimHashMod(m2) << bits` but scans each token's
+    * bytes once instead of twice — the signature stage dominates SimHash
+    * dedup cost, so the fusion matters at corpus scale. */
+  case class SimHashMod2(child: Expression, bits: Int, m1: Long, m2: Long, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(bits > 0 && bits <= 31, "bits must be in 1..31 (signature is 2*bits)")
+    require(m1 > 0 && m2 > 0 && mod > 0 &&
+      mod - 1 <= (Long.MaxValue - 255L) / math.max(m1, m2),
+      "mult*(mod-1)+255 must fit in a signed 64-bit long")
+    override def dataType: DataType = LongType
+    // deferred modular reduction: (h·m + b) need only reduce when the next
+    // multiply would overflow — congruence makes the final residue
+    // identical to the oracle's reduce-every-byte fold, at a compare per
+    // byte instead of a division
+    private val t1 = (Long.MaxValue - 255L) / m1
+    private val t2 = (Long.MaxValue - 255L) / m2
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](2 * bits)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val bytes = arr.getUTF8String(i).getBytes
+        val nb = bytes.length
+        var h1 = 0L
+        var h2 = 0L
+        var j = 0
+        while (j < nb) {
+          val b = (bytes(j) & 0xff).toLong
+          if (h1 >= t1) h1 %= mod
+          if (h2 >= t2) h2 %= mod
+          h1 = h1 * m1 + b
+          h2 = h2 * m2 + b
+          j += 1
+        }
+        h1 %= mod
+        h2 %= mod
+        var k = 0
+        while (k < bits) {
+          if (((h1 >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          if (((h2 >>> k) & 1L) == 1L) votes(bits + k) += 1 else votes(bits + k) -= 1
+          k += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var k = 0
+      while (k < 2 * bits) { if (votes(k) > 0) out |= (1L << k); k += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashMod2 = copy(child = c)
+  }
+
   /** Polynomial rolling hash of a string's bytes, mod a sub-2³¹ prime so
     * every intermediate stays below 2⁶³ — the same fold is expressible in
     * overflow-checked engines (DuckDB oracle), unlike wraparound hashes. */
@@ -318,6 +374,9 @@ object HashExpressions {
   def simhashMod(c: Column, bits: Int = 28,
                  mult: Long = 31L, mod: Long = 1073741789L): Column =
     eu.column(SimHashMod(eu.expression(c), bits, mult, mod))
+
+  def simhashMod2(c: Column, bits: Int, m1: Long, m2: Long, mod: Long): Column =
+    eu.column(SimHashMod2(eu.expression(c), bits, m1, m2, mod))
 
   def vecDot(a: Column, b: Column): Column =
     eu.column(VecDot(eu.expression(a), eu.expression(b)))

@@ -137,11 +137,10 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     require(56 % chunks == 0, "chunks must divide 56")
-    import graft.functions.HashExpressions.simhashMod
-    val t = tokens(col(textCol))
+    // fused dual fold: one byte scan per token computes both halves
     val sig = df.select(col(idCol).as("id"),
-      simhashMod(t, 28, 65537L, 1073741789L)
-        .bitwiseOR(shiftleft(simhashMod(t, 28, 65539L, 1073741789L), 28)).as("sig"))
+      graft.functions.HashExpressions
+        .simhashMod2(tokens(col(textCol)), 28, 65537L, 65539L, 1073741789L).as("sig"))
     simhashBlocked(sig, chunks, 56 / chunks, maxHamming)
   }
 
