@@ -621,6 +621,7 @@ final class GraftEngine(val spark: SparkSession,
         t.batchDF.coalesce(1).write.mode("overwrite").parquet(s"$d/progress")
       }
     }
+    liveTables.values.foreach(_.cleanup())
     mvs.clear()
   }
 }

@@ -25,19 +25,18 @@ import scala.jdk.CollectionConverters._
   * a warning (`risingwave/core.py:102-122`), and DataFrame inserts flush the
   * row buffer first to preserve arrival order (`risingwave/core.py:280-281`).
   *
-  * Durability & memory bound: with a `persistDir` (durable mode,
-  * `ConnOptions.dataDir`), row history spills to self-describing parquet
+  * Durability & memory bound: row history spills to self-describing parquet
   * segments (`seg-<minSeq>-<maxSeq>-<count>`, the changelog's scheme) once
   * the in-memory tail exceeds `graft.table.spillThreshold` (default 100k
-  * rows), and the remaining tail is spilled at engine close — so a reopened
-  * engine restores the table from its segments and driver memory never has
-  * to hold more than the un-spilled tail. The batch face unions the segment
-  * scan with the tail; the `__seq` ingestion-order column rides the
-  * segments, preserving upsert version resolution across restarts. Without
-  * a persistDir the table is purely in-memory, exactly as before. At
-  * cluster scale the segment directory is a log-compacted table format on
-  * shared storage; all consumers only see DataFrames, so the swap is
-  * confined to this class.
+  * rows) — under `ConnOptions.dataDir` in durable mode (where the remaining
+  * tail also spills at engine close, so a reopened engine restores the
+  * table from its segments), or under a temp dir for ephemeral tables (same
+  * memory bound, no restore). Driver memory never holds more than the
+  * un-spilled tail. The batch face unions the segment scan with the tail;
+  * the `__seq` ingestion-order column rides the segments, preserving upsert
+  * version resolution across restarts. At cluster scale the segment
+  * directory is a log-compacted table format on shared storage; all
+  * consumers only see DataFrames, so the swap is confined to this class.
   */
 final class LiveTable(
     spark: SparkSession,
@@ -59,6 +58,11 @@ final class LiveTable(
   private val segments = ArrayBuffer[(Long, Long, String, Long)]()
   private def spillThreshold: Int =
     spark.conf.getOption("graft.table.spillThreshold").map(_.toInt).getOrElse(100000)
+  // durable tables spill under dataDir (restorable); ephemeral tables spill
+  // to a temp dir — same memory bound, no restore
+  private lazy val segDir: String = persistDir.map { d =>
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)); d
+  }.getOrElse(java.nio.file.Files.createTempDirectory("graft-table-").toString)
 
   /** One MemoryStream per reader (= MV maintainer). A SHARED stream is
     * wrong twice over: MemoryStream prunes batches once its reading query
@@ -194,9 +198,10 @@ final class LiveTable(
     // the streaming faces carry the declared schema (no __seq)
     val faces = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1)))
     readerStreams.values.foreach(_.addData(faces))
-    // durable mode: bound the driver tail — spill the oldest half past the
-    // threshold into a parquet segment (the tail stays hot for cheap reads)
-    if (persistDir.nonEmpty && allRows.size > spillThreshold) {
+    // bound the driver tail — spill the oldest half past the threshold into
+    // a parquet segment (the tail stays hot for cheap reads); applies to
+    // ephemeral tables too, so table volume is never capped by driver heap
+    if (allRows.size > spillThreshold) {
       val n = allRows.size - spillThreshold / 2
       writeSegment(allRows.take(n).toList)
       allRows.remove(0, n)
@@ -205,11 +210,9 @@ final class LiveTable(
   }
 
   private def writeSegment(rows: Seq[Row]): Unit = {
-    val d = persistDir.get
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
     val minSeq = rows.head.getLong(rows.head.length - 1)
     val maxSeq = rows.last.getLong(rows.last.length - 1)
-    val path = s"$d/seg-$minSeq-$maxSeq-${rows.size}"
+    val path = s"$segDir/seg-$minSeq-$maxSeq-${rows.size}"
     spark.createDataFrame(rows.toList.asJava, withSeq)
       .coalesce(1).write.mode("overwrite").parquet(path)
     segments += ((minSeq, maxSeq, path, rows.size.toLong))
@@ -222,6 +225,17 @@ final class LiveTable(
     if (persistDir.nonEmpty && allRows.nonEmpty) {
       writeSegment(allRows.toList)
       allRows.clear()
+    }
+  }
+
+  /** Engine-close hook for EPHEMERAL tables: unlink temp-dir segments (a
+    * durable table's segments are its persistence — untouched). */
+  def cleanup(): Unit = synchronized {
+    if (persistDir.isEmpty && segments.nonEmpty) {
+      segments.foreach { case (_, _, p, _) =>
+        scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+      }
+      segments.clear()
     }
   }
 

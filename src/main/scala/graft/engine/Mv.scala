@@ -68,9 +68,13 @@ final class MaterializedView private[engine](
 
   // session-window state (session TVF statements): raw source rows stream
   // in append mode into a carried state, re-sessionized per epoch — see
-  // [[tryStartSession]]/[[handleSessionDelta]]
+  // [[tryStartSession]]/[[handleSessionDelta]]. With a watermarked source,
+  // sessions that can no longer change freeze out of the carried state
+  // ([[compactSessions]]) — `frozen` holds their output rows.
   private var sessionMode = false
   private var sessionOuterSql = ""
+  private var sessionTsCol = ""
+  @volatile private var frozen: Option[DataFrame] = None
   private def sessionSrcView = s"__sess_src_$viewName"
 
   /** For append-only streaming MVs (stateless plans): the MV's streaming
@@ -278,7 +282,7 @@ final class MaterializedView private[engine](
     // bounds merge as rows arrive, which neither append nor update output
     // modes can express (a merge retracts the sessions it absorbs)
     if (!readsPkTable && !emitOnClose &&
-        Dialect.sessionTvf(stmt).exists { case (tbl, _, _) => tryStartSession(tbl) })
+        Dialect.sessionTvf(stmt).exists { case (tbl, ts, _) => tryStartSession(tbl, ts) })
       return
 
     val streamDf =
@@ -415,8 +419,9 @@ final class MaterializedView private[engine](
     * watermark - gap can be frozen out of the carried state (their rows
     * can never gain a neighbor); that compaction is the 100 TB knob and
     * composes with the RocksDB state store option. */
-  private def tryStartSession(tbl: String): Boolean = {
+  private def tryStartSession(tbl: String, tsCol: String): Boolean = {
     try {
+      sessionTsCol = tsCol.split('.').last // raw state carries bare columns
       val innerStmt = s"SELECT * FROM $tbl"
       val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName)(
         spark.sql(engine.rewrite(innerStmt)))
@@ -451,17 +456,68 @@ final class MaterializedView private[engine](
   }
 
   /** Session micro-batch: append the delta to the carried raw state,
-    * re-sessionize, diff the visible snapshot as a multiset. */
+    * re-sessionize, union with the frozen sessions, diff the visible
+    * snapshot as a multiset, then compact. */
   private def handleSessionDelta(delta: DataFrame): Unit = synchronized {
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (d.isEmpty) return
     innerState = Some(innerState.map(_.union(d)).getOrElse(d).localCheckpoint(true))
     innerState.get.createOrReplaceTempView(sessionSrcView)
-    val nextVisible = spark.sql(sessionOuterSql).localCheckpoint(true)
+    val computed = spark.sql(sessionOuterSql).localCheckpoint(true)
+    val nextVisible = frozen
+      .map(f => f.unionByName(computed).localCheckpoint(true)).getOrElse(computed)
     emitOps(Changelog.multisetDiff(snapshot, nextVisible))
     snapshot = Some(nextVisible)
     snapshot.get.createOrReplaceTempView(viewName)
+    compactSessions(computed)
+  }
+
+  /** Watermark-driven session-state compaction (the 100 TB knob): a
+    * session whose `window_end` ≤ watermark can never change (no future
+    * on-time row lands within gap of its last event), so its output row
+    * freezes and its raw rows leave the carried state. The cut point C is
+    * chosen so that NO session interval straddles it — sessions sorted by
+    * start with a running max of ends; C is the largest running-max value
+    * ≤ watermark that also precedes the next session's start — which makes
+    * "freeze sessions ending ≤ C" and "drop raw rows with ts < C" exact
+    * complements (a straddling closed session would otherwise be frozen
+    * AND partially recomputed from its surviving rows). Without a
+    * watermark nothing freezes: full history is the honest state bound
+    * (any late row may merge sessions — RisingWave's always-correctable
+    * semantics). Requires window_start/window_end in the output. */
+  private def compactSessions(computed: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, lead, max, unix_millis}
+    val wm = watermarkMs
+    if (wm <= 0 || sessionTsCol.isEmpty) return
+    if (!computed.columns.contains("window_start") ||
+        !computed.columns.contains("window_end")) return
+    // tiny frame: one row per OPEN-OR-NEW session (already aggregated)
+    val w = W.orderBy("ws")
+    val cand = computed
+      .select(unix_millis(col("window_start")).as("ws"),
+        unix_millis(col("window_end")).as("we"))
+      .withColumn("cm", max("we").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("nws", lead("ws", 1).over(w))
+      .filter(col("cm") <= wm && (col("nws").isNull || col("cm") <= col("nws")))
+      .agg(max("cm").as("cut"))
+      .head()
+    if (cand.isNullAt(0)) return
+    val cut = cand.getLong(0)
+    val newlyFrozen = computed.filter(unix_millis(col("window_end")) <= cut)
+    if (newlyFrozen.isEmpty) return
+    frozen = Some(frozen.map(_.unionByName(newlyFrozen)).getOrElse(newlyFrozen)
+      .localCheckpoint(true))
+    innerState = innerState.map(s =>
+      s.filter(unix_millis(col(sessionTsCol).cast("timestamp")) >= cut)
+        .localCheckpoint(true))
+    innerState.foreach(_.createOrReplaceTempView(sessionSrcView))
+  }
+
+  /** (carried raw rows, frozen session rows) — compaction probe for specs. */
+  private[graft] def sessionStateCounts: (Long, Long) = synchronized {
+    (innerState.map(_.count()).getOrElse(0L), frozen.map(_.count()).getOrElse(0L))
   }
 
   /** Changelog-cascade admission: the statement is a Keyed aggregate over
@@ -722,6 +778,7 @@ final class MaterializedView private[engine](
         topNMode = false
         sessionMode = false
         innerState = None
+        frozen = None
         engine.releaseStreamReaders(viewName)
         faceStreams.clear() // faces die with streaming mode (engine cascades)
         val df = spark.sql(engine.rewrite(stmt))

@@ -86,6 +86,27 @@ object Pipeline {
       Corpus.spanDedup(Tables(s, dir, "documents"), "doc_id", "text", spanTokens = 10)
     },
 
+    // The production spelling — ownership shuffle keyed on xxhash64(span)
+    // (8-byte keys instead of ~10-word strings). Output is identical up to
+    // 64-bit collisions, so the SAME text-mode oracle hash-verifies it.
+    q("x_dedup_spans_hashed",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sp AS (SELECT doc_id, unnest([{'pos': i, 's':
+        |    list_aggregate(t[i*10+1:i*10+10], 'string_agg', ' ')}
+        |    for i in range(0, (len(t) + 9) // 10)]) AS u
+        |  FROM toks),
+        |f AS (SELECT doc_id, u.pos AS pos, u.s AS s,
+        |    min(doc_id) OVER (PARTITION BY u.s) = doc_id AS keep
+        |  FROM sp)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(s, ' ' ORDER BY pos) FILTER (keep), '')) AS clean_fp
+        |FROM f GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.spanDedup(Tables(s, dir, "documents"), "doc_id", "text", spanTokens = 10,
+        hashSpans = true)
+    },
+
     // ---- sequence packing -------------------------------------------------
 
     // Pack docs into 256-token context bins per source shard by running

@@ -305,6 +305,25 @@ class EngineSpec extends SparkSpec {
     assert(st == Seq(("g1", 2L, 7L)))
   }
 
+  test("ephemeral tables spill past the threshold: queries, MV backfill, rowCount intact") {
+    spark.conf.set("graft.table.spillThreshold", "10")
+    try {
+      rw.createTable("eph_t", StructType(Seq(
+        StructField("k", StringType), StructField("v", LongType))))
+      val t = rw.table("eph_t").get
+      (0 until 40).grouped(8).foreach(g =>
+        t.insert(g.map(i => Row(s"k$i", i.toLong)).toSeq))
+      assert(t.rowCount == 40)
+      assert(rw.fetch("SELECT count(*) AS c FROM eph_t").head.getLong(0) == 40)
+      assert(rw.fetch("SELECT CAST(sum(v) AS BIGINT) AS s FROM eph_t").head.getLong(0) ==
+        (0 until 40).sum.toLong)
+      // a late-created MV backfills through spilled segments + tail
+      rw.mv("SELECT count(*) AS n FROM eph_t", "eph_mv")
+      rw.flush()
+      assert(rw.fetch("SELECT n FROM eph_mv").head.getLong(0) == 40)
+    } finally spark.conf.unset("graft.table.spillThreshold")
+  }
+
   test("changelog persists as parquet segments; SINCE replay crosses segment boundaries") {
     rw.createTable("spill_t", StructType(Seq(
       StructField("k", StringType), StructField("v", LongType))))

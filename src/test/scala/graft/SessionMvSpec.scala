@@ -64,6 +64,64 @@ class SessionMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("watermarked session MV freezes closed sessions and prunes raw state") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("sessw_t", schema)
+    val m = rw.mv(
+      """SELECT window_start, window_end, k, count(*) AS n
+        |FROM session(sessw_t, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, k""".stripMargin, "sessw_mv",
+      watermarks = Map("sessw_t" -> ("ts", "0 seconds")))
+    assert(m.isSessionMode)
+    val t = rw.table("sessw_t").get
+    t.insert(Seq(Row("a", ts(0), 1.0), Row("a", ts(5), 1.0)))
+    rw.flush()
+    t.insert(Seq(Row("a", ts(1000), 1.0)))
+    rw.flush()
+    t.insert(Seq(Row("a", ts(2000), 1.0)))
+    rw.flush()
+    // the watermark lags one epoch (compaction reads the last COMPLETED
+    // batch's progress), so a fourth epoch observes wm >= 1000 s and
+    // freezes the [0,15) session, pruning its raw rows
+    t.insert(Seq(Row("a", ts(3000), 1.0)))
+    rw.flush()
+    val (raw, froz) = m.sessionStateCounts
+    assert(froz >= 1, s"expected >=1 frozen session, got ($raw, $froz)")
+    assert(raw <= 3, s"raw state must shrink to open-session rows, got ($raw, $froz)")
+    // the visible state still equals full batch sessionization
+    val st = m.df.collect().map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+      r.getTimestamp(1).toInstant.getEpochSecond, r.getString(2), r.getLong(3))).toSet
+    assert(st == Set((0L, 15L, "a", 2L), (1000L, 1010L, "a", 1L),
+      (2000L, 2010L, "a", 1L), (3000L, 3010L, "a", 1L)))
+    rw.close()
+  }
+
+  test("session MV feeds a changelog cascade: a merge retracts a downstream count") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("sc_t", schema)
+    rw.mv(
+      """SELECT window_start, k, count(*) AS n
+        |FROM session(sc_t, ts, interval '10 seconds')
+        |GROUP BY window_start, k""".stripMargin, "sc_sess")
+    // sessions-per-key rollup: a session MERGE upstream must DECREASE this
+    val down = rw.mv("SELECT k, count(*) AS n_sessions FROM sc_sess GROUP BY k", "sc_cnt")
+    assert(rw.mvByName("sc_sess").get.isSessionMode)
+    assert(down.isChangelogCascadeMode,
+      "rollup over a session MV must consume its changelog")
+
+    val t = rw.table("sc_t").get
+    t.insert(Seq(Row("a", ts(0), 1.0), Row("a", ts(15), 1.0)))
+    rw.flush()
+    def n() = down.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(n() == Set(("a", 2L)))
+    // bridging row merges [0,10) and [15,25): upstream emits 2 Deletes +
+    // 1 Insert; the cascade folds them and the session count drops to 1
+    t.insert(Seq(Row("a", ts(7), 1.0)))
+    rw.flush()
+    assert(n() == Set(("a", 1L)))
+    rw.close()
+  }
+
   test("two keys sessionize independently") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("sess2_t", schema)
