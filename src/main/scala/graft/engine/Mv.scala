@@ -280,8 +280,11 @@ final class MaterializedView private[engine](
 
     // `session(...)` TVF statements stream through their own path: session
     // bounds merge as rows arrive, which neither append nor update output
-    // modes can express (a merge retracts the sessions it absorbs)
-    if (!readsPkTable && !emitOnClose &&
+    // modes can express (a merge retracts the sessions it absorbs). Under
+    // EMIT ON WINDOW CLOSE the same path emits only FROZEN sessions —
+    // requires a watermark (nothing would ever close without one; falls
+    // back to batch re-run, the eager-emission superset).
+    if (!readsPkTable && !(emitOnClose && watermarks.isEmpty) &&
         Dialect.sessionTvf(stmt).exists { case (tbl, ts, _) => tryStartSession(tbl, ts) })
       return
 
@@ -431,7 +434,15 @@ final class MaterializedView private[engine](
       sessionOuterSql = engine.rewrite(Dialect.retargetSessionTvf(stmt, sessionSrcView))
       spark.createDataFrame(java.util.List.of[Row](), sdf.schema)
         .createOrReplaceTempView(sessionSrcView)
-      spark.sql(sessionOuterSql).schema
+      val outSchema = spark.sql(sessionOuterSql).schema
+      // EOWC closure detection reads the session bounds from the output;
+      // without them nothing would ever emit — fall back to batch re-run
+      if (emitOnClose && !(outSchema.fieldNames.contains("window_start") &&
+            outSchema.fieldNames.contains("window_end"))) {
+        engine.releaseStreamReaders(viewName)
+        spark.catalog.dropTempView(sessionSrcView)
+        return false
+      }
 
       isAggMode = true
       keyMode = MaterializedView.Multiset
@@ -457,7 +468,10 @@ final class MaterializedView private[engine](
 
   /** Session micro-batch: append the delta to the carried raw state,
     * re-sessionize, union with the frozen sessions, diff the visible
-    * snapshot as a multiset, then compact. */
+    * snapshot as a multiset, then compact. Under EMIT ON WINDOW CLOSE the
+    * visible snapshot is the frozen set ONLY (compaction runs first):
+    * frozen only grows, so the multiset diff degenerates to exactly one
+    * Insert per closed session — final-only emission. */
   private def handleSessionDelta(delta: DataFrame): Unit = synchronized {
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
@@ -465,12 +479,19 @@ final class MaterializedView private[engine](
     innerState = Some(innerState.map(_.union(d)).getOrElse(d).localCheckpoint(true))
     innerState.get.createOrReplaceTempView(sessionSrcView)
     val computed = spark.sql(sessionOuterSql).localCheckpoint(true)
-    val nextVisible = frozen
-      .map(f => f.unionByName(computed).localCheckpoint(true)).getOrElse(computed)
-    emitOps(Changelog.multisetDiff(snapshot, nextVisible))
-    snapshot = Some(nextVisible)
+    if (emitOnClose) {
+      compactSessions(computed)
+      val nextVisible = frozen.getOrElse(df.limit(0))
+      emitOps(Changelog.multisetDiff(snapshot, nextVisible))
+      snapshot = Some(nextVisible)
+    } else {
+      val nextVisible = frozen
+        .map(f => f.unionByName(computed).localCheckpoint(true)).getOrElse(computed)
+      emitOps(Changelog.multisetDiff(snapshot, nextVisible))
+      snapshot = Some(nextVisible)
+      compactSessions(computed)
+    }
     snapshot.get.createOrReplaceTempView(viewName)
-    compactSessions(computed)
   }
 
   /** Watermark-driven session-state compaction (the 100 TB knob): a

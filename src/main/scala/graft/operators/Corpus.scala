@@ -179,6 +179,51 @@ object Corpus {
         round(col("score"), 6).as("tfidf"))
   }
 
+  /** PII-pattern signal counts per document (emails, IPv4 addresses,
+    * phone-shaped numbers, long digit runs) — the standard pre-redaction
+    * audit pass of a corpus-cleaning pipeline. The regexes are RE2-safe
+    * (no backrefs/lookaround) so the oracle replays them verbatim.
+    *
+    * 100 TB shape: pure codegen'd regexp_extract_all in the scan stage —
+    * zero shuffle, no UDFs. */
+  def piiSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol),
+        lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit(0)))
+        .cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col(textCol),
+        lit("\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"), lit(0)))
+        .cast("long").as("n_phone"),
+      size(regexp_extract_all(col(textCol), lit("\\d{6,}"), lit(0)))
+        .cast("long").as("n_longnum"))
+
+  /** Corpus unigram language-model score per document: mean token
+    * log-probability under the corpus's own unigram distribution — the
+    * cheap KenLM-style quality signal (templated/degenerate text scores
+    * high, rare-token gibberish scores low).
+    *
+    * 100 TB shape: ONE corpus scan builds the (doc, term) tf aggregate
+    * (map-side partial); the global term count rides a vocabulary-bounded
+    * window over tf (same argument as [[tfidfTopTerms]] — re-tokenizing
+    * for a separate vocab pass would scan the raw text twice); the corpus
+    * total broadcasts as a scalar. Per-doc score = Σ tf·ln(c/total) / Σ tf
+    * — algebraically the mean over tokens, without re-exploding them. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val withC = tf.withColumn("c", sum("tf").over(Window.partitionBy("term")))
+    val tot = tf.agg(sum("tf").as("tot"))
+    withC.crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("tf") * log(col("c") / col("tot"))) / sum("tf"), 6)
+          .as("unigram_lp"),
+        sum("tf").cast("long").as("n_tokens"))
+  }
+
   /** Character unigram entropy per document (nats) — the cheap gibberish /
     * binary-junk detector. Two-level hash aggregate keyed (doc, char) then
     * (doc); both partial, no joins. */

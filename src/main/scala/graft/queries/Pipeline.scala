@@ -157,6 +157,38 @@ object Pipeline {
         |SELECT doc_id, round(-sum((k / len) * ln(k / len)), 6) AS entropy
         |FROM cnt GROUP BY doc_id, len""".stripMargin) { (s, dir) =>
       Corpus.charEntropy(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---- PII signals (round 5) ---------------------------------------------
+
+    // Pre-redaction audit: per-doc counts of email / IPv4 / phone-shaped /
+    // long-digit-run patterns. RE2-safe regexes replay verbatim in DuckDB.
+    q("x_text_pii",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT) AS n_longnum
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Corpus.piiSignals(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---- corpus unigram LM scoring (round 5) -------------------------------
+
+    // Mean token log-probability under the corpus's own unigram
+    // distribution (KenLM-style quality signal); Σ tf·ln(c/total) / Σ tf
+    // computed with identical operand shapes in both engines.
+    q("x_quality_unigram_lp",
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |wc AS (SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY term) AS c FROM tf),
+        |tot AS (SELECT sum(tf) AS tot FROM tf)
+        |SELECT doc_id,
+        |  round(sum(tf * ln(c / tot)) / sum(tf), 6) AS unigram_lp,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens
+        |FROM wc, tot GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.unigramLogProb(Tables(s, dir, "documents"), "doc_id", "text")
     }
   )
 }

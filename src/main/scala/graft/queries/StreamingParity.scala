@@ -237,6 +237,35 @@ object StreamingParity {
       materialized
     },
 
+    // Operator×runtime composition — exact dedup AS a streaming MV: the
+    // survivor-selection aggregate (fingerprint → min-id, group size) runs
+    // as an update-mode Keyed MV over a live documents table, maintained
+    // incrementally across chunked ingest (mode-asserted) — the
+    // dedup-operators-compose-with-MVs claim, verified end-to-end.
+    q("m_mv_dedup_incremental",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS group_size
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      rw.createTable("m_docs", StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      rw.mv(
+        "SELECT md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS fp, " +
+          "min(doc_id) AS keep_id, count(*) AS group_size FROM m_docs GROUP BY 1",
+        "m_dedup_mv")
+      val rows = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).collect().sortBy(_.getLong(0))
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        rw.table("m_docs").get.insert(chunk.toSeq); rw.flush()
+      }
+      val mv = rw.mvByName("m_dedup_mv").get
+      require(mv.isStreamingMode,
+        "dedup MV fell back to batch re-run — must maintain incrementally")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // W3/W4 — the changelog itself: op counts of chunked incremental
     // maintenance are predictable from chunk/key co-occurrence (count(*)
     // strictly grows per touch, so every later touch is an UD/UI pair).

@@ -65,6 +65,34 @@ class CorpusSpec extends SparkSpec {
       "hashed span keys must not change ownership, counts, or fingerprints")
   }
 
+  test("piiSignals counts planted patterns exactly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact me at a.b@example.com or c@d.org thanks"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 port"),
+      (3L, "call 555-123-4567 or 555.1234.4567 id 1234567890"),
+      (4L, "clean text no patterns here"))
+      .toDF("doc_id", "text")
+    val out = Corpus.piiSignals(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((2L, 0L, 0L, 0L)))
+    assert(out(2L) == ((0L, 2L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 2L, 1L)))
+    assert(out(4L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("unigramLogProb: hand-computed corpus LM scores") {
+    import spark.implicits._
+    // corpus: a=2, b=2, c=1, total=5
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Corpus.unigramLogProb(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    // doc1: (2·ln(2/5) + 1·ln(2/5)) / 3 = ln(0.4); doc2: (ln(0.4)+ln(0.2))/2
+    assert(math.abs(out(1L)._1 - math.log(0.4)) < 1e-6)
+    assert(math.abs(out(2L)._1 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-6)
+    assert(out(1L)._2 == 3L && out(2L)._2 == 2L)
+  }
+
   test("packSequences: bins respect running-sum boundaries and cover all docs") {
     val d = Seq(
       ("s1", 1L, "a b c"), ("s1", 2L, "d e"), ("s1", 3L, "f g h i"),

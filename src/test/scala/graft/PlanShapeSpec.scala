@@ -79,4 +79,12 @@ class PlanShapeSpec extends SparkSpec {
       s"span ownership must ride the window, not a self-join:\n$p")
     assert(p.contains("Window"), "expected the min-over-span window")
   }
+
+  test("x_dedup_spans_hashed: the ownership shuffle keys on the 64-bit span hash") {
+    val p = plan("x_dedup_spans_hashed")
+    assert(p.contains("xxhash64"),
+      s"hashed mode must partition the window on xxhash64(span):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"still no self-join:\n$p")
+  }
 }

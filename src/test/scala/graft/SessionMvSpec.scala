@@ -96,6 +96,40 @@ class SessionMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("session MV with EMIT ON WINDOW CLOSE emits each session once, as final Inserts") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("sesse_t", schema)
+    val m = rw.mv(
+      """SELECT window_start, window_end, k, count(*) AS n
+        |FROM session(sesse_t, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, k
+        |EMIT ON WINDOW CLOSE""".stripMargin, "sesse_mv",
+      watermarks = Map("sesse_t" -> ("ts", "0 seconds")))
+    assert(m.isSessionMode, "EOWC session MV must take the session path")
+
+    val t = rw.table("sesse_t").get
+    // 4 well-separated sessions; the watermark (and the progress lag) means
+    // a session emits ~2 epochs after a later event passes its end
+    Seq(Seq(ts(0), ts(5)), Seq(ts(1000)), Seq(ts(2000)), Seq(ts(3000)), Seq(ts(4000)))
+      .foreach { batch =>
+        t.insert(batch.map(x => Row("a", x, 1.0)))
+        rw.flush()
+      }
+    val visible = m.df.collect().map(r =>
+      (r.getTimestamp(0).toInstant.getEpochSecond, r.getLong(3))).toSet
+    assert(visible.contains((0L, 2L)), s"first session must have closed: $visible")
+    assert(!visible.exists(_._1 == 4000L), "the still-open last session must NOT emit")
+    // each closed session emitted exactly once, as an Insert
+    val sub = m.subscription().declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(1000)).takeWhile(_.nonEmpty).flatten.toSeq
+    assert(ops.map(r => r.getString(r.length - 2)).forall(_ == "Insert"),
+      "EOWC must emit only Inserts")
+    val starts = ops.map(r => r.getTimestamp(0).toInstant.getEpochSecond)
+    assert(starts.distinct.size == starts.size, s"no session may emit twice: $starts")
+    assert(starts.toSet == visible.map(_._1), "ops must match the visible snapshot")
+    rw.close()
+  }
+
   test("session MV feeds a changelog cascade: a merge retracts a downstream count") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("sc_t", schema)
