@@ -66,8 +66,12 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     * segment would return rows the index doesn't own yet. */
   def appendDF(ops: DataFrame): Unit = synchronized {
     val base = math.max(lastTs, System.currentTimeMillis() << 16)
+    // coalesce(1) BEFORE zipWithIndex: a multi-partition RDD would run the
+    // whole diff plan once for partition sizing and again for the write;
+    // one partition skips the sizing job (and writes one file per segment,
+    // with order preserved — coalesce concatenates sorted partitions)
     val stamped = spark.createDataFrame(
-      ops.toDF().rdd.zipWithIndex.map { case (r, i) =>
+      ops.toDF().coalesce(1).rdd.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ (base + 1 + i))
       }, changeSchema)
     val staging = s"$spillDir/staging-$base"
@@ -88,13 +92,18 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
 
   /** The retained log with offset > `after`, as a DataFrame over the
     * parquet segments — the executor-side face of the log, consumed by
-    * changelog-driven MV cascades without a driver round-trip. */
+    * changelog-driven MV cascades without a driver round-trip.
+    * Materialized (localCheckpoint) UNDER the monitor: a lazy plan over
+    * segment paths would race [[prune]]/[[purge]] unlinking files before
+    * the consumer evaluates it — the same no-unlink-mid-scan invariant
+    * [[fetchAfter]] keeps. */
   def dfAfter(after: Long): DataFrame = synchronized {
     import org.apache.spark.sql.functions.col
     val segs = segments.filter(_._2 > after).map(_._3).toList
     if (segs.isEmpty)
       spark.createDataFrame(java.util.List.of[Row](), changeSchema)
     else spark.read.parquet(segs: _*).filter(col("rw_timestamp") > after)
+      .localCheckpoint(true)
   }
 
   /** Rows with offset strictly greater than `after`, up to `limit` — the
@@ -144,6 +153,10 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     persistDir.foreach { d =>
       scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
     }
+    // a purged log is a fresh incarnation — offsets restart (callers that
+    // purge-and-reuse, e.g. the statement-fingerprint guard, must not see
+    // a recovered lastTs marking history that no longer exists)
+    lastTs = 0L
   }
 
   /** Block until an entry with offset > `after` exists (used by blocking

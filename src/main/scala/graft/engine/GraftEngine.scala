@@ -280,11 +280,19 @@ final class GraftEngine(val spark: SparkSession,
 
   /** Idempotent: re-creating an existing table returns it (the reference's
     * `IF NOT EXISTS` habit, and what a durable reopen needs — the restored
-    * table must not be shadowed by a fresh empty one). */
+    * table must not be shadowed by a fresh empty one). A CONFLICTING
+    * definition errors loudly — silently keeping the old schema would
+    * route inserts validated against the new one into a table with
+    * different columns/PK semantics. */
   def createTable(name: String, schema: StructType, schemaName: String = "public",
                   primaryKey: Seq[String] = Nil,
                   versionColumn: Option[String] = None): LiveTable =
-    liveTables.getOrElse((schemaName, name), {
+    liveTables.get((schemaName, name)).map { existing =>
+      require(existing.schema == schema && existing.primaryKey == primaryKey &&
+        existing.versionColumn == versionColumn,
+        s"table $schemaName.$name already exists with a different definition")
+      existing
+    }.getOrElse {
       val t = new LiveTable(spark, schemaName, name, schema, primaryKey, versionColumn,
         tableDirFor(Dialect.mangle(schemaName, name)))
       liveTables((schemaName, name)) = t
@@ -292,7 +300,7 @@ final class GraftEngine(val spark: SparkSession,
       t.refreshView()
       refreshInformationSchema()
       t
-    })
+    }
 
   /** Durable-mode table metadata (`_graft_meta` beside the row segments):
     * identifiers + PK/version + the schema as DataType JSON — enough to
@@ -502,18 +510,6 @@ final class GraftEngine(val spark: SparkSession,
     }.toSeq
   }
 
-  /** Temporarily rebind one MV's view name to `df`, evaluate, restore —
-    * synchronized with [[withStreamingViews]]: temp-view rebinding is
-    * session-global, and two concurrent rebinds of the same name would
-    * cross-talk. Evaluation must be EAGER inside the thunk (analysis
-    * resolves the temp view at `spark.sql` time; actions after restore
-    * still read the captured plan). */
-  private[engine] def withTempBinding[T](m: MaterializedView, df: DataFrame)(thunk: => T): T =
-    synchronized {
-      df.createOrReplaceTempView(m.viewName)
-      try thunk finally m.restoreView()
-    }
-
   /** Temporarily rebind live-table views — and the streaming faces of
     * append-only streaming MVs (MV-on-MV chains) — to their streaming
     * forms (with optional per-table watermarks), evaluate, restore.
@@ -613,8 +609,11 @@ final class GraftEngine(val spark: SparkSession,
   override def close(): Unit = {
     // halt the maintainers first; changelog segments are already durable
     // (written executor-side at append time), so close only spills the
-    // live tables' in-memory tails and the progress snapshot
+    // live tables' in-memory tails and the progress snapshot. Ephemeral
+    // (no-dataDir) changelogs live in temp dirs that nothing will ever
+    // read again — purge them, or every run leaks a parquet dir per epoch
     mvs.values.foreach(_.stop())
+    if (options.dataDir.isEmpty) mvs.values.foreach(_.purgeChangelog())
     liveTables.values.foreach(_.spillAll())
     options.dataDir.foreach { d =>
       progressTable.foreach { t =>

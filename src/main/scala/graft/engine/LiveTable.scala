@@ -212,9 +212,14 @@ final class LiveTable(
   private def writeSegment(rows: Seq[Row]): Unit = {
     val minSeq = rows.head.getLong(rows.head.length - 1)
     val maxSeq = rows.last.getLong(rows.last.length - 1)
+    // staging + rename, like ChangeLog.appendDF: a crash mid-write must
+    // not leave a half-segment that restart recovery would index
+    val staging = s"$segDir/staging-$minSeq"
     val path = s"$segDir/seg-$minSeq-$maxSeq-${rows.size}"
     spark.createDataFrame(rows.toList.asJava, withSeq)
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    if (!new java.io.File(staging).renameTo(new java.io.File(path)))
+      throw new RuntimeException(s"table segment rename failed: $staging -> $path")
     segments += ((minSeq, maxSeq, path, rows.size.toLong))
   }
 
@@ -262,13 +267,18 @@ final class LiveTable(
     readerStreams.clear()
     flushBuffer()
     val next = f(batchDF).select(schema.fieldNames.map(col): _*).collect()
-    segments.foreach { case (_, _, p, _) =>
-      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
-    }
+    val retired = segments.map(_._3).toList
     segments.clear()
     allRows.clear()
     seq = 0L
     allRows ++= next.map(r => { seq += 1; Row.fromSeq(r.toSeq :+ seq) })
+    // bind the rewritten view BEFORE unlinking the superseded segment
+    // files: new readers resolve the in-memory state; only a plan captured
+    // before the mutation could still reference the old paths (the engine
+    // demotes/flushes dependents first, which drains exactly those)
     refreshView()
+    retired.foreach { p =>
+      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    }
   }
 }

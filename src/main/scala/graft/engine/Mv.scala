@@ -41,6 +41,30 @@ final class MaterializedView private[engine](
 
   private[engine] val changeLog =
     new ChangeLog(engine.spark, () => outputSchema, engine.changelogDirFor(viewName))
+
+  // durable recovery is only valid for the SAME defining statement: a
+  // same-named MV re-created with a different query must not inherit the
+  // old statement's changelog as its own history (SINCE-0 replay would
+  // serve ops the new statement never produced). The statement fingerprint
+  // lives beside the segments; a mismatch purges the recovered history so
+  // this incarnation starts a fresh log.
+  engine.changelogDirFor(viewName).foreach { d =>
+    val marker = java.nio.file.Paths.get(d, "_stmt_md5")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(stmt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val prev =
+      if (java.nio.file.Files.exists(marker))
+        Some(new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else None
+    if (prev.exists(_ != h)) changeLog.purge()
+    if (!prev.contains(h)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      java.nio.file.Files.write(marker,
+        h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
   @volatile private var snapshot: Option[DataFrame] = None
   @volatile private var query: Option[StreamingQuery] = None
   private var keyCols: Seq[String] = Nil
@@ -614,7 +638,23 @@ final class MaterializedView private[engine](
     } else {
       val payload = up.changeLog.dfAfter(cascadeOffset).drop("op", "rw_timestamp")
       cascadeOffset = latest
-      val touched = engine.withTempBinding(up, payload) {
+      // touched downstream keys: evaluate the statement with the upstream
+      // RELATION retargeted to a PRIVATE view over the delta payload — the
+      // upstream's public view name is never rebound, so a concurrent
+      // fetch on it cannot observe delta rows, and no engine-level lock is
+      // needed (no lock-order coupling with withStreamingViews). A
+      // pathological same-named column would mis-retarget and fail to
+      // analyze — the fallback recomputes ALL keys, which is always
+      // correct (just not delta-proportional).
+      val deltaView = s"__cascade_delta_$viewName"
+      val touched = try {
+        payload.createOrReplaceTempView(deltaView)
+        val retargeted = engine.rewrite(stmt).replaceAll(
+          s"(?i)\\b${java.util.regex.Pattern.quote(up.viewName)}\\b", deltaView)
+        try spark.sql(retargeted).select(keyCols.map(col): _*).distinct()
+          .localCheckpoint(true)
+        finally spark.catalog.dropTempView(deltaView)
+      } catch { case _: Throwable =>
         spark.sql(engine.rewrite(stmt)).select(keyCols.map(col): _*).distinct()
           .localCheckpoint(true)
       }
