@@ -52,6 +52,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cascade invariant: agg→agg chain equals batch under random interleavings") {
+    for (scenario <- 1 to 3) {
+      val tbl = s"casp_t_$scenario"
+      rw.createTable(tbl, StructType(Seq(
+        StructField("k", StringType), StructField("v", DoubleType))))
+      rw.mv(s"SELECT k, count(*) AS n, SUM(CAST(v AS DECIMAL(18,6))) AS sv " +
+        s"FROM $tbl GROUP BY k", s"casp_up_$scenario")
+      val down = rw.mv(
+        s"SELECT substring(k, 1, 1) AS g, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv " +
+          s"FROM casp_up_$scenario GROUP BY substring(k, 1, 1)", s"casp_dn_$scenario")
+      assert(down.isChangelogCascadeMode)
+      // negatives make upstream aggregates DECREASE (retraction folds);
+      // NULL keys exercise the null-safe key join end-to-end
+      val gen = for {
+        kind <- Gen.frequency(5 -> InsertOne, 2 -> InsertBatch, 2 -> Flush)
+        k <- Gen.frequency(5 -> Gen.oneOf("a1", "a2", "b1", "b2", "c1"),
+          1 -> Gen.const(null: String))
+        v <- Gen.choose(-500, 999).map(_.toDouble)
+      } yield (kind, k, v)
+      sample(Gen.listOfN(40, gen), seed = 7000 + scenario).foreach {
+        case (InsertOne, k, v) => rw.insertRow(tbl, values = Map("k" -> k, "v" -> v))
+        case (InsertBatch, k, v) =>
+          rw.table(tbl).get.insert(Seq(Row(k, v), Row(k, v - 100), Row("c1", v)))
+        case (Flush, _, _) => rw.flush()
+      }
+      rw.flush()
+      val inc = rw.fetch(s"SELECT g, n, CAST(sv AS DOUBLE) AS sv FROM casp_dn_$scenario")
+        .map(r => (Option(r.getString(0)), (r.getLong(1), r.getDouble(2)))).toMap
+      val batch = rw.fetch(
+        s"SELECT substring(k, 1, 1) AS g, count(*) AS n, " +
+          s"CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv FROM $tbl GROUP BY 1")
+        .map(r => (Option(r.getString(0)), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(inc == batch, s"scenario $scenario")
+      assert(down.isChangelogCascadeMode, "mode must survive the whole run")
+    }
+  }
+
   test("subscription kill/resume at arbitrary offsets is at-least-once with no gaps") {
     val tbl = "prop_resume_t"
     rw.createTable(tbl, StructType(Seq(StructField("x", LongType))))
