@@ -33,19 +33,12 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
   }.getOrElse(java.nio.file.Files.createTempDirectory("graft-changelog-").toString)
 
   // restart recovery: segment metadata is encoded in the directory name
-  // (seg-<minTs>-<maxTs>-<count>), so reattaching to a persistent dir needs
-  // no footer reads — rebuild the index and resume offsets past the max
-  private val segName = """seg-(\d+)-(\d+)-(\d+)""".r
+  // ([[SegmentFiles]] codec), so reattaching to a persistent dir needs no
+  // footer reads — rebuild the index and resume offsets past the max
   persistDir.foreach { d =>
-    val f = new java.io.File(d)
-    if (f.isDirectory) {
-      val recovered = f.listFiles().toSeq.flatMap(s => s.getName match {
-        case segName(min, max, n) => Some((min.toLong, max.toLong, s.getAbsolutePath, n.toLong))
-        case _ => None
-      }).sortBy(_._1)
-      segments ++= recovered
-      recovered.lastOption.foreach { case (_, max, _, _) => lastTs = max }
-    }
+    val recovered = SegmentFiles.recover(d)
+    segments ++= recovered
+    recovered.lastOption.foreach { case (_, max, _, _) => lastTs = max }
   }
 
   private def changeSchema: StructType =
@@ -77,13 +70,10 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     val staging = s"$spillDir/staging-$base"
     stamped.write.mode("overwrite").parquet(staging)
     val n = spark.read.parquet(staging).count()
-    val stagingDir = new java.io.File(staging)
-    if (n == 0) {
-      scala.reflect.io.Directory(stagingDir).deleteRecursively()
-    } else {
-      val path = s"$spillDir/seg-${base + 1}-${base + n}-$n"
-      if (!stagingDir.renameTo(new java.io.File(path)))
-        throw new RuntimeException(s"changelog segment rename failed: $staging -> $path")
+    if (n == 0) SegmentFiles.delete(staging)
+    else {
+      val path = SegmentFiles.path(spillDir, base + 1, base + n, n)
+      SegmentFiles.commit(staging, path)
       segments += ((base + 1, base + n, path, n))
       lastTs = base + n
       notifyAll()
@@ -134,9 +124,7 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
   def prune(retentionSeconds: Long): Unit = synchronized {
     val cutoff = (System.currentTimeMillis() - retentionSeconds * 1000L) << 16
     val (drop, keep) = segments.partition(_._2 < cutoff)
-    drop.foreach { case (_, _, p, _) =>
-      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
-    }
+    drop.foreach { case (_, _, p, _) => SegmentFiles.delete(p) }
     segments.clear(); segments ++= keep
   }
 
@@ -146,13 +134,9 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     * outlives the drop sees an empty log and drains cleanly instead of
     * crashing on deleted segment paths. */
   def purge(): Unit = synchronized {
-    segments.foreach { case (_, _, p, _) =>
-      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
-    }
+    segments.foreach { case (_, _, p, _) => SegmentFiles.delete(p) }
     segments.clear()
-    persistDir.foreach { d =>
-      scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
-    }
+    persistDir.foreach(SegmentFiles.delete)
     // a purged log is a fresh incarnation — offsets restart (callers that
     // purge-and-reuse, e.g. the statement-fingerprint guard, must not see
     // a recovered lastTs marking history that no longer exists)

@@ -79,18 +79,12 @@ final class LiveTable(
   private var seq = 0L
 
   // restart recovery (durable mode): rebuild the segment index from the
-  // self-describing directory names and resume the sequence counter
-  private val segName = """seg-(\d+)-(\d+)-(\d+)""".r
+  // self-describing directory names ([[SegmentFiles]] codec) and resume
+  // the sequence counter
   persistDir.foreach { d =>
-    val f = new java.io.File(d)
-    if (f.isDirectory) {
-      val recovered = f.listFiles().toSeq.flatMap(s => s.getName match {
-        case segName(min, max, n) => Some((min.toLong, max.toLong, s.getAbsolutePath, n.toLong))
-        case _ => None
-      }).sortBy(_._1)
-      segments ++= recovered
-      recovered.lastOption.foreach { case (_, max, _, _) => seq = max }
-    }
+    val recovered = SegmentFiles.recover(d)
+    segments ++= recovered
+    recovered.lastOption.foreach { case (_, max, _, _) => seq = max }
   }
 
   /** Streaming face for one named reader — backfills existing rows (spilled
@@ -215,11 +209,10 @@ final class LiveTable(
     // staging + rename, like ChangeLog.appendDF: a crash mid-write must
     // not leave a half-segment that restart recovery would index
     val staging = s"$segDir/staging-$minSeq"
-    val path = s"$segDir/seg-$minSeq-$maxSeq-${rows.size}"
+    val path = SegmentFiles.path(segDir, minSeq, maxSeq, rows.size.toLong)
     spark.createDataFrame(rows.toList.asJava, withSeq)
       .coalesce(1).write.mode("overwrite").parquet(staging)
-    if (!new java.io.File(staging).renameTo(new java.io.File(path)))
-      throw new RuntimeException(s"table segment rename failed: $staging -> $path")
+    SegmentFiles.commit(staging, path)
     segments += ((minSeq, maxSeq, path, rows.size.toLong))
   }
 
@@ -237,9 +230,7 @@ final class LiveTable(
     * durable table's segments are its persistence — untouched). */
   def cleanup(): Unit = synchronized {
     if (persistDir.isEmpty && segments.nonEmpty) {
-      segments.foreach { case (_, _, p, _) =>
-        scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
-      }
+      segments.foreach { case (_, _, p, _) => SegmentFiles.delete(p) }
       segments.clear()
     }
   }
@@ -277,8 +268,6 @@ final class LiveTable(
     // before the mutation could still reference the old paths (the engine
     // demotes/flushes dependents first, which drains exactly those)
     refreshView()
-    retired.foreach { p =>
-      scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
-    }
+    retired.foreach(SegmentFiles.delete)
   }
 }

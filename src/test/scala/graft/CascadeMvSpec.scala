@@ -104,6 +104,34 @@ class CascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("cascade over an enrichment join: upstream agg ⋈ static dim, rolled up") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    import spark.implicits._
+    Seq(("a", "east"), ("b", "west"), ("c", "east"))
+      .toDF("k", "region").createOrReplaceTempView("cjd_dim")
+    rw.createTable("cjd_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType))))
+    rw.mv("SELECT k, count(*) AS n, SUM(CAST(v AS DECIMAL(18,6))) AS sv " +
+      "FROM cjd_t GROUP BY k", "cjd_up")
+    // the downstream joins the upstream MV with a STATIC dimension and
+    // re-aggregates — still exactly one MV reference, so it cascades
+    val down = rw.mv(
+      "SELECT d.region AS region, CAST(SUM(u.n) AS BIGINT) AS n, SUM(u.sv) AS sv " +
+        "FROM cjd_up u JOIN cjd_dim d ON d.k = u.k GROUP BY d.region", "cjd_dn")
+    assert(down.isChangelogCascadeMode,
+      "join-enrichment rollup must consume the upstream changelog")
+    val t = rw.table("cjd_t").get
+    t.insert(Seq(Row("a", 10.0), Row("b", 5.0), Row("c", 2.0)))
+    rw.flush()
+    def state() = down.df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSet
+    assert(state() == Set(("east", 2L, 12.0), ("west", 1L, 5.0)))
+    t.insert(Seq(Row("a", -4.0), Row("b", 1.0)))
+    rw.flush()
+    assert(state() == Set(("east", 3L, 8.0), ("west", 2L, 6.0)))
+    rw.close()
+  }
+
   test("three-level agg chain: a cascade MV is itself a cascadable upstream") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("cg3_t", StructType(Seq(
