@@ -84,11 +84,11 @@ final class MaterializedView private[engine](
   private def topNSrcView = s"__topn_src_$viewName"
 
   // changelog-cascade state (agg-over-agg MV chains): the downstream
-  // maintainer consumes the upstream MV's 4-op changelog as a retraction
-  // stream — see [[tryStartCascade]]/[[cascadeRefresh]]
+  // maintainer consumes its upstream MVs' 4-op changelogs as retraction
+  // streams — see [[tryStartCascade]]/[[cascadeRefresh]]
   private var cascadeMode = false
-  private var cascadeUpstream: Option[MaterializedView] = None
-  private var cascadeOffset = 0L
+  private var cascadeUpstreams: Seq[MaterializedView] = Nil
+  private val cascadeOffsets = scala.collection.mutable.Map[String, Long]()
 
   // session-window state (session TVF statements): raw source rows stream
   // in append mode into a carried state, re-sessionized per epoch — see
@@ -566,22 +566,22 @@ final class MaterializedView private[engine](
   }
 
   /** Changelog-cascade admission: the statement is a Keyed aggregate over
-    * exactly ONE upstream MV (plus, optionally, static catalog tables) and
-    * references no live tables. Such chains can't bind a streaming face —
-    * the upstream's deltas are UPDATES/RETRACTIONS, which an append stream
-    * can't carry — but they ARE incrementally maintainable by consuming the
-    * upstream's 4-op changelog (the reference's server maintains arbitrary
-    * MV-on-MV chains this way, `risingwave/core.py:451-456`): per epoch,
-    * the delta payload (both halves of each retraction pair) names every
-    * downstream group whose input changed; only those groups are
-    * recomputed and folded into state ([[cascadeRefresh]]). Works over ANY
-    * changelog-emitting upstream — update-mode aggregate, top-N, EOWC,
-    * even one demoted to batch re-run — because the 4-op envelope is
-    * mode-independent. */
+    * one or more upstream MVs (plus, optionally, static catalog tables)
+    * and references no live tables. Such chains can't bind a streaming
+    * face — the upstreams' deltas are UPDATES/RETRACTIONS, which an append
+    * stream can't carry — but they ARE incrementally maintainable by
+    * consuming the upstreams' 4-op changelogs (the reference's server
+    * maintains arbitrary MV-on-MV chains this way,
+    * `risingwave/core.py:451-456`): per epoch, the delta payloads (both
+    * halves of each retraction pair) name every downstream group whose
+    * input changed; only those groups are recomputed and folded into state
+    * ([[cascadeRefresh]]). Works over ANY changelog-emitting upstream —
+    * update-mode aggregate, top-N, session, EOWC, even one demoted to
+    * batch re-run — because the 4-op envelope is mode-independent. */
   private def tryStartCascade(): Boolean = {
     if (engine.referencedLiveTables(stmt).nonEmpty) return false
     val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
-    if (ups.size != 1) return false
+    if (ups.isEmpty) return false
     try {
       val df = spark.sql(engine.rewrite(stmt))
       val analyzed = df.queryExecution.analyzed
@@ -596,70 +596,99 @@ final class MaterializedView private[engine](
       keyMode = mode
       keyCols = mode.asInstanceOf[MaterializedView.Keyed].keys
       isAggMode = true
-      cascadeUpstream = Some(ups.head)
+      cascadeUpstreams = ups
       cascadeMode = true
-      cascadeRefresh() // initial backfill over the upstream's current state
+      cascadeRefresh() // initial backfill over the upstreams' current state
       true
     } catch { case _: Throwable =>
-      cascadeMode = false; cascadeUpstream = None
+      cascadeMode = false; cascadeUpstreams = Nil
       false
     }
   }
 
-  /** One cascade epoch: consume upstream changelog rows past the consumed
-    * offset (executor-side segment scan — no driver round-trip), derive the
-    * touched downstream keys by evaluating the statement over the delta
-    * payload, recompute exactly those groups against the upstream's current
-    * snapshot, and diff them against the carried state — emitting Inserts,
-    * UpdateDelete/UpdateInsert pairs, AND Deletes (a group whose last input
-    * rows retracted vanishes, which plain update-mode streaming never
-    * expresses).
+  /** One cascade epoch: consume each upstream's changelog rows past the
+    * consumed offset (executor-side segment scan — no driver round-trip),
+    * derive the touched downstream keys by evaluating the statement over
+    * the delta payloads, recompute exactly those groups against the
+    * upstreams' current snapshots, and diff them against the carried
+    * state — emitting Inserts, UpdateDelete/UpdateInsert pairs, AND
+    * Deletes (a group whose last input rows retracted vanishes, which
+    * plain update-mode streaming never expresses).
     *
-    * Offset discipline: `latest` is read BEFORE the delta/snapshot reads,
-    * so a concurrently-appended epoch is at worst re-consumed next time —
-    * and re-consumption is harmless because touched-key recomputation
-    * against the current snapshot is idempotent.
+    * Touched-key derivation retargets the statement once PER CHANGED
+    * upstream onto a PRIVATE view over that upstream's delta — public view
+    * names are never rebound, so a concurrent fetch cannot observe delta
+    * rows and no engine-level lock is needed. When several joined
+    * upstreams changed in the same epoch, the OTHER changed upstreams bind
+    * to (snapshot ∪ delta payload): a joined pair whose two sides BOTH
+    * retracted this epoch appears in neither new snapshot, and evaluating
+    * the delta against the new snapshot alone would miss its group — the
+    * union is a superset, and over-touching only recomputes groups
+    * idempotently. A pathological same-named column would mis-retarget and
+    * fail to analyze — the fallback recomputes ALL keys (correct, just not
+    * delta-proportional).
     *
-    * 100 TB shape: per-epoch work = one aggregate over the upstream MV's
+    * Offset discipline: `latest` offsets are read BEFORE the delta /
+    * snapshot reads, so a concurrently-appended epoch is at worst
+    * re-consumed next time — harmless, because touched-key recomputation
+    * against the current snapshots is idempotent.
+    *
+    * 100 TB shape: per-epoch work = one aggregate over the upstream MVs'
     * state (already compacted — orders smaller than the raw table; no raw
     * scan) + diffs/merges proportional to the touched keys. */
   private def cascadeRefresh(): Unit = synchronized {
     import org.apache.spark.sql.functions.col
-    val up = cascadeUpstream.getOrElse(return)
-    val latest = up.changeLog.latestOffset
-    if (latest <= cascadeOffset && snapshot.nonEmpty) return
+    if (cascadeUpstreams.isEmpty) return
+    val latests = cascadeUpstreams.map(u => u -> u.changeLog.latestOffset)
+    val anyNew = latests.exists { case (u, l) =>
+      l > cascadeOffsets.getOrElse(u.viewName, 0L) }
+    if (!anyNew && snapshot.nonEmpty) return
 
     if (snapshot.isEmpty) {
-      cascadeOffset = latest
+      latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
       val full = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
       emitOps(Changelog.diff(None, full, keyCols))
       snapshot = Some(full)
       full.createOrReplaceTempView(viewName)
     } else {
-      val payload = up.changeLog.dfAfter(cascadeOffset).drop("op", "rw_timestamp")
-      cascadeOffset = latest
-      // touched downstream keys: evaluate the statement with the upstream
-      // RELATION retargeted to a PRIVATE view over the delta payload — the
-      // upstream's public view name is never rebound, so a concurrent
-      // fetch on it cannot observe delta rows, and no engine-level lock is
-      // needed (no lock-order coupling with withStreamingViews). A
-      // pathological same-named column would mis-retarget and fail to
-      // analyze — the fallback recomputes ALL keys, which is always
-      // correct (just not delta-proportional).
-      val deltaView = s"__cascade_delta_$viewName"
+      val parts: Seq[(MaterializedView, Option[DataFrame])] =
+        latests.map { case (u, l) =>
+          val after = cascadeOffsets.getOrElse(u.viewName, 0L)
+          val p = if (l > after)
+            Some(u.changeLog.dfAfter(after).drop("op", "rw_timestamp"))
+          else None
+          cascadeOffsets(u.viewName) = l
+          (u, p)
+        }
+      val changed = parts.collect { case (u, Some(p)) => (u, p) }
+      if (changed.isEmpty) return
+      val rewritten = engine.rewrite(stmt)
+      def retarget(sql: String, from: String, to: String): String =
+        sql.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b", to)
+      val tempViews = scala.collection.mutable.ArrayBuffer[String]()
       val touched = try {
-        payload.createOrReplaceTempView(deltaView)
-        val retargeted = engine.rewrite(stmt).replaceAll(
-          s"(?i)\\b${java.util.regex.Pattern.quote(up.viewName)}\\b", deltaView)
-        try spark.sql(retargeted).select(keyCols.map(col): _*).distinct()
-          .localCheckpoint(true)
-        finally spark.catalog.dropTempView(deltaView)
+        changed.foreach { case (u, p) =>
+          val dv = s"__cascade_delta_${u.viewName}"
+          p.createOrReplaceTempView(dv); tempViews += dv
+          if (changed.size > 1) {
+            val cv = s"__cascade_cover_${u.viewName}"
+            u.df.unionByName(p).createOrReplaceTempView(cv); tempViews += cv
+          }
+        }
+        changed.map { case (u, _) =>
+          val sql = changed.foldLeft(rewritten) { case (s, (o, _)) =>
+            if (o.viewName == u.viewName)
+              retarget(s, o.viewName, s"__cascade_delta_${o.viewName}")
+            else retarget(s, o.viewName, s"__cascade_cover_${o.viewName}")
+          }
+          spark.sql(sql).select(keyCols.map(col): _*)
+        }.reduce(_ union _).distinct().localCheckpoint(true)
       } catch { case _: Throwable =>
-        spark.sql(engine.rewrite(stmt)).select(keyCols.map(col): _*).distinct()
+        spark.sql(rewritten).select(keyCols.map(col): _*).distinct()
           .localCheckpoint(true)
-      }
+      } finally tempViews.foreach(spark.catalog.dropTempView(_))
       if (touched.isEmpty) return
-      val full = spark.sql(engine.rewrite(stmt))
+      val full = spark.sql(rewritten)
       val newTouched = keyJoin(full, touched, "left_semi").localCheckpoint(true)
       val prevTouched = keyJoin(snapshot.get, touched, "left_semi")
       emitOps(Changelog.diff(Some(prevTouched), newTouched, keyCols))

@@ -94,6 +94,31 @@ object Similarity {
     v.withColumn("cid", graft.functions.HashExpressions.nearestCentroid(
       col("v"), cents.map(_._1), cents.map(_._2), cents.map(_._3)))
 
+  /** One Lloyd iteration over the fixed-K codebook: assign every vector
+    * (map-side argmax, no shuffle), then replace each centroid by its
+    * member mean — per-dimension hash-aggregate, K·dim result rows to the
+    * driver (the codebook is a driver-side constant by design). Means are
+    * ROUNDED to 6 decimals so an overflow-checked SQL replay of the same
+    * averages reproduces the codebook — and therefore the assignment —
+    * bit-for-bit; a centroid with no members keeps its seed vector. */
+  private[graft] def refineCentroids(v: DataFrame,
+      cents: Array[(Long, Array[Double], Double)]): Array[(Long, Array[Double], Double)] = {
+    val means = assignToCentroids(v, cents)
+      .select(col("cid"), posexplode(col("v").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy("cid", "i").agg(round(avg(col("x")), 6).as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+    cents.map { case (cid, cv, cn) =>
+      means.get(cid) match {
+        case Some(m) => (cid, m, math.sqrt(m.map(x => x * x).sum))
+        case None => (cid, cv, cn)
+      }
+    }
+  }
+
   /** [[assignToCentroids]] from a raw corpus — the IVF index-build step. */
   private[graft] def ivfAssignments(df: DataFrame, idCol: String, vecCol: String,
                                     numCentroids: Int): DataFrame = {
@@ -113,11 +138,13 @@ object Similarity {
     * replays it exactly. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
-              numCentroids: Int = 32, nProbe: Int = 2): DataFrame = {
+              numCentroids: Int = 32, nProbe: Int = 2,
+              refineIters: Int = 0): DataFrame = {
     // per-vector norms precomputed below every join (bit-identical to
     // cosine(): dot/(an*bn) is the same expression tree, evaluated once)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), normD(col(vecCol)).as("vn"))
-    val cents = ivfCentroids(v, numCentroids)
+    var cents = ivfCentroids(v, numCentroids)
+    for (_ <- 1 to refineIters) cents = refineCentroids(v, cents)
     val assigned = assignToCentroids(v, cents)
 
     // nProbe nearest centroids per query vector (queries × K rows — tiny)

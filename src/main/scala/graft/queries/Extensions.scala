@@ -306,6 +306,57 @@ object Extensions {
         .withColumnRenamed("rank", "rnk")
     },
 
+    // IVF with one Lloyd refinement iteration: the hash-sampled codebook is
+    // replaced by per-centroid member means (rounded to 6 decimals — the
+    // determinism boundary that lets DuckDB rebuild the refined codebook
+    // and every downstream assignment bit-for-bit), empty lists keep their
+    // seed vector. The oracle replays sample → assign → means → re-assign →
+    // probe → rank end-to-end.
+    q("x_sim_topk_ivf_refined",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, e AS cv FROM v
+         |      ORDER BY ((vec_id % 104729) * (2654435761 % 104729)) % 104729, vec_id
+         |      LIMIT 32),
+         |sc AS (SELECT v.vec_id, c.cid, ${duckCos("v.e", "c.cv")} AS csc
+         |       FROM v CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc) t
+         |  WHERE rn = 1),
+         |rm AS (SELECT a.cid, i.i AS i, round(avg(v.e[i.i]), 6) AS m
+         |  FROM asg a JOIN v ON v.vec_id = a.vec_id
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) i
+         |  GROUP BY a.cid, i.i),
+         |rc AS (SELECT cid, list(m ORDER BY i) AS cv2 FROM rm GROUP BY cid),
+         |c2 AS (SELECT c.cid, coalesce(rc.cv2, c.cv) AS cv FROM c LEFT JOIN rc USING (cid)),
+         |sc2 AS (SELECT v.vec_id, c2.cid, ${duckCos("v.e", "c2.cv")} AS csc
+         |        FROM v CROSS JOIN c2),
+         |asg2 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc2) t
+         |  WHERE rn = 1),
+         |qp AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc2
+         |    WHERE vec_id IN (0,1,2,3,4)) t
+         |  WHERE rn <= 2),
+         |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+         |    ${duckCos("qv.e", "nv.e")} AS cc
+         |  FROM qp JOIN asg2 a USING (cid)
+         |  JOIN v qv ON qv.vec_id = qp.query_id
+         |  JOIN v nv ON nv.vec_id = a.vec_id
+         |  WHERE a.vec_id <> qp.query_id),
+         |r AS (SELECT query_id, neighbor_id, cc, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cc DESC, neighbor_id) AS rn FROM cand)
+         |SELECT query_id, neighbor_id, round(cc, 6) AS cos, rn AS rnk
+         |FROM r WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      Similarity.ivfTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, numCentroids = 32, nProbe = 2,
+          refineIters = 1)
+        .withColumnRenamed("rank", "rnk")
+    },
+
     // ---- text analysis ----------------------------------------------------
 
     q("x_text_tokens",

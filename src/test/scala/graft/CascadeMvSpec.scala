@@ -132,6 +132,40 @@ class CascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("two-upstream cascade: a join of two aggregate MVs re-aggregates incrementally") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    val s2 = StructType(Seq(StructField("k", StringType), StructField("v", DoubleType)))
+    rw.createTable("c2a_t", s2)
+    rw.createTable("c2b_t", s2)
+    rw.mv("SELECT k, SUM(CAST(v AS DECIMAL(18,6))) AS sv FROM c2a_t GROUP BY k", "c2a_up")
+    rw.mv("SELECT k, SUM(CAST(v AS DECIMAL(18,6))) AS sw FROM c2b_t GROUP BY k", "c2b_up")
+    val down = rw.mv(
+      "SELECT substring(a.k, 1, 1) AS g, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(a.sv + b.sw) AS DOUBLE) AS tot " +
+        "FROM c2a_up a JOIN c2b_up b ON a.k = b.k GROUP BY substring(a.k, 1, 1)",
+      "c2_dn")
+    assert(down.isChangelogCascadeMode,
+      "a join of changelog-emitting MVs must cascade")
+
+    val (ta, tb) = (rw.table("c2a_t").get, rw.table("c2b_t").get)
+    ta.insert(Seq(Row("a1", 10.0), Row("a2", 5.0), Row("b1", 3.0)))
+    tb.insert(Seq(Row("a1", 1.0), Row("b1", 2.0)))
+    rw.flush()
+    def state() = down.df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // join matches a1 and b1 only (a2 has no right side yet)
+    assert(state() == Set(("a", 1L, 11.0), ("b", 1L, 5.0)))
+
+    // SIMULTANEOUS deltas on both upstreams in one epoch: a retraction on
+    // the left (a1 sum 10 → 2) and a new join match on the right (a2)
+    ta.insert(Seq(Row("a1", -8.0)))
+    tb.insert(Seq(Row("a2", 4.0)))
+    rw.flush()
+    assert(state() == Set(("a", 2L, 12.0), ("b", 1L, 5.0)))
+    assert(down.isChangelogCascadeMode)
+    rw.close()
+  }
+
   test("three-level agg chain: a cascade MV is itself a cascadable upstream") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("cg3_t", StructType(Seq(
