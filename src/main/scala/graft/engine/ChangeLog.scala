@@ -64,7 +64,7 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     // one partition skips the sizing job (and writes one file per segment,
     // with order preserved — coalesce concatenates sorted partitions)
     val stamped = spark.createDataFrame(
-      ops.toDF().coalesce(1).rdd.zipWithIndex.map { case (r, i) =>
+      ops.toDF().coalesce(1).rdd.zipWithIndex().map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ (base + 1 + i))
       }, changeSchema)
     val staging = s"$spillDir/staging-$base"

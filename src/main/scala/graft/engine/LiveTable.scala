@@ -174,7 +174,7 @@ final class LiveTable(
     * final state, but MV changelogs may record intermediate per-chunk ops
     * if a FLUSH runs mid-insert. */
   def insertDF(df: DataFrame, batchSize: Int = 100000): Unit = {
-    df.select(schema.fieldNames.map(col): _*).toLocalIterator().asScala
+    df.select(schema.fieldNames.toIndexedSeq.map(col): _*).toLocalIterator().asScala
       .grouped(batchSize).foreach(chunk => insert(chunk))
   }
 
@@ -257,7 +257,7 @@ final class LiveTable(
     // would double-count rows the rewrite already folded in
     readerStreams.clear()
     flushBuffer()
-    val next = f(batchDF).select(schema.fieldNames.map(col): _*).collect()
+    val next = f(batchDF).select(schema.fieldNames.toIndexedSeq.map(col): _*).collect()
     val retired = segments.map(_._3).toList
     segments.clear()
     allRows.clear()

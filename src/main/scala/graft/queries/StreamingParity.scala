@@ -35,7 +35,7 @@ object StreamingParity {
     rw.createTable(table, eventsSchema)
     mvDefs.foreach { case (name, stmt) => rw.mv(stmt, name) }
     val rows = Tables(spark, dir, "events")
-      .select(eventsSchema.fieldNames.map(col): _*)
+      .select(eventsSchema.fieldNames.toIndexedSeq.map(col): _*)
       .collect().sortBy(_.getLong(0))
     val n = rows.length
     val chunkSize = (n + CHUNKS - 1) / CHUNKS
