@@ -33,7 +33,8 @@ object Bench {
     "b_win_topk_per_group", "b_agg_distinct", "b_json", "a_w1_tumble_avg",
     "b_cte_topn", "x_dedup_minhash_lsh", "x_dedup_simhash", "x_sim_topk_exact",
     "x_sim_topk_ivf", "x_text_quality", "x_text_fingerprint", "x_text_rolling_fp",
-    "x_contam_ngram", "x_dedup_spans", "x_tfidf_topterms")
+    "x_contam_ngram", "x_dedup_spans", "x_tfidf_topterms",
+    "x_text_pii", "x_quality_unigram_lp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

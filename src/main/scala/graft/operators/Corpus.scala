@@ -213,7 +213,13 @@ object Corpus {
     * — algebraically the mean over tokens, without re-exploding them. */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // materialized: BOTH the per-term window and the corpus total read the
+    // tf aggregate — without it each branch re-derives tf from its own raw
+    // text scan (Catalyst does not share subplans across branches), and at
+    // 100 TB the second text pass dwarfs the tf materialization (the
+    // standard vocab-pass intermediate)
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val withC = tf.withColumn("c", sum("tf").over(Window.partitionBy("term")))
     val tot = tf.agg(sum("tf").as("tot"))
     withC.crossJoin(broadcast(tot))

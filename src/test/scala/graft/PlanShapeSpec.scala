@@ -80,6 +80,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "expected the min-over-span window")
   }
 
+  test("x_quality_unigram_lp: one corpus scan (df via term window, broadcast total)") {
+    val p = plan("x_quality_unigram_lp")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the corpus-total scalar must broadcast:\n$p")
+    assert(p.split("Scan parquet").length - 1 <= 1,
+      s"the raw text must be scanned once (tf feeds both df and the score):\n$p")
+  }
+
   test("x_dedup_spans_hashed: the ownership shuffle keys on the 64-bit span hash") {
     val p = plan("x_dedup_spans_hashed")
     assert(p.contains("xxhash64"),
