@@ -151,21 +151,27 @@ object Corpus {
     * Deterministic tie-break on the term string.
     *
     * 100 TB shape: term frequency is a (doc, term) hash aggregate (partial
-    * map-side); document frequency is a term-keyed aggregate whose result —
+    * map-side); document frequency is a term-keyed hash aggregate over the
+    * materialized tf table (map-side combine collapses stopword-grade hot
+    * keys locally — no skewed single-task window partition) whose result —
     * bounded by vocabulary, not corpus, size — broadcasts back; the final
     * top-k is a per-doc window. The corpus is never self-joined. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // materialized so the df branch re-reads the tf aggregate, not the raw
+    // text (Catalyst does not share subplans across branches — without the
+    // checkpoint the df aggregate would tokenize the corpus a second time)
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // document frequency as a window over the (doc, term) aggregate — tf
-    // has exactly one row per distinct (doc, term), so count(*) per term IS
-    // the df. One corpus scan total; the alternative (re-aggregating a
-    // second tokenize pass and joining back) scans the raw text twice,
-    // which at 100 TB dwarfs the term-keyed shuffle of the far smaller tf
-    // table that the window costs.
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("term")))
+      .localCheckpoint(true)
+    // document frequency: tf has exactly one row per distinct (doc, term),
+    // so count per term over tf IS the df. A groupBy — not a per-term
+    // window — because the hash aggregate gets a map-side partial combine:
+    // a stopword's ~n_docs rows collapse locally instead of all landing in
+    // one window partition's task. The result is vocabulary-bounded, so it
+    // broadcasts back onto tf with no shuffle of the (doc, term) side.
+    val dfByTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = tf.join(broadcast(dfByTerm), "term")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = withDf
       .crossJoin(broadcast(nDocs))
@@ -206,21 +212,23 @@ object Corpus {
     * high, rare-token gibberish scores low).
     *
     * 100 TB shape: ONE corpus scan builds the (doc, term) tf aggregate
-    * (map-side partial); the global term count rides a vocabulary-bounded
-    * window over tf (same argument as [[tfidfTopTerms]] — re-tokenizing
-    * for a separate vocab pass would scan the raw text twice); the corpus
-    * total broadcasts as a scalar. Per-doc score = Σ tf·ln(c/total) / Σ tf
-    * — algebraically the mean over tokens, without re-exploding them. */
+    * (map-side partial); the global term count is a term-keyed hash
+    * aggregate over the materialized tf (map-side combine — a stopword's
+    * rows collapse locally, unlike a per-term window partition) whose
+    * vocabulary-bounded result broadcasts back; the corpus total broadcasts
+    * as a scalar. Per-doc score = Σ tf·ln(c/total) / Σ tf — algebraically
+    * the mean over tokens, without re-exploding them. */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    // materialized: BOTH the per-term window and the corpus total read the
-    // tf aggregate — without it each branch re-derives tf from its own raw
-    // text scan (Catalyst does not share subplans across branches), and at
-    // 100 TB the second text pass dwarfs the tf materialization (the
-    // standard vocab-pass intermediate)
+    // materialized: the per-term count, the corpus total, and the scoring
+    // pass all read the tf aggregate — without it each branch re-derives tf
+    // from its own raw text scan (Catalyst does not share subplans across
+    // branches), and at 100 TB the second text pass dwarfs the tf
+    // materialization (the standard vocab-pass intermediate)
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val withC = tf.withColumn("c", sum("tf").over(Window.partitionBy("term")))
+    val cByTerm = tf.groupBy(col("term")).agg(sum("tf").as("c"))
+    val withC = tf.join(broadcast(cByTerm), "term")
     val tot = tf.agg(sum("tf").as("tot"))
     withC.crossJoin(broadcast(tot))
       .groupBy(col(idCol))

@@ -65,12 +65,20 @@ class PlanShapeSpec extends SparkSpec {
       "per-doc match count must partial-aggregate map-side")
   }
 
-  test("x_tfidf_topterms: one corpus scan (df rides a window over tf, no second tokenize pass)") {
+  test("x_tfidf_topterms: df is a broadcast-joined hash agg over tf, never a per-term window") {
     val p = plan("x_tfidf_topterms")
+    // tf is materialized (localCheckpoint) so the final plan reads the tf
+    // RDD, not a second tokenize pass over the raw text; documents parquet
+    // appears only in the corpus-count scalar branch
     val docScans = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("documents"))
-    assert(docScans <= 2, // 1 for tf, 1 for the broadcast count(*) — never a third tokenize pass
-      s"expected at most 2 scans of documents (tf + corpus count), got $docScans:\n$p")
-    assert(p.contains("Window"), "df must come from the term-partitioned window")
+    assert(docScans <= 1,
+      s"raw text must not be re-tokenized for df (got $docScans parquet scans):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded df must broadcast back onto tf:\n$p")
+    // a per-term window funnels every row of a stopword into one task — the
+    // only Window allowed is the per-doc top-k (partitioned by doc_id)
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.matches(".*\\[term#\\d+[L]?\\].*")),
+      s"no Window may partition by term:\n$p")
   }
 
   test("x_dedup_spans: ownership is one window over the span shuffle, no self-join") {
@@ -80,12 +88,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "expected the min-over-span window")
   }
 
-  test("x_quality_unigram_lp: one corpus scan (df via term window, broadcast total)") {
+  test("x_quality_unigram_lp: term counts broadcast-join onto tf, never a per-term window") {
     val p = plan("x_quality_unigram_lp")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the corpus-total scalar must broadcast:\n$p")
     assert(p.split("Scan parquet").length - 1 <= 1,
-      s"the raw text must be scanned once (tf feeds both df and the score):\n$p")
+      s"the raw text must be scanned once (tf feeds term counts, total, and score):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded per-term count must broadcast back onto tf:\n$p")
+    assert(!p.contains("Window"),
+      s"no window (per-term or otherwise) may appear in the plan:\n$p")
   }
 
   test("x_dedup_spans_hashed: the ownership shuffle keys on the 64-bit span hash") {
