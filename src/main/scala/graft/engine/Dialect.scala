@@ -360,6 +360,33 @@ object Dialect {
     Some((sql.substring(0, oIdx).trim, orderText, limTxt.toInt))
   }
 
+  /** `SELECT list FROM … GROUP BY g HAVING p` → `SELECT list, (p) AS asCol
+    * FROM … GROUP BY g`: folds the HAVING predicate into the aggregate's
+    * own output as a boolean column, so a cascade MV can maintain the
+    * PRE-HAVING aggregate as keyed state and apply the predicate when
+    * deriving the visible snapshot (groups entering/leaving the predicate
+    * become Insert/Delete in the 4-op changelog). None when there is no
+    * top-level HAVING, or when the statement has a shape the textual fold
+    * can't carry safely (set ops, SELECT DISTINCT, ORDER BY/LIMIT tails —
+    * all of which the cascade path rejects anyway). */
+  private[graft] def foldHaving(sql: String, asCol: String): Option[String] = {
+    val hIdx = topLevelIndexOf(sql, "HAVING")
+    if (hIdx < 0) return None
+    if (Seq("UNION", "INTERSECT", "EXCEPT").exists(topLevelIndexOf(sql, _) >= 0))
+      return None
+    if (sql.matches("(?is)\\s*SELECT\\s+DISTINCT\\b.*")) return None
+    val fromIdx = topLevelIndexOf(sql, "FROM")
+    if (fromIdx < 0 || fromIdx > hIdx) return None
+    val pred = sql.substring(hIdx + "HAVING".length)
+    // the predicate must run to end-of-statement: a top-level ORDER/LIMIT
+    // tail means a top-N statement, which is not cascade-shaped
+    if (Seq("ORDER", "LIMIT", "OFFSET", "WINDOW")
+        .exists(topLevelIndexOf(pred, _) >= 0)) return None
+    if (pred.trim.isEmpty) return None
+    Some(sql.substring(0, fromIdx) + s", (${pred.trim}) AS $asCol " +
+      sql.substring(fromIdx, hIdx).trim)
+  }
+
   /** `SELECT DISTINCT ON (keys) list FROM ... ORDER BY ...` (PG/RisingWave;
     * no Spark equivalent) → keep the first row per key group under the
     * query's ORDER BY, via a `row_number` window. Applied to top-level

@@ -89,6 +89,13 @@ final class MaterializedView private[engine](
   private var cascadeMode = false
   private var cascadeUpstreams: Seq[MaterializedView] = Nil
   private val cascadeOffsets = scala.collection.mutable.Map[String, Long]()
+  /** Executable SQL the cascade maintains: the rewritten statement, with a
+    * top-level HAVING folded into the select list as [[havingCol]] so state
+    * and touched-key detection run on the pre-HAVING aggregate. */
+  private var cascadeStmt: String = ""
+  private var cascadeHasHaving = false
+  /** Pre-HAVING keyed state (== the visible snapshot when no HAVING). */
+  private var cascadeInner: Option[DataFrame] = None
 
   // session-window state (session TVF statements): raw source rows stream
   // in append mode into a carried state, re-sessionized per epoch — see
@@ -560,6 +567,10 @@ final class MaterializedView private[engine](
     innerState.foreach(_.createOrReplaceTempView(sessionSrcView))
   }
 
+  /** Optimized plan of the last cascade epoch's touched-group recompute —
+    * spec probe pinning the semi-join-below-Aggregate pushdown. */
+  @volatile private[graft] var lastCascadeEpochPlan: Option[String] = None
+
   /** (carried raw rows, frozen session rows) — compaction probe for specs. */
   private[graft] def sessionStateCounts: (Long, Long) = synchronized {
     (innerState.map(_.count()).getOrElse(0L), frozen.map(_.count()).getOrElse(0L))
@@ -582,14 +593,24 @@ final class MaterializedView private[engine](
     if (engine.referencedLiveTables(stmt).nonEmpty) return false
     val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
     if (ups.isEmpty) return false
+    val preOffset = changeLog.latestOffset
     try {
-      val df = spark.sql(engine.rewrite(stmt))
+      val rewritten = engine.rewrite(stmt)
+      // HAVING does not demote the chain to batch re-run: the predicate
+      // folds into the aggregate's own select list as a boolean column, so
+      // state maintenance and touched-key detection run on the PRE-HAVING
+      // aggregate (a group's delta-local aggregate may fail the predicate
+      // even though its full-state aggregate changed — detecting on the
+      // pre-HAVING aggregate sidesteps that trap) and the predicate is
+      // applied when the visible snapshot/diff is derived: groups entering
+      // or leaving it become Insert/Delete, which the 4-op envelope
+      // already expresses ([[cascadeVisible]]).
+      val folded = Dialect.foldHaving(rewritten, MaterializedView.HavingCol)
+      cascadeHasHaving = folded.nonEmpty
+      cascadeStmt = folded.getOrElse(rewritten)
+      val df = spark.sql(cascadeStmt)
       val analyzed = df.queryExecution.analyzed
       val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
-      // same shape rules as streaming update mode: a Filter above the
-      // aggregate (HAVING) would also break touched-key DETECTION here —
-      // a group's delta-local aggregate may fail the predicate even though
-      // its full-state aggregate changed
       if (!isAgg || !streamingSafe(analyzed)) return false
       val mode = deriveMode(df)
       if (!mode.isInstanceOf[MaterializedView.Keyed]) return false
@@ -602,6 +623,14 @@ final class MaterializedView private[engine](
       true
     } catch { case _: Throwable =>
       cascadeMode = false; cascadeUpstreams = Nil
+      // a half-finished initial backfill must not leave half-committed
+      // state behind: if no ops were emitted, dropping the snapshot lets
+      // the batch fallback run its own (single) Insert backfill; if ops
+      // WERE emitted, the snapshot was committed first (emit is the last
+      // step), so the fallback diffs against it and emits no duplicates
+      if (changeLog.latestOffset == preOffset) {
+        snapshot = None; cascadeInner = None
+      }
       false
     }
   }
@@ -646,10 +675,16 @@ final class MaterializedView private[engine](
 
     if (snapshot.isEmpty) {
       latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
-      val full = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
-      emitOps(Changelog.diff(None, full, keyCols))
-      snapshot = Some(full)
-      full.createOrReplaceTempView(viewName)
+      val innerFull = spark.sql(cascadeStmt).localCheckpoint(true)
+      val vis = cascadeVisible(innerFull).localCheckpoint(true)
+      cascadeInner = Some(innerFull)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+      // ops are emitted LAST: a checkpoint/view failure above leaves no
+      // emitted history, so if tryStartCascade falls back to batch re-run
+      // its own backfill is the first (and only) Insert epoch in SINCE-0
+      // replay — emitting first would double the backfill on failure
+      emitOps(Changelog.diff(None, vis, keyCols))
     } else {
       val parts: Seq[(MaterializedView, Option[DataFrame])] =
         latests.map { case (u, l) =>
@@ -662,7 +697,6 @@ final class MaterializedView private[engine](
         }
       val changed = parts.collect { case (u, Some(p)) => (u, p) }
       if (changed.isEmpty) return
-      val rewritten = engine.rewrite(stmt)
       def retarget(sql: String, from: String, to: String): String =
         sql.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b", to)
       val tempViews = scala.collection.mutable.ArrayBuffer[String]()
@@ -676,7 +710,7 @@ final class MaterializedView private[engine](
           }
         }
         changed.map { case (u, _) =>
-          val sql = changed.foldLeft(rewritten) { case (s, (o, _)) =>
+          val sql = changed.foldLeft(cascadeStmt) { case (s, (o, _)) =>
             if (o.viewName == u.viewName)
               retarget(s, o.viewName, s"__cascade_delta_${o.viewName}")
             else retarget(s, o.viewName, s"__cascade_cover_${o.viewName}")
@@ -684,19 +718,47 @@ final class MaterializedView private[engine](
           spark.sql(sql).select(keyCols.map(col): _*)
         }.reduce(_ union _).distinct().localCheckpoint(true)
       } catch { case _: Throwable =>
-        spark.sql(rewritten).select(keyCols.map(col): _*).distinct()
+        spark.sql(cascadeStmt).select(keyCols.map(col): _*).distinct()
           .localCheckpoint(true)
       } finally tempViews.foreach(spark.catalog.dropTempView(_))
       if (touched.isEmpty) return
-      val full = spark.sql(rewritten)
-      val newTouched = keyJoin(full, touched, "left_semi").localCheckpoint(true)
-      val prevTouched = keyJoin(snapshot.get, touched, "left_semi")
-      emitOps(Changelog.diff(Some(prevTouched), newTouched, keyCols))
-      snapshot = Some(
-        keyJoin(snapshot.get, touched, "left_anti").union(newTouched)
+      val full = spark.sql(cascadeStmt)
+      // per-epoch cost proportional to touched groups relies on Catalyst's
+      // PushDownLeftSemiAntiJoin planting the key filter BELOW the final
+      // Aggregate (verified to fire for both attribute and expression
+      // grouping keys, incl. the null-safe <=> condition). The optimized
+      // plan is recorded so CascadeMvSpec can pin the property — a Spark
+      // upgrade that stops pushing would silently turn every epoch into a
+      // full recompute over the upstream snapshots.
+      val recompute = keyJoin(full, touched, "left_semi")
+      lastCascadeEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
+      val newTouched = recompute.localCheckpoint(true)
+      val prevTouched = keyJoin(cascadeInner.get, touched, "left_semi")
+      // the diff runs on the VISIBLE projection of both sides: with a
+      // folded HAVING, a touched group entering the predicate appears only
+      // on the new side (Insert) and one leaving it only on the old side
+      // (Delete) — the state merge below still carries the full pre-HAVING
+      // aggregate so the group stays maintainable either way
+      emitOps(Changelog.diff(Some(cascadeVisible(prevTouched)),
+        cascadeVisible(newTouched), keyCols))
+      cascadeInner = Some(
+        keyJoin(cascadeInner.get, touched, "left_anti").union(newTouched)
           .localCheckpoint(true))
-      snapshot.get.createOrReplaceTempView(viewName)
+      val vis = cascadeVisible(cascadeInner.get)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
     }
+  }
+
+  /** Visible projection of a cascade's pre-HAVING state: apply the folded
+    * predicate (NULL = fail, matching SQL HAVING's 3VL) and drop the helper
+    * column. Identity when the statement has no HAVING. */
+  private def cascadeVisible(inner: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (cascadeHasHaving)
+      inner.where(col(MaterializedView.HavingCol))
+        .drop(MaterializedView.HavingCol)
+    else inner
   }
 
   /** Re-truncate a state DataFrame with the statement's own ORDER BY/LIMIT
@@ -899,6 +961,11 @@ final class MaterializedView private[engine](
 }
 
 object MaterializedView {
+  /** Helper column a cascade MV's folded HAVING predicate lands in — never
+    * visible: [[MaterializedView#cascadeVisible]] filters on it and drops it
+    * before the snapshot or any changelog op is derived. */
+  private[engine] val HavingCol = "__graft_having"
+
   /** Epoch-diff keying strategy — see [[MaterializedView#deriveMode]]. */
   private[engine] sealed trait KeyMode
   private[engine] final case class Keyed(keys: Seq[String]) extends KeyMode

@@ -180,6 +180,42 @@ object StreamingParity {
       materialized
     },
 
+    // HAVING cascade (round-5 verdict item 3) — the predicate folds into
+    // the pre-HAVING aggregate's state so the chain stays incremental:
+    // touched-key detection and state maintenance run on the unfiltered
+    // rollup, the predicate applies at snapshot derivation, and groups
+    // crossing it become Insert/Delete. The threshold (avg value > 49)
+    // splits the event types 3/2 at final state with ≥ 0.4 margins, so
+    // decimal-vs-double predicate evaluation cannot flip a group. Both
+    // maintenance modes asserted — a demotion to per-flush batch re-run
+    // would match values anyway.
+    q("m_mv_having_cascade_incremental",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM events GROUP BY event_type
+        |HAVING SUM(CAST(value AS DECIMAL(18,6))) / count(*) > 49""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_hvc", Seq(
+        ("m_hvc_up",
+          """SELECT window_start, event_type, count(*) AS n,
+            |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+            |FROM tumble(m_ev_hvc, ts, interval '10 minutes')
+            |GROUP BY window_start, event_type""".stripMargin),
+        ("m_hvc_sel",
+          """SELECT event_type, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+            |FROM m_hvc_up GROUP BY event_type
+            |HAVING SUM(sv) / SUM(n) > 49""".stripMargin)))
+      val up = rw.mvByName("m_hvc_up").get
+      val down = rw.mvByName("m_hvc_sel").get
+      require(up.isStreamingMode,
+        "upstream aggregate MV fell back to batch re-run — must stream")
+      require(down.isChangelogCascadeMode,
+        "HAVING rollup fell back to batch re-run — the folded predicate must keep it cascading")
+      val out = down.df.withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // TopN — incrementally-maintained `ORDER BY ... LIMIT` MV (RisingWave's
     // TopN operator): the inner statement streams and the snapshot is
     // re-truncated per epoch with O(n) carried state; displaced rows

@@ -104,6 +104,73 @@ class CascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("HAVING cascade: groups crossing the predicate in both directions emit Insert/Delete") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("chv_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType))))
+    rw.mv("SELECT k, count(*) AS n, SUM(CAST(v AS DECIMAL(18,6))) AS sv FROM chv_t GROUP BY k",
+      "chv_up")
+    rw.mv("SELECT substring(k, 1, 1) AS g, SUM(sv) AS sv FROM chv_up " +
+      "GROUP BY substring(k, 1, 1) HAVING SUM(sv) > 10", "chv_dn")
+    val down = rw.mvByName("chv_dn").get
+    assert(down.isChangelogCascadeMode,
+      "HAVING must not demote the cascade to batch re-run: state and " +
+        "touched-key detection run on the pre-HAVING aggregate")
+
+    val t = rw.table("chv_t").get
+    t.insert(Seq(Row("a1", 12.0), Row("b1", 5.0)))
+    rw.flush()
+    def state() = down.df.collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue)).toSet
+    assert(state() == Set(("a", 12.0)), "only a (12 > 10) passes the predicate")
+
+    // b crosses INTO the predicate (5 → 12); a crosses OUT (12 → 7, via an
+    // upstream retraction) — the two directions the 4-op envelope must show
+    t.insert(Seq(Row("b2", 7.0), Row("a1", -5.0)))
+    rw.flush()
+    assert(state() == Set(("b", 12.0)))
+    assert(down.isChangelogCascadeMode, "mode must survive epochs")
+
+    val sub = down.subscription().declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(1000)).takeWhile(_.nonEmpty).flatten.toSeq
+      .map(r => (r.getString(0), r.getString(r.length - 2)))
+    assert(ops.filter(_._1 == "a").map(_._2) == Seq("Insert", "Delete"),
+      s"group a must enter then leave the visible snapshot, got $ops")
+    assert(ops.filter(_._1 == "b").map(_._2) == Seq("Insert"),
+      s"group b must appear only once it passes the predicate, got $ops")
+    rw.close()
+  }
+
+  test("cascade epoch plan: the touched-key filter sits below the final Aggregate") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("cpp_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType))))
+    rw.mv("SELECT k, count(*) AS n FROM cpp_t GROUP BY k", "cpp_up")
+    // expression grouping key (substring) — the harder pushdown case
+    rw.mv("SELECT substring(k, 1, 1) AS g, CAST(SUM(n) AS BIGINT) AS n " +
+      "FROM cpp_up GROUP BY substring(k, 1, 1)", "cpp_dn")
+    val down = rw.mvByName("cpp_dn").get
+    assert(down.isChangelogCascadeMode)
+    val t = rw.table("cpp_t").get
+    t.insert(Seq(Row("a1", 1.0), Row("b1", 2.0)))
+    rw.flush()
+    t.insert(Seq(Row("a2", 3.0)))
+    rw.flush()
+    // per-epoch cost ∝ touched groups requires Catalyst to push the
+    // left-semi key join BELOW the Aggregate (PushDownLeftSemiAntiJoin).
+    // If a Spark change stopped the pushdown, every epoch would silently
+    // become a full recompute over the upstream snapshot — fail loudly.
+    val plan = down.lastCascadeEpochPlan.getOrElse(
+      fail("cascade epoch must record its recompute plan"))
+    val lines = plan.linesIterator.toVector
+    val aggIdx = lines.indexWhere(_.contains("Aggregate"))
+    val semiIdx = lines.indexWhere(_.contains("LeftSemi"))
+    assert(semiIdx >= 0, s"expected a LeftSemi key join in the epoch plan:\n$plan")
+    assert(aggIdx >= 0 && aggIdx < semiIdx,
+      s"the touched-key semi join must be pushed below the final Aggregate:\n$plan")
+    rw.close()
+  }
+
   test("cascade over an enrichment join: upstream agg ⋈ static dim, rolled up") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     import spark.implicits._
