@@ -27,6 +27,10 @@ final class GraftEngine(val spark: SparkSession,
   private[engine] def changelogDirFor(viewName: String): Option[String] =
     options.dataDir.map(d => s"$d/changelog/$viewName")
 
+  /** Durable MV snapshot home ([[MaterializedView.persistSnapshot]]). */
+  private[engine] def mvSnapshotDirFor(viewName: String): Option[String] =
+    options.dataDir.map(d => s"$d/mvs/$viewName")
+
   /** Persistent row-segment location for one live table (None = ephemeral). */
   private[engine] def tableDirFor(viewName: String): Option[String] =
     options.dataDir.map(d => s"$d/tables/$viewName")
@@ -607,7 +611,18 @@ final class GraftEngine(val spark: SparkSession,
   }
 
   override def close(): Unit = {
-    // halt the maintainers first; changelog segments are already durable
+    // durable mode: one final FLUSH barrier BEFORE stopping maintainers —
+    // rows ingested after the user's last FLUSH would otherwise spill to
+    // the table segments with their MV ops never emitted, so a SINCE-0
+    // replay after reopen could not reconstruct the restored snapshots.
+    // The barrier also puts every MV at a consistent position for the
+    // snapshot persist below (reopen restores state in O(state) instead
+    // of re-running statements over base data).
+    if (options.dataDir.nonEmpty) {
+      try flush() catch { case _: Throwable => () }
+      mvs.values.foreach(m => try m.persistSnapshot() catch { case _: Throwable => () })
+    }
+    // halt the maintainers; changelog segments are already durable
     // (written executor-side at append time), so close only spills the
     // live tables' in-memory tails and the progress snapshot. Ephemeral
     // (no-dataDir) changelogs live in temp dirs that nothing will ever

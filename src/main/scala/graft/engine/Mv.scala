@@ -48,21 +48,26 @@ final class MaterializedView private[engine](
   // serve ops the new statement never produced). The statement fingerprint
   // lives beside the segments; a mismatch purges the recovered history so
   // this incarnation starts a fresh log.
+  private val stmtMd5: String = java.security.MessageDigest.getInstance("MD5")
+    .digest(stmt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    .map("%02x".format(_)).mkString
+
   engine.changelogDirFor(viewName).foreach { d =>
     val marker = java.nio.file.Paths.get(d, "_stmt_md5")
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(stmt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
     val prev =
       if (java.nio.file.Files.exists(marker))
         Some(new String(java.nio.file.Files.readAllBytes(marker),
           java.nio.charset.StandardCharsets.UTF_8))
       else None
-    if (prev.exists(_ != h)) changeLog.purge()
-    if (!prev.contains(h)) {
+    if (prev.exists(_ != stmtMd5)) {
+      changeLog.purge()
+      // a stale snapshot belongs to the old statement too
+      engine.mvSnapshotDirFor(viewName).foreach(SegmentFiles.delete)
+    }
+    if (!prev.contains(stmtMd5)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
       java.nio.file.Files.write(marker,
-        h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        stmtMd5.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
   @volatile private var snapshot: Option[DataFrame] = None
@@ -382,7 +387,10 @@ final class MaterializedView private[engine](
         case MaterializedView.Keyed(ks) => ks
         case _ => df.columns.toSeq
       }
-      refresh()
+      // durable reopen: a persisted snapshot at the same changelog
+      // position replaces the initial statement evaluation — the next
+      // FLUSH re-evaluates and diffs as batch mode always does
+      if (!tryRestoreSnapshot()) refresh()
     }
   }
 
@@ -571,6 +579,13 @@ final class MaterializedView private[engine](
     * spec probe pinning the semi-join-below-Aggregate pushdown. */
   @volatile private[graft] var lastCascadeEpochPlan: Option[String] = None
 
+  /** How many times the FULL defining statement has been evaluated over
+    * source data (batch refresh epochs + cascade backfills/recomputes) —
+    * spec probe proving a durable reopen restores the snapshot instead of
+    * re-executing the statement. Analysis-only `spark.sql` calls (schema,
+    * mode derivation) don't count; they never read data. */
+  @volatile private[graft] var statementEvals: Long = 0L
+
   /** (carried raw rows, frozen session rows) — compaction probe for specs. */
   private[graft] def sessionStateCounts: (Long, Long) = synchronized {
     (innerState.map(_.count()).getOrElse(0L), frozen.map(_.count()).getOrElse(0L))
@@ -619,7 +634,10 @@ final class MaterializedView private[engine](
       isAggMode = true
       cascadeUpstreams = ups
       cascadeMode = true
-      cascadeRefresh() // initial backfill over the upstreams' current state
+      // durable reopen: restored state + consumed upstream offsets resume
+      // maintenance exactly where the previous incarnation stopped —
+      // otherwise backfill over the upstreams' current state
+      if (!tryRestoreSnapshot()) cascadeRefresh()
       true
     } catch { case _: Throwable =>
       cascadeMode = false; cascadeUpstreams = Nil
@@ -675,6 +693,7 @@ final class MaterializedView private[engine](
 
     if (snapshot.isEmpty) {
       latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
+      statementEvals += 1
       val innerFull = spark.sql(cascadeStmt).localCheckpoint(true)
       val vis = cascadeVisible(innerFull).localCheckpoint(true)
       cascadeInner = Some(innerFull)
@@ -722,6 +741,7 @@ final class MaterializedView private[engine](
           .localCheckpoint(true)
       } finally tempViews.foreach(spark.catalog.dropTempView(_))
       if (touched.isEmpty) return
+      statementEvals += 1
       val full = spark.sql(cascadeStmt)
       // per-epoch cost proportional to touched groups relies on Catalyst's
       // PushDownLeftSemiAntiJoin planting the key filter BELOW the final
@@ -876,6 +896,7 @@ final class MaterializedView private[engine](
     if (streamingMode) query.foreach(_.processAllAvailable())
     else if (cascadeMode) cascadeRefresh()
     else synchronized {
+      statementEvals += 1
       val next = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
       val ops = keyMode match {
         case MaterializedView.Keyed(ks) => Changelog.diff(snapshot, next, ks)
@@ -943,6 +964,68 @@ final class MaterializedView private[engine](
     }
   }
 
+  /** Durable snapshot persistence — reopen restores MV state in O(state)
+    * instead of re-running the statement over base data. Written at
+    * engine close (after the final FLUSH barrier, so buffers are spilled
+    * and every maintainer has caught up) for the modes whose maintenance
+    * genuinely resumes from restored state: batch re-run (the snapshot IS
+    * the whole state) and changelog cascades (snapshot + pre-HAVING inner
+    * state + consumed upstream offsets). Streaming/top-N/session modes
+    * keep replay-based recovery — their maintainer state lives inside the
+    * streaming aggregate, which a snapshot alone cannot seed; at cluster
+    * scale that is Spark's own checkpointed state store's job. Layout:
+    * `dataDir/mvs/<view>/{data,inner?,_snapshot_meta}`, staged+renamed so
+    * a crash mid-write leaves the previous snapshot intact. */
+  private[engine] def persistSnapshot(): Unit = synchronized {
+    if (streamingMode || topNMode || sessionMode) return
+    for (d <- engine.mvSnapshotDirFor(viewName); snap <- snapshot) {
+      val staging = s"$d.staging"
+      SegmentFiles.delete(staging)
+      snap.write.mode("overwrite").parquet(s"$staging/data")
+      if (cascadeHasHaving)
+        cascadeInner.foreach(_.write.mode("overwrite").parquet(s"$staging/inner"))
+      val meta = (Seq(stmtMd5, changeLog.latestOffset.toString) ++
+        cascadeOffsets.toSeq.sortBy(_._1).map { case (v, o) => s"$v\t$o" })
+        .mkString("\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$staging/_snapshot_meta"),
+        meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      SegmentFiles.delete(d)
+      SegmentFiles.commit(staging, d)
+    }
+  }
+
+  /** Restore the persisted snapshot if it belongs to this incarnation:
+    * same defining statement (md5) and same changelog position (a snapshot
+    * persisted before further emitted epochs is stale — recompute). True =
+    * state restored, the caller skips the initial statement evaluation. */
+  private def tryRestoreSnapshot(): Boolean =
+    engine.mvSnapshotDirFor(viewName).exists { d =>
+      val metaPath = java.nio.file.Paths.get(s"$d/_snapshot_meta")
+      java.nio.file.Files.exists(metaPath) && {
+        try {
+          val lines = new String(java.nio.file.Files.readAllBytes(metaPath),
+            java.nio.charset.StandardCharsets.UTF_8).split("\n")
+          lines(0) == stmtMd5 && lines(1).toLong == changeLog.latestOffset && {
+            val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
+            if (cascadeMode) {
+              cascadeInner =
+                if (cascadeHasHaving)
+                  Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
+                else Some(snap)
+              lines.drop(2).filter(_.nonEmpty).foreach { l =>
+                val Array(v, o) = l.split("\t", 2)
+                cascadeOffsets(v) = o.toLong
+              }
+            }
+            snapshot = Some(snap)
+            snap.createOrReplaceTempView(viewName)
+            true
+          }
+        } catch { case _: Throwable => false }
+      }
+    }
+
   private[engine] def stop(): Unit = {
     query.foreach(_.stop())
     engine.releaseStreamReaders(viewName)
@@ -957,7 +1040,10 @@ final class MaterializedView private[engine](
     * recover it as durable history, and the segment files must not outlive
     * the drop. Delegated to [[ChangeLog.purge]] (which holds the log's own
     * monitor, so in-flight fetches cannot race the unlink). */
-  private[engine] def purgeChangelog(): Unit = changeLog.purge()
+  private[engine] def purgeChangelog(): Unit = {
+    changeLog.purge()
+    engine.mvSnapshotDirFor(viewName).foreach(SegmentFiles.delete)
+  }
 }
 
 object MaterializedView {

@@ -92,6 +92,74 @@ class DurabilitySpec extends SparkSpec {
     rw2.close()
   }
 
+  test("durable MV snapshots: reopen restores batch and cascade state without re-executing statements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    // batch-mode MV (PK table source) + streaming→cascade chain
+    rw1.execute("CREATE TABLE ds_pk (id STRING PRIMARY KEY, v BIGINT)")
+    rw1.mv("SELECT id, v FROM ds_pk", "ds_pk_mv")
+    rw1.createTable("ds_ev", schema)
+    rw1.mv("SELECT k, count(*) AS n FROM ds_ev GROUP BY k", "ds_up")
+    rw1.mv("SELECT substring(k, 1, 1) AS g, CAST(SUM(n) AS BIGINT) AS n " +
+      "FROM ds_up GROUP BY substring(k, 1, 1)", "ds_dn")
+    rw1.execute("INSERT INTO ds_pk VALUES ('x', 1), ('y', 2)")
+    rw1.table("ds_ev").get.insert(Seq(Row("a1", 1L), Row("a2", 2L), Row("b1", 3L)))
+    rw1.flush()
+    val pkOps1 = drain(rw1.mvByName("ds_pk_mv").get.subscription().declareCursor(Some(0L)))
+    val dnOps1 = drain(rw1.mvByName("ds_dn").get.subscription().declareCursor(Some(0L)))
+    rw1.close() // final flush barrier + snapshot persist
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    val pkMv = rw2.mv("SELECT id, v FROM ds_pk", "ds_pk_mv")
+    rw2.mv("SELECT k, count(*) AS n FROM ds_ev GROUP BY k", "ds_up")
+    val dn = rw2.mv("SELECT substring(k, 1, 1) AS g, CAST(SUM(n) AS BIGINT) AS n " +
+      "FROM ds_up GROUP BY substring(k, 1, 1)", "ds_dn")
+    // reopen must be O(state): restored snapshots, zero statement runs
+    assert(pkMv.statementEvals == 0L,
+      "batch MV must restore its persisted snapshot, not re-run the statement")
+    assert(dn.statementEvals == 0L,
+      "cascade MV must restore snapshot + upstream offsets, not re-backfill")
+    assert(pkMv.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("x", 1L), ("y", 2L)))
+    assert(dn.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("b", 1L)))
+    // SINCE-0 replay identical to before the restart
+    assert(drain(rw2.mvByName("ds_pk_mv").get.subscription().declareCursor(Some(0L))) == pkOps1)
+    assert(drain(rw2.mvByName("ds_dn").get.subscription().declareCursor(Some(0L))) == dnOps1)
+    // maintenance resumes: new ingest flows through restored offsets
+    rw2.execute("INSERT INTO ds_pk VALUES ('z', 3)")
+    rw2.table("ds_ev").get.insert(Seq(Row("b2", 4L)))
+    rw2.flush()
+    assert(pkMv.df.count() == 3)
+    assert(dn.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("b", 2L)))
+    rw2.close()
+  }
+
+  test("close() flushes unflushed ingest so SINCE-0 replay covers it after reopen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("dc_t", schema)
+    rw1.mv("SELECT k, count(*) AS n FROM dc_t GROUP BY k", "dc_mv")
+    rw1.table("dc_t").get.insert(Seq(Row("a", 1L))); rw1.flush()
+    // ingested but never explicitly flushed: close() must run a final
+    // barrier, or these rows persist in the table segments with their MV
+    // ops never emitted — and reopen's suppressed backfill would swallow
+    // them out of the SINCE-0 history forever
+    rw1.table("dc_t").get.insert(Seq(Row("a", 2L), Row("b", 3L)))
+    rw1.close()
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    val mv = rw2.mv("SELECT k, count(*) AS n FROM dc_t GROUP BY k", "dc_mv")
+    assert(mv.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("b", 1L)), "snapshot must include the close-time ingest")
+    val ops = drain(mv.subscription().declareCursor(Some(0L)))
+    val finalByKey = ops.groupBy(_.head).map { case (k, os) => (k, os.last(1)) }
+    assert(finalByKey == Map("a" -> 2L, "b" -> 1L),
+      s"SINCE-0 replay must reconstruct the restored snapshot, got $ops")
+    rw2.close()
+  }
+
   test("a subscription outliving DROP MV drains cleanly (purge under the log monitor)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
     val rw = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
