@@ -80,12 +80,22 @@ final class MaterializedView private[engine](
   // incremental top-N state (RisingWave's TopN / GroupTopN operator shape):
   // the inner (pre-ORDER/LIMIT) statement streams; the visible snapshot is
   // its re-truncation per epoch. Raw top-N carries ≤ n rows of inner state;
-  // grouped top-N carries full per-key aggregate state (same bound as
-  // Spark's own update-mode state store).
+  // grouped (aggregate-inner) top-N carries top-(n + cache margin) keys
+  // plus a one-row re-fetch bound — see [[handleTopNDelta]].
   private var topNMode = false
   @volatile private var innerState: Option[DataFrame] = None
   private var topNOrderText = ""
   private var topNLimit = 0
+  private var topNInnerStmt = ""
+  /** Cache margin C of grouped top-N state (top-(n+C) keys carried; the
+    * same role as RisingWave GroupTopN's cache headroom): large enough
+    * that ordinary churn re-ranks inside the carried state, small enough
+    * that state stays O(n) — NOT O(distinct keys) — at any corpus size. */
+  private var topNCacheMargin = 0
+  /** Most competitive sort position ever evicted from the grouped top-N
+    * state (frozen at eviction): if it would rank inside the visible top
+    * n, an evicted key may belong there and the state must re-fetch. */
+  private var topNBound: Option[Row] = None
   private def topNSrcView = s"__topn_src_$viewName"
 
   // changelog-cascade state (agg-over-agg MV chains): the downstream
@@ -110,6 +120,16 @@ final class MaterializedView private[engine](
   private var sessionMode = false
   private var sessionOuterSql = ""
   private var sessionTsCol = ""
+  /** Session grouping keys (non-window GROUP BY columns, present by name
+    * in the raw state): Some(keys) enables per-key compaction; None =
+    * expression keys, fall back to the global coverage-chain scan. */
+  private var sessionKeys: Option[Seq[String]] = None
+  /** Per-key compaction cut points ((keys..., __cut ms), max-merged per
+    * epoch; a single global row when keyless): rows retired from the
+    * carried state AND the late-row gate — a delta row below its key's cut
+    * would re-sessionize into a session that overlaps an already-frozen
+    * one, so it is dropped (the reference's late-row semantics). */
+  private var sessionCuts: Option[DataFrame] = None
   @volatile private var frozen: Option[DataFrame] = None
   private def sessionSrcView = s"__sess_src_$viewName"
 
@@ -425,6 +445,9 @@ final class MaterializedView private[engine](
       }
       topNOrderText = orderText
       topNLimit = n
+      topNInnerStmt = innerStmt
+      topNCacheMargin = math.max(2 * n, 16)
+      topNBound = None
       if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
       query = Some(
         sdf.writeStream
@@ -482,6 +505,26 @@ final class MaterializedView private[engine](
         spark.catalog.dropTempView(sessionSrcView)
         return false
       }
+      // derive the session grouping keys for per-key compaction: every
+      // non-window grouping expression must be a plain column of the raw
+      // state (an expression key can't map frozen sessions back to raw
+      // rows — those statements keep the global chain-scan compaction)
+      sessionKeys = {
+        val rawCols = sdf.columns.toSet
+        spark.sql(sessionOuterSql).queryExecution.analyzed
+          .collectFirst { case a: Aggregate => a }
+          .flatMap { a =>
+            val cls = a.groupingExpressions.map {
+              case ar: AttributeReference if rawCols.contains(ar.name) =>
+                Some(Some(ar.name))
+              case e if e.toString.toLowerCase.replace("_", "")
+                .contains("sessionwindow") => Some(None)
+              case _ => None
+            }
+            if (cls.forall(_.nonEmpty)) Some(cls.flatten.flatten) else None
+          }
+      }
+      sessionCuts = None
 
       isAggMode = true
       keyMode = MaterializedView.Multiset
@@ -513,7 +556,14 @@ final class MaterializedView private[engine](
     * Insert per closed session — final-only emission. */
   private def handleSessionDelta(delta: DataFrame): Unit = synchronized {
     val clone = delta.localCheckpoint(true)
-    val d = spark.createDataFrame(clone.rdd, clone.schema)
+    val d0 = spark.createDataFrame(clone.rdd, clone.schema)
+    if (d0.isEmpty) return
+    // late-row gate: a row below its key's compaction cut would join the
+    // carried state and re-sessionize into a session overlapping one
+    // already frozen (Spark watermarks only drop late rows in STATEFUL
+    // operators, and this maintainer streams a stateless passthrough) —
+    // drop it, mirroring the reference's late-row semantics
+    val d = applyCuts(d0)
     if (d.isEmpty) return
     innerState = Some(innerState.map(_.union(d)).getOrElse(d).localCheckpoint(true))
     innerState.get.createOrReplaceTempView(sessionSrcView)
@@ -547,32 +597,88 @@ final class MaterializedView private[engine](
     * (any late row may merge sessions — RisingWave's always-correctable
     * semantics). Requires window_start/window_end in the output. */
   private def compactSessions(computed: DataFrame): Unit = {
-    import org.apache.spark.sql.expressions.{Window => W}
-    import org.apache.spark.sql.functions.{col, lead, max, unix_millis}
+    import org.apache.spark.sql.functions.{col, lit, max, unix_millis}
     val wm = watermarkMs
     if (wm <= 0 || sessionTsCol.isEmpty) return
     if (!computed.columns.contains("window_start") ||
         !computed.columns.contains("window_end")) return
-    // tiny frame: one row per OPEN-OR-NEW session (already aggregated)
-    val w = W.orderBy("ws")
-    val cand = computed
-      .select(unix_millis(col("window_start")).as("ws"),
-        unix_millis(col("window_end")).as("we"))
-      .withColumn("cm", max("we").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
-      .withColumn("nws", lead("ws", 1).over(w))
-      .filter(col("cm") <= wm && (col("nws").isNull || col("cm") <= col("nws")))
-      .agg(max("cm").as("cut"))
-      .head()
-    if (cand.isNullAt(0)) return
-    val cut = cand.getLong(0)
-    val newlyFrozen = computed.filter(unix_millis(col("window_end")) <= cut)
-    if (newlyFrozen.isEmpty) return
+    val we = unix_millis(col("window_end"))
+    sessionKeys match {
+      case Some(keys) =>
+        // per-key compaction (round-6): within a key, sessions are
+        // disjoint and ordered, so the finished sessions (end ≤ watermark)
+        // are a prefix and the key's cut = its largest finished end —
+        // freezing and row retirement both keyed, no global ordering, no
+        // single-task Window. Cross-key session overlap (which forces the
+        // global chain scan below to stop at the first straddler) is
+        // irrelevant here, so this path also freezes MORE eagerly —
+        // exactly Spark's own per-key session-closure semantics.
+        val newlyFrozen = computed.filter(we <= wm)
+        if (newlyFrozen.isEmpty) return
+        val newCuts = newlyFrozen.groupBy(keys.map(col): _*)
+          .agg(max(we).as("__cut"))
+        finishCompaction(newlyFrozen, newCuts, keys)
+      case None =>
+        // expression-keyed statements: global coverage-chain scan. The cut
+        // C is chosen so NO session straddles it — sessions sorted by
+        // start with a running max of ends; C is the largest running-max
+        // value ≤ watermark that also precedes the next session's start —
+        // making "freeze sessions ending ≤ C" and "drop raw rows with
+        // ts < C" exact complements. Tiny frame: one row per open-or-new
+        // session (already aggregated), but inherently one task.
+        import org.apache.spark.sql.expressions.{Window => W}
+        import org.apache.spark.sql.functions.lead
+        val w = W.orderBy("ws")
+        val cand = computed
+          .select(unix_millis(col("window_start")).as("ws"), we.as("we"))
+          .withColumn("cm", max("we").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .withColumn("nws", lead("ws", 1).over(w))
+          .filter(col("cm") <= wm && (col("nws").isNull || col("cm") <= col("nws")))
+          .agg(max("cm").as("cut"))
+          .head()
+        if (cand.isNullAt(0)) return
+        val cut = cand.getLong(0)
+        val newlyFrozen = computed.filter(we <= cut)
+        if (newlyFrozen.isEmpty) return
+        val newCuts = spark.range(1).select(lit(cut).as("__cut"))
+        finishCompaction(newlyFrozen, newCuts, Nil)
+    }
+  }
+
+  /** Shared compaction tail: max-merge the new cut points into the carried
+    * cut table, freeze the session rows, retire their raw rows. */
+  private def finishCompaction(newlyFrozen: DataFrame, newCuts: DataFrame,
+                               keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, max}
+    sessionCuts = Some((sessionCuts match {
+      case Some(prev) => prev.unionByName(newCuts)
+        .groupBy(keys.map(col): _*).agg(max("__cut").as("__cut"))
+      case None => newCuts
+    }).localCheckpoint(true))
     frozen = Some(frozen.map(_.unionByName(newlyFrozen)).getOrElse(newlyFrozen)
       .localCheckpoint(true))
-    innerState = innerState.map(s =>
-      s.filter(unix_millis(col(sessionTsCol).cast("timestamp")) >= cut)
-        .localCheckpoint(true))
+    innerState = innerState.map(s => applyCuts(s).localCheckpoint(true))
     innerState.foreach(_.createOrReplaceTempView(sessionSrcView))
+  }
+
+  /** Drop raw rows below their key's cut point (keyed join against the cut
+    * table; a broadcast cross join of the single global row when keyless).
+    * Applied to the carried state at compaction AND to every incoming
+    * delta — a late row under the cut would re-sessionize into a session
+    * overlapping an already-frozen one. */
+  private def applyCuts(rows: DataFrame): DataFrame = sessionCuts match {
+    case None => rows
+    case Some(cuts) =>
+      import org.apache.spark.sql.functions.{broadcast, col, unix_millis}
+      val ts = unix_millis(col(sessionTsCol).cast("timestamp"))
+      val keys = sessionKeys.getOrElse(Nil)
+      if (keys.isEmpty)
+        rows.crossJoin(broadcast(cuts)).filter(ts >= col("__cut")).drop("__cut")
+      else
+        rows.join(cuts, keys, "left")
+          .filter(col("__cut").isNull || ts >= col("__cut"))
+          .drop("__cut")
+          .select(rows.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Optimized plan of the last cascade epoch's touched-group recompute —
@@ -585,6 +691,11 @@ final class MaterializedView private[engine](
     * re-executing the statement. Analysis-only `spark.sql` calls (schema,
     * mode derivation) don't count; they never read data. */
   @volatile private[graft] var statementEvals: Long = 0L
+
+  /** Carried grouped-top-N state rows — boundedness probe for specs. */
+  private[graft] def topNStateCount: Long = synchronized {
+    innerState.map(_.count()).getOrElse(0L)
+  }
 
   /** (carried raw rows, frozen session rows) — compaction probe for specs. */
   private[graft] def sessionStateCounts: (Long, Long) = synchronized {
@@ -783,10 +894,12 @@ final class MaterializedView private[engine](
 
   /** Re-truncate a state DataFrame with the statement's own ORDER BY/LIMIT
     * tail (SQL evaluation, so ordinals and expression sorts behave exactly
-    * as the batch statement would). */
-  private def topNEval(state: DataFrame): DataFrame = {
+    * as the batch statement would). `limit` overrides the statement's n
+    * for the grouped path's top-(n+C) state truncation. */
+  private def topNEval(state: DataFrame, limit: Int = -1): DataFrame = {
+    val lim = if (limit < 0) topNLimit else limit
     state.createOrReplaceTempView(topNSrcView)
-    spark.sql(s"SELECT * FROM $topNSrcView ORDER BY $topNOrderText LIMIT $topNLimit")
+    spark.sql(s"SELECT * FROM $topNSrcView ORDER BY $topNOrderText LIMIT $lim")
   }
 
   /** Top-N micro-batch: merge the inner delta into the inner state, then
@@ -797,22 +910,64 @@ final class MaterializedView private[engine](
     * Raw (stateless-inner) top-N truncates the carried state itself: a row
     * outside the current top n can never re-enter later (scores only get
     * more competitive as rows append), so O(n) state suffices — the same
-    * argument RisingWave's TopN operator uses. Grouped (aggregate-inner)
-    * top-N keeps full per-key state: a key's aggregate can move INTO the
-    * top n on any update, so every key must stay rankable. */
+    * argument RisingWave's TopN operator uses.
+    *
+    * Grouped (aggregate-inner) top-N keeps top-(n + C) keys (C =
+    * [[topNCacheMargin]]) instead of every key — at corpus scale full
+    * per-key state would equal the raw aggregate's footprint. Correctness
+    * of the truncation: an evicted key's aggregate only changes when a
+    * delta names it (update mode), so its sort position is FROZEN at
+    * eviction; the most competitive frozen position is carried as
+    * [[topNBound]], and if it would rank inside the visible top n — i.e.
+    * the carried keys have worsened past a key we dropped — the state
+    * re-fetches from a batch evaluation of the inner statement
+    * (RisingWave GroupTopN's re-fetch-on-underflow, with the source table
+    * in the role of its state table). Purely-growing aggregates (counts,
+    * positive sums) never worsen, so they never re-fetch. */
   private def handleTopNDelta(delta: DataFrame, isAgg: Boolean): Unit = synchronized {
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (d.isEmpty) return
     val merged = mergeDelta(innerState, d, keyed = isAgg)
     innerState = Some(
-      (if (isAgg) merged else topNEval(merged)).localCheckpoint(true))
+      (if (isAgg) truncateGrouped(merged) else topNEval(merged))
+        .localCheckpoint(true))
     val nextVisible =
       if (isAgg) topNEval(innerState.get).localCheckpoint(true) else innerState.get
     emitOps(Changelog.multisetDiff(snapshot, nextVisible))
     snapshot = Some(nextVisible)
     snapshot.get.createOrReplaceTempView(viewName)
   }
+
+  /** Truncate merged grouped-top-N state to top-(n+C), fold newly evicted
+    * rows into the bound, and re-fetch on underflow (bound ranks inside
+    * the visible top n). Small frames throughout: n+C state rows + the
+    * delta — the only full evaluation is the (rare) re-fetch. */
+  private def truncateGrouped(merged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val kept = topNEval(merged, topNLimit + topNCacheMargin).localCheckpoint(true)
+    val evicted = keyJoin(merged, kept.select(keyCols.map(col): _*), "left_anti")
+    val boundPool = topNBound
+      .map(b => evicted.unionByName(rowDf(b, evicted.schema))).getOrElse(evicted)
+    topNBound = topNEval(boundPool, 1).collect().headOption.orElse(topNBound)
+    val underflow = topNBound.exists { b =>
+      val pool = kept.withColumn("__evicted", lit(false))
+        .unionByName(rowDf(b, kept.schema).withColumn("__evicted", lit(true)))
+      topNEval(pool).collect().exists(_.getAs[Boolean]("__evicted"))
+    }
+    if (!underflow) kept
+    else {
+      statementEvals += 1
+      val full = spark.sql(engine.rewrite(topNInnerStmt)).localCheckpoint(true)
+      val keptF = topNEval(full, topNLimit + topNCacheMargin).localCheckpoint(true)
+      val evictedF = keyJoin(full, keptF.select(keyCols.map(col): _*), "left_anti")
+      topNBound = topNEval(evictedF, 1).collect().headOption
+      keptF
+    }
+  }
+
+  private def rowDf(r: Row, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.List.of(r), schema)
 
   /** Streaming micro-batch: `delta` holds the new value of every changed key
     * (update mode) or fresh appended rows (append mode).

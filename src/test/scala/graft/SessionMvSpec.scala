@@ -96,6 +96,46 @@ class SessionMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("per-key compaction freezes a closed session behind a cross-key straddler; late rows drop") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("sessk_t", schema)
+    val m = rw.mv(
+      """SELECT window_start, window_end, k, count(*) AS n
+        |FROM session(sessk_t, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, k""".stripMargin, "sessk_mv",
+      watermarks = Map("sessk_t" -> ("ts", "0 seconds")))
+    assert(m.isSessionMode)
+    val t = rw.table("sessk_t").get
+    // key a closes [0,15); key b opens [10, …) STRADDLING a's end — a
+    // global no-straddle chain scan could never freeze a while b stays
+    // open, but keyed sessions are independent: per-key compaction must
+    t.insert(Seq(Row("a", ts(0), 1.0), Row("a", ts(5), 1.0), Row("b", ts(10), 1.0)))
+    rw.flush()
+    t.insert(Seq(Row("b", ts(19), 1.0))) // b extends; wm will pass a's end
+    rw.flush()
+    t.insert(Seq(Row("b", ts(28), 1.0))) // b's session now [10,38), still open
+    rw.flush()
+    // the watermark lags one epoch — a fourth epoch observes wm = 19 ≥ 15
+    t.insert(Seq(Row("b", ts(37), 1.0))) // gap 9 < 10: still ONE open b session
+    rw.flush()
+    val (raw, froz) = m.sessionStateCounts
+    assert(froz == 1, s"a's closed session must freeze despite b straddling it, got ($raw, $froz)")
+    assert(raw == 4, s"a's raw rows must retire; b's stay, got ($raw, $froz)")
+    def state() = m.df.collect().map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+      r.getTimestamp(1).toInstant.getEpochSecond, r.getString(2), r.getLong(3))).toSet
+    assert(state() == Set((0L, 15L, "a", 2L), (10L, 47L, "b", 4L)))
+
+    // a LATE row under a's cut (15): un-gated it would re-sessionize into
+    // [3,13) — overlapping the frozen [0,15) — or merge into it; the delta
+    // gate must drop it and leave the snapshot byte-identical
+    t.insert(Seq(Row("a", ts(3), 1.0)))
+    rw.flush()
+    assert(state() == Set((0L, 15L, "a", 2L), (10L, 47L, "b", 4L)),
+      "late row below the compaction cut must be dropped, not re-sessionized")
+    assert(m.sessionStateCounts == ((4L, 1L)))
+    rw.close()
+  }
+
   test("session MV with EMIT ON WINDOW CLOSE emits each session once, as final Inserts") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("sesse_t", schema)

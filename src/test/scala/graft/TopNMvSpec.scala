@@ -40,7 +40,38 @@ class TopNMvSpec extends SparkSpec {
     rw.close()
   }
 
-  test("grouped top-N: aggregate inner keeps full key state so keys can re-enter") {
+  test("grouped top-N: evicted keys re-enter via the bound-triggered re-fetch; state stays O(n)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tn_rf", StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("score", DoubleType))))
+    // n=2, cache margin max(2n,16)=16 → carried state = top 18 of 20 keys
+    rw.mv("SELECT grp, SUM(CAST(score AS DECIMAL(18,6))) AS s FROM tn_rf " +
+      "GROUP BY grp ORDER BY s DESC, grp LIMIT 2", "tn_rf_mv")
+    val mv = rw.mvByName("tn_rf_mv").get
+    assert(mv.isStreamingMode && mv.isTopNMode)
+    val t = rw.table("tn_rf").get
+    // keys k01..k20 scored 1..20: top-2 {k20, k19}; k01/k02 are EVICTED
+    // from the carried state (ranks 19-20 of 20 > n+C=18)
+    t.insert((1 to 20).map(i => Row(i.toLong, f"k$i%02d", i.toDouble)))
+    rw.flush()
+    def vis() = mv.df.collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue)).toSet
+    assert(vis() == Set(("k20", 20.0), ("k19", 19.0)))
+    assert(mv.topNStateCount <= 18L,
+      s"grouped state must truncate to n+C, got ${mv.topNStateCount}")
+
+    // every carried key crashes below the evicted keys' frozen scores
+    // (1, 2): the bound ranks inside the top 2 → underflow → re-fetch —
+    // k02 and k01 drop back IN from outside the carried state entirely
+    t.insert((3 to 20).map(i => Row((100 + i).toLong, f"k$i%02d", -100.0)))
+    rw.flush()
+    assert(vis() == Set(("k02", 2.0), ("k01", 1.0)),
+      "evicted keys must re-enter through the re-fetch path")
+    assert(mv.topNStateCount <= 18L, "re-fetched state must re-truncate")
+    rw.close()
+  }
+
+  test("grouped top-N: aggregate inner keeps rankable key state so keys can re-enter") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("tn_ev2", schema)
     rw.mv("SELECT grp, count(*) AS n FROM tn_ev2 GROUP BY grp ORDER BY n DESC, grp LIMIT 2", "tn_mv2")
