@@ -155,13 +155,55 @@ object HashExpressions {
     * every arithmetic step is expressible in overflow-checked SQL, so the
     * whole near-dup pipeline gets a DuckDB oracle ([[SimHash]] stays the
     * fast engine-native variant). `bits` ≤ 30 (the prime's usable bits). */
+  /** Largest unicode code point — the fold addend bound. Folding CODE
+    * POINTS (not UTF-8 bytes) is what makes the oracle exact beyond ASCII:
+    * DuckDB's `ascii(substr(s, i, 1))` yields code points and `length()`
+    * counts characters, so a byte fold diverges on any non-ASCII token.
+    * For pure-ASCII text the two folds are identical (and the fast path
+    * below reads raw bytes). */
+  private val MaxCodePoint = 0x10FFFFL
+
+  /** `(h·mult + codePoint) % mod` over a string's code points; ASCII fast
+    * path iterates the UTF-8 bytes directly (byte == code point < 0x80),
+    * restarting on the first non-ASCII byte. `threshold` enables deferred
+    * modular reduction (reduce only when the next multiply could
+    * overflow) — pass `0` to reduce every step. */
+  private def foldCodePoints(s: UTF8String, mult: Long, mod: Long,
+                             threshold: Long): Long = {
+    val t = if (threshold > 0) threshold else 0L
+    def step(h0: Long, cp: Long): Long = {
+      val h = if (t > 0) { if (h0 >= t) h0 % mod else h0 } else h0
+      if (t > 0) h * mult + cp else (h * mult + cp) % mod
+    }
+    val nb = s.numBytes()
+    var h = 0L
+    var j = 0
+    var ascii = true
+    while (ascii && j < nb) {
+      val b = s.getByte(j)
+      if (b < 0) ascii = false
+      else { h = step(h, b.toLong); j += 1 }
+    }
+    if (!ascii) {
+      h = 0L
+      val str = s.toString
+      var k = 0
+      while (k < str.length) {
+        val cp = str.codePointAt(k)
+        h = step(h, cp.toLong)
+        k += Character.charCount(cp)
+      }
+    }
+    h % mod
+  }
+
   case class SimHashMod(child: Expression, bits: Int, mult: Long, mod: Long)
       extends UnaryExpression with CodegenFallback {
     require(bits > 0 && bits <= 62, "bits must be in 1..62")
-    // every fold step (h·mult + byte) must stay below 2⁶³ — the property
-    // that lets overflow-checked engines (the DuckDB oracle) replay it
-    require(mult > 0 && mod > 0 && mod - 1 <= (Long.MaxValue - 255L) / mult,
-      "mult·(mod-1)+255 must fit in a signed 64-bit long")
+    // every fold step (h·mult + codePoint) must stay below 2⁶³ — the
+    // property that lets overflow-checked engines (DuckDB oracle) replay it
+    require(mult > 0 && mod > 0 && mod - 1 <= (Long.MaxValue - MaxCodePoint) / mult,
+      "mult·(mod-1)+maxCodePoint must fit in a signed 64-bit long")
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -169,11 +211,7 @@ object HashExpressions {
       val n = arr.numElements()
       var i = 0
       while (i < n) {
-        val s = arr.getUTF8String(i)
-        val nb = s.numBytes()
-        var h = 0L
-        var j = 0
-        while (j < nb) { h = (h * mult + (s.getByte(j) & 0xff)) % mod; j += 1 }
+        val h = foldCodePoints(arr.getUTF8String(i), mult, mod, 0L)
         var b = 0
         while (b < bits) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -199,33 +237,52 @@ object HashExpressions {
       extends UnaryExpression with CodegenFallback {
     require(bits > 0 && bits <= 31, "bits must be in 1..31 (signature is 2*bits)")
     require(m1 > 0 && m2 > 0 && mod > 0 &&
-      mod - 1 <= (Long.MaxValue - 255L) / math.max(m1, m2),
-      "mult*(mod-1)+255 must fit in a signed 64-bit long")
+      mod - 1 <= (Long.MaxValue - MaxCodePoint) / math.max(m1, m2),
+      "mult*(mod-1)+maxCodePoint must fit in a signed 64-bit long")
     override def dataType: DataType = LongType
-    // deferred modular reduction: (h·m + b) need only reduce when the next
-    // multiply would overflow — congruence makes the final residue
-    // identical to the oracle's reduce-every-byte fold, at a compare per
-    // byte instead of a division
-    private val t1 = (Long.MaxValue - 255L) / m1
-    private val t2 = (Long.MaxValue - 255L) / m2
+    // deferred modular reduction: (h·m + cp) need only reduce when the
+    // next multiply would overflow — congruence makes the final residue
+    // identical to the oracle's reduce-every-step fold, at a compare per
+    // code point instead of a division
+    private val t1 = (Long.MaxValue - MaxCodePoint) / m1
+    private val t2 = (Long.MaxValue - MaxCodePoint) / m2
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val votes = new Array[Int](2 * bits)
       val n = arr.numElements()
       var i = 0
       while (i < n) {
-        val bytes = arr.getUTF8String(i).getBytes
-        val nb = bytes.length
+        // fused dual fold — one scan for both halves ([[foldCodePoints]]'s
+        // code-point semantics, with the same ASCII byte fast path)
+        val s = arr.getUTF8String(i)
+        val nb = s.numBytes()
         var h1 = 0L
         var h2 = 0L
         var j = 0
-        while (j < nb) {
-          val b = (bytes(j) & 0xff).toLong
-          if (h1 >= t1) h1 %= mod
-          if (h2 >= t2) h2 %= mod
-          h1 = h1 * m1 + b
-          h2 = h2 * m2 + b
-          j += 1
+        var ascii = true
+        while (ascii && j < nb) {
+          val b = s.getByte(j)
+          if (b < 0) ascii = false
+          else {
+            if (h1 >= t1) h1 %= mod
+            if (h2 >= t2) h2 %= mod
+            h1 = h1 * m1 + b
+            h2 = h2 * m2 + b
+            j += 1
+          }
+        }
+        if (!ascii) {
+          h1 = 0L; h2 = 0L
+          val str = s.toString
+          var k = 0
+          while (k < str.length) {
+            val cp = str.codePointAt(k)
+            if (h1 >= t1) h1 %= mod
+            if (h2 >= t2) h2 %= mod
+            h1 = h1 * m1 + cp
+            h2 = h2 * m2 + cp
+            k += Character.charCount(cp)
+          }
         }
         h1 %= mod
         h2 %= mod
@@ -245,20 +302,18 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): SimHashMod2 = copy(child = c)
   }
 
-  /** Polynomial rolling hash of a string's bytes, mod a sub-2³¹ prime so
-    * every intermediate stays below 2⁶³ — the same fold is expressible in
-    * overflow-checked engines (DuckDB oracle), unlike wraparound hashes. */
+  /** Polynomial rolling hash of a string's unicode code points, mod a
+    * sub-2³¹ prime so every intermediate stays below 2⁶³ — the same fold
+    * is expressible in overflow-checked engines (DuckDB oracle:
+    * `ascii(substr(s, i, 1))` over `length(s)`), unlike wraparound
+    * hashes. Identical to the former byte fold on ASCII text (fast path);
+    * exact beyond it. */
   case class RollingHash(child: Expression, mult: Long, mod: Long)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String]
-      val n = s.numBytes()
-      var h = 0L
-      var i = 0
-      while (i < n) { h = (h * mult + (s.getByte(i) & 0xff)) % mod; i += 1 }
-      java.lang.Long.valueOf(h)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        foldCodePoints(input.asInstanceOf[UTF8String], mult, mod, 0L))
     override protected def withNewChildInternal(c: Expression): RollingHash = copy(child = c)
   }
 

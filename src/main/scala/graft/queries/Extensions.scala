@@ -105,11 +105,11 @@ object Extensions {
         |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
         |h AS (SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, strlen(w) + 1),
+        |    list_transform(range(1, length(w) + 1),
         |      i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
         |    (a, b) -> (a * 65537 + b) % 1073741789) AS h1,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, strlen(w) + 1),
+        |    list_transform(range(1, length(w) + 1),
         |      i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
         |    (a, b) -> (a * 65539 + b) % 1073741789) AS h2
         |  FROM tok),
@@ -139,7 +139,7 @@ object Extensions {
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
         |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
         |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, strlen(w) + 1),
+        |    list_transform(range(1, length(w) + 1),
         |      i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1073741789) AS h
         |  FROM tok),
@@ -427,16 +427,18 @@ object Extensions {
       TextAnalysis.bpeTokenStats(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
-    // Rolling-hash fingerprint: (h*31 + byte) mod 1e9+7 over the canonical
-    // text — the modulus keeps every intermediate overflow-free, so DuckDB
-    // replays the identical fold (ASCII fixture: byte == character code).
+    // Rolling-hash fingerprint: (h*31 + codePoint) mod 1e9+7 over the
+    // canonical text — the modulus keeps every intermediate overflow-free,
+    // and both sides fold unicode code points (length()/ascii() count and
+    // read characters), so the replay is exact on any corpus, not just
+    // the ASCII fixture.
     q("x_text_rolling_fp",
       """WITH c AS (SELECT doc_id,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
         |  FROM documents)
         |SELECT doc_id,
         |  list_reduce(
-        |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, strlen(t) + 1),
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(t) + 1),
         |      i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
         |FROM c""".stripMargin) { (s, dir) =>
@@ -449,7 +451,7 @@ object Extensions {
     q("x_sample_stratified",
       """WITH h AS (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS stratum,
         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(1, strlen(doc_id::VARCHAR) + 1),
+        |      list_transform(range(1, length(doc_id::VARCHAR) + 1),
         |        i -> CAST(ascii(substr(doc_id::VARCHAR, CAST(i AS INT), 1)) AS BIGINT))),
         |      (a, b) -> (a * 31 + b) % 1000000007) * 2654435761) % 1000000007 AS hb
         |  FROM documents),

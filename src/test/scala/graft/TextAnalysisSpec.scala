@@ -61,9 +61,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L) != m(3L))     // order matters
     assert(m(4L) == 0L)        // empty text
     assert(m.values.forall(v => v >= 0 && v < 1000000007L))
-    // fold spelled out: ((a*31+b)*31+' ')*31+c mod p, over "ab c"
-    val expect = "ab c".getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    // fold spelled out: ((a*31+b)*31+' ')*31+c mod p, over "ab c" — the
+    // fold is over unicode CODE POINTS (== bytes here: ASCII), matching
+    // DuckDB's ascii(substr(...)) oracle on any input
+    val expect = "ab c".codePoints().toArray
+      .foldLeft(0L)((h, cp) => (h * 31 + cp) % 1000000007L)
     assert(m(1L) == expect)
+  }
+
+  test("hash folds are code-point folds: non-ASCII text matches the oracle semantics") {
+    import spark.implicits._
+    // "héllo→" has 6 code points but 9 UTF-8 bytes — a byte fold would
+    // diverge from DuckDB's ascii(substr(...)) over length() replay
+    val s = "héllo→"
+    val df = Seq((1L, s)).toDF("doc_id", "text")
+    val got = TextAnalysis.rollingFingerprint(df, "doc_id", "text").head.getLong(1)
+    val expect = s.codePoints().toArray
+      .foldLeft(0L)((h, cp) => (h * 31 + cp) % 1000000007L)
+    assert(got == expect, "RollingHash must fold code points, not UTF-8 bytes")
+    // SimHashMod2 (fused dual fold) == two independent SimHashMod folds on
+    // the same non-ASCII token — pins the fallback path's congruence
+    import graft.functions.HashExpressions.{simhashMod, simhashMod2}
+    import org.apache.spark.sql.functions.{col, shiftleft, split}
+    val t = split(col("text"), " ")
+    val both = Seq((1L, s + " plain")).toDF("doc_id", "text").select(
+      simhashMod2(t, 28, 65537L, 65539L, 1073741789L).as("fused"),
+      simhashMod(t, 28, 65537L, 1073741789L)
+        .bitwiseOR(shiftleft(simhashMod(t, 28, 65539L, 1073741789L), 28)).as("two")).head
+    assert(both.getLong(0) == both.getLong(1))
   }
 
   test("multimodal stub decode: deterministic, fixed dims, byte-derived") {
