@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Vocabulary rows above which a per-term aggregate no longer broadcasts.
+    * "Vocabulary-bounded" is not driver-bounded: a web-scale corpus's term
+    * set (typos, IDs, hashes) can reach billions of rows, and an explicit
+    * `broadcast` hint bypasses `autoBroadcastJoinThreshold` entirely. At
+    * ~2M rows (tens of MB serialized) the broadcast is still a clear win;
+    * past it we fall back to a shuffled join on `term`, which AQE can
+    * skew-split — still no single-task window partition. */
+  private val MaxBroadcastTerms = 2000000L
+
+  /** `byTerm` must be materialized (`localCheckpoint`) by the caller: the
+    * guard's `count()` is then a block count, not a recompute, and the join
+    * reads the same materialization. */
+  private def broadcastIfVocabFits(byTerm: DataFrame): DataFrame =
+    if (byTerm.count() <= MaxBroadcastTerms) broadcast(byTerm) else byTerm
+
   /** Word n-grams as a multiset (order preserved, duplicates kept) — the
     * counting complement of [[TextFunctions.shingles]] (which is distinct).
     * Empty array below n tokens, mirroring `range(1, len-n+2)` in SQL. */
@@ -91,14 +106,22 @@ object Corpus {
     * spans; here we emit the audit counts (deterministic and cheap to
     * verify) plus the fingerprint of the surviving text.
     *
-    * 100 TB shape: span ownership is a window `min(id) over (partition by
-    * span)` — one hash shuffle, then a per-doc aggregate. No self-join:
-    * ownership and membership ride the same shuffled row. `hashSpans = true`
-    * is the production spelling: the shuffle keys on `xxhash64(span)` (8
-    * bytes) instead of the raw span text (~`spanTokens` words), shrinking
-    * the dominant shuffle key volume ~30×; identical output up to 64-bit
-    * hash collisions (~n²/2⁶⁵ — negligible at any real corpus size).
-    * `false` keeps the text key so the DuckDB oracle replays byte-for-byte. */
+    * 100 TB shape: span ownership is `groupBy(span).agg(min(id))` joined
+    * back on the span key — NOT a `min(id) over (partition by span)` window.
+    * The difference is decisive for boilerplate spans (cookie banners,
+    * license headers) repeated across millions of documents: a window
+    * partition has no map-side combine, so every occurrence of the hottest
+    * span serializes through one task, while the hash aggregate collapses
+    * them locally before the shuffle, and the ownership join back is a join
+    * — which AQE can skew-split; a Window never is. The span-expanded rows
+    * are materialized once (`localCheckpoint`) so ownership and membership
+    * read the same tokenize pass (Catalyst does not share subplans across
+    * branches). `hashSpans = true` is the production spelling: ownership
+    * keys on `xxhash64(span)` (8 bytes) instead of the raw span text
+    * (~`spanTokens` words), shrinking the dominant shuffle key volume ~30×;
+    * identical output up to 64-bit hash collisions (~n²/2⁶⁵ — negligible at
+    * any real corpus size). `false` keeps the text key so the DuckDB oracle
+    * replays byte-for-byte. */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 spanTokens: Int, hashSpans: Boolean = false): DataFrame = {
     val t = tokens(col(textCol))
@@ -110,10 +133,16 @@ object Corpus {
     val exploded = docs
       .select(col(idCol), explode(spans).as("sp"))
       .select(col(idCol), col("sp.pos").as("pos"), col("sp.s").as("s"))
+      .localCheckpoint(true)
     val spanKey = if (hashSpans) xxhash64(col("s")) else col("s")
-    val keeper = min(col(idCol)).over(Window.partitionBy(spanKey))
-    exploded
-      .withColumn("keep", keeper === col(idCol))
+    val keyed = exploded.withColumn("__span_k", spanKey)
+    // partial+final hash aggregate: hot spans collapse map-side, so the
+    // ownership shuffle carries one row per (span, local partition), not one
+    // per occurrence
+    val owners = keyed.groupBy(col("__span_k")).agg(min(col(idCol)).as("__keeper"))
+    keyed
+      .join(owners, "__span_k")
+      .withColumn("keep", col("__keeper") === col(idCol))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -168,10 +197,12 @@ object Corpus {
     // so count per term over tf IS the df. A groupBy — not a per-term
     // window — because the hash aggregate gets a map-side partial combine:
     // a stopword's ~n_docs rows collapse locally instead of all landing in
-    // one window partition's task. The result is vocabulary-bounded, so it
-    // broadcasts back onto tf with no shuffle of the (doc, term) side.
+    // one window partition's task. The result broadcasts back onto tf (no
+    // shuffle of the (doc, term) side) while the vocabulary is genuinely
+    // driver-sized; past MaxBroadcastTerms it degrades to a shuffled join.
     val dfByTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val withDf = tf.join(broadcast(dfByTerm), "term")
+      .localCheckpoint(true)
+    val withDf = tf.join(broadcastIfVocabFits(dfByTerm), "term")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = withDf
       .crossJoin(broadcast(nDocs))
@@ -228,7 +259,8 @@ object Corpus {
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val cByTerm = tf.groupBy(col("term")).agg(sum("tf").as("c"))
-    val withC = tf.join(broadcast(cByTerm), "term")
+      .localCheckpoint(true)
+    val withC = tf.join(broadcastIfVocabFits(cByTerm), "term")
     val tot = tf.agg(sum("tf").as("tot"))
     withC.crossJoin(broadcast(tot))
       .groupBy(col(idCol))

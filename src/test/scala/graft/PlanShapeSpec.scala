@@ -81,11 +81,19 @@ class PlanShapeSpec extends SparkSpec {
       s"no Window may partition by term:\n$p")
   }
 
-  test("x_dedup_spans: ownership is one window over the span shuffle, no self-join") {
+  test("x_dedup_spans: ownership is a partial-agg groupBy joined back, never a span-key window") {
     val p = plan("x_dedup_spans")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"span ownership must ride the window, not a self-join:\n$p")
-    assert(p.contains("Window"), "expected the min-over-span window")
+    // a window partition has no map-side combine: a boilerplate span's every
+    // occurrence would funnel into ONE task. The only legal shape is a hash
+    // aggregate (partial+final) for min(id) per span plus a join back —
+    // joins get AQE skew-splitting, windows never do.
+    assert(!p.contains("Window"),
+      s"no Window may appear on the span-ownership path:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"span ownership must partial-aggregate map-side:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"expected the ownership join back onto the span rows:\n$p")
   }
 
   test("x_quality_unigram_lp: term counts broadcast-join onto tf, never a per-term window") {
@@ -103,8 +111,8 @@ class PlanShapeSpec extends SparkSpec {
   test("x_dedup_spans_hashed: the ownership shuffle keys on the 64-bit span hash") {
     val p = plan("x_dedup_spans_hashed")
     assert(p.contains("xxhash64"),
-      s"hashed mode must partition the window on xxhash64(span):\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"still no self-join:\n$p")
+      s"hashed mode must key ownership on xxhash64(span):\n$p")
+    assert(!p.contains("Window"),
+      s"no Window may appear on the span-ownership path:\n$p")
   }
 }
