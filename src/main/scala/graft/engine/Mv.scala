@@ -674,11 +674,17 @@ final class MaterializedView private[engine](
       val keys = sessionKeys.getOrElse(Nil)
       if (keys.isEmpty)
         rows.crossJoin(broadcast(cuts)).filter(ts >= col("__cut")).drop("__cut")
-      else
-        rows.join(cuts, keys, "left")
-          .filter(col("__cut").isNull || ts >= col("__cut"))
-          .drop("__cut")
+      else {
+        // null-safe (<=>) like keyJoin: grouping keys can legitimately be
+        // NULL, and a plain equi-join would never match a NULL-keyed cut —
+        // its frozen session's raw rows would survive retirement and its
+        // late rows would pass the gate, re-freezing (and double-counting)
+        // the same session every epoch
+        val kr = cuts.toDF(cuts.columns.map(c => s"__c_$c").toIndexedSeq: _*)
+        rows.join(kr, keys.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _), "left")
+          .filter(col("__c___cut").isNull || ts >= col("__c___cut"))
           .select(rows.columns.map(col).toIndexedSeq: _*)
+      }
   }
 
   /** Optimized plan of the last cascade epoch's touched-group recompute —

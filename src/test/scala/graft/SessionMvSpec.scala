@@ -136,6 +136,43 @@ class SessionMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("NULL grouping key: closed session freezes once, raw rows retire, late rows gate") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("sessn_t", schema)
+    val m = rw.mv(
+      """SELECT window_start, window_end, k, count(*) AS n
+        |FROM session(sessn_t, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, k""".stripMargin, "sessn_mv",
+      watermarks = Map("sessn_t" -> ("ts", "0 seconds")))
+    assert(m.isSessionMode)
+    val t = rw.table("sessn_t").get
+    // the NULL-keyed session [0,15) closes while key b advances the
+    // watermark — its cut row has a NULL key, which a plain equi-join
+    // lookup would never match: raw rows would survive retirement and the
+    // session would re-freeze (double-count) every subsequent epoch
+    t.insert(Seq(Row(null, ts(0), 1.0), Row(null, ts(5), 1.0)))
+    rw.flush()
+    Seq(1000L, 2000L, 3000L).foreach { s =>
+      t.insert(Seq(Row("b", ts(s), 1.0))); rw.flush()
+    }
+    def state() = m.df.collect().map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+      r.getTimestamp(1).toInstant.getEpochSecond, Option(r.getString(2)), r.getLong(3))).toSeq
+    val st4 = state()
+    assert(st4.size == st4.toSet.size, s"frozen NULL-key session must not duplicate: $st4")
+    assert(st4.toSet.contains((0L, 15L, None, 2L)), s"expected the NULL-key session: $st4")
+    val (raw, froz) = m.sessionStateCounts
+    assert(froz >= 1, s"NULL-key session must freeze, got ($raw, $froz)")
+    assert(raw <= 3, s"NULL-key raw rows must retire after freeze, got raw=$raw")
+    // a late NULL-key row under the cut must be gated by the null-safe
+    // lookup, not re-sessionized into the frozen [0,15)
+    t.insert(Seq(Row(null, ts(3), 1.0)))
+    rw.flush()
+    val st5 = state()
+    assert(st5.size == st5.toSet.size, s"no double-freeze after a late epoch: $st5")
+    assert(st5.toSet == st4.toSet, s"late NULL-key row must drop: $st5 vs $st4")
+    rw.close()
+  }
+
   test("session MV with EMIT ON WINDOW CLOSE emits each session once, as final Inserts") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("sesse_t", schema)
