@@ -41,8 +41,19 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     recovered.lastOption.foreach { case (_, max, _, _) => lastTs = max }
   }
 
-  private def changeSchema: StructType =
+  private[engine] def changeSchema: StructType =
     rowSchema().add("op", StringType).add("rw_timestamp", LongType, nullable = false)
+
+  /** Root of the committed segment directories (`seg-*`). Streaming file
+    * sources read the log through this path — the collect-free feed behind
+    * MV face streams. */
+  private[engine] def segmentDir: String = spillDir
+
+  /** False once retention pruning has dropped segments: the log no longer
+    * replays the MV's full history from offset 0, so a consumer that needs
+    * the complete history (face backfill) must use another source. */
+  @volatile private var prunedHistory = false
+  private[engine] def historyComplete: Boolean = !prunedHistory
 
   /** Executor-side append (the per-epoch delta path of MV maintainers):
     * stamps monotone offsets onto an already-deterministically-ordered ops
@@ -124,6 +135,7 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
   def prune(retentionSeconds: Long): Unit = synchronized {
     val cutoff = (System.currentTimeMillis() - retentionSeconds * 1000L) << 16
     val (drop, keep) = segments.partition(_._2 < cutoff)
+    if (drop.nonEmpty) prunedHistory = true
     drop.foreach { case (_, _, p, _) => SegmentFiles.delete(p) }
     segments.clear(); segments ++= keep
   }
@@ -139,8 +151,10 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     persistDir.foreach(SegmentFiles.delete)
     // a purged log is a fresh incarnation — offsets restart (callers that
     // purge-and-reuse, e.g. the statement-fingerprint guard, must not see
-    // a recovered lastTs marking history that no longer exists)
+    // a recovered lastTs marking history that no longer exists), and the
+    // empty log is trivially complete-from-zero again
     lastTs = 0L
+    prunedHistory = false
   }
 
   /** Block until an entry with offset > `after` exists (used by blocking

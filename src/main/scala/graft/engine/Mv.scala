@@ -134,24 +134,46 @@ final class MaterializedView private[engine](
   private def sessionSrcView = s"__sess_src_$viewName"
 
   /** For append-only streaming MVs (stateless plans): the MV's streaming
-    * faces, fed one micro-batch per epoch — downstream MVs bind to one and
-    * maintain incrementally (streaming MV-on-MV chains). ONE MemoryStream
-    * PER downstream reader, backfilled with the snapshot at attach time —
-    * the same shape as [[LiveTable.streamingDFFor]], and for the same two
-    * reasons: a shared stream lets one reader's commits prune batches
-    * another hasn't read, and a late-attaching reader would miss the
-    * already-pruned history. Aggregating MVs have no face: their deltas are
-    * updates, which a downstream streaming aggregate would double-count;
-    * chains over them re-run in batch mode instead. MVs with no bound
-    * reader buffer nothing (no driver-memory leak). */
+    * face — downstream MVs bind to it and maintain incrementally (streaming
+    * MV-on-MV chains). The face is a file-source stream over the MV's OWN
+    * executor-written changelog segments ([[ChangeLog.appendDF]] commits
+    * one parquet segment per epoch): backfill is the initial file listing
+    * (an append-only MV's Insert log IS its history), each epoch's delta is
+    * the newly-committed segment, and no row ever crosses the driver — the
+    * whole chain stays dataflow-side, like the reference server's
+    * (`risingwave/core.py:451-456`). Aggregating MVs have no face: their
+    * deltas are updates, which a downstream streaming aggregate would
+    * double-count; chains over them consume the 4-op changelog
+    * ([[tryStartCascade]]) instead.
+    *
+    * Fallback: once retention pruning has dropped segments the log no
+    * longer replays the full history, so a LATE-attaching reader falls back
+    * to a snapshot-backfilled MemoryStream (one per reader, fed per epoch
+    * in [[handleDelta]]) — the only remaining driver hop, taken only on a
+    * pruned log. */
   private val faceStreams = scala.collection.mutable.Map[String,
     org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row]]()
+
+  private def fileFace(): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.readStream
+      .schema(changeLog.changeSchema)
+      // recovered durable segments can be arbitrarily old — never age-out
+      .option("maxFileAge", "3650d")
+      // a concurrent retention prune may unlink a segment between listing
+      // and read; expired history is exactly what retention means
+      .option("ignoreMissingFiles", "true")
+      .parquet(s"${changeLog.segmentDir}/seg-*")
+      .where(col("op") === "Insert")
+      .select(outputSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   private[engine] def streamingFaceFor(reader: String): Option[DataFrame] = synchronized {
     // top-N MVs have no face either: rows LEAVE the snapshot when displaced,
     // and an append-only face cannot retract them for a downstream reader
     if (streamingMode && !isAggMode && !topNMode) Some {
-      faceStreams.getOrElseUpdate(reader, {
+      if (changeLog.historyComplete && !faceStreams.contains(reader)) fileFace()
+      else faceStreams.getOrElseUpdate(reader, {
         import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
         val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outputSchema))
         val st = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Row](enc, spark)
@@ -162,8 +184,9 @@ final class MaterializedView private[engine](
     } else None
   }
 
-  /** Stop buffering face batches for a reader (downstream MV dropped,
-    * demoted, or failed to start streaming). */
+  /** Stop buffering face batches for a fallback (MemoryStream) reader
+    * (downstream MV dropped, demoted, or failed to start streaming).
+    * File-source faces buffer nothing, so there is nothing to release. */
   private[engine] def dropFaceReader(reader: String): Unit = synchronized { faceStreams -= reader }
 
   private[graft] def isStreamingMode: Boolean = streamingMode
@@ -985,8 +1008,10 @@ final class MaterializedView private[engine](
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (d.isEmpty) return
-    // feed downstream streaming chains (each reader's face was backfilled
-    // at bind time): append-mode deltas are pure inserts
+    // downstream streaming chains read this epoch's delta from the
+    // changelog segment committed below (file-source faces — no driver
+    // hop); only FALLBACK MemoryStream readers (attached after a retention
+    // prune truncated the log) are fed explicitly here
     if (!isAgg && faceStreams.nonEmpty) {
       val rows = d.collect().toSeq
       faceStreams.values.foreach(_.addData(rows))
