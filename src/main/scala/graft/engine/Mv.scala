@@ -731,9 +731,9 @@ final class MaterializedView private[engine](
     (innerState.map(_.count()).getOrElse(0L), frozen.map(_.count()).getOrElse(0L))
   }
 
-  /** Changelog-cascade admission: the statement is a Keyed aggregate over
-    * one or more upstream MVs (plus, optionally, static catalog tables)
-    * and references no live tables. Such chains can't bind a streaming
+  /** Changelog-cascade admission: the statement is a Keyed or global
+    * (GlobalRow) aggregate over one or more upstream MVs (plus, optionally,
+    * static catalog tables) and references no live tables. Such chains can't bind a streaming
     * face — the upstreams' deltas are UPDATES/RETRACTIONS, which an append
     * stream can't carry — but they ARE incrementally maintainable by
     * consuming the upstreams' 4-op changelogs (the reference's server
@@ -768,9 +768,18 @@ final class MaterializedView private[engine](
       val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
       if (!isAgg || !streamingSafe(analyzed)) return false
       val mode = deriveMode(df)
-      if (!mode.isInstanceOf[MaterializedView.Keyed]) return false
+      mode match {
+        case k: MaterializedView.Keyed => keyCols = k.keys
+        // a global aggregate is ONE group — every upstream change touches
+        // it, so the epoch recompute below degenerates to re-evaluating the
+        // single row over the upstreams' compacted state (no touched-key
+        // derivation needed) and diffing it as an update pair
+        case MaterializedView.GlobalRow => keyCols = Nil
+        // Multiset (grouping keys projected away) can't merge deltas back
+        // into state by key — batch re-run is the only correct maintainer
+        case MaterializedView.Multiset => return false
+      }
       keyMode = mode
-      keyCols = mode.asInstanceOf[MaterializedView.Keyed].keys
       isAggMode = true
       cascadeUpstreams = ups
       cascadeMode = true
@@ -856,6 +865,21 @@ final class MaterializedView private[engine](
         }
       val changed = parts.collect { case (u, Some(p)) => (u, p) }
       if (changed.isEmpty) return
+      if (keyCols.isEmpty) {
+        // GlobalRow: the one group is touched by definition; recompute it
+        // over the upstream snapshots (compacted — orders smaller than raw
+        // data) and emit the update pair (or Insert/Delete across a folded
+        // HAVING boundary)
+        statementEvals += 1
+        val newInner = spark.sql(cascadeStmt).localCheckpoint(true)
+        emitOps(Changelog.diff(Some(cascadeVisible(cascadeInner.get)),
+          cascadeVisible(newInner), Nil))
+        cascadeInner = Some(newInner)
+        val vis = cascadeVisible(newInner)
+        snapshot = Some(vis)
+        vis.createOrReplaceTempView(viewName)
+        return
+      }
       def retarget(sql: String, from: String, to: String): String =
         sql.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b", to)
       val tempViews = scala.collection.mutable.ArrayBuffer[String]()

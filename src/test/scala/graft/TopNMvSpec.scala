@@ -144,12 +144,17 @@ class TopNMvSpec extends SparkSpec {
     rw.close()
   }
 
-  test("top-N MV as a cascade source demotes the downstream to batch (no stale face)") {
+  test("top-N MV as a cascade source: downstream cascades on the changelog (no stale face)") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("tn_ev4", schema)
     rw.mv("SELECT id, score FROM tn_ev4 ORDER BY score DESC, id LIMIT 2", "tn_mv4")
     rw.mv("SELECT count(*) AS n FROM tn_mv4", "tn_down")
     val down = rw.mvByName("tn_down").get
+    // round-7: a global aggregate over a top-N upstream consumes its 4-op
+    // changelog (displacement Deletes included) instead of demoting to a
+    // per-FLUSH batch re-run
+    assert(down.isChangelogCascadeMode,
+      "global rollup over a top-N MV must consume its changelog")
     val t = rw.table("tn_ev4").get
     t.insert(Seq(Row(1L, "a", 5.0), Row(2L, "a", 3.0), Row(3L, "a", 7.0)))
     rw.flush()
@@ -158,6 +163,51 @@ class TopNMvSpec extends SparkSpec {
     t.insert(Seq(Row(4L, "a", 9.0)))
     rw.flush()
     assert(down.df.head.getLong(0) == 2L)
+    assert(down.isChangelogCascadeMode, "mode must survive epochs")
+    rw.close()
+  }
+
+  test("keyed rollup over a grouped top-N cascades; displacement folds through") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tn_ev5", schema)
+    // leaderboard: top-3 grp keys by summed score
+    rw.mv("SELECT grp, SUM(CAST(score AS DECIMAL(18,6))) AS s FROM tn_ev5 " +
+      "GROUP BY grp ORDER BY s DESC, grp LIMIT 3", "tn_lead")
+    // rollup over the leaderboard, keyed on the first letter of the key
+    rw.mv("SELECT substring(grp, 1, 1) AS g, count(*) AS n, " +
+      "CAST(SUM(s) AS DOUBLE) AS sv FROM tn_lead GROUP BY substring(grp, 1, 1)",
+      "tn_roll")
+    val up = rw.mvByName("tn_lead").get
+    val down = rw.mvByName("tn_roll").get
+    assert(up.isTopNMode, "leaderboard must take the incremental top-N path")
+    assert(down.isChangelogCascadeMode,
+      "keyed rollup over a top-N MV must consume its changelog")
+
+    val t = rw.table("tn_ev5").get
+    t.insert(Seq(Row(1L, "a1", 10.0), Row(2L, "a2", 8.0), Row(3L, "b1", 6.0),
+      Row(4L, "b2", 1.0)))
+    rw.flush()
+    def state() = down.df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // top-3: a1(10), a2(8), b1(6)
+    assert(state() == Set(("a", 2L, 18.0), ("b", 1L, 6.0)))
+
+    // b2 climbs to 20: displaces b1(6) from the top-3 → the cascade must
+    // fold b1's Delete and b2's Insert — group b keeps ONE session but its
+    // sum jumps; group a loses a2(8)
+    t.insert(Seq(Row(5L, "b2", 19.0)))
+    rw.flush()
+    // top-3 now: b2(20), a1(10), a2(8) — b1 displaced
+    assert(state() == Set(("a", 2L, 18.0), ("b", 1L, 20.0)),
+      "displacement must retract the old member and fold the new one")
+    assert(down.isChangelogCascadeMode, "mode must survive epochs")
+
+    // the downstream's own changelog shows the b-group fold as an UD/UI pair
+    val sub = down.subscription().declareCursor(Some(0L))
+    val ops = Iterator.continually(sub.fetch(1000)).takeWhile(_.nonEmpty).flatten.toSeq
+      .filter(_.getString(0) == "b").map(r => r.getString(r.length - 2))
+    assert(ops.count(_ == "UpdateDelete") >= 1 && ops.count(_ == "UpdateInsert") >= 1,
+      s"b-group fold must be an update pair, got $ops")
     rw.close()
   }
 }
