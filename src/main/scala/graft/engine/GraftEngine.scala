@@ -528,7 +528,8 @@ final class GraftEngine(val spark: SparkSession,
     * releases its readers via [[releaseStreamReaders]]. */
   private[engine] def withStreamingViews[T](
       watermarks: Map[String, (String, String)] = Map.empty,
-      forStmt: String = "", readerKey: String = "")(thunk: => T): T = synchronized {
+      forStmt: String = "", readerKey: String = "",
+      fromSeqs: Map[String, Long] = Map.empty)(thunk: => T): T = synchronized {
     val rels = statementRelations(forStmt)
     def referenced(spellings: Seq[String]): Boolean = rels match {
       case Some(rs) => spellings.exists(s => rs.contains(s.toLowerCase))
@@ -536,9 +537,10 @@ final class GraftEngine(val spark: SparkSession,
     }
     liveTables.values.foreach { t =>
       if (referenced(Seq(t.viewName, s"${t.schemaName}.${t.name}", t.name))) {
+        val after = fromSeqs.getOrElse(t.name, -1L)
         val sdf = watermarks.get(t.name) match {
-          case Some((tsCol, delay)) => t.streamingDFFor(readerKey).withWatermark(tsCol, delay)
-          case None => t.streamingDFFor(readerKey)
+          case Some((tsCol, delay)) => t.streamingDFFor(readerKey, after).withWatermark(tsCol, delay)
+          case None => t.streamingDFFor(readerKey, after)
         }
         sdf.createOrReplaceTempView(t.viewName)
       }

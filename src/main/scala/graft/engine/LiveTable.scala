@@ -88,13 +88,21 @@ final class LiveTable(
   }
 
   /** Streaming face for one named reader — backfills existing rows (spilled
-    * segments + memory tail, in ingestion order) on first attach. Call
+    * segments + memory tail, in ingestion order) on first attach. A
+    * non-negative `afterSeq` backfills only rows with `__seq > afterSeq`:
+    * the durable-snapshot reopen path, where the reader's restored
+    * maintainer state already accounts for everything at or below it. Call
     * [[dropReader]] when the reader goes away (MV dropped, demoted, or
     * failed to start) or its stream buffers forever. */
-  def streamingDFFor(reader: String): DataFrame = synchronized {
+  def streamingDFFor(reader: String, afterSeq: Long = -1L): DataFrame = synchronized {
     val ms = readerStreams.getOrElseUpdate(reader, {
       val s = MemoryStream[Row](enc, spark)
-      if (segments.nonEmpty) {
+      if (afterSeq >= 0L) {
+        rawHistoryDF.filter(col("__seq") > afterSeq)
+          .orderBy("__seq").drop("__seq")
+          .toLocalIterator().asScala.grouped(100000)
+          .foreach(chunk => s.addData(chunk.toSeq))
+      } else if (segments.nonEmpty) {
         // segments + tail, in ingestion order; crosses the driver in
         // bounded chunks (toLocalIterator holds one partition at a time) —
         // the MemoryStream boundary is driver-side by construction, like
@@ -108,6 +116,10 @@ final class LiveTable(
     })
     ms.toDF()
   }
+
+  /** Current ingestion sequence — recorded in durable MV snapshots so a
+    * reopened maintainer's face backfills only rows it has not consumed. */
+  private[engine] def currentSeq: Long = synchronized(seq)
 
   /** Stop buffering batches for a reader (its maintainer no longer runs). */
   def dropReader(reader: String): Unit = synchronized { readerStreams -= reader }

@@ -446,7 +446,12 @@ final class MaterializedView private[engine](
     * any ineligibility. */
   private def tryStartTopN(innerStmt: String, orderText: String, n: Int): Boolean = {
     try {
-      val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName)(
+      // durable reopen: a valid snapshot's recorded per-table positions gate
+      // the face backfill (resolved BEFORE binding — the MemoryStream seeds
+      // at attach), so restore is O(state) with zero source replay
+      val restoreSeqs = streamRestoreSeqs("topn")
+      val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName,
+        restoreSeqs.getOrElse(Map.empty))(
         spark.sql(engine.rewrite(innerStmt)))
       val analyzed = sdf.queryExecution.analyzed
       val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
@@ -471,6 +476,17 @@ final class MaterializedView private[engine](
       topNInnerStmt = innerStmt
       topNCacheMargin = math.max(2 * n, 16)
       topNBound = None
+      for (_ <- restoreSeqs; d <- engine.mvSnapshotDirFor(viewName)) {
+        innerState = Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
+        innerState.get.createOrReplaceTempView(topNSrcView)
+        topNBound =
+          if (new java.io.File(s"$d/bound").isDirectory)
+            spark.read.parquet(s"$d/bound").collect().headOption
+          else None
+        val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
+        snapshot = Some(snap)
+        snap.createOrReplaceTempView(viewName)
+      }
       if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
       query = Some(
         sdf.writeStream
@@ -511,7 +527,10 @@ final class MaterializedView private[engine](
     try {
       sessionTsCol = tsCol.split('.').last // raw state carries bare columns
       val innerStmt = s"SELECT * FROM $tbl"
-      val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName)(
+      // durable reopen: see tryStartTopN — resolved before the faces bind
+      val restoreSeqs = streamRestoreSeqs("session")
+      val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName,
+        restoreSeqs.getOrElse(Map.empty))(
         spark.sql(engine.rewrite(innerStmt)))
       if (!sdf.isStreaming) { engine.releaseStreamReaders(viewName); return false }
       // the statement, re-aimed at the carried-state view; pre-validate
@@ -548,6 +567,19 @@ final class MaterializedView private[engine](
           }
       }
       sessionCuts = None
+      for (_ <- restoreSeqs; d <- engine.mvSnapshotDirFor(viewName)) {
+        if (new java.io.File(s"$d/inner").isDirectory) {
+          innerState = Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
+          innerState.get.createOrReplaceTempView(sessionSrcView)
+        }
+        if (new java.io.File(s"$d/frozen").isDirectory)
+          frozen = Some(spark.read.parquet(s"$d/frozen").localCheckpoint(true))
+        if (new java.io.File(s"$d/cuts").isDirectory)
+          sessionCuts = Some(spark.read.parquet(s"$d/cuts").localCheckpoint(true))
+        val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
+        snapshot = Some(snap)
+        snap.createOrReplaceTempView(viewName)
+      }
 
       isAggMode = true
       keyMode = MaterializedView.Multiset
@@ -724,6 +756,14 @@ final class MaterializedView private[engine](
   /** Carried grouped-top-N state rows — boundedness probe for specs. */
   private[graft] def topNStateCount: Long = synchronized {
     innerState.map(_.count()).getOrElse(0L)
+  }
+
+  /** Rows the streaming maintainer has consumed since start — spec probe:
+    * a durable restore's backfill epoch must be EMPTY (the face is
+    * seq-gated past the snapshot position), while replay-based recovery
+    * re-streams the whole source history. */
+  private[graft] def consumedRows: Long = synchronized {
+    query.toSeq.flatMap(_.recentProgress.map(_.numInputRows)).sum
   }
 
   /** (carried raw rows, frozen session rows) — compaction probe for specs. */
@@ -1177,63 +1217,132 @@ final class MaterializedView private[engine](
   /** Durable snapshot persistence — reopen restores MV state in O(state)
     * instead of re-running the statement over base data. Written at
     * engine close (after the final FLUSH barrier, so buffers are spilled
-    * and every maintainer has caught up) for the modes whose maintenance
-    * genuinely resumes from restored state: batch re-run (the snapshot IS
-    * the whole state) and changelog cascades (snapshot + pre-HAVING inner
-    * state + consumed upstream offsets). Streaming/top-N/session modes
-    * keep replay-based recovery — their maintainer state lives inside the
-    * streaming aggregate, which a snapshot alone cannot seed; at cluster
-    * scale that is Spark's own checkpointed state store's job. Layout:
-    * `dataDir/mvs/<view>/{data,inner?,_snapshot_meta}`, staged+renamed so
-    * a crash mid-write leaves the previous snapshot intact. */
+    * and every maintainer has caught up) for every mode whose maintenance
+    * resumes from restored state:
+    *  - batch re-run: the snapshot IS the whole state;
+    *  - changelog cascade: snapshot + pre-HAVING inner state + consumed
+    *    upstream offsets;
+    *  - raw top-N (round-7): snapshot + carried inner state + the eviction
+    *    bound row + per-source-table consumed sequence, so the reopened
+    *    maintainer's face backfills nothing and truncation resumes from
+    *    the restored state;
+    *  - session (round-7): snapshot + carried raw rows + frozen sessions +
+    *    compaction cuts + per-source-table consumed sequence (the session
+    *    maintainer streams a stateless passthrough — all its state is
+    *    maintainer-held, so the snapshot seeds it completely).
+    * Update-mode streaming aggregates keep replay-based recovery — their
+    * state genuinely lives inside Spark's state store (that, at cluster
+    * scale, is the checkpointed state store's job). That includes GROUPED
+    * top-N: its inner is an update-mode aggregate, and a reopened one
+    * restarts from zero state, so a seq-gated face would make it emit
+    * delta-local (wrong) per-key aggregates. Same for top-N/session MVs
+    * fed by upstream MV faces (face positions are not seq-addressable).
+    * Layout:
+    * `dataDir/mvs/<view>/{data,inner?,bound?,frozen?,cuts?,_snapshot_meta}`.
+    * Commit is rename-ASIDE (old → `.old`, staging → live, drop `.old`),
+    * never delete-then-rename: a crash between the two renames costs at
+    * worst the O(state) restore (falls back to recompute), not both
+    * snapshots. */
   private[engine] def persistSnapshot(): Unit = synchronized {
-    if (streamingMode || topNMode || sessionMode) return
+    if (streamingMode && !topNMode && !sessionMode) return
+    // grouped top-N: the inner update-mode aggregate is state-store
+    // resident and cannot be seeded from a snapshot — replay recovery
+    if (topNMode && isAggMode) return
+    val mode =
+      if (topNMode) "topn"
+      else if (sessionMode) "session"
+      else if (cascadeMode) "cascade"
+      else "batch"
+    // face-fed top-N/session state can't record a resumable source
+    // position — keep replay recovery for those
+    if ((topNMode || sessionMode) &&
+        engine.referencedMvs(stmt, excluding = (schemaName, name)).nonEmpty) return
     for (d <- engine.mvSnapshotDirFor(viewName); snap <- snapshot) {
       val staging = s"$d.staging"
       SegmentFiles.delete(staging)
       snap.write.mode("overwrite").parquet(s"$staging/data")
       if (cascadeHasHaving)
         cascadeInner.foreach(_.write.mode("overwrite").parquet(s"$staging/inner"))
-      val meta = (Seq(stmtMd5, changeLog.latestOffset.toString) ++
-        cascadeOffsets.toSeq.sortBy(_._1).map { case (v, o) => s"$v\t$o" })
-        .mkString("\n")
+      if (topNMode || sessionMode)
+        innerState.foreach(_.write.mode("overwrite").parquet(s"$staging/inner"))
+      if (topNMode)
+        topNBound.foreach(b => rowDf(b, innerState.get.schema)
+          .write.mode("overwrite").parquet(s"$staging/bound"))
+      if (sessionMode) {
+        frozen.foreach(_.write.mode("overwrite").parquet(s"$staging/frozen"))
+        sessionCuts.foreach(_.write.mode("overwrite").parquet(s"$staging/cuts"))
+      }
+      val tblSeqs =
+        if (topNMode || sessionMode)
+          engine.referencedLiveTables(stmt).map(t => s"tbl\t${t.name}\t${t.currentSeq}")
+        else Nil
+      val meta = (Seq(stmtMd5, changeLog.latestOffset.toString, mode) ++
+        cascadeOffsets.toSeq.sortBy(_._1).map { case (v, o) => s"mv\t$v\t$o" } ++
+        tblSeqs).mkString("\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$staging/_snapshot_meta"),
         meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      SegmentFiles.delete(d)
+      val old = s"$d.old"
+      SegmentFiles.delete(old)
+      if (new java.io.File(d).isDirectory) SegmentFiles.commit(d, old)
       SegmentFiles.commit(staging, d)
+      SegmentFiles.delete(old)
     }
   }
 
-  /** Restore the persisted snapshot if it belongs to this incarnation:
-    * same defining statement (md5) and same changelog position (a snapshot
-    * persisted before further emitted epochs is stale — recompute). True =
-    * state restored, the caller skips the initial statement evaluation. */
-  private def tryRestoreSnapshot(): Boolean =
-    engine.mvSnapshotDirFor(viewName).exists { d =>
-      val metaPath = java.nio.file.Paths.get(s"$d/_snapshot_meta")
-      java.nio.file.Files.exists(metaPath) && {
-        try {
+  /** Parsed `_snapshot_meta` of a persisted snapshot valid for this
+    * incarnation: same defining statement (md5), same changelog position
+    * (a snapshot persisted before further emitted epochs is stale), same
+    * maintenance mode. Returns (snapshot dir, upstream-MV offsets,
+    * source-table seqs). */
+  private def validSnapshotMeta(mode: String): Option[(String, Map[String, Long], Map[String, Long])] =
+    engine.mvSnapshotDirFor(viewName).flatMap { d =>
+      try {
+        val metaPath = java.nio.file.Paths.get(s"$d/_snapshot_meta")
+        if (!java.nio.file.Files.exists(metaPath)) None
+        else {
           val lines = new String(java.nio.file.Files.readAllBytes(metaPath),
             java.nio.charset.StandardCharsets.UTF_8).split("\n")
-          lines(0) == stmtMd5 && lines(1).toLong == changeLog.latestOffset && {
-            val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
-            if (cascadeMode) {
-              cascadeInner =
-                if (cascadeHasHaving)
-                  Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
-                else Some(snap)
-              lines.drop(2).filter(_.nonEmpty).foreach { l =>
-                val Array(v, o) = l.split("\t", 2)
-                cascadeOffsets(v) = o.toLong
-              }
-            }
-            snapshot = Some(snap)
-            snap.createOrReplaceTempView(viewName)
-            true
+          if (lines(0) == stmtMd5 && lines(1).toLong == changeLog.latestOffset &&
+              lines.length > 2 && lines(2) == mode) {
+            val tagged = lines.drop(3).filter(_.nonEmpty).map(_.split("\t", 3))
+            Some((d,
+              tagged.collect { case Array("mv", v, o) => v -> o.toLong }.toMap,
+              tagged.collect { case Array("tbl", t, s) => t -> s.toLong }.toMap))
+          } else None
+        }
+      } catch { case _: Throwable => None }
+    }
+
+  /** Restore the persisted batch/cascade snapshot. True = state restored,
+    * the caller skips the initial statement evaluation. */
+  private def tryRestoreSnapshot(): Boolean =
+    validSnapshotMeta(if (cascadeMode) "cascade" else "batch").exists {
+      case (d, mvOffsets, _) =>
+        try {
+          val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
+          if (cascadeMode) {
+            cascadeInner =
+              if (cascadeHasHaving)
+                Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
+              else Some(snap)
+            mvOffsets.foreach { case (v, o) => cascadeOffsets(v) = o }
           }
+          snapshot = Some(snap)
+          snap.createOrReplaceTempView(viewName)
+          true
         } catch { case _: Throwable => false }
-      }
+    }
+
+  /** Durable-reopen gate for the top-N/session paths, resolved BEFORE the
+    * face streams bind: a valid snapshot whose recorded per-table positions
+    * are consistent with the restored tables yields the seq map the faces
+    * backfill from (nothing, normally — close flushed first). */
+  private def streamRestoreSeqs(mode: String): Option[Map[String, Long]] =
+    validSnapshotMeta(mode).map(_._3).filter { seqs =>
+      val tbls = engine.referencedLiveTables(stmt)
+      tbls.nonEmpty && tbls.forall(t => seqs.get(t.name).exists(_ <= t.currentSeq)) &&
+        engine.referencedMvs(stmt, excluding = (schemaName, name)).isEmpty
     }
 
   private[engine] def stop(): Unit = {

@@ -136,6 +136,123 @@ class DurabilitySpec extends SparkSpec {
     rw2.close()
   }
 
+  test("durable MV snapshots: raw top-N state restores without replay or statement runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("dtn_t", schema)
+    // raw (stateless-inner) top-N: all maintainer state is the carried
+    // truncation, so the snapshot seeds it completely. (Grouped top-N's
+    // inner is an update-mode aggregate — state-store resident — and
+    // deliberately keeps replay recovery.)
+    val stmt = "SELECT k, v FROM dtn_t ORDER BY v DESC, k LIMIT 2"
+    val m1 = rw1.mv(stmt, "dtn_mv")
+    assert(m1.isTopNMode)
+    rw1.table("dtn_t").get.insert(Seq(Row("a", 10L), Row("b", 7L), Row("c", 3L),
+      Row("d", 1L)))
+    rw1.flush()
+    rw1.table("dtn_t").get.insert(Seq(Row("c", 9L))) // displaces b
+    rw1.flush()
+    def vis(m: MaterializedView) = m.df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(vis(m1) == Set(("a", 10L), ("c", 9L)))
+    val ops1 = drain(m1.subscription().declareCursor(Some(0L)))
+    rw1.close() // final flush + snapshot persist (data + inner + seqs)
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    val m2 = rw2.mv(stmt, "dtn_mv")
+    assert(m2.isTopNMode, "restored MV must stay on the incremental top-N path")
+    assert(m2.statementEvals == 0L,
+      "restore must not re-run the statement over base data")
+    assert(m2.consumedRows == 0L,
+      "the face must backfill NOTHING — restored state covers the history")
+    assert(vis(m2) == Set(("a", 10L), ("c", 9L)))
+    assert(drain(m2.subscription().declareCursor(Some(0L))) == ops1,
+      "SINCE-0 replay must be unchanged across the restore")
+    // maintenance resumes from the restored truncation state
+    rw2.table("dtn_t").get.insert(Seq(Row("e", 12L)))
+    rw2.flush()
+    assert(vis(m2) == Set(("e", 12L), ("a", 10L)))
+    rw2.close()
+  }
+
+  test("grouped top-N keeps replay recovery and still restores the right values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("dtg_t", schema)
+    val stmt = "SELECT k, CAST(SUM(v) AS BIGINT) AS s FROM dtg_t " +
+      "GROUP BY k ORDER BY s DESC, k LIMIT 2"
+    val m1 = rw1.mv(stmt, "dtg_mv")
+    assert(m1.isTopNMode)
+    rw1.table("dtg_t").get.insert(Seq(Row("a", 10L), Row("b", 7L), Row("c", 3L)))
+    rw1.flush()
+    rw1.close()
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    val m2 = rw2.mv(stmt, "dtg_mv")
+    assert(m2.isTopNMode)
+    def vis() = m2.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(vis() == Set(("a", 10L), ("b", 7L)))
+    // the replayed inner aggregate carries the FULL per-key sums, so a
+    // later delta folds into history (a snapshot-seeded inner could not)
+    rw2.table("dtg_t").get.insert(Seq(Row("b", 8L))) // b: 15
+    rw2.flush()
+    assert(vis() == Set(("b", 15L), ("a", 10L)))
+    rw2.close()
+  }
+
+  test("durable MV snapshots: session state (raw + frozen + cuts) restores without replay") {
+    val sschema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType),
+      StructField("v", DoubleType)))
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("dse_t", sschema)
+    val stmt =
+      """SELECT window_start, window_end, k, count(*) AS n
+        |FROM session(dse_t, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, k""".stripMargin
+    val wm = Map("dse_t" -> ("ts", "0 seconds"))
+    val m1 = rw1.mv(stmt, "dse_mv", watermarks = wm)
+    assert(m1.isSessionMode)
+    val t = rw1.table("dse_t").get
+    t.insert(Seq(Row("a", ts(0), 1.0), Row("a", ts(5), 1.0))); rw1.flush()
+    Seq(1000L, 2000L, 3000L).foreach { s =>
+      t.insert(Seq(Row("a", ts(s), 1.0))); rw1.flush()
+    }
+    def vis(m: MaterializedView) = m.df.collect()
+      .map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(2),
+        r.getLong(3))).toSet
+    val st1 = vis(m1)
+    assert(st1 == Set((0L, "a", 2L), (1000L, "a", 1L), (2000L, "a", 1L),
+      (3000L, "a", 1L)))
+    val counts1 = m1.sessionStateCounts
+    assert(counts1._2 >= 1, s"a session must have frozen before close, got $counts1")
+    val ops1 = drain(m1.subscription().declareCursor(Some(0L)))
+    rw1.close()
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    val m2 = rw2.mv(stmt, "dse_mv", watermarks = wm)
+    assert(m2.isSessionMode, "restored MV must stay on the session path")
+    assert(m2.statementEvals == 0L,
+      "restore must not re-run the statement over base data")
+    assert(m2.consumedRows == 0L,
+      "the face must backfill NOTHING — restored state covers the history")
+    assert(vis(m2) == st1)
+    assert(m2.sessionStateCounts == counts1,
+      "carried raw rows AND frozen sessions must restore exactly")
+    assert(drain(m2.subscription().declareCursor(Some(0L))) == ops1,
+      "SINCE-0 replay must be unchanged across the restore")
+    // maintenance resumes: a new session lands on the restored state, and a
+    // late row under the restored cut is still gated
+    val t2 = rw2.table("dse_t").get
+    t2.insert(Seq(Row("a", ts(4000), 1.0))); rw2.flush()
+    assert(vis(m2) == st1 + ((4000L, "a", 1L)))
+    t2.insert(Seq(Row("a", ts(3), 1.0))); rw2.flush() // below the restored cut
+    assert(vis(m2) == st1 + ((4000L, "a", 1L)),
+      "a late row below the restored compaction cut must drop")
+    rw2.close()
+  }
+
   test("close() flushes unflushed ingest so SINCE-0 replay covers it after reopen") {
     val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
