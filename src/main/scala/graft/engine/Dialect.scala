@@ -383,8 +383,60 @@ object Dialect {
     if (Seq("ORDER", "LIMIT", "OFFSET", "WINDOW")
         .exists(topLevelIndexOf(pred, _) >= 0)) return None
     if (pred.trim.isEmpty) return None
+    // HAVING may reference SELECT-list aliases under HAVING resolution
+    // rules; the folded predicate would resolve them as LATERAL column
+    // aliases instead — same answer usually, but an alias that shadows a
+    // source column binds to the SOURCE under lateral rules (silently
+    // different groups), and with LCA disabled the fold fails analysis.
+    // Reject the fold for any predicate whose TOP-LEVEL expression
+    // references a select alias that is not itself a grouping column; the
+    // cascade then falls back to batch re-run, which is always
+    // value-correct. References inside parenthesized argument lists
+    // (`SUM(sv)`) bind to the SOURCE column under both resolution paths
+    // and are blanked before the scan, as are string literals.
+    val selectList = sql.substring(sql.toUpperCase.indexOf("SELECT") + 6, fromIdx)
+    val aliases = splitTopLevelCommas(selectList).flatMap { item =>
+      "(?is).*\\bAS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+        .findFirstMatchIn(item.trim).map(_.group(1).toLowerCase)
+    }
+    val groupText = {
+      val gIdx = topLevelIndexOf(sql, "GROUP")
+      if (gIdx < 0 || gIdx > hIdx) ""
+      else sql.substring(gIdx, hIdx).replaceAll("(?is)^GROUP\\s+BY", "")
+    }
+    val groupCols = splitTopLevelCommas(groupText)
+      .map(_.trim.toLowerCase).filter(_.matches("[a-z_][a-z0-9_]*")).toSet
+    var predScan = pred.toLowerCase.replaceAll("'[^']*'", "''")
+    while (predScan.contains("("))
+      predScan = predScan.replaceAll("\\([^()]*\\)", " ")
+    val referencesNonGroupAlias = aliases.exists { a =>
+      !groupCols.contains(a) &&
+        s"(?<![a-z0-9_])${java.util.regex.Pattern.quote(a)}(?![a-z0-9_])".r
+          .findFirstIn(predScan).nonEmpty
+    }
+    if (referencesNonGroupAlias) return None
     Some(sql.substring(0, fromIdx) + s", (${pred.trim}) AS $asCol " +
       sql.substring(fromIdx, hIdx).trim)
+  }
+
+  /** Split on commas at paren/quote depth 0 (select lists, GROUP BY). */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var inQ = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
   }
 
   /** `SELECT DISTINCT ON (keys) list FROM ... ORDER BY ...` (PG/RisingWave;

@@ -1040,9 +1040,18 @@ final class MaterializedView private[engine](
     import org.apache.spark.sql.functions.{col, lit}
     val kept = topNEval(merged, topNLimit + topNCacheMargin).localCheckpoint(true)
     val evicted = keyJoin(merged, kept.select(keyCols.map(col): _*), "left_anti")
-    val boundPool = topNBound
+    // a carried bound whose key re-entered the carried state is STALE: the
+    // key is no longer outside, and its frozen (old) aggregate could rank
+    // inside the visible top n and trigger spurious full re-fetches —
+    // drop it before the underflow check (it no longer represents any
+    // key beyond the state)
+    val curBound = topNBound.filter { b =>
+      keyJoin(rowDf(b, merged.schema), merged.select(keyCols.map(col): _*)
+        .distinct(), "left_semi").isEmpty
+    }
+    val boundPool = curBound
       .map(b => evicted.unionByName(rowDf(b, evicted.schema))).getOrElse(evicted)
-    topNBound = topNEval(boundPool, 1).collect().headOption.orElse(topNBound)
+    topNBound = topNEval(boundPool, 1).collect().headOption.orElse(curBound)
     val underflow = topNBound.exists { b =>
       val pool = kept.withColumn("__evicted", lit(false))
         .unionByName(rowDf(b, kept.schema).withColumn("__evicted", lit(true)))

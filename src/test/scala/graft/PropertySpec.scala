@@ -89,6 +89,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("grouped top-N: visible top-N equals batch under random keyed deltas; state stays ≤ n+C") {
+    // round-7 verdict item 6: the frozen-bound / re-fetch-on-underflow
+    // argument is subtle — 210 random deltas (incl. negatives, which make
+    // per-key aggregates DECREASE and force displacement, eviction, bound
+    // hits and re-fetches) across 3 seeded scenarios, with the invariant
+    // checked after EVERY flush: the visible snapshot must equal the batch
+    // evaluation of the statement, and the carried state must never exceed
+    // n + cache margin.
+    for (scenario <- 1 to 3) {
+      val tbl = s"tnp_t_$scenario"
+      rw.createTable(tbl, StructType(Seq(
+        StructField("k", StringType), StructField("v", DoubleType))))
+      val mv = rw.mv(s"SELECT k, SUM(CAST(v AS DECIMAL(18,6))) AS s FROM $tbl " +
+        s"GROUP BY k ORDER BY s DESC, k LIMIT 3", s"tnp_mv_$scenario")
+      assert(mv.isTopNMode, "must take the incremental grouped top-N path")
+      val stateBound = 3 + math.max(2 * 3, 16) // n + topNCacheMargin
+      val gen = for {
+        flush <- Gen.frequency(3 -> false, 1 -> true)
+        k <- Gen.choose(1, 25).map(i => f"k$i%02d") // 25 keys >> n+C=19: evictions happen
+        v <- Gen.choose(-800, 999).map(_.toDouble)
+      } yield (flush, k, v)
+      def check(tag: String): Unit = {
+        val sel = "ORDER BY s DESC, k LIMIT 3"
+        val inc = rw.fetch(s"SELECT k, CAST(s AS DOUBLE) AS s FROM tnp_mv_$scenario $sel")
+          .map(r => (r.getString(0), r.getDouble(1)))
+        val batch = rw.fetch(s"SELECT k, CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s " +
+          s"FROM $tbl GROUP BY k $sel").map(r => (r.getString(0), r.getDouble(1)))
+        assert(inc == batch, s"scenario $scenario $tag: $inc != $batch")
+        assert(mv.topNStateCount <= stateBound,
+          s"scenario $scenario $tag: state ${mv.topNStateCount} exceeds n+C=$stateBound")
+      }
+      var flushes = 0
+      sample(Gen.listOfN(70, gen), seed = 9000 + scenario).foreach { case (flush, k, v) =>
+        rw.table(tbl).get.insert(Seq(Row(k, v)))
+        if (flush) { rw.flush(); flushes += 1; check(s"flush $flushes") }
+      }
+      rw.flush(); check("final")
+      assert(mv.isTopNMode, "mode must survive the whole run")
+    }
+  }
+
   test("subscription kill/resume at arbitrary offsets is at-least-once with no gaps") {
     val tbl = "prop_resume_t"
     rw.createTable(tbl, StructType(Seq(StructField("x", LongType))))

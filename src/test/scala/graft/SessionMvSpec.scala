@@ -173,6 +173,41 @@ class SessionMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("expression-keyed sessions compact via the global chain scan; late rows gate") {
+    // grouping key upper(k) is an EXPRESSION over the raw column, so the
+    // per-key compaction path can't map frozen sessions back to raw rows —
+    // the global coverage-chain scan must still freeze closed sessions and
+    // retire their raw rows (its window frame is one row per session of
+    // the post-aggregate output, never the raw rows; this spec keeps that
+    // path exercised so the documented bound can't silently widen)
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("sessx_t", schema)
+    val m = rw.mv(
+      """SELECT window_start, window_end, upper(k) AS ku, count(*) AS n
+        |FROM session(sessx_t, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, upper(k)""".stripMargin, "sessx_mv",
+      watermarks = Map("sessx_t" -> ("ts", "0 seconds")))
+    assert(m.isSessionMode)
+    val t = rw.table("sessx_t").get
+    t.insert(Seq(Row("a", ts(0), 1.0), Row("a", ts(5), 1.0)))
+    rw.flush()
+    Seq(1000L, 2000L, 3000L).foreach { s =>
+      t.insert(Seq(Row("a", ts(s), 1.0))); rw.flush()
+    }
+    val (raw, froz) = m.sessionStateCounts
+    assert(froz >= 1, s"closed sessions must freeze under expression keys, got ($raw, $froz)")
+    assert(raw <= 3, s"frozen sessions' raw rows must retire, got ($raw, $froz)")
+    def state() = m.df.collect().map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+      r.getString(2), r.getLong(3))).toSet
+    val st = state()
+    assert(st == Set((0L, "A", 2L), (1000L, "A", 1L), (2000L, "A", 1L), (3000L, "A", 1L)))
+    // a late row under the GLOBAL cut must drop (keyless gate path)
+    t.insert(Seq(Row("a", ts(3), 1.0)))
+    rw.flush()
+    assert(state() == st, "late row below the global cut must be dropped")
+    rw.close()
+  }
+
   test("session MV with EMIT ON WINDOW CLOSE emits each session once, as final Inserts") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("sesse_t", schema)

@@ -24,6 +24,34 @@ class DialectInternalSpec extends graft.SparkSpec {
     intercept[IllegalArgumentException](Dialect.intervalMillis(""))
   }
 
+  test("foldHaving: aggregate predicates fold; select-alias predicates are rejected") {
+    val c = "__hc"
+    // predicate over aggregate expressions: folds
+    assert(Dialect.foldHaving(
+      "SELECT k, sum(v) AS sv FROM t GROUP BY k HAVING sum(v) > 5", c)
+      .exists(_.contains(s"(sum(v) > 5) AS $c")))
+    // predicate referencing a SELECT alias: HAVING resolution and lateral-
+    // column-alias resolution can disagree (alias shadowing a source
+    // column binds to the SOURCE laterally) — reject, fall back to batch
+    assert(Dialect.foldHaving(
+      "SELECT k, sum(v) AS n FROM t GROUP BY k HAVING n > 5", c).isEmpty)
+    assert(Dialect.foldHaving(
+      "SELECT k, sum(v) AS v FROM t GROUP BY k HAVING v > 5", c).isEmpty)
+    // grouping-column references are not aliases — still folds
+    assert(Dialect.foldHaving(
+      "SELECT k, sum(v) AS sv FROM t GROUP BY k HAVING k = 'a' AND sum(v) > 1", c)
+      .nonEmpty)
+    // alias appearing only inside a string literal does not reject
+    assert(Dialect.foldHaving(
+      "SELECT k, sum(v) AS n FROM t GROUP BY k HAVING k <> 'n'", c).nonEmpty)
+    // a same-named SOURCE column inside an aggregate call is not an alias
+    // reference — SUM(sv)'s sv binds to the source under both HAVING and
+    // folded resolution (the real cascade-oracle shape)
+    assert(Dialect.foldHaving(
+      "SELECT g, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv FROM up " +
+        "GROUP BY g HAVING SUM(sv) / SUM(n) > 49", c).nonEmpty)
+  }
+
   test("topLevelIndexOf: keywords inside snake_case identifiers don't match") {
     assert(Dialect.topLevelIndexOf("SELECT valid_from FROM t", "FROM") == 18)
     assert(Dialect.topLevelIndexOf("sort_order LIMIT 5", "LIMIT") == 11)
