@@ -177,17 +177,49 @@ final class LiveTable(
     addBatch(rows.map(r => { seq += 1; Row.fromSeq(r.toSeq :+ seq) }))
   }
 
-  /** K4 — DataFrame insert for arbitrary input sizes: rows stream to the
-    * driver one partition at a time (`toLocalIterator`) and append in
-    * `batchSize`-bounded chunks, so a large backfill holds at most one
-    * partition + one chunk in driver memory at a time — never the whole
-    * DataFrame (the old single `collect()` OOM'd the driver for big
-    * inputs). A chunked insert lands as multiple micro-batches: identical
-    * final state, but MV changelogs may record intermediate per-chunk ops
-    * if a FLUSH runs mid-insert. */
-  def insertDF(df: DataFrame, batchSize: Int = 100000): Unit = {
-    df.select(schema.fieldNames.toIndexedSeq.map(col): _*).toLocalIterator().asScala
-      .grouped(batchSize).foreach(chunk => insert(chunk))
+  /** K4 — DataFrame insert for arbitrary input sizes, routed through the
+    * executor-side bulk path ([[insertBulk]]): the input never materializes
+    * on the driver. `batchSize` bounds the chunks that feed any ATTACHED
+    * streaming faces (the MemoryStream boundary is driver-side by
+    * construction); with no attached readers the insert is fully
+    * executor-side. */
+  def insertDF(df: DataFrame, batchSize: Int = 100000): Unit =
+    insertBulk(df, batchSize)
+
+  /** Bulk append without a driver round-trip (INSERT … SELECT, large
+    * DataFrame ingest): rows are stamped with contiguous `__seq`
+    * executor-side (`zipWithIndex` preserves the input's partition order,
+    * so upsert version resolution sees the same arrival order the old
+    * driver-chunked path produced) and written straight to a parquet
+    * segment — the driver records only the (min, max, path, count) index
+    * entry, with the count taken from the written files' footers. Attached
+    * streaming faces are then fed from the committed segment in bounded
+    * chunks; when none are attached (the common bulk-load shape: load,
+    * then CREATE MV), no row ever crosses the driver. */
+  def insertBulk(df: DataFrame, batchSize: Int = 100000): Unit = synchronized {
+    flushBuffer()
+    val base = seq
+    val stamped = spark.createDataFrame(
+      df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+        .rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + 1 + i)) },
+      withSeq)
+    val staging = s"$segDir/staging-bulk-${base + 1}"
+    stamped.write.mode("overwrite").parquet(staging)
+    val n = spark.read.parquet(staging).count()
+    if (n == 0) { SegmentFiles.delete(staging); return }
+    val path = SegmentFiles.path(segDir, base + 1, base + n, n)
+    SegmentFiles.commit(staging, path)
+    segments += ((base + 1, base + n, path, n))
+    seq = base + n
+    if (readerStreams.nonEmpty) {
+      spark.read.parquet(path).orderBy("__seq").drop("__seq")
+        .toLocalIterator().asScala.grouped(batchSize)
+        .foreach { chunk =>
+          val rs = chunk.toSeq
+          readerStreams.values.foreach(_.addData(rs))
+        }
+    }
+    refreshView()
   }
 
   /** Flush this table's row buffer into one micro-batch (K1's multi-row

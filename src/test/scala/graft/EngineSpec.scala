@@ -642,6 +642,68 @@ class EngineSpec extends SparkSpec {
     assert(agg.getLong(0) == 1000000L && agg.getLong(1) == 499999500000L)
   }
 
+  test("INSERT…SELECT bulk ingest is executor-side; upsert ordering preserved") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val callSites = ArrayBuffer[String]()
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+        val cs = Option(jobStart.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        callSites.synchronized { callSites += cs }
+      }
+    }
+    rw.execute(
+      """CREATE TABLE blkv (id BIGINT PRIMARY KEY, v BIGINT)
+        |ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(v)""".stripMargin)
+    // 50k rows over 1000 keys; per key the max version is id + 49000
+    spark.range(50000).selectExpr("id % 1000 AS id", "id AS v")
+      .createOrReplaceTempView("blk_src")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      rw.execute("INSERT INTO blkv SELECT id, v FROM blk_src")
+      rw.execute("FLUSH")
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // with NO attached streaming readers, the bulk path must be fully
+    // executor-side: rows land in a stamped parquet segment — never a
+    // driver collect, never even a toLocalIterator chunk walk
+    val off = callSites.synchronized {
+      callSites.filter(cs => (cs.startsWith("collect at") ||
+        cs.startsWith("toLocalIterator at")) &&
+        (cs.contains("LiveTable.scala") || cs.contains("GraftEngine.scala")))
+    }
+    assert(off.isEmpty, s"bulk ingest crossed the driver: ${off.distinct.mkString(", ")}")
+    val agg = rw.fetch("SELECT count(*) AS n, sum(v) AS s FROM blkv").head
+    assert(agg.getLong(0) == 1000L, "upsert resolution must keep one row per key")
+    assert(agg.getLong(1) == 49000L * 1000L + 999L * 1000L / 2,
+      "the max-version row must win within the bulk segment")
+    // cross-path version gating: a LOWER version through the buffered path
+    // must not overwrite the bulk row; a HIGHER one must
+    rw.execute("INSERT INTO blkv VALUES (0, 5)")
+    rw.execute("FLUSH")
+    assert(rw.fetch("SELECT v FROM blkv WHERE id = 0").head.getLong(0) == 49000L)
+    rw.execute("INSERT INTO blkv VALUES (0, 99999)")
+    rw.execute("FLUSH")
+    assert(rw.fetch("SELECT v FROM blkv WHERE id = 0").head.getLong(0) == 99999L)
+  }
+
+  test("bulk ingest feeds attached streaming MVs through their faces") {
+    rw.createTable("blks_t", StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))))
+    rw.mv("SELECT k, count(*) AS n, sum(v) AS sv FROM blks_t GROUP BY k", "blks_mv")
+    spark.range(10000).selectExpr("CAST(id % 4 AS STRING) AS k", "id AS v")
+      .createOrReplaceTempView("blks_src")
+    rw.execute("INSERT INTO blks_t SELECT k, v FROM blks_src")
+    rw.execute("FLUSH")
+    val got = rw.fetch("SELECT k, n, sv FROM blks_mv ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = (0 until 4).map { m =>
+      val vs = (0 until 10000).filter(_ % 4 == m).map(_.toLong)
+      (m.toString, vs.size.toLong, vs.sum)
+    }
+    assert(got == want, "the attached maintainer must see every bulk row exactly once")
+  }
+
   test("composite table-level PRIMARY KEY (a, b) and DECIMAL(10,2) parse correctly") {
     rw.execute(
       """CREATE TABLE ddl_pk2 (a INT, b INT, price DECIMAL(10,2), note VARCHAR(32),
