@@ -99,6 +99,30 @@ object Corpus {
           .as("dup_token_frac"))
   }
 
+  /** Gopher-style duplicate n-gram signals per document: the fraction of
+    * n-gram OCCURRENCES that repeat an earlier occurrence
+    * (`1 − distinct/total`) and the fraction of n-gram character mass
+    * sitting in duplicated n-grams — the templated-text detectors one level
+    * up from [[repetitionStats]]' top-bigram share (Gopher filters on
+    * exactly these for n ∈ 2..10). Documents with fewer than `n` tokens
+    * have no n-grams and are excluded (mirrored by the oracle).
+    *
+    * 100 TB shape: two-level hash aggregate keyed (doc, gram) then (doc) —
+    * both map-side partial; no joins, no windows, n-gram assembly stays in
+    * the scan stage. */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    docs.select(col(idCol), explode(ngramMultiset(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("c").cast("long").as("n_grams"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum("c"), 6)
+          .as("dup_ngram_frac"),
+        round(sum(when(col("c") > 1, col("c") * length(col("g"))).otherwise(0L))
+          .cast("double") / sum(col("c") * length(col("g"))), 6)
+          .as("dup_char_frac"))
+
   /** Cross-document span dedup (the C4/RefinedWeb move): chunk each
     * document into fixed `spanTokens`-token spans, assign each distinct
     * span to its lowest-id document, and report per document how many of

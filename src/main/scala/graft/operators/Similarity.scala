@@ -40,6 +40,45 @@ object Similarity {
         round(col("score"), 6).as("cos"), col("rank"))
   }
 
+  /** Int8 scalar-quantized top-k — the memory-bandwidth scale path: each
+    * vector is L2-normalized and quantized to 8-bit integers with ONE
+    * per-vector scale (`max|x|/127`) inside the scan stage, a 4× smaller
+    * corpus footprint than float32; candidates score by EXACT integer dot
+    * products rescaled by the two scales (≈ cosine, since inputs are
+    * normalized). Same broadcast-queries / shuffle-free-corpus shape as
+    * [[bruteForceTopK]]. Quantization is `floor(x/s + 0.5)` — floor and
+    * IEEE division replay bit-for-bit in overflow-checked SQL, with no
+    * rounding-mode divergence — so the result is approximate vs exact
+    * cosine (quantization error) but fully deterministic and
+    * hash-verifiable; recall vs exact is SimilaritySpec's job. */
+  def int8TopK(df: DataFrame, idCol: String, vecCol: String,
+               queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = col(vecCol).cast("array<double>")
+    val base = df
+      .select(col(idCol).as("id"), e.as("e"), normD(e).as("vn"))
+      .withColumn("en", transform(col("e"),
+        x => when(col("vn") === 0, lit(0.0)).otherwise(x / col("vn"))))
+      .withColumn("s",
+        aggregate(col("en"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / lit(127.0))
+      .withColumn("q", transform(col("en"),
+        x => when(col("s") === 0, lit(0L)).otherwise(floor(x / col("s") + lit(0.5)))))
+      .select(col("id"), col("s"), col("q"))
+    val q = base.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("q").as("quq"), col("s").as("qs"))
+    val scored = base
+      .crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (aggregate(zip_with(col("q"), col("quq"), (a, b) => a * b), lit(0L), _ + _)
+          .cast("double") * col("s") * col("qs")).as("sco"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sco").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sco"), 6).as("score"), col("rank").as("rnk"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (seeded; public
     * random-projection construction). Exposed within graft so the DuckDB
     * oracle can embed the same constants and replicate signatures exactly. */

@@ -246,6 +246,38 @@ object Extensions {
         .withColumnRenamed("rank", "rnk")
     },
 
+    // Int8 scalar-quantized ANN (the memory-bandwidth scale path: 4×
+    // smaller vectors, integer dot products). Quantization = floor(x/s+0.5)
+    // over the L2-normalized vector with per-vector scale max|x|/127 —
+    // floor and IEEE division replay exactly, so the approximate result is
+    // still hash-verified end-to-end; recall vs exact is SimilaritySpec's.
+    q("x_sim_topk_int8",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+         |           FROM embeddings),
+         |nv AS (SELECT vec_id, e,
+         |  sqrt(list_sum(list_transform(range(1, 65), i -> e[i]*e[i]))) AS vn FROM v),
+         |nrm AS (SELECT vec_id,
+         |  list_transform(e, x -> CASE WHEN vn = 0 THEN 0 ELSE x / vn END) AS en FROM nv),
+         |scl AS (SELECT vec_id, en,
+         |  list_max(list_transform(en, x -> abs(x))) / 127.0 AS s FROM nrm),
+         |qz AS (SELECT vec_id, s,
+         |  list_transform(en, x -> CASE WHEN s = 0 THEN 0
+         |    ELSE CAST(floor(x / s + 0.5) AS BIGINT) END) AS q FROM scl),
+         |qq AS (SELECT vec_id AS query_id, q AS quq, s AS qs FROM qz
+         |       WHERE vec_id IN (0,1,2,3,4)),
+         |sc AS (SELECT query_id, a.vec_id AS neighbor_id,
+         |    CAST(list_sum([a.q[i] * qq.quq[i] for i in range(1, 65)]) AS DOUBLE)
+         |      * a.s * qq.qs AS sco
+         |  FROM qz a CROSS JOIN qq WHERE a.vec_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, sco,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sco DESC, neighbor_id) AS rn
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, round(sco, 6) AS score, rn AS rnk
+         |FROM r WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      Similarity.int8TopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    },
+
     // Sign-LSH ANN: approximate vs the true top-k, but fully deterministic —
     // the oracle rebuilds the same signatures and Hamming-≤5 candidate set,
     // so the result is hash-checked (recall vs exact asserted in

@@ -65,6 +65,22 @@ object Pipeline {
       Corpus.repetitionStats(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Gopher's duplicate 5-gram signals: occurrence-level repeat fraction
+    // and duplicated character mass — two-level hash agg, no joins.
+    q("x_quality_dup_ngrams",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest([list_aggregate(t[i:i+4], 'string_agg', ' ') for i in range(1, len(t)-3)]) AS g
+        |  FROM toks WHERE len(t) >= 5),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  round(1.0 - count(*)::DOUBLE / sum(c), 6) AS dup_ngram_frac,
+        |  round(sum(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END)::DOUBLE
+        |    / sum(c * len(g)), 6) AS dup_char_frac
+        |FROM cnt GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.dupNgramStats(Tables(s, dir, "documents"), "doc_id", "text", n = 5)
+    },
+
     // ---- cross-document span dedup (C4-style) -----------------------------
 
     // 10-token spans; each distinct span belongs to its lowest-id document;

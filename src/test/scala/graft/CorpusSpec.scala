@@ -37,6 +37,24 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == (((1.0 / 3 * 1e6).round / 1e6, 0.0)))
   }
 
+  test("dupNgramStats: repeated 5-gram raises both fractions; distinct text scores 0") {
+    val d = Seq(
+      // 10 tokens → 6 5-grams; "a b c d e" occurs twice (positions 1 and 6)
+      (1L, "a b c d e a b c d e"),
+      // 6 tokens → 2 distinct 5-grams → both fractions 0
+      (2L, "one two three four five six"),
+      // 4 tokens < n → no grams → excluded
+      (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dupNgramStats(d, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1: 6 occurrences, 5 distinct → dup frac round(1 - 5/6) = 0.166667;
+    // char mass: the duplicated gram is 9 chars ×2 = 18 of 54 total
+    assert(out(1L) == ((6L, 0.166667, 0.333333)))
+    assert(out(2L) == ((2L, 0.0, 0.0)))
+    assert(!out.contains(3L))
+  }
+
   test("spanDedup: duplicated span is kept only in the lowest-id doc") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),            // one span, original

@@ -57,6 +57,12 @@ class PlanShapeSpec extends SparkSpec {
       "query rows must broadcast; the corpus scan must not shuffle for the join")
   }
 
+  test("x_sim_topk_int8: quantization stays in the scan; corpus never shuffles to score") {
+    val p = plan("x_sim_topk_int8")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query rows must broadcast; the quantized corpus scan must not shuffle")
+  }
+
   test("x_contam_ngram: benchmark n-gram set broadcasts; corpus scans once") {
     val p = plan("x_contam_ngram")
     assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastExchange"),

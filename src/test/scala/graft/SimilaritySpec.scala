@@ -19,6 +19,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 top-k: high overlap with exact, scores within quantization error") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val exactByQ = exact.groupBy(_._1._1)
+    val i8 = Similarity.int8TopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val i8ByQ = i8.groupBy(_._1._1)
+    assert(i8ByQ.keySet == qids.toSet)
+    qids.foreach { q =>
+      val e = exactByQ(q).map(_._1._2).toSet
+      val a = i8ByQ(q).map(_._1._2).toSet
+      assert(a.size == 10)
+      // 8-bit quantization of 64-dim normalized vectors: per-element
+      // relative error ≤ 1/254 — neighbor sets barely move
+      assert((e intersect a).size >= 8, s"query $q: overlap ${(e intersect a).size}")
+    }
+    // quantized score ≈ true cosine for the common pairs
+    val exactMap = exact.toMap
+    i8.foreach { case (k, s) =>
+      exactMap.get(k).foreach(c => assert(math.abs(s - c) <= 0.02,
+        s"pair $k: int8 $s vs cosine $c"))
+    }
+  }
+
   test("LSH embedding-dup pairs: subset of exact pairs, decent recall") {
     import graft.operators.Dedup
     val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", tau = 0.4)
