@@ -137,7 +137,7 @@ object Bench {
     // sample each — a replay is seconds-scale, so scheduler noise is a
     // small fraction (unlike the sub-second batch queries).
     def runStream(defs: Seq[(String, String)],
-                  probe: graft.engine.GraftEngine => Boolean): (Double, Long) = {
+                  probe: graft.engine.GraftEngine => Boolean): (Double, Long, Int) = {
       import graft.engine.{ConnOptions, GraftEngine}
       import org.apache.spark.sql.functions.col
       val rw = GraftEngine.open(ConnOptions(), Some(spark))
@@ -147,19 +147,26 @@ object Bench {
         val rows = Tables(spark, sfDir, "events")
           .select(eventsSchema.fieldNames.toIndexedSeq.map(col): _*)
           .orderBy("event_id").limit(streamRows).collect()
+        if (rows.isEmpty) {
+          System.err.println("[bench] streaming entry skipped: empty events fixture")
+          return (-1.0, 0L, 0)
+        }
         val chunk = (rows.length + streamEpochs - 1) / streamEpochs
+        // the ACTUAL epoch count — ceil(rows/chunk) can undershoot
+        // streamEpochs at small fixtures, and epoch_latency divides by it
+        var epochs = 0
         val t0 = System.nanoTime()
         rows.grouped(chunk).foreach { c =>
-          rw.table("bench_ev").get.insert(c.toSeq); rw.flush()
+          rw.table("bench_ev").get.insert(c.toSeq); rw.flush(); epochs += 1
         }
         val sec = (System.nanoTime() - t0) / 1e9
         if (!probe(rw)) {
           System.err.println("[bench] streaming entry fell back to batch re-run")
-          (-1.0, rows.length.toLong)
-        } else (sec, rows.length.toLong)
+          (-1.0, rows.length.toLong, epochs)
+        } else (sec, rows.length.toLong, epochs)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming entry failed: ${e.getMessage}")
-        (-1.0, 0L)
+        (-1.0, 0L, 0)
       } finally rw.close()
     }
     val streamResults = streamDefs.map { case (name, defs, probe) =>
@@ -176,9 +183,10 @@ object Bench {
     val total = results.map { case (_, ts) =>
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }.filter(_ >= 0).sum
-    val streaming = streamResults.map { case (k, (sec, n)) =>
+    val streaming = streamResults.map { case (k, (sec, n, epochs)) =>
       val rps = if (sec > 0) n / sec else -1.0
-      s""""$k":{"sec":${fmt(sec)},"rows":$n,"epochs":$streamEpochs,"rows_per_sec":${fmt(rps)},"epoch_latency":${fmt(if (sec > 0) sec / streamEpochs else -1.0)}}"""
+      val lat = if (sec > 0 && epochs > 0) sec / epochs else -1.0
+      s""""$k":{"sec":${fmt(sec)},"rows":$n,"epochs":$epochs,"rows_per_sec":${fmt(rps)},"epoch_latency":${fmt(lat)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$spread,"streaming":$streaming,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()

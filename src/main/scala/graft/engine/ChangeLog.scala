@@ -32,6 +32,16 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)); d
   }.getOrElse(java.nio.file.Files.createTempDirectory("graft-changelog-").toString)
 
+  /** False once retention pruning has dropped segments: the log no longer
+    * replays the MV's full history from offset 0, so a consumer that needs
+    * the complete history (face backfill) must use another source.
+    * DECLARED BEFORE the recovery block below — Scala initializes in
+    * declaration order, and a later `= false` initializer would silently
+    * overwrite the flag recovery restores from the on-disk marker. */
+  @volatile private var prunedHistory = false
+  private def prunedMarker(dir: String) =
+    java.nio.file.Paths.get(dir, "_pruned")
+
   // restart recovery: segment metadata is encoded in the directory name
   // ([[SegmentFiles]] codec), so reattaching to a persistent dir needs no
   // footer reads — rebuild the index and resume offsets past the max
@@ -39,6 +49,12 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     val recovered = SegmentFiles.recover(d)
     segments ++= recovered
     recovered.lastOption.foreach { case (_, max, _, _) => lastTs = max }
+    // a prune before the previous shutdown left the log incomplete — the
+    // on-disk marker survives the restart so historyComplete stays false
+    // (a volatile flag alone would wrongly let a late-attaching face
+    // backfill from the surviving segments only, silently missing the
+    // pruned prefix)
+    if (java.nio.file.Files.exists(prunedMarker(d))) prunedHistory = true
   }
 
   private[engine] def changeSchema: StructType =
@@ -49,10 +65,6 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     * MV face streams. */
   private[engine] def segmentDir: String = spillDir
 
-  /** False once retention pruning has dropped segments: the log no longer
-    * replays the MV's full history from offset 0, so a consumer that needs
-    * the complete history (face backfill) must use another source. */
-  @volatile private var prunedHistory = false
   private[engine] def historyComplete: Boolean = !prunedHistory
 
   /** Executor-side append (the per-epoch delta path of MV maintainers):
@@ -135,7 +147,12 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
   def prune(retentionSeconds: Long): Unit = synchronized {
     val cutoff = (System.currentTimeMillis() - retentionSeconds * 1000L) << 16
     val (drop, keep) = segments.partition(_._2 < cutoff)
-    if (drop.nonEmpty) prunedHistory = true
+    if (drop.nonEmpty) {
+      prunedHistory = true
+      // durable logs record the incompleteness on disk (see recovery)
+      try java.nio.file.Files.write(prunedMarker(spillDir), Array.empty[Byte])
+      catch { case _: java.io.IOException => /* flag still set in-memory */ }
+    }
     drop.foreach { case (_, _, p, _) => SegmentFiles.delete(p) }
     segments.clear(); segments ++= keep
   }
@@ -155,6 +172,8 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     // empty log is trivially complete-from-zero again
     lastTs = 0L
     prunedHistory = false
+    try java.nio.file.Files.deleteIfExists(prunedMarker(spillDir))
+    catch { case _: java.io.IOException => }
   }
 
   /** Block until an entry with offset > `after` exists (used by blocking

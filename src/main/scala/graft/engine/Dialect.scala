@@ -394,8 +394,13 @@ object Dialect {
     // value-correct. References inside parenthesized argument lists
     // (`SUM(sv)`) bind to the SOURCE column under both resolution paths
     // and are blanked before the scan, as are string literals.
-    val selectList = sql.substring(sql.toUpperCase.indexOf("SELECT") + 6, fromIdx)
-    val aliases = splitTopLevelCommas(selectList).flatMap { item =>
+    // depth-aware SELECT: a leading CTE's inner SELECT sits at paren depth
+    // 1, and a plain indexOf would scan from inside it (wrong span, missed
+    // aliases — the exact silent mis-binding this guard exists to stop)
+    val selIdx = topLevelIndexOf(sql, "SELECT")
+    if (selIdx < 0 || selIdx > fromIdx) return None
+    val selectList = sql.substring(selIdx + "SELECT".length, fromIdx)
+    val aliases = DdlParser.splitTopLevel(selectList).flatMap { item =>
       "(?is).*\\bAS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
         .findFirstMatchIn(item.trim).map(_.group(1).toLowerCase)
     }
@@ -404,11 +409,18 @@ object Dialect {
       if (gIdx < 0 || gIdx > hIdx) ""
       else sql.substring(gIdx, hIdx).replaceAll("(?is)^GROUP\\s+BY", "")
     }
-    val groupCols = splitTopLevelCommas(groupText)
+    val groupCols = DdlParser.splitTopLevel(groupText)
       .map(_.trim.toLowerCase).filter(_.matches("[a-z_][a-z0-9_]*")).toSet
     var predScan = pred.toLowerCase.replaceAll("'[^']*'", "''")
-    while (predScan.contains("("))
+    var prevScan = ""
+    // fixed-point, not contains("("): an unbalanced paren (malformed SQL
+    // that reached us through the regex relation-scan fallback) never
+    // matches the innermost-pair pattern and would spin forever
+    while (predScan.contains("(") && predScan != prevScan) {
+      prevScan = predScan
       predScan = predScan.replaceAll("\\([^()]*\\)", " ")
+    }
+    if (predScan.contains("(")) return None // unbalanced — not foldable
     val referencesNonGroupAlias = aliases.exists { a =>
       !groupCols.contains(a) &&
         s"(?<![a-z0-9_])${java.util.regex.Pattern.quote(a)}(?![a-z0-9_])".r
@@ -417,26 +429,6 @@ object Dialect {
     if (referencesNonGroupAlias) return None
     Some(sql.substring(0, fromIdx) + s", (${pred.trim}) AS $asCol " +
       sql.substring(fromIdx, hIdx).trim)
-  }
-
-  /** Split on commas at paren/quote depth 0 (select lists, GROUP BY). */
-  private def splitTopLevelCommas(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    var depth = 0; var inQ = false; var start = 0; var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
-        case _ =>
-      }
-      i += 1
-    }
-    out += s.substring(start)
-    out.toSeq
   }
 
   /** `SELECT DISTINCT ON (keys) list FROM ... ORDER BY ...` (PG/RisingWave;

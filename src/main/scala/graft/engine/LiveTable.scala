@@ -199,9 +199,16 @@ final class LiveTable(
   def insertBulk(df: DataFrame, batchSize: Int = 100000): Unit = synchronized {
     flushBuffer()
     val base = seq
+    // materialize the source ONCE before stamping: zipWithIndex runs a
+    // partition-sizing job and the parquet write re-runs the plan — on a
+    // nondeterministic SELECT (rand() filter, unordered LIMIT) the two runs
+    // could disagree and mis-assign __seq (duplicates/gaps break upsert
+    // version tie-breaking); the checkpoint also halves the cost of the
+    // double execution for expensive sources
+    val src = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .localCheckpoint(true)
     val stamped = spark.createDataFrame(
-      df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
-        .rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + 1 + i)) },
+      src.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + 1 + i)) },
       withSeq)
     val staging = s"$segDir/staging-bulk-${base + 1}"
     stamped.write.mode("overwrite").parquet(staging)

@@ -91,7 +91,9 @@ final class MaterializedView private[engine](
     * same role as RisingWave GroupTopN's cache headroom): large enough
     * that ordinary churn re-ranks inside the carried state, small enough
     * that state stays O(n) — NOT O(distinct keys) — at any corpus size. */
-  private var topNCacheMargin = 0
+  // private[graft]: specs shrink the margin to force eviction/underflow
+  // interleavings that would need huge fixtures at the default n+max(2n,16)
+  private[graft] var topNCacheMargin = 0
   /** Most competitive sort position ever evicted from the grouped top-N
     * state (frozen at eviction): if it would rank inside the visible top
     * n, an evicted key may belong there and the state must re-fetch. */
@@ -758,6 +760,11 @@ final class MaterializedView private[engine](
     innerState.map(_.count()).getOrElse(0L)
   }
 
+  /** Spec probe: whether this MV's changelog still replays its complete
+    * history (false once retention pruning dropped segments — durable
+    * across reopen via the on-disk marker). */
+  private[graft] def changelogHistoryComplete: Boolean = changeLog.historyComplete
+
   /** Rows the streaming maintainer has consumed since start — spec probe:
     * a durable restore's backfill epoch must be EMPTY (the face is
     * seq-gated past the snapshot position), while replay-based recovery
@@ -1040,19 +1047,24 @@ final class MaterializedView private[engine](
     import org.apache.spark.sql.functions.{col, lit}
     val kept = topNEval(merged, topNLimit + topNCacheMargin).localCheckpoint(true)
     val evicted = keyJoin(merged, kept.select(keyCols.map(col): _*), "left_anti")
-    // a carried bound whose key re-entered the carried state is STALE: the
-    // key is no longer outside, and its frozen (old) aggregate could rank
-    // inside the visible top n and trigger spurious full re-fetches —
-    // drop it before the underflow check (it no longer represents any
-    // key beyond the state)
-    val curBound = topNBound.filter { b =>
-      keyJoin(rowDf(b, merged.schema), merged.select(keyCols.map(col): _*)
+    // a carried bound whose key re-entered the carried state (named by this
+    // delta) is STALE — but it was also the ONLY upper bound carried for
+    // ALL previously evicted keys, so it cannot simply be dropped: a
+    // weaker bound rebuilt from this epoch's evictions alone would let a
+    // later underflow go undetected and the visible top-N silently diverge
+    // from the batch result. Re-establish the exact bound from a full
+    // evaluation instead: one re-fetch now, a fresh tight bound afterwards
+    // (strictly better than the stale row's repeated spurious re-fetches).
+    val boundKeyReentered = topNBound.exists { b =>
+      !keyJoin(rowDf(b, merged.schema), merged.select(keyCols.map(col): _*)
         .distinct(), "left_semi").isEmpty
     }
-    val boundPool = curBound
-      .map(b => evicted.unionByName(rowDf(b, evicted.schema))).getOrElse(evicted)
-    topNBound = topNEval(boundPool, 1).collect().headOption.orElse(curBound)
-    val underflow = topNBound.exists { b =>
+    if (!boundKeyReentered) {
+      val boundPool = topNBound
+        .map(b => evicted.unionByName(rowDf(b, evicted.schema))).getOrElse(evicted)
+      topNBound = topNEval(boundPool, 1).collect().headOption.orElse(topNBound)
+    }
+    val underflow = boundKeyReentered || topNBound.exists { b =>
       val pool = kept.withColumn("__evicted", lit(false))
         .unionByName(rowDf(b, kept.schema).withColumn("__evicted", lit(true)))
       topNEval(pool).collect().exists(_.getAs[Boolean]("__evicted"))

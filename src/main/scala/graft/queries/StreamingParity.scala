@@ -307,6 +307,46 @@ object StreamingParity {
       materialized
     },
 
+    // Session→cascade (round-7): a session-window MV feeds a keyed rollup —
+    // completes the cascade admission matrix (plain agg, HAVING, top-N,
+    // session upstreams). Session merges surface in the upstream changelog
+    // as Delete+Insert pairs; the downstream folds them through the
+    // changelog-cascade path. BOTH modes asserted.
+    q("m_mv_session_cascade_incremental",
+      """WITH o AS (SELECT event_type, epoch(ts) AS e, value FROM events),
+        |m AS (SELECT event_type, e, value,
+        |  CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w >= 300 THEN 1 ELSE 0 END AS brk
+        |  FROM o WINDOW w AS (PARTITION BY event_type ORDER BY e)),
+        |s AS (SELECT event_type, e, value,
+        |  SUM(brk) OVER (PARTITION BY event_type ORDER BY e ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (SELECT event_type, sid, count(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS sv FROM s GROUP BY event_type, sid)
+        |SELECT event_type, count(*) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events, CAST(SUM(sv) AS DOUBLE) AS sv
+        |FROM sess GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_sc", Seq(
+        ("m_sc_sess",
+          """SELECT window_start, window_end, event_type, count(*) AS n,
+            |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+            |FROM session(m_ev_sc, ts, interval '5 minutes')
+            |GROUP BY window_start, window_end, event_type""".stripMargin),
+        ("m_sc_roll",
+          """SELECT event_type, count(*) AS n_sessions,
+            |CAST(SUM(n) AS BIGINT) AS n_events, SUM(sv) AS sv
+            |FROM m_sc_sess GROUP BY event_type""".stripMargin)))
+      val up = rw.mvByName("m_sc_sess").get
+      val down = rw.mvByName("m_sc_roll").get
+      require(up.isStreamingMode && up.isSessionMode,
+        "session MV fell back to batch re-run — must re-sessionize incrementally")
+      require(down.isChangelogCascadeMode,
+        "rollup over the session MV fell back to batch re-run — must consume its changelog")
+      val out = down.df.withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // Operator×runtime composition — exact dedup AS a streaming MV: the
     // survivor-selection aggregate (fingerprint → min-id, group size) runs
     // as an update-mode Keyed MV over a live documents table, maintained

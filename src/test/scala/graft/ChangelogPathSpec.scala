@@ -110,4 +110,32 @@ class ChangelogPathSpec extends SparkSpec {
       s"face path collected to the driver: ${off.distinct.mkString(", ")}")
     rw.close()
   }
+
+  test("a pruned changelog stays marked incomplete across reopen") {
+    // the completeness flag gates which face a late-attaching downstream
+    // binds: file-source over the segments (complete log) vs snapshot-
+    // backfilled MemoryStream (pruned log). A prune before shutdown must
+    // survive the restart — an in-memory flag alone would let the reopened
+    // engine hand out a file face that silently misses the pruned prefix.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pruned-").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("clpr_t", schema)
+    rw1.mv("SELECT k, v FROM clpr_t", "clpr_mv")
+    val t = rw1.table("clpr_t").get
+    t.insert(Seq(Row("a", 1.0), Row("b", 2.0))); rw1.flush()
+    t.insert(Seq(Row("c", 3.0))); rw1.flush()
+    val mv1 = rw1.mvByName("clpr_mv").get
+    assert(mv1.changelogHistoryComplete, "untouched log replays from zero")
+    Thread.sleep(10) // age the segments past a zero-second retention cutoff
+    val sub = mv1.subscription(retentionSeconds = 0L).declareCursor(Some(0L))
+    sub.fetch(1) // fetch prunes retention on the way (W7)
+    assert(!mv1.changelogHistoryComplete, "prune must mark the log incomplete")
+    rw1.close()
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw2.mv("SELECT k, v FROM clpr_t", "clpr_mv")
+    assert(!rw2.mvByName("clpr_mv").get.changelogHistoryComplete,
+      "pruned-history marker must survive close + reopen")
+    rw2.close()
+  }
 }

@@ -71,6 +71,40 @@ class TopNMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("grouped top-N: bound-key re-entry must not weaken the eviction bound") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tn_bd", schema)
+    rw.mv("SELECT grp, SUM(CAST(score AS DECIMAL(18,6))) AS s FROM tn_bd " +
+      "GROUP BY grp ORDER BY s DESC, grp LIMIT 1", "tn_bd_mv")
+    val mv = rw.mvByName("tn_bd_mv").get
+    assert(mv.isStreamingMode && mv.isTopNMode)
+    mv.topNCacheMargin = 1 // carried state = top 2 keys only
+    val t = rw.table("tn_bd").get
+    def vis() = mv.df.collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue)).toSet
+    // epoch 1: x1/x2 kept, a@50 + b@45 evicted — the single carried bound
+    // row (a@50) is the only record that keys up to 50 exist outside
+    t.insert(Seq(Row(1L, "x1", 100.0), Row(2L, "x2", 90.0),
+      Row(3L, "a", 50.0), Row(4L, "b", 45.0)))
+    rw.flush()
+    assert(vis() == Set(("x1", 100.0)))
+    // epoch 2: the delta names the BOUND key (a sinks to 30). Dropping the
+    // stale bound and rebuilding it from this epoch's evictions alone
+    // (a@30) would orphan b@45 — no carried record of it would remain
+    t.insert(Seq(Row(5L, "a", -20.0)))
+    rw.flush()
+    assert(vis() == Set(("x1", 100.0)))
+    // epoch 3: every carried key sinks below b's frozen 45. Batch top-1 is
+    // b — the incremental path reaches it only if the bound still covers
+    // previously evicted keys (underflow → re-fetch)
+    t.insert(Seq(Row(6L, "x1", -60.0), Row(7L, "x2", -80.0)))
+    rw.flush()
+    assert(vis() == Set(("b", 45.0)),
+      "a previously evicted key above the sunken carried state must surface")
+    assert(mv.isTopNMode)
+    rw.close()
+  }
+
   test("grouped top-N: aggregate inner keeps rankable key state so keys can re-enter") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("tn_ev2", schema)

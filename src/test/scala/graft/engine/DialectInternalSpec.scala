@@ -50,6 +50,16 @@ class DialectInternalSpec extends graft.SparkSpec {
     assert(Dialect.foldHaving(
       "SELECT g, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv FROM up " +
         "GROUP BY g HAVING SUM(sv) / SUM(n) > 49", c).nonEmpty)
+    // a leading CTE must not derail the alias scan: the select list is
+    // located by TOP-LEVEL SELECT (the CTE's inner SELECT sits at depth 1),
+    // so the outer alias n is still seen and the fold still rejected
+    assert(Dialect.foldHaving(
+      "WITH t AS (SELECT a AS x FROM u2) " +
+        "SELECT k, sum(v) AS n FROM t GROUP BY k HAVING n > 5", c).isEmpty)
+    // unbalanced parens (malformed SQL that reached the fold through the
+    // regex relation-scan fallback) must return None, not hang
+    assert(Dialect.foldHaving(
+      "SELECT k, sum(v) AS s FROM t GROUP BY k HAVING (sum(v > 3", c).isEmpty)
   }
 
   test("topLevelIndexOf: keywords inside snake_case identifiers don't match") {
