@@ -335,7 +335,19 @@ final class MaterializedView private[engine](
   @volatile private var recovering = false
 
   private def emitOps(ops: DataFrame): Unit =
-    if (!recovering) changeLog.appendDF(ops)
+    if (!recovering) timed("emitOps")(changeLog.appendDF(ops))
+
+  /** Per-phase epoch timing (`-Dgraft.epochTiming=true`): prints one
+    * `[epoch-timing] view phase ms` line per phase to stderr. Diagnostic
+    * only — the throughput numbers live in the bench's streaming entries. */
+  private val epochTiming = java.lang.Boolean.getBoolean("graft.epochTiming")
+  private def timed[T](phase: String)(f: => T): T =
+    if (!epochTiming) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally System.err.println(
+        s"[epoch-timing] $viewName $phase ${(System.nanoTime() - t0) / 1000000} ms")
+    }
 
   private[engine] def start(): Unit = {
     recovering = changeLog.latestOffset > 0
@@ -930,7 +942,7 @@ final class MaterializedView private[engine](
       def retarget(sql: String, from: String, to: String): String =
         sql.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b", to)
       val tempViews = scala.collection.mutable.ArrayBuffer[String]()
-      val touched = try {
+      val touched = timed("touched-keys")(try {
         changed.foreach { case (u, p) =>
           val dv = s"__cascade_delta_${u.viewName}"
           p.createOrReplaceTempView(dv); tempViews += dv
@@ -950,8 +962,8 @@ final class MaterializedView private[engine](
       } catch { case _: Throwable =>
         spark.sql(cascadeStmt).select(keyCols.map(col): _*).distinct()
           .localCheckpoint(true)
-      } finally tempViews.foreach(spark.catalog.dropTempView(_))
-      if (touched.isEmpty) return
+      } finally tempViews.foreach(spark.catalog.dropTempView(_)))
+      if (timed("touched-empty-check")(touched.isEmpty)) return
       statementEvals += 1
       val full = spark.sql(cascadeStmt)
       // per-epoch cost proportional to touched groups relies on Catalyst's
@@ -963,7 +975,7 @@ final class MaterializedView private[engine](
       // full recompute over the upstream snapshots.
       val recompute = keyJoin(full, touched, "left_semi")
       lastCascadeEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
-      val newTouched = recompute.localCheckpoint(true)
+      val newTouched = timed("group-recompute")(recompute.localCheckpoint(true))
       val prevTouched = keyJoin(cascadeInner.get, touched, "left_semi")
       // the diff runs on the VISIBLE projection of both sides: with a
       // folded HAVING, a touched group entering the predicate appears only
@@ -972,9 +984,9 @@ final class MaterializedView private[engine](
       // aggregate so the group stays maintainable either way
       emitOps(Changelog.diff(Some(cascadeVisible(prevTouched)),
         cascadeVisible(newTouched), keyCols))
-      cascadeInner = Some(
+      cascadeInner = Some(timed("state-merge")(
         keyJoin(cascadeInner.get, touched, "left_anti").union(newTouched)
-          .localCheckpoint(true))
+          .localCheckpoint(true)))
       val vis = cascadeVisible(cascadeInner.get)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
@@ -1029,11 +1041,12 @@ final class MaterializedView private[engine](
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (d.isEmpty) return
     val merged = mergeDelta(innerState, d, keyed = isAgg)
-    innerState = Some(
+    innerState = Some(timed("truncate")(
       (if (isAgg) truncateGrouped(merged) else topNEval(merged))
-        .localCheckpoint(true))
+        .localCheckpoint(true)))
     val nextVisible =
-      if (isAgg) topNEval(innerState.get).localCheckpoint(true) else innerState.get
+      if (isAgg) timed("visible-eval")(topNEval(innerState.get).localCheckpoint(true))
+      else innerState.get
     emitOps(Changelog.multisetDiff(snapshot, nextVisible))
     snapshot = Some(nextVisible)
     snapshot.get.createOrReplaceTempView(viewName)
@@ -1090,9 +1103,9 @@ final class MaterializedView private[engine](
     * views — the delta is rebound to the engine's session via its
     * checkpointed RDD so snapshot views land in the user-visible catalog. */
   private def handleDelta(delta: DataFrame, isAgg: Boolean): Unit = synchronized {
-    val clone = delta.localCheckpoint(true)
+    val clone = timed("delta-checkpoint")(delta.localCheckpoint(true))
     val d = spark.createDataFrame(clone.rdd, clone.schema)
-    if (d.isEmpty) return
+    if (timed("empty-check")(d.isEmpty)) return
     // downstream streaming chains read this epoch's delta from the
     // changelog segment committed below (file-source faces — no driver
     // hop); only FALLBACK MemoryStream readers (attached after a retention
@@ -1113,7 +1126,8 @@ final class MaterializedView private[engine](
       }
     emitOps(ops)
 
-    snapshot = Some(mergeDelta(snapshot, d, keyed = isAgg).localCheckpoint(true))
+    snapshot = Some(timed("state-merge")(
+      mergeDelta(snapshot, d, keyed = isAgg).localCheckpoint(true)))
     snapshot.get.createOrReplaceTempView(viewName)
   }
 
@@ -1164,8 +1178,8 @@ final class MaterializedView private[engine](
     * mode) — the diff shape follows [[keyMode]]. Creation-order iteration
     * in [[GraftEngine.flush]] guarantees the upstream refreshed first. */
   private[engine] def refresh(): Unit = {
-    if (streamingMode) query.foreach(_.processAllAvailable())
-    else if (cascadeMode) cascadeRefresh()
+    if (streamingMode) timed("stream-drain")(query.foreach(_.processAllAvailable()))
+    else if (cascadeMode) timed("cascade-epoch")(cascadeRefresh())
     else synchronized {
       statementEvals += 1
       val next = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
