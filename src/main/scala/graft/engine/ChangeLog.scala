@@ -42,6 +42,20 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
   private def prunedMarker(dir: String) =
     java.nio.file.Paths.get(dir, "_pruned")
 
+  /** Downstream MV maintainers reading this log through a file-source face
+    * ([[MaterializedView.fileFace]]). While any are bound, retention
+    * pruning must NOT unlink segments: the file stream lists lazily, so a
+    * prune could drop a segment the reader has listed but not yet read (or
+    * one committed between its historyComplete check and first listing) —
+    * the downstream would silently lose those Insert rows forever.
+    * Correctness beats retention here; pruning resumes once the last
+    * reader detaches. */
+  private val boundFaceReaders = scala.collection.mutable.Set[String]()
+  private[engine] def bindFaceReader(reader: String): Unit =
+    synchronized { boundFaceReaders += reader }
+  private[engine] def unbindFaceReader(reader: String): Unit =
+    synchronized { boundFaceReaders -= reader }
+
   // restart recovery: segment metadata is encoded in the directory name
   // ([[SegmentFiles]] codec), so reattaching to a persistent dir needs no
   // footer reads — rebuild the index and resume offsets past the max
@@ -85,14 +99,23 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     // coalesce(1) BEFORE zipWithIndex: a multi-partition RDD would run the
     // whole diff plan once for partition sizing and again for the write;
     // one partition skips the sizing job (and writes one file per segment,
-    // with order preserved — coalesce concatenates sorted partitions)
+    // with order preserved — coalesce concatenates sorted partitions).
+    // Row count rides a LongAccumulator on the same pass — the old
+    // footer-read-back was a whole extra Spark job per epoch, and epoch
+    // latency is job-count-bound on the streaming maintainer path.
+    val acc = spark.sparkContext.longAccumulator
     val stamped = spark.createDataFrame(
       ops.toDF().coalesce(1).rdd.zipWithIndex().map { case (r, i) =>
+        acc.add(1L)
         Row.fromSeq(r.toSeq :+ (base + 1 + i))
       }, changeSchema)
     val staging = s"$spillDir/staging-$base"
     stamped.write.mode("overwrite").parquet(staging)
-    val n = spark.read.parquet(staging).count()
+    // a retried write task would double-count the accumulator; that only
+    // OVERSTATES maxTs/lastTs (offsets stay monotone, fetch filters on the
+    // in-row rw_timestamp values, and an over-wide segment range merely
+    // keeps the segment eligible for a scan) — never row loss
+    val n = acc.value.longValue()
     if (n == 0) SegmentFiles.delete(staging)
     else {
       val path = SegmentFiles.path(spillDir, base + 1, base + n, n)
@@ -119,21 +142,42 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
       .localCheckpoint(true)
   }
 
+  /** Driver-cached rows of ONE segment — the hot FETCH path. A caught-up
+    * poll loop (100 ms idle interval, 10-row batches) reads the newest
+    * segment over and over; launching a Spark job per FETCH for that is a
+    * job per delivered handful of rows. The newest segment's rows are
+    * loaded once (bounded: only segments ≤ [[tailCacheMaxRows]] are ever
+    * cached) and served from memory until a newer segment commits. Keyed
+    * by segment path, so append/prune/purge invalidate by construction. */
+  private var tailCache: Option[(String, IndexedSeq[Row])] = None
+  private val tailCacheMaxRows = 10000L
+
   /** Rows with offset strictly greater than `after`, up to `limit` — the
     * client FETCH boundary: an offset-filtered ordered scan of the
     * segments. The whole read holds the monitor so a concurrent [[prune]]
     * cannot unlink segment files mid-scan (fetch batches are small;
-    * retention pruning is rare). */
+    * retention pruning is rare). A fetch satisfied entirely by the single
+    * newest segment serves from the driver-side [[tailCache]] — no Spark
+    * job on the caught-up poll path. */
   def fetchAfter(after: Long, limit: Int): Seq[Row] = synchronized {
     val segs = segments.filter(_._2 > after).toList
-    if (segs.isEmpty) Nil
-    else {
-      import org.apache.spark.sql.functions.col
-      spark.read.parquet(segs.map(_._3): _*)
-        .filter(col("rw_timestamp") > after)
-        .orderBy("rw_timestamp")
-        .limit(limit)
-        .collect().toSeq
+    segs match {
+      case Nil => Nil
+      case (_, _, path, cnt) :: Nil if cnt <= tailCacheMaxRows =>
+        if (!tailCache.exists(_._1 == path)) {
+          val rows = spark.read.parquet(path).collect()
+            .sortBy(r => r.getLong(r.length - 1)).toIndexedSeq
+          tailCache = Some((path, rows))
+        }
+        tailCache.get._2
+          .filter(r => r.getLong(r.length - 1) > after).take(limit).toSeq
+      case _ =>
+        import org.apache.spark.sql.functions.col
+        spark.read.parquet(segs.map(_._3): _*)
+          .filter(col("rw_timestamp") > after)
+          .orderBy("rw_timestamp")
+          .limit(limit)
+          .collect().toSeq
     }
   }
 
@@ -145,8 +189,13 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
   /** Drop history older than `retentionSeconds` (epoch part of the offset):
     * whole segments are unlinked once their newest row ages out. */
   def prune(retentionSeconds: Long): Unit = synchronized {
+    // bound file-face readers consume segments lazily — unlinking under
+    // them silently loses Insert rows downstream; defer retention until
+    // the last reader detaches (see [[bindFaceReader]])
+    if (boundFaceReaders.nonEmpty) return
     val cutoff = (System.currentTimeMillis() - retentionSeconds * 1000L) << 16
     val (drop, keep) = segments.partition(_._2 < cutoff)
+    if (drop.exists(d => tailCache.exists(_._1 == d._3))) tailCache = None
     if (drop.nonEmpty) {
       prunedHistory = true
       // durable logs record the incompleteness on disk (see recovery)
@@ -165,6 +214,8 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
   def purge(): Unit = synchronized {
     segments.foreach { case (_, _, p, _) => SegmentFiles.delete(p) }
     segments.clear()
+    tailCache = None
+    boundFaceReaders.clear()
     persistDir.foreach(SegmentFiles.delete)
     // a purged log is a fresh incarnation — offsets restart (callers that
     // purge-and-reuse, e.g. the statement-fingerprint guard, must not see

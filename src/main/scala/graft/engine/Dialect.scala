@@ -400,9 +400,22 @@ object Dialect {
     val selIdx = topLevelIndexOf(sql, "SELECT")
     if (selIdx < 0 || selIdx > fromIdx) return None
     val selectList = sql.substring(selIdx + "SELECT".length, fromIdx)
-    val aliases = DdlParser.splitTopLevel(selectList).flatMap { item =>
+    val aliases = DdlParser.splitTopLevel(selectList).flatMap { raw =>
+      val item = raw.trim
       "(?is).*\\bAS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
-        .findFirstMatchIn(item.trim).map(_.group(1).toLowerCase)
+        .findFirstMatchIn(item).map(_.group(1).toLowerCase)
+        .orElse {
+          // IMPLICIT alias (`SELECT sum(v) n`): a trailing bare identifier
+          // after a non-empty expression aliases it just like AS would —
+          // the round-7 advisory's gap. A bare column reference (`k`,
+          // `t.k`) has no preceding expression and is not an alias. Over-
+          // matching (e.g. the END of a CASE) only REJECTS the fold, which
+          // falls back to batch re-run — value-correct, never mis-bound.
+          "(?is)^(.*?[^A-Za-z0-9_.])\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+            .findFirstMatchIn(item)
+            .filter(_.group(1).trim.nonEmpty)
+            .map(_.group(2).toLowerCase)
+        }
     }
     val groupText = {
       val gIdx = topLevelIndexOf(sql, "GROUP")

@@ -35,6 +35,12 @@ final class GraftEngine(val spark: SparkSession,
   private[engine] def tableDirFor(viewName: String): Option[String] =
     options.dataDir.map(d => s"$d/tables/$viewName")
 
+  /** Persistent TABLE-changelog location (the feed behind cascade MVs over
+    * PK/upsert tables; None = ephemeral). Namespaced apart from MV
+    * changelogs — a same-named MV must not adopt a table's log. */
+  private[engine] def tableChangelogDirFor(viewName: String): Option[String] =
+    options.dataDir.map(d => s"$d/tablelog/$viewName")
+
   registerVersionFunction()
   restoreTables()
   handshake()
@@ -298,7 +304,8 @@ final class GraftEngine(val spark: SparkSession,
       existing
     }.getOrElse {
       val t = new LiveTable(spark, schemaName, name, schema, primaryKey, versionColumn,
-        tableDirFor(Dialect.mangle(schemaName, name)))
+        tableDirFor(Dialect.mangle(schemaName, name)),
+        tableChangelogDirFor(Dialect.mangle(schemaName, name)))
       liveTables((schemaName, name)) = t
       writeTableMeta(t)
       t.refreshView()
@@ -394,6 +401,9 @@ final class GraftEngine(val spark: SparkSession,
     * creation order so MV-on-MV chains see their upstream first. */
   def flush(): Unit = {
     liveTables.values.foreach(_.flushBuffer())
+    // table changelogs emit BEFORE any maintainer runs: a cascade MV's
+    // epoch consumes exactly the ops this barrier makes visible
+    liveTables.values.foreach(_.emitChangelog())
     mvs.values.foreach(_.refresh())
   }
 
@@ -537,7 +547,9 @@ final class GraftEngine(val spark: SparkSession,
     }
     liveTables.values.foreach { t =>
       if (referenced(Seq(t.viewName, s"${t.schemaName}.${t.name}", t.name))) {
-        val after = fromSeqs.getOrElse(t.name, -1L)
+        // fromSeqs is keyed by the mangled viewName (see persistSnapshot's
+        // tblSeqs) — unambiguous across schemas
+        val after = fromSeqs.getOrElse(t.viewName, -1L)
         val sdf = watermarks.get(t.name) match {
           case Some((tsCol, delay)) => t.streamingDFFor(readerKey, after).withWatermark(tsCol, delay)
           case None => t.streamingDFFor(readerKey, after)

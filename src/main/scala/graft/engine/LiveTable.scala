@@ -45,7 +45,8 @@ final class LiveTable(
     val schema: StructType,
     val primaryKey: Seq[String] = Nil,
     val versionColumn: Option[String] = None,
-    persistDir: Option[String] = None) {
+    persistDir: Option[String] = None,
+    changelogDir: Option[String] = None) {
 
   val bufSize = 5
 
@@ -85,6 +86,84 @@ final class LiveTable(
     val recovered = SegmentFiles.recover(d)
     segments ++= recovered
     recovered.lastOption.foreach { case (_, max, _, _) => seq = max }
+  }
+
+  /** The table's own 4-op changelog (round 8): the feed that lets aggregate
+    * MVs over PK/upsert tables — and over DML-mutated tables — maintain
+    * incrementally through the changelog-cascade path instead of batch
+    * re-running every FLUSH (the reference server's canonical shape,
+    * `risingwave/core.py:506-513` upsert table + `:451-456` MV over it).
+    * Emission is LAZY: nothing is written until a cascade maintainer calls
+    * [[enableChangelog]] — an un-observed table pays zero double-write.
+    * Durable mode persists the log beside the row segments so a reopened
+    * cascade MV resumes from its recorded offsets. */
+  private[engine] val changeLog =
+    new ChangeLog(spark, () => schema, changelogDir)
+  @volatile private var clEnabled = false
+  /** Max `__seq` already reflected in the changelog. Starts at the
+    * RECOVERED seq: a durable close runs a final FLUSH (emitting through
+    * [[emitChangelog]]) before spilling, so on reopen the log already
+    * covers everything in the segments. */
+  private var clSeq = seq
+
+  /** Turn on changelog emission (idempotent) and return the log. Called by
+    * cascade MV admission; history before this point is the caller's
+    * backfill (it evaluates its statement over current state). */
+  private[engine] def enableChangelog(): ChangeLog = synchronized {
+    if (!clEnabled) {
+      // seqs are stamped at buffering time: rows still in the row buffer
+      // carry seqs ≤ `seq` but are invisible to the caller's backfill
+      // (batchDF reads segments + tail only) — flush first, or they would
+      // be both unseen by the backfill and skipped by `clSeq = seq`
+      flushBuffer()
+      clEnabled = true
+      clSeq = seq
+    }
+    changeLog
+  }
+
+  /** Emit the table's changelog delta for everything ingested since the
+    * last emission — called at the FLUSH barrier (before MV maintainers
+    * run) and within [[mutate]]. For a plain table the delta rows are
+    * Inserts; for a PK/upsert table the emitted ops are the KEYED diff of
+    * the resolved visible state restricted to the touched keys (new key →
+    * Insert, overwritten key → UpdateDelete/UpdateInsert, losing version →
+    * nothing), computed with the touched-key semi-join BEFORE the
+    * resolution window so per-flush cost is O(touched keys' history), not
+    * O(table). */
+  private[engine] def emitChangelog(): Unit = synchronized {
+    if (!clEnabled || seq == clSeq) return
+    flushBuffer()
+    val hist = rawHistoryDF
+    val delta = hist.filter(col("__seq") > clSeq)
+    val ops =
+      if (primaryKey.isEmpty)
+        delta.orderBy("__seq").drop("__seq")
+          .withColumn("op", lit(graft.streaming.Changelog.OpInsert))
+      else {
+        val keys = delta.select(primaryKey.map(col): _*).distinct()
+        val before = resolvedForKeys(hist.filter(col("__seq") <= clSeq), keys)
+        val after = resolvedForKeys(hist, keys)
+        graft.streaming.Changelog.diff(Some(before), after, primaryKey)
+      }
+    changeLog.appendDF(ops)
+    clSeq = seq
+  }
+
+  /** Upsert-resolve `hist` (a raw `__seq`-stamped history) restricted to
+    * the given key set: null-safe semi-join FIRST, then the max-version
+    * window — the window only ever sees the touched keys' rows. */
+  private def resolvedForKeys(hist: DataFrame, keys: DataFrame): DataFrame = {
+    val kr = keys.toDF(primaryKey.map(c => s"__k_$c"): _*)
+    val restricted = hist.join(broadcast(kr),
+      primaryKey.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), "left_semi")
+    val ver = versionColumn.map(col).getOrElse(col("__seq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(primaryKey.map(col): _*)
+      .orderBy(ver.desc_nulls_last, col("__seq").desc)
+    restricted.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__seq")
   }
 
   /** Streaming face for one named reader — backfills existing rows (spilled
@@ -278,12 +357,18 @@ final class LiveTable(
   }
 
   /** Engine-close hook for EPHEMERAL tables: unlink temp-dir segments (a
-    * durable table's segments are its persistence — untouched). */
+    * durable table's segments are its persistence — untouched). The
+    * table changelog follows the same rule: ephemeral logs live in temp
+    * dirs nothing will read again — purge; durable logs persist (a
+    * reopened cascade MV resumes from its recorded offsets). */
   def cleanup(): Unit = synchronized {
     if (persistDir.isEmpty && segments.nonEmpty) {
       segments.foreach { case (_, _, p, _) => SegmentFiles.delete(p) }
       segments.clear()
     }
+    // clEnabled guard: purging an untouched log would force-create its
+    // lazy temp dir just to empty it
+    if (changelogDir.isEmpty && clEnabled) changeLog.purge()
   }
 
   def rowCount: Long = synchronized(allRows.size.toLong + segments.map(_._4).sum)
@@ -295,11 +380,21 @@ final class LiveTable(
 
   /** UPDATE/DELETE support: replace the table's state with a transformation
     * of its current (PK-resolved) batch face. The streaming face is NOT fed
-    * — MemoryStream is append-only, so the engine demotes every MV reading
-    * this table to batch re-run mode before calling this (their diffs then
-    * emit the correct Delete / UpdateDelete+UpdateInsert ops). Spilled
-    * segments are superseded by the rewrite and deleted; the rewritten
-    * state re-spills past the threshold / at close. */
+    * — MemoryStream is append-only, so the engine demotes every streaming
+    * MV reading this table to batch re-run mode before calling this
+    * (changelog-CASCADE MVs stay: the retraction ops emitted below flow
+    * through the table changelog and the cascade folds them).
+    *
+    * The rewrite is EXECUTOR-SIDE (round 8): the transformed frame is
+    * materialized once (`localCheckpoint` — the streaming faces were
+    * already released, and `f` may be nondeterministic across re-runs),
+    * stamped with fresh monotone `__seq` via `zipWithIndex`, and written
+    * straight to a new parquet segment — no row ever crosses the driver,
+    * so `UPDATE big_table SET …` is bounded by executor memory, not driver
+    * heap. Superseded segments and the memory tail are retired after the
+    * new segment commits and the view rebinds. `seq` stays monotone across
+    * the rewrite (never reset): attached face gates and the changelog
+    * position both key on it. */
   private[engine] def mutate(f: DataFrame => DataFrame): Unit = synchronized {
     mutated = true
     // the engine demotes every streaming MV reading this table BEFORE
@@ -308,14 +403,41 @@ final class LiveTable(
     // would double-count rows the rewrite already folded in
     readerStreams.clear()
     flushBuffer()
-    val next = f(batchDF).select(schema.fieldNames.toIndexedSeq.map(col): _*).collect()
+    // pending appends must emit as Inserts BEFORE the mutation's
+    // retractions, or SINCE replay would retract rows it never saw arrive
+    emitChangelog()
+    val before = batchDF.localCheckpoint(true)
+    val next = f(before).select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .localCheckpoint(true)
+    val base = seq
+    val stamped = spark.createDataFrame(
+      next.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + 1 + i)) },
+      withSeq)
+    val staging = s"$segDir/staging-mut-${base + 1}"
+    stamped.write.mode("overwrite").parquet(staging)
+    val n = spark.read.parquet(staging).count()
     val retired = segments.map(_._3).toList
     segments.clear()
     allRows.clear()
-    seq = 0L
-    allRows ++= next.map(r => { seq += 1; Row.fromSeq(r.toSeq :+ seq) })
+    if (n == 0) SegmentFiles.delete(staging)
+    else {
+      val path = SegmentFiles.path(segDir, base + 1, base + n, n)
+      SegmentFiles.commit(staging, path)
+      segments += ((base + 1, base + n, path, n))
+    }
+    seq = base + n
+    if (clEnabled) {
+      // the rewrite's retractions: keyed diff on the PK (UpdateDelete/
+      // UpdateInsert/Delete), multiset Insert/Delete deltas otherwise
+      val ops =
+        if (primaryKey.nonEmpty)
+          graft.streaming.Changelog.diff(Some(before), next, primaryKey)
+        else graft.streaming.Changelog.multisetDiff(Some(before), next)
+      changeLog.appendDF(ops)
+    }
+    clSeq = seq
     // bind the rewritten view BEFORE unlinking the superseded segment
-    // files: new readers resolve the in-memory state; only a plan captured
+    // files: new readers resolve the new segment; only a plan captured
     // before the mutation could still reference the old paths (the engine
     // demotes/flushes dependents first, which drains exactly those)
     refreshView()

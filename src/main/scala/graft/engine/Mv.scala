@@ -100,11 +100,12 @@ final class MaterializedView private[engine](
   private var topNBound: Option[Row] = None
   private def topNSrcView = s"__topn_src_$viewName"
 
-  // changelog-cascade state (agg-over-agg MV chains): the downstream
-  // maintainer consumes its upstream MVs' 4-op changelogs as retraction
-  // streams — see [[tryStartCascade]]/[[cascadeRefresh]]
+  // changelog-cascade state (agg-over-agg MV chains, and — round 8 —
+  // aggregates over changelog-emitting PK/upsert/DML-mutated live tables):
+  // the downstream maintainer consumes its upstreams' 4-op changelogs as
+  // retraction streams — see [[tryStartCascade]]/[[cascadeRefresh]]
   private var cascadeMode = false
-  private var cascadeUpstreams: Seq[MaterializedView] = Nil
+  private var cascadeUpstreams: Seq[MaterializedView.CascadeSrc] = Nil
   private val cascadeOffsets = scala.collection.mutable.Map[String, Long]()
   /** Executable SQL the cascade maintains: the rewritten statement, with a
     * top-level HAVING folded into the select list as [[havingCol]] so state
@@ -174,7 +175,16 @@ final class MaterializedView private[engine](
     // top-N MVs have no face either: rows LEAVE the snapshot when displaced,
     // and an append-only face cannot retract them for a downstream reader
     if (streamingMode && !isAggMode && !topNMode) Some {
-      if (changeLog.historyComplete && !faceStreams.contains(reader)) fileFace()
+      val useFile = !faceStreams.contains(reader) && {
+        // register BEFORE the completeness probe: prune() refuses to
+        // unlink while any face reader is bound, so a retention prune
+        // cannot slip between this check and the file source's first
+        // listing (or under the stream later) — the race the round-7
+        // advisory called out
+        changeLog.bindFaceReader(reader)
+        changeLog.historyComplete || { changeLog.unbindFaceReader(reader); false }
+      }
+      if (useFile) fileFace()
       else faceStreams.getOrElseUpdate(reader, {
         import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
         val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outputSchema))
@@ -186,10 +196,13 @@ final class MaterializedView private[engine](
     } else None
   }
 
-  /** Stop buffering face batches for a fallback (MemoryStream) reader
-    * (downstream MV dropped, demoted, or failed to start streaming).
-    * File-source faces buffer nothing, so there is nothing to release. */
-  private[engine] def dropFaceReader(reader: String): Unit = synchronized { faceStreams -= reader }
+  /** Stop buffering face batches for a fallback (MemoryStream) reader, and
+    * release a file-face reader's prune hold (downstream MV dropped,
+    * demoted, or failed to start streaming). */
+  private[engine] def dropFaceReader(reader: String): Unit = synchronized {
+    faceStreams -= reader
+    changeLog.unbindFaceReader(reader)
+  }
 
   private[graft] def isStreamingMode: Boolean = streamingMode
 
@@ -437,7 +450,11 @@ final class MaterializedView private[engine](
       // runs), then try the changelog-cascade path before batch re-run
       engine.releaseStreamReaders(viewName)
       streamingMode = false
-      if (!readsPkTable && !emitOnClose && tryStartCascade()) return
+      // cascade admission no longer excludes live-table sources: PK/upsert
+      // and DML-mutated tables emit their own 4-op changelog (round 8), so
+      // the reference's canonical upsert-table→aggregate-MV shape folds
+      // deltas instead of batch re-running every FLUSH
+      if (!emitOnClose && tryStartCascade()) return
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
       keyCols = keyMode match {
@@ -462,10 +479,30 @@ final class MaterializedView private[engine](
     try {
       // durable reopen: a valid snapshot's recorded per-table positions gate
       // the face backfill (resolved BEFORE binding — the MemoryStream seeds
-      // at attach), so restore is O(state) with zero source replay
-      val restoreSeqs = streamRestoreSeqs("topn")
+      // at attach), so restore is O(state) with zero source replay. The
+      // snapshot PARTS are loaded before anything binds: a partially
+      // written snapshot dir (data but no inner, unreadable parquet) must
+      // fall back to replay recovery — gating the faces first and failing
+      // the read after would silently skip the gated rows.
+      val restored = streamRestoreSeqs("topn").flatMap { seqs =>
+        engine.mvSnapshotDirFor(viewName).flatMap { d =>
+          try {
+            if (!new java.io.File(s"$d/inner").isDirectory ||
+                !new java.io.File(s"$d/data").isDirectory) None
+            else {
+              val inner = spark.read.parquet(s"$d/inner").localCheckpoint(true)
+              val bound =
+                if (new java.io.File(s"$d/bound").isDirectory)
+                  spark.read.parquet(s"$d/bound").collect().headOption
+                else None
+              val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
+              Some((seqs, inner, bound, snap))
+            }
+          } catch { case _: Throwable => None }
+        }
+      }
       val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName,
-        restoreSeqs.getOrElse(Map.empty))(
+        restored.map(_._1).getOrElse(Map.empty))(
         spark.sql(engine.rewrite(innerStmt)))
       val analyzed = sdf.queryExecution.analyzed
       val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
@@ -490,14 +527,10 @@ final class MaterializedView private[engine](
       topNInnerStmt = innerStmt
       topNCacheMargin = math.max(2 * n, 16)
       topNBound = None
-      for (_ <- restoreSeqs; d <- engine.mvSnapshotDirFor(viewName)) {
-        innerState = Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
-        innerState.get.createOrReplaceTempView(topNSrcView)
-        topNBound =
-          if (new java.io.File(s"$d/bound").isDirectory)
-            spark.read.parquet(s"$d/bound").collect().headOption
-          else None
-        val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
+      restored.foreach { case (_, inner, bound, snap) =>
+        innerState = Some(inner)
+        inner.createOrReplaceTempView(topNSrcView)
+        topNBound = bound
         snapshot = Some(snap)
         snap.createOrReplaceTempView(viewName)
       }
@@ -541,10 +574,34 @@ final class MaterializedView private[engine](
     try {
       sessionTsCol = tsCol.split('.').last // raw state carries bare columns
       val innerStmt = s"SELECT * FROM $tbl"
-      // durable reopen: see tryStartTopN — resolved before the faces bind
-      val restoreSeqs = streamRestoreSeqs("session")
+      // durable reopen: see tryStartTopN — snapshot parts load BEFORE the
+      // faces bind, so a partial/unreadable snapshot falls back to replay
+      // instead of gating the faces past rows no restored state covers
+      val restored = streamRestoreSeqs("session").flatMap { seqs =>
+        engine.mvSnapshotDirFor(viewName).flatMap { d =>
+          try {
+            if (!new java.io.File(s"$d/data").isDirectory) None
+            else {
+              val inner =
+                if (new java.io.File(s"$d/inner").isDirectory)
+                  Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
+                else None
+              val froz =
+                if (new java.io.File(s"$d/frozen").isDirectory)
+                  Some(spark.read.parquet(s"$d/frozen").localCheckpoint(true))
+                else None
+              val cuts =
+                if (new java.io.File(s"$d/cuts").isDirectory)
+                  Some(spark.read.parquet(s"$d/cuts").localCheckpoint(true))
+                else None
+              val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
+              Some((seqs, inner, froz, cuts, snap))
+            }
+          } catch { case _: Throwable => None }
+        }
+      }
       val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName,
-        restoreSeqs.getOrElse(Map.empty))(
+        restored.map(_._1).getOrElse(Map.empty))(
         spark.sql(engine.rewrite(innerStmt)))
       if (!sdf.isStreaming) { engine.releaseStreamReaders(viewName); return false }
       // the statement, re-aimed at the carried-state view; pre-validate
@@ -581,16 +638,13 @@ final class MaterializedView private[engine](
           }
       }
       sessionCuts = None
-      for (_ <- restoreSeqs; d <- engine.mvSnapshotDirFor(viewName)) {
-        if (new java.io.File(s"$d/inner").isDirectory) {
-          innerState = Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
-          innerState.get.createOrReplaceTempView(sessionSrcView)
+      restored.foreach { case (_, inner, froz, cuts, snap) =>
+        inner.foreach { i =>
+          innerState = Some(i)
+          i.createOrReplaceTempView(sessionSrcView)
         }
-        if (new java.io.File(s"$d/frozen").isDirectory)
-          frozen = Some(spark.read.parquet(s"$d/frozen").localCheckpoint(true))
-        if (new java.io.File(s"$d/cuts").isDirectory)
-          sessionCuts = Some(spark.read.parquet(s"$d/cuts").localCheckpoint(true))
-        val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
+        frozen = froz
+        sessionCuts = cuts
         snapshot = Some(snap)
         snap.createOrReplaceTempView(viewName)
       }
@@ -791,22 +845,28 @@ final class MaterializedView private[engine](
   }
 
   /** Changelog-cascade admission: the statement is a Keyed or global
-    * (GlobalRow) aggregate over one or more upstream MVs (plus, optionally,
-    * static catalog tables) and references no live tables. Such chains can't bind a streaming
-    * face — the upstreams' deltas are UPDATES/RETRACTIONS, which an append
-    * stream can't carry — but they ARE incrementally maintainable by
-    * consuming the upstreams' 4-op changelogs (the reference's server
-    * maintains arbitrary MV-on-MV chains this way,
-    * `risingwave/core.py:451-456`): per epoch, the delta payloads (both
-    * halves of each retraction pair) name every downstream group whose
-    * input changed; only those groups are recomputed and folded into state
-    * ([[cascadeRefresh]]). Works over ANY changelog-emitting upstream —
-    * update-mode aggregate, top-N, session, EOWC, even one demoted to
-    * batch re-run — because the 4-op envelope is mode-independent. */
+    * (GlobalRow) aggregate over one or more changelog-emitting upstreams —
+    * MVs and/or live tables — plus, optionally, static catalog tables.
+    * Such chains can't bind a streaming face (an MV upstream's deltas are
+    * UPDATES/RETRACTIONS, which an append stream can't carry; a PK/upsert
+    * or DML-mutated table's raw append log double-counts overwritten
+    * versions) — but they ARE incrementally maintainable by consuming the
+    * upstreams' 4-op changelogs (the reference's server maintains
+    * arbitrary MV-on-MV chains AND MVs over upsert tables this way,
+    * `risingwave/core.py:451-456`, `:506-513`): per epoch, the delta
+    * payloads (both halves of each retraction pair) name every downstream
+    * group whose input changed; only those groups are recomputed and
+    * folded into state ([[cascadeRefresh]]). Works over ANY
+    * changelog-emitting upstream — update-mode aggregate, top-N, session,
+    * EOWC, a table's upsert/DML diff, even an MV demoted to batch re-run —
+    * because the 4-op envelope is mode-independent. Live-table upstreams
+    * have emission switched on at admission ([[LiveTable.enableChangelog]]
+    * — lazy, so unobserved tables pay no double-write); the initial
+    * backfill below covers all pre-admission history. */
   private def tryStartCascade(): Boolean = {
-    if (engine.referencedLiveTables(stmt).nonEmpty) return false
+    val tbls = engine.referencedLiveTables(stmt)
     val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
-    if (ups.isEmpty) return false
+    if (ups.isEmpty && tbls.isEmpty) return false
     val preOffset = changeLog.latestOffset
     try {
       val rewritten = engine.rewrite(stmt)
@@ -840,7 +900,9 @@ final class MaterializedView private[engine](
       }
       keyMode = mode
       isAggMode = true
-      cascadeUpstreams = ups
+      cascadeUpstreams =
+        ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
+          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
       cascadeMode = true
       // durable reopen: restored state + consumed upstream offsets resume
       // maintenance exactly where the previous incarnation stopped —
@@ -894,7 +956,7 @@ final class MaterializedView private[engine](
   private def cascadeRefresh(): Unit = synchronized {
     import org.apache.spark.sql.functions.col
     if (cascadeUpstreams.isEmpty) return
-    val latests = cascadeUpstreams.map(u => u -> u.changeLog.latestOffset)
+    val latests = cascadeUpstreams.map(u => u -> u.log.latestOffset)
     val anyNew = latests.exists { case (u, l) =>
       l > cascadeOffsets.getOrElse(u.viewName, 0L) }
     if (!anyNew && snapshot.nonEmpty) return
@@ -913,11 +975,11 @@ final class MaterializedView private[engine](
       // replay — emitting first would double the backfill on failure
       emitOps(Changelog.diff(None, vis, keyCols))
     } else {
-      val parts: Seq[(MaterializedView, Option[DataFrame])] =
+      val parts: Seq[(MaterializedView.CascadeSrc, Option[DataFrame])] =
         latests.map { case (u, l) =>
           val after = cascadeOffsets.getOrElse(u.viewName, 0L)
           val p = if (l > after)
-            Some(u.changeLog.dfAfter(after).drop("op", "rw_timestamp"))
+            Some(u.log.dfAfter(after).drop("op", "rw_timestamp"))
           else None
           cascadeOffsets(u.viewName) = l
           (u, p)
@@ -948,7 +1010,7 @@ final class MaterializedView private[engine](
           p.createOrReplaceTempView(dv); tempViews += dv
           if (changed.size > 1) {
             val cv = s"__cascade_cover_${u.viewName}"
-            u.df.unionByName(p).createOrReplaceTempView(cv); tempViews += cv
+            u.snap().unionByName(p).createOrReplaceTempView(cv); tempViews += cv
           }
         }
         changed.map { case (u, _) =>
@@ -1307,9 +1369,13 @@ final class MaterializedView private[engine](
         frozen.foreach(_.write.mode("overwrite").parquet(s"$staging/frozen"))
         sessionCuts.foreach(_.write.mode("overwrite").parquet(s"$staging/cuts"))
       }
+      // keyed by the unambiguous mangled viewName: two same-named tables in
+      // different schemas must not collide in the meta (last-write-wins
+      // would seq-gate one table's face past rows the restored state never
+      // consumed — silent row loss instead of a refused restore)
       val tblSeqs =
         if (topNMode || sessionMode)
-          engine.referencedLiveTables(stmt).map(t => s"tbl\t${t.name}\t${t.currentSeq}")
+          engine.referencedLiveTables(stmt).map(t => s"tbl\t${t.viewName}\t${t.currentSeq}")
         else Nil
       val meta = (Seq(stmtMd5, changeLog.latestOffset.toString, mode) ++
         cascadeOffsets.toSeq.sortBy(_._1).map { case (v, o) => s"mv\t$v\t$o" } ++
@@ -1376,7 +1442,10 @@ final class MaterializedView private[engine](
   private def streamRestoreSeqs(mode: String): Option[Map[String, Long]] =
     validSnapshotMeta(mode).map(_._3).filter { seqs =>
       val tbls = engine.referencedLiveTables(stmt)
-      tbls.nonEmpty && tbls.forall(t => seqs.get(t.name).exists(_ <= t.currentSeq)) &&
+      // every referenced table needs an EXACT viewName-keyed entry — a
+      // missing key (incl. a legacy bare-name snapshot) refuses the
+      // restore and falls back to replay recovery
+      tbls.nonEmpty && tbls.forall(t => seqs.get(t.viewName).exists(_ <= t.currentSeq)) &&
         engine.referencedMvs(stmt, excluding = (schemaName, name)).isEmpty
     }
 
@@ -1405,6 +1474,14 @@ object MaterializedView {
     * visible: [[MaterializedView#cascadeVisible]] filters on it and drops it
     * before the snapshot or any changelog op is derived. */
   private[engine] val HavingCol = "__graft_having"
+
+  /** One changelog-emitting cascade upstream — an MV (log = its changelog,
+    * snap = its snapshot) or a live table (log = its table changelog,
+    * snap = its upsert-resolved batch face). `viewName` is the mangled
+    * name the rewritten statement references, used for delta/cover-view
+    * retargeting in [[MaterializedView#cascadeRefresh]]. */
+  private[engine] final case class CascadeSrc(
+      viewName: String, log: ChangeLog, snap: () => org.apache.spark.sql.DataFrame)
 
   /** Epoch-diff keying strategy — see [[MaterializedView#deriveMode]]. */
   private[engine] sealed trait KeyMode

@@ -405,6 +405,47 @@ object StreamingParity {
         .toDF("n_insert", "n_update_insert", "n_update_delete")
     },
 
+    // Upsert→cascade (round-8): the reference's CANONICAL shape — a keyed
+    // upsert table (`risingwave/core.py:506-513`) with an aggregate MV over
+    // it (`:451-456`) — maintained INCREMENTALLY: the table emits its own
+    // 4-op changelog (UpdateDelete/UpdateInsert per overwritten key), and
+    // the MV folds it through the changelog-cascade path instead of batch
+    // re-running the aggregate every FLUSH. Chunked ingest in event_id
+    // order re-writes most keys repeatedly (events has ~8 rows per
+    // user_id), so the retraction fold is exercised hard. Mode-asserted —
+    // batch re-run would match values anyway.
+    q("m_mv_upsert_cascade_incremental",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val t = rw.createTable("m_upc_t",
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("value", DoubleType), StructField("event_id", LongType))),
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      rw.mv(
+        """SELECT user_id % 10 AS bucket, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM m_upc_t GROUP BY 1""".stripMargin, "m_upc_mv")
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        t.insert(chunk.toSeq); rw.flush()
+      }
+      val mv = rw.mvByName("m_upc_mv").get
+      require(mv.isChangelogCascadeMode,
+        "aggregate over the upsert table fell back to batch re-run — " +
+          "must consume the table's changelog")
+      val out = mv.df.withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // K6 — upsert table with version column, fed through the live ingest
     // path: latest event per user wins.
     q("m_upsert_version_table",
