@@ -14,9 +14,11 @@ import scala.jdk.CollectionConverters._
   * `risingwave/core.py:506-513`).
   *
   * Dual representation:
-  *  - a [[MemoryStream]] PER MV maintainer (each backfilled with history at
-  *    attach time — a shared stream would let one query's commits prune
-  *    batches another query hasn't read);
+  *  - a streaming face PER MV maintainer: a file-source stream over the
+  *    spilled segments (attach-time backfill, executor-side) unioned with
+  *    a per-reader [[MemoryStream]] that seeds the driver-resident tail
+  *    and carries live appends — per-reader because a shared stream would
+  *    let one query's commits prune batches another query hasn't read;
   *  - an accumulated batch view under the (schema-mangled) table name for
   *    interactive `fetch` SQL.
   *
@@ -65,15 +67,16 @@ final class LiveTable(
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)); d
   }.getOrElse(java.nio.file.Files.createTempDirectory("graft-table-").toString)
 
-  /** One MemoryStream per reader (= MV maintainer). A SHARED stream is
-    * wrong twice over: MemoryStream prunes batches once its reading query
-    * commits them, so (a) two queries reading at different paces race for
-    * the same buffer, and (b) an MV created after ingest started misses the
-    * pruned history entirely. Each reader instead gets its own stream,
-    * seeded with the full row history at attach time (the CREATE MV
-    * backfill the reference's server performs) and fed every subsequent
-    * batch until released. */
-  private val readerStreams = scala.collection.mutable.Map[String, MemoryStream[Row]]()
+  /** One MemoryStream per reader (= MV maintainer), paired with the
+    * reader's full face DF (file-source backfill unioned with the stream —
+    * see [[streamingDFFor]]). A SHARED stream is wrong twice over:
+    * MemoryStream prunes batches once its reading query commits them, so
+    * (a) two queries reading at different paces race for the same buffer,
+    * and (b) an MV created after ingest started misses the pruned history
+    * entirely. Each reader instead gets its own stream, fed every
+    * subsequent batch until released. */
+  private val readerStreams =
+    scala.collection.mutable.Map[String, (MemoryStream[Row], DataFrame)]()
 
   def viewName: String = Dialect.mangle(schemaName, name)
 
@@ -167,33 +170,52 @@ final class LiveTable(
   }
 
   /** Streaming face for one named reader — backfills existing rows (spilled
-    * segments + memory tail, in ingestion order) on first attach. A
-    * non-negative `afterSeq` backfills only rows with `__seq > afterSeq`:
-    * the durable-snapshot reopen path, where the reader's restored
-    * maintainer state already accounts for everything at or below it. Call
-    * [[dropReader]] when the reader goes away (MV dropped, demoted, or
-    * failed to start) or its stream buffers forever. */
+    * segments + memory tail) on first attach. A non-negative `afterSeq`
+    * backfills only rows with `__seq > afterSeq`: the durable-snapshot
+    * reopen path, where the reader's restored maintainer state already
+    * accounts for everything at or below it.
+    *
+    * The spilled history backfills EXECUTOR-SIDE (round 8, like
+    * [[MaterializedView.fileFace]]): a file-source stream over the segment
+    * dir, seq-bounded to the segments committed at attach time, unioned
+    * with the reader's MemoryStream. The MemoryStream seeds only the
+    * driver-RESIDENT memory tail (bounded by the spill threshold — no
+    * round trip; the rows are already on the driver) and carries every
+    * subsequent append. The static `__seq <= spillBound` bound makes the
+    * split exact: a post-attach spill segment holds only rows the
+    * MemoryStream already delivered (seq > bound — filtered out of the
+    * file part), and a post-attach bulk segment feeds through the
+    * MemoryStream chunk loop in [[insertBulk]] (also > bound). So a
+    * bulk-loaded 100 TB table backfills a late-created MV without one row
+    * crossing the driver; only live per-flush appends take the
+    * driver-side MemoryStream hop — the reference's own insert shape.
+    *
+    * Call [[dropReader]] when the reader goes away (MV dropped, demoted,
+    * or failed to start) or its stream buffers forever. */
   def streamingDFFor(reader: String, afterSeq: Long = -1L): DataFrame = synchronized {
-    val ms = readerStreams.getOrElseUpdate(reader, {
+    readerStreams.getOrElseUpdate(reader, {
       val s = MemoryStream[Row](enc, spark)
-      if (afterSeq >= 0L) {
-        rawHistoryDF.filter(col("__seq") > afterSeq)
-          .orderBy("__seq").drop("__seq")
-          .toLocalIterator().asScala.grouped(100000)
-          .foreach(chunk => s.addData(chunk.toSeq))
-      } else if (segments.nonEmpty) {
-        // segments + tail, in ingestion order; crosses the driver in
-        // bounded chunks (toLocalIterator holds one partition at a time) —
-        // the MemoryStream boundary is driver-side by construction, like
-        // the reference's insert path
-        rawHistoryDF.orderBy("__seq").drop("__seq")
-          .toLocalIterator().asScala.grouped(100000)
-          .foreach(chunk => s.addData(chunk.toSeq))
-      } else if (allRows.nonEmpty)
-        s.addData(allRows.toList.map(r => Row.fromSeq(r.toSeq.dropRight(1))))
-      s
-    })
-    ms.toDF()
+      val spillBound = segments.lastOption.map(_._2).getOrElse(0L)
+      val tail = allRows.toList
+        .filter(_.getLong(schema.length) > math.max(spillBound, afterSeq))
+        .map(r => Row.fromSeq(r.toSeq.dropRight(1)))
+      if (tail.nonEmpty) s.addData(tail)
+      val face =
+        if (segments.nonEmpty && spillBound > afterSeq) {
+          val fileDF = spark.readStream
+            .schema(withSeq)
+            // recovered durable segments can be arbitrarily old
+            .option("maxFileAge", "3650d")
+            .parquet(s"$segDir/seg-*")
+            // late-appearing files (post-attach spills/bulk segments) are
+            // listed by the stream but hold only seqs above the bound —
+            // read-and-discarded, never double-counted
+            .where(col("__seq") <= spillBound && col("__seq") > afterSeq)
+            .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+          fileDF.unionByName(s.toDF())
+        } else s.toDF()
+      (s, face)
+    })._2
   }
 
   /** Current ingestion sequence — recorded in durable MV snapshots so a
@@ -302,7 +324,7 @@ final class LiveTable(
         .toLocalIterator().asScala.grouped(batchSize)
         .foreach { chunk =>
           val rs = chunk.toSeq
-          readerStreams.values.foreach(_.addData(rs))
+          readerStreams.values.foreach(_._1.addData(rs))
         }
     }
     refreshView()
@@ -321,7 +343,7 @@ final class LiveTable(
     allRows ++= rows
     // the streaming faces carry the declared schema (no __seq)
     val faces = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1)))
-    readerStreams.values.foreach(_.addData(faces))
+    readerStreams.values.foreach(_._1.addData(faces))
     // bound the driver tail — spill the oldest half past the threshold into
     // a parquet segment (the tail stays hot for cheap reads); applies to
     // ephemeral tables too, so table volume is never capped by driver heap
