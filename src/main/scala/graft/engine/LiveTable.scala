@@ -269,13 +269,39 @@ final class LiveTable(
 
   private def alignRow(values: Map[String, Any]): Row = {
     seq += 1
-    Row.fromSeq(schema.fields.map(f => values.getOrElse(f.name, null)).toSeq :+ seq)
+    Row.fromSeq(schema.fields.map(f =>
+      coerceTemporal(values.getOrElse(f.name, null), f.dataType)).toSeq :+ seq)
   }
+
+  /** Ingest-boundary temporal coercion: the declared column type wins.
+    * PG `TIMESTAMP` is zoneless (TimestampNTZType) while `TIMESTAMPTZ` is
+    * instant-based (TimestampType) — callers routinely hold the other
+    * representation (an NTZ-parquet read yields LocalDateTime; most JDBC-ish
+    * code yields java.sql.Timestamp). Mirrors Spark's own
+    * `CAST(ts AS TIMESTAMP[_NTZ])` semantics: the wall clock is
+    * reinterpreted in the session time zone. Non-temporal values pass
+    * through untouched — the Row encoder stays the type check. */
+  private lazy val sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+  private def coerceTemporal(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+    (v, dt) match {
+      case (t: java.sql.Timestamp, org.apache.spark.sql.types.TimestampNTZType) =>
+        t.toInstant.atZone(sessionZone).toLocalDateTime
+      case (i: java.time.Instant, org.apache.spark.sql.types.TimestampNTZType) =>
+        i.atZone(sessionZone).toLocalDateTime
+      case (l: java.time.LocalDateTime, org.apache.spark.sql.types.TimestampType) =>
+        java.sql.Timestamp.from(l.atZone(sessionZone).toInstant)
+      case _ => v
+    }
+
+  private def coerceRow(r: Row): Seq[Any] =
+    r.toSeq.zip(schema.fields).map { case (v, f) => coerceTemporal(v, f.dataType) }
 
   /** K4 — DataFrame/batch append (flushes the row buffer first). */
   def insert(rows: Seq[Row]): Unit = synchronized {
     flushBuffer()
-    addBatch(rows.map(r => { seq += 1; Row.fromSeq(r.toSeq :+ seq) }))
+    addBatch(rows.map(r => { seq += 1; Row.fromSeq(coerceRow(r) :+ seq) }))
   }
 
   /** K4 — DataFrame insert for arbitrary input sizes, routed through the
@@ -306,14 +332,26 @@ final class LiveTable(
     // could disagree and mis-assign __seq (duplicates/gaps break upsert
     // version tie-breaking); the checkpoint also halves the cost of the
     // double execution for expensive sources
-    val src = df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    // assignment casts (PG INSERT semantics): the declared column types win
+    // — an NTZ-parquet source lands in a TIMESTAMPTZ column (and vice versa)
+    // without the caller casting; no-op when types already match
+    val src = df.select(schema.fields.toIndexedSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       .localCheckpoint(true)
+    // row count rides a LongAccumulator on the write pass (the ChangeLog
+    // .appendDF idiom) — the old footer-read-back was a whole extra Spark
+    // job per bulk insert. A retried write task would overcount; that only
+    // overstates the segment's metadata count/maxSeq (seq stays monotone,
+    // upsert resolution keys on per-row __seq values) — never row loss.
+    val acc = spark.sparkContext.longAccumulator
     val stamped = spark.createDataFrame(
-      src.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + 1 + i)) },
-      withSeq)
+      src.rdd.zipWithIndex().map { case (r, i) =>
+        acc.add(1L)
+        Row.fromSeq(r.toSeq :+ (base + 1 + i))
+      }, withSeq)
     val staging = s"$segDir/staging-bulk-${base + 1}"
     stamped.write.mode("overwrite").parquet(staging)
-    val n = spark.read.parquet(staging).count()
+    val n = acc.value.longValue()
     if (n == 0) { SegmentFiles.delete(staging); return }
     val path = SegmentFiles.path(segDir, base + 1, base + n, n)
     SegmentFiles.commit(staging, path)
@@ -429,15 +467,23 @@ final class LiveTable(
     // retractions, or SINCE replay would retract rows it never saw arrive
     emitChangelog()
     val before = batchDF.localCheckpoint(true)
-    val next = f(before).select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    // same assignment casts as insertBulk: SET expressions may widen types
+    val next = f(before).select(schema.fields.toIndexedSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       .localCheckpoint(true)
     val base = seq
+    // count rides a LongAccumulator on the write pass — same idiom as
+    // insertBulk/ChangeLog.appendDF; the footer-read-back count() was one
+    // redundant job per DML rewrite
+    val acc = spark.sparkContext.longAccumulator
     val stamped = spark.createDataFrame(
-      next.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + 1 + i)) },
-      withSeq)
+      next.rdd.zipWithIndex().map { case (r, i) =>
+        acc.add(1L)
+        Row.fromSeq(r.toSeq :+ (base + 1 + i))
+      }, withSeq)
     val staging = s"$segDir/staging-mut-${base + 1}"
     stamped.write.mode("overwrite").parquet(staging)
-    val n = spark.read.parquet(staging).count()
+    val n = acc.value.longValue()
     val retired = segments.map(_._3).toList
     segments.clear()
     allRows.clear()

@@ -708,9 +708,11 @@ class EngineSpec extends SparkSpec {
     // with NO attached streaming readers, the bulk path must be fully
     // executor-side: rows land in a stamped parquet segment — never a
     // driver collect, never even a toLocalIterator chunk walk
+    // `count at` too (round-9): the staged segment used to be re-read with
+    // an extra count() job; the count now rides a LongAccumulator
     val off = callSites.synchronized {
       callSites.filter(cs => (cs.startsWith("collect at") ||
-        cs.startsWith("toLocalIterator at")) &&
+        cs.startsWith("toLocalIterator at") || cs.startsWith("count at")) &&
         (cs.contains("LiveTable.scala") || cs.contains("GraftEngine.scala")))
     }
     assert(off.isEmpty, s"bulk ingest crossed the driver: ${off.distinct.mkString(", ")}")
