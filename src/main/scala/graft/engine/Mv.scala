@@ -378,10 +378,14 @@ final class MaterializedView private[engine](
 
     // `... ORDER BY ... LIMIT n` statements are not streamable as-is
     // (Spark's streaming planner rejects sorts), but they ARE incrementally
-    // maintainable: stream the inner statement and re-truncate per epoch.
-    if (!readsPkTable && !emitOnClose &&
+    // maintainable. Grouped (aggregate-inner) top-N prefers the cascade-
+    // backed maintainer (all state carried → durable snapshots; PK/upsert
+    // and DML-mutated sources admissible via their changelogs); raw top-N
+    // and ineligible inners stream + re-truncate per epoch as before.
+    if (!emitOnClose &&
         Dialect.splitTopNTail(stmt).exists { case (inner, order, n) =>
-          tryStartTopN(inner, order, n) })
+          tryStartTopNCascade(inner, order, n) ||
+            (!readsPkTable && tryStartTopN(inner, order, n)) })
       return
 
     // `session(...)` TVF statements stream through their own path: session
@@ -552,6 +556,165 @@ final class MaterializedView private[engine](
       // statement fails to analyze — don't leak it into the shared catalog
       spark.catalog.dropTempView(topNSrcView)
       false
+    }
+  }
+
+  /** Grouped (aggregate-inner) top-N as a changelog cascade (round 9,
+    * RisingWave's GroupTopN shape over its state-table re-fetch). Instead
+    * of holding the inner aggregate in Spark's streaming state store —
+    * which cannot be restored across an engine reopen, forcing replay
+    * recovery — the maintainer derives the inner's per-epoch delta the way
+    * [[cascadeRefresh]] does: consume the sources' 4-op changelogs, derive
+    * the touched inner keys, recompute exactly those groups against the
+    * sources' current snapshots (semi-join pushdown keeps the cost
+    * delta-proportional), and feed the result to the same
+    * truncate/bound/re-fetch machinery ([[truncateGrouped]]). ALL
+    * maintainer state is now carried (n+C rows + bound row + consumed
+    * offsets), so durable snapshots restore grouped top-N with zero
+    * statement evals and zero source replay — and retraction-emitting
+    * sources (PK/upsert tables, DML-mutated tables, aggregate upstream
+    * MVs) become admissible: a recomputed touched group that vanished
+    * simply leaves the merge. Inner statements with a top-level HAVING
+    * keep the streaming path (the fold/ranking interplay is not carried
+    * here); sources with no changelog (raw streams) fall back too. */
+  private def tryStartTopNCascade(innerStmt: String, orderText: String, n: Int): Boolean = {
+    val tbls = engine.referencedLiveTables(innerStmt)
+    val ups = engine.referencedMvs(innerStmt, excluding = (schemaName, name))
+    if (ups.isEmpty && tbls.isEmpty) return false
+    val preOffset = changeLog.latestOffset
+    try {
+      val rewritten = engine.rewrite(innerStmt)
+      if (Dialect.foldHaving(rewritten, MaterializedView.HavingCol).nonEmpty)
+        return false
+      val df = spark.sql(rewritten)
+      val analyzed = df.queryExecution.analyzed
+      val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
+      if (!isAgg || !streamingSafe(analyzed)) return false
+      val ks = deriveMode(df) match {
+        case MaterializedView.Keyed(ks) => ks
+        case _ => return false
+      }
+      // pre-validate the truncation tail against the (empty) inner schema
+      spark.createDataFrame(java.util.List.of[Row](), df.schema)
+        .createOrReplaceTempView(topNSrcView)
+      spark.sql(s"SELECT * FROM $topNSrcView ORDER BY $orderText LIMIT $n").schema
+
+      isAggMode = true
+      keyMode = MaterializedView.Multiset // visible snapshot diffs as a multiset
+      keyCols = ks
+      topNOrderText = orderText
+      topNLimit = n
+      topNInnerStmt = innerStmt
+      topNCacheMargin = math.max(2 * n, 16)
+      topNBound = None
+      cascadeStmt = rewritten
+      cascadeHasHaving = false
+      cascadeUpstreams =
+        ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
+          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
+      cascadeMode = true
+      topNMode = true
+      // durable reopen: restored truncation state + bound + consumed source
+      // offsets resume maintenance with zero statement evals and zero
+      // replay. Parts load before anything commits; a partial/unreadable
+      // snapshot (or a source log reset below a recorded offset) falls back
+      // to the initial-epoch backfill.
+      val restored = validSnapshotMeta("topncascade").flatMap { case (d, offsets, _) =>
+        try {
+          if (!new java.io.File(s"$d/inner").isDirectory ||
+              !new java.io.File(s"$d/data").isDirectory ||
+              !cascadeUpstreams.forall(u =>
+                offsets.get(u.viewName).exists(_ <= u.log.latestOffset)))
+            None
+          else {
+            val inner = spark.read.parquet(s"$d/inner").localCheckpoint(true)
+            val bound =
+              if (new java.io.File(s"$d/bound").isDirectory)
+                spark.read.parquet(s"$d/bound").collect().headOption
+              else None
+            val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
+            Some((offsets, inner, bound, snap))
+          }
+        } catch { case _: Throwable => None }
+      }
+      restored match {
+        case Some((offsets, inner, bound, snap)) =>
+          offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
+          innerState = Some(inner)
+          topNBound = bound
+          snapshot = Some(snap)
+          snap.createOrReplaceTempView(viewName)
+        case None => topNCascadeEpoch() // initial backfill
+      }
+      true
+    } catch { case _: Throwable =>
+      cascadeMode = false
+      topNMode = false
+      cascadeUpstreams = Nil
+      innerState = None
+      topNBound = None
+      spark.catalog.dropTempView(topNSrcView)
+      // same half-backfill discipline as tryStartCascade: if no ops were
+      // emitted the fallback runs its own backfill from scratch
+      if (changeLog.latestOffset == preOffset) snapshot = None
+      false
+    }
+  }
+
+  /** One grouped-top-N cascade epoch: consume the source changelogs,
+    * derive the touched inner keys, recompute exactly those groups, then
+    * run the standard truncate → visible-eval → multiset-diff sequence of
+    * [[handleTopNDelta]]. The first epoch (no snapshot yet) evaluates the
+    * inner once and seeds the n+C state and eviction bound from the full
+    * ranking. */
+  private def topNCascadeEpoch(): Unit = synchronized {
+    import org.apache.spark.sql.functions.col
+    if (cascadeUpstreams.isEmpty) return
+    val latests = cascadeUpstreams.map(u => u -> u.log.latestOffset)
+    val anyNew = latests.exists { case (u, l) =>
+      l > cascadeOffsets.getOrElse(u.viewName, 0L) }
+    if (!anyNew && snapshot.nonEmpty) return
+
+    if (snapshot.isEmpty) {
+      latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
+      statementEvals += 1
+      val full = spark.sql(cascadeStmt).localCheckpoint(true)
+      val kept = topNEval(full, topNLimit + topNCacheMargin).localCheckpoint(true)
+      val evictedF = keyJoin(full, kept.select(keyCols.map(col): _*), "left_anti")
+      topNBound = topNEval(evictedF, 1).collect().headOption
+      innerState = Some(kept)
+      val vis = topNEval(kept).localCheckpoint(true)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+      emitOps(Changelog.multisetDiff(None, vis))
+    } else {
+      val parts = latests.map { case (u, l) =>
+        val after = cascadeOffsets.getOrElse(u.viewName, 0L)
+        val p = if (l > after)
+          Some(u.log.dfAfter(after).drop("op", "rw_timestamp"))
+        else None
+        cascadeOffsets(u.viewName) = l
+        (u, p)
+      }
+      val changed = parts.collect { case (u, Some(p)) => (u, p) }
+      if (changed.isEmpty) return
+      val touched = cascadeTouchedKeys(changed)
+      if (timed("touched-empty-check")(touched.isEmpty)) return
+      statementEvals += 1
+      val newTouched = timed("group-recompute")(
+        keyJoin(spark.sql(cascadeStmt), touched, "left_semi").localCheckpoint(true))
+      // drop ALL touched keys before unioning the recomputed rows: a
+      // touched group with no recomputed row (all its inputs retracted)
+      // must leave the carried state — update-mode streaming could never
+      // name such a group, but cascade retractions can
+      val merged = keyJoin(innerState.get, touched, "left_anti").union(newTouched)
+      innerState = Some(timed("truncate")(
+        truncateGrouped(merged, touched).localCheckpoint(true)))
+      val nextVisible = timed("visible-eval")(
+        topNEval(innerState.get).localCheckpoint(true))
+      emitOps(Changelog.multisetDiff(snapshot, nextVisible))
+      snapshot = Some(nextVisible)
+      snapshot.get.createOrReplaceTempView(viewName)
     }
   }
 
@@ -1001,30 +1164,7 @@ final class MaterializedView private[engine](
         vis.createOrReplaceTempView(viewName)
         return
       }
-      def retarget(sql: String, from: String, to: String): String =
-        sql.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b", to)
-      val tempViews = scala.collection.mutable.ArrayBuffer[String]()
-      val touched = timed("touched-keys")(try {
-        changed.foreach { case (u, p) =>
-          val dv = s"__cascade_delta_${u.viewName}"
-          p.createOrReplaceTempView(dv); tempViews += dv
-          if (changed.size > 1) {
-            val cv = s"__cascade_cover_${u.viewName}"
-            u.snap().unionByName(p).createOrReplaceTempView(cv); tempViews += cv
-          }
-        }
-        changed.map { case (u, _) =>
-          val sql = changed.foldLeft(cascadeStmt) { case (s, (o, _)) =>
-            if (o.viewName == u.viewName)
-              retarget(s, o.viewName, s"__cascade_delta_${o.viewName}")
-            else retarget(s, o.viewName, s"__cascade_cover_${o.viewName}")
-          }
-          spark.sql(sql).select(keyCols.map(col): _*)
-        }.reduce(_ union _).distinct().localCheckpoint(true)
-      } catch { case _: Throwable =>
-        spark.sql(cascadeStmt).select(keyCols.map(col): _*).distinct()
-          .localCheckpoint(true)
-      } finally tempViews.foreach(spark.catalog.dropTempView(_)))
+      val touched = cascadeTouchedKeys(changed)
       if (timed("touched-empty-check")(touched.isEmpty)) return
       statementEvals += 1
       val full = spark.sql(cascadeStmt)
@@ -1053,6 +1193,42 @@ final class MaterializedView private[engine](
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
     }
+  }
+
+  /** Downstream keys a cascade epoch must recompute: the statement
+    * retargeted once per changed upstream onto a private view over that
+    * upstream's delta payload (other changed upstreams bind to snapshot ∪
+    * delta — see [[cascadeRefresh]]'s doc for why the union is required).
+    * Falls back to ALL current keys when the retargeted text fails to
+    * analyze (over-touching recomputes idempotently). Shared by the plain
+    * cascade and the grouped-top-N cascade epochs. */
+  private def cascadeTouchedKeys(
+      changed: Seq[(MaterializedView.CascadeSrc, DataFrame)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def retarget(sql: String, from: String, to: String): String =
+      sql.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b", to)
+    val tempViews = scala.collection.mutable.ArrayBuffer[String]()
+    timed("touched-keys")(try {
+      changed.foreach { case (u, p) =>
+        val dv = s"__cascade_delta_${u.viewName}"
+        p.createOrReplaceTempView(dv); tempViews += dv
+        if (changed.size > 1) {
+          val cv = s"__cascade_cover_${u.viewName}"
+          u.snap().unionByName(p).createOrReplaceTempView(cv); tempViews += cv
+        }
+      }
+      changed.map { case (u, _) =>
+        val sql = changed.foldLeft(cascadeStmt) { case (s, (o, _)) =>
+          if (o.viewName == u.viewName)
+            retarget(s, o.viewName, s"__cascade_delta_${o.viewName}")
+          else retarget(s, o.viewName, s"__cascade_cover_${o.viewName}")
+        }
+        spark.sql(sql).select(keyCols.map(col): _*)
+      }.reduce(_ union _).distinct().localCheckpoint(true)
+    } catch { case _: Throwable =>
+      spark.sql(cascadeStmt).select(keyCols.map(col): _*).distinct()
+        .localCheckpoint(true)
+    } finally tempViews.foreach(spark.catalog.dropTempView(_)))
   }
 
   /** Visible projection of a cascade's pre-HAVING state: apply the folded
@@ -1104,7 +1280,9 @@ final class MaterializedView private[engine](
     if (d.isEmpty) return
     val merged = mergeDelta(innerState, d, keyed = isAgg)
     innerState = Some(timed("truncate")(
-      (if (isAgg) truncateGrouped(merged) else topNEval(merged))
+      (if (isAgg) truncateGrouped(merged,
+         d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct())
+       else topNEval(merged))
         .localCheckpoint(true)))
     val nextVisible =
       if (isAgg) timed("visible-eval")(topNEval(innerState.get).localCheckpoint(true))
@@ -1117,8 +1295,11 @@ final class MaterializedView private[engine](
   /** Truncate merged grouped-top-N state to top-(n+C), fold newly evicted
     * rows into the bound, and re-fetch on underflow (bound ranks inside
     * the visible top n). Small frames throughout: n+C state rows + the
-    * delta — the only full evaluation is the (rare) re-fetch. */
-  private def truncateGrouped(merged: DataFrame): DataFrame = {
+    * delta — the only full evaluation is the (rare) re-fetch.
+    * `namedKeys` are the keys THIS epoch's delta named (touched keys in
+    * cascade mode): a bound whose key they name is stale even when the
+    * key's group vanished from `merged` entirely (cascade retractions). */
+  private def truncateGrouped(merged: DataFrame, namedKeys: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val kept = topNEval(merged, topNLimit + topNCacheMargin).localCheckpoint(true)
     val evicted = keyJoin(merged, kept.select(keyCols.map(col): _*), "left_anti")
@@ -1131,8 +1312,7 @@ final class MaterializedView private[engine](
     // evaluation instead: one re-fetch now, a fresh tight bound afterwards
     // (strictly better than the stale row's repeated spurious re-fetches).
     val boundKeyReentered = topNBound.exists { b =>
-      !keyJoin(rowDf(b, merged.schema), merged.select(keyCols.map(col): _*)
-        .distinct(), "left_semi").isEmpty
+      !keyJoin(rowDf(b, merged.schema), namedKeys, "left_semi").isEmpty
     }
     if (!boundKeyReentered) {
       val boundPool = topNBound
@@ -1241,7 +1421,8 @@ final class MaterializedView private[engine](
     * in [[GraftEngine.flush]] guarantees the upstream refreshed first. */
   private[engine] def refresh(): Unit = {
     if (streamingMode) timed("stream-drain")(query.foreach(_.processAllAvailable()))
-    else if (cascadeMode) timed("cascade-epoch")(cascadeRefresh())
+    else if (cascadeMode) timed("cascade-epoch")(
+      if (topNMode) topNCascadeEpoch() else cascadeRefresh())
     else synchronized {
       statementEvals += 1
       val next = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
@@ -1342,17 +1523,21 @@ final class MaterializedView private[engine](
     * snapshots. */
   private[engine] def persistSnapshot(): Unit = synchronized {
     if (streamingMode && !topNMode && !sessionMode) return
-    // grouped top-N: the inner update-mode aggregate is state-store
-    // resident and cannot be seeded from a snapshot — replay recovery
-    if (topNMode && isAggMode) return
+    // grouped top-N on the STREAMING path (round-9 fallback for HAVING
+    // inners / changelog-less sources): the inner update-mode aggregate is
+    // state-store resident and cannot be seeded — replay recovery. The
+    // cascade-backed grouped top-N carries all state and persists below.
+    if (topNMode && isAggMode && !cascadeMode) return
     val mode =
-      if (topNMode) "topn"
+      if (topNMode && cascadeMode) "topncascade"
+      else if (topNMode) "topn"
       else if (sessionMode) "session"
       else if (cascadeMode) "cascade"
       else "batch"
-    // face-fed top-N/session state can't record a resumable source
-    // position — keep replay recovery for those
-    if ((topNMode || sessionMode) &&
+    // STREAM-fed top-N/session state can't record a resumable source
+    // position (face positions are not seq-addressable) — keep replay
+    // recovery; cascade sources resume by changelog offset instead
+    if ((topNMode || sessionMode) && !cascadeMode &&
         engine.referencedMvs(stmt, excluding = (schemaName, name)).nonEmpty) return
     for (d <- engine.mvSnapshotDirFor(viewName); snap <- snapshot) {
       val staging = s"$d.staging"
@@ -1374,7 +1559,7 @@ final class MaterializedView private[engine](
       // would seq-gate one table's face past rows the restored state never
       // consumed — silent row loss instead of a refused restore)
       val tblSeqs =
-        if (topNMode || sessionMode)
+        if ((topNMode || sessionMode) && !cascadeMode)
           engine.referencedLiveTables(stmt).map(t => s"tbl\t${t.viewName}\t${t.currentSeq}")
         else Nil
       val meta = (Seq(stmtMd5, changeLog.latestOffset.toString, mode) ++

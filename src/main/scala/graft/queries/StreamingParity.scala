@@ -258,8 +258,8 @@ object StreamingParity {
             |FROM m_tnc_top GROUP BY user_id % 5""".stripMargin)))
       val up = rw.mvByName("m_tnc_top").get
       val down = rw.mvByName("m_tnc_roll").get
-      require(up.isStreamingMode && up.isTopNMode,
-        "leaderboard fell back to batch re-run — must take the incremental top-N path")
+      require(up.isTopNMode && up.isChangelogCascadeMode,
+        "leaderboard fell back to batch re-run — must take the cascade-backed top-N path")
       require(down.isChangelogCascadeMode,
         "rollup over the top-N MV fell back to batch re-run — must consume its changelog")
       val out = down.df.withColumn("sv", col("sv").cast("double"))

@@ -175,24 +175,36 @@ class DurabilitySpec extends SparkSpec {
     rw2.close()
   }
 
-  test("grouped top-N keeps replay recovery and still restores the right values") {
+  test("grouped top-N restores its carried state — zero evals, zero replay") {
+    // round-9: the cascade-backed grouped top-N carries ALL maintainer
+    // state (n+C truncation + bound + consumed source offsets), so reopen
+    // is O(state) like the raw-top-N path — no statement re-run, no source
+    // replay, and later deltas still fold into full per-key history
+    // because touched groups recompute against the source snapshot.
     val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
     rw1.createTable("dtg_t", schema)
     val stmt = "SELECT k, CAST(SUM(v) AS BIGINT) AS s FROM dtg_t " +
       "GROUP BY k ORDER BY s DESC, k LIMIT 2"
     val m1 = rw1.mv(stmt, "dtg_mv")
-    assert(m1.isTopNMode)
+    assert(m1.isTopNMode && m1.isChangelogCascadeMode)
     rw1.table("dtg_t").get.insert(Seq(Row("a", 10L), Row("b", 7L), Row("c", 3L)))
     rw1.flush()
+    val ops1 = drain(m1.subscription().declareCursor(Some(0L)))
     rw1.close()
     val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
     val m2 = rw2.mv(stmt, "dtg_mv")
-    assert(m2.isTopNMode)
+    assert(m2.isTopNMode && m2.isChangelogCascadeMode,
+      "restored MV must stay on the cascade-backed top-N path")
+    assert(m2.statementEvals == 0L,
+      "restore must not re-run the inner statement over base data")
+    assert(m2.consumedRows == 0L,
+      "restore must not replay source rows — carried state covers them")
     def vis() = m2.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(vis() == Set(("a", 10L), ("b", 7L)))
-    // the replayed inner aggregate carries the FULL per-key sums, so a
-    // later delta folds into history (a snapshot-seeded inner could not)
+    assert(drain(m2.subscription().declareCursor(Some(0L))) == ops1,
+      "SINCE-0 replay must be unchanged across the restore")
+    // maintenance resumes: b's recompute sees the FULL per-key history
     rw2.table("dtg_t").get.insert(Seq(Row("b", 8L))) // b: 15
     rw2.flush()
     assert(vis() == Set(("b", 15L), ("a", 10L)))

@@ -143,6 +143,40 @@ class EngineSpec extends SparkSpec {
     assert(prog.nonEmpty && prog.head.getLong(0) == sub2.currentPosition)
   }
 
+  test("MV over the persisted-progress table cascades (reference persist-progress flow)") {
+    // the reference's own monitoring shape: `risingwave/core.py:506-513`
+    // creates the upsert progress table, `:550-557` upserts one row per
+    // delivered batch. An aggregate MV over that table must maintain
+    // through the table's keyed changelog (round-8 upsert cascades) —
+    // batch re-running it per FLUSH would scale with table size, not with
+    // the delivered batches.
+    rw.createTable("pp_t", StructType(Seq(StructField("x", LongType))))
+    rw.mv("SELECT x FROM pp_t", "pp_mv")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val sub = rw.subscriptionFor("pp_mv", subName = "pp_progress", persistProgress = true)
+      .declareCursor(Some(0L))
+    val mon = rw.mv(
+      "SELECT sub_name, CAST(MAX(progress) AS BIGINT) AS p " +
+        "FROM risingwave_py_sub_progress GROUP BY sub_name", "pp_monitor")
+    assert(mon.isChangelogCascadeMode,
+      "aggregate over the upsert progress table must consume its changelog")
+    val th = new Thread(() => sub.consume(rows => rows.foreach(r => seen.add(r.getLong(0))), 5))
+    th.start()
+    rw.insertRow("pp_t", values = Map("x" -> 1L), forceFlush = true)
+    rw.insertRow("pp_t", values = Map("x" -> 2L), forceFlush = true)
+    val deadline = System.currentTimeMillis() + 10000
+    while (seen.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    sub.close(); th.join(5000)
+    assert(seen.size == 2)
+    rw.flush()
+    // the monitor tracked the upserts incrementally and reads the final
+    // persisted offset (== the cursor position after delivery)
+    val got = rw.fetch("SELECT p FROM pp_monitor WHERE sub_name = 'pp_progress'")
+    assert(got.nonEmpty && got.head.getLong(0) == sub.currentPosition,
+      s"monitor MV must track persisted progress, got $got")
+    assert(mon.isChangelogCascadeMode, "mode must survive epochs")
+  }
+
   test("upsert table with version column keeps max-version row (K6)") {
     rw.execute(
       """CREATE TABLE vt (k STRING PRIMARY KEY, v BIGINT)

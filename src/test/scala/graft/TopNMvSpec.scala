@@ -48,7 +48,8 @@ class TopNMvSpec extends SparkSpec {
     rw.mv("SELECT grp, SUM(CAST(score AS DECIMAL(18,6))) AS s FROM tn_rf " +
       "GROUP BY grp ORDER BY s DESC, grp LIMIT 2", "tn_rf_mv")
     val mv = rw.mvByName("tn_rf_mv").get
-    assert(mv.isStreamingMode && mv.isTopNMode)
+    assert(mv.isTopNMode && mv.isChangelogCascadeMode,
+      "grouped top-N must take the cascade-backed incremental path")
     val t = rw.table("tn_rf").get
     // keys k01..k20 scored 1..20: top-2 {k20, k19}; k01/k02 are EVICTED
     // from the carried state (ranks 19-20 of 20 > n+C=18)
@@ -77,7 +78,7 @@ class TopNMvSpec extends SparkSpec {
     rw.mv("SELECT grp, SUM(CAST(score AS DECIMAL(18,6))) AS s FROM tn_bd " +
       "GROUP BY grp ORDER BY s DESC, grp LIMIT 1", "tn_bd_mv")
     val mv = rw.mvByName("tn_bd_mv").get
-    assert(mv.isStreamingMode && mv.isTopNMode)
+    assert(mv.isTopNMode && mv.isChangelogCascadeMode)
     mv.topNCacheMargin = 1 // carried state = top 2 keys only
     val t = rw.table("tn_bd").get
     def vis() = mv.df.collect()
@@ -110,7 +111,7 @@ class TopNMvSpec extends SparkSpec {
     rw.createTable("tn_ev2", schema)
     rw.mv("SELECT grp, count(*) AS n FROM tn_ev2 GROUP BY grp ORDER BY n DESC, grp LIMIT 2", "tn_mv2")
     val mv = rw.mvByName("tn_mv2").get
-    assert(mv.isStreamingMode && mv.isTopNMode)
+    assert(mv.isTopNMode && mv.isChangelogCascadeMode)
 
     val t = rw.table("tn_ev2").get
     t.insert(Seq(Row(1L, "a", 0.0), Row(2L, "a", 0.0), Row(3L, "b", 0.0),
@@ -242,6 +243,57 @@ class TopNMvSpec extends SparkSpec {
       .filter(_.getString(0) == "b").map(r => r.getString(r.length - 2))
     assert(ops.count(_ == "UpdateDelete") >= 1 && ops.count(_ == "UpdateInsert") >= 1,
       s"b-group fold must be an update pair, got $ops")
+    rw.close()
+  }
+
+  test("grouped top-N over a PK/upsert table maintains incrementally (round 9)") {
+    // previously batch re-run (the streaming face replays raw version
+    // appends); the cascade-backed path consumes the table's keyed 4-op
+    // changelog, so upsert overwrites fold as retraction + recompute
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.execute(
+      """CREATE TABLE tn_pk (id BIGINT PRIMARY KEY, grp STRING, score DOUBLE)
+        |ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(score)""".stripMargin)
+    val mv = rw.mv("SELECT grp, CAST(SUM(score) AS DOUBLE) AS s FROM tn_pk " +
+      "GROUP BY grp ORDER BY s DESC, grp LIMIT 2", "tn_pk_mv")
+    assert(mv.isTopNMode && mv.isChangelogCascadeMode,
+      "grouped top-N over an upsert table must take the cascade-backed path")
+    rw.execute("INSERT INTO tn_pk VALUES (1, 'a', 10), (2, 'b', 8), (3, 'c', 5), (4, 'a', 2)")
+    rw.execute("FLUSH")
+    def vis() = mv.df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(vis() == Set(("a", 12.0), ("b", 8.0)))
+    // upsert id=1 to a higher version: group a's sum changes via retraction
+    rw.execute("INSERT INTO tn_pk VALUES (1, 'a', 11)")
+    rw.execute("FLUSH")
+    assert(vis() == Set(("a", 13.0), ("b", 8.0)))
+    // upsert moves id=2 out of group b entirely: b (6? no rows → vanishes)
+    rw.execute("INSERT INTO tn_pk VALUES (2, 'c', 9)")
+    rw.execute("FLUSH")
+    assert(vis() == Set(("c", 14.0), ("a", 13.0)),
+      "a vanished group must leave and the recomputed group must rank in")
+    assert(mv.isTopNMode && mv.isChangelogCascadeMode, "mode must survive epochs")
+    rw.close()
+  }
+
+  test("grouped top-N folds DELETE retractions; emptied groups leave the top-N") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.execute("CREATE TABLE tn_dml (id BIGINT PRIMARY KEY, grp STRING, score DOUBLE)")
+    val mv = rw.mv("SELECT grp, count(*) AS n FROM tn_dml " +
+      "GROUP BY grp ORDER BY n DESC, grp LIMIT 2", "tn_dml_mv")
+    assert(mv.isTopNMode && mv.isChangelogCascadeMode)
+    rw.execute("INSERT INTO tn_dml VALUES (1, 'a', 1), (2, 'a', 2), (3, 'a', 3), " +
+      "(4, 'b', 4), (5, 'b', 5), (6, 'c', 6)")
+    rw.execute("FLUSH")
+    def vis() = mv.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(vis() == Set(("a", 3L), ("b", 2L)))
+    // DELETE empties group a: it must vanish from the carried state and
+    // the visible top-N, letting c surface
+    rw.execute("DELETE FROM tn_dml WHERE grp = 'a'")
+    rw.execute("FLUSH")
+    assert(vis() == Set(("b", 2L), ("c", 1L)),
+      "an emptied group must leave the top-N through the retraction fold")
+    assert(mv.isTopNMode && mv.isChangelogCascadeMode,
+      "DML must not demote the cascade-backed top-N")
     rw.close()
   }
 }
