@@ -688,9 +688,8 @@ final class MaterializedView private[engine](
       latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
       statementEvals += 1
       val full = spark.sql(cascadeStmt).localCheckpoint(true)
-      val kept = topNEval(full, topNLimit + topNCacheMargin).localCheckpoint(true)
-      val evictedF = keyJoin(full, kept.select(keyCols.map(col): _*), "left_anti")
-      topNBound = topNEval(evictedF, 1).collect().headOption
+      val (kept, _, evictedBest) = rankedPrefix(full)
+      topNBound = evictedBest
       innerState = Some(kept)
       val vis = topNEval(kept).localCheckpoint(true)
       snapshot = Some(vis)
@@ -1301,6 +1300,22 @@ final class MaterializedView private[engine](
     snapshot.get.createOrReplaceTempView(viewName)
   }
 
+  /** ONE ranked evaluation of a grouped-top-N state frame: the first n+C
+    * rows (the kept state, rebuilt driver-side — bounded by the cache
+    * margin, never by key count) and row n+C+1, which IS the most
+    * competitive row evicted by this truncation (every other evicted row
+    * ranks below it). Replaces the old kept-eval + evicted-anti-join +
+    * bound-eval sequence — three Spark jobs — with one sort-limit job. */
+  private def rankedPrefix(df: DataFrame): (DataFrame, Array[Row], Option[Row]) = {
+    val lim = topNLimit + topNCacheMargin
+    val rows = topNEval(df, lim + 1).collect()
+    val keptRows = rows.take(lim)
+    val kept = spark.createDataFrame(
+      java.util.Arrays.asList(keptRows.toIndexedSeq: _*), df.schema)
+      .localCheckpoint(true)
+    (kept, keptRows, rows.drop(lim).headOption)
+  }
+
   /** Truncate merged grouped-top-N state to top-(n+C), fold newly evicted
     * rows into the bound, and re-fetch on underflow (bound ranks inside
     * the visible top n). Small frames throughout: n+C state rows + the
@@ -1309,9 +1324,7 @@ final class MaterializedView private[engine](
     * cascade mode): a bound whose key they name is stale even when the
     * key's group vanished from `merged` entirely (cascade retractions). */
   private def truncateGrouped(merged: DataFrame, namedKeys: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val kept = topNEval(merged, topNLimit + topNCacheMargin).localCheckpoint(true)
-    val evicted = keyJoin(merged, kept.select(keyCols.map(col): _*), "left_anti")
+    val (kept, keptRows, evictedBest) = rankedPrefix(merged)
     // a carried bound whose key re-entered the carried state (named by this
     // delta) is STALE — but it was also the ONLY upper bound carried for
     // ALL previously evicted keys, so it cannot simply be dropped: a
@@ -1320,26 +1333,46 @@ final class MaterializedView private[engine](
     // from the batch result. Re-establish the exact bound from a full
     // evaluation instead: one re-fetch now, a fresh tight bound afterwards
     // (strictly better than the stale row's repeated spurious re-fetches).
+    // The membership probe broadcasts the ONE bound row, not the key set.
     val boundKeyReentered = topNBound.exists { b =>
-      !keyJoin(rowDf(b, merged.schema), namedKeys, "left_semi").isEmpty
+      !keyJoin(namedKeys.toDF(keyCols: _*),
+        rowDf(b, merged.schema).select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+        "left_semi").isEmpty
     }
-    if (!boundKeyReentered) {
-      val boundPool = topNBound
-        .map(b => evicted.unionByName(rowDf(b, evicted.schema))).getOrElse(evicted)
-      topNBound = topNEval(boundPool, 1).collect().headOption.orElse(topNBound)
-    }
-    val underflow = boundKeyReentered || topNBound.exists { b =>
-      val pool = kept.withColumn("__evicted", lit(false))
-        .unionByName(rowDf(b, kept.schema).withColumn("__evicted", lit(true)))
-      topNEval(pool).collect().exists(_.getAs[Boolean]("__evicted"))
+    val underflow = boundKeyReentered || {
+      // bound candidates: the old bound and this epoch's best evicted row.
+      // ONE ordered evaluation of (kept rows + candidates) — all driver-
+      // resident, ≤ n+C+2 rows — decides BOTH the new bound (the best-
+      // ranked candidate; the order text is SQL, only the engine can
+      // compare under it) and underflow (does that bound rank inside the
+      // visible top n of the kept state). The old sequence spent three
+      // Spark jobs on the same three answers.
+      val cand = topNBound.map((_, 1)).toSeq ++ evictedBest.map((_, 2)).toSeq
+      if (cand.isEmpty) false
+      else {
+        val tagSchema = merged.schema
+          .add("__tag", org.apache.spark.sql.types.IntegerType)
+        val pool = keptRows.map(r => Row.fromSeq(r.toSeq :+ 0)) ++
+          cand.map { case (r, t) => Row.fromSeq(r.toSeq :+ t) }
+        val ranked = topNEval(
+          spark.createDataFrame(java.util.Arrays.asList(pool.toIndexedSeq: _*), tagSchema),
+          pool.length).collect()
+        val tagIdx = tagSchema.length - 1
+        val firstCand = ranked.indexWhere(_.getInt(tagIdx) != 0)
+        topNBound = Some(Row.fromSeq(ranked(firstCand).toSeq.dropRight(1)))
+        // rank of the new bound among (kept ∪ bound): kept rows sorting
+        // before it, plus one
+        ranked.take(firstCand).count(_.getInt(tagIdx) == 0) + 1 <= topNLimit
+      }
     }
     if (!underflow) kept
     else {
       statementEvals += 1
       val full = spark.sql(engine.rewrite(topNInnerStmt)).localCheckpoint(true)
-      val keptF = topNEval(full, topNLimit + topNCacheMargin).localCheckpoint(true)
-      val evictedF = keyJoin(full, keptF.select(keyCols.map(col): _*), "left_anti")
-      topNBound = topNEval(evictedF, 1).collect().headOption
+      // row n+C+1 of the FULL evaluation is the best row evicted overall —
+      // the exact fresh bound
+      val (keptF, _, evictedBestF) = rankedPrefix(full)
+      topNBound = evictedBestF
       keptF
     }
   }
