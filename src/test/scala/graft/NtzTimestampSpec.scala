@@ -100,6 +100,44 @@ class NtzTimestampSpec extends SparkSpec {
     } finally rw.close()
   }
 
+  test("hop and session TVFs work over an NTZ live table") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    try {
+      rw.execute("CREATE TABLE ntz_w (k STRING, ts TIMESTAMP, v DOUBLE)")
+      def ins(k: String, ts: String, v: Double) =
+        rw.insertRow("ntz_w", forceFlush = false,
+          values = Map("k" -> k, "ts" -> ldt(ts), "v" -> v))
+      ins("a", "2024-01-01T00:00:01", 1.0)
+      ins("a", "2024-01-01T00:00:06", 2.0)
+      ins("a", "2024-01-01T00:00:45", 4.0)
+      rw.execute("FLUSH")
+      // hop: 5s slide / 10s size — each row lands in every covering window
+      // (starts in (t-10s, t]), so the 00:00:01 row also belongs to the
+      // window opening at 23:59:55
+      val hop = rw.fetch(
+        """SELECT CAST(window_start AS STRING) AS ws, count(*) AS n
+          |FROM hop(ntz_w, ts, interval '5 seconds', interval '10 seconds')
+          |GROUP BY window_start ORDER BY ws""".stripMargin)
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(hop == Seq(
+        ("2023-12-31 23:59:55", 1L), ("2024-01-01 00:00:00", 2L),
+        ("2024-01-01 00:00:05", 1L), ("2024-01-01 00:00:40", 1L),
+        ("2024-01-01 00:00:45", 1L)), s"got $hop")
+      // session: 10s gap — rows at 1 and 6 merge, 45 is its own session
+      val mv = rw.mv(
+        """SELECT window_start, window_end, k, count(*) AS n
+          |FROM session(ntz_w, ts, interval '10 seconds')
+          |GROUP BY window_start, window_end, k""".stripMargin, "ntz_sess_mv")
+      assert(mv.isSessionMode, "session MV over NTZ must take the session path")
+      rw.execute("FLUSH")
+      val sess = rw.fetch(
+        "SELECT CAST(window_start AS STRING) AS ws, n FROM ntz_sess_mv ORDER BY ws")
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(sess == Seq(("2024-01-01 00:00:01", 2L), ("2024-01-01 00:00:45", 1L)),
+        s"got $sess")
+    } finally rw.close()
+  }
+
   test("as-of join works natively on NTZ timestamps") {
     val left = spark.range(4).select(
       lit("k").as("sym"),
