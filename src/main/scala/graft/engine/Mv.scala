@@ -585,7 +585,17 @@ final class MaterializedView private[engine](
     * MVs) become admissible: a recomputed touched group that vanished
     * simply leaves the merge. Inner statements with a top-level HAVING
     * keep the streaming path (the fold/ranking interplay is not carried
-    * here); sources with no changelog (raw streams) fall back too. */
+    * here); sources with no changelog (raw streams) fall back too.
+    *
+    * RAW (stateless-inner) top-N over ONE PK/upsert or DML-mutated table
+    * (round 9): the inner maps the delta payloads row-wise through a
+    * retargeted evaluation; inserts fold into the O(n) carried truncation
+    * and a retraction that touches a carried row forces ONE re-fetch (a
+    * displaced replacement is outside the carried state by definition —
+    * RisingWave TopN's state-table re-fetch, with the source table in that
+    * role). Append-only sources keep the cheaper streaming path (no
+    * changelog double-write); multi-live-relation raw inners fall back
+    * (same-epoch join retractions are not derivable row-wise). */
   private def tryStartTopNCascade(innerStmt: String, orderText: String, n: Int): Boolean = {
     val tbls = engine.referencedLiveTables(innerStmt)
     val ups = engine.referencedMvs(innerStmt, excluding = (schemaName, name))
@@ -598,17 +608,25 @@ final class MaterializedView private[engine](
       val df = spark.sql(rewritten)
       val analyzed = df.queryExecution.analyzed
       val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
-      if (!isAgg || !streamingSafe(analyzed)) return false
-      val ks = deriveMode(df) match {
-        case MaterializedView.Keyed(ks) => ks
-        case _ => return false
-      }
+      if (!streamingSafe(analyzed)) return false
+      // raw inner: only worthwhile (and only row-wise derivable) for a
+      // single retraction-emitting live table
+      if (!isAgg &&
+          !(ups.isEmpty && tbls.size == 1 &&
+            (tbls.head.primaryKey.nonEmpty || tbls.head.mutated)))
+        return false
+      val ks =
+        if (!isAgg) df.columns.toSeq
+        else deriveMode(df) match {
+          case MaterializedView.Keyed(ks) => ks
+          case _ => return false
+        }
       // pre-validate the truncation tail against the (empty) inner schema
       spark.createDataFrame(java.util.List.of[Row](), df.schema)
         .createOrReplaceTempView(topNSrcView)
       spark.sql(s"SELECT * FROM $topNSrcView ORDER BY $orderText LIMIT $n").schema
 
-      isAggMode = true
+      isAggMode = isAgg
       keyMode = MaterializedView.Multiset // visible snapshot diffs as a multiset
       keyCols = ks
       topNOrderText = orderText
@@ -688,24 +706,32 @@ final class MaterializedView private[engine](
       latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
       statementEvals += 1
       val full = spark.sql(cascadeStmt).localCheckpoint(true)
-      val (kept, _, evictedBest) = rankedPrefix(full)
-      topNBound = evictedBest
+      val kept =
+        if (isAggMode) {
+          val (k, _, evictedBest) = rankedPrefix(full)
+          topNBound = evictedBest
+          k
+        } else topNEval(full).localCheckpoint(true) // raw: state == visible n
       innerState = Some(kept)
-      val vis = topNEval(kept).localCheckpoint(true)
+      val vis = if (isAggMode) topNEval(kept).localCheckpoint(true) else kept
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
       emitOps(Changelog.multisetDiff(None, vis))
     } else {
       val parts = latests.map { case (u, l) =>
         val after = cascadeOffsets.getOrElse(u.viewName, 0L)
-        val p = if (l > after)
-          Some(u.log.dfAfter(after).drop("op", "rw_timestamp"))
-        else None
+        // the raw fold needs the op column (retractions differ from
+        // inserts); the grouped path only needs the touched payloads
+        val p = if (l > after) Some {
+          val d = u.log.dfAfter(after).drop("rw_timestamp")
+          if (isAggMode) d.drop("op") else d
+        } else None
         cascadeOffsets(u.viewName) = l
         (u, p)
       }
       val changed = parts.collect { case (u, Some(p)) => (u, p) }
       if (changed.isEmpty) return
+      if (!isAggMode) { rawTopNFold(changed.head._1, changed.head._2); return }
       val touched = cascadeTouchedKeys(changed)
       if (timed("touched-empty-check")(touched.rdd.isEmpty())) return
       statementEvals += 1
@@ -724,6 +750,47 @@ final class MaterializedView private[engine](
       snapshot = Some(nextVisible)
       snapshot.get.createOrReplaceTempView(viewName)
     }
+  }
+
+  /** One raw-top-N cascade epoch over the single source table's 4-op
+    * delta: map the insert and retraction payloads row-wise through the
+    * inner statement (retargeted at private delta views — a filter inside
+    * the inner drops non-qualifying payload rows on both sides), then
+    *  - if any retraction touches the carried top-n state, re-fetch from a
+    *    full evaluation (the replacement row is outside the carried state
+    *    by definition — same argument as the grouped bound re-fetch);
+    *  - otherwise fold the mapped inserts in and re-truncate to n: a row
+    *    outside the carried top-n can only re-enter through a retraction,
+    *    which the re-fetch arm covers, so O(n) state stays sound even
+    *    under upserts. */
+  private def rawTopNFold(src: MaterializedView.CascadeSrc, opsDf: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dv = s"__cascade_delta_${src.viewName}"
+    def mapThrough(p: DataFrame): DataFrame = {
+      p.createOrReplaceTempView(dv)
+      try spark.sql(retarget(cascadeStmt, src.viewName, dv)).localCheckpoint(true)
+      finally spark.catalog.dropTempView(dv)
+    }
+    val adds = mapThrough(opsDf.filter(col("op").isin(
+      Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op"))
+    val dels = mapThrough(opsDf.filter(col("op").isin(
+      Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op"))
+    val state = innerState.get
+    // null-safe whole-row match against the (broadcast — O(n)) state
+    val cols = state.columns.toSeq
+    val sr = state.toDF(cols.map(c => s"__s_$c"): _*)
+    val touchesState = !dels.join(org.apache.spark.sql.functions.broadcast(sr),
+      cols.map(c => col(c) <=> col(s"__s_$c")).reduce(_ && _), "left_semi")
+      .rdd.isEmpty()
+    val next = timed("truncate")(
+      if (touchesState) {
+        statementEvals += 1
+        topNEval(spark.sql(cascadeStmt)).localCheckpoint(true)
+      } else topNEval(state.unionByName(adds)).localCheckpoint(true))
+    innerState = Some(next)
+    emitOps(Changelog.multisetDiff(snapshot, next))
+    snapshot = Some(next)
+    next.createOrReplaceTempView(viewName)
   }
 
   /** Session-window MV maintenance: stream the source's raw rows (append
@@ -1210,11 +1277,14 @@ final class MaterializedView private[engine](
     * Falls back to ALL current keys when the retargeted text fails to
     * analyze (over-touching recomputes idempotently). Shared by the plain
     * cascade and the grouped-top-N cascade epochs. */
+  /** Re-aim `sql`'s references to relation `from` at relation `to` (word
+    * boundary, case-insensitive) — the cascade's delta/cover rebinding. */
+  private def retarget(sql: String, from: String, to: String): String =
+    sql.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b", to)
+
   private def cascadeTouchedKeys(
       changed: Seq[(MaterializedView.CascadeSrc, DataFrame)]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    def retarget(sql: String, from: String, to: String): String =
-      sql.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b", to)
     val tempViews = scala.collection.mutable.ArrayBuffer[String]()
     timed("touched-keys")(try {
       changed.foreach { case (u, p) =>

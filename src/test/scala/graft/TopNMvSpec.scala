@@ -275,6 +275,40 @@ class TopNMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("raw top-N over a PK/upsert table folds inserts; retractions re-fetch") {
+    // previously batch re-run; the raw-cascade path keeps O(n) state:
+    // inserts fold in directly, a retraction touching a carried row
+    // re-fetches once (the replacement is outside the carried state)
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.execute("CREATE TABLE tn_rpk (id BIGINT PRIMARY KEY, score DOUBLE)")
+    val mv = rw.mv("SELECT id, score FROM tn_rpk ORDER BY score DESC, id LIMIT 2",
+      "tn_rpk_mv")
+    assert(mv.isTopNMode && mv.isChangelogCascadeMode,
+      "raw top-N over a PK table must take the cascade-backed path")
+    rw.execute("INSERT INTO tn_rpk VALUES (1, 10), (2, 8), (3, 5)")
+    rw.execute("FLUSH")
+    def vis() = mv.df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(vis() == Set((1L, 10.0), (2L, 8.0)))
+    // pure insert: folds into the carried state without a re-fetch
+    val evalsBefore = mv.statementEvals
+    rw.execute("INSERT INTO tn_rpk VALUES (4, 9)")
+    rw.execute("FLUSH")
+    assert(vis() == Set((1L, 10.0), (4L, 9.0)))
+    assert(mv.statementEvals == evalsBefore,
+      "an insert-only epoch must not re-evaluate the statement")
+    // PK overwrite retracts a carried row (UD 10.0 + UI 1.0): re-fetch
+    rw.execute("INSERT INTO tn_rpk VALUES (1, 1)")
+    rw.execute("FLUSH")
+    assert(vis() == Set((4L, 9.0), (2L, 8.0)),
+      "a retracted top row must be replaced from outside the carried state")
+    // DELETE of a visible row: same re-fetch path through the DML fold
+    rw.execute("DELETE FROM tn_rpk WHERE id = 4")
+    rw.execute("FLUSH")
+    assert(vis() == Set((2L, 8.0), (3L, 5.0)))
+    assert(mv.isTopNMode && mv.isChangelogCascadeMode, "mode must survive epochs")
+    rw.close()
+  }
+
   test("grouped top-N folds DELETE retractions; emptied groups leave the top-N") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.execute("CREATE TABLE tn_dml (id BIGINT PRIMARY KEY, grp STRING, score DOUBLE)")
