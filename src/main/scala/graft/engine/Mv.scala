@@ -319,13 +319,27 @@ final class MaterializedView private[engine](
     emitOnClose && closeDurMs.nonEmpty &&
       df.columns.contains("window_start") && watermarks.nonEmpty
 
-  /** Current event-time watermark (ms) of the maintainer query — the value
-    * used by the most recent completed micro-batch. 0 before the first. */
+  /** Current event-time watermark (ms): the maintainer query's (most
+    * recent completed micro-batch) in streaming mode, or the fold-side
+    * watermark [[cascadeWatermarkMs]] advanced from epoch max event times
+    * in cascade mode. 0 before the first. */
   private def watermarkMs: Long =
-    query.flatMap(q => Option(q.lastProgress))
+    if (cascadeMode) cascadeWatermarkMs
+    else query.flatMap(q => Option(q.lastProgress))
       .flatMap(p => Option(p.eventTime).flatMap(m => Option(m.get("watermark"))))
       .map(ts => java.time.Instant.parse(ts).toEpochMilli)
       .getOrElse(0L)
+
+  /** Fold-side watermark for cascade-maintained session MVs: advanced to
+    * (max event time of the epoch's inserted rows − declared delay). The
+    * declared watermark is the user's promise that data below it is FINAL
+    * — under a retraction-emitting source that promise extends to
+    * retractions, so a fold op under a frozen cut is gated exactly like a
+    * late row (the reference's late-data stance). */
+  @volatile private var cascadeWatermarkMs: Long = 0L
+  /** (bare ts column, delay ms) when the session-cascade's source table
+    * has a declared watermark. */
+  private var sessionCascadeWm: Option[(String, Long)] = None
 
   @volatile private var pending: Option[DataFrame] = None
 
@@ -402,9 +416,12 @@ final class MaterializedView private[engine](
     // modes can express (a merge retracts the sessions it absorbs). Under
     // EMIT ON WINDOW CLOSE the same path emits only FROZEN sessions —
     // requires a watermark (nothing would ever close without one; falls
-    // back to batch re-run, the eager-emission superset).
-    if (!readsPkTable && !(emitOnClose && watermarks.isEmpty) &&
-        Dialect.sessionTvf(stmt).exists { case (tbl, ts, _) => tryStartSession(tbl, ts) })
+    // back to batch re-run, the eager-emission superset). PK/upsert
+    // sources fold the table changelog instead (round 9).
+    if (Dialect.sessionTvf(stmt).exists { case (tbl, ts, _) =>
+          (!emitOnClose && tryStartSessionCascade(ts)) ||
+            (!readsPkTable && !(emitOnClose && watermarks.isEmpty) &&
+              tryStartSession(tbl, ts)) })
       return
 
     val streamDf =
@@ -808,6 +825,106 @@ final class MaterializedView private[engine](
     * watermark - gap can be frozen out of the carried state (their rows
     * can never gain a neighbor); that compaction is the 100 TB knob and
     * composes with the RocksDB state store option. */
+  /** Admission for the changelog-fold session path ([[sessionCascadeEpoch]]):
+    * the statement's session TVF reads exactly one retraction-emitting live
+    * table (PK/upsert or DML-mutated) and no upstream MVs. Append-only
+    * tables keep the cheaper streaming path (no changelog double-write);
+    * EMIT ON WINDOW CLOSE needs watermark compaction, which this path does
+    * not carry — it falls through to the batch fallback. */
+  private def tryStartSessionCascade(tsCol: String): Boolean = {
+    val tbls = engine.referencedLiveTables(stmt)
+    val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
+    if (!(ups.isEmpty && tbls.size == 1 &&
+          (tbls.head.primaryKey.nonEmpty || tbls.head.mutated))) return false
+    val preOffset = changeLog.latestOffset
+    try {
+      val t = tbls.head
+      sessionTsCol = tsCol.split('.').last
+      sessionOuterSql = engine.rewrite(Dialect.retargetSessionTvf(stmt, sessionSrcView))
+      // pre-validate the retargeted statement against the (empty) table
+      // schema before committing to the mode
+      spark.createDataFrame(java.util.List.of[Row](), t.schema)
+        .createOrReplaceTempView(sessionSrcView)
+      spark.sql(sessionOuterSql).schema
+      // per-key compaction keys are derived for symmetry, but compaction
+      // never fires here (no streaming query → no watermark)
+      sessionKeys = {
+        val rawCols = t.schema.fieldNames.toSet
+        spark.sql(sessionOuterSql).queryExecution.analyzed
+          .collectFirst { case a: Aggregate => a }
+          .flatMap { a =>
+            val cls = a.groupingExpressions.map {
+              case ar: AttributeReference if rawCols.contains(ar.name) =>
+                Some(Some(ar.name))
+              case e if e.toString.toLowerCase.replace("_", "")
+                .contains("sessionwindow") => Some(None)
+              case _ => None
+            }
+            if (cls.forall(_.nonEmpty)) Some(cls.flatten.flatten) else None
+          }
+      }
+      sessionCuts = None
+      frozen = None
+      sessionCascadeWm = watermarks.get(t.name).map { case (c, d) =>
+        (c.split('.').last, Dialect.intervalMillis(d)) }
+      isAggMode = true
+      keyMode = MaterializedView.Multiset
+      keyCols = Nil
+      cascadeUpstreams = Seq(
+        MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
+      cascadeMode = true
+      sessionMode = true
+      // durable reopen: raw state (+ frozen sessions and cuts under a
+      // declared watermark) + consumed offset restore with zero statement
+      // evals and zero replay (same discipline as topncascade). The fold
+      // watermark itself restarts at 0 and re-advances with new data —
+      // the restored cuts keep gating late rows meanwhile.
+      val restored = validSnapshotMeta("sessioncascade").flatMap { case (d, offsets, _) =>
+        try {
+          if (!new java.io.File(s"$d/inner").isDirectory ||
+              !new java.io.File(s"$d/data").isDirectory ||
+              !cascadeUpstreams.forall(u =>
+                offsets.get(u.viewName).exists(_ <= u.log.latestOffset)))
+            None
+          else {
+            val froz =
+              if (new java.io.File(s"$d/frozen").isDirectory)
+                Some(spark.read.parquet(s"$d/frozen").localCheckpoint(true))
+              else None
+            val cuts =
+              if (new java.io.File(s"$d/cuts").isDirectory)
+                Some(spark.read.parquet(s"$d/cuts").localCheckpoint(true))
+              else None
+            Some((offsets,
+              spark.read.parquet(s"$d/inner").localCheckpoint(true),
+              froz, cuts,
+              spark.read.parquet(s"$d/data").localCheckpoint(true)))
+          }
+        } catch { case _: Throwable => None }
+      }
+      restored match {
+        case Some((offsets, inner, froz, cuts, snap)) =>
+          offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
+          innerState = Some(inner)
+          inner.createOrReplaceTempView(sessionSrcView)
+          frozen = froz
+          sessionCuts = cuts
+          snapshot = Some(snap)
+          snap.createOrReplaceTempView(viewName)
+        case None => sessionCascadeEpoch() // initial backfill
+      }
+      true
+    } catch { case _: Throwable =>
+      cascadeMode = false
+      sessionMode = false
+      cascadeUpstreams = Nil
+      innerState = None
+      spark.catalog.dropTempView(sessionSrcView)
+      if (changeLog.latestOffset == preOffset) snapshot = None
+      false
+    }
+  }
+
   private def tryStartSession(tbl: String, tsCol: String): Boolean = {
     try {
       sessionTsCol = tsCol.split('.').last // raw state carries bare columns
@@ -918,7 +1035,7 @@ final class MaterializedView private[engine](
   private def handleSessionDelta(delta: DataFrame): Unit = synchronized {
     val clone = delta.localCheckpoint(true)
     val d0 = spark.createDataFrame(clone.rdd, clone.schema)
-    if (d0.isEmpty) return
+    if (clone.rdd.isEmpty()) return
     // late-row gate: a row below its key's compaction cut would join the
     // carried state and re-sessionize into a session overlapping one
     // already frozen (Spark watermarks only drop late rows in STATEFUL
@@ -927,6 +1044,13 @@ final class MaterializedView private[engine](
     val d = applyCuts(d0)
     if (d.isEmpty) return
     innerState = Some(innerState.map(_.union(d)).getOrElse(d).localCheckpoint(true))
+    sessionRecomputeAndEmit()
+  }
+
+  /** Shared tail of a session epoch: re-sessionize the carried raw state,
+    * derive the visible snapshot (frozen ∪ live sessions; frozen-only
+    * under EMIT ON WINDOW CLOSE), emit the multiset diff, and compact. */
+  private def sessionRecomputeAndEmit(): Unit = {
     innerState.get.createOrReplaceTempView(sessionSrcView)
     val computed = spark.sql(sessionOuterSql).localCheckpoint(true)
     if (emitOnClose) {
@@ -943,6 +1067,56 @@ final class MaterializedView private[engine](
     }
     snapshot.get.createOrReplaceTempView(viewName)
   }
+
+  /** Session MV over ONE PK/upsert (or DML-mutated) live table — the
+    * retraction-emitting sources the streaming session path cannot bind
+    * (its face replays raw version appends, so a session would count every
+    * version of a key). The carried raw state folds the table's keyed 4-op
+    * changelog instead: Insert/UpdateInsert payloads join the multiset,
+    * Delete/UpdateDelete payloads retract one instance each (EXCEPT ALL),
+    * then the standard re-sessionize → diff tail runs. No watermark
+    * compaction (there is no streaming query to carry a watermark): full
+    * raw history is the state bound — the honest always-correctable
+    * stance, and strictly better than the per-FLUSH batch re-run these
+    * statements used to get. Durable snapshots persist the raw state +
+    * consumed offsets (mode `sessioncascade`) — reopen is O(state). */
+  private def sessionCascadeEpoch(): Unit = synchronized {
+    import org.apache.spark.sql.functions.col
+    if (cascadeUpstreams.isEmpty) return
+    val u = cascadeUpstreams.head
+    val latest = u.log.latestOffset
+    val after = cascadeOffsets.getOrElse(u.viewName, 0L)
+    if (latest <= after && snapshot.nonEmpty) return
+    if (snapshot.isEmpty) {
+      cascadeOffsets(u.viewName) = latest
+      // backfill: the PK-resolved visible rows ARE the raw session state
+      innerState = Some(u.snap().localCheckpoint(true))
+      advanceCascadeWatermark(innerState.get)
+      sessionRecomputeAndEmit()
+    } else {
+      if (latest <= after) return
+      val ops = u.log.dfAfter(after)
+      cascadeOffsets(u.viewName) = latest
+      val adds = applyCuts(ops.filter(col("op").isin(
+        Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op", "rw_timestamp"))
+      val dels = applyCuts(ops.filter(col("op").isin(
+        Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op", "rw_timestamp"))
+      innerState = Some(timed("state-fold")(
+        innerState.get.exceptAll(dels).union(adds).localCheckpoint(true)))
+      advanceCascadeWatermark(adds)
+      sessionRecomputeAndEmit()
+    }
+  }
+
+  /** Advance the fold-side watermark from an epoch's inserted rows (max
+    * event time − declared delay). No-op without a declared watermark. */
+  private def advanceCascadeWatermark(rows: DataFrame): Unit =
+    sessionCascadeWm.foreach { case (tsCol, delayMs) =>
+      import org.apache.spark.sql.functions.{col, max, unix_millis}
+      val mx = rows.agg(max(unix_millis(col(tsCol).cast("timestamp")))).head()
+      if (!mx.isNullAt(0))
+        cascadeWatermarkMs = math.max(cascadeWatermarkMs, mx.getLong(0) - delayMs)
+    }
 
   /** Watermark-driven session-state compaction (the 100 TB knob): a
     * session whose `window_end` ≤ watermark can never change (no future
@@ -1537,7 +1711,9 @@ final class MaterializedView private[engine](
   private[engine] def refresh(): Unit = {
     if (streamingMode) timed("stream-drain")(query.foreach(_.processAllAvailable()))
     else if (cascadeMode) timed("cascade-epoch")(
-      if (topNMode) topNCascadeEpoch() else cascadeRefresh())
+      if (topNMode) topNCascadeEpoch()
+      else if (sessionMode) sessionCascadeEpoch()
+      else cascadeRefresh())
     else synchronized {
       statementEvals += 1
       val next = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
@@ -1646,6 +1822,7 @@ final class MaterializedView private[engine](
     val mode =
       if (topNMode && cascadeMode) "topncascade"
       else if (topNMode) "topn"
+      else if (sessionMode && cascadeMode) "sessioncascade"
       else if (sessionMode) "session"
       else if (cascadeMode) "cascade"
       else "batch"

@@ -284,4 +284,118 @@ class SessionMvSpec extends SparkSpec {
     assert(st == Set((0L, "a", 2L), (5L, "b", 1L)))
     rw.close()
   }
+
+  test("session MV over a PK/upsert table folds retractions (round 9)") {
+    // previously batch re-run (the streaming face replays raw version
+    // appends — a session would count every version); the cascade-fold
+    // path applies the table's keyed 4-op changelog to the carried raw
+    // state: upsert overwrites move rows between sessions, DELETE shrinks
+    // or splits them
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.execute(
+      "CREATE TABLE sc_pk (id BIGINT PRIMARY KEY, k STRING, ts TIMESTAMPTZ, v DOUBLE)")
+    val mv = rw.mv(
+      """SELECT window_start, window_end, k, count(*) AS n
+        |FROM session(sc_pk, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, k""".stripMargin, "sc_pk_mv")
+    assert(mv.isSessionMode && mv.isChangelogCascadeMode,
+      "session MV over an upsert table must take the changelog-fold path")
+    val t = rw.table("sc_pk").get
+    t.insert(Seq(Row(1L, "a", ts(0), 1.0), Row(2L, "a", ts(5), 1.0),
+      Row(3L, "a", ts(30), 1.0)))
+    rw.flush()
+    def vis() = mv.df.collect().map(r =>
+      (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(2), r.getLong(3))).toSet
+    assert(vis() == Set((0L, "a", 2L), (30L, "a", 1L)))
+    // upsert id=2 to ts=35: leaves the first session, bridges nothing —
+    // first session shrinks to 1, second grows to 2
+    t.insert(Seq(Row(2L, "a", ts(35), 1.0)))
+    rw.flush()
+    assert(vis() == Set((0L, "a", 1L), (30L, "a", 2L)),
+      "an upsert overwrite must move its row between sessions")
+    // upsert id=1 to ts=20: NOW it bridges 20-30-35 into one session
+    t.insert(Seq(Row(1L, "a", ts(20), 1.0)))
+    rw.flush()
+    assert(vis() == Set((20L, "a", 3L)),
+      "a moved row that lands within gap of both sessions must merge them")
+    // DELETE the bridge: the merged session splits back apart
+    rw.execute("DELETE FROM sc_pk WHERE id = 1")
+    rw.execute("FLUSH")
+    assert(vis() == Set((30L, "a", 2L)),
+      "deleting the bridging row must re-split (here: collapse) the session")
+    assert(mv.isSessionMode && mv.isChangelogCascadeMode, "mode must survive epochs")
+    rw.close()
+  }
+
+  test("watermarked session-cascade freezes closed sessions and prunes the fold state") {
+    // the fold-side watermark (max inserted event time − delay) drives the
+    // same compaction as the streaming path: closed sessions freeze, their
+    // raw rows leave the carried state, and a late fold op — insert OR
+    // retraction — under the cut is gated (the declared watermark is the
+    // user's promise that data below it is final)
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.execute(
+      "CREATE TABLE scw_pk (id BIGINT PRIMARY KEY, k STRING, ts TIMESTAMPTZ, v DOUBLE)")
+    val mv = rw.mv(
+      """SELECT window_start, window_end, k, count(*) AS n
+        |FROM session(scw_pk, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, k""".stripMargin, "scw_mv",
+      watermarks = Map("scw_pk" -> (("ts", "0 seconds"))))
+    assert(mv.isSessionMode && mv.isChangelogCascadeMode)
+    val t = rw.table("scw_pk").get
+    t.insert(Seq(Row(1L, "a", ts(0), 1.0), Row(2L, "a", ts(5), 1.0)))
+    rw.flush()
+    // a much later row closes the first session: it freezes and its raw
+    // rows retire from the fold state
+    t.insert(Seq(Row(3L, "a", ts(1000), 1.0)))
+    rw.flush()
+    val (raw, frozenN) = mv.sessionStateCounts
+    assert(frozenN == 1L, s"first session must freeze, got ($raw, $frozenN)")
+    assert(raw == 1L, s"frozen session's raw rows must retire, got ($raw, $frozenN)")
+    def vis() = mv.df.collect().map(r =>
+      (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(2), r.getLong(3))).toSet
+    assert(vis() == Set((0L, "a", 2L), (1000L, "a", 1L)))
+    // a retraction against the FROZEN session (upsert id=1 far forward)
+    // is gated: the frozen output keeps the promised-final row, the moved
+    // row's insert half still lands in the live region
+    t.insert(Seq(Row(1L, "a", ts(1005), 1.0)))
+    rw.flush()
+    assert(vis() == Set((0L, "a", 2L), (1000L, "a", 2L)),
+      "the retraction half under the cut must gate; the insert half lands")
+    rw.close()
+  }
+
+  test("session-cascade durable snapshot restores raw state without replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.execute(
+      "CREATE TABLE scd_pk (id BIGINT PRIMARY KEY, k STRING, ts TIMESTAMPTZ, v DOUBLE)")
+    val stmt =
+      """SELECT window_start, window_end, k, count(*) AS n
+        |FROM session(scd_pk, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, k""".stripMargin
+    val m1 = rw1.mv(stmt, "scd_mv")
+    assert(m1.isSessionMode && m1.isChangelogCascadeMode)
+    rw1.table("scd_pk").get.insert(Seq(
+      Row(1L, "a", ts(0), 1.0), Row(2L, "a", ts(5), 1.0), Row(3L, "b", ts(50), 1.0)))
+    rw1.flush()
+    def vis(m: graft.engine.MaterializedView) = m.df.collect().map(r =>
+      (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(2), r.getLong(3))).toSet
+    val st1 = vis(m1)
+    assert(st1 == Set((0L, "a", 2L), (50L, "b", 1L)))
+    rw1.close()
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    val m2 = rw2.mv(stmt, "scd_mv")
+    assert(m2.isSessionMode && m2.isChangelogCascadeMode,
+      "restored MV must stay on the session-cascade path")
+    assert(m2.statementEvals == 0L && m2.consumedRows == 0L,
+      "restore must be O(state): no statement runs, no source replay")
+    assert(vis(m2) == st1)
+    // maintenance resumes over the restored raw state: an upsert moves a
+    // row out of the restored session
+    rw2.execute("INSERT INTO scd_pk VALUES (2, 'a', TIMESTAMP '1970-01-01 00:01:00', 1.0)")
+    rw2.execute("FLUSH")
+    assert(vis(m2) == Set((0L, "a", 1L), (50L, "b", 1L), (60L, "a", 1L)))
+    rw2.close()
+  }
 }
