@@ -496,6 +496,178 @@ object StreamingParity {
       import s.implicits._
       ops.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
         .toDF("event_type", "n", "op")
+    },
+
+    // ---- round-9 fold paths, driver-verified ---------------------------
+    // The retraction-source matrix (SURVEY §2 round-9 additions): raw
+    // top-N, grouped top-N, and session MVs maintained over PK/upsert
+    // tables by folding the table's keyed 4-op changelog, plus UPDATE/
+    // DELETE flowing through a cascade MV without demotion. Each entry
+    // asserts the MODE (values alone wouldn't distinguish the fold path
+    // from per-flush batch re-run) and hash-compares the final state
+    // against the upsert-resolved batch evaluation in DuckDB.
+
+    // Raw top-N over an upsert table (Mv.tryStartTopNCascade, raw inner):
+    // upsert overwrites retract carried rows and force a re-fetch; final
+    // state must equal the top-N over latest-version-per-key.
+    q("m_mv_topn_pk_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, value FROM latest
+        |ORDER BY value DESC, user_id LIMIT 25""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_tpf_t", Seq(("m_tpf_mv",
+        """SELECT user_id, value FROM m_tpf_t
+          |ORDER BY value DESC, user_id LIMIT 25""".stripMargin)))
+      val mv = rw.mvByName("m_tpf_mv").get
+      require(mv.isTopNMode && mv.isChangelogCascadeMode,
+        "raw top-N over an upsert table must take the cascade-fold path")
+      val materialized = mv.df.select("user_id", "value").localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // Grouped top-N over an upsert table (cascade-backed leaderboard):
+    // the inner aggregate's delta derives from the table changelog; a
+    // version overwrite retracts the old contribution before the new one
+    // folds in.
+    q("m_mv_grouped_topn_pk_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM latest GROUP BY 1
+        |ORDER BY sv DESC, bucket LIMIT 5""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_gtf_t", Seq(("m_gtf_mv",
+        """SELECT user_id % 10 AS bucket, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM m_gtf_t GROUP BY 1
+          |ORDER BY sv DESC, bucket LIMIT 5""".stripMargin)))
+      val mv = rw.mvByName("m_gtf_mv").get
+      require(mv.isTopNMode && mv.isChangelogCascadeMode,
+        "grouped top-N over an upsert table must take the cascade-fold path")
+      val out = mv.df.withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // Session windows over an upsert table (Mv.sessionCascadeEpoch): an
+    // overwrite moves a row between sessions — possibly merging or
+    // splitting them — via changelog retraction + re-sessionize. Oracle:
+    // lag-gap sessionization of the latest-version rows (same bounds
+    // convention as m_mv_session_incremental).
+    q("m_mv_session_pk_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(epoch(ts), event_id) AS e,
+        |    arg_max(event_type, event_id) AS event_type,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT event_type, e, value,
+        |  CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w >= 300 THEN 1 ELSE 0 END AS brk
+        |  FROM latest WINDOW w AS (PARTITION BY event_type ORDER BY e, value)),
+        |s AS (SELECT event_type, e, value,
+        |  SUM(brk) OVER (PARTITION BY event_type ORDER BY e, value ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT CAST(floor(min(e)) AS BIGINT) AS ws,
+        |  CAST(floor(max(e) + 300) AS BIGINT) AS we,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM s GROUP BY event_type, sid""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_spf_t", Seq(("m_spf_mv",
+        """SELECT window_start, window_end, event_type, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM session(m_spf_t, ts, interval '5 minutes')
+          |GROUP BY window_start, window_end, event_type""".stripMargin)),
+        withTs = true)
+      val mv = rw.mvByName("m_spf_mv").get
+      require(mv.isSessionMode && mv.isChangelogCascadeMode,
+        "session MV over an upsert table must take the cascade-fold path")
+      val out = mv.df.select(
+        col("window_start").cast("long").as("ws"),
+        col("window_end").cast("long").as("we"),
+        col("event_type"), col("n"), col("sv").cast("double").as("sv"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // DML without demotion (round-8 claim, driver-verified): a cascade
+    // aggregate over an upsert table stays incremental across a DELETE
+    // (mid-replay) and an UPDATE (late-replay) — both flow through the
+    // table changelog as retractions. Oracle replays the same timeline:
+    // early rows of deleted users are gone; users hit by the UPDATE whose
+    // latest surviving version predates the final chunk carry the doubled
+    // value (a final-chunk upsert replaces the row wholesale).
+    q("m_mv_dml_fold",
+      s"""WITH ch AS (SELECT user_id, value, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |kept AS (SELECT * FROM ch WHERE NOT (user_id % 7 = 3 AND chunk <= 3)),
+         |latest AS (SELECT user_id, arg_max(value, event_id) AS value,
+         |    max(chunk) AS lc FROM kept GROUP BY user_id),
+         |fin AS (SELECT user_id,
+         |    CASE WHEN user_id % 11 = 5 AND lc <= ${CHUNKS - 2} THEN value * 2
+         |         ELSE value END AS value
+         |  FROM latest)
+         |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+         |FROM fin GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_dmf_t", Seq(("m_dmf_mv",
+        """SELECT user_id % 10 AS bucket, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM m_dmf_t GROUP BY 1""".stripMargin)),
+        beforeChunk = Map(
+          4 -> { rw =>
+            rw.execute("DELETE FROM m_dmf_t WHERE user_id % 7 = 3")
+            val mv = rw.mvByName("m_dmf_mv").get
+            require(mv.isChangelogCascadeMode,
+              "DELETE must not demote a changelog-cascade MV")
+          },
+          CHUNKS - 1 -> { rw =>
+            rw.execute("UPDATE m_dmf_t SET value = value * 2 WHERE user_id % 11 = 5")
+            val mv = rw.mvByName("m_dmf_mv").get
+            require(mv.isChangelogCascadeMode,
+              "UPDATE must not demote a changelog-cascade MV")
+          }))
+      val mv = rw.mvByName("m_dmf_mv").get
+      require(mv.isChangelogCascadeMode,
+        "aggregate over the upsert table must consume its changelog")
+      val out = mv.df.withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
     }
   )
+
+  /** Chunked upsert replay: events into a PK(user_id)/version(event_id)
+    * live table in [[CHUNKS]] FLUSH-gated epochs — the retraction-source
+    * harness for the fold-path oracles above. `beforeChunk(i)` runs just
+    * before chunk i's insert (DML injection points); `withTs` widens the
+    * schema with `ts`/`event_type` for the session shape. */
+  private def replayUpsert(s: SparkSession, dir: String, table: String,
+      mvDefs: Seq[(String, String)],
+      withTs: Boolean = false,
+      beforeChunk: Map[Int, GraftEngine => Unit] = Map.empty): GraftEngine = {
+    val fields =
+      if (withTs) Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("event_id", LongType))
+      else Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType))
+    val rw = GraftEngine.open(ConnOptions(), Some(s))
+    val t = rw.createTable(table, StructType(fields),
+      primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+    mvDefs.foreach { case (n, st) => rw.mv(st, n) }
+    val rows = Tables(s, dir, "events")
+      .select(fields.map(f => col(f.name)): _*)
+      .collect().sortBy(_.getLong(fields.length - 1))
+    var i = 0
+    rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+      beforeChunk.get(i).foreach(_(rw))
+      t.insert(chunk.toSeq); rw.flush(); i += 1
+    }
+    rw
+  }
 }
