@@ -557,6 +557,7 @@ final class MaterializedView private[engine](
       topNInnerStmt = innerStmt
       topNCacheMargin = math.max(2 * n, 16)
       topNBound = None
+      topNVisibleRows = None
       restored.foreach { case (_, inner, bound, snap) =>
         innerState = Some(inner)
         inner.createOrReplaceTempView(topNSrcView)
@@ -651,6 +652,7 @@ final class MaterializedView private[engine](
       topNInnerStmt = innerStmt
       topNCacheMargin = math.max(2 * n, 16)
       topNBound = None
+      topNVisibleRows = None
       cascadeStmt = rewritten
       cascadeHasHaving = false
       cascadeUpstreams =
@@ -697,6 +699,7 @@ final class MaterializedView private[engine](
       cascadeUpstreams = Nil
       innerState = None
       topNBound = None
+      topNVisibleRows = None
       spark.catalog.dropTempView(topNSrcView)
       // same half-backfill discipline as tryStartCascade: if no ops were
       // emitted the fallback runs its own backfill from scratch
@@ -723,17 +726,18 @@ final class MaterializedView private[engine](
       latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
       statementEvals += 1
       val full = spark.sql(cascadeStmt).localCheckpoint(true)
-      val kept =
+      val stateRows =
         if (isAggMode) {
-          val (k, _, evictedBest) = rankedPrefix(full)
+          val (k, rows, evictedBest) = rankedPrefix(full)
           topNBound = evictedBest
-          k
-        } else topNEval(full).localCheckpoint(true) // raw: state == visible n
-      innerState = Some(kept)
-      val vis = if (isAggMode) topNEval(kept).localCheckpoint(true) else kept
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
-      emitOps(Changelog.multisetDiff(None, vis))
+          innerState = Some(k)
+          rows.toIndexedSeq
+        } else { // raw: state == visible n
+          val rows = topNEval(full).collect().toIndexedSeq
+          innerState = Some(localDf(rows, full.schema))
+          rows
+        }
+      publishTopNVisible(stateRows, innerState.get.schema)
     } else {
       val parts = latests.map { case (u, l) =>
         val after = cascadeOffsets.getOrElse(u.viewName, 0L)
@@ -759,13 +763,9 @@ final class MaterializedView private[engine](
       // must leave the carried state — update-mode streaming could never
       // name such a group, but cascade retractions can
       val merged = keyJoin(innerState.get, touched, "left_anti").union(newTouched)
-      innerState = Some(timed("truncate")(
-        truncateGrouped(merged, touched).localCheckpoint(true)))
-      val nextVisible = timed("visible-eval")(
-        topNEval(innerState.get).localCheckpoint(true))
-      emitOps(Changelog.multisetDiff(snapshot, nextVisible))
-      snapshot = Some(nextVisible)
-      snapshot.get.createOrReplaceTempView(viewName)
+      val (kept, stateRows) = timed("truncate")(truncateGrouped(merged, touched))
+      innerState = Some(kept)
+      timed("visible-publish")(publishTopNVisible(stateRows, kept.schema))
     }
   }
 
@@ -799,15 +799,13 @@ final class MaterializedView private[engine](
     val touchesState = !dels.join(org.apache.spark.sql.functions.broadcast(sr),
       cols.map(c => col(c) <=> col(s"__s_$c")).reduce(_ && _), "left_semi")
       .rdd.isEmpty()
-    val next = timed("truncate")(
-      if (touchesState) {
+    val stateRows = timed("truncate")(
+      (if (touchesState) {
         statementEvals += 1
-        topNEval(spark.sql(cascadeStmt)).localCheckpoint(true)
-      } else topNEval(state.unionByName(adds)).localCheckpoint(true))
-    innerState = Some(next)
-    emitOps(Changelog.multisetDiff(snapshot, next))
-    snapshot = Some(next)
-    next.createOrReplaceTempView(viewName)
+        topNEval(spark.sql(cascadeStmt))
+      } else topNEval(state.unionByName(adds))).collect().toIndexedSeq)
+    innerState = Some(localDf(stateRows, state.schema))
+    publishTopNVisible(stateRows, state.schema)
   }
 
   /** Session-window MV maintenance: stream the source's raw rows (append
@@ -1531,17 +1529,15 @@ final class MaterializedView private[engine](
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     if (clone.rdd.isEmpty()) return
     val merged = mergeDelta(innerState, d, keyed = isAgg)
-    innerState = Some(timed("truncate")(
-      (if (isAgg) truncateGrouped(merged,
-         d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct())
-       else topNEval(merged))
-        .localCheckpoint(true)))
-    val nextVisible =
-      if (isAgg) timed("visible-eval")(topNEval(innerState.get).localCheckpoint(true))
-      else innerState.get
-    emitOps(Changelog.multisetDiff(snapshot, nextVisible))
-    snapshot = Some(nextVisible)
-    snapshot.get.createOrReplaceTempView(viewName)
+    val (kept, stateRows) = timed("truncate")(
+      if (isAgg) truncateGrouped(merged,
+        d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct())
+      else {
+        val rows = topNEval(merged).collect().toIndexedSeq
+        (localDf(rows, merged.schema), rows)
+      })
+    innerState = Some(kept)
+    timed("visible-publish")(publishTopNVisible(stateRows, kept.schema))
   }
 
   /** ONE ranked evaluation of a grouped-top-N state frame: the first n+C
@@ -1554,9 +1550,10 @@ final class MaterializedView private[engine](
     val lim = topNLimit + topNCacheMargin
     val rows = topNEval(df, lim + 1).collect()
     val keptRows = rows.take(lim)
+    // a LocalRelation IS materialized — checkpointing ≤ n+C driver rows
+    // would spend a Spark job to copy them back to the cluster
     val kept = spark.createDataFrame(
       java.util.Arrays.asList(keptRows.toIndexedSeq: _*), df.schema)
-      .localCheckpoint(true)
     (kept, keptRows, rows.drop(lim).headOption)
   }
 
@@ -1567,8 +1564,10 @@ final class MaterializedView private[engine](
     * `namedKeys` are the keys THIS epoch's delta named (touched keys in
     * cascade mode): a bound whose key they name is stale even when the
     * key's group vanished from `merged` entirely (cascade retractions). */
-  private def truncateGrouped(merged: DataFrame, namedKeys: DataFrame): DataFrame = {
-    val (kept, keptRows, evictedBest) = rankedPrefix(merged)
+  private def truncateGrouped(merged: DataFrame,
+      namedKeys: DataFrame): (DataFrame, IndexedSeq[Row]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lim = topNLimit + topNCacheMargin
     // a carried bound whose key re-entered the carried state (named by this
     // delta) is STALE — but it was also the ONLY upper bound carried for
     // ALL previously evicted keys, so it cannot simply be dropped: a
@@ -1577,52 +1576,111 @@ final class MaterializedView private[engine](
     // from the batch result. Re-establish the exact bound from a full
     // evaluation instead: one re-fetch now, a fresh tight bound afterwards
     // (strictly better than the stale row's repeated spurious re-fetches).
-    // The membership probe broadcasts the ONE bound row, not the key set.
+    // The probe is a literal filter on the named-key frame — no join plan,
+    // no broadcast exchange, one limit-1 job.
     val boundKeyReentered = topNBound.exists { b =>
-      !keyJoin(namedKeys.toDF(keyCols: _*),
-        rowDf(b, merged.schema).select(keyCols.map(org.apache.spark.sql.functions.col): _*),
-        "left_semi").isEmpty
-    }
-    val underflow = boundKeyReentered || {
-      // bound candidates: the old bound and this epoch's best evicted row.
-      // ONE ordered evaluation of (kept rows + candidates) — all driver-
-      // resident, ≤ n+C+2 rows — decides BOTH the new bound (the best-
-      // ranked candidate; the order text is SQL, only the engine can
-      // compare under it) and underflow (does that bound rank inside the
-      // visible top n of the kept state). The old sequence spent three
-      // Spark jobs on the same three answers.
-      val cand = topNBound.map((_, 1)).toSeq ++ evictedBest.map((_, 2)).toSeq
-      if (cand.isEmpty) false
-      else {
-        val tagSchema = merged.schema
-          .add("__tag", org.apache.spark.sql.types.IntegerType)
-        val pool = keptRows.map(r => Row.fromSeq(r.toSeq :+ 0)) ++
-          cand.map { case (r, t) => Row.fromSeq(r.toSeq :+ t) }
-        val ranked = topNEval(
-          spark.createDataFrame(java.util.Arrays.asList(pool.toIndexedSeq: _*), tagSchema),
-          pool.length).collect()
-        val tagIdx = tagSchema.length - 1
-        val firstCand = ranked.indexWhere(_.getInt(tagIdx) != 0)
-        topNBound = Some(Row.fromSeq(ranked(firstCand).toSeq.dropRight(1)))
-        // rank of the new bound among (kept ∪ bound): kept rows sorting
-        // before it, plus one
-        ranked.take(firstCand).count(_.getInt(tagIdx) == 0) + 1 <= topNLimit
+      val conds = keyCols.map { c =>
+        val v = b.get(merged.schema.fieldIndex(c))
+        if (v == null) col(c).isNull else col(c) <=> lit(v)
       }
+      namedKeys.toDF(keyCols: _*).filter(conds.reduce(_ && _)).take(1).nonEmpty
     }
-    if (!underflow) kept
+    // ONE ranked evaluation decides everything else: pool = the merged
+    // state ∪ the carried bound row (tagged 1). In ranked order, tag-0
+    // rows 1..lim are the kept state and tag-0 row lim+1 is the best row
+    // THIS truncation evicts; the first candidate encountered — the tag-1
+    // bound or that row lim+1, whichever ranks first — is the new bound,
+    // and the count of kept rows preceding it is its visible rank (the
+    // underflow test). LIMIT lim+2 suffices: at most one tag-1 row rides
+    // along. The order text is SQL, so only the engine can compare under
+    // it — the old sequence spent separate eval + candidate-rank jobs on
+    // the same answers.
+    lazy val (keptRows, underflowByRank) = {
+      val tagged = merged.withColumn("__tag", lit(0))
+      val pool = topNBound match {
+        case Some(b) => tagged.unionByName(
+          rowDf(b, merged.schema).withColumn("__tag", lit(1)))
+        case None => tagged
+      }
+      pool.createOrReplaceTempView(topNSrcView)
+      val ranked = spark.sql(
+        s"SELECT * FROM $topNSrcView ORDER BY $topNOrderText LIMIT ${lim + 2}")
+        .collect()
+      val tagIdx = merged.schema.length
+      def untag(r: Row) = Row.fromSeq(r.toSeq.dropRight(1))
+      val kept = ranked.filter(_.getInt(tagIdx) == 0).take(lim).map(untag)
+      var tag0Seen = 0
+      var cand: Option[Row] = None
+      val it = ranked.iterator
+      while (cand.isEmpty && it.hasNext) {
+        val r = it.next()
+        if (r.getInt(tagIdx) == 1 || tag0Seen == lim) cand = Some(untag(r))
+        else tag0Seen += 1
+      }
+      val uf = cand match {
+        case None => false // no bound carried and nothing evicted
+        case Some(b) =>
+          topNBound = Some(b)
+          tag0Seen + 1 <= topNLimit
+      }
+      (kept.toIndexedSeq, uf)
+    }
+    val underflow = boundKeyReentered || underflowByRank
+    if (!underflow) (localDf(keptRows, merged.schema), keptRows)
     else {
       statementEvals += 1
       val full = spark.sql(engine.rewrite(topNInnerStmt)).localCheckpoint(true)
       // row n+C+1 of the FULL evaluation is the best row evicted overall —
       // the exact fresh bound
-      val (keptF, _, evictedBestF) = rankedPrefix(full)
+      val (keptF, rowsF, evictedBestF) = rankedPrefix(full)
       topNBound = evictedBestF
-      keptF
+      (keptF, rowsF.toIndexedSeq)
     }
   }
 
   private def rowDf(r: Row, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(java.util.List.of(r), schema)
+
+  private def localDf(rows: IndexedSeq[Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  /** The visible top-N rows of the previous epoch, in statement order —
+    * kept driver-resident so [[publishTopNVisible]] can diff epochs
+    * without a Spark job. None exactly when `snapshot` was produced
+    * elsewhere (durable restore; mode fallback), which forces one
+    * distributed diff before the local tail takes over. */
+  private var topNVisibleRows: Option[IndexedSeq[Row]] = None
+
+  /** Zero-job visible-snapshot publication for the top-N modes: the
+    * ranked state rows are already in statement order, so the visible set
+    * is their first n (no re-evaluation), the snapshot binds as a
+    * LocalRelation (no checkpoint job), and the epoch's changelog delta
+    * is the driver-side multiset diff ([[Changelog.localMultisetDiff]]).
+    * The only cluster work left in the tail is the changelog append
+    * itself. Scale note: everything here is ≤ n+C rows BY DEFINITION —
+    * driver residency is the honest cost model for a top-N result, while
+    * the per-epoch heavy lifting (group recompute, re-fetch) stays
+    * distributed. */
+  private def publishTopNVisible(stateRows: IndexedSeq[Row],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val visRows = stateRows.take(topNLimit)
+    val nextVisible = localDf(visRows, schema)
+    val localOps =
+      if (snapshot.nonEmpty && topNVisibleRows.isEmpty) None
+      else Changelog.localMultisetDiff(
+        if (snapshot.isEmpty) None else topNVisibleRows.map(_.toSeq),
+        visRows, schema)
+    localOps match {
+      case Some(ops) =>
+        if (ops.nonEmpty) emitOps(localDf(ops.toIndexedSeq,
+          schema.add("op", org.apache.spark.sql.types.StringType)))
+      case None => emitOps(Changelog.multisetDiff(snapshot, nextVisible))
+    }
+    snapshot = Some(nextVisible)
+    topNVisibleRows = Some(visRows)
+    nextVisible.createOrReplaceTempView(viewName)
+  }
 
   /** Streaming micro-batch: `delta` holds the new value of every changed key
     * (update mode) or fresh appended rows (append mode).
@@ -1771,6 +1829,7 @@ final class MaterializedView private[engine](
         sessionMode = false
         innerState = None
         frozen = None
+        topNVisibleRows = None
         engine.releaseStreamReaders(viewName)
         faceStreams.clear() // faces die with streaming mode (engine cascades)
         val df = spark.sql(engine.rewrite(stmt))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** 4-op changelog generation (SURVEY §2.6 W3): diff of two keyed snapshots
@@ -137,6 +137,94 @@ object Changelog {
             when(col("__d") > 0, lit(OpInsert)).otherwise(lit(OpDelete)).as("op"): _*)
           .coalesce(1)
           .sortWithinPartitions(cols.map(col) :+ element_at(opRank, col("op")): _*)
+    }
+  }
+
+  private val localOpRank =
+    Map(OpDelete -> 0, OpUpdateDelete -> 1, OpUpdateInsert -> 2, OpInsert -> 3)
+
+  /** Driver-side [[multisetDiff]] for BOUNDED snapshots — the top-N
+    * maintainer's visible set is ≤ n rows by definition, so diffing it as
+    * a distributed query spends several Spark jobs (group, full-outer
+    * join, explode, sort) on a handful of driver-resident rows every
+    * epoch. Same delta semantics and the same deterministic emission order
+    * (row columns ascending NULLS FIRST, then op rank), zero jobs.
+    *
+    * Returns None when a column's type has no local ordering equivalent to
+    * Spark's sort (caller falls back to the distributed diff). Strings
+    * compare as UTF-8 bytes — Spark's binary string order, which differs
+    * from java.lang.String's UTF-16 order above the BMP. */
+  def localMultisetDiff(prev: Option[Seq[Row]], next: Seq[Row],
+      schema: org.apache.spark.sql.types.StructType): Option[Seq[Row]] = {
+    val ords = schema.fields.map(f => localOrdering(f.dataType))
+    if (ords.exists(_.isEmpty)) return None
+    val counts = scala.collection.mutable.LinkedHashMap[Row, Long]()
+    next.foreach(r => counts.update(r, counts.getOrElse(r, 0L) + 1L))
+    prev.getOrElse(Nil).foreach(r => counts.update(r, counts.getOrElse(r, 0L) - 1L))
+    val ops = counts.iterator.filter(_._2 != 0L).flatMap { case (r, d) =>
+      val op = if (d > 0) OpInsert else OpDelete
+      Iterator.fill(math.abs(d).toInt)((r, op))
+    }.toIndexedSeq
+    val fieldOrds = ords.map(_.get)
+    val rowOrd = new Ordering[(Row, String)] {
+      def compare(a: (Row, String), b: (Row, String)): Int = {
+        var i = 0
+        while (i < fieldOrds.length) {
+          val c = fieldOrds(i).compare(a._1.get(i), b._1.get(i))
+          if (c != 0) return c
+          i += 1
+        }
+        localOpRank(a._2) - localOpRank(b._2)
+      }
+    }
+    Some(ops.sorted(rowOrd).map { case (r, op) => Row.fromSeq(r.toSeq :+ op) })
+  }
+
+  /** Local equivalent of Spark's ascending NULLS FIRST ordering for one
+    * column type; None where the equivalence isn't certain. */
+  private def localOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    def nullsFirst(cmp: (Any, Any) => Int): Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else cmp(a, b)
+    }
+    dt match {
+      case StringType => Some(nullsFirst { (a, b) =>
+        // unsigned byte-wise compare == UTF8String.binaryCompare
+        val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var c = 0
+        while (i < n && c == 0) {
+          c = (x(i) & 0xff) - (y(i) & 0xff)
+          i += 1
+        }
+        if (c != 0) c else x.length - y.length
+      })
+      case BooleanType => Some(nullsFirst((a, b) =>
+        java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])))
+      case ByteType | ShortType | IntegerType | LongType => Some(nullsFirst((a, b) =>
+        java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+          b.asInstanceOf[Number].longValue())))
+      case FloatType => Some(nullsFirst((a, b) =>
+        java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])))
+      case DoubleType => Some(nullsFirst((a, b) =>
+        java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])))
+      case _: DecimalType => Some(nullsFirst((a, b) =>
+        a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal])))
+      case DateType => Some(nullsFirst((a, b) =>
+        a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date])))
+      case TimestampType => Some(nullsFirst((a, b) =>
+        a.asInstanceOf[java.sql.Timestamp].compareTo(b.asInstanceOf[java.sql.Timestamp])))
+      case TimestampNTZType => Some(nullsFirst((a, b) =>
+        a.asInstanceOf[java.time.LocalDateTime]
+          .compareTo(b.asInstanceOf[java.time.LocalDateTime])))
+      case _ => None
     }
   }
 }
