@@ -638,6 +638,57 @@ object StreamingParity {
       val materialized = out.localCheckpoint(true)
       rw.close()
       materialized
+    },
+
+    // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
+    // the final-only emit policy holds windows in a pending buffer and
+    // emits each exactly once when the watermark passes its end. Spark's
+    // watermark lags one micro-batch, so after the chunked replay two
+    // far-future sentinel rows close every real window deterministically:
+    // sentinel 1 advances the watermark past all real data, sentinel 2's
+    // batch applies it. The sentinels' own windows stay open (each ends
+    // after the watermark in effect), so the visible state equals the
+    // plain batch tumble aggregate of the fixture — and the changelog
+    // must contain only Inserts (final-only: no retraction ever).
+    q("m_mv_eowc_tumble",
+      """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS ws, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      rw.createTable("m_ev_eowc", eventsSchema)
+      val mv = rw.mv(
+        """SELECT window_start, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM tumble(m_ev_eowc, ts, interval '10 minutes')
+          |GROUP BY window_start EMIT ON WINDOW CLOSE""".stripMargin,
+        "m_eowc_mv", watermarks = Map("m_ev_eowc" -> (("ts", "0 seconds"))))
+      val t = rw.table("m_ev_eowc").get
+      val rows = Tables(s, dir, "events")
+        .select(eventsSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .collect().sortBy(_.getLong(0))
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        t.insert(chunk.toSeq); rw.flush()
+      }
+      require(mv.isStreamingMode,
+        "EOWC MV fell back to batch re-run — must stream with a pending buffer")
+      val maxTs = rows.iterator.map(_.getTimestamp(1).getTime).max
+      val maxId = rows.last.getLong(0)
+      def sentinel(id: Long, offsetMs: Long) = Row(maxId + id,
+        new java.sql.Timestamp(maxTs + offsetMs), 0L, "sentinel", 0.0, "{}")
+      t.insert(Seq(sentinel(1, 86400000L))); rw.flush()
+      t.insert(Seq(sentinel(2, 2 * 86400000L))); rw.flush()
+      // final-only emission: the replayed changelog is all Inserts
+      val sub = mv.subscription().declareCursor(Some(0L))
+      val ops = Iterator.continually(sub.fetch(10000)).takeWhile(_.nonEmpty)
+        .flatten.map(r => r.getString(r.length - 2)).toSeq
+      require(ops.nonEmpty && ops.forall(_ == "Insert"),
+        s"EOWC changelog must be insert-only, got ${ops.distinct}")
+      val out = mv.df.select(
+        col("window_start").cast("long").as("ws"),
+        col("n"), col("sv").cast("double").as("sv"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
     }
   )
 
