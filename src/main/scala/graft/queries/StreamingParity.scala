@@ -88,6 +88,32 @@ object StreamingParity {
       materialized
     },
 
+    // W1b — incrementally-maintained hop (sliding) window aggregate:
+    // every event lands in size/slide = 3 windows; the oracle replicates
+    // the window fan-out with an epoch-arithmetic cross join. Mode
+    // asserted: the hop TVF maps to Spark's sliding window() and must
+    // maintain via the streaming path, not per-flush batch re-run.
+    q("m_mv_hop_incremental",
+      """SELECT CAST(floor(epoch(ts)/600)*600 - j*600 AS BIGINT) AS ws, event_type,
+        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM events, (SELECT unnest(range(3)) AS j)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val rw = replay(s, dir, "m_ev_hop", Seq(("m_hop_mv",
+        """SELECT window_start, event_type, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM hop(m_ev_hop, ts, interval '10 minutes', interval '30 minutes')
+          |GROUP BY window_start, event_type""".stripMargin)))
+      val mv = rw.mvByName("m_hop_mv").get
+      require(mv.isStreamingMode,
+        "hop MV fell back to batch re-run — must maintain incrementally")
+      val out = mv.df
+        .select(col("window_start").cast("long").as("ws"), col("event_type"),
+          col("n"), col("sv").cast("double").as("sv"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // A4/§2.11 joins — incrementally-maintained stream⋈static enrichment MV
     // (the canonical dimension-join MV): the live events stream joins the
     // static `nation` dimension with an aggregate on top, maintained by the
