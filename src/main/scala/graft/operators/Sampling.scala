@@ -40,4 +40,27 @@ object Sampling {
     }
     df.filter(bucket(col(idCol)) < threshold)
   }
+
+  /** Domain-mixing resampler (training-data mixture control): down-sample
+    * each domain toward target fraction `weights(d)` of the total corpus.
+    * Acceptance rate r_d = min(1, w_d · N / n_d): domains over-represented
+    * against the target shrink deterministically, under-represented ones
+    * are kept whole (a resampler cannot invent rows — upsampling is the
+    * training loader's job). Rows of domains absent from `weights` drop.
+    *
+    * Scale shape: ONE hash-aggregation pass computes the per-domain counts
+    * (result bounded by domain cardinality — hundreds, not corpus-sized),
+    * which collect to become literal thresholds; the corpus itself is then
+    * touched once by the same map-only id-hash filter as
+    * [[stratifiedSample]], inside the scan stage. */
+  def mixDomains(df: DataFrame, idCol: String, domainCol: String,
+                 weights: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val rates = weights.flatMap { case (d, w) =>
+      counts.get(d).map(n => d -> math.min(1.0, w * total / n)) }
+    stratifiedSample(df, idCol, domainCol, rates)
+  }
 }

@@ -500,6 +500,37 @@ object Extensions {
         .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"))
     },
 
+    // Domain-mixing resampler: per-source acceptance rates derived from
+    // the measured counts (min(1, w·N/n) — src2 target 20% of corpus is
+    // UNDER-represented, so it keeps whole; the others shrink), selection
+    // by the same replayable id hash as x_sample_stratified. The oracle
+    // recomputes the counts, the rates, and the hash in SQL.
+    q("x_mix_domains",
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        |r AS (SELECT c.source, least(1.0, w.w * t.total / c.n) AS rate
+        |  FROM c, t, (VALUES ('src2', 0.20), ('src3', 0.01),
+        |              ('src5', 0.02), ('src7', 0.003)) AS w(s, w)
+        |  WHERE c.source = w.s),
+        |h AS (SELECT doc_id, source,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(doc_id::VARCHAR) + 1),
+        |        i -> CAST(ascii(substr(doc_id::VARCHAR, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) * 2654435761) % 1000000007 AS hb
+        |  FROM documents),
+        |kept AS (SELECT h.doc_id, h.source FROM h JOIN r ON h.source = r.source
+        |  WHERE h.hb < CAST(floor(1000000007 * r.rate) AS BIGINT))
+        |SELECT source, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_id,
+        |  CAST(max(doc_id) AS BIGINT) AS last_id
+        |FROM kept GROUP BY source""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling
+        .mixDomains(Tables(s, dir, "documents"), "doc_id", "source",
+          Map("src2" -> 0.20, "src3" -> 0.01, "src5" -> 0.02, "src7" -> 0.003))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"),
+          max("doc_id").as("last_id"))
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + stubbed decode (no codec libs in the

@@ -225,6 +225,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("localMultisetDiff equals the distributed multisetDiff, ops and order") {
+    // the driver-side diff powers the top-N epoch tail; its delta AND its
+    // deterministic emission order must be bit-identical to the
+    // distributed spelling (changelog consumers replay both)
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", IntegerType), StructField("d", DoubleType)))
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "é", "c")
+      v <- Gen.choose(0, 3)
+      d <- Gen.oneOf(1.5, -2.0, 0.0)
+    } yield Row(k, v, d)
+    import scala.jdk.CollectionConverters._
+    for (i <- 1 to 5) {
+      val prev = sample(Gen.listOfN(10, rowGen), 700 + i)
+      val next = sample(Gen.listOfN(10, rowGen), 800 + i)
+      val dist = Changelog.multisetDiff(
+        Some(spark.createDataFrame(prev.asJava, schema)),
+        spark.createDataFrame(next.asJava, schema)).collect().toSeq
+      val local = Changelog.localMultisetDiff(Some(prev), next, schema)
+      assert(local.nonEmpty, "schema must have a local ordering")
+      assert(local.get.map(_.toSeq) == dist.map(_.toSeq), s"case $i")
+    }
+    // first-epoch spelling (prev = None): all Inserts, sorted
+    val onlyNext = sample(Gen.listOfN(8, rowGen), 900)
+    val dist0 = Changelog.multisetDiff(None,
+      spark.createDataFrame(onlyNext.asJava, schema)).collect().toSeq
+    val local0 = Changelog.localMultisetDiff(None, onlyNext, schema)
+    assert(local0.get.map(_.toSeq) == dist0.map(_.toSeq))
+  }
+
+  test("mixDomains: rates bound at 1, unlisted domains drop, selection deterministic") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(StructField("id", LongType), StructField("dom", StringType)))
+    // dom a: 60 rows (over-represented vs target 10%), dom b: 5 rows
+    // (under-represented vs target 50% -> rate clamps to 1, kept whole)
+    val rows = (0L until 60L).map(Row(_, "a")) ++ (100L until 105L).map(Row(_, "b")) ++
+      (200L until 220L).map(Row(_, "c"))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val kept = Sampling.mixDomains(df, "id", "dom", Map("a" -> 0.1, "b" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.forall(_._2 != "c"), "unlisted domains must drop")
+    assert(kept.count(_._2 == "b") == 5, "under-represented domain keeps whole")
+    val na = kept.count(_._2 == "a")
+    assert(na > 0 && na < 60, s"over-represented domain must shrink, kept $na/60")
+    val again = Sampling.mixDomains(df, "id", "dom", Map("a" -> 0.1, "b" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet, "selection must be deterministic")
+  }
+
   test("NearestCentroid equals an independent Scala argmax on random vectors") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.col
