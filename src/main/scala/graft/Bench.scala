@@ -75,6 +75,13 @@ object Bench {
           |  CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
           |FROM bm_up GROUP BY date_trunc('hour', window_start), event_type""".stripMargin)),
       rw => rw.mvByName("bm_daily").exists(_.isChangelogCascadeMode)),
+    ("s_mv_session_maintain", Seq(
+      ("bm_sess",
+        """SELECT window_start, window_end, event_type, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM session(bench_ev, ts, interval '5 minutes')
+          |GROUP BY window_start, window_end, event_type""".stripMargin)),
+      rw => rw.mvByName("bm_sess").exists(m => m.isStreamingMode && m.isSessionMode)),
     ("s_mv_topn_cascade", Seq(
       ("bm_top",
         """SELECT user_id, count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv

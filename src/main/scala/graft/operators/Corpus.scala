@@ -73,6 +73,61 @@ object Corpus {
         round(col("n_contam").cast("double") / col("n_grams"), 6).as("contam_frac"))
   }
 
+  /** [[contamination]] with a Bloom prefilter — the shape that matters at
+    * 100 TB: even with the benchmark set broadcast, every corpus n-gram
+    * must be probed against the exact hash relation inside the join. Here
+    * a Bloom filter built over the benchmark grams (`DataFrameStatFunctions
+    * .bloomFilter` → `org.apache.spark.util.sketch.BloomFilter`, broadcast
+    * once) discards ~everything in the scan stage BEFORE the join; the
+    * exact broadcast join then removes the Bloom's false positives, so the
+    * result is IDENTICAL to [[contamination]] — which is exactly what the
+    * oracle asserts. `fpp` trades filter size for surviving-row count. */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
+    val bench = benchmark
+      .select(explode(shingles(col(textCol), n)).as("gram")).distinct()
+      .localCheckpoint(true) // reused three times: count, Bloom build, exact join
+    val items = math.max(bench.count(), 1L)
+    val bf = bench.stat.bloomFilter("gram", items, fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    docs.select(col(idCol), shingles(col(textCol), n).as("g"))
+      .select(col(idCol), size(col("g")).cast("long").as("n_grams"),
+        explode(col("g")).as("gram"))
+      .filter(mightContain(col("gram")))
+      .join(broadcast(bench), "gram")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_contam"))
+      .select(col(idCol), col("n_contam"), col("n_grams"),
+        round(col("n_contam").cast("double") / col("n_grams"), 6).as("contam_frac"))
+  }
+
+  /** RAG-style fixed-window chunker: deterministic character windows of
+    * `size` advancing by `size - overlap`; the final partial window keeps
+    * the tail, and a document shorter than one stride still yields its one
+    * chunk. Output carries a replayable mod-prime content fingerprint
+    * instead of the chunk text (embedding/indexing stages key on it).
+    *
+    * 100 TB shape: map-only — chunk count, offsets, substrings, and
+    * fingerprints all derive per-row inside the scan stage (explode of a
+    * length-computed sequence); no shuffle, no driver coordination. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val chunk = expr(s"substring(__t, CAST(chunk_id * $stride + 1 AS INT), $size)")
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"),
+        greatest(lit(1L), ceil((length(col(textCol)) - lit(overlap))
+          .cast("double") / stride).cast("long")).as("__nc"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        length(chunk).cast("long").as("chunk_chars"),
+        graft.functions.HashExpressions.rollingHash(chunk).as("fp"))
+  }
+
   /** Repetition / boilerplate quality signals (Gopher-style): fraction of
     * the document covered by its most frequent bigram, and the duplicate
     * token fraction. High values mark templated or degenerate text.

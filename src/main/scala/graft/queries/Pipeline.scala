@@ -48,6 +48,50 @@ object Pipeline {
         "doc_id", "text", n = 5)
     },
 
+    // Bloom-prefiltered decontamination: same semantics as x_contam_ngram
+    // (the exact join removes the Bloom's false positives), but the corpus
+    // grams are discarded by a broadcast Bloom probe in the scan stage
+    // before any join — the at-scale shape. The oracle is the EXACT
+    // computation: matching it proves the prefilter changes nothing.
+    q("x_contam_bloom",
+      s"""WITH ${duckNgrams(5)},
+         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM ng WHERE source = 'src0'),
+         |train AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams, unnest(g) AS gram
+         |          FROM ng WHERE source <> 'src0')
+         |SELECT doc_id, count(*) AS n_contam, max(n_grams) AS n_grams,
+         |  round(count(*)::DOUBLE / max(n_grams), 6) AS contam_frac
+         |FROM train JOIN bench USING (gram) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Corpus.contaminationBloom(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 5)
+    },
+
+    // ---- RAG chunking -----------------------------------------------------
+
+    // Fixed-window document chunker (200 chars, 50 overlap): offsets,
+    // lengths, and the mod-prime content fingerprint are all replayed by
+    // the oracle — lateral unnest over the per-doc chunk count, then the
+    // same codepoint fold over each substring.
+    q("x_chunk_documents",
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS len
+        |  FROM documents WHERE strlen(text) > 0),
+        |n AS (SELECT doc_id, text,
+        |  greatest(1, CAST(ceil((len - 50)::DOUBLE / 150) AS BIGINT)) AS nc FROM d),
+        |c AS (SELECT doc_id, t.j AS chunk_id,
+        |    substr(text, CAST(t.j*150 + 1 AS INT), 200) AS chunk
+        |  FROM n, unnest(range(n.nc)) AS t(j))
+        |SELECT doc_id, chunk_id, CAST(strlen(chunk) AS BIGINT) AS chunk_chars,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, strlen(chunk) + 1),
+        |      i -> CAST(ascii(substr(chunk, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM c""".stripMargin) { (s, dir) =>
+      Corpus.chunkDocuments(Tables(s, dir, "documents"), "doc_id", "text",
+        size = 200, overlap = 50)
+    },
+
     // ---- repetition / boilerplate quality ---------------------------------
 
     q("x_quality_repetition",
