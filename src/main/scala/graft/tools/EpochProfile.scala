@@ -48,6 +48,11 @@ object EpochProfile {
           """SELECT date_trunc('hour', window_start) AS hs, event_type,
             |  CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
             |FROM bm_up GROUP BY date_trunc('hour', window_start), event_type""".stripMargin))
+      case "session" => Seq(("bm_sess",
+        """SELECT window_start, window_end, event_type, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM session(bench_ev, ts, interval '5 minutes')
+          |GROUP BY window_start, window_end, event_type""".stripMargin))
       case _ => Seq(
         ("bm_top",
           """SELECT user_id, count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
