@@ -115,6 +115,18 @@ final class MaterializedView private[engine](
   /** Pre-HAVING keyed state (== the visible snapshot when no HAVING). */
   private var cascadeInner: Option[DataFrame] = None
 
+  // delta-join cascade state (round 9): NON-aggregate multilinear
+  // statements — projections, filters, inner/cross joins, UNION ALL —
+  // over changelog-emitting sources maintain via signed delta joins
+  // instead of batch re-run — see [[tryStartJoinCascade]]/
+  // [[joinCascadeEpoch]]. State is the output multiset, carried grouped
+  // as (row → count) in [[cascadeInner]] with [[MaterializedView.CntCol]].
+  private var joinMode = false
+  /** Whether the statement actually joins — the delta views carry a
+    * broadcast hint only then (a hint on a join-less projection/filter
+    * fold is a no-op that logs a planner warning per epoch). */
+  private var joinHasJoin = false
+
   // session-window state (session TVF statements): raw source rows stream
   // in append mode into a carried state, re-sessionized per epoch — see
   // [[tryStartSession]]/[[handleSessionDelta]]. With a watermarked source,
@@ -218,6 +230,10 @@ final class MaterializedView private[engine](
   /** True when maintained by the streaming session-window path (stream raw
     * rows + re-sessionize the carried state per epoch), not batch re-run. */
   private[graft] def isSessionMode: Boolean = sessionMode
+
+  /** True when maintained by the delta-join cascade (signed delta joins of
+    * a non-aggregate multilinear statement), not batch re-run. */
+  private[graft] def isDeltaJoinMode: Boolean = joinMode
 
   /** Rebind the MV's name to its current snapshot (after withStreamingViews
     * temporarily bound the streaming face). */
@@ -485,6 +501,10 @@ final class MaterializedView private[engine](
       // the reference's canonical upsert-table→aggregate-MV shape folds
       // deltas instead of batch re-running every FLUSH
       if (!emitOnClose && tryStartCascade()) return
+      // non-aggregate multilinear statements (projections / filters /
+      // inner joins / UNION ALL) fold signed delta joins instead of batch
+      // re-running — the classical IVM delta-join rule (round 9)
+      if (!emitOnClose && tryStartJoinCascade()) return
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
       keyCols = keyMode match {
@@ -1492,6 +1512,289 @@ final class MaterializedView private[engine](
     else inner
   }
 
+  // ---- delta-join cascade (round 9) ---------------------------------------
+
+  /** Admission for the delta-join cascade: a NON-aggregate statement that
+    * is multilinear in its changelog-emitting sources — a composition of
+    * Project / Filter / inner-or-cross Join / UNION ALL over live tables,
+    * MVs, and static catalog tables (constants). Such a statement Q
+    * satisfies the telescoping identity
+    *
+    *   Q(S₁⁺,…,Sₖ⁺) − Q(S₁⁻,…,Sₖ⁻) =
+    *     Σᵢ Q(S₁⁺,…,Sᵢ₋₁⁺, ΔSᵢ, Sᵢ₊₁⁻,…,Sₖ⁻)
+    *
+    * with multiset (signed-multiplicity) semantics, so each epoch's output
+    * delta derives from k statement evaluations each binding ONE source to
+    * its (small, broadcast) changelog delta — never a re-scan of the whole
+    * join. This is the classical incremental-view-maintenance delta-join
+    * rule (Blakeley et al.; DBSP's bilinear operator), expressed Spark-
+    * first: the per-term plans are ordinary Catalyst joins whose delta
+    * side carries an explicit broadcast hint.
+    *
+    * Rejected (→ batch re-run fallback, always correct): aggregates /
+    * DISTINCT (handled by [[tryStartCascade]] or non-linear), outer joins
+    * (null-extension is not multilinear), window functions, sorts/limits
+    * (the top-N paths own those), set ops other than UNION ALL,
+    * subqueries, generators, nondeterministic expressions, and any
+    * changelog source referenced more than once (the textual rebinding
+    * cannot address occurrences independently — a self-join would fold
+    * both sides at once). */
+  private def tryStartJoinCascade(): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Deduplicate, Distinct, Except, Generate, GlobalLimit, Intersect,
+      Join, LocalLimit, Sort, Window => WindowNode}
+    val tbls = engine.referencedLiveTables(stmt)
+    val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
+    if (tbls.isEmpty && ups.isEmpty) return false
+    val preOffset = changeLog.latestOffset
+    try {
+      cascadeStmt = engine.rewrite(stmt)
+      val df = spark.sql(cascadeStmt)
+      val analyzed = df.queryExecution.analyzed
+      // linearity is a property of the statement ABOVE its sources — a
+      // source view's own resolution plan (e.g. a PK table's upsert-
+      // resolving batch face, which aggregates internally) is a black box
+      // the scan must not descend into
+      val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
+        .map(_.toLowerCase).toSet
+      def nonLinear(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+        p match {
+          case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+            if boundary.contains(s.alias.toLowerCase) => false
+          case _: Aggregate | _: WindowNode | _: Sort | _: GlobalLimit |
+               _: LocalLimit | _: Distinct | _: Deduplicate | _: Intersect |
+               _: Except | _: Generate => true
+          case j: Join if !(j.joinType == Inner || j.joinType == Cross) => true
+          case _ =>
+            p.expressions.exists(_.exists(e =>
+              e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression] ||
+                !e.deterministic)) ||
+              p.children.exists(nonLinear)
+        }
+      if (nonLinear(analyzed)) return false
+      joinHasJoin = analyzed.collectFirst { case _: Join => () }.nonEmpty
+      // each changelog source must appear exactly once for the telescoped
+      // rebinding to address it (relation list from the parsed plan keeps
+      // duplicates, unlike statementRelations' set)
+      val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.mkString(".").toLowerCase
+      }
+      val srcNames = ups.map(_.viewName) ++ tbls.map(_.viewName)
+      if (srcNames.exists(n => occurrences.count(_ == n.toLowerCase) != 1))
+        return false
+      joinMode = true
+      cascadeMode = true
+      isAggMode = false
+      // deriveMode recognizes aggregate-free plans over ONE PK table that
+      // keep the full PK: their epoch ops should surface as keyed
+      // UpdateDelete/UpdateInsert pairs (RisingWave's envelope for a
+      // stream-keyed MV), not unrelated Delete+Insert — see the keyed
+      // branch of [[joinCascadeEpoch]]'s emission
+      keyMode = deriveMode(df)
+      keyCols = keyMode match {
+        case MaterializedView.Keyed(ks) => ks
+        case _ => Nil
+      }
+      cascadeUpstreams =
+        ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
+          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
+      // durable reopen: grouped state + consumed offsets restore with zero
+      // statement evals (same discipline as the other cascade modes)
+      val restored = validSnapshotMeta("joincascade").flatMap { case (d, offsets, _) =>
+        try {
+          if (!new java.io.File(s"$d/inner").isDirectory ||
+              !cascadeUpstreams.forall(u =>
+                offsets.get(u.viewName).exists(_ <= u.log.latestOffset))) None
+          else Some((offsets,
+            spark.read.parquet(s"$d/inner").localCheckpoint(true)))
+        } catch { case _: Throwable => None }
+      }
+      restored match {
+        case Some((offsets, inner)) =>
+          offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
+          cascadeInner = Some(inner)
+          val vis = expandCounts(inner)
+          snapshot = Some(vis)
+          vis.createOrReplaceTempView(viewName)
+        case None => joinCascadeEpoch() // initial backfill
+      }
+      true
+    } catch { case t: Throwable =>
+      if (java.lang.Boolean.getBoolean("graft.debugJoinCascade")) t.printStackTrace()
+      joinMode = false
+      cascadeMode = false
+      cascadeUpstreams = Nil
+      if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
+      false
+    }
+  }
+
+  /** Grouped-multiset representation of an output frame: one row per
+    * distinct row with its multiplicity in [[MaterializedView.CntCol]] —
+    * the compact carried state of the delta-join cascade (a join result's
+    * duplicate rows collapse; NULLs group null-safely, matching multiset
+    * equality). */
+  private def groupedCounts(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    df.groupBy(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as(MaterializedView.CntCol))
+  }
+
+  /** Expand the grouped state back to the visible multiset — lazy, so the
+    * per-epoch cost is the checkpoint of the GROUPED state; the expansion
+    * runs only when a client fetch or dependent plan actually scans it. */
+  private def expandCounts(grouped: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence}
+    val cols = grouped.columns.filterNot(_ == MaterializedView.CntCol).toIndexedSeq
+    grouped
+      .select(cols.map(col) :+
+        explode(sequence(lit(1L), col(MaterializedView.CntCol))).as("__i"): _*)
+      .select(cols.map(col): _*)
+  }
+
+  /** One delta-join epoch: consume each changed source's changelog past
+    * the consumed offset, evaluate the telescoped delta terms (source i →
+    * its signed delta; already-processed sources → current snapshots;
+    * not-yet-processed changed sources → OLD snapshots, reconstructed as
+    * current ⊖ inserts ⊎ deletes), net the signed results per distinct
+    * row, emit |Δ| Inserts/Deletes, and merge the net into the grouped
+    * state.
+    *
+    * Sign handling: only ONE source binds to a delta per term, so instead
+    * of threading a weight column through arbitrary SQL the term runs
+    * twice — once over the delta's insert payloads (+) and once over its
+    * delete payloads (−) — and the signs multiply trivially.
+    *
+    * 100 TB shape: each term is the statement's own Catalyst join plan
+    * with the delta side explicitly broadcast — the big sides (source
+    * snapshots) are never shuffled; the state merge is one hash
+    * aggregation over (grouped state ∪ net delta). Any term that fails to
+    * rebind (pathological aliasing) falls back to a full recompute +
+    * multiset diff — correct, just not delta-proportional. */
+  private def joinCascadeEpoch(): Unit = synchronized {
+    import org.apache.spark.sql.functions.{abs, broadcast, col, lit, sum}
+    if (cascadeUpstreams.isEmpty) return
+    val latests = cascadeUpstreams.map(u => u -> u.log.latestOffset)
+    val anyNew = latests.exists { case (u, l) =>
+      l > cascadeOffsets.getOrElse(u.viewName, 0L) }
+    if (!anyNew && snapshot.nonEmpty) return
+
+    if (snapshot.isEmpty) {
+      latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
+      statementEvals += 1
+      val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
+      cascadeInner = Some(grouped)
+      val vis = expandCounts(grouped)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+      emitOps(Changelog.multisetDiff(None, vis))
+      return
+    }
+
+    val changed: Seq[(MaterializedView.CascadeSrc, DataFrame)] =
+      latests.flatMap { case (u, l) =>
+        val after = cascadeOffsets.getOrElse(u.viewName, 0L)
+        cascadeOffsets(u.viewName) = l
+        if (l > after) Some(u -> u.log.dfAfter(after)) else None
+      }
+    if (changed.isEmpty) return
+    val outCols = outputSchema.fieldNames.toIndexedSeq
+    val tempViews = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      // split each changed source's delta by sign once, eagerly (small)
+      val parts = changed.map { case (u, ops) =>
+        val payload = ops.drop("rw_timestamp")
+        val adds = payload.filter(col("op").isin(
+          Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op").localCheckpoint(true)
+        val dels = payload.filter(col("op").isin(
+          Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op").localCheckpoint(true)
+        (u, adds, dels)
+      }
+      // register delta views (broadcast-hinted) and, for sources after the
+      // current term position, OLD-snapshot views (current ⊖ Δ⁺ ⊎ Δ⁻)
+      parts.foreach { case (u, adds, dels) =>
+        def hinted(d: DataFrame) = if (joinHasJoin) broadcast(d) else d
+        hinted(adds).createOrReplaceTempView(s"__jc_add_${u.viewName}")
+        tempViews += s"__jc_add_${u.viewName}"
+        hinted(dels).createOrReplaceTempView(s"__jc_del_${u.viewName}")
+        tempViews += s"__jc_del_${u.viewName}"
+        if (parts.size > 1) {
+          val cols = adds.columns.toIndexedSeq.map(col)
+          u.snap().select(cols: _*).exceptAll(adds).union(dels)
+            .createOrReplaceTempView(s"__jc_old_${u.viewName}")
+          tempViews += s"__jc_old_${u.viewName}"
+        }
+      }
+      val termFrames = parts.zipWithIndex.flatMap { case ((u, adds, dels), i) =>
+        def termSql(deltaView: String): String = {
+          val reaimed = retarget(cascadeStmt, u.viewName, deltaView)
+          // an unbound rebinding would silently evaluate against the FULL
+          // source — that is a wrong delta, not a recoverable one
+          if (!reaimed.contains(deltaView))
+            throw new IllegalStateException(s"rebinding missed ${u.viewName}")
+          parts.drop(i + 1).foldLeft(reaimed) { case (s, (o, _, _)) =>
+            retarget(s, o.viewName, s"__jc_old_${o.viewName}")
+          }
+        }
+        val plus  = spark.sql(termSql(s"__jc_add_${u.viewName}"))
+          .select(outCols.map(col): _*).withColumn("__d", lit(1L))
+        val minus = spark.sql(termSql(s"__jc_del_${u.viewName}"))
+          .select(outCols.map(col): _*).withColumn("__d", lit(-1L))
+        Seq(plus, minus)
+      }
+      val net = timed("delta-terms")(termFrames.reduce(_ union _)
+        .groupBy(outCols.map(col): _*).agg(sum(col("__d")).as("__d"))
+        .filter(col("__d") =!= 0)
+        .localCheckpoint(true))
+      // ops first, then state: the net frame is already checkpointed, so
+      // the emission and the merge read the same materialized delta.
+      // Keyed outputs (unique per-row key) upgrade a same-key −/+ pair to
+      // UpdateDelete/UpdateInsert — but only when this epoch's delta is
+      // key-unique (a fan-out join can put two rows on one key, where
+      // pairing would be ambiguous and a keyed diff would duplicate ops).
+      val keyedOps: Option[DataFrame] =
+        if (keyCols.isEmpty) None
+        else {
+          import org.apache.spark.sql.functions.when
+          val ambiguous = net.groupBy(keyCols.map(col): _*)
+            .agg(sum(when(col("__d") > 0, col("__d"))).as("__p"),
+                 sum(when(col("__d") < 0, -col("__d"))).as("__m"))
+            .filter(col("__p") > 1 || col("__m") > 1)
+          if (timed("keyed-probe")(!ambiguous.rdd.isEmpty())) None
+          else Some(Changelog.diff(
+            Some(net.filter(col("__d") < 0).select(outCols.map(col): _*)),
+            net.filter(col("__d") > 0).select(outCols.map(col): _*),
+            keyCols))
+        }
+      emitOps(keyedOps.getOrElse(Changelog.netOps(net, outCols, "__d")))
+      val merged = timed("state-merge")(
+        cascadeInner.get.unionByName(
+            net.withColumnRenamed("__d", MaterializedView.CntCol))
+          .groupBy(outCols.map(col): _*)
+          .agg(sum(col(MaterializedView.CntCol)).as(MaterializedView.CntCol))
+          .filter(col(MaterializedView.CntCol) > 0)
+          .localCheckpoint(true))
+      cascadeInner = Some(merged)
+      val vis = expandCounts(merged)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+    } catch { case _: Throwable =>
+      // full-recompute fallback: evaluate the statement against the
+      // current sources and multiset-diff against the carried state —
+      // correct under any rebinding failure, just not delta-proportional
+      statementEvals += 1
+      val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
+      val prevVis = expandCounts(cascadeInner.get)
+      val vis = expandCounts(grouped)
+      emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+      cascadeInner = Some(grouped)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+    } finally tempViews.foreach(spark.catalog.dropTempView(_))
+  }
+
   /** Re-truncate a state DataFrame with the statement's own ORDER BY/LIMIT
     * tail (SQL evaluation, so ordinals and expression sorts behave exactly
     * as the batch statement would). `limit` overrides the statement's n
@@ -1771,6 +2074,7 @@ final class MaterializedView private[engine](
     else if (cascadeMode) timed("cascade-epoch")(
       if (topNMode) topNCascadeEpoch()
       else if (sessionMode) sessionCascadeEpoch()
+      else if (joinMode) joinCascadeEpoch()
       else cascadeRefresh())
     else synchronized {
       statementEvals += 1
@@ -1883,6 +2187,7 @@ final class MaterializedView private[engine](
       else if (topNMode) "topn"
       else if (sessionMode && cascadeMode) "sessioncascade"
       else if (sessionMode) "session"
+      else if (joinMode) "joincascade"
       else if (cascadeMode) "cascade"
       else "batch"
     // STREAM-fed top-N/session state can't record a resumable source
@@ -1894,7 +2199,7 @@ final class MaterializedView private[engine](
       val staging = s"$d.staging"
       SegmentFiles.delete(staging)
       snap.write.mode("overwrite").parquet(s"$staging/data")
-      if (cascadeHasHaving)
+      if (cascadeHasHaving || joinMode)
         cascadeInner.foreach(_.write.mode("overwrite").parquet(s"$staging/inner"))
       if (topNMode || sessionMode)
         innerState.foreach(_.write.mode("overwrite").parquet(s"$staging/inner"))
@@ -2010,6 +2315,9 @@ object MaterializedView {
     * visible: [[MaterializedView#cascadeVisible]] filters on it and drops it
     * before the snapshot or any changelog op is derived. */
   private[engine] val HavingCol = "__graft_having"
+
+  /** Multiplicity column of the delta-join cascade's grouped state. */
+  private[engine] val CntCol = "__graft_cnt"
 
   /** One changelog-emitting cascade upstream — an MV (log = its changelog,
     * snap = its snapshot) or a live table (log = its table changelog,

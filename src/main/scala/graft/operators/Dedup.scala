@@ -239,6 +239,49 @@ object Dedup {
     out
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus embeddings with the deterministic IVF coarse
+    * quantizer ([[Similarity.ivfCentroids]] — fixed K hash-sampled
+    * codebook, map-side argmax assignment, no shuffle), then compare
+    * pairs WITHIN each cluster only and drop every row that has a
+    * lower-id cluster-mate with cosine ≥ tau (deterministic min-id
+    * survivor — the one-pass analogue of the paper's keep-one-per-
+    * duplicate-set rule).
+    *
+    * Returns every row as (id, cid, kept) — survivors and casualties both
+    * visible, so the decision itself is the verified artifact.
+    *
+    * 100 TB shape: the only shuffle is the per-cluster self-join keyed on
+    * `cid` (assignment happens in the scan stage); candidate volume is
+    * Σ|cluster|²/2, controlled by K — the exact knob SemDeDup runs at
+    * web scale (K grows with the corpus so cluster sizes stay bounded).
+    * The threshold compares the 6-decimal-rounded cosine, making the
+    * keep/drop boundary replayable bit-for-bit in the DuckDB oracle. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, numCentroids: Int = 32): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normD(col(vecCol)).as("vn"))
+    val cents = Similarity.ivfCentroids(v, numCentroids)
+    val assigned = Similarity.assignToCentroids(v, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = assigned.select(col("cid"), col("id").as("lo_id"),
+      col("v").as("lv"), col("vn").as("ln"))
+    val hi = assigned.select(col("cid"), col("id").as("hi_id"),
+      col("v").as("hv"), col("vn").as("hn"))
+    val dropped = hi.join(lo, Seq("cid"))
+      .filter(col("lo_id") < col("hi_id"))
+      .filter(round(dotD(col("hv"), col("lv")) / (col("hn") * col("ln")), 6) >= tau)
+      .select(col("hi_id").as("id")).distinct()
+      .withColumn("__dup", lit(true))
+    val out = assigned.select(col("id"), col("cid"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cid"), col("__dup").isNull.as("kept"))
+    val materialized = out.localCheckpoint(true)
+    assigned.unpersist()
+    materialized
+  }
+
   /** Candidate stage of [[embeddingDupPairsLsh]]: pairs whose signatures
     * collide on ≥1 band. Projects (id, chunk, band-value) ONLY — the
     * embedding vectors must NOT ride the bucket self-join shuffle (at

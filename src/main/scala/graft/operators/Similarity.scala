@@ -79,6 +79,86 @@ object Similarity {
         round(col("sco"), 6).as("score"), col("rank").as("rnk"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product quantization
+    * for nearest neighbor search"): each vector splits into `m` subvectors;
+    * each subspace gets its own `codebookSize`-codeword codebook (here the
+    * subvectors of the deterministic hash-sampled rows — the same seeded
+    * sample rule as [[ivfCentroids]], so the DuckDB oracle rebuilds the
+    * codebooks exactly); a vector is stored as `m` codeword ids — at
+    * dim=64/m=8 that is 8 small ints instead of 64 floats, a 16-32×
+    * compression of the index. Search scores cos(q, reconstruction(x)),
+    * which equals the classic ADC form Σⱼ dot(qⱼ, codewordⱼ) up to the
+    * norm factors.
+    *
+    * Encoding is per-subspace argmin of the sequential-fold squared L2
+    * distance with first-min (lowest codeword id) tiebreak — every step
+    * replayable bit-for-bit in SQL. Approximate in ranking; recall vs the
+    * exact top-k is pinned in SimilaritySpec.
+    *
+    * 100 TB shape: encoding and reconstruction are scan-stage map work
+    * against a broadcast (driver-constant) codebook — no shuffle; the
+    * stored index is the (id, codes) frame. The lambda HOFs here are
+    * interpreted (CodegenFallback) — at production scale the encode loop
+    * belongs in a native `Expression` like [[graft.functions.
+    * HashExpressions.NearestCentroid]]; the plan shape is identical. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int,
+             m: Int = 8, codebookSize: Int = 32, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val e = col(vecCol).cast("array<double>")
+    val v = df.select(col(idCol).as("id"), e.as("e"))
+    // codebook fit (model step, like ivfCentroids): subvectors of the
+    // hash-scramble-sampled rows, fixed size independent of corpus scale
+    val sample = v
+      .orderBy(pmod(pmod(col("id"), lit(104729L)) * lit(2654435761L % 104729L),
+        lit(104729L)), col("id"))
+      .limit(codebookSize)
+      .select(col("e")).collect().map(_.getSeq[Double](0).toIndexedSeq)
+    val cbLit: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => sample.toSeq.map(row => row.slice(j * sub, (j + 1) * sub)))
+    val cb = typedLit(cbLit)
+    // encode: per subspace, first-min argmin of sequential squared L2
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val s = slice(col("e"), j * lit(sub) + lit(1), lit(sub))
+      val dists = transform(element_at(cb, j + lit(1)), c =>
+        aggregate(zip_with(s, c, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      array_position(dists, array_min(dists)) - lit(1)
+    })
+    // the compressed index: id + m codeword ids (raw vectors dropped)
+    val indexed = v.select(col("id"), codes.as("codes"))
+    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+      element_at(element_at(cb, j + lit(1)),
+        element_at(col("codes"), j + lit(1)).cast("int") + lit(1))))
+    val reconD = indexed.withColumn("r", recon).withColumn("rn", normD(col("r")))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("e").as("qe"), normD(col("e")).as("qn"))
+    // stage 1 — ADC over the compressed index: approximate cos against the
+    // reconstruction, shortlist the top `shortlist` candidates per query
+    val shortlist = 5 * k
+    val aw = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cands = reconD.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("qn"), col("id").as("neighbor_id"),
+        (dotD(col("qe"), col("r")) / (col("qn") * col("rn"))).as("adc"))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= shortlist)
+      .select(col("query_id"), col("qe"), col("qn"), col("neighbor_id"))
+    // stage 2 — exact refine (FAISS's IndexRefineFlat step): fetch the
+    // shortlist's RAW vectors by id and re-rank with true cosine — the
+    // random access touches shortlist·|queries| rows, not the corpus
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sco").desc, col("neighbor_id"))
+    cands.join(v.select(col("id").as("neighbor_id"), col("e").as("ne")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotD(col("qe"), col("ne")) / (col("qn") * normD(col("ne")))).as("sco"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sco"), 6).as("score"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (seeded; public
     * random-projection construction). Exposed within graft so the DuckDB
     * oracle can embed the same constants and replicate signatures exactly. */
@@ -128,7 +208,7 @@ object Similarity {
     * tight loop per row), so the inverted lists materialize inside the scan
     * stage. At scale `cid` becomes the partitioning / bucketing key of the
     * stored index. PlanShapeSpec pins the no-Exchange property. */
-  private def assignToCentroids(v: DataFrame,
+  private[graft] def assignToCentroids(v: DataFrame,
                                 cents: Array[(Long, Array[Double], Double)]): DataFrame =
     v.withColumn("cid", graft.functions.HashExpressions.nearestCentroid(
       col("v"), cents.map(_._1), cents.map(_._2), cents.map(_._3)))

@@ -228,6 +228,37 @@ object Extensions {
         Dedup.embeddingDupPairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.45)
     },
 
+    // SemDeDup-style semantic dedup: IVF-cluster the embeddings
+    // (deterministic hash-sampled codebook, same assignment CTEs as the
+    // IVF ANN oracle), then within each cluster drop every row with a
+    // lower-id mate at cosine ≥ τ. The oracle replays clustering, the
+    // within-cluster pair scan, and the min-id survivor rule end-to-end —
+    // every keep/drop decision is hash-checked. (τ = 0.35 exercises the
+    // rule on the synthetic fixture; production corpora run ~0.95+.)
+    q("x_dedup_semantic",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, e AS cv FROM v
+         |      ORDER BY ((vec_id % 104729) * (2654435761 % 104729)) % 104729, vec_id
+         |      LIMIT 32),
+         |sc AS (SELECT v.vec_id, c.cid, ${duckCos("v.e", "c.cv")} AS csc
+         |       FROM v CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc) t
+         |  WHERE rn = 1),
+         |d AS (SELECT hi.vec_id AS id
+         |  FROM asg hi JOIN asg lo ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+         |  JOIN v hv ON hv.vec_id = hi.vec_id
+         |  JOIN v lv ON lv.vec_id = lo.vec_id
+         |  WHERE round(${duckCos("hv.e", "lv.e")}, 6) >= 0.35
+         |  GROUP BY hi.vec_id)
+         |SELECT a.vec_id AS id, a.cid, (d.id IS NULL) AS kept
+         |FROM asg a LEFT JOIN d ON d.id = a.vec_id""".stripMargin) { (s, dir) =>
+      Dedup.semanticDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.35, numCentroids = 32)
+    },
+
     // ---- similarity search ------------------------------------------------
 
     q("x_sim_topk_exact",
@@ -276,6 +307,51 @@ object Extensions {
          |FROM r WHERE rn <= 10""".stripMargin) { (s, dir) =>
       Similarity.int8TopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+    },
+
+    // Product-quantization ANN (m=8 subspaces × 64 codewords — the stored
+    // index is 8 small ints per vector) with the classic exact-refine tail:
+    // ADC shortlist of 5k candidates against the reconstructions, then true
+    // cosine re-rank. The oracle replays codebook fit (hash-sampled rows),
+    // per-subspace argmin encoding, reconstruction, ADC shortlist, and the
+    // refine — every stage hash-checked; recall vs exact pinned in
+    // SimilaritySpec.
+    q("x_sim_topk_pq",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+         |           FROM embeddings),
+         |cb AS (SELECT row_number() OVER (ORDER BY
+         |      ((vec_id % 104729) * (2654435761 % 104729)) % 104729, vec_id) AS cidx, e
+         |    FROM v
+         |    ORDER BY ((vec_id % 104729) * (2654435761 % 104729)) % 104729, vec_id
+         |    LIMIT 64),
+         |d AS (SELECT v.vec_id, j.j AS j, cb.cidx,
+         |    list_sum(list_transform(range(1, 9), i ->
+         |      (v.e[j.j*8+i] - cb.e[j.j*8+i]) * (v.e[j.j*8+i] - cb.e[j.j*8+i]))) AS dist
+         |  FROM v CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS j) j CROSS JOIN cb),
+         |code AS (SELECT vec_id, j, cidx FROM (
+         |    SELECT vec_id, j, cidx, row_number() OVER (
+         |      PARTITION BY vec_id, j ORDER BY dist, cidx) AS rn FROM d) t
+         |  WHERE rn = 1),
+         |recon AS (SELECT code.vec_id,
+         |    flatten(list(list_slice(cb.e, j*8+1, j*8+8) ORDER BY j)) AS r
+         |  FROM code JOIN cb USING (cidx) GROUP BY code.vec_id),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0,1,2,3,4)),
+         |adc AS (SELECT query_id, recon.vec_id AS neighbor_id, qe,
+         |    ${duckCos("qe", "recon.r")} AS a
+         |  FROM recon CROSS JOIN q WHERE recon.vec_id <> query_id),
+         |sl AS (SELECT query_id, neighbor_id, qe FROM (
+         |    SELECT query_id, neighbor_id, qe, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY a DESC, neighbor_id) AS rn FROM adc) t
+         |  WHERE rn <= 50),
+         |ref AS (SELECT sl.query_id, sl.neighbor_id, ${duckCos("sl.qe", "nv.e")} AS cc
+         |  FROM sl JOIN v nv ON nv.vec_id = sl.neighbor_id),
+         |r2 AS (SELECT query_id, neighbor_id, cc, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cc DESC, neighbor_id) AS rn FROM ref)
+         |SELECT query_id, neighbor_id, round(cc, 6) AS score, rn AS rnk
+         |FROM r2 WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      Similarity.pqTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, m = 8, codebookSize = 64)
+        .withColumnRenamed("rank", "rnk")
     },
 
     // Sign-LSH ANN: approximate vs the true top-k, but fully deterministic —

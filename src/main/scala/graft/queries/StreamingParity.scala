@@ -715,6 +715,79 @@ object StreamingParity {
       val materialized = out.localCheckpoint(true)
       rw.close()
       materialized
+    },
+
+    // Delta-join cascade (round 9): a NON-aggregate join of two live PK
+    // tables maintains via signed delta joins (Δ(A⋈B) = ΔA⋈B⁻ + A⁺⋈ΔB),
+    // never batch re-run — mode-asserted. The dimension side arrives in
+    // two waves (half before any event, half mid-replay), so events join
+    // late-arriving dimension rows and upsert overwrites retract through
+    // the join on BOTH sides.
+    q("m_mv_join_delta_incremental",
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS event_id,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT l.event_id, n.n_name AS nation, l.value
+        |FROM latest l JOIN nation n ON n.n_nationkey = l.user_id % 25""".stripMargin) {
+      (s, dir) =>
+      val nationSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      val upSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType)))
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val evT = rw.createTable("m_djp_ev", upSchema,
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      val dimT = rw.createTable("m_djp_dim", nationSchema,
+        primaryKey = Seq("n_nationkey"))
+      rw.mv("""SELECT e.event_id, n.n_name AS nation, e.value
+        |FROM m_djp_ev e JOIN m_djp_dim n ON n.n_nationkey = e.user_id % 25""".stripMargin,
+        "m_djp_mv")
+      val mv = rw.mvByName("m_djp_mv").get
+      require(mv.isDeltaJoinMode,
+        "non-aggregate PK⋈PK join MV must maintain via the delta-join cascade")
+      val dims = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val (dimA, dimB) = dims.splitAt(dims.length / 2)
+      dimT.insert(dimA.toSeq); rw.flush()
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      var i = 0
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        if (i == CHUNKS / 2) { dimT.insert(dimB.toSeq); rw.flush() }
+        evT.insert(chunk.toSeq); rw.flush(); i += 1
+      }
+      require(mv.isDeltaJoinMode && mv.statementEvals <= 1,
+        "delta epochs must not re-evaluate the join statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // Linear (projection/filter) fold over an upsert table: a stateless
+    // SELECT/WHERE MV folds the table's 4-op changelog through the
+    // expression instead of batch re-running — an overwrite whose new
+    // version leaves the predicate retracts its row.
+    q("m_mv_select_pk_fold",
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS event_id,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT event_id, user_id, value * 2 AS v2
+        |FROM latest WHERE value > 50""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_spf_t", Seq(("m_spf_mv",
+        "SELECT event_id, user_id, value * 2 AS v2 FROM m_spf_t WHERE value > 50")))
+      val mv = rw.mvByName("m_spf_mv").get
+      require(mv.isDeltaJoinMode,
+        "projection/filter over an upsert table must fold its changelog")
+      require(mv.statementEvals <= 1,
+        "fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
     }
   )
 

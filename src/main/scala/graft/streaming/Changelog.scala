@@ -130,15 +130,25 @@ object Changelog {
           .select(cols.map(c => coalesce(col(c), col(s"__p_$c")).as(c)) :+
             (coalesce(col("__nc"), lit(0L)) - coalesce(col("__pc"), lit(0L))).as("__d"): _*)
           .filter(col("__d") =!= 0)
-        delta
-          .select(cols.map(col) :+ col("__d") :+
-            explode(sequence(lit(1L), abs(col("__d")))).as("__i"): _*)
-          .select(cols.map(col) :+
-            when(col("__d") > 0, lit(OpInsert)).otherwise(lit(OpDelete)).as("op"): _*)
-          .coalesce(1)
-          .sortWithinPartitions(cols.map(col) :+ element_at(opRank, col("op")): _*)
+        netOps(delta, cols, "__d")
     }
   }
+
+  /** Serialize a net per-row multiset delta (`dCol` = signed count per
+    * distinct row) into the op envelope: |Δ| Inserts or Deletes per row,
+    * in the same deterministic emission order as [[multisetDiff]]. Shared
+    * by the full-state multiset diff above and the delta-join cascade
+    * ([[graft.engine.MaterializedView]]), whose per-epoch delta arrives
+    * already netted — re-diffing the whole state would waste an O(state)
+    * shuffle on a delta-proportional change. */
+  private[graft] def netOps(delta: DataFrame, cols: Seq[String], dCol: String): DataFrame =
+    delta
+      .select(cols.map(col) :+ col(dCol) :+
+        explode(sequence(lit(1L), abs(col(dCol)))).as("__i"): _*)
+      .select(cols.map(col) :+
+        when(col(dCol) > 0, lit(OpInsert)).otherwise(lit(OpDelete)).as("op"): _*)
+      .coalesce(1)
+      .sortWithinPartitions(cols.map(col) :+ element_at(opRank, col("op")): _*)
 
   private val localOpRank =
     Map(OpDelete -> 0, OpUpdateDelete -> 1, OpUpdateInsert -> 2, OpInsert -> 3)

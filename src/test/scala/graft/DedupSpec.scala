@@ -99,6 +99,39 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("semanticDedup == brute-force min-id rule within IVF clusters") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, sf, "embeddings")
+    val tau = 0.3
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", tau = tau,
+        numCentroids = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == emb.count(), "every row must appear exactly once")
+    // brute-force replay: same deterministic codebook + assignment, then
+    // the rule — drop iff a lower-id same-cluster mate has cos ≥ tau
+    // (rounded at 6 decimals, the operator's determinism boundary)
+    val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      graft.functions.VectorFunctions.normD(col("embedding")).as("vn"))
+    val asg = Similarity.assignToCentroids(v, Similarity.ivfCentroids(v, 8))
+      .select("id", "cid", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    asg.foreach { case (id, cid, vec) =>
+      val dup = asg.exists { case (id2, cid2, vec2) =>
+        cid2 == cid && id2 < id &&
+          BigDecimal(cos(vec, vec2)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= tau
+      }
+      assert(out(id) == ((cid, !dup)), s"row $id: got ${out(id)}, expected (${cid}, ${!dup})")
+    }
+    assert(asg.exists { case (id, cid, vec) => !out(id)._2 },
+      "tau should be low enough that the fixture exercises the drop path")
+  }
+
   test("simhash of near-identical docs is close, unrelated docs far") {
     import spark.implicits._
     val df = Seq(

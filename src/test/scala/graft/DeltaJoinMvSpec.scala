@@ -1,0 +1,302 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Delta-join cascade: NON-aggregate multilinear MVs (projections /
+  * filters / inner joins / UNION ALL) over changelog-emitting sources
+  * maintain via signed delta joins — the classical IVM delta rule
+  * Δ(A⋈B) = ΔA⋈B⁻ + A⁺⋈ΔB — instead of batch re-running per FLUSH.
+  * The reference delegates these statements to its server's incremental
+  * join maintainer (`risingwave/core.py:451-456` passthrough + the MV
+  * contract `README.md:86-123`); here the per-term plans are ordinary
+  * Catalyst joins with the delta side broadcast. */
+class DeltaJoinMvSpec extends SparkSpec {
+
+  private val evSchema = StructType(Seq(StructField("event_id", LongType),
+    StructField("user_id", LongType), StructField("value", DoubleType)))
+  private val userSchema = StructType(Seq(StructField("uid", LongType),
+    StructField("name", StringType)))
+
+  private def joinRows(mv: MaterializedView): Set[(Long, String, Double)] =
+    mv.df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("PK⋈PK inner join MV maintains via the delta-join cascade") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dj_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("dj_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM dj_ev e " +
+      "JOIN dj_user u ON u.uid = e.user_id", "dj_mv")
+    val mv = rw.mvByName("dj_mv").get
+    assert(mv.isDeltaJoinMode, "non-agg join over PK tables must delta-join, not batch re-run")
+    val ev = rw.table("dj_ev").get
+    val us = rw.table("dj_user").get
+
+    us.insert(Seq(Row(1L, "ann"), Row(2L, "bob")))
+    rw.flush()
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 2L, 7.0), Row(12L, 9L, 1.0)))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ann", 5.0), (11L, "bob", 7.0)),
+      "unmatched user_id=9 must not join")
+    val evalsAfterBackfill = mv.statementEvals
+
+    // late-arriving dimension row joins the previously-dangling event
+    us.insert(Seq(Row(9L, "zoe")))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ann", 5.0), (11L, "bob", 7.0), (12L, "zoe", 1.0)))
+
+    // upsert overwrite on the dimension side retracts the old joined row
+    us.insert(Seq(Row(1L, "ANN")))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ANN", 5.0), (11L, "bob", 7.0), (12L, "zoe", 1.0)),
+      "a PK overwrite must replace the joined row, not duplicate it")
+    assert(mv.statementEvals == evalsAfterBackfill,
+      "delta epochs must not re-evaluate the full statement")
+    assert(mv.isDeltaJoinMode)
+    rw.close()
+  }
+
+  test("DML retractions fold through the join without demotion") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djd_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djd_user", userSchema, primaryKey = Seq("uid"))
+    val ev = rw.table("djd_ev").get
+    val us = rw.table("djd_user").get
+    us.insert(Seq(Row(1L, "ann"), Row(2L, "bob")))
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 2L, 7.0), Row(12L, 1L, 3.0)))
+    rw.flush()
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djd_ev e " +
+      "JOIN djd_user u ON u.uid = e.user_id", "djd_mv")
+    val mv = rw.mvByName("djd_mv").get
+    assert(mv.isDeltaJoinMode)
+
+    rw.execute("DELETE FROM djd_ev WHERE value < 4")
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ann", 5.0), (11L, "bob", 7.0)),
+      "a deleted fact row's join output must retract")
+    assert(mv.isDeltaJoinMode, "DML must not demote a delta-join MV")
+
+    rw.execute("UPDATE djd_user SET name = 'BOB' WHERE uid = 2")
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ann", 5.0), (11L, "BOB", 7.0)))
+    rw.close()
+  }
+
+  test("both sides changing in one epoch uses the old-snapshot term correctly") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djb_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djb_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djb_ev e " +
+      "JOIN djb_user u ON u.uid = e.user_id", "djb_mv")
+    val mv = rw.mvByName("djb_mv").get
+    assert(mv.isDeltaJoinMode)
+    val ev = rw.table("djb_ev").get
+    val us = rw.table("djb_user").get
+    // a matching pair arrives on BOTH sides before one flush: the ΔA⋈ΔB
+    // contribution must be counted exactly once (double-counting yields a
+    // duplicate row; omission loses it)
+    us.insert(Seq(Row(1L, "ann")))
+    ev.insert(Seq(Row(10L, 1L, 5.0)))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ann", 5.0)))
+    // and a pair where one side simultaneously RETRACTS: overwrite user 1
+    // while inserting another event for it
+    us.insert(Seq(Row(1L, "ANN")))
+    ev.insert(Seq(Row(11L, 1L, 6.0)))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ANN", 5.0), (11L, "ANN", 6.0)))
+    rw.close()
+  }
+
+  test("duplicate rows keep multiset multiplicities through the fold") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    // no PK: duplicates legal; DML rewrite makes the table changelog-emitting
+    rw.createTable("djm_ev", evSchema)
+    rw.createTable("djm_user", userSchema, primaryKey = Seq("uid"))
+    val ev = rw.table("djm_ev").get
+    val us = rw.table("djm_user").get
+    us.insert(Seq(Row(1L, "ann")))
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(10L, 1L, 5.0)))
+    rw.flush()
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djm_ev e " +
+      "JOIN djm_user u ON u.uid = e.user_id", "djm_mv")
+    val mv = rw.mvByName("djm_mv").get
+    assert(mv.isDeltaJoinMode,
+      "a PK dimension side forces the cascade even with an append-only fact side")
+    val rows = mv.df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.count(_ == (10L, "ann", 5.0)) == 2, s"expected duplicate pair, got ${rows.toSeq}")
+    // a third identical copy arrives incrementally: multiplicity 2 → 3
+    ev.insert(Seq(Row(10L, 1L, 5.0)))
+    rw.flush()
+    assert(mv.df.collect()
+      .count(r => (r.getLong(0), r.getString(1), r.getDouble(2)) == (10L, "ann", 5.0)) == 3)
+    rw.close()
+  }
+
+  test("multiset ops stream: fold of the emitted changelog equals the snapshot") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djo_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djo_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djo_ev e " +
+      "JOIN djo_user u ON u.uid = e.user_id", "djo_mv")
+    val mv = rw.mvByName("djo_mv").get
+    assert(mv.isDeltaJoinMode)
+    val ev = rw.table("djo_ev").get
+    val us = rw.table("djo_user").get
+    val folded = scala.collection.mutable.ArrayBuffer[(String, (Long, String, Double))]()
+    val sub = mv.subscription("djo_sub")
+    us.insert(Seq(Row(1L, "ann"), Row(2L, "bob")))
+    rw.flush()
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 2L, 7.0)))
+    rw.flush()
+    us.insert(Seq(Row(1L, "ANN"))) // retraction epoch
+    rw.flush()
+    rw.execute("DELETE FROM djo_ev WHERE event_id = 11")
+    rw.flush()
+    var batch = sub.fetch(100)
+    while (batch.nonEmpty) {
+      batch.foreach { r =>
+        folded += ((r.getString(r.fieldIndex("op")),
+          (r.getLong(0), r.getString(1), r.getDouble(2))))
+      }
+      batch = sub.fetch(100)
+    }
+    val state = scala.collection.mutable.ArrayBuffer[(Long, String, Double)]()
+    folded.foreach {
+      case (op, row) if op == "Insert" || op == "UpdateInsert" => state += row
+      case (_, row) =>
+        val i = state.indexOf(row)
+        assert(i >= 0, s"retraction of a row never inserted: $row")
+        state.remove(i)
+    }
+    assert(state.toSet == joinRows(mv), "changelog fold must reconstruct the snapshot")
+    assert(state.size == mv.df.count())
+    sub.close()
+    rw.close()
+  }
+
+  test("self-join and outer join are rejected (batch fallback stays correct)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djs_ev", evSchema, primaryKey = Seq("event_id"))
+    val ev = rw.table("djs_ev").get
+    ev.insert(Seq(Row(1L, 1L, 5.0), Row(2L, 1L, 7.0)))
+    rw.flush()
+    // self-join: the textual rebinding cannot address the two occurrences
+    // independently — must fall back, and still be correct
+    rw.mv("SELECT a.event_id, b.event_id AS other, a.value FROM djs_ev a " +
+      "JOIN djs_ev b ON a.user_id = b.user_id AND a.event_id < b.event_id", "djs_self")
+    val self = rw.mvByName("djs_self").get
+    assert(!self.isDeltaJoinMode, "self-join must not delta-join")
+    assert(self.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+
+    rw.createTable("djs_user", userSchema, primaryKey = Seq("uid"))
+    rw.table("djs_user").get.insert(Seq(Row(1L, "ann")))
+    rw.flush()
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djs_ev e " +
+      "LEFT JOIN djs_user u ON u.uid = e.user_id", "djs_outer")
+    val outer = rw.mvByName("djs_outer").get
+    assert(!outer.isDeltaJoinMode, "outer join is not multilinear — must not delta-join")
+    assert(outer.df.count() == 2)
+    rw.close()
+  }
+
+  test("filter/projection MV over a PK table folds the changelog (linear cascade)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djf_ev", evSchema, primaryKey = Seq("event_id"))
+    val ev = rw.table("djf_ev").get
+    ev.insert(Seq(Row(1L, 1L, 5.0), Row(2L, 2L, -1.0)))
+    rw.flush()
+    rw.mv("SELECT event_id, value * 2 AS v2 FROM djf_ev WHERE value > 0", "djf_mv")
+    val mv = rw.mvByName("djf_mv").get
+    assert(mv.isDeltaJoinMode, "single-table projection/filter over a PK table must fold")
+    assert(mv.df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((1L, 10.0)))
+    val evals = mv.statementEvals
+    ev.insert(Seq(Row(2L, 2L, 3.0), Row(3L, 3L, 4.0))) // overwrite 2 into the filter
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 10.0), (2L, 6.0), (3L, 8.0)))
+    rw.execute("DELETE FROM djf_ev WHERE event_id = 1")
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((2L, 6.0), (3L, 8.0)))
+    assert(mv.statementEvals == evals, "folds must not re-evaluate the statement")
+    assert(mv.isDeltaJoinMode)
+    rw.close()
+  }
+
+  test("UNION ALL of two PK tables folds linearly") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dju_a", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("dju_b", evSchema, primaryKey = Seq("event_id"))
+    rw.mv("SELECT event_id, value FROM dju_a UNION ALL SELECT event_id, value FROM dju_b",
+      "dju_mv")
+    val mv = rw.mvByName("dju_mv").get
+    assert(mv.isDeltaJoinMode)
+    rw.table("dju_a").get.insert(Seq(Row(1L, 1L, 1.0)))
+    rw.table("dju_b").get.insert(Seq(Row(1L, 1L, 2.0)))
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.0), (1L, 2.0)))
+    rw.table("dju_b").get.insert(Seq(Row(1L, 1L, 9.0))) // overwrite b's row
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.0), (1L, 9.0)))
+    rw.close()
+  }
+
+  test("delta-join MV feeds a downstream aggregate cascade") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djc_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djc_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djc_ev e " +
+      "JOIN djc_user u ON u.uid = e.user_id", "djc_join")
+    rw.mv("SELECT name, count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sv " +
+      "FROM djc_join GROUP BY name", "djc_agg")
+    val jmv = rw.mvByName("djc_join").get
+    val amv = rw.mvByName("djc_agg").get
+    assert(jmv.isDeltaJoinMode)
+    assert(amv.isChangelogCascadeMode,
+      "a keyed aggregate over a delta-join MV must cascade on its changelog")
+    val ev = rw.table("djc_ev").get
+    val us = rw.table("djc_user").get
+    us.insert(Seq(Row(1L, "ann"), Row(2L, "bob")))
+    rw.flush()
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 1L, 3.0), Row(12L, 2L, 7.0)))
+    rw.flush()
+    val m1 = amv.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 == Map("ann" -> 2L, "bob" -> 1L))
+    us.insert(Seq(Row(1L, "ANN"))) // rename retracts + reinserts both ann rows
+    rw.flush()
+    val m2 = amv.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m2 == Map("ANN" -> 2L, "bob" -> 1L), s"downstream saw $m2")
+    rw.close()
+  }
+
+  test("durable snapshot: delta-join MV reopens with zero evals and zero replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_djdur").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("djr_ev", evSchema, primaryKey = Seq("event_id"))
+    rw1.createTable("djr_user", userSchema, primaryKey = Seq("uid"))
+    rw1.mv("SELECT e.event_id, u.name, e.value FROM djr_ev e " +
+      "JOIN djr_user u ON u.uid = e.user_id", "djr_mv")
+    rw1.table("djr_user").get.insert(Seq(Row(1L, "ann")))
+    rw1.table("djr_ev").get.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 1L, 3.0)))
+    rw1.flush()
+    rw1.close()
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw2.mv("SELECT e.event_id, u.name, e.value FROM djr_ev e " +
+      "JOIN djr_user u ON u.uid = e.user_id", "djr_mv")
+    val mv = rw2.mvByName("djr_mv").get
+    assert(mv.isDeltaJoinMode)
+    assert(mv.statementEvals == 0L, "reopen must restore state without evaluating")
+    assert(joinRows(mv) == Set((10L, "ann", 5.0), (11L, "ann", 3.0)))
+    // maintenance resumes from the restored offsets
+    rw2.table("djr_user").get.insert(Seq(Row(1L, "ANN")))
+    rw2.flush()
+    assert(joinRows(mv) == Set((10L, "ANN", 5.0), (11L, "ANN", 3.0)))
+    assert(mv.statementEvals == 0L)
+    rw2.close()
+  }
+}

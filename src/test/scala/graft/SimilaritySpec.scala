@@ -94,6 +94,23 @@ class SimilaritySpec extends SparkSpec {
     assert(half.select("cid").distinct().count() <= 16)
   }
 
+  test("PQ top-k with exact refine: complete results and a recall floor") {
+    // sf0.01 so the shortlist (50) is a strict subset of the corpus (500)
+    // and the test exercises genuine approximation, not a disguised exact
+    val emb01 = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(emb01, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pq = Similarity.pqTopK(emb01, "vec_id", "embedding", qids, 10,
+        m = 8, codebookSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = pq.groupBy(_._1)
+    assert(byQ.keySet == qids.toSet)
+    byQ.values.foreach(rows => assert(rows.length == 10))
+    val recall = (exact.toSet intersect pq.toSet).size
+    assert(recall >= 25, s"PQ refine recall@10 total $recall/50 (measured 35/50)")
+  }
+
   test("LSH top-k recall vs exact top-k is substantial") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
