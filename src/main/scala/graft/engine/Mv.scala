@@ -1070,6 +1070,49 @@ final class MaterializedView private[engine](
     * under EMIT ON WINDOW CLOSE), emit the multiset diff, and compact. */
   private def sessionRecomputeAndEmit(): Unit = {
     innerState.get.createOrReplaceTempView(sessionSrcView)
+    // Driver-resident epoch tail (round 9, same discipline as
+    // [[publishTopNVisible]]): with no compaction state in play (no
+    // watermark → frozen/cuts empty) the visible snapshot IS the
+    // re-sessionized output, and while it stays under
+    // [[sessionLocalDiffMax]] rows the epoch's changelog delta is the
+    // driver-side multiset diff — the distributed diff spent several
+    // Spark jobs (two groupBys, a full-outer join, explode, sort) on a
+    // few thousand rows every epoch. Once the output outgrows the bound
+    // the tail disables itself permanently (session sets only grow
+    // without compaction — [[sessionLocalDisabled]] is monotone), and
+    // compaction-active statements never enter. The heavy lifting — the
+    // re-sessionize over the carried raw state — stays distributed.
+    // only watermark-free statements qualify: with a declared watermark
+    // compaction may begin at ANY epoch (frozen/cuts are empty until the
+    // first session closes), and skipping compactSessions would mean
+    // nothing ever freezes
+    if (!emitOnClose && watermarks.isEmpty && sessionCascadeWm.isEmpty &&
+        frozen.isEmpty && sessionCuts.isEmpty && !sessionLocalDisabled) {
+      val cdf = spark.sql(sessionOuterSql)
+      val rows = timed("session-collect")(
+        cdf.limit(sessionLocalDiffMax + 1).collect().toIndexedSeq)
+      if (rows.length <= sessionLocalDiffMax) {
+        val schema = cdf.schema
+        val localOps =
+          if (snapshot.nonEmpty && sessionVisibleRows.isEmpty) None
+          else Changelog.localMultisetDiff(
+            if (snapshot.isEmpty) None else sessionVisibleRows.map(_.toSeq),
+            rows, schema)
+        val nextVisible = localDf(rows, schema)
+        localOps match {
+          case Some(ops) =>
+            if (ops.nonEmpty) timed("emitOps")(emitOps(localDf(ops.toIndexedSeq,
+              schema.add("op", org.apache.spark.sql.types.StringType))))
+          case None => emitOps(Changelog.multisetDiff(snapshot, nextVisible))
+        }
+        snapshot = Some(nextVisible)
+        sessionVisibleRows = Some(rows)
+        nextVisible.createOrReplaceTempView(viewName)
+        return
+      }
+      sessionLocalDisabled = true
+      sessionVisibleRows = None
+    }
     val computed = spark.sql(sessionOuterSql).localCheckpoint(true)
     if (emitOnClose) {
       compactSessions(computed)
@@ -1085,6 +1128,18 @@ final class MaterializedView private[engine](
     }
     snapshot.get.createOrReplaceTempView(viewName)
   }
+
+  /** Previous epoch's visible session rows, driver-resident for the local
+    * diff tail of [[sessionRecomputeAndEmit]]. None exactly when the
+    * snapshot came from elsewhere (durable restore, fallback epoch) —
+    * which forces one distributed diff before the tail takes over. */
+  private var sessionVisibleRows: Option[IndexedSeq[Row]] = None
+  /** Latched once the session output exceeds [[sessionLocalDiffMax]] —
+    * session sets only grow while compaction is off, so re-probing every
+    * epoch would pay the limit-collect for nothing. */
+  private var sessionLocalDisabled = false
+  // private[graft]: specs shrink it to force the distributed fallback
+  private[graft] var sessionLocalDiffMax = 20000
 
   /** Session MV over ONE PK/upsert (or DML-mutated) live table — the
     * retraction-emitting sources the streaming session path cannot bind
@@ -2134,6 +2189,7 @@ final class MaterializedView private[engine](
         innerState = None
         frozen = None
         topNVisibleRows = None
+        sessionVisibleRows = None
         engine.releaseStreamReaders(viewName)
         faceStreams.clear() // faces die with streaming mode (engine cascades)
         val df = spark.sql(engine.rewrite(stmt))
