@@ -2060,6 +2060,19 @@ final class MaterializedView private[engine](
       val rows = d.collect().toSeq
       faceStreams.values.foreach(_.addData(rows))
     }
+    // Driver-resident keyed tail (round 9): update-mode aggregates whose
+    // state fits under [[streamLocalMax]] rows mirror the keyed state on
+    // the driver — the epoch's ops derive from a per-key map lookup
+    // ([[Changelog.localUpdateDiff]], zero jobs; emission order identical
+    // to the distributed updateDiff) and the snapshot publishes as a
+    // LocalRelation, replacing the per-epoch state scan + broadcast join
+    // (emit) AND the keyJoin-anti + union + checkpoint (merge). The
+    // aggregate's own delta computation stays in Spark's streaming engine
+    // where it belongs. Key count only grows in update mode, so the
+    // size latch is monotone; outgrowing it falls back to the
+    // distributed path against the last published LocalRelation snapshot.
+    if (isAgg && !streamLocalDisabled && keyMode.isInstanceOf[MaterializedView.Keyed] &&
+        streamLocalTail(clone)) return
     val ops =
       if (!isAgg || snapshot.isEmpty) Changelog.diff(None, d, keyCols)
       else {
@@ -2076,6 +2089,54 @@ final class MaterializedView private[engine](
     snapshot = Some(timed("state-merge")(
       mergeDelta(snapshot, d, keyed = isAgg).localCheckpoint(true)))
     snapshot.get.createOrReplaceTempView(viewName)
+  }
+
+  /** Previous keyed state, driver-resident for the streaming aggregate's
+    * local epoch tail (key → current row). None when the snapshot came
+    * from elsewhere (restore/fallback) — re-seeded by a bounded probe. */
+  private var streamMirror:
+    Option[scala.collection.mutable.LinkedHashMap[List[Any], Row]] = None
+  private var streamLocalDisabled = false
+  // private[graft]: specs shrink it to force the distributed fallback
+  private[graft] var streamLocalMax = 50000
+
+  /** Attempt the driver-resident keyed epoch: true = epoch fully handled
+    * (ops emitted, mirror + snapshot updated); false = caller runs the
+    * distributed path (and the latch is set, so it keeps doing so). */
+  private def streamLocalTail(clone: DataFrame): Boolean = {
+    val schema = clone.schema
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    if (streamMirror.isEmpty) {
+      if (snapshot.isEmpty)
+        streamMirror = Some(scala.collection.mutable.LinkedHashMap.empty)
+      else {
+        // re-seed from an existing snapshot (recovery, late enablement),
+        // bounded: an over-large state disables the tail permanently
+        val probe = snapshot.get.limit(streamLocalMax + 1).collect()
+        if (probe.length > streamLocalMax) { streamLocalDisabled = true; return false }
+        val m = scala.collection.mutable.LinkedHashMap.empty[List[Any], Row]
+        probe.foreach(r => m.update(keyIdx.map(r.get).toList, r))
+        streamMirror = Some(m)
+      }
+    }
+    val mirror = streamMirror.get
+    val deltaRows = timed("delta-collect")(clone.collect())
+    if (mirror.size + deltaRows.length > streamLocalMax) {
+      streamLocalDisabled = true; streamMirror = None; return false
+    }
+    val pairs: Seq[(Option[Row], Row)] =
+      deltaRows.toIndexedSeq.map(r => (mirror.get(keyIdx.map(r.get).toList), r))
+    Changelog.localUpdateDiff(pairs, keyIdx, schema) match {
+      case None => streamLocalDisabled = true; streamMirror = None; false
+      case Some(ops) =>
+        if (ops.nonEmpty) timed("emitOps")(emitOps(localDf(ops.toIndexedSeq,
+          schema.add("op", org.apache.spark.sql.types.StringType))))
+        deltaRows.foreach(r => mirror.update(keyIdx.map(r.get).toList, r))
+        val nextVisible = localDf(mirror.values.toIndexedSeq, schema)
+        snapshot = Some(nextVisible)
+        nextVisible.createOrReplaceTempView(viewName)
+        true
+    }
   }
 
   /** Merge a micro-batch delta into a carried state: plain append for
@@ -2190,6 +2251,7 @@ final class MaterializedView private[engine](
         frozen = None
         topNVisibleRows = None
         sessionVisibleRows = None
+        streamMirror = None
         engine.releaseStreamReaders(viewName)
         faceStreams.clear() // faces die with streaming mode (engine cascades)
         val df = spark.sql(engine.rewrite(stmt))

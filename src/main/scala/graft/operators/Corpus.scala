@@ -364,4 +364,43 @@ object Corpus {
         .as("entropy"))
       .select(col(idCol), col("entropy"))
   }
+
+  /** Gopher-style composite document filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Table A1's quality heuristics, adapted
+    * to this fixture's scale): the signals AND into one keep/drop verdict —
+    *  - token count in [30, 100000] (Gopher: 50-100k words);
+    *  - mean token length in [3, 10];
+    *  - ≥ 2 stopword hits (Gopher's "contains ≥2 of a stop list");
+    *  - ≥ 80% of tokens contain an alphabetic character;
+    *  - symbol-to-token ratio (`#` chars + `...` runs) < 0.1.
+    * All ratios are rounded at 6 decimals BEFORE the threshold compare —
+    * the keep/drop boundary replays bit-for-bit in the DuckDB oracle.
+    * Map-only scan-stage expressions, zero shuffle: the verdict column is
+    * the canonical first-stage corpus filter at any scale. */
+  def gopherVerdict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val wordChars = length(regexp_replace(col(textCol), "\\s", "")).cast("double")
+    val meanLen = round(wordChars / nTok, 6)
+    val stopHits = size(filter(toks, t => lower(t).isin(stops: _*)))
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok, 6)
+    val hashes = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))).cast("double")
+    val ellipses = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = round((hashes + ellipses) / nTok, 6)
+    docs.select(col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      meanLen.as("mean_token_len"),
+      stopHits.cast("long").as("stop_hits"),
+      alphaFrac.as("alpha_frac"),
+      symbolRatio.as("symbol_ratio"),
+      (nTok >= 30 && nTok <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        stopHits >= 2 &&
+        alphaFrac >= 0.8 &&
+        symbolRatio < 0.1).as("keep"))
+  }
 }

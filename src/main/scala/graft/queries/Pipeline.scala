@@ -249,6 +249,35 @@ object Pipeline {
         |  CAST(sum(tf) AS BIGINT) AS n_tokens
         |FROM wc, tot GROUP BY doc_id""".stripMargin) { (s, dir) =>
       Corpus.unigramLogProb(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---- Gopher composite filter verdict (round 9) -------------------------
+
+    // The signals AND into one keep/drop column — the canonical first-stage
+    // corpus filter. Ratios are rounded (6 dp) BEFORE the threshold
+    // compares so every keep/drop decision replays bit-for-bit.
+    q("x_quality_gopher_verdict",
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS word_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    round(word_chars / len(toks), 6) AS mean_len,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for'], lower(x)))) AS sh,
+        |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(toks), 6) AS alpha_frac,
+        |    round((hashes + ellipses) / len(toks), 6) AS symbol_ratio
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, mean_len AS mean_token_len,
+        |  CAST(sh AS BIGINT) AS stop_hits, alpha_frac, symbol_ratio,
+        |  (n_tok >= 30 AND n_tok <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+        |   AND sh >= 2 AND alpha_frac >= 0.8 AND symbol_ratio < 0.1) AS keep
+        |FROM s""".stripMargin) { (s, dir) =>
+      Corpus.gopherVerdict(Tables(s, dir, "documents"), "doc_id", "text")
     }
   )
 }

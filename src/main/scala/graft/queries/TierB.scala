@@ -773,6 +773,48 @@ object TierB {
         size(collect_list("n_name")).as("n_names"))
     },
 
+    // Bivariate statistics + linear-regression aggregates (round 9).
+    // Rounded at 4 dp: double accumulation order differs between a
+    // distributed partial aggregate and DuckDB's serial one.
+    sqlBoth("b_stats_corr",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS r,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // String-distance and shaping functions (round 9).
+    sqlBoth("b_string_dist",
+      """SELECT c_custkey,
+        |  levenshtein(c_name, c_mktsegment) AS lev,
+        |  translate(c_name, '#', '_') AS tr,
+        |  lpad(c_mktsegment, 12, '.') AS lp,
+        |  rpad(c_mktsegment, 12, '.') AS rp,
+        |  repeat('ab', 3) AS rep,
+        |  reverse(c_mktsegment) AS rev,
+        |  left(c_name, 4) AS l4,
+        |  right(c_name, 4) AS r4
+        |FROM customer WHERE c_custkey <= 200""".stripMargin),
+
+    // Conditional scalar battery: greatest/least/nullif/coalesce (round 9).
+    sqlBoth("b_cond_fns",
+      """SELECT n_nationkey,
+        |  greatest(n_nationkey, n_regionkey * 5) AS g,
+        |  least(n_nationkey, n_regionkey * 5) AS l,
+        |  nullif(n_regionkey, 2) AS nr,
+        |  coalesce(nullif(n_regionkey, 2), -1) AS co
+        |FROM nation""".stripMargin),
+
+    // Relative-rank window functions (round 9).
+    sqlBoth("b_win_percent_rank",
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
+
     // generate_series ↔ explode(sequence(...)).
     q("b_series",
       """SELECT CAST(SUM(x) AS BIGINT) AS s, count(*) AS n, min(x) AS lo, max(x) AS hi

@@ -190,6 +190,39 @@ object Changelog {
     Some(ops.sorted(rowOrd).map { case (r, op) => Row.fromSeq(r.toSeq :+ op) })
   }
 
+  /** Driver-side equivalent of [[updateDiff]] for a keyed update-mode
+    * delta whose previous per-key values are already known (a state
+    * mirror): Insert for brand-new keys, UpdateDelete/UpdateInsert for
+    * changed ones, nothing for value-identical rows — sorted by the key
+    * columns (ascending NULLS FIRST, Spark's binary string order) then op
+    * rank, byte-identical to [[updateDiff]]'s emission order. Zero Spark
+    * jobs. None when a key column's type has no local ordering
+    * equivalent (caller falls back to the distributed diff). */
+  private[graft] def localUpdateDiff(pairs: Seq[(Option[Row], Row)],
+      keyIdx: Array[Int],
+      schema: org.apache.spark.sql.types.StructType): Option[Seq[Row]] = {
+    val keyOrds = keyIdx.map(i => localOrdering(schema.fields(i).dataType))
+    if (keyOrds.exists(_.isEmpty)) return None
+    val fieldOrds = keyOrds.map(_.get)
+    val ops = pairs.iterator.flatMap {
+      case (None, nw) => Iterator((nw, OpInsert))
+      case (Some(o), nw) if o == nw => Iterator.empty
+      case (Some(o), nw) => Iterator((o, OpUpdateDelete), (nw, OpUpdateInsert))
+    }.toIndexedSeq
+    val rowOrd = new Ordering[(Row, String)] {
+      def compare(a: (Row, String), b: (Row, String)): Int = {
+        var i = 0
+        while (i < keyIdx.length) {
+          val c = fieldOrds(i).compare(a._1.get(keyIdx(i)), b._1.get(keyIdx(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        localOpRank(a._2) - localOpRank(b._2)
+      }
+    }
+    Some(ops.sorted(rowOrd).map { case (r, op) => Row.fromSeq(r.toSeq :+ op) })
+  }
+
   /** Local equivalent of Spark's ascending NULLS FIRST ordering for one
     * column type; None where the equivalence isn't certain. */
   private def localOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
