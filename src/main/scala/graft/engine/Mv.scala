@@ -1478,8 +1478,8 @@ final class MaterializedView private[engine](
         // HAVING boundary)
         statementEvals += 1
         val newInner = spark.sql(cascadeStmt).localCheckpoint(true)
-        emitOps(Changelog.diff(Some(cascadeVisible(cascadeInner.get)),
-          cascadeVisible(newInner), Nil))
+        emitKeyedDiffLocal(cascadeVisible(cascadeInner.get),
+          cascadeVisible(newInner), Nil)
         cascadeInner = Some(newInner)
         val vis = cascadeVisible(newInner)
         snapshot = Some(vis)
@@ -1506,8 +1506,8 @@ final class MaterializedView private[engine](
       // on the new side (Insert) and one leaving it only on the old side
       // (Delete) — the state merge below still carries the full pre-HAVING
       // aggregate so the group stays maintainable either way
-      emitOps(Changelog.diff(Some(cascadeVisible(prevTouched)),
-        cascadeVisible(newTouched), keyCols))
+      emitKeyedDiffLocal(cascadeVisible(prevTouched),
+        cascadeVisible(newTouched), keyCols)
       cascadeInner = Some(timed("state-merge")(
         keyJoin(cascadeInner.get, touched, "left_anti").union(newTouched)
           .localCheckpoint(true)))
@@ -1554,6 +1554,35 @@ final class MaterializedView private[engine](
       spark.sql(cascadeStmt).select(keyCols.map(col): _*).distinct()
         .localCheckpoint(true)
     } finally tempViews.foreach(spark.catalog.dropTempView(_)))
+  }
+
+  /** Emit a cascade epoch's keyed diff — driver-side when both sides fit
+    * under [[cascadeLocalMax]] rows (they are touched-group-restricted,
+    * i.e. delta-sized, by construction; each side costs ONE bounded
+    * limit-collect instead of the distributed full-outer diff's several
+    * jobs), distributed otherwise or when a key type has no local
+    * ordering. Emission order is byte-identical either way. */
+  private[graft] var cascadeLocalMax = 50000
+  private def emitKeyedDiffLocal(prevDf: DataFrame, nextDf: DataFrame,
+                                 keys: Seq[String]): Unit = {
+    val localOps = timed("diff-collect") {
+      val schema = nextDf.schema
+      val nextRows = nextDf.limit(cascadeLocalMax + 1).collect()
+      if (nextRows.length > cascadeLocalMax) None
+      else {
+        val prevRows = prevDf.limit(cascadeLocalMax + 1).collect()
+        if (prevRows.length > cascadeLocalMax) None
+        else Changelog.localKeyedDiff(prevRows.toIndexedSeq, nextRows.toIndexedSeq,
+          keys.map(schema.fieldIndex).toArray, schema)
+      }
+    }
+    localOps match {
+      case Some(ops) =>
+        if (ops.nonEmpty) emitOps(localDf(ops.toIndexedSeq,
+          nextDf.schema.add("op", org.apache.spark.sql.types.StringType)))
+      case None =>
+        emitOps(Changelog.diff(Some(prevDf), nextDf, keys))
+    }
   }
 
   /** Visible projection of a cascade's pre-HAVING state: apply the folded

@@ -223,6 +223,47 @@ object Changelog {
     Some(ops.sorted(rowOrd).map { case (r, op) => Row.fromSeq(r.toSeq :+ op) })
   }
 
+  /** Driver-side equivalent of [[diff]] for two KEYED row sets (each key
+    * at most once per side — grouped-aggregate snapshots): Insert for keys
+    * only in next, Delete for keys only in prev, UpdateDelete/UpdateInsert
+    * for value-changed keys — sorted by key columns (ascending NULLS
+    * FIRST) then op rank, byte-identical to [[diff]]'s emission order.
+    * Zero Spark jobs; None when a key type has no local ordering. Used by
+    * the cascade epoch on its touched-group-restricted (delta-sized)
+    * frames — the distributed full-outer diff spent several jobs per
+    * epoch on a handful of rows. */
+  private[graft] def localKeyedDiff(prev: Seq[Row], next: Seq[Row],
+      keyIdx: Array[Int],
+      schema: org.apache.spark.sql.types.StructType): Option[Seq[Row]] = {
+    val keyOrds = keyIdx.map(i => localOrdering(schema.fields(i).dataType))
+    if (keyOrds.exists(_.isEmpty)) return None
+    val fieldOrds = keyOrds.map(_.get)
+    def keyOf(r: Row): List[Any] = keyIdx.map(r.get).toList
+    val prevByKey = prev.map(r => keyOf(r) -> r).toMap
+    val nextByKey = next.map(r => keyOf(r) -> r).toMap
+    val ops = scala.collection.mutable.ArrayBuffer[(Row, String)]()
+    next.foreach { n =>
+      prevByKey.get(keyOf(n)) match {
+        case None => ops += ((n, OpInsert))
+        case Some(p) if p == n => ()
+        case Some(p) => ops += ((p, OpUpdateDelete)); ops += ((n, OpUpdateInsert))
+      }
+    }
+    prev.foreach { p => if (!nextByKey.contains(keyOf(p))) ops += ((p, OpDelete)) }
+    val rowOrd = new Ordering[(Row, String)] {
+      def compare(a: (Row, String), b: (Row, String)): Int = {
+        var i = 0
+        while (i < keyIdx.length) {
+          val c = fieldOrds(i).compare(a._1.get(keyIdx(i)), b._1.get(keyIdx(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        localOpRank(a._2) - localOpRank(b._2)
+      }
+    }
+    Some(ops.sorted(rowOrd).map { case (r, op) => Row.fromSeq(r.toSeq :+ op) }.toSeq)
+  }
+
   /** Local equivalent of Spark's ascending NULLS FIRST ordering for one
     * column type; None where the equivalence isn't certain. */
   private def localOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
