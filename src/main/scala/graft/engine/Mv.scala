@@ -1299,6 +1299,11 @@ final class MaterializedView private[engine](
     * spec probe pinning the semi-join-below-Aggregate pushdown. */
   @volatile private[graft] var lastCascadeEpochPlan: Option[String] = None
 
+  /** Optimized plan of the last delta-join epoch's first + term —
+    * recorded so DeltaJoinMvSpec can pin the broadcast-delta property (the
+    * snapshot side must never shuffle for a delta-sized probe). */
+  @volatile private[graft] var lastJoinEpochPlan: Option[String] = None
+
   /** How many times the FULL defining statement has been evaluated over
     * source data (batch refresh epochs + cascade backfills/recomputes) —
     * spec probe proving a durable reopen restores the snapshot instead of
@@ -1824,6 +1829,8 @@ final class MaterializedView private[engine](
         }
         val plus  = spark.sql(termSql(s"__jc_add_${u.viewName}"))
           .select(outCols.map(col): _*).withColumn("__d", lit(1L))
+        if (i == 0 && joinHasJoin)
+          lastJoinEpochPlan = Some(plus.queryExecution.optimizedPlan.toString)
         val minus = spark.sql(termSql(s"__jc_del_${u.viewName}"))
           .select(outCols.map(col): _*).withColumn("__d", lit(-1L))
         Seq(plus, minus)

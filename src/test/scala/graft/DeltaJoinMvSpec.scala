@@ -273,6 +273,51 @@ class DeltaJoinMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("delta epoch plan broadcasts the delta side (state side never shuffles)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djp_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djp_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djp_ev e " +
+      "JOIN djp_user u ON u.uid = e.user_id", "djp_mv")
+    val mv = rw.mvByName("djp_mv").get
+    assert(mv.isDeltaJoinMode)
+    rw.table("djp_user").get.insert(Seq(Row(1L, "ann")))
+    rw.flush()
+    rw.table("djp_ev").get.insert(Seq(Row(10L, 1L, 5.0)))
+    rw.flush()
+    val plan = mv.lastJoinEpochPlan.getOrElse(
+      fail("no delta epoch plan was recorded"))
+    assert(plan.contains("strategy=broadcast"),
+      s"the delta side must carry the broadcast hint:\n$plan")
+    rw.close()
+  }
+
+  test("projection/filter over an AGGREGATING MV folds its changelog (no batch re-run)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djg_ev", evSchema)
+    rw.mv("SELECT user_id, count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sv " +
+      "FROM djg_ev GROUP BY user_id", "djg_agg")
+    // a non-aggregate filter over an aggregating MV has no streaming face —
+    // before the delta-join cascade it demoted to per-FLUSH batch re-run
+    rw.mv("SELECT user_id, n FROM djg_agg WHERE n >= 2", "djg_filter")
+    val fmv = rw.mvByName("djg_filter").get
+    assert(fmv.isDeltaJoinMode,
+      "filter over an aggregating MV must fold the upstream changelog")
+    val t = rw.table("djg_ev").get
+    t.insert(Seq(Row(1L, 1L, 1.0), Row(2L, 2L, 2.0)))
+    rw.flush()
+    assert(fmv.df.isEmpty, "no user has 2 events yet")
+    t.insert(Seq(Row(3L, 1L, 3.0)))
+    rw.flush()
+    assert(fmv.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "user 1 crosses the threshold — the upstream update folds through the filter")
+    t.insert(Seq(Row(4L, 1L, 4.0), Row(5L, 2L, 5.0)))
+    rw.flush()
+    assert(fmv.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 2L)))
+    rw.close()
+  }
+
   test("durable snapshot: delta-join MV reopens with zero evals and zero replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_djdur").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
