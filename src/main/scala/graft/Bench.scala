@@ -147,7 +147,10 @@ object Bench {
                   probe: graft.engine.GraftEngine => Boolean): (Double, Long, Int) = {
       import graft.engine.{ConnOptions, GraftEngine}
       import org.apache.spark.sql.functions.col
-      val rw = GraftEngine.open(ConnOptions(), Some(spark))
+      // streaming parallelism sized to per-epoch delta volume (8), not the
+      // batch shuffle width (32) — see ConnOptions.streamShufflePartitions
+      val rw = GraftEngine.open(ConnOptions(streamShufflePartitions = Some(8)),
+        Some(spark))
       try {
         rw.createTable("bench_ev", eventsSchema)
         defs.foreach { case (n, s) => rw.mv(s, n) }

@@ -143,14 +143,86 @@ final class LiveTable(
       if (primaryKey.isEmpty)
         delta.orderBy("__seq").drop("__seq")
           .withColumn("op", lit(graft.streaming.Changelog.OpInsert))
-      else {
+      else timedCl("tbl-changelog-diff") {
         val keys = delta.select(primaryKey.map(col): _*).distinct()
-        val before = resolvedForKeys(hist.filter(col("__seq") <= clSeq), keys)
-        val after = resolvedForKeys(hist, keys)
-        graft.streaming.Changelog.diff(Some(before), after, primaryKey)
+        // fast path: collect the touched keys' RAW history once (bounded)
+        // and resolve both sides driver-side — the distributed spelling
+        // paid two semi-join + resolution-window jobs per flush for
+        // delta-sized results
+        localChangelogDiff(hist, keys).getOrElse {
+          val before = resolvedForKeys(hist.filter(col("__seq") <= clSeq), keys)
+          val after = resolvedForKeys(hist, keys)
+          // both sides are touched-key-restricted (delta-sized): the driver
+          // diff replaces the full-outer join + sort jobs per flush
+          graft.streaming.Changelog.diffPreferLocal(before, after, primaryKey, 50000)
+        }
       }
-    changeLog.appendDF(ops)
+    timedCl("tbl-changelog-append")(changeLog.appendDF(ops))
     clSeq = seq
+  }
+
+  private val clTiming = java.lang.Boolean.getBoolean("graft.epochTiming")
+  private def timedCl[T](phase: String)(f: => T): T =
+    if (!clTiming) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally System.err.println(
+        s"[epoch-timing] $viewName $phase ${(System.nanoTime() - t0) / 1000000} ms")
+    }
+
+  /** Driver-side changelog diff for a flush whose touched keys' raw
+    * history fits under a bound: ONE semi-join + collect job, then the
+    * before/after upsert resolution (max by version DESC NULLS LAST, then
+    * `__seq` DESC — identical to [[resolvedForKeys]]'s window) and the
+    * keyed diff run on the driver. None = too big or a version/key type
+    * without a local ordering → caller uses the distributed spelling. */
+  private def localChangelogDiff(hist: DataFrame,
+                                 keys: DataFrame): Option[DataFrame] = {
+    import graft.streaming.Changelog
+    val bound = 50000
+    val verName = versionColumn.getOrElse("__seq")
+    val restrictedSchema = hist.schema
+    val verOrd = Changelog.localOrdering(restrictedSchema(verName).dataType)
+      .getOrElse(return None)
+    if (primaryKey.exists(k =>
+        Changelog.localOrdering(restrictedSchema(k).dataType).isEmpty))
+      return None
+    val kr = keys.toDF(primaryKey.map(c => s"__k_$c"): _*)
+    val rows = hist.join(broadcast(kr),
+        primaryKey.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), "left_semi")
+      .limit(bound + 1).collect()
+    if (rows.length > bound) return None
+    val seqIdx = restrictedSchema.fieldIndex("__seq")
+    val verIdx = restrictedSchema.fieldIndex(verName)
+    val keyIdxRaw = primaryKey.map(restrictedSchema.fieldIndex)
+    // pick-first under (version DESC NULLS LAST, __seq DESC): NULL version
+    // ranks below everything, exactly like desc_nulls_last
+    def resolve(rs: Seq[Row]): Seq[Row] =
+      rs.groupBy(r => keyIdxRaw.map(r.get)).valuesIterator.map { grp =>
+        grp.maxBy(identity)(new Ordering[Row] {
+          def compare(a: Row, b: Row): Int = {
+            val av = a.get(verIdx); val bv = b.get(verIdx)
+            val c =
+              if (av == null && bv == null) 0
+              else if (av == null) -1
+              else if (bv == null) 1
+              else verOrd.compare(av, bv)
+            if (c != 0) c
+            else java.lang.Long.compare(a.getLong(seqIdx), b.getLong(seqIdx))
+          }
+        })
+      }.toIndexedSeq
+    def strip(r: Row): Row =
+      Row.fromSeq(r.toSeq.patch(seqIdx, Nil, 1))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      restrictedSchema.fields.patch(seqIdx, Nil, 1))
+    val before = resolve(rows.filter(_.getLong(seqIdx) <= clSeq).toIndexedSeq).map(strip)
+    val after = resolve(rows.toIndexedSeq).map(strip)
+    val keyIdxOut = primaryKey.map(outSchema.fieldIndex).toArray
+    Changelog.localKeyedDiff(before, after, keyIdxOut, outSchema).map { ops =>
+      spark.createDataFrame(java.util.Arrays.asList(ops.toIndexedSeq: _*),
+        outSchema.add("op", org.apache.spark.sql.types.StringType))
+    }
   }
 
   /** Upsert-resolve `hist` (a raw `__seq`-stamped history) restricted to

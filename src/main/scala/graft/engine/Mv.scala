@@ -111,6 +111,14 @@ final class MaterializedView private[engine](
     * top-level HAVING folded into the select list as [[havingCol]] so state
     * and touched-key detection run on the pre-HAVING aggregate. */
   private var cascadeStmt: String = ""
+  /** Decomposable-aggregate layout when the cascade folds deltas
+    * algebraically instead of recomputing touched groups ([[DeltaAgg]]);
+    * None = recompute mode. */
+  private var deltaAggSpec: Option[DeltaAgg.Spec] = None
+  /** Carried per-group auxiliary state of the delta-accumulating cascade
+    * (keys + counters/sums); [[cascadeInner]] stays the derived visible
+    * (pre-HAVING) projection over it. */
+  @volatile private var auxState: Option[DataFrame] = None
   private var cascadeHasHaving = false
   /** Pre-HAVING keyed state (== the visible snapshot when no HAVING). */
   private var cascadeInner: Option[DataFrame] = None
@@ -234,6 +242,12 @@ final class MaterializedView private[engine](
   /** True when maintained by the delta-join cascade (signed delta joins of
     * a non-aggregate multilinear statement), not batch re-run. */
   private[graft] def isDeltaJoinMode: Boolean = joinMode
+
+  /** True when the cascade folds COUNT/SUM deltas algebraically into
+    * carried aux state ([[DeltaAgg]]) instead of recomputing touched
+    * groups against the source snapshot. */
+  private[graft] def isDeltaAggMode: Boolean =
+    cascadeMode && !topNMode && !sessionMode && !joinMode && deltaAggSpec.nonEmpty
 
   /** Rebind the MV's name to its current snapshot (after withStreamingViews
     * temporarily bound the streaming face). */
@@ -389,6 +403,22 @@ final class MaterializedView private[engine](
   private def emitOps(ops: DataFrame): Unit =
     if (!recovering) timed("emitOps")(changeLog.appendDF(ops))
 
+  /** Start a maintainer stream under the configured streaming parallelism
+    * ([[ConnOptions.streamShufflePartitions]] — RisingWave's
+    * `streaming_parallelism` analogue): writeStream.start() clones the
+    * session and freezes its conf, which fixes the query's state-store
+    * partition count, so setting the shuffle width around start() and
+    * restoring it scopes the override to this maintainer only. */
+  private def startMaintainer(f: => StreamingQuery): StreamingQuery =
+    engine.options.streamShufflePartitions match {
+      case None => f
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, n.toString)
+        try f finally spark.conf.set(key, prev)
+    }
+
   /** Per-phase epoch timing (`-Dgraft.epochTiming=true`): prints one
     * `[epoch-timing] view phase ms` line per phase to stderr. Diagnostic
     * only — the throughput numbers live in the bench's streaming entries. */
@@ -475,12 +505,12 @@ final class MaterializedView private[engine](
       // failure falls back to batch re-run mode, which is always correct
       // (batch EOWC emits open windows too — an eager-emission superset)
       try {
-        query = Some(
+        query = Some(startMaintainer(
           sdf.writeStream
             .outputMode(if (isAgg) "update" else "append")
             .foreachBatch(handler)
             .queryName(s"${viewName}_maintainer")
-            .start())
+            .start()))
         streamingMode = true
         // reopen recovery: drain the backfill epoch synchronously while
         // suppression is active — it rebuilds state the recovered changelog
@@ -586,13 +616,13 @@ final class MaterializedView private[engine](
         snap.createOrReplaceTempView(viewName)
       }
       if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
-      query = Some(
+      query = Some(startMaintainer(
         sdf.writeStream
           .outputMode(if (isAgg) "update" else "append")
           .foreachBatch((batch: Dataset[Row], _: Long) =>
             handleTopNDelta(batch.toDF(), isAgg))
           .queryName(s"${viewName}_maintainer")
-          .start())
+          .start()))
       streamingMode = true
       topNMode = true
       if (recovering) query.foreach(_.processAllAvailable())
@@ -1026,13 +1056,13 @@ final class MaterializedView private[engine](
       keyMode = MaterializedView.Multiset
       keyCols = Nil
       if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
-      query = Some(
+      query = Some(startMaintainer(
         sdf.writeStream
           .outputMode("append")
           .foreachBatch((batch: Dataset[Row], _: Long) =>
             handleSessionDelta(batch.toDF()))
           .queryName(s"${viewName}_maintainer")
-          .start())
+          .start()))
       streamingMode = true
       sessionMode = true
       if (recovering) query.foreach(_.processAllAvailable())
@@ -1394,6 +1424,34 @@ final class MaterializedView private[engine](
         ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
           tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
       cascadeMode = true
+      // algebraic delta-accumulation (round 9): a Keyed aggregate whose
+      // child is multilinear in its SINGLE changelog source and whose
+      // aggregate calls are decomposable (COUNT / integral-or-decimal
+      // SUM) folds the changelog into carried aux state instead of
+      // re-scanning the source per epoch — see [[DeltaAgg]]
+      // admitted only over a LIVE TABLE source: there, touched-group
+      // recompute re-scans RAW rows (>> group count) every epoch, which
+      // the fold eliminates. An MV upstream's state is already the
+      // aggregate — recompute over it is the same O(state) map-side class
+      // as the fold's merge, with fewer per-epoch jobs (measured faster).
+      deltaAggSpec =
+        if (!mode.isInstanceOf[MaterializedView.Keyed] || cascadeUpstreams.size != 1 ||
+            ups.nonEmpty ||
+            // ops escape hatch + A/B measurement flag
+            java.lang.Boolean.getBoolean("graft.disableDeltaAgg")) None
+        else {
+          val srcName = cascadeUpstreams.head.viewName
+          val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+              r.multipartIdentifier.mkString(".").toLowerCase
+          }
+          val analyzed = df.queryExecution.analyzed
+          val childLinear = analyzed.collectFirst { case a: Aggregate => a }
+            .exists(a => !nonLinearIn(a.child, Set(srcName.toLowerCase)))
+          if (occurrences.count(_ == srcName.toLowerCase) == 1 && childLinear)
+            DeltaAgg.admit(analyzed)
+          else None
+        }
       // durable reopen: restored state + consumed upstream offsets resume
       // maintenance exactly where the previous incarnation stopped —
       // otherwise backfill over the upstreams' current state
@@ -1401,6 +1459,7 @@ final class MaterializedView private[engine](
       true
     } catch { case _: Throwable =>
       cascadeMode = false; cascadeUpstreams = Nil
+      deltaAggSpec = None; auxState = None
       // a half-finished initial backfill must not leave half-committed
       // state behind: if no ops were emitted, dropping the snapshot lets
       // the batch fallback run its own (single) Insert backfill; if ops
@@ -1454,9 +1513,22 @@ final class MaterializedView private[engine](
     if (snapshot.isEmpty) {
       latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
       statementEvals += 1
-      val innerFull = spark.sql(cascadeStmt).localCheckpoint(true)
-      val vis = cascadeVisible(innerFull).localCheckpoint(true)
-      cascadeInner = Some(innerFull)
+      deltaAggSpec match {
+        case Some(spec) =>
+          // the backfill evaluates the AUX aggregation once over the
+          // source's current state; the visible projection derives lazily
+          val auxFull = try
+            DeltaAgg.aux(spark, spec, spark.sql(cascadeStmt).queryExecution.analyzed)
+              .localCheckpoint(true)
+          catch { case t: Throwable => deltaAggSpec = None; throw t }
+          auxState = Some(auxFull)
+          cascadeInner = Some(DeltaAgg.visible(auxFull, spec))
+        case None =>
+          cascadeInner = Some(spark.sql(cascadeStmt).localCheckpoint(true))
+      }
+      val vis =
+        if (deltaAggSpec.nonEmpty) cascadeVisible(cascadeInner.get)
+        else cascadeVisible(cascadeInner.get).localCheckpoint(true)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
       // ops are emitted LAST: a checkpoint/view failure above leaves no
@@ -1469,13 +1541,18 @@ final class MaterializedView private[engine](
         latests.map { case (u, l) =>
           val after = cascadeOffsets.getOrElse(u.viewName, 0L)
           val p = if (l > after)
-            Some(u.log.dfAfter(after).drop("op", "rw_timestamp"))
+            Some(u.log.dfAfter(after).drop("rw_timestamp"))
           else None
           cascadeOffsets(u.viewName) = l
           (u, p)
         }
-      val changed = parts.collect { case (u, Some(p)) => (u, p) }
-      if (changed.isEmpty) return
+      val changedOps = parts.collect { case (u, Some(p)) => (u, p) }
+      if (changedOps.isEmpty) return
+      // algebraic fold: COUNT/SUM deltas accumulate into the carried aux
+      // state — per-epoch cost ∝ delta, and the source is never re-scanned
+      if (deltaAggSpec.nonEmpty && auxState.nonEmpty && changedOps.size == 1 &&
+          deltaAggEpoch(changedOps.head._1, changedOps.head._2)) return
+      val changed = changedOps.map { case (u, p) => (u, p.drop("op")) }
       if (keyCols.isEmpty) {
         // GlobalRow: the one group is touched by definition; recompute it
         // over the upstream snapshots (compacted — orders smaller than raw
@@ -1519,6 +1596,56 @@ final class MaterializedView private[engine](
       val vis = cascadeVisible(cascadeInner.get)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
+    }
+  }
+
+  /** One delta-accumulation epoch ([[DeltaAgg]]): split the source's 4-op
+    * delta by sign, evaluate the statement's AUXILIARY partial aggregation
+    * over each side (the same Project/Filter/static-join pipeline the
+    * statement applies, re-targeted at the delta — so predicates drop
+    * non-qualifying payload rows on both sides), fold into the carried aux
+    * state with a broadcast-touched-keys merge, and diff the touched
+    * groups' visible projections. False = this epoch must fall back to
+    * touched-group recompute (re-targeting failed); the spec is dropped so
+    * later epochs go straight to recompute. */
+  private def deltaAggEpoch(u: MaterializedView.CascadeSrc, ops: DataFrame): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val spec = deltaAggSpec.get
+    val addsV = s"__da_add_$viewName"
+    val delsV = s"__da_del_$viewName"
+    try {
+      val reAdd = retarget(cascadeStmt, u.viewName, addsV)
+      val reDel = retarget(cascadeStmt, u.viewName, delsV)
+      if (!reAdd.contains(addsV) || !reDel.contains(delsV))
+        throw new IllegalStateException(s"rebinding missed ${u.viewName}")
+      ops.filter(col("op").isin(Changelog.OpInsert, Changelog.OpUpdateInsert))
+        .drop("op").createOrReplaceTempView(addsV)
+      ops.filter(col("op").isin(Changelog.OpDelete, Changelog.OpUpdateDelete))
+        .drop("op").createOrReplaceTempView(delsV)
+      val addAux = timed("delta-aux")(DeltaAgg.aux(spark, spec,
+        spark.sql(reAdd).queryExecution.analyzed).localCheckpoint(true))
+      val delAux = DeltaAgg.aux(spark, spec,
+        spark.sql(reDel).queryExecution.analyzed).localCheckpoint(true)
+      val newAux = timed("state-merge")(
+        DeltaAgg.merge(auxState.get, addAux, delAux, spec).localCheckpoint(true))
+      val touched = DeltaAgg.touchedKeys(addAux, delAux, spec)
+      val newInnerFull = DeltaAgg.visible(newAux, spec)
+      emitKeyedDiffLocal(
+        cascadeVisible(keyJoin(cascadeInner.get, touched, "left_semi")),
+        cascadeVisible(keyJoin(newInnerFull, touched, "left_semi")),
+        keyCols)
+      auxState = Some(newAux)
+      cascadeInner = Some(newInnerFull)
+      val vis = cascadeVisible(newInnerFull)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+      true
+    } catch { case _: Throwable =>
+      deltaAggSpec = None
+      false
+    } finally {
+      spark.catalog.dropTempView(addsV)
+      spark.catalog.dropTempView(delsV)
     }
   }
 
@@ -1570,24 +1697,9 @@ final class MaterializedView private[engine](
   private[graft] var cascadeLocalMax = 50000
   private def emitKeyedDiffLocal(prevDf: DataFrame, nextDf: DataFrame,
                                  keys: Seq[String]): Unit = {
-    val localOps = timed("diff-collect") {
-      val schema = nextDf.schema
-      val nextRows = nextDf.limit(cascadeLocalMax + 1).collect()
-      if (nextRows.length > cascadeLocalMax) None
-      else {
-        val prevRows = prevDf.limit(cascadeLocalMax + 1).collect()
-        if (prevRows.length > cascadeLocalMax) None
-        else Changelog.localKeyedDiff(prevRows.toIndexedSeq, nextRows.toIndexedSeq,
-          keys.map(schema.fieldIndex).toArray, schema)
-      }
-    }
-    localOps match {
-      case Some(ops) =>
-        if (ops.nonEmpty) emitOps(localDf(ops.toIndexedSeq,
-          nextDf.schema.add("op", org.apache.spark.sql.types.StringType)))
-      case None =>
-        emitOps(Changelog.diff(Some(prevDf), nextDf, keys))
-    }
+    val ops = timed("diff-collect")(
+      Changelog.diffPreferLocal(prevDf, nextDf, keys, cascadeLocalMax))
+    emitOps(ops)
   }
 
   /** Visible projection of a cascade's pre-HAVING state: apply the folded
@@ -1647,21 +1759,7 @@ final class MaterializedView private[engine](
       // the scan must not descend into
       val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
         .map(_.toLowerCase).toSet
-      def nonLinear(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-        p match {
-          case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-            if boundary.contains(s.alias.toLowerCase) => false
-          case _: Aggregate | _: WindowNode | _: Sort | _: GlobalLimit |
-               _: LocalLimit | _: Distinct | _: Deduplicate | _: Intersect |
-               _: Except | _: Generate => true
-          case j: Join if !(j.joinType == Inner || j.joinType == Cross) => true
-          case _ =>
-            p.expressions.exists(_.exists(e =>
-              e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression] ||
-                !e.deterministic)) ||
-              p.children.exists(nonLinear)
-        }
-      if (nonLinear(analyzed)) return false
+      if (nonLinearIn(analyzed, boundary)) return false
       joinHasJoin = analyzed.collectFirst { case _: Join => () }.nonEmpty
       // each changelog source must appear exactly once for the telescoped
       // rebinding to address it (relation list from the parsed plan keeps
@@ -1717,6 +1815,33 @@ final class MaterializedView private[engine](
       cascadeUpstreams = Nil
       if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
       false
+    }
+  }
+
+  /** Non-multilinear plan detector shared by the delta-join admission
+    * (whole plan) and the delta-agg admission (the Aggregate's child):
+    * rejects aggregates, sorts/limits, DISTINCT, set ops other than UNION
+    * ALL, outer joins, generators, subqueries, and nondeterminism. The
+    * scan stops at `boundary` source views (lowercased) — a source's own
+    * resolution plan is a black box. */
+  private def nonLinearIn(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      boundary: Set[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Deduplicate, Distinct, Except, Generate, GlobalLimit, Intersect,
+      Join, LocalLimit, Sort, SubqueryAlias, Window => WindowNode}
+    p match {
+      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) => false
+      case _: Aggregate | _: WindowNode | _: Sort | _: GlobalLimit |
+           _: LocalLimit | _: Distinct | _: Deduplicate | _: Intersect |
+           _: Except | _: Generate => true
+      case j: Join if !(j.joinType == Inner || j.joinType == Cross) => true
+      case _ =>
+        p.expressions.exists(_.exists(e =>
+          e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression] ||
+            !e.deterministic)) ||
+          p.children.exists(nonLinearIn(_, boundary))
     }
   }
 
@@ -2355,6 +2480,8 @@ final class MaterializedView private[engine](
       snap.write.mode("overwrite").parquet(s"$staging/data")
       if (cascadeHasHaving || joinMode)
         cascadeInner.foreach(_.write.mode("overwrite").parquet(s"$staging/inner"))
+      if (deltaAggSpec.nonEmpty)
+        auxState.foreach(_.write.mode("overwrite").parquet(s"$staging/aux"))
       if (topNMode || sessionMode)
         innerState.foreach(_.write.mode("overwrite").parquet(s"$staging/inner"))
       if (topNMode)
@@ -2423,6 +2550,16 @@ final class MaterializedView private[engine](
                 Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
               else Some(snap)
             mvOffsets.foreach { case (v, o) => cascadeOffsets(v) = o }
+            // delta-accumulation resumes only from persisted aux state; a
+            // snapshot from a recompute-mode incarnation restores fine —
+            // the spec just drops back to recompute
+            deltaAggSpec.foreach { spec =>
+              if (new java.io.File(s"$d/aux").isDirectory) {
+                val aux = spark.read.parquet(s"$d/aux").localCheckpoint(true)
+                auxState = Some(aux)
+                cascadeInner = Some(DeltaAgg.visible(aux, spec))
+              } else deltaAggSpec = None
+            }
           }
           snapshot = Some(snap)
           snap.createOrReplaceTempView(viewName)

@@ -33,7 +33,16 @@ final case class ConnOptions(
       * restart, like the reference's server-side retention
       * (`risingwave/core.py:526-536` checkpoints against a durable server).
       * Unset = ephemeral temp dirs (test default). */
-    dataDir: Option[String] = None)
+    dataDir: Option[String] = None,
+    /** Streaming parallelism for MV maintainers, independent of the batch
+      * shuffle width (RisingWave's `streaming_parallelism` session
+      * variable, a public server knob): the shuffle-partition count
+      * captured when a maintainer's streaming query starts, which fixes
+      * its state-store partitioning. Per-epoch deltas are orders smaller
+      * than batch scans, so a lower width cuts pure task-scheduling
+      * overhead per epoch; at cluster scale size it to state volume.
+      * None = inherit the session's batch width. */
+    streamShufflePartitions: Option[Int] = None)
 
 object ConnOptions {
   /** `postgresql://` DSNs are accepted exactly like the reference rewrites

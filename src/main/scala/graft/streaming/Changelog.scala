@@ -264,9 +264,38 @@ object Changelog {
     Some(ops.sorted(rowOrd).map { case (r, op) => Row.fromSeq(r.toSeq :+ op) }.toSeq)
   }
 
+  /** [[diff]] that prefers the driver-side [[localKeyedDiff]] when both
+    * sides fit under `bound` rows (each side costs one bounded
+    * limit-collect; the result is a LocalRelation frame) and falls back to
+    * the distributed diff otherwise. Emission order identical either way.
+    * For inputs that are delta-bounded by construction (touched-key
+    * restrictions), this turns a multi-job full-outer diff into two small
+    * collects. */
+  private[graft] def diffPreferLocal(prev: DataFrame, next: DataFrame,
+      keyCols: Seq[String], bound: Int): DataFrame = {
+    val schema = next.schema
+    val local = {
+      val nextRows = next.limit(bound + 1).collect()
+      if (nextRows.length > bound) None
+      else {
+        val prevRows = prev.limit(bound + 1).collect()
+        if (prevRows.length > bound) None
+        else localKeyedDiff(prevRows.toIndexedSeq, nextRows.toIndexedSeq,
+          keyCols.map(schema.fieldIndex).toArray, schema)
+      }
+    }
+    local match {
+      case Some(ops) =>
+        val opSchema = schema.add("op", org.apache.spark.sql.types.StringType)
+        next.sparkSession.createDataFrame(
+          java.util.Arrays.asList(ops.toIndexedSeq: _*), opSchema)
+      case None => diff(Some(prev), next, keyCols)
+    }
+  }
+
   /** Local equivalent of Spark's ascending NULLS FIRST ordering for one
     * column type; None where the equivalence isn't certain. */
-  private def localOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+  private[graft] def localOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
     def nullsFirst(cmp: (Any, Any) => Int): Ordering[Any] = new Ordering[Any] {
       def compare(a: Any, b: Any): Int =

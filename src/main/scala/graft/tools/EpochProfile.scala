@@ -48,6 +48,10 @@ object EpochProfile {
           """SELECT date_trunc('hour', window_start) AS hs, event_type,
             |  CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
             |FROM bm_up GROUP BY date_trunc('hour', window_start), event_type""".stripMargin))
+      case "pkagg" => Seq(("bm_pk",
+        """SELECT user_id % 1000 AS k, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM bench_ev GROUP BY user_id % 1000""".stripMargin))
       case "session" => Seq(("bm_sess",
         """SELECT window_start, window_end, event_type, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
@@ -68,8 +72,11 @@ object EpochProfile {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
     })
 
-    val rw = GraftEngine.open(ConnOptions(), Some(spark))
-    rw.createTable("bench_ev", eventsSchema)
+    val rw = GraftEngine.open(ConnOptions(streamShufflePartitions = Some(8)), Some(spark))
+    // pkagg exercises the retraction-capable fold path: a PK table emits
+    // a 4-op changelog, which (absent a PK) would instead stream
+    rw.createTable("bench_ev", eventsSchema,
+      primaryKey = if (which == "pkagg") Seq("event_id") else Nil)
     defs.foreach { case (n, s) => rw.mv(s, n) }
     val rows = Tables(spark, sfDir, "events")
       .select(eventsSchema.fieldNames.toIndexedSeq.map(col): _*)

@@ -1,0 +1,171 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Algebraic delta-accumulation for keyed aggregate cascades (DeltaAgg):
+  * admitted COUNT/SUM statements fold the source changelog into carried
+  * per-group auxiliary state — the source is never re-scanned after the
+  * backfill (statementEvals pins it), retractions decrement, groups vanish
+  * at zero rows, and NULL-sum semantics survive the fold. */
+class DeltaAggSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(StructField("id", LongType),
+    StructField("grp", StringType), StructField("v", LongType)))
+
+  private def groups(mv: MaterializedView): Map[String, (Long, Any)] =
+    mv.df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.get(2)))).toMap
+
+  test("count/sum over an upsert table folds deltas; no re-scan after backfill") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("da_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM da_t GROUP BY grp", "da_mv")
+    val mv = rw.mvByName("da_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "decomposable aggregate over a PK table must delta-accumulate")
+    val t = rw.table("da_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(groups(mv) == Map("a" -> ((2L, 30L)), "b" -> ((1L, 5L))))
+
+    // overwrite moves id=2 from a to b: a's sums decrement, b's increment
+    t.insert(Seq(Row(2L, "b", 7L)))
+    rw.flush()
+    assert(groups(mv) == Map("a" -> ((1L, 10L)), "b" -> ((2L, 12L))))
+
+    // DELETE empties group b entirely — it must vanish, not stay at 0
+    rw.execute("DELETE FROM da_t WHERE grp = 'b'")
+    rw.flush()
+    assert(groups(mv) == Map("a" -> ((1L, 10L))))
+    assert(mv.statementEvals == evals,
+      "delta-accumulation epochs must not re-evaluate the statement")
+    assert(mv.isDeltaAggMode)
+    rw.close()
+  }
+
+  test("NULL-sum semantics survive the fold (sum NULL iff no non-null inputs)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dan_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM dan_t GROUP BY grp", "dan_mv")
+    val mv = rw.mvByName("dan_mv").get
+    assert(mv.isDeltaAggMode)
+    val t = rw.table("dan_t").get
+    t.insert(Seq(Row(1L, "a", null), Row(2L, "a", null)))
+    rw.flush()
+    assert(groups(mv) == Map("a" -> ((2L, null))), "all-NULL group sums to NULL")
+    t.insert(Seq(Row(3L, "a", 5L)))
+    rw.flush()
+    assert(groups(mv) == Map("a" -> ((3L, 5L))))
+    // retract the only non-null row: count stays 2, sum returns to NULL
+    rw.execute("DELETE FROM dan_t WHERE id = 3")
+    rw.flush()
+    assert(groups(mv) == Map("a" -> ((2L, null))),
+      "sum must return to NULL when the last non-null input retracts")
+    rw.close()
+  }
+
+  test("HAVING and CAST wrappers re-derive over the folded aggregates") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dah_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, CAST(sum(v) AS BIGINT) AS sv FROM dah_t " +
+      "GROUP BY grp HAVING count(*) >= 2", "dah_mv")
+    val mv = rw.mvByName("dah_mv").get
+    assert(mv.isDeltaAggMode, "HAVING folds into the select list — still decomposable")
+    val t = rw.table("dah_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "b", 5L)))
+    rw.flush()
+    assert(mv.df.isEmpty, "no group has 2 rows yet")
+    t.insert(Seq(Row(3L, "a", 1L)))
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 11L)))
+    rw.execute("DELETE FROM dah_t WHERE id = 3")
+    rw.flush()
+    assert(mv.df.isEmpty, "group a leaves the predicate when its count drops")
+    rw.close()
+  }
+
+  test("expression grouping keys fold (GROUP BY id % k)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dae_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT id % 3 AS bucket, count(*) AS n, sum(v) AS sv " +
+      "FROM dae_t GROUP BY id % 3", "dae_mv")
+    val mv = rw.mvByName("dae_mv").get
+    assert(mv.isDeltaAggMode)
+    val t = rw.table("dae_t").get
+    t.insert(Seq(Row(0L, "x", 1L), Row(1L, "x", 2L), Row(3L, "x", 4L)))
+    rw.flush()
+    val m = mv.df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m == Map(0L -> ((2L, 5L)), 1L -> ((1L, 2L))))
+    rw.close()
+  }
+
+  test("non-decomposable aggregates fall back to recompute and stay correct") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("daf_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, round(avg(v), 4) AS av FROM daf_t GROUP BY grp", "daf_avg")
+    val avgMv = rw.mvByName("daf_avg").get
+    assert(avgMv.isChangelogCascadeMode && !avgMv.isDeltaAggMode,
+      "avg is not admitted in v1 — recompute cascade")
+    rw.createTable("daf_d", StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("d", DoubleType))),
+      primaryKey = Seq("id"))
+    rw.mv("SELECT grp, sum(d) AS sd FROM daf_d GROUP BY grp", "daf_dbl")
+    assert(!rw.mvByName("daf_dbl").get.isDeltaAggMode,
+      "double sums are excluded (re-association drift)")
+    val t = rw.table("daf_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 21L)))
+    rw.flush()
+    assert(avgMv.df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("a", 15.5)))
+    rw.close()
+  }
+
+  test("changelog envelope: overwrite emits an update pair, vanish emits Delete") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dao_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM dao_t GROUP BY grp", "dao_mv")
+    val mv = rw.mvByName("dao_mv").get
+    assert(mv.isDeltaAggMode)
+    val sub = mv.subscription("dao_sub")
+    val t = rw.table("dao_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "b", 5L)))
+    rw.flush()
+    t.insert(Seq(Row(3L, "a", 4L)))
+    rw.flush()
+    rw.execute("DELETE FROM dao_t WHERE grp = 'b'")
+    rw.flush()
+    val ops = Iterator.continually(sub.fetch(100)).takeWhile(_.nonEmpty).flatten
+      .map(r => (r.getString(r.fieldIndex("op")), r.getString(0), r.getLong(1)))
+      .toSeq
+    assert(ops.count(_._1 == "Insert") == 2)
+    assert(ops.contains(("UpdateDelete", "a", 1L)) && ops.contains(("UpdateInsert", "a", 2L)),
+      s"group a's growth must be an update pair, got $ops")
+    assert(ops.contains(("Delete", "b", 1L)), s"vanished group must emit Delete, got $ops")
+    sub.close()
+    rw.close()
+  }
+
+  test("durable reopen restores aux state and keeps folding with zero evals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dadur").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("dar_t", schema, primaryKey = Seq("id"))
+    rw1.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM dar_t GROUP BY grp", "dar_mv")
+    rw1.table("dar_t").get.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L)))
+    rw1.flush()
+    rw1.close()
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw2.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM dar_t GROUP BY grp", "dar_mv")
+    val mv = rw2.mvByName("dar_mv").get
+    assert(mv.isDeltaAggMode)
+    assert(mv.statementEvals == 0L, "reopen must restore aux state without evaluating")
+    assert(groups(mv) == Map("a" -> ((2L, 30L))))
+    rw2.table("dar_t").get.insert(Seq(Row(3L, "b", 7L), Row(1L, "a", 11L)))
+    rw2.flush()
+    assert(groups(mv) == Map("a" -> ((2L, 31L)), "b" -> ((1L, 7L))))
+    assert(mv.statementEvals == 0L, "folding must continue without evals after reopen")
+    rw2.close()
+  }
+}
