@@ -710,6 +710,11 @@ final class MaterializedView private[engine](
           tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
       cascadeMode = true
       topNMode = true
+      // the inner aggregate folds deltas algebraically when admitted
+      // (RisingWave's HashAgg-feeding-GroupTopN structure): the aux state
+      // replaces the SOURCE TABLE as the recompute/re-fetch state table —
+      // no raw scan per epoch or underflow
+      deltaAggSpec = if (isAgg) admitDeltaAgg(df, ups, tbls) else None
       // durable reopen: restored truncation state + bound + consumed source
       // offsets resume maintenance with zero statement evals and zero
       // replay. Parts load before anything commits; a partial/unreadable
@@ -729,15 +734,23 @@ final class MaterializedView private[engine](
                 spark.read.parquet(s"$d/bound").collect().headOption
               else None
             val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
-            Some((offsets, inner, bound, snap))
+            val aux =
+              if (new java.io.File(s"$d/aux").isDirectory)
+                Some(spark.read.parquet(s"$d/aux").localCheckpoint(true))
+              else None
+            Some((offsets, inner, bound, snap, aux))
           }
         } catch { case _: Throwable => None }
       }
       restored match {
-        case Some((offsets, inner, bound, snap)) =>
+        case Some((offsets, inner, bound, snap, aux)) =>
           offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
           innerState = Some(inner)
           topNBound = bound
+          auxState = aux
+          // a snapshot persisted by a recompute-mode incarnation has no
+          // aux — folding cannot resume from it
+          if (aux.isEmpty) deltaAggSpec = None
           snapshot = Some(snap)
           snap.createOrReplaceTempView(viewName)
         case None => topNCascadeEpoch() // initial backfill
@@ -750,6 +763,8 @@ final class MaterializedView private[engine](
       innerState = None
       topNBound = None
       topNVisibleRows = None
+      deltaAggSpec = None
+      auxState = None
       spark.catalog.dropTempView(topNSrcView)
       // same half-backfill discipline as tryStartCascade: if no ops were
       // emitted the fallback runs its own backfill from scratch
@@ -775,7 +790,17 @@ final class MaterializedView private[engine](
     if (snapshot.isEmpty) {
       latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
       statementEvals += 1
-      val full = spark.sql(cascadeStmt).localCheckpoint(true)
+      val full = deltaAggSpec match {
+        case Some(spec) if isAggMode =>
+          // ONE source pass builds the aux state; the ranked seed derives
+          val auxFull = try
+            DeltaAgg.aux(spark, spec, spark.sql(cascadeStmt).queryExecution.analyzed)
+              .localCheckpoint(true)
+          catch { case t: Throwable => deltaAggSpec = None; throw t }
+          auxState = Some(auxFull)
+          DeltaAgg.visible(auxFull, spec)
+        case _ => spark.sql(cascadeStmt).localCheckpoint(true)
+      }
       val stateRows =
         if (isAggMode) {
           val (k, rows, evictedBest) = rankedPrefix(full)
@@ -791,23 +816,35 @@ final class MaterializedView private[engine](
     } else {
       val parts = latests.map { case (u, l) =>
         val after = cascadeOffsets.getOrElse(u.viewName, 0L)
-        // the raw fold needs the op column (retractions differ from
-        // inserts); the grouped path only needs the touched payloads
-        val p = if (l > after) Some {
-          val d = u.log.dfAfter(after).drop("rw_timestamp")
-          if (isAggMode) d.drop("op") else d
-        } else None
+        val p = if (l > after) Some(u.log.dfAfter(after).drop("rw_timestamp"))
+          else None
         cascadeOffsets(u.viewName) = l
         (u, p)
       }
       val changed = parts.collect { case (u, Some(p)) => (u, p) }
       if (changed.isEmpty) return
       if (!isAggMode) { rawTopNFold(changed.head._1, changed.head._2); return }
-      val touched = cascadeTouchedKeys(changed)
-      if (timed("touched-empty-check")(touched.rdd.isEmpty())) return
-      statementEvals += 1
-      val newTouched = timed("group-recompute")(
-        keyJoin(spark.sql(cascadeStmt), touched, "left_semi").localCheckpoint(true))
+      // algebraic fold: the aux state answers the touched groups' new
+      // values — the source table is never re-scanned
+      val folded =
+        if (deltaAggSpec.nonEmpty && auxState.nonEmpty && changed.size == 1)
+          foldAux(changed.head._1, changed.head._2)
+        else None
+      val touched = folded.map(_._2).getOrElse(
+        cascadeTouchedKeys(changed.map { case (u, p) => (u, p.drop("op")) }))
+      if (folded.isEmpty &&
+          timed("touched-empty-check")(touched.rdd.isEmpty())) return
+      val newTouched = folded match {
+        case Some((newAux, t)) =>
+          auxState = Some(newAux)
+          timed("group-recompute")(
+            keyJoin(DeltaAgg.visible(newAux, deltaAggSpec.get), t, "left_semi")
+              .localCheckpoint(true))
+        case None =>
+          statementEvals += 1
+          timed("group-recompute")(
+            keyJoin(spark.sql(cascadeStmt), touched, "left_semi").localCheckpoint(true))
+      }
       // drop ALL touched keys before unioning the recomputed rows: a
       // touched group with no recomputed row (all its inputs retracted)
       // must leave the carried state — update-mode streaming could never
@@ -1429,29 +1466,9 @@ final class MaterializedView private[engine](
       // aggregate calls are decomposable (COUNT / integral-or-decimal
       // SUM) folds the changelog into carried aux state instead of
       // re-scanning the source per epoch — see [[DeltaAgg]]
-      // admitted only over a LIVE TABLE source: there, touched-group
-      // recompute re-scans RAW rows (>> group count) every epoch, which
-      // the fold eliminates. An MV upstream's state is already the
-      // aggregate — recompute over it is the same O(state) map-side class
-      // as the fold's merge, with fewer per-epoch jobs (measured faster).
       deltaAggSpec =
-        if (!mode.isInstanceOf[MaterializedView.Keyed] || cascadeUpstreams.size != 1 ||
-            ups.nonEmpty ||
-            // ops escape hatch + A/B measurement flag
-            java.lang.Boolean.getBoolean("graft.disableDeltaAgg")) None
-        else {
-          val srcName = cascadeUpstreams.head.viewName
-          val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
-            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-              r.multipartIdentifier.mkString(".").toLowerCase
-          }
-          val analyzed = df.queryExecution.analyzed
-          val childLinear = analyzed.collectFirst { case a: Aggregate => a }
-            .exists(a => !nonLinearIn(a.child, Set(srcName.toLowerCase)))
-          if (occurrences.count(_ == srcName.toLowerCase) == 1 && childLinear)
-            DeltaAgg.admit(analyzed)
-          else None
-        }
+        if (mode.isInstanceOf[MaterializedView.Keyed]) admitDeltaAgg(df, ups, tbls)
+        else None
       // durable reopen: restored state + consumed upstream offsets resume
       // maintenance exactly where the previous incarnation stopped —
       // otherwise backfill over the upstreams' current state
@@ -1599,16 +1616,39 @@ final class MaterializedView private[engine](
     }
   }
 
-  /** One delta-accumulation epoch ([[DeltaAgg]]): split the source's 4-op
-    * delta by sign, evaluate the statement's AUXILIARY partial aggregation
-    * over each side (the same Project/Filter/static-join pipeline the
-    * statement applies, re-targeted at the delta — so predicates drop
-    * non-qualifying payload rows on both sides), fold into the carried aux
-    * state with a broadcast-touched-keys merge, and diff the touched
-    * groups' visible projections. False = this epoch must fall back to
-    * touched-group recompute (re-targeting failed); the spec is dropped so
-    * later epochs go straight to recompute. */
-  private def deltaAggEpoch(u: MaterializedView.CascadeSrc, ops: DataFrame): Boolean = {
+  /** Delta-accumulation admission, shared by the plain aggregate cascade
+    * and the grouped top-N cascade's inner. Admitted only over a LIVE
+    * TABLE source: there, touched-group recompute re-scans RAW rows
+    * (>> group count) every epoch, which the fold eliminates. An MV
+    * upstream's state is already the aggregate — recompute over it is the
+    * same O(state) map-side class as the fold's merge, with fewer
+    * per-epoch jobs (measured faster). `cascadeStmt` must already hold
+    * the executable statement. */
+  private def admitDeltaAgg(df: DataFrame, ups: Seq[MaterializedView],
+                            tbls: Seq[LiveTable]): Option[DeltaAgg.Spec] = {
+    if (ups.nonEmpty || tbls.size != 1 ||
+        // ops escape hatch + A/B measurement flag
+        java.lang.Boolean.getBoolean("graft.disableDeltaAgg")) return None
+    val srcName = tbls.head.viewName
+    val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.mkString(".").toLowerCase
+    }
+    val analyzed = df.queryExecution.analyzed
+    val childLinear = analyzed.collectFirst { case a: Aggregate => a }
+      .exists(a => !nonLinearIn(a.child, Set(srcName.toLowerCase)))
+    if (occurrences.count(_ == srcName.toLowerCase) == 1 && childLinear)
+      DeltaAgg.admit(analyzed)
+    else None
+  }
+
+  /** Fold one epoch's 4-op delta into [[auxState]]: evaluate the aux
+    * partials over the sign-split delta, merge, and return (newAux,
+    * touchedKeys). None = re-targeting failed; the caller drops the spec
+    * and recomputes. Shared by [[deltaAggEpoch]] and the grouped top-N
+    * epoch. */
+  private def foldAux(u: MaterializedView.CascadeSrc,
+                      ops: DataFrame): Option[(DataFrame, DataFrame)] = {
     import org.apache.spark.sql.functions.col
     val spec = deltaAggSpec.get
     val addsV = s"__da_add_$viewName"
@@ -1628,26 +1668,42 @@ final class MaterializedView private[engine](
         spark.sql(reDel).queryExecution.analyzed).localCheckpoint(true)
       val newAux = timed("state-merge")(
         DeltaAgg.merge(auxState.get, addAux, delAux, spec).localCheckpoint(true))
-      val touched = DeltaAgg.touchedKeys(addAux, delAux, spec)
-      val newInnerFull = DeltaAgg.visible(newAux, spec)
-      emitKeyedDiffLocal(
-        cascadeVisible(keyJoin(cascadeInner.get, touched, "left_semi")),
-        cascadeVisible(keyJoin(newInnerFull, touched, "left_semi")),
-        keyCols)
-      auxState = Some(newAux)
-      cascadeInner = Some(newInnerFull)
-      val vis = cascadeVisible(newInnerFull)
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
-      true
+      Some((newAux, DeltaAgg.touchedKeys(addAux, delAux, spec)))
     } catch { case _: Throwable =>
       deltaAggSpec = None
-      false
+      None
     } finally {
       spark.catalog.dropTempView(addsV)
       spark.catalog.dropTempView(delsV)
     }
   }
+
+  /** One delta-accumulation epoch ([[DeltaAgg]]): split the source's 4-op
+    * delta by sign, evaluate the statement's AUXILIARY partial aggregation
+    * over each side (the same Project/Filter/static-join pipeline the
+    * statement applies, re-targeted at the delta — so predicates drop
+    * non-qualifying payload rows on both sides), fold into the carried aux
+    * state with a broadcast-touched-keys merge, and diff the touched
+    * groups' visible projections. False = this epoch must fall back to
+    * touched-group recompute (re-targeting failed); the spec is dropped so
+    * later epochs go straight to recompute. */
+  private def deltaAggEpoch(u: MaterializedView.CascadeSrc, ops: DataFrame): Boolean =
+    foldAux(u, ops) match {
+      case None => false
+      case Some((newAux, touched)) =>
+        val spec = deltaAggSpec.get
+        val newInnerFull = DeltaAgg.visible(newAux, spec)
+        emitKeyedDiffLocal(
+          cascadeVisible(keyJoin(cascadeInner.get, touched, "left_semi")),
+          cascadeVisible(keyJoin(newInnerFull, touched, "left_semi")),
+          keyCols)
+        auxState = Some(newAux)
+        cascadeInner = Some(newInnerFull)
+        val vis = cascadeVisible(newInnerFull)
+        snapshot = Some(vis)
+        vis.createOrReplaceTempView(viewName)
+        true
+    }
 
   /** Downstream keys a cascade epoch must recompute: the statement
     * retargeted once per changed upstream onto a private view over that
@@ -2147,8 +2203,15 @@ final class MaterializedView private[engine](
     val underflow = boundKeyReentered || underflowByRank
     if (!underflow) (localDf(keptRows, merged.schema), keptRows)
     else {
-      statementEvals += 1
-      val full = spark.sql(engine.rewrite(topNInnerStmt)).localCheckpoint(true)
+      // re-fetch: the delta-accumulating inner answers from its aux state
+      // (zero statement evals, no source scan); otherwise evaluate the
+      // inner statement against the source
+      val full = (deltaAggSpec, auxState) match {
+        case (Some(spec), Some(aux)) => DeltaAgg.visible(aux, spec)
+        case _ =>
+          statementEvals += 1
+          spark.sql(engine.rewrite(topNInnerStmt)).localCheckpoint(true)
+      }
       // row n+C+1 of the FULL evaluation is the best row evicted overall —
       // the exact fresh bound
       val (keptF, rowsF, evictedBestF) = rankedPrefix(full)

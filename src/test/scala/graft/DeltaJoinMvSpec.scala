@@ -318,6 +318,28 @@ class DeltaJoinMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("non-equi (theta) inner join folds — the delta terms evaluate any condition") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djt_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djt_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.uid, e.value FROM djt_ev e " +
+      "JOIN djt_user u ON e.value > CAST(u.uid AS DOUBLE)", "djt_mv")
+    val mv = rw.mvByName("djt_mv").get
+    assert(mv.isDeltaJoinMode, "theta joins are multilinear — must fold")
+    rw.table("djt_user").get.insert(Seq(Row(1L, "a"), Row(5L, "b")))
+    rw.flush()
+    rw.table("djt_ev").get.insert(Seq(Row(10L, 0L, 3.0), Row(11L, 0L, 7.0)))
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10L, 1L), (11L, 1L), (11L, 5L)))
+    // overwrite event 11 below both thresholds: its two joined rows retract
+    rw.table("djt_ev").get.insert(Seq(Row(11L, 0L, 0.5)))
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10L, 1L)))
+    rw.close()
+  }
+
   test("durable snapshot: delta-join MV reopens with zero evals and zero replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_djdur").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
