@@ -405,6 +405,9 @@ final class GraftEngine(val spark: SparkSession,
     // epoch consumes exactly the ops this barrier makes visible
     liveTables.values.foreach(_.emitChangelog())
     mvs.values.foreach(_.refresh())
+    // PK version-history compaction (threshold + doubling gated) runs
+    // last: physically invisible, so maintainers never see it
+    liveTables.values.foreach(_.maybeCompact())
   }
 
   // ---- MVs + subscriptions (D4–D8, C9/C10) --------------------------------

@@ -527,8 +527,42 @@ final class LiveTable(
     * new segment commits and the view rebinds. `seq` stays monotone across
     * the rewrite (never reset): attached face gates and the changelog
     * position both key on it. */
-  private[engine] def mutate(f: DataFrame => DataFrame): Unit = synchronized {
-    mutated = true
+  private[engine] def mutate(f: DataFrame => DataFrame): Unit =
+    rewriteHistory(f, markMutated = true, emitRetractions = true)
+
+  /** Version-history compaction for PK tables — the state-bound knob the
+    * upsert design needs at scale: every batch read resolves versions with
+    * a window over the FULL raw history, and without compaction the
+    * history (every version ever written) grows without bound. Once the
+    * history exceeds a floor (`graft.table.compactThreshold`, default
+    * 100k rows) AND has doubled since the last compaction (amortized-O(1)
+    * doubling rule), the history rewrites to its resolved winners — one
+    * row per key. Correctness: future upserts compare (version, __seq)
+    * against the winner exactly as before (losing versions can never win
+    * retroactively); the table CHANGELOG is a separate log, so SINCE
+    * replay and cascade folds are untouched; and no ops are emitted —
+    * compaction is physically invisible. Plain tables never compact
+    * (their history IS the data). At cluster scale this is the log
+    * compaction a keyed table format runs in the background. */
+  private[engine] def maybeCompact(): Unit = synchronized {
+    if (primaryKey.isEmpty) return
+    val total = segments.map(_._4).sum + allRows.size
+    val floor = spark.conf.getOption("graft.table.compactThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    if (total < floor || total < 2 * lastCompactRows) return
+    rewriteHistory(identity, markMutated = false, emitRetractions = false)
+    lastCompactRows = math.max(segments.map(_._4).sum + allRows.size, 1L)
+  }
+  private var lastCompactRows = 0L
+
+  /** Raw history row count (segments + tail) — spec probe for compaction. */
+  private[graft] def historyRows: Long = synchronized {
+    segments.map(_._4).sum + allRows.size
+  }
+
+  private def rewriteHistory(f: DataFrame => DataFrame, markMutated: Boolean,
+                             emitRetractions: Boolean): Unit = synchronized {
+    if (markMutated) mutated = true
     // the engine demotes every streaming MV reading this table BEFORE
     // mutating, so no reader streams should remain; clearing is the safe
     // backstop — feeding post-mutation appends to a pre-mutation reader
@@ -566,7 +600,7 @@ final class LiveTable(
       segments += ((base + 1, base + n, path, n))
     }
     seq = base + n
-    if (clEnabled) {
+    if (clEnabled && emitRetractions) {
       // the rewrite's retractions: keyed diff on the PK (UpdateDelete/
       // UpdateInsert/Delete), multiset Insert/Delete deltas otherwise
       val ops =

@@ -147,6 +147,43 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("PK version-history compaction: bounded state, invisible to changelog and upserts") {
+    spark.conf.set("graft.table.compactThreshold", "8")
+    try {
+      val rw = GraftEngine.open(ConnOptions(), Some(spark))
+      rw.createTable("cmp_t", schema, primaryKey = Seq("id"), versionColumn = Some("v"))
+      rw.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM cmp_t GROUP BY grp", "cmp_mv")
+      val mv = rw.mvByName("cmp_mv").get
+      val sub = mv.subscription("cmp_sub")
+      val t = rw.table("cmp_t").get
+      // 3 keys × 4 versions = 12 history rows > threshold → compacts
+      for (ver <- 1L to 4L)
+        { t.insert(Seq(Row(1L, "a", ver), Row(2L, "a", ver * 10), Row(3L, "b", ver * 100))); rw.flush() }
+      // 12 versions written; the epoch-3 flush crossed the threshold (9≥8)
+      // and compacted to 3 winners, epoch 4 appended 3 more
+      assert(t.historyRows == 6,
+        s"history must have compacted to winners + tail, got ${t.historyRows}")
+      assert(mv.df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("a", 2L, 44L), ("b", 1L, 400L)))
+      // compaction must be physically invisible: the changelog carries only
+      // the real version updates, nothing from the rewrite
+      val ops = Iterator.continually(sub.fetch(1000)).takeWhile(_.nonEmpty).flatten.toSeq
+      assert(ops.size == 2 + 3 * 2 * 2,
+        s"expected 2 Inserts + 3 update pairs per group-touching epoch, got ${ops.size}")
+      // upsert ordering survives: a LOWER version than the compacted winner
+      // must still lose; a higher one wins
+      t.insert(Seq(Row(1L, "a", 2L))); rw.flush()
+      t.insert(Seq(Row(3L, "b", 500L))); rw.flush()
+      assert(mv.df.collect().map(r => (r.getString(0), r.getLong(2))).toSet ==
+        Set(("a", 44L), ("b", 500L)),
+        "stale version must lose against the compacted winner")
+      // the last flush re-crossed both gates (8 ≥ floor, ≥ 2×3) → 3 winners
+      assert(t.historyRows == 3, s"got ${t.historyRows}")
+      sub.close()
+      rw.close()
+    } finally spark.conf.unset("graft.table.compactThreshold")
+  }
+
   test("durable reopen restores aux state and keeps folding with zero evals") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dadur").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
