@@ -245,9 +245,10 @@ final class MaterializedView private[engine](
 
   /** True when the cascade folds COUNT/SUM deltas algebraically into
     * carried aux state ([[DeltaAgg]]) instead of recomputing touched
-    * groups against the source snapshot. */
+    * groups against the source snapshot — the plain aggregate cascade or
+    * a grouped top-N whose inner folds. */
   private[graft] def isDeltaAggMode: Boolean =
-    cascadeMode && !topNMode && !sessionMode && !joinMode && deltaAggSpec.nonEmpty
+    cascadeMode && !sessionMode && !joinMode && deltaAggSpec.nonEmpty
 
   /** Rebind the MV's name to its current snapshot (after withStreamingViews
     * temporarily bound the streaming face). */

@@ -466,6 +466,8 @@ object StreamingParity {
       require(mv.isChangelogCascadeMode,
         "aggregate over the upsert table fell back to batch re-run — " +
           "must consume the table's changelog")
+      require(mv.isDeltaAggMode,
+        "COUNT/SUM over a table must fold algebraically (round 9)")
       val out = mv.df.withColumn("sv", col("sv").cast("double"))
       val materialized = out.localCheckpoint(true)
       rw.close()
@@ -573,6 +575,8 @@ object StreamingParity {
       val mv = rw.mvByName("m_gtf_mv").get
       require(mv.isTopNMode && mv.isChangelogCascadeMode,
         "grouped top-N over an upsert table must take the cascade-fold path")
+      require(mv.isDeltaAggMode,
+        "a COUNT/SUM inner must fold algebraically — no per-epoch re-scan")
       val out = mv.df.withColumn("sv", col("sv").cast("double"))
       val materialized = out.localCheckpoint(true)
       rw.close()

@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape pins for the delta-accumulation internals ([[DeltaAgg]]):
+  * the state merge must never shuffle the carried state — both the
+  * untouched passthrough (anti) and the touched slice (semi) join against
+  * a BROADCAST key set, and only the delta-sized resummed union pays a
+  * (hash-aggregate) exchange. A Spark change that stopped broadcasting
+  * would silently turn every fold epoch into a two-sided state shuffle. */
+class DeltaAggPlanSpec extends graft.SparkSpec {
+
+  test("merge plan: broadcast key joins on the state side, no sort-merge join") {
+    import spark.implicits._
+    val stmt = spark.createDataFrame(
+      Seq(("a", 1L), ("b", 2L)).toDF("grp", "v").rdd,
+      Seq(("a", 1L)).toDF("grp", "v").schema)
+    stmt.createOrReplaceTempView("dap_src")
+    val df = spark.sql("SELECT grp, count(*) AS n, sum(v) AS sv FROM dap_src GROUP BY grp")
+    val spec = DeltaAgg.admit(df.queryExecution.analyzed).getOrElse(
+      fail("count/sum over a long column must be admitted"))
+    val aux = DeltaAgg.aux(spark, spec, df.queryExecution.analyzed).localCheckpoint(true)
+    val addAux = aux.limit(1).localCheckpoint(true)
+    val delAux = aux.limit(0).localCheckpoint(true)
+    val merged = DeltaAgg.merge(aux, addAux, delAux, spec)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the touched-key joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the state side must never pay a two-sided shuffle join:\n$plan")
+  }
+
+  test("admit: double sums, avg, distinct, and filters are rejected") {
+    import spark.implicits._
+    Seq(("a", 1.0)).toDF("grp", "d").createOrReplaceTempView("dap_d")
+    Seq(("a", 1L)).toDF("grp", "v").createOrReplaceTempView("dap_v")
+    def admitOf(sql: String) =
+      DeltaAgg.admit(spark.sql(sql).queryExecution.analyzed)
+    assert(admitOf("SELECT grp, sum(d) AS s FROM dap_d GROUP BY grp").isEmpty,
+      "double sum must be rejected")
+    assert(admitOf("SELECT grp, avg(v) AS a FROM dap_v GROUP BY grp").isEmpty,
+      "avg must be rejected in v1")
+    assert(admitOf("SELECT grp, count(DISTINCT v) AS n FROM dap_v GROUP BY grp").isEmpty,
+      "DISTINCT aggregates are not decomposable")
+    assert(admitOf("SELECT grp, count(v) FILTER (WHERE v > 0) AS n FROM dap_v GROUP BY grp").isEmpty,
+      "filtered aggregate calls are rejected")
+    assert(admitOf("SELECT grp, count(*) AS n, sum(v) AS sv FROM dap_v GROUP BY grp").nonEmpty,
+      "plain count/sum must be admitted")
+    assert(admitOf(
+      "SELECT grp, CAST(sum(v) AS BIGINT) AS sv, count(*) > 1 AS big FROM dap_v GROUP BY grp").nonEmpty,
+      "deterministic wrappers over admitted calls must be admitted")
+  }
+}
