@@ -826,10 +826,9 @@ final class MaterializedView private[engine](
       if (changed.isEmpty) return
       if (!isAggMode) { rawTopNFold(changed.head._1, changed.head._2); return }
       // algebraic fold: the aux state answers the touched groups' new
-      // values — the source table is never re-scanned
+      // values — the source tables are never re-scanned
       val folded =
-        if (deltaAggSpec.nonEmpty && auxState.nonEmpty && changed.size == 1)
-          foldAux(changed.head._1, changed.head._2)
+        if (deltaAggSpec.nonEmpty && auxState.nonEmpty) foldAux(changed)
         else None
       val touched = folded.map(_._2).getOrElse(
         cascadeTouchedKeys(changed.map { case (u, p) => (u, p.drop("op")) }))
@@ -1567,9 +1566,9 @@ final class MaterializedView private[engine](
       val changedOps = parts.collect { case (u, Some(p)) => (u, p) }
       if (changedOps.isEmpty) return
       // algebraic fold: COUNT/SUM deltas accumulate into the carried aux
-      // state — per-epoch cost ∝ delta, and the source is never re-scanned
-      if (deltaAggSpec.nonEmpty && auxState.nonEmpty && changedOps.size == 1 &&
-          deltaAggEpoch(changedOps.head._1, changedOps.head._2)) return
+      // state — per-epoch cost ∝ delta, and the sources are never re-scanned
+      if (deltaAggSpec.nonEmpty && auxState.nonEmpty &&
+          deltaAggEpoch(changedOps)) return
       val changed = changedOps.map { case (u, p) => (u, p.drop("op")) }
       if (keyCols.isEmpty) {
         // GlobalRow: the one group is touched by definition; recompute it
@@ -1627,56 +1626,81 @@ final class MaterializedView private[engine](
     * the executable statement. */
   private def admitDeltaAgg(df: DataFrame, ups: Seq[MaterializedView],
                             tbls: Seq[LiveTable]): Option[DeltaAgg.Spec] = {
-    if (ups.nonEmpty || tbls.size != 1 ||
+    if (ups.nonEmpty || tbls.isEmpty ||
         // ops escape hatch + A/B measurement flag
         java.lang.Boolean.getBoolean("graft.disableDeltaAgg")) return None
-    val srcName = tbls.head.viewName
+    val srcNames = tbls.map(_.viewName.toLowerCase)
     val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         r.multipartIdentifier.mkString(".").toLowerCase
     }
     val analyzed = df.queryExecution.analyzed
     val childLinear = analyzed.collectFirst { case a: Aggregate => a }
-      .exists(a => !nonLinearIn(a.child, Set(srcName.toLowerCase)))
-    if (occurrences.count(_ == srcName.toLowerCase) == 1 && childLinear)
+      .exists(a => !nonLinearIn(a.child, srcNames.toSet))
+    if (srcNames.forall(n => occurrences.count(_ == n) == 1) && childLinear)
       DeltaAgg.admit(analyzed)
     else None
   }
 
-  /** Fold one epoch's 4-op delta into [[auxState]]: evaluate the aux
-    * partials over the sign-split delta, merge, and return (newAux,
-    * touchedKeys). None = re-targeting failed; the caller drops the spec
-    * and recomputes. Shared by [[deltaAggEpoch]] and the grouped top-N
-    * epoch. */
-  private def foldAux(u: MaterializedView.CascadeSrc,
-                      ops: DataFrame): Option[(DataFrame, DataFrame)] = {
+  /** Fold one epoch's 4-op deltas into [[auxState]]: per changed source,
+    * evaluate the statement's aux partials over the sign-split delta
+    * (telescoped — sources after the current term bind to their OLD
+    * snapshot, reconstructed as current ⊖ Δ⁺ ⊎ Δ⁻, exactly the delta-join
+    * cascade's rule: the aggregate is linear in its child multiset, and
+    * the child's delta is the telescoped join delta), merge all partials,
+    * and return (newAux, touchedKeys). None = re-targeting failed; the
+    * caller drops the spec and recomputes. Shared by [[deltaAggEpoch]]
+    * and the grouped top-N epoch. */
+  private def foldAux(changed: Seq[(MaterializedView.CascadeSrc, DataFrame)]):
+      Option[(DataFrame, DataFrame)] = {
     import org.apache.spark.sql.functions.col
     val spec = deltaAggSpec.get
-    val addsV = s"__da_add_$viewName"
-    val delsV = s"__da_del_$viewName"
+    val tempViews = scala.collection.mutable.ArrayBuffer[String]()
     try {
-      val reAdd = retarget(cascadeStmt, u.viewName, addsV)
-      val reDel = retarget(cascadeStmt, u.viewName, delsV)
-      if (!reAdd.contains(addsV) || !reDel.contains(delsV))
-        throw new IllegalStateException(s"rebinding missed ${u.viewName}")
-      ops.filter(col("op").isin(Changelog.OpInsert, Changelog.OpUpdateInsert))
-        .drop("op").createOrReplaceTempView(addsV)
-      ops.filter(col("op").isin(Changelog.OpDelete, Changelog.OpUpdateDelete))
-        .drop("op").createOrReplaceTempView(delsV)
-      val addAux = timed("delta-aux")(DeltaAgg.aux(spark, spec,
-        spark.sql(reAdd).queryExecution.analyzed).localCheckpoint(true))
-      val delAux = DeltaAgg.aux(spark, spec,
-        spark.sql(reDel).queryExecution.analyzed).localCheckpoint(true)
+      val parts = changed.map { case (u, ops) =>
+        val adds = ops.filter(col("op").isin(
+          Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op").localCheckpoint(true)
+        val dels = ops.filter(col("op").isin(
+          Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op").localCheckpoint(true)
+        (u, adds, dels)
+      }
+      parts.foreach { case (u, adds, dels) =>
+        adds.createOrReplaceTempView(s"__da_add_${u.viewName}")
+        tempViews += s"__da_add_${u.viewName}"
+        dels.createOrReplaceTempView(s"__da_del_${u.viewName}")
+        tempViews += s"__da_del_${u.viewName}"
+        if (parts.size > 1) {
+          val cols = adds.columns.toIndexedSeq.map(col)
+          u.snap().select(cols: _*).exceptAll(adds).union(dels)
+            .createOrReplaceTempView(s"__da_old_${u.viewName}")
+          tempViews += s"__da_old_${u.viewName}"
+        }
+      }
+      val partials = parts.zipWithIndex.map { case ((u, _, _), i) =>
+        def termSql(deltaView: String): String = {
+          val reaimed = retarget(cascadeStmt, u.viewName, deltaView)
+          if (!reaimed.contains(deltaView))
+            throw new IllegalStateException(s"rebinding missed ${u.viewName}")
+          parts.drop(i + 1).foldLeft(reaimed) { case (s, (o, _, _)) =>
+            retarget(s, o.viewName, s"__da_old_${o.viewName}")
+          }
+        }
+        val addAux = DeltaAgg.aux(spark, spec,
+          spark.sql(termSql(s"__da_add_${u.viewName}")).queryExecution.analyzed)
+        val delAux = DeltaAgg.aux(spark, spec,
+          spark.sql(termSql(s"__da_del_${u.viewName}")).queryExecution.analyzed)
+        (addAux, delAux)
+      }
+      val addAux = timed("delta-aux")(
+        partials.map(_._1).reduce(_ unionByName _).localCheckpoint(true))
+      val delAux = partials.map(_._2).reduce(_ unionByName _).localCheckpoint(true)
       val newAux = timed("state-merge")(
         DeltaAgg.merge(auxState.get, addAux, delAux, spec).localCheckpoint(true))
       Some((newAux, DeltaAgg.touchedKeys(addAux, delAux, spec)))
     } catch { case _: Throwable =>
       deltaAggSpec = None
       None
-    } finally {
-      spark.catalog.dropTempView(addsV)
-      spark.catalog.dropTempView(delsV)
-    }
+    } finally tempViews.foreach(spark.catalog.dropTempView(_))
   }
 
   /** One delta-accumulation epoch ([[DeltaAgg]]): split the source's 4-op
@@ -1688,8 +1712,9 @@ final class MaterializedView private[engine](
     * groups' visible projections. False = this epoch must fall back to
     * touched-group recompute (re-targeting failed); the spec is dropped so
     * later epochs go straight to recompute. */
-  private def deltaAggEpoch(u: MaterializedView.CascadeSrc, ops: DataFrame): Boolean =
-    foldAux(u, ops) match {
+  private def deltaAggEpoch(
+      changed: Seq[(MaterializedView.CascadeSrc, DataFrame)]): Boolean =
+    foldAux(changed) match {
       case None => false
       case Some((newAux, touched)) =>
         val spec = deltaAggSpec.get

@@ -771,6 +771,58 @@ object StreamingParity {
       materialized
     },
 
+    // Aggregate over a JOIN of two live PK tables (round 9): the
+    // decomposable aggregate folds TELESCOPED per-source partials — the
+    // join delta and the aggregate fold composed — so neither base table
+    // is ever re-scanned; mode-asserted (isDeltaAggMode), with the
+    // dimension side arriving in two waves and upsert overwrites
+    // retracting through the join into the group sums.
+    q("m_mv_join_agg_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT n.n_name AS nation, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM latest l JOIN nation n ON n.n_nationkey = l.user_id % 25
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      val nationSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      val upSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType)))
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val evT = rw.createTable("m_jaf_ev", upSchema,
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      val dimT = rw.createTable("m_jaf_dim", nationSchema,
+        primaryKey = Seq("n_nationkey"))
+      rw.mv("""SELECT n.n_name AS nation, count(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        |FROM m_jaf_ev e JOIN m_jaf_dim n ON n.n_nationkey = e.user_id % 25
+        |GROUP BY n.n_name""".stripMargin, "m_jaf_mv")
+      val mv = rw.mvByName("m_jaf_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "aggregate over a join of two PK tables must fold telescoped partials")
+      val dims = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val (dimA, dimB) = dims.splitAt(dims.length / 2)
+      dimT.insert(dimA.toSeq); rw.flush()
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      var i = 0
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        if (i == CHUNKS / 2) { dimT.insert(dimB.toSeq); rw.flush() }
+        evT.insert(chunk.toSeq); rw.flush(); i += 1
+      }
+      require(mv.isDeltaAggMode && mv.statementEvals <= 1,
+        "fold epochs must not re-evaluate the join aggregate")
+      val materialized = mv.df.withColumn("sv", col("sv").cast("double"))
+        .localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // Linear (projection/filter) fold over an upsert table: a stateless
     // SELECT/WHERE MV folds the table's 4-op changelog through the
     // expression instead of batch re-running — an overwrite whose new

@@ -184,6 +184,43 @@ class DeltaAggSpec extends SparkSpec {
     } finally spark.conf.unset("graft.table.compactThreshold")
   }
 
+  test("aggregate over a JOIN of two live PK tables folds (telescoped partials)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("daj_ev", StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("v", LongType))),
+      primaryKey = Seq("event_id"))
+    rw.createTable("daj_user", StructType(Seq(StructField("uid", LongType),
+      StructField("grp", StringType))), primaryKey = Seq("uid"))
+    rw.mv("SELECT u.grp, count(*) AS n, sum(e.v) AS sv FROM daj_ev e " +
+      "JOIN daj_user u ON u.uid = e.user_id GROUP BY u.grp", "daj_mv")
+    val mv = rw.mvByName("daj_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "count/sum over a join of two PK tables must fold via telescoped partials")
+    val ev = rw.table("daj_ev").get
+    val us = rw.table("daj_user").get
+    us.insert(Seq(Row(1L, "a"), Row(2L, "b")))
+    rw.flush()
+    ev.insert(Seq(Row(10L, 1L, 5L), Row(11L, 1L, 3L), Row(12L, 2L, 7L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(groups(mv) == Map("a" -> ((2L, 8L)), "b" -> ((1L, 7L))))
+    // both sides change in ONE epoch: user 1 moves to group b while a new
+    // event lands for them — the telescoped old-snapshot terms must count
+    // the cross contribution exactly once
+    us.insert(Seq(Row(1L, "b")))
+    ev.insert(Seq(Row(13L, 1L, 2L)))
+    rw.flush()
+    assert(groups(mv) == Map("b" -> ((4L, 17L))),
+      "group a must vanish; b absorbs user 1's three events plus event 12")
+    rw.execute("DELETE FROM daj_ev WHERE v >= 5")
+    rw.flush()
+    assert(groups(mv) == Map("b" -> ((2L, 5L))))
+    assert(mv.statementEvals == evals,
+      "join-fold epochs must not re-evaluate the statement")
+    assert(mv.isDeltaAggMode)
+    rw.close()
+  }
+
   test("durable reopen restores aux state and keeps folding with zero evals") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dadur").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
