@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, AttributeReference, Expression, GreaterThan, If, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Sum}
+  AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.functions.{broadcast, col, lit, sum}
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
@@ -47,8 +47,19 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
 private[engine] object DeltaAgg {
 
   /** One admitted aggregate call's auxiliary layout: `auxIdx` indexes the
-    * first of `width` auxiliary columns ([sum, nonNullCnt] or [cnt]). */
-  private final case class Slot(auxIdx: Int, isSum: Boolean)
+    * first of its auxiliary columns — [sum, nonNullCnt] for SUM and AVG,
+    * [cnt] for COUNT. */
+  private final case class Slot(auxIdx: Int, kind: Int) {
+    def isPair: Boolean = kind != KindCount
+  }
+  private val KindCount = 0
+  private val KindSum = 1
+  private val KindAvg = 2
+  private def kindOf(ae: AggregateExpression): Int = ae.aggregateFunction match {
+    case _: Sum => KindSum
+    case _: Average => KindAvg
+    case _ => KindCount
+  }
 
   final class Spec private[DeltaAgg](
       private[DeltaAgg] val keyOutNames: Seq[String],
@@ -75,6 +86,10 @@ private[engine] object DeltaAgg {
           case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
           case _ => false
         }
+        // AVG only over decimal: its sum buffer is then decimal (exact
+        // under re-association); integral/double children average through
+        // a DOUBLE sum, which the exactness contract excludes
+        case av: Average => av.child.dataType.isInstanceOf[DecimalType]
         case _ => false
       })
 
@@ -86,20 +101,20 @@ private[engine] object DeltaAgg {
   /** Admit `analyzed` (the ORIGINAL statement's plan) and build the spec.
     * None = not decomposable; caller keeps recompute mode. */
   def admit(analyzed: LogicalPlan): Option[Spec] = analyzed match {
-    case a: Aggregate if a.groupingExpressions.nonEmpty =>
+    case a: Aggregate =>
       val cs = calls(a)
       if (cs.isEmpty || !cs.forall(admittedCall)) return None
       // slot layout, by traversal order
       var next = 0
       val slotByCall = new java.util.IdentityHashMap[AggregateExpression, Slot]()
       cs.foreach { ae =>
-        val isSum = ae.aggregateFunction.isInstanceOf[Sum]
-        slotByCall.put(ae, Slot(next, isSum))
-        next += (if (isSum) 2 else 1)
+        val slot = Slot(next, kindOf(ae))
+        slotByCall.put(ae, slot)
+        next += (if (slot.isPair) 2 else 1)
       }
       val auxNames = cs.flatMap { ae =>
         val s = slotByCall.get(ae)
-        if (s.isSum) Seq(s"__a${s.auxIdx}", s"__a${s.auxIdx + 1}")
+        if (s.isPair) Seq(s"__a${s.auxIdx}", s"__a${s.auxIdx + 1}")
         else Seq(s"__a${s.auxIdx}")
       } :+ RowsCol
       // visible mapping: key outputs pass through; everything else
@@ -120,11 +135,24 @@ private[engine] object DeltaAgg {
           val derived = ne.transform {
             case ae: AggregateExpression if slotByCall.containsKey(ae) =>
               val s = slotByCall.get(ae)
-              if (s.isSum)
-                If(GreaterThan(UnresolvedAttribute(s"__a${s.auxIdx + 1}"), Literal(0L)),
-                  UnresolvedAttribute(s"__a${s.auxIdx}"),
-                  Literal(null, ae.dataType))
-              else UnresolvedAttribute(s"__a${s.auxIdx}")
+              s.kind match {
+                case KindSum =>
+                  If(GreaterThan(UnresolvedAttribute(s"__a${s.auxIdx + 1}"), Literal(0L)),
+                    UnresolvedAttribute(s"__a${s.auxIdx}"),
+                    Literal(null, ae.dataType))
+                case KindAvg =>
+                  // Spark's own finish expression, re-bound to the aux
+                  // sum/count columns (their types equal the avg buffer
+                  // types, so re-analysis reproduces identical semantics)
+                  val av = ae.aggregateFunction.asInstanceOf[Average]
+                  av.evaluateExpression.transform {
+                    case attr: AttributeReference if attr.exprId == av.sum.exprId =>
+                      UnresolvedAttribute(s"__a${s.auxIdx}")
+                    case attr: AttributeReference if attr.exprId == av.count.exprId =>
+                      UnresolvedAttribute(s"__a${s.auxIdx + 1}")
+                  }
+                case _ => UnresolvedAttribute(s"__a${s.auxIdx}")
+              }
             case ar: AttributeReference =>
               keyForAttr.get(ar.exprId.id) match {
                 case Some(n) => UnresolvedAttribute(n)
@@ -157,16 +185,26 @@ private[engine] object DeltaAgg {
     val cs = calls(a)
     var next = 0
     val auxExprs: Seq[NamedExpression] = cs.flatMap { ae =>
-      val isSum = ae.aggregateFunction.isInstanceOf[Sum]
+      val kind = kindOf(ae)
       val base = next
-      next += (if (isSum) 2 else 1)
-      if (isSum) {
-        val child = ae.aggregateFunction.children.head
-        Seq(
-          Alias(ae, s"__a$base")(),
-          Alias(AggregateExpression(Count(Seq(child)), Complete, isDistinct = false,
-            None, NamedExpression.newExprId), s"__a${base + 1}")())
-      } else Seq(Alias(ae, s"__a$base")())
+      next += (if (kind != KindCount) 2 else 1)
+      kind match {
+        case KindSum =>
+          val child = ae.aggregateFunction.children.head
+          Seq(
+            Alias(ae, s"__a$base")(),
+            Alias(AggregateExpression(Count(Seq(child)), Complete, isDistinct = false,
+              None, NamedExpression.newExprId), s"__a${base + 1}")())
+        case KindAvg =>
+          // the avg folds as its (decimal-exact) sum + non-null count
+          val child = ae.aggregateFunction.children.head
+          Seq(
+            Alias(AggregateExpression(Sum(child), Complete, isDistinct = false,
+              None, NamedExpression.newExprId), s"__a$base")(),
+            Alias(AggregateExpression(Count(Seq(child)), Complete, isDistinct = false,
+              None, NamedExpression.newExprId), s"__a${base + 1}")())
+        case _ => Seq(Alias(ae, s"__a$base")())
+      }
     } :+ Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
       isDistinct = false, None, NamedExpression.newExprId), RowsCol)()
     val keyOuts = a.aggregateExpressions.filter(isKeyOutput(a, _))
@@ -186,6 +224,18 @@ private[engine] object DeltaAgg {
     val auxCols = spec.auxNames
     def negate(df: DataFrame): DataFrame =
       df.select(keys.map(col) ++ auxCols.map(c => (col(c) * lit(-1)).as(c)): _*)
+    if (keys.isEmpty) {
+      // global aggregate: ONE row, always touched, NEVER dropped — a
+      // global aggregate over an empty input still yields its row
+      // (count 0, sums NULL), exactly like the batch evaluation
+      return state.unionByName(addAux).unionByName(negate(delAux))
+        .groupBy()
+        .agg(auxCols.map(c => sum(col(c)).as(c)).head,
+             auxCols.map(c => sum(col(c)).as(c)).tail: _*)
+        .select(spec.auxNames.map { c =>
+          col(c).cast(state.schema(c).dataType).as(c)
+        }: _*)
+    }
     val touched = addAux.select(keys.map(col): _*)
       .union(delAux.select(keys.map(col): _*)).distinct()
     val kr = touched.toDF(keys.map(k => s"__k_$k"): _*)

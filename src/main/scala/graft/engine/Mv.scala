@@ -1466,9 +1466,12 @@ final class MaterializedView private[engine](
       // aggregate calls are decomposable (COUNT / integral-or-decimal
       // SUM) folds the changelog into carried aux state instead of
       // re-scanning the source per epoch — see [[DeltaAgg]]
-      deltaAggSpec =
-        if (mode.isInstanceOf[MaterializedView.Keyed]) admitDeltaAgg(df, ups, tbls)
-        else None
+      deltaAggSpec = mode match {
+        // Keyed and GlobalRow both fold; Multiset was rejected above
+        case _: MaterializedView.Keyed | MaterializedView.GlobalRow =>
+          admitDeltaAgg(df, ups, tbls)
+        case _ => None
+      }
       // durable reopen: restored state + consumed upstream offsets resume
       // maintenance exactly where the previous incarnation stopped —
       // otherwise backfill over the upstreams' current state
@@ -1719,9 +1722,12 @@ final class MaterializedView private[engine](
       case Some((newAux, touched)) =>
         val spec = deltaAggSpec.get
         val newInnerFull = DeltaAgg.visible(newAux, spec)
+        // GlobalRow: the single row is the touched set by definition
+        def restrict(df: DataFrame) =
+          if (keyCols.isEmpty) df else keyJoin(df, touched, "left_semi")
         emitKeyedDiffLocal(
-          cascadeVisible(keyJoin(cascadeInner.get, touched, "left_semi")),
-          cascadeVisible(keyJoin(newInnerFull, touched, "left_semi")),
+          cascadeVisible(restrict(cascadeInner.get)),
+          cascadeVisible(restrict(newInnerFull)),
           keyCols)
         auxState = Some(newAux)
         cascadeInner = Some(newInnerFull)

@@ -101,6 +101,60 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("decimal AVG folds exactly (sum+count pair, Spark's own finish expression)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dav_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, avg(CAST(v AS DECIMAL(18,6))) AS av, count(*) AS n " +
+      "FROM dav_t GROUP BY grp", "dav_mv")
+    val mv = rw.mvByName("dav_mv").get
+    assert(mv.isDeltaAggMode, "decimal avg is decomposable — must fold")
+    val t = rw.table("dav_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 21L), Row(3L, "b", 7L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    def read() = mv.df.collect()
+      .map(r => r.getString(0) -> ((r.getDecimal(1), r.getLong(2)))).toMap
+    val m1 = read()
+    assert(m1("a")._1 == new java.math.BigDecimal("15.5000000000") &&
+      m1("a")._2 == 2L, s"got $m1")
+    // batch parity: the folded avg must equal a direct evaluation
+    val batch = rw.fetch("SELECT grp, avg(CAST(v AS DECIMAL(18,6))) AS av, " +
+        "count(*) AS n FROM dav_t GROUP BY grp")
+      .map(r => r.getString(0) -> ((r.getDecimal(1), r.getLong(2)))).toMap
+    assert(m1 == batch, s"fold $m1 != batch $batch")
+    // retraction recomputes the mean from the folded pair
+    rw.execute("DELETE FROM dav_t WHERE id = 2")
+    rw.flush()
+    val m2 = read()
+    assert(m2("a") == ((new java.math.BigDecimal("10.0000000000"), 1L)), s"got $m2")
+    assert(mv.statementEvals == evals)
+    rw.close()
+  }
+
+  test("GLOBAL aggregate folds; the row survives at count 0 (batch parity)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dag_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT count(*) AS n, sum(v) AS sv FROM dag_t", "dag_mv")
+    val mv = rw.mvByName("dag_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "a global count/sum over a PK table must fold")
+    val t = rw.table("dag_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "b", 5L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    def read() = mv.df.collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    assert(read() == Seq((2L, 15L)))
+    t.insert(Seq(Row(1L, "a", 11L))) // overwrite: count stays, sum moves
+    rw.flush()
+    assert(read() == Seq((2L, 16L)))
+    rw.execute("DELETE FROM dag_t WHERE true")
+    rw.flush()
+    assert(read() == Seq((0L, null)),
+      "a global aggregate over an empty table keeps its row: count 0, sum NULL")
+    assert(mv.statementEvals == evals, "global fold epochs must not re-evaluate")
+    rw.close()
+  }
+
   test("non-decomposable aggregates fall back to recompute and stay correct") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("daf_t", schema, primaryKey = Seq("id"))
