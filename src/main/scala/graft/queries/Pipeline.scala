@@ -278,6 +278,66 @@ object Pipeline {
         |   AND sh >= 2 AND alpha_frac >= 0.8 AND symbol_ratio < 0.1) AS keep
         |FROM s""".stripMargin) { (s, dir) =>
       Corpus.gopherVerdict(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ---- composed pretraining pipeline (round 9) ---------------------------
+
+    // Gopher-verdict filter → exact-dedup survivors → RAG chunking →
+    // per-source corpus budget (chunks, characters, surviving docs). Every
+    // stage is an operator hash-verified on its own above; this pins that
+    // they COMPOSE — the end-to-end shape of a pre-training data build.
+    q("x_pipeline_pretrain",
+      """WITH t AS (SELECT doc_id, text, source,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS word_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+        |    (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+        |  FROM documents),
+        |v AS (SELECT doc_id, text, source,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    round(word_chars / len(toks), 6) AS mean_len,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for'], lower(x)))) AS sh,
+        |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / len(toks), 6) AS alpha_frac,
+        |    round((hashes + ellipses) / len(toks), 6) AS symbol_ratio
+        |  FROM t),
+        |keep AS (SELECT doc_id, text, source FROM v
+        |  WHERE n_tok >= 30 AND n_tok <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+        |    AND sh >= 2 AND alpha_frac >= 0.8 AND symbol_ratio < 0.1),
+        |ded AS (SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+        |    arg_min(source, doc_id) AS source
+        |  FROM (SELECT doc_id, text, source,
+        |      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    FROM keep) x
+        |  GROUP BY fp),
+        |d2 AS (SELECT doc_id, source, text, strlen(text) AS len FROM ded
+        |  WHERE strlen(text) > 0),
+        |n AS (SELECT doc_id, source, text,
+        |  greatest(1, CAST(ceil((len - 50)::DOUBLE / 150) AS BIGINT)) AS nc FROM d2),
+        |c AS (SELECT doc_id, source,
+        |    substr(text, CAST(t.j*150 + 1 AS INT), 200) AS chunk
+        |  FROM n, unnest(range(n.nc)) AS t(j))
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(SUM(strlen(chunk)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM c GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val kept = docs.join(
+        Corpus.gopherVerdict(docs, "doc_id", "text")
+          .filter(col("keep")).select("doc_id"), "doc_id")
+      val survivors = kept
+        .groupBy(graft.functions.TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"),
+             min_by(col("text"), col("doc_id")).as("text"),
+             min_by(col("source"), col("doc_id")).as("source"))
+      val chunks = Corpus.chunkDocuments(survivors, "doc_id", "text",
+        size = 200, overlap = 50)
+      chunks.join(survivors.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum("chunk_chars").as("n_chars"),
+             countDistinct("doc_id").as("n_docs"))
     }
   )
 }
