@@ -56,14 +56,14 @@ object Bench {
   /** (MV definitions, expected-mode probe) per streaming entry. The probe
     * guards against a silent fall-back to batch re-run, which would time a
     * different (cheaper-per-epoch at this scale) code path. */
-  private def streamDefs: Seq[(String, Seq[(String, String)], graft.engine.GraftEngine => Boolean)] = Seq(
+  private def streamDefs: Seq[(String, Seq[(String, String)], graft.engine.GraftEngine => Boolean, Boolean)] = Seq(
     ("s_mv_tumble_maintain", Seq(
       ("bm_tw",
         """SELECT window_start, event_type, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM tumble(bench_ev, ts, interval '10 minutes')
           |GROUP BY window_start, event_type""".stripMargin)),
-      rw => rw.mvByName("bm_tw").exists(_.isStreamingMode)),
+      rw => rw.mvByName("bm_tw").exists(_.isStreamingMode), false),
     ("s_mv_cascade_epoch", Seq(
       ("bm_up",
         """SELECT window_start, event_type, count(*) AS n,
@@ -74,14 +74,14 @@ object Bench {
         """SELECT date_trunc('hour', window_start) AS hs, event_type,
           |  CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
           |FROM bm_up GROUP BY date_trunc('hour', window_start), event_type""".stripMargin)),
-      rw => rw.mvByName("bm_daily").exists(_.isChangelogCascadeMode)),
+      rw => rw.mvByName("bm_daily").exists(_.isChangelogCascadeMode), false),
     ("s_mv_session_maintain", Seq(
       ("bm_sess",
         """SELECT window_start, window_end, event_type, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM session(bench_ev, ts, interval '5 minutes')
           |GROUP BY window_start, window_end, event_type""".stripMargin)),
-      rw => rw.mvByName("bm_sess").exists(m => m.isStreamingMode && m.isSessionMode)),
+      rw => rw.mvByName("bm_sess").exists(m => m.isStreamingMode && m.isSessionMode), false),
     ("s_mv_topn_cascade", Seq(
       ("bm_top",
         """SELECT user_id, count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
@@ -91,7 +91,15 @@ object Bench {
         """SELECT user_id % 5 AS bucket, CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
           |FROM bm_top GROUP BY user_id % 5""".stripMargin)),
       rw => rw.mvByName("bm_top").exists(_.isTopNMode) &&
-        rw.mvByName("bm_roll").exists(_.isChangelogCascadeMode)))
+        rw.mvByName("bm_roll").exists(_.isChangelogCascadeMode), false),
+    // the delta-accumulation home shape (round 9): a keyed COUNT/SUM over
+    // a PK table folds the table changelog — no base re-scan per epoch
+    ("s_mv_pkagg_fold", Seq(
+      ("bm_fold",
+        """SELECT user_id % 1000 AS k, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM bench_ev GROUP BY user_id % 1000""".stripMargin)),
+      rw => rw.mvByName("bm_fold").exists(_.isDeltaAggMode), true))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,7 +152,8 @@ object Bench {
     // sample each — a replay is seconds-scale, so scheduler noise is a
     // small fraction (unlike the sub-second batch queries).
     def runStream(defs: Seq[(String, String)],
-                  probe: graft.engine.GraftEngine => Boolean): (Double, Long, Int) = {
+                  probe: graft.engine.GraftEngine => Boolean,
+                  pkTable: Boolean): (Double, Long, Int) = {
       import graft.engine.{ConnOptions, GraftEngine}
       import org.apache.spark.sql.functions.col
       // streaming parallelism sized to per-epoch delta volume (8), not the
@@ -152,7 +161,8 @@ object Bench {
       val rw = GraftEngine.open(ConnOptions(streamShufflePartitions = Some(8)),
         Some(spark))
       try {
-        rw.createTable("bench_ev", eventsSchema)
+        rw.createTable("bench_ev", eventsSchema,
+          primaryKey = if (pkTable) Seq("event_id") else Nil)
         defs.foreach { case (n, s) => rw.mv(s, n) }
         val rows = Tables(spark, sfDir, "events")
           .select(eventsSchema.fieldNames.toIndexedSeq.map(col): _*)
@@ -179,8 +189,8 @@ object Bench {
         (-1.0, 0L, 0)
       } finally rw.close()
     }
-    val streamResults = streamDefs.map { case (name, defs, probe) =>
-      (name, runStream(defs, probe))
+    val streamResults = streamDefs.map { case (name, defs, probe, pk) =>
+      (name, runStream(defs, probe, pk))
     }
 
     def fmt(v: Double) = "%.3f".format(v)
