@@ -309,4 +309,92 @@ class PropertySpec extends SparkSpec {
       assert(assigned(id) == best, s"id=$id: got ${assigned(id)}, want $best")
     }
   }
+
+  test("delta-agg fold equals batch under random upsert/delete/flush interleavings") {
+    // round 9: the algebraic fold's aux state (counts, decimal sums,
+    // non-null counters, vanish-at-zero) must track ANY interleaving of
+    // PK overwrites, NULL values, DELETEs, and flush barriers; checked
+    // against a fresh batch aggregate after every flush.
+    for (scenario <- 1 to 3) {
+      val tbl = s"dap_t_$scenario"
+      rw.createTable(tbl, StructType(Seq(
+        StructField("id", LongType), StructField("grp", StringType),
+        StructField("v", LongType))), primaryKey = Seq("id"))
+      val mv = rw.mv(s"SELECT grp, count(*) AS n, sum(v) AS sv, " +
+        s"avg(CAST(v AS DECIMAL(18,6))) AS av FROM $tbl GROUP BY grp",
+        s"dap_mv_$scenario")
+      assert(mv.isDeltaAggMode, "count/sum/decimal-avg over a PK table must fold")
+      sealed trait K
+      case object Up extends K; case object Del extends K; case object Fl extends K
+      val gen = for {
+        kind <- Gen.frequency(6 -> Up, 1 -> Del, 2 -> Fl)
+        id <- Gen.choose(1L, 12L)
+        grp <- Gen.oneOf("a", "b", "c")
+        v <- Gen.frequency(6 -> Gen.choose(-500L, 999L).map(Long.box),
+          1 -> Gen.const(null: java.lang.Long))
+      } yield (kind, id, grp, v)
+      var checks = 0
+      sample(Gen.listOfN(50, gen), seed = 11000 + scenario).foreach {
+        case (Up, id, grp, v) => rw.table(tbl).get.insert(Seq(Row(id, grp, v)))
+        case (Del, id, _, _) => rw.execute(s"DELETE FROM $tbl WHERE id = $id")
+        case (Fl, _, _, _) =>
+          rw.flush()
+          val inc = rw.fetch(s"SELECT grp, n, sv, CAST(av AS DOUBLE) AS av " +
+              s"FROM dap_mv_$scenario")
+            .map(r => r.getString(0) -> ((r.getLong(1), r.get(2),
+              Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+          val batch = rw.fetch(s"SELECT grp, count(*) AS n, sum(v) AS sv, " +
+              s"CAST(avg(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS av " +
+              s"FROM $tbl GROUP BY grp")
+            .map(r => r.getString(0) -> ((r.getLong(1), r.get(2),
+              Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+          assert(inc == batch, s"scenario $scenario after $checks checks")
+          checks += 1
+      }
+      rw.flush()
+      assert(mv.isDeltaAggMode, "the fold must survive the whole interleaving")
+    }
+  }
+
+  test("delta-join MV equals batch join under random two-sided interleavings") {
+    // round 9: the signed delta-join fold (incl. the ΔA⋈ΔB cross term when
+    // both sides change in one epoch, and upsert/DELETE retractions) must
+    // track any interleaving; checked against a fresh batch join per flush.
+    for (scenario <- 1 to 3) {
+      val evT = s"djp_e_$scenario"; val usT = s"djp_u_$scenario"
+      rw.createTable(evT, StructType(Seq(StructField("eid", LongType),
+        StructField("uid", LongType), StructField("v", LongType))),
+        primaryKey = Seq("eid"))
+      rw.createTable(usT, StructType(Seq(StructField("uid", LongType),
+        StructField("nm", StringType))), primaryKey = Seq("uid"))
+      val mv = rw.mv(s"SELECT e.eid, u.nm, e.v FROM $evT e " +
+        s"JOIN $usT u ON u.uid = e.uid", s"djp_mv_$scenario")
+      assert(mv.isDeltaJoinMode)
+      sealed trait K
+      case object Ev extends K; case object Us extends K
+      case object DelE extends K; case object Fl extends K
+      val gen = for {
+        kind <- Gen.frequency(4 -> Ev, 3 -> Us, 1 -> DelE, 2 -> Fl)
+        eid <- Gen.choose(1L, 15L)
+        uid <- Gen.choose(1L, 6L)
+        v <- Gen.choose(0L, 99L)
+        nm <- Gen.oneOf("ann", "bob", "cat")
+      } yield (kind, eid, uid, v, nm)
+      sample(Gen.listOfN(50, gen), seed = 13000 + scenario).foreach {
+        case (Ev, eid, uid, v, _) => rw.table(evT).get.insert(Seq(Row(eid, uid, v)))
+        case (Us, _, uid, v, nm) => rw.table(usT).get.insert(Seq(Row(uid, s"$nm$v")))
+        case (DelE, eid, _, _, _) => rw.execute(s"DELETE FROM $evT WHERE eid = $eid")
+        case (Fl, _, _, _, _) =>
+          rw.flush()
+          val inc = rw.fetch(s"SELECT * FROM djp_mv_$scenario")
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+          val batch = rw.fetch(s"SELECT e.eid, u.nm, e.v FROM $evT e " +
+              s"JOIN $usT u ON u.uid = e.uid")
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+          assert(inc == batch, s"scenario $scenario: $inc vs $batch")
+      }
+      rw.flush()
+      assert(mv.isDeltaJoinMode, "the delta-join must survive the whole interleaving")
+    }
+  }
 }
