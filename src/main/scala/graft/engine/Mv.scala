@@ -2303,11 +2303,35 @@ final class MaterializedView private[engine](
     * views — the delta is rebound to the engine's session via its
     * checkpointed RDD so snapshot views land in the user-visible catalog. */
   private def handleDelta(delta: DataFrame, isAgg: Boolean): Unit = synchronized {
+    // Driver-resident keyed tail (round 9): update-mode aggregates whose
+    // state fits under [[streamLocalMax]] rows mirror the keyed state on
+    // the driver — the epoch's ops derive from a per-key map lookup
+    // ([[Changelog.localUpdateDiff]], zero jobs; emission order identical
+    // to the distributed updateDiff) and the snapshot publishes as a
+    // LocalRelation, replacing the per-epoch state scan + broadcast join
+    // (emit) AND the keyJoin-anti + union + checkpoint (merge). The delta
+    // collects ONCE, directly — the old localCheckpoint-then-collect
+    // sequence materialized every epoch's delta twice. Key count only
+    // grows in update mode, so the size latch is monotone; outgrowing it
+    // falls back to the distributed path (this epoch runs from the
+    // already-collected rows as a LocalRelation).
+    if (isAgg && !streamLocalDisabled && keyMode.isInstanceOf[MaterializedView.Keyed]) {
+      val schema = delta.schema
+      val rows = timed("delta-collect")(delta.collect())
+      if (rows.isEmpty) return
+      if (streamLocalTail(rows.toIndexedSeq, schema)) return
+      handleDeltaDistributed(localDf(rows.toIndexedSeq, schema), isAgg)
+      return
+    }
     val clone = timed("delta-checkpoint")(delta.localCheckpoint(true))
     val d = spark.createDataFrame(clone.rdd, clone.schema)
     // RDD take(1) over the checkpointed blocks — DataFrame.isEmpty would
     // plan and codegen a fresh limit(1) query per epoch for the same answer
     if (timed("empty-check")(clone.rdd.isEmpty())) return
+    handleDeltaDistributed(d, isAgg)
+  }
+
+  private def handleDeltaDistributed(d: DataFrame, isAgg: Boolean): Unit = {
     // downstream streaming chains read this epoch's delta from the
     // changelog segment committed below (file-source faces — no driver
     // hop); only FALLBACK MemoryStream readers (attached after a retention
@@ -2316,19 +2340,6 @@ final class MaterializedView private[engine](
       val rows = d.collect().toSeq
       faceStreams.values.foreach(_.addData(rows))
     }
-    // Driver-resident keyed tail (round 9): update-mode aggregates whose
-    // state fits under [[streamLocalMax]] rows mirror the keyed state on
-    // the driver — the epoch's ops derive from a per-key map lookup
-    // ([[Changelog.localUpdateDiff]], zero jobs; emission order identical
-    // to the distributed updateDiff) and the snapshot publishes as a
-    // LocalRelation, replacing the per-epoch state scan + broadcast join
-    // (emit) AND the keyJoin-anti + union + checkpoint (merge). The
-    // aggregate's own delta computation stays in Spark's streaming engine
-    // where it belongs. Key count only grows in update mode, so the
-    // size latch is monotone; outgrowing it falls back to the
-    // distributed path against the last published LocalRelation snapshot.
-    if (isAgg && !streamLocalDisabled && keyMode.isInstanceOf[MaterializedView.Keyed] &&
-        streamLocalTail(clone)) return
     val ops =
       if (!isAgg || snapshot.isEmpty) Changelog.diff(None, d, keyCols)
       else {
@@ -2359,8 +2370,8 @@ final class MaterializedView private[engine](
   /** Attempt the driver-resident keyed epoch: true = epoch fully handled
     * (ops emitted, mirror + snapshot updated); false = caller runs the
     * distributed path (and the latch is set, so it keeps doing so). */
-  private def streamLocalTail(clone: DataFrame): Boolean = {
-    val schema = clone.schema
+  private def streamLocalTail(deltaRows: IndexedSeq[Row],
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
     val keyIdx = keyCols.map(schema.fieldIndex).toArray
     if (streamMirror.isEmpty) {
       if (snapshot.isEmpty)
@@ -2376,7 +2387,6 @@ final class MaterializedView private[engine](
       }
     }
     val mirror = streamMirror.get
-    val deltaRows = timed("delta-collect")(clone.collect())
     if (mirror.size + deltaRows.length > streamLocalMax) {
       streamLocalDisabled = true; streamMirror = None; return false
     }
