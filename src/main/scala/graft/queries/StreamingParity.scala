@@ -823,6 +823,30 @@ object StreamingParity {
       materialized
     },
 
+    // GLOBAL aggregate fold over an upsert table (round 9): one
+    // always-touched row, maintained from the table changelog with zero
+    // re-evaluation — every upsert overwrite moves the global sum through
+    // a retraction; mode-asserted.
+    q("m_mv_global_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM latest""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_glf_t", Seq(("m_glf_mv",
+        """SELECT count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM m_glf_t""".stripMargin)))
+      val mv = rw.mvByName("m_glf_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "a global count/sum over an upsert table must fold")
+      require(mv.statementEvals <= 1, "fold epochs must not re-evaluate")
+      val materialized = mv.df.withColumn("sv", col("sv").cast("double"))
+        .localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // Linear (projection/filter) fold over an upsert table: a stateless
     // SELECT/WHERE MV folds the table's 4-op changelog through the
     // expression instead of batch re-running — an overwrite whose new
