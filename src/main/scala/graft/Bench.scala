@@ -208,7 +208,13 @@ object Bench {
       val lat = if (sec > 0 && epochs > 0) sec / epochs else -1.0
       s""""$k":{"sec":${fmt(sec)},"rows":$n,"epochs":$epochs,"rows_per_sec":${fmt(rps)},"epoch_latency":${fmt(lat)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$spread,"streaming":$streaming,"iters":$iters,"sf":"$sfDir"}""")
+    // Truncation-proof output (round-9 verdict item 4): the headline line —
+    // total + per-query mins + streaming summary — is compact and printed
+    // FIRST so a bounded tail capture can never shear off the "total" head;
+    // the per-iteration samples blob (the big part) goes on its own second
+    // line and is droppable without losing the numbers of record.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"streaming":$streaming,"iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"samples","samples":$spread}""")
     spark.stop()
   }
 }

@@ -233,7 +233,7 @@ private[engine] object DeltaAgg {
         .agg(auxCols.map(c => sum(col(c)).as(c)).head,
              auxCols.map(c => sum(col(c)).as(c)).tail: _*)
         .select(spec.auxNames.map { c =>
-          col(c).cast(state.schema(c).dataType).as(c)
+          checkedCast(col(c), state.schema(c).dataType).as(c)
         }: _*)
     }
     val touched = addAux.select(keys.map(col): _*)
@@ -254,9 +254,25 @@ private[engine] object DeltaAgg {
       // the type per fold, and an ever-widening state schema would break
       // both the union above and the persisted snapshot
       .select(keys.map(col) ++ spec.auxNames.map { c =>
-        col(c).cast(state.schema(c).dataType).as(c)
+        checkedCast(col(c), state.schema(c).dataType).as(c)
       }: _*)
     untouched.unionByName(resummed)
+  }
+
+  /** Cast a folded aux value back to the state schema, RAISING when the
+    * narrowing cast would silently turn a non-NULL value into NULL
+    * (decimal precision overflow under non-ANSI evaluation): the raised
+    * error aborts the epoch's fold inside the caller's checkpoint, and
+    * [[graft.engine.MaterializedView]]'s foldAux catch drops the spec —
+    * so precision overflow degrades to the always-correct touched-group
+    * recompute instead of silently corrupting the carried sum. */
+  private def checkedCast(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.functions.{lit, raise_error, when}
+    val casted = c.cast(dt)
+    when(c.isNotNull && casted.isNull,
+      raise_error(lit("graft delta-agg fold overflowed the state precision"))
+        .cast(dt))
+      .otherwise(casted)
   }
 
   /** The statement's visible output derived from aux state — lazy; the

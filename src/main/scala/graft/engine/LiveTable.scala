@@ -550,6 +550,13 @@ final class LiveTable(
     val floor = spark.conf.getOption("graft.table.compactThreshold")
       .map(_.toLong).getOrElse(100000L)
     if (total < floor || total < 2 * lastCompactRows) return
+    // rewriteHistory clears readerStreams and unlinks retired segments —
+    // safe from flush ONLY because streaming maintainers never bind PK
+    // tables (Mv.startModes routes them to cascade/batch modes). Guard
+    // that cross-file invariant loudly: if a future change lets streaming
+    // readers bind PK tables, skipping compaction (state keeps growing,
+    // always correct) beats silently severing their feed mid-stream.
+    if (readerStreams.nonEmpty) return
     rewriteHistory(identity, markMutated = false, emitRetractions = false)
     lastCompactRows = math.max(segments.map(_._4).sum + allRows.size, 1L)
   }

@@ -875,10 +875,16 @@ final class MaterializedView private[engine](
       try spark.sql(retarget(cascadeStmt, src.viewName, dv)).localCheckpoint(true)
       finally spark.catalog.dropTempView(dv)
     }
-    val adds = mapThrough(opsDf.filter(col("op").isin(
+    val adds0 = mapThrough(opsDf.filter(col("op").isin(
       Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op"))
-    val dels = mapThrough(opsDf.filter(col("op").isin(
+    val dels0 = mapThrough(opsDf.filter(col("op").isin(
       Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op"))
+    // net the window per distinct mapped row: a row inserted AND deleted
+    // within the consumed window is in neither the carried state nor the
+    // source — the un-netted adds side would fold it in as a phantom (and
+    // the un-netted dels side would force a spurious re-fetch)
+    val adds = adds0.exceptAll(dels0).localCheckpoint(true)
+    val dels = dels0.exceptAll(adds0).localCheckpoint(true)
     val state = innerState.get
     // null-safe whole-row match against the (broadcast — O(n)) state
     val cols = state.columns.toSeq
@@ -1241,8 +1247,14 @@ final class MaterializedView private[engine](
         Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op", "rw_timestamp"))
       val dels = applyCuts(ops.filter(col("op").isin(
         Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op", "rw_timestamp"))
+      // net the window per distinct row first: a row inserted AND deleted
+      // within the consumed window (multiple emissions between refreshes)
+      // is not in the pre-window state, so the saturating exceptAll would
+      // drop nothing and union would add a phantom raw row
+      val addsNet = adds.exceptAll(dels)
+      val delsNet = dels.exceptAll(adds)
       innerState = Some(timed("state-fold")(
-        innerState.get.exceptAll(dels).union(adds).localCheckpoint(true)))
+        innerState.get.exceptAll(delsNet).union(addsNet).localCheckpoint(true)))
       advanceCascadeWatermark(adds)
       sessionRecomputeAndEmit()
     }
@@ -1674,7 +1686,17 @@ final class MaterializedView private[engine](
         tempViews += s"__da_del_${u.viewName}"
         if (parts.size > 1) {
           val cols = adds.columns.toIndexedSeq.map(col)
-          u.snap().select(cols: _*).exceptAll(adds).union(dels)
+          // net the window per distinct row BEFORE reconstructing: exceptAll
+          // saturates at zero multiplicity, so a row appearing on both the
+          // insert and delete side of the consumed window (DML mutate +
+          // flush emission between refreshes, upsert round-trip spanning two
+          // emissions) would otherwise survive as a phantom in the OLD
+          // relation and corrupt the telescoped delta terms. After netting,
+          // current ⊖ net⁺ never underflows (old ≥ net-deletes by
+          // construction), so the saturating operators are exact.
+          val addsNet = adds.exceptAll(dels)
+          val delsNet = dels.exceptAll(adds)
+          u.snap().select(cols: _*).exceptAll(addsNet).union(delsNet)
             .createOrReplaceTempView(s"__da_old_${u.viewName}")
           tempViews += s"__da_old_${u.viewName}"
         }
@@ -2024,7 +2046,12 @@ final class MaterializedView private[engine](
         tempViews += s"__jc_del_${u.viewName}"
         if (parts.size > 1) {
           val cols = adds.columns.toIndexedSeq.map(col)
-          u.snap().select(cols: _*).exceptAll(adds).union(dels)
+          // net per distinct row before reconstructing (see foldAux): a row
+          // on both sides of the window would otherwise become a phantom in
+          // the saturating current ⊖ Δ⁺ ⊎ Δ⁻ reconstruction
+          val addsNet = adds.exceptAll(dels)
+          val delsNet = dels.exceptAll(adds)
+          u.snap().select(cols: _*).exceptAll(addsNet).union(delsNet)
             .createOrReplaceTempView(s"__jc_old_${u.viewName}")
           tempViews += s"__jc_old_${u.viewName}"
         }
@@ -2052,8 +2079,6 @@ final class MaterializedView private[engine](
         .groupBy(outCols.map(col): _*).agg(sum(col("__d")).as("__d"))
         .filter(col("__d") =!= 0)
         .localCheckpoint(true))
-      // ops first, then state: the net frame is already checkpointed, so
-      // the emission and the merge read the same materialized delta.
       // Keyed outputs (unique per-row key) upgrade a same-key −/+ pair to
       // UpdateDelete/UpdateInsert — but only when this epoch's delta is
       // key-unique (a fan-out join can put two rows on one key, where
@@ -2072,7 +2097,12 @@ final class MaterializedView private[engine](
             net.filter(col("__d") > 0).select(outCols.map(col): _*),
             keyCols))
         }
-      emitOps(keyedOps.getOrElse(Changelog.netOps(net, outCols, "__d")))
+      // state BEFORE ops: both read the same checkpointed net frame, and
+      // ordering the (fallible) state-merge checkpoint first means any
+      // failure enters the catch with NOTHING emitted this epoch — the
+      // fallback's diff against the pre-epoch cascadeInner then emits the
+      // epoch's delta exactly once (emit-then-merge could double-emit:
+      // the fallback would re-diff rows whose ops were already appended)
       val merged = timed("state-merge")(
         cascadeInner.get.unionByName(
             net.withColumnRenamed("__d", MaterializedView.CntCol))
@@ -2080,6 +2110,7 @@ final class MaterializedView private[engine](
           .agg(sum(col(MaterializedView.CntCol)).as(MaterializedView.CntCol))
           .filter(col(MaterializedView.CntCol) > 0)
           .localCheckpoint(true))
+      emitOps(keyedOps.getOrElse(Changelog.netOps(net, outCols, "__d")))
       cascadeInner = Some(merged)
       val vis = expandCounts(merged)
       snapshot = Some(vis)

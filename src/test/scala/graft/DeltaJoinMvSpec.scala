@@ -366,4 +366,40 @@ class DeltaJoinMvSpec extends SparkSpec {
     assert(mv.statementEvals == 0L)
     rw2.close()
   }
+
+  test("insert + same-row update between refreshes leaves no phantom in the OLD snapshot") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djp_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djp_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djp_ev e " +
+      "JOIN djp_user u ON u.uid = e.user_id", "djp_mv")
+    val mv = rw.mvByName("djp_mv").get
+    assert(mv.isDeltaJoinMode)
+    val ev = rw.table("djp_ev").get
+    val us = rw.table("djp_user").get
+    us.insert(Seq(Row(1L, "ann")))
+    ev.insert(Seq(Row(10L, 1L, 5.0)))
+    rw.flush()
+    // between refreshes user 5 is inserted AND updated: the DML mutate
+    // first emits the buffered Insert(5,'eve'), then the UpdateDelete/
+    // UpdateInsert pair — so the consumed window holds (5,'eve') on BOTH
+    // the insert and delete side. The fact side changes too, so the epoch
+    // reconstructs the user table's OLD snapshot; a saturating
+    // (current ⊖ Δ⁺ ⊎ Δ⁻) reconstruction would contain a phantom
+    // (5,'eve') row and the new fact would join it, leaking an extra
+    // output row that no batch evaluation ever produces.
+    us.insert(Seq(Row(5L, "eve")))
+    rw.execute("UPDATE djp_user SET name = 'EVE' WHERE uid = 5")
+    // same shape on the fact side (insert + same-row update in one window),
+    // so WHICHEVER source the telescoping reconstructs as OLD exposes a
+    // phantom if the window is not netted first
+    ev.insert(Seq(Row(20L, 5L, 9.0), Row(21L, 5L, 2.0)))
+    rw.execute("UPDATE djp_ev SET value = 2.5 WHERE event_id = 21")
+    rw.flush()
+    assert(joinRows(mv) ==
+      Set((10L, "ann", 5.0), (20L, "EVE", 9.0), (21L, "EVE", 2.5)),
+      "OLD-snapshot reconstruction must net the window per distinct row")
+    assert(mv.isDeltaJoinMode)
+    rw.close()
+  }
 }
