@@ -94,7 +94,7 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     * Holds the monitor across the write: epochs of one MV are already
     * serialized by its handler lock, and a fetch observing a half-written
     * segment would return rows the index doesn't own yet. */
-  def appendDF(ops: DataFrame): Unit = synchronized {
+  def appendDF(ops: DataFrame, wide: Boolean = false): Unit = synchronized {
     val base = math.max(lastTs, System.currentTimeMillis() << 16)
     // coalesce(1) BEFORE zipWithIndex: a multi-partition RDD would run the
     // whole diff plan once for partition sizing and again for the write;
@@ -103,9 +103,20 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     // Row count rides a LongAccumulator on the same pass — the old
     // footer-read-back was a whole extra Spark job per epoch, and epoch
     // latency is job-count-bound on the streaming maintainer path.
+    //
+    // `wide = true` (initial-backfill epochs, where the delta is the whole
+    // statement result): keep the caller's multi-partition sort and write
+    // one file per partition — the single-task funnel is the scale
+    // bottleneck there, worth zipWithIndex's partition-sizing pass (run
+    // over a one-time materialization, not the raw diff plan).
+    // zipWithIndex's indexes are contiguous in partition order, so the
+    // stamped offsets follow the global sort exactly as in the narrow path.
     val acc = spark.sparkContext.longAccumulator
+    val srcRdd =
+      if (wide) ops.toDF().localCheckpoint(true).rdd
+      else ops.toDF().coalesce(1).rdd
     val stamped = spark.createDataFrame(
-      ops.toDF().coalesce(1).rdd.zipWithIndex().map { case (r, i) =>
+      srcRdd.zipWithIndex().map { case (r, i) =>
         acc.add(1L)
         Row.fromSeq(r.toSeq :+ (base + 1 + i))
       }, changeSchema)

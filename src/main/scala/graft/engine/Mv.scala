@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.streaming.Changelog
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, GraftColumnBridge, Row}
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -134,6 +134,16 @@ final class MaterializedView private[engine](
     * broadcast hint only then (a hint on a join-less projection/filter
     * fold is a no-op that logs a planner warning per epoch). */
   private var joinHasJoin = false
+  /** Changelog sources on the NON-linear side of the single admitted
+    * LEFT/RIGHT outer join (lowercased viewNames; empty when the statement
+    * has no outer join, or its nonlinear side reads only static tables).
+    * These sources maintain via the restricted-difference term —
+    * Q(…,jⁿᵉʷ,…) ⊖ Q(…,jᵒˡᵈ,…) with the outer join's LINEAR side
+    * semi-join-restricted to the rows that can match the delta — instead
+    * of the simple delta rebinding, which is only sound for sources the
+    * statement is linear in (round 10; null-extension is not linear in
+    * the padded side). */
+  private var joinOuterNonLinear: Set[String] = Set.empty
 
   // session-window state (session TVF statements): raw source rows stream
   // in append mode into a carried state, re-sessionized per epoch — see
@@ -401,8 +411,12 @@ final class MaterializedView private[engine](
     * synchronously there. */
   @volatile private var recovering = false
 
-  private def emitOps(ops: DataFrame): Unit =
-    if (!recovering) timed("emitOps")(changeLog.appendDF(ops))
+  /** `wide = true` on initial-backfill epochs: the delta is the whole
+    * statement result, so the changelog append keeps the caller's
+    * multi-partition sort instead of the steady-state single-task funnel
+    * ([[ChangeLog.appendDF]]). */
+  private def emitOps(ops: DataFrame, wide: Boolean = false): Unit =
+    if (!recovering) timed("emitOps")(changeLog.appendDF(ops, wide))
 
   /** Start a maintainer stream under the configured streaming parallelism
     * ([[ConnOptions.streamShufflePartitions]] — RisingWave's
@@ -1187,15 +1201,16 @@ final class MaterializedView private[engine](
       sessionVisibleRows = None
     }
     val computed = spark.sql(sessionOuterSql).localCheckpoint(true)
+    val wide = snapshot.isEmpty // first epoch = whole-history session set
     if (emitOnClose) {
       compactSessions(computed)
       val nextVisible = frozen.getOrElse(df.limit(0))
-      emitOps(Changelog.multisetDiff(snapshot, nextVisible))
+      emitOps(Changelog.multisetDiff(snapshot, nextVisible, wide), wide)
       snapshot = Some(nextVisible)
     } else {
       val nextVisible = frozen
         .map(f => f.unionByName(computed).localCheckpoint(true)).getOrElse(computed)
-      emitOps(Changelog.multisetDiff(snapshot, nextVisible))
+      emitOps(Changelog.multisetDiff(snapshot, nextVisible, wide), wide)
       snapshot = Some(nextVisible)
       compactSessions(computed)
     }
@@ -1567,7 +1582,7 @@ final class MaterializedView private[engine](
       // emitted history, so if tryStartCascade falls back to batch re-run
       // its own backfill is the first (and only) Insert epoch in SINCE-0
       // replay — emitting first would double the backfill on failure
-      emitOps(Changelog.diff(None, vis, keyCols))
+      emitOps(Changelog.diff(None, vis, keyCols, wide = true), wide = true)
     } else {
       val parts: Seq[(MaterializedView.CascadeSrc, Option[DataFrame])] =
         latests.map { case (u, l) =>
@@ -1869,7 +1884,25 @@ final class MaterializedView private[engine](
       // the scan must not descend into
       val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
         .map(_.toLowerCase).toSet
-      if (nonLinearIn(analyzed, boundary)) return false
+      // ONE LeftOuter/RightOuter join is admissible (round 10): the
+      // statement stays linear in the outer join's preserved side, so those
+      // sources keep the standard delta terms; sources under the
+      // null-padded side take the restricted-difference term instead
+      // ([[outerDiffTerm]]). FULL outer (linear in neither side) and
+      // multiple outer joins stay on the batch-re-run fallback.
+      val outers = outerJoinsAbove(analyzed, boundary)
+      joinOuterNonLinear = Set.empty
+      outers match {
+        case Nil =>
+          if (nonLinearIn(analyzed, boundary)) return false
+        case Seq(oj) if oj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter ||
+                        oj.joinType == org.apache.spark.sql.catalyst.plans.RightOuter =>
+          if (nonLinearIn(analyzed, boundary, allowedOuter = oj)) return false
+          val non = if (oj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter)
+            oj.right else oj.left
+          joinOuterNonLinear = boundarySourcesIn(non, boundary)
+        case _ => return false
+      }
       joinHasJoin = analyzed.collectFirst { case _: Join => () }.nonEmpty
       // each changelog source must appear exactly once for the telescoped
       // rebinding to address it (relation list from the parsed plan keeps
@@ -1894,9 +1927,15 @@ final class MaterializedView private[engine](
         case MaterializedView.Keyed(ks) => ks
         case _ => Nil
       }
+      // LINEAR-side sources first: the telescoping processes sources in
+      // this order, and the restricted-difference terms require every
+      // linear-side source to bind identically (to NEW) in both of their
+      // evaluations — which holds exactly when linear sources precede all
+      // nonlinear ones (stable sort keeps the existing order otherwise)
       cascadeUpstreams =
-        ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
-          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
+        (ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
+          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF)))
+          .sortBy(u => joinOuterNonLinear.contains(u.viewName.toLowerCase))
       // durable reopen: grouped state + consumed offsets restore with zero
       // statement evals (same discipline as the other cascade modes)
       val restored = validSnapshotMeta("joincascade").flatMap { case (d, offsets, _) =>
@@ -1923,8 +1962,37 @@ final class MaterializedView private[engine](
       joinMode = false
       cascadeMode = false
       cascadeUpstreams = Nil
+      joinOuterNonLinear = Set.empty
       if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
       false
+    }
+  }
+
+  /** Non-inner joins of the plan ABOVE the source boundary (a source
+    * view's own resolution plan may contain anything — black box). */
+  private def outerJoinsAbove(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      boundary: Set[String]):
+      Seq[org.apache.spark.sql.catalyst.plans.logical.Join] = {
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
+    p match {
+      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) => Nil
+      case j: Join if !(j.joinType == Inner || j.joinType == Cross) =>
+        j +: j.children.flatMap(outerJoinsAbove(_, boundary))
+      case _ => p.children.flatMap(outerJoinsAbove(_, boundary))
+    }
+  }
+
+  /** Boundary source views referenced under `p` (lowercased). */
+  private def boundarySourcesIn(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      boundary: Set[String]): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    p match {
+      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) =>
+        Set(s.alias.toLowerCase)
+      case _ => p.children.flatMap(boundarySourcesIn(_, boundary)).toSet
     }
   }
 
@@ -1936,7 +2004,8 @@ final class MaterializedView private[engine](
     * resolution plan is a black box. */
   private def nonLinearIn(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      boundary: Set[String]): Boolean = {
+      boundary: Set[String],
+      allowedOuter: org.apache.spark.sql.catalyst.plans.logical.Join = null): Boolean = {
     import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
     import org.apache.spark.sql.catalyst.plans.logical.{
       Deduplicate, Distinct, Except, Generate, GlobalLimit, Intersect,
@@ -1946,12 +2015,16 @@ final class MaterializedView private[engine](
       case _: Aggregate | _: WindowNode | _: Sort | _: GlobalLimit |
            _: LocalLimit | _: Distinct | _: Deduplicate | _: Intersect |
            _: Except | _: Generate => true
-      case j: Join if !(j.joinType == Inner || j.joinType == Cross) => true
+      // `allowedOuter` (the delta-join admission's single LEFT/RIGHT outer
+      // join) falls through to the default case: its condition and subtrees
+      // are still checked, only the join-type rejection is waived
+      case j: Join if !(j.joinType == Inner || j.joinType == Cross) &&
+                      (j ne allowedOuter) => true
       case _ =>
         p.expressions.exists(_.exists(e =>
           e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression] ||
             !e.deterministic)) ||
-          p.children.exists(nonLinearIn(_, boundary))
+          p.children.exists(nonLinearIn(_, boundary, allowedOuter))
     }
   }
 
@@ -2013,7 +2086,7 @@ final class MaterializedView private[engine](
       val vis = expandCounts(grouped)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
-      emitOps(Changelog.multisetDiff(None, vis))
+      emitOps(Changelog.multisetDiff(None, vis, wide = true), wide = true)
       return
     }
 
@@ -2044,7 +2117,10 @@ final class MaterializedView private[engine](
         tempViews += s"__jc_add_${u.viewName}"
         hinted(dels).createOrReplaceTempView(s"__jc_del_${u.viewName}")
         tempViews += s"__jc_del_${u.viewName}"
-        if (parts.size > 1) {
+        // OLD snapshots serve later terms (multi-source epochs) and the
+        // restricted-difference term of a nonlinear-side source itself
+        if (parts.size > 1 ||
+            joinOuterNonLinear.contains(u.viewName.toLowerCase)) {
           val cols = adds.columns.toIndexedSeq.map(col)
           // net per distinct row before reconstructing (see foldAux): a row
           // on both sides of the window would otherwise become a phantom in
@@ -2057,23 +2133,48 @@ final class MaterializedView private[engine](
         }
       }
       val termFrames = parts.zipWithIndex.flatMap { case ((u, adds, dels), i) =>
-        def termSql(deltaView: String): String = {
-          val reaimed = retarget(cascadeStmt, u.viewName, deltaView)
-          // an unbound rebinding would silently evaluate against the FULL
-          // source — that is a wrong delta, not a recoverable one
-          if (!reaimed.contains(deltaView))
-            throw new IllegalStateException(s"rebinding missed ${u.viewName}")
-          parts.drop(i + 1).foldLeft(reaimed) { case (s, (o, _, _)) =>
+        def laterOld(sql: String): String =
+          parts.drop(i + 1).foldLeft(sql) { case (s, (o, _, _)) =>
             retarget(s, o.viewName, s"__jc_old_${o.viewName}")
           }
+        if (joinOuterNonLinear.contains(u.viewName.toLowerCase)) {
+          // restricted-difference term for the outer join's null-padded
+          // side: Q(…,u:new,…) ⊖ Q(…,u:old,…). Simple delta rebinding is
+          // unsound here (null-extension is not linear in this side — a
+          // dim row arriving late must RETRACT the null-padded fact row,
+          // which no Q(Δu) evaluation can name). Both evaluations bind the
+          // linear side identically, so rows that cannot match the delta
+          // produce identical output and cancel in the signed net —
+          // [[restrictOuterToDelta]] drops them up front, keeping the term
+          // delta-proportional instead of a full re-evaluation.
+          val sqlNew = laterOld(cascadeStmt)
+          val sqlOld = retarget(sqlNew, u.viewName, s"__jc_old_${u.viewName}")
+          if (!sqlOld.contains(s"__jc_old_${u.viewName}"))
+            throw new IllegalStateException(s"rebinding missed ${u.viewName}")
+          val payload = adds.unionByName(dels)
+          val plus = restrictOuterToDelta(spark.sql(sqlNew), u.viewName, payload)
+            .select(outCols.map(col): _*).withColumn("__d", lit(1L))
+          val minus = restrictOuterToDelta(spark.sql(sqlOld),
+              s"__jc_old_${u.viewName}", payload)
+            .select(outCols.map(col): _*).withColumn("__d", lit(-1L))
+          Seq(plus, minus)
+        } else {
+          def termSql(deltaView: String): String = {
+            val reaimed = retarget(cascadeStmt, u.viewName, deltaView)
+            // an unbound rebinding would silently evaluate against the FULL
+            // source — that is a wrong delta, not a recoverable one
+            if (!reaimed.contains(deltaView))
+              throw new IllegalStateException(s"rebinding missed ${u.viewName}")
+            laterOld(reaimed)
+          }
+          val plus  = spark.sql(termSql(s"__jc_add_${u.viewName}"))
+            .select(outCols.map(col): _*).withColumn("__d", lit(1L))
+          if (i == 0 && joinHasJoin)
+            lastJoinEpochPlan = Some(plus.queryExecution.optimizedPlan.toString)
+          val minus = spark.sql(termSql(s"__jc_del_${u.viewName}"))
+            .select(outCols.map(col): _*).withColumn("__d", lit(-1L))
+          Seq(plus, minus)
         }
-        val plus  = spark.sql(termSql(s"__jc_add_${u.viewName}"))
-          .select(outCols.map(col): _*).withColumn("__d", lit(1L))
-        if (i == 0 && joinHasJoin)
-          lastJoinEpochPlan = Some(plus.queryExecution.optimizedPlan.toString)
-        val minus = spark.sql(termSql(s"__jc_del_${u.viewName}"))
-          .select(outCols.map(col): _*).withColumn("__d", lit(-1L))
-        Seq(plus, minus)
       }
       val net = timed("delta-terms")(termFrames.reduce(_ union _)
         .groupBy(outCols.map(col): _*).agg(sum(col("__d")).as("__d"))
@@ -2128,6 +2229,69 @@ final class MaterializedView private[engine](
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
     } finally tempViews.foreach(spark.catalog.dropTempView(_))
+  }
+
+  /** Restrict `full` — an evaluation of the admitted outer-join statement —
+    * so the LEFT/RIGHT outer join's LINEAR (row-preserved) side keeps only
+    * rows that can match `payload` (the epoch's delta of nonlinear-side
+    * source `srcView`). Plan surgery:
+    *  1. re-bind `srcView` inside a COPY of the nonlinear subtree to the
+    *     delta payload (exprId-preserving projection, so the subtree's own
+    *     expressions stay resolved) — its output is exactly the candidate
+    *     right-side rows whose membership may have changed this epoch;
+    *  2. re-alias that probe to fresh attribute ids (`toDF` re-ids every
+    *     column) so it cannot collide with the original nonlinear subtree
+    *     that remains under the outer join, and BROADCAST it;
+    *  3. semi-join the linear subtree against the probe under the original
+    *     join condition (re-pointed at the fresh ids) and swap the result
+    *     in as the outer join's linear child.
+    * Soundness: the caller evaluates the statement twice (source bound new
+    * vs old) and nets the signed results; a linear-side row matching no
+    * candidate has identical matches — hence identical output — in both
+    * evaluations and cancels, so dropping it changes nothing. 100 TB
+    * shape: the linear side is probed by a broadcast-hash semi join (never
+    * shuffled), the nonlinear base is probed by the statement's own join
+    * plan against the broadcast delta — no side is re-scanned into a
+    * shuffle. */
+  private def restrictOuterToDelta(full: DataFrame, srcView: String,
+                                   payload: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+    import org.apache.spark.sql.catalyst.plans.{LeftOuter, LeftSemi, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, Project, SubqueryAlias}
+    val plan = full.queryExecution.analyzed
+    val stops = cascadeUpstreams.map(_.viewName.toLowerCase).toSet + srcView.toLowerCase
+    val oj = outerJoinsAbove(plan, stops) match {
+      case Seq(j) if j.joinType == LeftOuter || j.joinType == RightOuter => j
+      case other =>
+        throw new IllegalStateException(s"expected one outer join, found ${other.size}")
+    }
+    val leftIsLinear = oj.joinType == LeftOuter
+    val (linChild, nonChild) =
+      if (leftIsLinear) (oj.left, oj.right) else (oj.right, oj.left)
+    var found = false
+    val subst = nonChild.transformUp {
+      case s: SubqueryAlias if !found && s.alias.equalsIgnoreCase(srcView) =>
+        found = true
+        val repl = payload.queryExecution.analyzed
+        val byName = repl.output.map(a => a.name.toLowerCase -> a).toMap
+        SubqueryAlias(s.identifier, Project(
+          s.output.map(o => Alias(byName(o.name.toLowerCase), o.name)(exprId = o.exprId)),
+          repl))
+    }
+    if (!found) throw new IllegalStateException(s"substitution missed $srcView")
+    val renamed = org.apache.spark.sql.functions.broadcast(
+      GraftColumnBridge.ofRows(spark, subst)
+        .toDF(nonChild.output.indices.map(i => s"__rd_$i"): _*))
+    val renamedPlan = renamed.queryExecution.analyzed
+    val attrMap = nonChild.output.map(_.exprId).zip(renamedPlan.output).toMap
+    val semiCond = oj.condition.getOrElse(Literal.TrueLiteral).transform {
+      case a: AttributeReference if attrMap.contains(a.exprId) => attrMap(a.exprId)
+    }
+    val restricted = Join(linChild, renamedPlan, LeftSemi, Some(semiCond), JoinHint.NONE)
+    GraftColumnBridge.ofRows(spark, plan.transformUp {
+      case j: Join if j eq oj =>
+        if (leftIsLinear) j.copy(left = restricted) else j.copy(right = restricted)
+    })
   }
 
   /** Re-truncate a state DataFrame with the statement's own ORDER BY/LIMIT
@@ -2371,8 +2535,11 @@ final class MaterializedView private[engine](
       val rows = d.collect().toSeq
       faceStreams.values.foreach(_.addData(rows))
     }
+    // the streaming backfill micro-batch is the whole source history —
+    // wide segment write; steady-state appends keep the one-task fast path
+    val wide = snapshot.isEmpty
     val ops =
-      if (!isAgg || snapshot.isEmpty) Changelog.diff(None, d, keyCols)
+      if (!isAgg || snapshot.isEmpty) Changelog.diff(None, d, keyCols, wide)
       else {
         // restrict the previous snapshot to the touched keys: the diff then
         // yields Insert for new keys and UpdateDelete/UpdateInsert for
@@ -2382,7 +2549,7 @@ final class MaterializedView private[engine](
         val prevTouched = keyJoin(snapshot.get, keys, "left_semi")
         Changelog.updateDiff(prevTouched, d, keyCols)
       }
-    emitOps(ops)
+    emitOps(ops, wide)
 
     snapshot = Some(timed("state-merge")(
       mergeDelta(snapshot, d, keyed = isAgg).localCheckpoint(true)))
@@ -2492,12 +2659,13 @@ final class MaterializedView private[engine](
     else synchronized {
       statementEvals += 1
       val next = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
+      val wide = snapshot.isEmpty // initial backfill = whole-result delta
       val ops = keyMode match {
-        case MaterializedView.Keyed(ks) => Changelog.diff(snapshot, next, ks)
-        case MaterializedView.GlobalRow => Changelog.diff(snapshot, next, Nil)
-        case MaterializedView.Multiset => Changelog.multisetDiff(snapshot, next)
+        case MaterializedView.Keyed(ks) => Changelog.diff(snapshot, next, ks, wide)
+        case MaterializedView.GlobalRow => Changelog.diff(snapshot, next, Nil, wide)
+        case MaterializedView.Multiset => Changelog.multisetDiff(snapshot, next, wide)
       }
-      emitOps(ops)
+      emitOps(ops, wide)
       snapshot = Some(next)
       next.createOrReplaceTempView(viewName)
     }

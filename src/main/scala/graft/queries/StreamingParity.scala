@@ -771,6 +771,60 @@ object StreamingParity {
       materialized
     },
 
+    // LEFT-outer-join delta cascade (round 10): the fact-LEFT-JOIN-dim
+    // enrichment MV — the most common real statement shape that used to
+    // demote to per-FLUSH batch re-run — maintains via the
+    // restricted-difference term: a dim delta retracts/installs the
+    // null-padded rows of exactly the facts it can match. Joining on
+    // user_id % 50 against 25 dim keys leaves half the facts PERMANENTLY
+    // unmatched, so the final hash covers the null padding itself; the dim
+    // arrives in two waves (half before any fact, half mid-replay), so
+    // mid-replay epochs upgrade null-padded rows to joined rows — the 0↔1
+    // match transitions — and upsert overwrites retract through the join.
+    q("m_mv_left_join_delta_incremental",
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS event_id,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT l.event_id, n.n_name AS nation, l.value
+        |FROM latest l LEFT JOIN nation n ON n.n_nationkey = l.user_id % 50""".stripMargin) {
+      (s, dir) =>
+      val nationSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      val upSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType)))
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val evT = rw.createTable("m_ljd_ev", upSchema,
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      val dimT = rw.createTable("m_ljd_dim", nationSchema,
+        primaryKey = Seq("n_nationkey"))
+      rw.mv("""SELECT e.event_id, n.n_name AS nation, e.value
+        |FROM m_ljd_ev e LEFT JOIN m_ljd_dim n ON n.n_nationkey = e.user_id % 50""".stripMargin,
+        "m_ljd_mv")
+      val mv = rw.mvByName("m_ljd_mv").get
+      require(mv.isDeltaJoinMode,
+        "LEFT-join enrichment MV must maintain via the delta cascade, not batch re-run")
+      val dims = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val (dimA, dimB) = dims.splitAt(dims.length / 2)
+      dimT.insert(dimA.toSeq); rw.flush()
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      var i = 0
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        if (i == CHUNKS / 2) { dimT.insert(dimB.toSeq); rw.flush() }
+        evT.insert(chunk.toSeq); rw.flush(); i += 1
+      }
+      require(mv.isDeltaJoinMode && mv.statementEvals <= 1,
+        "outer-join delta epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // Aggregate over a JOIN of two live PK tables (round 9): the
     // decomposable aggregate folds TELESCOPED per-source partials — the
     // join delta and the aggregate fold composed — so neither base table

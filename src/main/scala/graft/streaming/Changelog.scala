@@ -31,7 +31,8 @@ object Changelog {
     * `keyCols = Nil` means a single-row (global aggregate) result: the one
     * row's change is an UpdateDelete/UpdateInsert pair, never Insert+Delete.
     * For keyless multi-row snapshots use [[multisetDiff]]. */
-  def diff(prev: Option[DataFrame], next: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def diff(prev: Option[DataFrame], next: DataFrame, keyCols: Seq[String],
+           wide: Boolean = false): DataFrame = {
     val cols = next.columns.toSeq
     val valueCols = cols.filterNot(keyCols.contains)
 
@@ -42,10 +43,19 @@ object Changelog {
     // The post-shuffle stage ran as one task under the old orderBy +
     // coalesce(1) combination anyway; this is the same parallelism with
     // one fewer job and one fewer exchange per epoch.
+    //
+    // EXCEPT on `wide = true` (the initial-backfill epoch, round-10): there
+    // the delta is the WHOLE statement result, and funnelling it through
+    // one sort+write task is the scale bottleneck the steady-state
+    // reasoning above does not cover. Backfill keeps the global range sort
+    // (multi-partition; AQE sizes the partition count to the data) and the
+    // segment writes one file per partition — appendDF stamps offsets
+    // per-partition with zipWithIndex, which preserves the sort order.
     prev match {
       case None =>
-        next.withColumn("op", lit(OpInsert))
-          .coalesce(1)
+        val ins = next.withColumn("op", lit(OpInsert))
+        if (wide) ins.orderBy(keyCols.map(col) :+ col("op"): _*)
+        else ins.coalesce(1)
           .sortWithinPartitions(keyCols.map(col) :+ col("op"): _*)
       case Some(p) =>
         val pr = p.select(cols.map(c => col(c).as(s"__p_$c")): _*)
@@ -112,12 +122,16 @@ object Changelog {
     * output, or the MV is a plain row stream that can hold duplicate rows):
     * per distinct row, emit |Δcount| Inserts or Deletes. Correct where a
     * row-equality full-outer join would collapse or multiply duplicates. */
-  def multisetDiff(prev: Option[DataFrame], next: DataFrame): DataFrame = {
+  def multisetDiff(prev: Option[DataFrame], next: DataFrame,
+                   wide: Boolean = false): DataFrame = {
     val cols = next.columns.toSeq
     prev match {
       case None =>
-        next.withColumn("op", lit(OpInsert))
-          .coalesce(1).sortWithinPartitions(cols.map(col): _*)
+        // wide = initial backfill: multi-partition global sort instead of
+        // the single-task funnel — see [[diff]]'s ordering note
+        val ins = next.withColumn("op", lit(OpInsert))
+        if (wide) ins.orderBy(cols.map(col): _*)
+        else ins.coalesce(1).sortWithinPartitions(cols.map(col): _*)
       case Some(p) =>
         // null-safe (<=>) join keys: a row containing NULL must match
         // itself across epochs, else every refresh emits a phantom

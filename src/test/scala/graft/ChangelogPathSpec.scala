@@ -220,4 +220,59 @@ class ChangelogPathSpec extends SparkSpec {
       "pruned-history marker must survive close + reopen")
     rw2.close()
   }
+
+  test("backfill epoch writes a multi-partition segment; steady state stays one file") {
+    // round-10 verdict item 5: the initial-backfill delta is the WHOLE
+    // statement result — funnelling it through one sort+write task is the
+    // 100 TB bottleneck. Backfill keeps a global range sort and writes one
+    // file per partition; every steady-state (delta-sized) epoch still
+    // takes the one-task fast path. AQE partition coalescing is disabled
+    // here so the partition count is deterministic at test scale.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wide-").toString
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val rw = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+      rw.createTable("wbf_t", schema, primaryKey = Seq("k"))
+      rw.table("wbf_t").get.insert(
+        (0 until 5000).map(i => Row(s"key$i", i.toDouble)))
+      rw.flush()
+      // PK source → delta-join cascade; creation runs the backfill epoch
+      rw.mv("SELECT k, v FROM wbf_t WHERE v >= 0", "wbf_mv")
+      val segRoot = new java.io.File(s"$dir/changelog")
+      def segments: Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.getName.startsWith("seg-")) Seq(f)
+          else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        walk(segRoot).sortBy(_.getName)
+      }
+      def partFiles(seg: java.io.File): Int =
+        seg.listFiles().count(_.getName.startsWith("part-"))
+      val backfillSegs = segments
+      assert(backfillSegs.size == 1, s"expected one backfill segment, got $backfillSegs")
+      assert(partFiles(backfillSegs.head) > 1,
+        "the backfill segment must not funnel through a single write task")
+
+      rw.table("wbf_t").get.insert(Seq(Row("zz1", 1.0), Row("zz2", 2.0)))
+      rw.flush()
+      val allSegs = segments
+      assert(allSegs.size == 2)
+      val steady = allSegs.filterNot(_ == backfillSegs.head).head
+      assert(partFiles(steady) == 1,
+        "steady-state delta epochs keep the single-task fast path")
+
+      // offsets strictly monotone across the multi-file backfill + delta
+      val mv = rw.mvByName("wbf_mv").get
+      val sub = mv.subscription().declareCursor(Some(0L))
+      val ops = Iterator.continually(sub.fetch(2000)).takeWhile(_.nonEmpty).flatten.toSeq
+      assert(ops.size == 5002)
+      val offs = ops.map(r => r.getLong(r.length - 1))
+      assert(offs == offs.sorted && offs.distinct.size == offs.size,
+        "offsets must stay strictly monotone across multi-partition segments")
+      // and the backfill's op order matches the keyed sort (k ascending)
+      val keys = ops.take(5000).map(_.getString(0))
+      assert(keys == keys.sorted,
+        "multi-partition backfill must preserve the global sort in offset order")
+      rw.close()
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
 }

@@ -176,7 +176,7 @@ class DeltaJoinMvSpec extends SparkSpec {
     rw.close()
   }
 
-  test("self-join and outer join are rejected (batch fallback stays correct)") {
+  test("self-join is rejected (batch fallback stays correct)") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("djs_ev", evSchema, primaryKey = Seq("event_id"))
     val ev = rw.table("djs_ev").get
@@ -189,15 +189,6 @@ class DeltaJoinMvSpec extends SparkSpec {
     val self = rw.mvByName("djs_self").get
     assert(!self.isDeltaJoinMode, "self-join must not delta-join")
     assert(self.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
-
-    rw.createTable("djs_user", userSchema, primaryKey = Seq("uid"))
-    rw.table("djs_user").get.insert(Seq(Row(1L, "ann")))
-    rw.flush()
-    rw.mv("SELECT e.event_id, u.name, e.value FROM djs_ev e " +
-      "LEFT JOIN djs_user u ON u.uid = e.user_id", "djs_outer")
-    val outer = rw.mvByName("djs_outer").get
-    assert(!outer.isDeltaJoinMode, "outer join is not multilinear — must not delta-join")
-    assert(outer.df.count() == 2)
     rw.close()
   }
 
@@ -365,6 +356,127 @@ class DeltaJoinMvSpec extends SparkSpec {
     assert(joinRows(mv) == Set((10L, "ANN", 5.0), (11L, "ANN", 3.0)))
     assert(mv.statementEvals == 0L)
     rw2.close()
+  }
+
+  test("LEFT outer join MV maintains incrementally; late dims upgrade null-padded rows") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djl_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djl_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djl_ev e " +
+      "LEFT JOIN djl_user u ON u.uid = e.user_id", "djl_mv")
+    val mv = rw.mvByName("djl_mv").get
+    assert(mv.isDeltaJoinMode,
+      "LEFT-join enrichment MV must delta-join, not batch re-run (round 10)")
+    val ev = rw.table("djl_ev").get
+    val us = rw.table("djl_user").get
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 2L, 7.0)))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, null, 5.0), (11L, null, 7.0)),
+      "facts with no dim yet must surface null-padded")
+    val evalsAfterBackfill = mv.statementEvals
+
+    // late-arriving dim: the null-padded row UPGRADES (0→1 match) — the
+    // retraction pair the plain delta rebinding can never derive
+    us.insert(Seq(Row(1L, "ann")))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ann", 5.0), (11L, null, 7.0)))
+
+    // both sides in one epoch: new fact + the dim that matches it
+    us.insert(Seq(Row(2L, "bob")))
+    ev.insert(Seq(Row(12L, 9L, 1.0)))
+    rw.flush()
+    assert(joinRows(mv) ==
+      Set((10L, "ann", 5.0), (11L, "bob", 7.0), (12L, null, 1.0)))
+
+    // dim upsert overwrite: joined row replaced, padding untouched
+    us.insert(Seq(Row(1L, "ANN")))
+    rw.flush()
+    assert(joinRows(mv) ==
+      Set((10L, "ANN", 5.0), (11L, "bob", 7.0), (12L, null, 1.0)))
+
+    // dim retraction: the joined row DOWNGRADES back to null-padded (1→0)
+    rw.execute("DELETE FROM djl_user WHERE uid = 1")
+    rw.flush()
+    assert(joinRows(mv) ==
+      Set((10L, null, 5.0), (11L, "bob", 7.0), (12L, null, 1.0)))
+    assert(mv.statementEvals == evalsAfterBackfill,
+      "outer-join delta epochs must not re-evaluate the full statement")
+    assert(mv.isDeltaJoinMode)
+    rw.close()
+  }
+
+  test("outer-side fan-out: match counts 0↔1↔2 fold exactly through a LEFT join") {
+    val tagSchema = StructType(Seq(StructField("uid", LongType),
+      StructField("tag", StringType)))
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djfo_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djfo_tag", tagSchema) // no PK: fan-out joins legal
+    rw.mv("SELECT e.event_id, t.tag, e.value FROM djfo_ev e " +
+      "LEFT JOIN djfo_tag t ON t.uid = e.user_id", "djfo_mv")
+    val mv = rw.mvByName("djfo_mv").get
+    assert(mv.isDeltaJoinMode)
+    val ev = rw.table("djfo_ev").get
+    val tg = rw.table("djfo_tag").get
+    ev.insert(Seq(Row(10L, 1L, 5.0)))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, null, 5.0)))
+    tg.insert(Seq(Row(1L, "a")))
+    rw.flush() // 0 → 1: padding retracts, joined row appears
+    assert(joinRows(mv) == Set((10L, "a", 5.0)))
+    tg.insert(Seq(Row(1L, "b")))
+    rw.flush() // 1 → 2: second match adds WITHOUT re-padding games
+    assert(joinRows(mv) == Set((10L, "a", 5.0), (10L, "b", 5.0)))
+    rw.execute("DELETE FROM djfo_tag WHERE tag = 'b'")
+    rw.flush() // 2 → 1: only the deleted match retracts
+    assert(joinRows(mv) == Set((10L, "a", 5.0)))
+    rw.execute("DELETE FROM djfo_tag WHERE tag = 'a'")
+    rw.flush() // 1 → 0: the padding row comes back
+    assert(joinRows(mv) == Set((10L, null, 5.0)))
+    assert(mv.isDeltaJoinMode, "DML on the outer side must not demote")
+    rw.close()
+  }
+
+  test("RIGHT outer join mirrors: nonlinear side is the LEFT subtree") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djr2_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djr2_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djr2_user u " +
+      "RIGHT JOIN djr2_ev e ON u.uid = e.user_id", "djr2_mv")
+    val mv = rw.mvByName("djr2_mv").get
+    assert(mv.isDeltaJoinMode)
+    val ev = rw.table("djr2_ev").get
+    val us = rw.table("djr2_user").get
+    ev.insert(Seq(Row(10L, 1L, 5.0)))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, null, 5.0)))
+    us.insert(Seq(Row(1L, "ann")))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ann", 5.0)))
+    rw.execute("DELETE FROM djr2_user WHERE uid = 1")
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, null, 5.0)))
+    assert(mv.isDeltaJoinMode)
+    rw.close()
+  }
+
+  test("FULL outer join stays on the always-correct batch fallback") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djo_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djo_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djo_ev e " +
+      "FULL OUTER JOIN djo_user u ON u.uid = e.user_id", "djo_mv")
+    val mv = rw.mvByName("djo_mv").get
+    assert(!mv.isDeltaJoinMode,
+      "FULL outer is linear in neither side — must not enter the cascade")
+    rw.table("djo_ev").get.insert(Seq(Row(10L, 1L, 5.0)))
+    rw.table("djo_user").get.insert(Seq(Row(2L, "bob")))
+    rw.flush()
+    val rows = mv.df.collect().map(r => (
+      if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(rows == Set((10L, null, 5.0), (-1L, "bob", -1.0)),
+      "batch fallback must pad both sides correctly")
+    rw.close()
   }
 
   test("insert + same-row update between refreshes leaves no phantom in the OLD snapshot") {
