@@ -5,10 +5,14 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, AttributeReference, Expression, GreaterThan, If, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Complete, Count, Sum}
+  AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
-import org.apache.spark.sql.functions.{broadcast, col, lit, sum}
-import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.functions.{
+  broadcast, coalesce, col, greatest, least, lit, sum, when}
+import org.apache.spark.sql.types.{
+  BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType,
+  FloatType, IntegerType, LongType, NumericType, ShortType, StringType,
+  TimestampNTZType, TimestampType}
 
 /** Algebraic delta-accumulation for keyed aggregate cascades — the
   * RisingWave-style aggregate operator: instead of recomputing touched
@@ -24,40 +28,73 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   * aggregate IVM rule (Gray et al.'s distributive aggregates; the same
   * algebra Spark itself uses between partial and final aggregation).
   *
+  * Slot tiers (round 10 widened the original COUNT/SUM/decimal-AVG set):
+  *  - **Invertible, exact**: COUNT, SUM/AVG over integral or decimal —
+  *    pure signed addition, merged by the union+re-sum fast path.
+  *  - **Non-invertible extremum**: MIN/MAX over any orderable type —
+  *    inserts fold directly (`max' = greatest(max, Δmax)`); a retraction
+  *    that could remove the carried extremum (`Δ⁻max ≥ max`) re-fetches
+  *    exactly that group from the source (RisingWave's extremum
+  *    re-fetch-on-retraction, with the source table as the state table).
+  *  - **Float tolerance tier** (opt-in, `ConnOptions.foldFloatingPointAgg`):
+  *    SUM/AVG over float/double with Kahan-compensated carried state —
+  *    each epoch's increment passes through the compensation term, so the
+  *    long accumulation chain does not drift linearly in epoch count.
+  *    Excluded from the default exact tier because re-associated float
+  *    addition is not bit-identical to a batch evaluation.
+  *
   * Admission (everything else falls back to touched-group recompute,
   * which is always correct):
   *  - the analyzed plan is a single root [[Aggregate]] whose child is
-  *    multilinear in EXACTLY ONE changelog source (Project/Filter/inner
-  *    joins with static dims — validated by the caller's linearity scan);
-  *  - every aggregate call is Complete, non-DISTINCT, unfiltered
-  *    COUNT(...) or SUM(x) with an integral or decimal x (double/float
-  *    sums are excluded on purpose: re-associating their additions could
-  *    drift from a batch evaluation at the last ulp, and exactness is the
-  *    whole point of the oracle gate);
+  *    multilinear in its changelog sources (Project/Filter/inner joins
+  *    with static dims — validated by the caller's linearity scan);
+  *  - every aggregate call is Complete, non-DISTINCT, unfiltered, and of
+  *    an admitted kind above;
   *  - output columns are grouping keys or deterministic expressions over
   *    admitted aggregate calls and keys (CAST/round wrappers, folded
   *    HAVING predicates — all fine: the expression is re-evaluated over
   *    the derived aggregate values).
   *
-  * NULL semantics: SUM must surface NULL exactly when a group has no
-  * non-NULL inputs, so each sum carries a paired non-NULL counter; the
-  * visible value is `IF(cnt > 0, sum, NULL)`. A group leaves the state
-  * when its row count reaches zero (the cascade's Delete emission).
+  * NULL semantics: SUM/MIN/MAX must surface NULL exactly when a group has
+  * no non-NULL inputs, so each value slot carries a paired non-NULL
+  * counter; the visible value is `IF(cnt > 0, value, NULL)`. A group
+  * leaves the state when its row count reaches zero (the cascade's Delete
+  * emission).
   */
 private[engine] object DeltaAgg {
 
   /** One admitted aggregate call's auxiliary layout: `auxIdx` indexes the
-    * first of its auxiliary columns — [sum, nonNullCnt] for SUM and AVG,
-    * [cnt] for COUNT. */
-  private final case class Slot(auxIdx: Int, kind: Int) {
-    def isPair: Boolean = kind != KindCount
+    * first of its auxiliary columns —
+    * [sum, nonNullCnt] for SUM/AVG, [cnt] for COUNT,
+    * [extremum, nonNullCnt] for MIN/MAX,
+    * [sum, kahanComp, nonNullCnt] for float SUM/AVG. */
+  private[engine] final case class Slot(auxIdx: Int, kind: Int) {
+    def width: Int = kind match {
+      case KindCount => 1
+      case KindSumF | KindAvgF => 3
+      case _ => 2
+    }
+    /** Index of the slot's non-NULL counter column (valid for width ≥ 2). */
+    def cntIdx: Int = auxIdx + width - 1
   }
   private val KindCount = 0
   private val KindSum = 1
   private val KindAvg = 2
+  private val KindMax = 3
+  private val KindMin = 4
+  private val KindSumF = 5
+  private val KindAvgF = 6
+
+  private def isFloat(dt: DataType): Boolean =
+    dt == DoubleType || dt == FloatType
+
   private def kindOf(ae: AggregateExpression): Int = ae.aggregateFunction match {
+    case s: Sum if isFloat(s.child.dataType) => KindSumF
     case _: Sum => KindSum
+    case av: Average if isFloat(av.child.dataType) => KindAvgF
     case _: Average => KindAvg
+    case _: Max => KindMax
+    case _: Min => KindMin
     case _ => KindCount
   }
 
@@ -66,9 +103,20 @@ private[engine] object DeltaAgg {
       private[DeltaAgg] val auxNames: Seq[String],
       private[DeltaAgg] val visibleCols: Seq[Column],
       /** row-count aux column name (a group vanishes at 0) */
-      private[DeltaAgg] val rowsCol: String) {
+      private[DeltaAgg] val rowsCol: String,
+      private[DeltaAgg] val slots: Seq[Slot]) {
     /** Output column names of the grouping keys (state key columns). */
     def keys: Seq[String] = keyOutNames
+    /** True when the spec carries non-invertible (MIN/MAX) or
+      * Kahan-compensated float slots — merged by the join path, which can
+      * also re-fetch underflowed groups. Pure COUNT/SUM/decimal-AVG specs
+      * keep the union+re-sum fast path. */
+    private[DeltaAgg] def needJoinMerge: Boolean =
+      slots.exists(s => s.kind == KindMax || s.kind == KindMin ||
+        s.kind == KindSumF || s.kind == KindAvgF)
+    /** Spec probe: whether any slot is a MIN/MAX extremum. */
+    private[graft] def hasExtremum: Boolean =
+      slots.exists(s => s.kind == KindMax || s.kind == KindMin)
   }
 
   private def isKeyOutput(a: Aggregate, ne: NamedExpression): Boolean = ne match {
@@ -77,19 +125,35 @@ private[engine] object DeltaAgg {
     case _ => false
   }
 
-  private def admittedCall(ae: AggregateExpression): Boolean =
+  /** Types with a total order both engines agree on — the MIN/MAX tier. */
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private def admittedCall(ae: AggregateExpression, allowFloat: Boolean): Boolean =
     ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
       ae.aggregateFunction.children.forall(_.deterministic) &&
       (ae.aggregateFunction match {
         case _: Count => true
         case s: Sum => s.child.dataType match {
           case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+          // float tier: Kahan-compensated fold behind the opt-in flag
+          case DoubleType | FloatType => allowFloat
           case _ => false
         }
-        // AVG only over decimal: its sum buffer is then decimal (exact
-        // under re-association); integral/double children average through
-        // a DOUBLE sum, which the exactness contract excludes
-        case av: Average => av.child.dataType.isInstanceOf[DecimalType]
+        // AVG over decimal: its sum buffer is decimal (exact under
+        // re-association); float AVG folds only in the tolerance tier;
+        // integral AVG averages through a DOUBLE sum — excluded from the
+        // exact tier, admitted with the float flag
+        case av: Average => av.child.dataType match {
+          case _: DecimalType => true
+          case DoubleType | FloatType => allowFloat
+          case _ => false
+        }
+        case m: Max => orderable(m.child.dataType)
+        case m: Min => orderable(m.child.dataType)
         case _ => false
       })
 
@@ -100,22 +164,21 @@ private[engine] object DeltaAgg {
 
   /** Admit `analyzed` (the ORIGINAL statement's plan) and build the spec.
     * None = not decomposable; caller keeps recompute mode. */
-  def admit(analyzed: LogicalPlan): Option[Spec] = analyzed match {
+  def admit(analyzed: LogicalPlan, allowFloat: Boolean = false): Option[Spec] = analyzed match {
     case a: Aggregate =>
       val cs = calls(a)
-      if (cs.isEmpty || !cs.forall(admittedCall)) return None
+      if (cs.isEmpty || !cs.forall(admittedCall(_, allowFloat))) return None
       // slot layout, by traversal order
       var next = 0
       val slotByCall = new java.util.IdentityHashMap[AggregateExpression, Slot]()
-      cs.foreach { ae =>
+      val slots = cs.map { ae =>
         val slot = Slot(next, kindOf(ae))
         slotByCall.put(ae, slot)
-        next += (if (slot.isPair) 2 else 1)
+        next += slot.width
+        slot
       }
-      val auxNames = cs.flatMap { ae =>
-        val s = slotByCall.get(ae)
-        if (s.isPair) Seq(s"__a${s.auxIdx}", s"__a${s.auxIdx + 1}")
-        else Seq(s"__a${s.auxIdx}")
+      val auxNames = slots.flatMap { s =>
+        (0 until s.width).map(j => s"__a${s.auxIdx + j}")
       } :+ RowsCol
       // visible mapping: key outputs pass through; everything else
       // re-evaluates over the derived aggregate values (unresolved
@@ -136,11 +199,13 @@ private[engine] object DeltaAgg {
             case ae: AggregateExpression if slotByCall.containsKey(ae) =>
               val s = slotByCall.get(ae)
               s.kind match {
-                case KindSum =>
-                  If(GreaterThan(UnresolvedAttribute(s"__a${s.auxIdx + 1}"), Literal(0L)),
+                case KindSum | KindSumF | KindMax | KindMin =>
+                  // value slots surface NULL exactly when the group has no
+                  // non-NULL inputs — the paired counter decides
+                  If(GreaterThan(UnresolvedAttribute(s"__a${s.cntIdx}"), Literal(0L)),
                     UnresolvedAttribute(s"__a${s.auxIdx}"),
                     Literal(null, ae.dataType))
-                case KindAvg =>
+                case KindAvg | KindAvgF =>
                   // Spark's own finish expression, re-bound to the aux
                   // sum/count columns (their types equal the avg buffer
                   // types, so re-analysis reproduces identical semantics)
@@ -149,7 +214,7 @@ private[engine] object DeltaAgg {
                     case attr: AttributeReference if attr.exprId == av.sum.exprId =>
                       UnresolvedAttribute(s"__a${s.auxIdx}")
                     case attr: AttributeReference if attr.exprId == av.count.exprId =>
-                      UnresolvedAttribute(s"__a${s.auxIdx + 1}")
+                      UnresolvedAttribute(s"__a${s.cntIdx}")
                   }
                 case _ => UnresolvedAttribute(s"__a${s.auxIdx}")
               }
@@ -170,16 +235,16 @@ private[engine] object DeltaAgg {
         }
       }
       if (!ok) None
-      else Some(new Spec(keyNames, auxNames, vis, RowsCol))
+      else Some(new Spec(keyNames, auxNames, vis, RowsCol, slots))
     case _ => None
   }
 
   private val RowsCol = "__g_rows"
+  private val UfCol = "__g_uf"
 
   /** Auxiliary partial-aggregate frame over an analysis of the (possibly
-    * delta-re-targeted) statement: same grouping, same key outputs, one
-    * [sum, nonNullCnt] / [cnt] pair per admitted call, plus the group row
-    * counter. */
+    * delta-re-targeted) statement: same grouping, same key outputs, the
+    * slot-layout columns per admitted call, plus the group row counter. */
   def aux(spark: SparkSession, spec: Spec, analyzed: LogicalPlan): DataFrame = {
     val a = analyzed.collectFirst { case ag: Aggregate => ag }.get
     val cs = calls(a)
@@ -187,22 +252,28 @@ private[engine] object DeltaAgg {
     val auxExprs: Seq[NamedExpression] = cs.flatMap { ae =>
       val kind = kindOf(ae)
       val base = next
-      next += (if (kind != KindCount) 2 else 1)
+      val width = Slot(base, kind).width
+      next += width
+      def cnt(child: Expression, idx: Int): NamedExpression =
+        Alias(AggregateExpression(Count(Seq(child)), Complete, isDistinct = false,
+          None, NamedExpression.newExprId), s"__a$idx")()
+      val child = ae.aggregateFunction.children.headOption.getOrElse(Literal(1))
       kind match {
-        case KindSum =>
-          val child = ae.aggregateFunction.children.head
-          Seq(
-            Alias(ae, s"__a$base")(),
-            Alias(AggregateExpression(Count(Seq(child)), Complete, isDistinct = false,
-              None, NamedExpression.newExprId), s"__a${base + 1}")())
+        case KindSum | KindMax | KindMin =>
+          Seq(Alias(ae, s"__a$base")(), cnt(child, base + 1))
         case KindAvg =>
           // the avg folds as its (decimal-exact) sum + non-null count
-          val child = ae.aggregateFunction.children.head
           Seq(
             Alias(AggregateExpression(Sum(child), Complete, isDistinct = false,
               None, NamedExpression.newExprId), s"__a$base")(),
-            Alias(AggregateExpression(Count(Seq(child)), Complete, isDistinct = false,
-              None, NamedExpression.newExprId), s"__a${base + 1}")())
+            cnt(child, base + 1))
+        case KindSumF | KindAvgF =>
+          // [sum, kahan compensation (0 for a fresh partial), nonNullCnt]
+          Seq(
+            Alias(AggregateExpression(Sum(child), Complete, isDistinct = false,
+              None, NamedExpression.newExprId), s"__a$base")(),
+            Alias(Literal(0.0, DoubleType), s"__a${base + 1}")(),
+            cnt(child, base + 2))
         case _ => Seq(Alias(ae, s"__a$base")())
       }
     } :+ Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
@@ -213,13 +284,25 @@ private[engine] object DeltaAgg {
   }
 
   /** Fold an epoch's insert/retract auxiliary partials into the carried
-    * state: rows for touched keys re-sum (state slice ∪ adds ∪ negated
-    * dels), untouched rows pass through an anti join against the BROADCAST
-    * touched-key set — the state never shuffles. Aux columns cast back to
-    * the state schema (decimal addition widens). Groups whose row count
-    * reaches zero drop (the caller's diff emits their Deletes). */
+    * state. Pure COUNT/SUM/decimal-AVG specs re-sum touched keys (state
+    * slice ∪ adds ∪ negated dels) with untouched rows passing through an
+    * anti join against the BROADCAST touched-key set — the state never
+    * shuffles. Specs with MIN/MAX or float slots take the join-merge path
+    * instead ([[mergeJoin]]), which needs `refetch` to recompute groups
+    * whose carried extremum a retraction removed: `refetch(keys)` must
+    * return fresh aux rows (via [[aux]] over the CURRENT source) for
+    * exactly those groups — for a global (keyless) spec it is called with
+    * an empty-column frame and must return the full single-row aux.
+    * Aux columns cast back to the state schema (decimal addition widens).
+    * Groups whose row count reaches zero drop (the caller's diff emits
+    * their Deletes). */
   def merge(state: DataFrame, addAux: DataFrame, delAux: DataFrame,
-            spec: Spec): DataFrame = {
+            spec: Spec,
+            refetch: DataFrame => DataFrame = null): DataFrame = {
+    if (spec.needJoinMerge) {
+      require(refetch != null, "extremum/float specs need a refetch callback")
+      return mergeJoin(state, addAux, delAux, spec, refetch)
+    }
     val keys = spec.keyOutNames
     val auxCols = spec.auxNames
     def negate(df: DataFrame): DataFrame =
@@ -259,6 +342,155 @@ private[engine] object DeltaAgg {
     untouched.unionByName(resummed)
   }
 
+  /** Join-based merge for specs with non-invertible (MIN/MAX) or
+    * Kahan-compensated float slots. Shape: the epoch's touched keys form a
+    * delta-sized spine; the state slice, add-partials, and del-partials
+    * all BROADCAST onto it (each is touched-key-bounded); per-slot
+    * arithmetic runs as column expressions; groups whose retraction could
+    * have removed the carried extremum re-fetch via `refetch`. Untouched
+    * state passes through an anti join exactly like the fast path — the
+    * state never shuffles, and per-epoch cluster work stays
+    * delta-proportional except the re-fetch, which is the documented
+    * RisingWave extremum behavior (delta-restricted by a semi-join pushed
+    * below the source re-aggregation). */
+  private def mergeJoin(state: DataFrame, addAux0: DataFrame,
+                        delAux0: DataFrame, spec: Spec,
+                        refetch: DataFrame => DataFrame): DataFrame = {
+    val keys = spec.keyOutNames
+    val auxCols = spec.auxNames
+    // one partial row per key per side: multi-source epochs union one
+    // partial per telescoped term — combine with each slot's own combiner
+    // (max-of-maxes / min-of-mins for extremum values, sums elsewhere;
+    // the DEL side's extremum combiner keeps the most dangerous value,
+    // which is exactly what the underflow test needs)
+    def regroup(df: DataFrame): DataFrame = {
+      val combined = auxCols.map { c =>
+        val idx = c.stripPrefix("__a")
+        val slot = spec.slots.find(s =>
+          c != RowsCol && idx.nonEmpty && idx.forall(_.isDigit) &&
+            s.auxIdx == idx.toInt)
+        slot match {
+          case Some(s) if s.kind == KindMax =>
+            org.apache.spark.sql.functions.max(col(c)).as(c)
+          case Some(s) if s.kind == KindMin =>
+            org.apache.spark.sql.functions.min(col(c)).as(c)
+          case _ => sum(col(c)).as(c)
+        }
+      }
+      if (keys.isEmpty) df.groupBy().agg(combined.head, combined.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(combined.head, combined.tail: _*)
+    }
+    val addG = regroup(addAux0)
+    val delG = regroup(delAux0)
+
+    def s(c: String) = col(s"__s_$c")
+    def a(c: String) = col(s"__x_$c")
+    def d(c: String) = col(s"__y_$c")
+    def z(c: Column) = coalesce(c, lit(0))
+
+    val sr = state.toDF((keys.map(k => s"__s_$k") ++ auxCols.map(c => s"__s_$c")): _*)
+    val ar = addG.toDF((keys.map(k => s"__x_$k") ++ auxCols.map(c => s"__x_$c")): _*)
+    val dr = delG.toDF((keys.map(k => s"__y_$k") ++ auxCols.map(c => s"__y_$c")): _*)
+
+    val spine =
+      if (keys.isEmpty)
+        // global: one state row (always exists after backfill) × one
+        // partial row per side
+        sr.crossJoin(ar).crossJoin(dr)
+      else {
+        val touched = addG.select(keys.map(col): _*)
+          .union(delG.select(keys.map(col): _*)).distinct()
+        val kr = touched.toDF(keys.map(k => s"__k_$k"): _*)
+        def keyCond(df: DataFrame) =
+          keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+        val stateTouched = state.join(broadcast(kr), keyCond(state), "left_semi")
+        val srT = stateTouched.toDF(
+          (keys.map(k => s"__s_$k") ++ auxCols.map(c => s"__s_$c")): _*)
+        touched
+          .join(broadcast(srT), keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _), "left")
+          .join(broadcast(ar), keys.map(k => col(k) <=> col(s"__x_$k")).reduce(_ && _), "left")
+          .join(broadcast(dr), keys.map(k => col(k) <=> col(s"__y_$k")).reduce(_ && _), "left")
+      }
+
+    // per-slot arithmetic + underflow flags
+    val ufFlags = scala.collection.mutable.ArrayBuffer[Column]()
+    val newAux: Seq[Column] = spec.slots.flatMap { slot =>
+      val v = s"__a${slot.auxIdx}"
+      def counters(cntName: String): Column =
+        (z(s(cntName)) + z(a(cntName)) - z(d(cntName)))
+          .cast(LongType).as(cntName)
+      slot.kind match {
+        case KindCount =>
+          Seq((z(s(v)) + z(a(v)) - z(d(v)))
+            .cast(state.schema(v).dataType).as(v))
+        case KindSum | KindAvg =>
+          val cn = s"__a${slot.cntIdx}"
+          Seq(
+            checkedCast(z(s(v)) + z(a(v)) - z(d(v)), state.schema(v).dataType).as(v),
+            counters(cn))
+        case KindMax | KindMin =>
+          val cn = s"__a${slot.cntIdx}"
+          // a retraction whose most competitive value ties or beats the
+          // carried extremum may have removed it — re-fetch the group.
+          // (null-safe: no state extremum, or a state row freshly created
+          // this epoch, triggers too — conservative, still exact after
+          // the re-fetch)
+          val safe = if (slot.kind == KindMax) d(v) < s(v) else d(v) > s(v)
+          val uf = (z(d(cn)) > 0) && !coalesce(safe, lit(false))
+          ufFlags += uf
+          val fold =
+            if (slot.kind == KindMax) greatest(s(v), a(v)) else least(s(v), a(v))
+          Seq(
+            when(uf, lit(null).cast(state.schema(v).dataType)).otherwise(fold).as(v),
+            counters(cn))
+        case _ => // KindSumF | KindAvgF — Kahan-compensated float fold
+          val cp = s"__a${slot.auxIdx + 1}"
+          val cn = s"__a${slot.cntIdx}"
+          val inc = z(a(v)).cast(DoubleType) - z(d(v)).cast(DoubleType)
+          val y = inc - z(s(cp)).cast(DoubleType)
+          val t = z(s(v)).cast(DoubleType) + y
+          Seq(
+            t.as(v),
+            ((t - z(s(v)).cast(DoubleType)) - y).as(cp),
+            counters(cn))
+      }
+    }
+    val rowsNew = (z(s(RowsCol)) + z(a(RowsCol)) - z(d(RowsCol)))
+      .cast(LongType).as(RowsCol)
+    val ufAll = ufFlags.reduceOption(_ || _).getOrElse(lit(false)).as(UfCol)
+    val keyCols: Seq[Column] =
+      if (keys.isEmpty) Nil
+      else keys.map(k => coalesce(col(k)).as(k)) // spine carries the keys
+    // the flagged frame is TOUCHED-sized (delta-proportional) — cheap to
+    // materialize, and the materialization decides the re-fetch branch
+    val flagged = spine.select(keyCols ++ newAux :+ rowsNew :+ ufAll: _*)
+      .localCheckpoint(true)
+    val ufRows = flagged.filter(col(UfCol))
+    val hasUf = ufRows.take(1).nonEmpty
+    val arith0 = flagged.filter(!col(UfCol)).drop(UfCol)
+    val arith =
+      if (keys.isEmpty) arith0 // the global row NEVER drops
+      else arith0.filter(col(spec.rowsCol) > 0)
+    val refreshedTouched =
+      if (!hasUf) arith
+      else {
+        // groups that vanished entirely are simply absent from the fresh
+        // aux — their Delete emission falls out of the caller's diff
+        val fresh = refetch(ufRows.select(keys.map(col): _*))
+          .select((keys.map(col) ++ auxCols.map(c =>
+            checkedCast(col(c), state.schema(c).dataType).as(c))): _*)
+        if (keys.isEmpty) fresh else arith.unionByName(fresh)
+      }
+    if (keys.isEmpty) refreshedTouched
+    else {
+      val touchedKeysDf = flagged.select(keys.map(col): _*).distinct()
+      val kr2 = touchedKeysDf.toDF(keys.map(k => s"__k_$k"): _*)
+      val untouched = state.join(broadcast(kr2),
+        keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _), "left_anti")
+      untouched.unionByName(refreshedTouched)
+    }
+  }
+
   /** Cast a folded aux value back to the state schema, RAISING when the
     * narrowing cast would silently turn a non-NULL value into NULL
     * (decimal precision overflow under non-ANSI evaluation): the raised
@@ -266,8 +498,8 @@ private[engine] object DeltaAgg {
     * [[graft.engine.MaterializedView]]'s foldAux catch drops the spec —
     * so precision overflow degrades to the always-correct touched-group
     * recompute instead of silently corrupting the carried sum. */
-  private def checkedCast(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
-    import org.apache.spark.sql.functions.{lit, raise_error, when}
+  private def checkedCast(c: Column, dt: DataType): Column = {
+    import org.apache.spark.sql.functions.raise_error
     val casted = c.cast(dt)
     when(c.isNotNull && casted.isNull,
       raise_error(lit("graft delta-agg fold overflowed the state precision"))

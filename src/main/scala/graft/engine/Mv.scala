@@ -1668,7 +1668,7 @@ final class MaterializedView private[engine](
     val childLinear = analyzed.collectFirst { case a: Aggregate => a }
       .exists(a => !nonLinearIn(a.child, srcNames.toSet))
     if (srcNames.forall(n => occurrences.count(_ == n) == 1) && childLinear)
-      DeltaAgg.admit(analyzed)
+      DeltaAgg.admit(analyzed, allowFloat = engine.options.foldFloatingPointAgg)
     else None
   }
 
@@ -1734,8 +1734,26 @@ final class MaterializedView private[engine](
       val addAux = timed("delta-aux")(
         partials.map(_._1).reduce(_ unionByName _).localCheckpoint(true))
       val delAux = partials.map(_._2).reduce(_ unionByName _).localCheckpoint(true)
+      // extremum re-fetch (MIN/MAX slots): recompute EXACTLY the groups
+      // whose carried extremum a retraction may have removed, against the
+      // sources' current snapshots — the semi-join pushes below the
+      // re-aggregation, so the re-fetch is delta-restricted (RisingWave's
+      // extremum state-table re-fetch, with the source in that role)
+      val refetch: DataFrame => DataFrame = keysDf => {
+        statementEvals += 1
+        val fullAux = DeltaAgg.aux(spark, spec,
+          spark.sql(cascadeStmt).queryExecution.analyzed)
+        if (spec.keys.isEmpty) fullAux
+        else {
+          val kr = keysDf.toDF(spec.keys.map(k => s"__k_$k"): _*)
+          fullAux.join(org.apache.spark.sql.functions.broadcast(kr),
+            spec.keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _),
+            "left_semi")
+        }
+      }
       val newAux = timed("state-merge")(
-        DeltaAgg.merge(auxState.get, addAux, delAux, spec).localCheckpoint(true))
+        DeltaAgg.merge(auxState.get, addAux, delAux, spec, refetch)
+          .localCheckpoint(true))
       Some((newAux, DeltaAgg.touchedKeys(addAux, delAux, spec)))
     } catch { case _: Throwable =>
       deltaAggSpec = None

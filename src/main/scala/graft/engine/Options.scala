@@ -42,7 +42,16 @@ final case class ConnOptions(
       * than batch scans, so a lower width cuts pure task-scheduling
       * overhead per epoch; at cluster scale size it to state volume.
       * None = inherit the session's batch width. */
-    streamShufflePartitions: Option[Int] = None)
+    streamShufflePartitions: Option[Int] = None,
+    /** Admit SUM/AVG over float/double into the delta-accumulation fold
+      * ([[DeltaAgg]]), with Kahan-compensated carried state. Off by
+      * default: re-associating floating additions can drift from a batch
+      * evaluation at the last ulp, so the exact-tier hash contract keeps
+      * doubles on touched-group recompute unless the user opts into the
+      * tolerance tier (compare folded results with an epsilon, or round at
+      * the output boundary). COUNT/integral-SUM/decimal folds are exact
+      * and unaffected by this flag. */
+    foldFloatingPointAgg: Boolean = false)
 
 object ConnOptions {
   /** `postgresql://` DSNs are accepted exactly like the reference rewrites

@@ -670,6 +670,77 @@ object StreamingParity {
       materialized
     },
 
+    // MIN/MAX delta-accumulation (round 10): non-invertible extremum
+    // aggregates fold the upsert table's changelog — inserts fold directly
+    // (greatest/least of carried and delta), and only a retraction that
+    // removes the carried extremum re-fetches that group (delta-restricted
+    // semi-join below the re-aggregation; RisingWave's extremum re-fetch).
+    // The mid-replay DELETE targets the top values, so per-bucket maxima
+    // ARE retracted and the runner-up must be recovered; upsert overwrites
+    // keep moving extrema between buckets throughout.
+    q("m_mv_minmax_fold",
+      s"""WITH ch AS (SELECT user_id, value, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |early AS (SELECT user_id, arg_max(value, event_id) AS v
+         |  FROM ch WHERE chunk <= 3 GROUP BY user_id),
+         |deleted AS (SELECT user_id FROM early WHERE v > 90),
+         |kept AS (SELECT * FROM ch WHERE NOT (chunk <= 3 AND
+         |  user_id IN (SELECT user_id FROM deleted))),
+         |latest AS (SELECT user_id, arg_max(value, event_id) AS value
+         |  FROM kept GROUP BY user_id)
+         |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+         |  max(value) AS mx, min(value) AS mn
+         |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_mmf_t", Seq(("m_mmf_mv",
+        """SELECT user_id % 10 AS bucket, count(*) AS n,
+          |  max(value) AS mx, min(value) AS mn
+          |FROM m_mmf_t GROUP BY 1""".stripMargin)),
+        beforeChunk = Map(
+          4 -> { rw =>
+            rw.execute("DELETE FROM m_mmf_t WHERE value > 90")
+            val mv = rw.mvByName("m_mmf_mv").get
+            require(mv.isDeltaAggMode,
+              "an extremum retraction must re-fetch, not demote the fold")
+          }))
+      val mv = rw.mvByName("m_mmf_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "MIN/MAX over an upsert table must delta-accumulate (round 10)")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // Float SUM/AVG fold under the tolerance tier (round 10): with
+    // `foldFloatingPointAgg` on, double sums fold with Kahan-compensated
+    // carried state. The hash gate still applies — both sides round to 4
+    // decimals at the output boundary, which the compensated fold's ~ulp
+    // error cannot move; the exact tier (default options) is untouched.
+    q("m_mv_double_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  round(SUM(value), 4) AS sx, round(AVG(value), 4) AS ax
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_dbf_t", Seq(("m_dbf_mv",
+        """SELECT user_id % 10 AS bucket, count(*) AS n,
+          |  sum(value) AS sx, avg(value) AS ax
+          |FROM m_dbf_t GROUP BY 1""".stripMargin)),
+        opts = ConnOptions(foldFloatingPointAgg = true))
+      val mv = rw.mvByName("m_dbf_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "double SUM/AVG must fold under the tolerance flag (round 10)")
+      require(mv.statementEvals <= 1,
+        "float fold epochs must not re-evaluate the statement")
+      val out = mv.df
+        .withColumn("sx", round(col("sx"), 4))
+        .withColumn("ax", round(col("ax"), 4))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's
@@ -933,14 +1004,15 @@ object StreamingParity {
   private def replayUpsert(s: SparkSession, dir: String, table: String,
       mvDefs: Seq[(String, String)],
       withTs: Boolean = false,
-      beforeChunk: Map[Int, GraftEngine => Unit] = Map.empty): GraftEngine = {
+      beforeChunk: Map[Int, GraftEngine => Unit] = Map.empty,
+      opts: ConnOptions = ConnOptions()): GraftEngine = {
     val fields =
       if (withTs) Seq(StructField("user_id", LongType),
         StructField("ts", TimestampType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("event_id", LongType))
       else Seq(StructField("user_id", LongType),
         StructField("value", DoubleType), StructField("event_id", LongType))
-    val rw = GraftEngine.open(ConnOptions(), Some(s))
+    val rw = GraftEngine.open(opts, Some(s))
     val t = rw.createTable(table, StructType(fields),
       primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
     mvDefs.foreach { case (n, st) => rw.mv(st, n) }

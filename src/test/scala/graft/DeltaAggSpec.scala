@@ -296,4 +296,154 @@ class DeltaAggSpec extends SparkSpec {
     assert(mv.statementEvals == 0L, "folding must continue without evals after reopen")
     rw2.close()
   }
+
+  test("MIN/MAX fold: inserts fold directly; only extremum retractions re-fetch") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dam_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, max(v) AS mx, min(v) AS mn " +
+      "FROM dam_t GROUP BY grp", "dam_mv")
+    val mv = rw.mvByName("dam_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "MIN/MAX over a PK table must delta-accumulate (round 10)")
+    def state: Map[String, (Long, Any, Any)] =
+      mv.df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.get(2), r.get(3)))).toMap
+    val t = rw.table("dam_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(state == Map("a" -> ((2L, 20L, 10L)), "b" -> ((1L, 5L, 5L))))
+
+    // inserts below the max / above the min fold with NO re-fetch
+    t.insert(Seq(Row(4L, "a", 15L)))
+    rw.flush()
+    assert(state == Map("a" -> ((3L, 20L, 10L)), "b" -> ((1L, 5L, 5L))))
+    assert(mv.statementEvals == evals, "non-extremum epochs must not re-fetch")
+
+    // a new maximum folds directly too (greatest of carried and delta)
+    t.insert(Seq(Row(5L, "a", 99L)))
+    rw.flush()
+    assert(state("a") == ((4L, 99L, 10L)))
+    assert(mv.statementEvals == evals, "a higher insert folds without re-fetch")
+
+    // DELETE the current maximum: the carried extremum is gone — exactly
+    // one delta-restricted re-fetch recovers the runner-up
+    rw.execute("DELETE FROM dam_t WHERE v = 99")
+    rw.flush()
+    assert(state("a") == ((3L, 20L, 10L)))
+    assert(mv.statementEvals == evals + 1,
+      "retracting the extremum must re-fetch exactly once")
+    assert(mv.isDeltaAggMode, "re-fetch must not demote the fold")
+
+    // DELETE the current minimum — the MIN slot's re-fetch
+    rw.execute("DELETE FROM dam_t WHERE v = 10")
+    rw.flush()
+    assert(state("a") == ((2L, 20L, 15L)))
+
+    // overwrite that MOVES the max between groups
+    t.insert(Seq(Row(2L, "b", 7L))) // id=2 (v=20, a's max) moves to b with v=7
+    rw.flush()
+    assert(state == Map("a" -> ((1L, 15L, 15L)), "b" -> ((2L, 7L, 5L))))
+    rw.close()
+  }
+
+  test("MIN/MAX NULL semantics and group-vanish survive the fold") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("damn_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, max(v) AS mx FROM damn_t GROUP BY grp", "damn_mv")
+    val mv = rw.mvByName("damn_mv").get
+    assert(mv.isDeltaAggMode)
+    val t = rw.table("damn_t").get
+    t.insert(Seq(Row(1L, "a", null), Row(2L, "a", null)))
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getString(0), r.getLong(1), r.get(2))).toSet ==
+      Set(("a", 2L, null)), "all-NULL group has NULL max")
+    t.insert(Seq(Row(3L, "a", 5L)))
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getString(0), r.getLong(1), r.get(2))).toSet ==
+      Set(("a", 3L, 5L)))
+    rw.execute("DELETE FROM damn_t WHERE id = 3")
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getString(0), r.getLong(1), r.get(2))).toSet ==
+      Set(("a", 2L, null)), "max returns to NULL when the last non-null retracts")
+    rw.execute("DELETE FROM damn_t WHERE grp = 'a'")
+    rw.flush()
+    assert(mv.df.isEmpty, "emptied group must vanish, not linger at NULL")
+    rw.close()
+  }
+
+  test("global MAX folds; extremum retraction re-fetches the single row") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("damg_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT count(*) AS n, max(v) AS mx, min(v) AS mn FROM damg_t", "damg_mv")
+    val mv = rw.mvByName("damg_mv").get
+    assert(mv.isDeltaAggMode, "global MIN/MAX must fold")
+    val t = rw.table("damg_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "b", 30L)))
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet ==
+      Set((2L, 30L, 10L)))
+    rw.execute("DELETE FROM damg_t WHERE id = 2")
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet ==
+      Set((1L, 10L, 10L)))
+    rw.execute("DELETE FROM damg_t WHERE id = 1")
+    rw.flush()
+    assert(mv.df.collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet ==
+      Set((0L, null, null)), "a global aggregate over empty input keeps its row")
+    rw.close()
+  }
+
+  test("float SUM/AVG fold only under the tolerance flag; Kahan state stays close") {
+    val dschema = StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("x", DoubleType)))
+    // default (exact tier): double sums do NOT fold
+    val rw0 = GraftEngine.open(ConnOptions(), Some(spark))
+    rw0.createTable("daf0_t", dschema, primaryKey = Seq("id"))
+    rw0.mv("SELECT grp, sum(x) AS sx, avg(x) AS ax FROM daf0_t GROUP BY grp", "daf0_mv")
+    assert(!rw0.mvByName("daf0_mv").get.isDeltaAggMode,
+      "double SUM/AVG must stay on touched-group recompute in the exact tier")
+    rw0.close()
+
+    val rw = GraftEngine.open(ConnOptions(foldFloatingPointAgg = true), Some(spark))
+    rw.createTable("daf_t", dschema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, sum(x) AS sx, avg(x) AS ax " +
+      "FROM daf_t GROUP BY grp", "daf_mv")
+    val mv = rw.mvByName("daf_mv").get
+    assert(mv.isDeltaAggMode, "float SUM/AVG must fold under the tolerance flag")
+    val t = rw.table("daf_t").get
+    // many epochs of awkward magnitudes — the shape where naive per-epoch
+    // addition drifts and Kahan compensation holds the error at ~1 ulp
+    val rnd = new scala.util.Random(42)
+    var id = 0L
+    for (_ <- 0 until 12) {
+      val rows = (0 until 50).map { _ =>
+        id += 1
+        Row(id, if (id % 2 == 0) "a" else "b",
+          rnd.nextDouble() * math.pow(10, rnd.nextInt(8)))
+      }
+      t.insert(rows)
+      rw.flush()
+    }
+    val evals = mv.statementEvals
+    // retractions flow through the compensated fold too
+    rw.execute("DELETE FROM daf_t WHERE id % 7 = 0")
+    rw.flush()
+    assert(mv.statementEvals == evals, "float fold must not re-fetch on deletes")
+    val folded = mv.df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val batch = spark.sql(
+      "SELECT grp, count(*) AS n, sum(x) AS sx, avg(x) AS ax FROM daf_t GROUP BY grp")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(folded.keySet == batch.keySet)
+    folded.foreach { case (g, (n, sx, ax)) =>
+      val (bn, bsx, bax) = batch(g)
+      assert(n == bn)
+      assert(math.abs(sx - bsx) <= math.ulp(bsx) * 64,
+        s"group $g folded sum $sx drifted from batch $bsx")
+      assert(math.abs(ax - bax) <= math.ulp(bax) * 64,
+        s"group $g folded avg $ax drifted from batch $bax")
+    }
+    rw.close()
+  }
 }
