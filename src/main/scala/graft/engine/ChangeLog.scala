@@ -111,6 +111,34 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     // over a one-time materialization, not the raw diff plan).
     // zipWithIndex's indexes are contiguous in partition order, so the
     // stamped offsets follow the global sort exactly as in the narrow path.
+    // Driver-local fast path (round 10): most steady-state epochs' ops
+    // arrive as a LocalRelation (the driver-resident diff tails), whose
+    // rows collect WITHOUT a Spark job (LocalTableScan.executeCollect).
+    // Stamp them driver-side, seed the fetch tail cache with the stamped
+    // rows (so the immediate downstream dfAfter/fetch serves with zero
+    // jobs), and spend the epoch's only cluster work on the one-file
+    // segment write.
+    val localPlan = !wide &&
+      ops.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    if (localPlan) {
+      val raw = ops.toDF().collect()
+      if (raw.isEmpty) return
+      val stampedRows: IndexedSeq[Row] = raw.iterator.zipWithIndex.map {
+        case (r, i) => Row.fromSeq(r.toSeq :+ (base + 1 + i))
+      }.toIndexedSeq
+      val n = raw.length.toLong
+      val staging = s"$spillDir/staging-$base"
+      spark.createDataFrame(java.util.Arrays.asList(stampedRows: _*), changeSchema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val path = SegmentFiles.path(spillDir, base + 1, base + n, n)
+      SegmentFiles.commit(staging, path)
+      segments += ((base + 1, base + n, path, n))
+      if (n <= tailCacheMaxRows) tailCache = Some((path, stampedRows))
+      lastTs = base + n
+      notifyAll()
+      return
+    }
     val acc = spark.sparkContext.longAccumulator
     val srcRdd =
       if (wide) ops.toDF().localCheckpoint(true).rdd
@@ -146,11 +174,20 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     * [[fetchAfter]] keeps. */
   def dfAfter(after: Long): DataFrame = synchronized {
     import org.apache.spark.sql.functions.col
-    val segs = segments.filter(_._2 > after).map(_._3).toList
-    if (segs.isEmpty)
-      spark.createDataFrame(java.util.List.of[Row](), changeSchema)
-    else spark.read.parquet(segs: _*).filter(col("rw_timestamp") > after)
-      .localCheckpoint(true)
+    val segs = segments.filter(_._2 > after).toList
+    segs match {
+      case Nil => spark.createDataFrame(java.util.List.of[Row](), changeSchema)
+      // the single newest segment with its rows already driver-cached
+      // (appendDF's local fast path, or a prior fetch) — serve a
+      // LocalRelation: zero jobs, no checkpoint needed, and the consumer's
+      // delta slices stay local too
+      case (_, _, path, _) :: Nil if tailCache.exists(_._1 == path) =>
+        val rows = tailCache.get._2.filter(r => r.getLong(r.length - 1) > after)
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), changeSchema)
+      case _ =>
+        spark.read.parquet(segs.map(_._3): _*).filter(col("rw_timestamp") > after)
+          .localCheckpoint(true)
+    }
   }
 
   /** Driver-cached rows of ONE segment — the hot FETCH path. A caught-up
@@ -161,7 +198,10 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
     * cached) and served from memory until a newer segment commits. Keyed
     * by segment path, so append/prune/purge invalidate by construction. */
   private var tailCache: Option[(String, IndexedSeq[Row])] = None
-  private val tailCacheMaxRows = 10000L
+  // sized like the other driver-tail bounds (cascadeLocalMax et al.): big
+  // enough that a steady-state epoch's ops segment stays cached for the
+  // immediate dfAfter/fetch consumer, small enough for driver heap
+  private val tailCacheMaxRows = 50000L
 
   /** Rows with offset strictly greater than `after`, up to `limit` — the
     * client FETCH boundary: an offset-filtered ordered scan of the

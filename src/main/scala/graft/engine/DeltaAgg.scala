@@ -298,10 +298,14 @@ private[engine] object DeltaAgg {
     * their Deletes). */
   def merge(state: DataFrame, addAux: DataFrame, delAux: DataFrame,
             spec: Spec,
-            refetch: DataFrame => DataFrame = null): DataFrame = {
+            refetch: DataFrame => DataFrame = null,
+            /** Precomputed touched-key frame (ideally a LocalRelation, so
+              * the semi/anti broadcast builds are job-free); None =
+              * derive from the partials. */
+            touchedHint: Option[DataFrame] = None): DataFrame = {
     if (spec.needJoinMerge) {
       require(refetch != null, "extremum/float specs need a refetch callback")
-      return mergeJoin(state, addAux, delAux, spec, refetch)
+      return mergeJoin(state, addAux, delAux, spec, refetch, touchedHint)
     }
     val keys = spec.keyOutNames
     val auxCols = spec.auxNames
@@ -319,8 +323,8 @@ private[engine] object DeltaAgg {
           checkedCast(col(c), state.schema(c).dataType).as(c)
         }: _*)
     }
-    val touched = addAux.select(keys.map(col): _*)
-      .union(delAux.select(keys.map(col): _*)).distinct()
+    val touched = touchedHint.getOrElse(addAux.select(keys.map(col): _*)
+      .union(delAux.select(keys.map(col): _*)).distinct())
     val kr = touched.toDF(keys.map(k => s"__k_$k"): _*)
     def keyCond(df: DataFrame) =
       keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
@@ -355,7 +359,8 @@ private[engine] object DeltaAgg {
     * below the source re-aggregation). */
   private def mergeJoin(state: DataFrame, addAux0: DataFrame,
                         delAux0: DataFrame, spec: Spec,
-                        refetch: DataFrame => DataFrame): DataFrame = {
+                        refetch: DataFrame => DataFrame,
+                        touchedHint: Option[DataFrame] = None): DataFrame = {
     val keys = spec.keyOutNames
     val auxCols = spec.auxNames
     // one partial row per key per side: multi-source epochs union one
@@ -398,8 +403,8 @@ private[engine] object DeltaAgg {
         // partial row per side
         sr.crossJoin(ar).crossJoin(dr)
       else {
-        val touched = addG.select(keys.map(col): _*)
-          .union(delG.select(keys.map(col): _*)).distinct()
+        val touched = touchedHint.getOrElse(addG.select(keys.map(col): _*)
+          .union(delG.select(keys.map(col): _*)).distinct())
         val kr = touched.toDF(keys.map(k => s"__k_$k"): _*)
         def keyCond(df: DataFrame) =
           keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)

@@ -1687,11 +1687,19 @@ final class MaterializedView private[engine](
     val spec = deltaAggSpec.get
     val tempViews = scala.collection.mutable.ArrayBuffer[String]()
     try {
+      // single-source epochs: `ops` is already a checkpointed changelog
+      // read and each sign slice feeds exactly one aux evaluation, so
+      // re-materializing the slices only added two jobs per epoch (epoch
+      // latency is job-count-bound). Multi-source epochs keep the
+      // checkpoints — the slices feed the telescoped terms AND the netted
+      // OLD-snapshot reconstruction.
+      val single = changed.size == 1
       val parts = changed.map { case (u, ops) =>
-        val adds = ops.filter(col("op").isin(
-          Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op").localCheckpoint(true)
-        val dels = ops.filter(col("op").isin(
-          Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op").localCheckpoint(true)
+        def slice(d: DataFrame) = if (single) d else d.localCheckpoint(true)
+        val adds = slice(ops.filter(col("op").isin(
+          Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op"))
+        val dels = slice(ops.filter(col("op").isin(
+          Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op"))
         (u, adds, dels)
       }
       parts.foreach { case (u, adds, dels) =>
@@ -1731,9 +1739,44 @@ final class MaterializedView private[engine](
           spark.sql(termSql(s"__da_del_${u.viewName}")).queryExecution.analyzed)
         (addAux, delAux)
       }
-      val addAux = timed("delta-aux")(
-        partials.map(_._1).reduce(_ unionByName _).localCheckpoint(true))
-      val delAux = partials.map(_._2).reduce(_ unionByName _).localCheckpoint(true)
+      // ONE materialization for both sign sides (the old per-side
+      // checkpoints were two separate jobs; epoch latency is
+      // job-count-bound): union with a sign tag and evaluate once. The
+      // partials are GROUPED (≤ one row per touched key per term), so they
+      // normally land driver-side as LocalRelations — every downstream
+      // broadcast (the merge's touched-key semi/anti, the diff's restrict)
+      // then builds job-free, and the touched-key frame derives with no
+      // distinct shuffle. Oversized epochs (backfill-class touch sets)
+      // fall back to the distributed checkpoint spelling.
+      val bothPlan = partials.map(_._1).reduce(_ unionByName _)
+        .withColumn("__sgn", org.apache.spark.sql.functions.lit(1))
+        .unionByName(partials.map(_._2).reduce(_ unionByName _)
+          .withColumn("__sgn", org.apache.spark.sql.functions.lit(-1)))
+      val auxRows = timed("delta-aux")(
+        bothPlan.limit(cascadeLocalMax + 1).collect())
+      val (addAux, delAux, touchedLocal) =
+        if (auxRows.length <= cascadeLocalMax) {
+          val sch = org.apache.spark.sql.types.StructType(
+            bothPlan.schema.fields.dropRight(1))
+          val tagIdx = sch.length
+          def untag(r: Row) = Row.fromSeq(r.toSeq.dropRight(1))
+          val adds = auxRows.iterator.filter(_.getInt(tagIdx) == 1)
+            .map(untag).toIndexedSeq
+          val dels = auxRows.iterator.filter(_.getInt(tagIdx) == -1)
+            .map(untag).toIndexedSeq
+          val keyIdx = spec.keys.map(sch.fieldIndex)
+          val tkeys = (adds.iterator ++ dels.iterator)
+            .map(r => keyIdx.map(r.get).toList).toSet
+          val keySchema = org.apache.spark.sql.types.StructType(
+            spec.keys.map(k => sch(sch.fieldIndex(k))))
+          val tdf = localDf(tkeys.iterator.map(Row.fromSeq(_)).toIndexedSeq, keySchema)
+          (localDf(adds, sch), localDf(dels, sch), Some(tdf))
+        } else {
+          val bothAux = bothPlan.localCheckpoint(true)
+          (bothAux.filter(col("__sgn") === 1).drop("__sgn"),
+            bothAux.filter(col("__sgn") === -1).drop("__sgn"),
+            None)
+        }
       // extremum re-fetch (MIN/MAX slots): recompute EXACTLY the groups
       // whose carried extremum a retraction may have removed, against the
       // sources' current snapshots — the semi-join pushes below the
@@ -1751,10 +1794,19 @@ final class MaterializedView private[engine](
             "left_semi")
         }
       }
-      val newAux = timed("state-merge")(
-        DeltaAgg.merge(auxState.get, addAux, delAux, spec, refetch)
-          .localCheckpoint(true))
-      Some((newAux, DeltaAgg.touchedKeys(addAux, delAux, spec)))
+      // bounded aux state lands driver-side (LocalRelation): the next
+      // epoch's merge probes it job-free and the visible/diff evaluations
+      // plan without exchanges; past the bound the distributed checkpoint
+      // is the 100 TB path
+      val merged = DeltaAgg.merge(auxState.get, addAux, delAux, spec,
+        refetch, touchedLocal)
+      val newAux = timed("state-merge") {
+        val probe = merged.limit(cascadeLocalMax + 1).collect()
+        if (probe.length <= cascadeLocalMax) localDf(probe.toIndexedSeq, merged.schema)
+        else merged.localCheckpoint(true)
+      }
+      Some((newAux,
+        touchedLocal.getOrElse(DeltaAgg.touchedKeys(addAux, delAux, spec))))
     } catch { case _: Throwable =>
       deltaAggSpec = None
       None

@@ -289,14 +289,19 @@ object Changelog {
       keyCols: Seq[String], bound: Int): DataFrame = {
     val schema = next.schema
     val local = {
-      val nextRows = next.limit(bound + 1).collect()
-      if (nextRows.length > bound) None
-      else {
-        val prevRows = prev.limit(bound + 1).collect()
-        if (prevRows.length > bound) None
-        else localKeyedDiff(prevRows.toIndexedSeq, nextRows.toIndexedSeq,
-          keyCols.map(schema.fieldIndex).toArray, schema)
-      }
+      // ONE side-tagged collect for both frames (the separate per-side
+      // limit-collects were two jobs; both sides are delta-bounded by
+      // construction, so the fused job is the same size class)
+      val cols = schema.fieldNames.toIndexedSeq.map(col)
+      val tagged = prev.select(cols :+ lit(0).as("__side"): _*)
+        .unionByName(next.select(cols :+ lit(1).as("__side"): _*))
+        .limit(2 * bound + 2).collect()
+      val (prevT, nextT) = tagged.partition(_.getInt(schema.length) == 0)
+      def untag(r: Row) = Row.fromSeq(r.toSeq.dropRight(1))
+      if (prevT.length > bound || nextT.length > bound) None
+      else localKeyedDiff(prevT.iterator.map(untag).toIndexedSeq,
+        nextT.iterator.map(untag).toIndexedSeq,
+        keyCols.map(schema.fieldIndex).toArray, schema)
     }
     local match {
       case Some(ops) =>
