@@ -670,6 +670,71 @@ object StreamingParity {
       materialized
     },
 
+    // Streaming pipeline composition (round 10): the pretraining pipeline
+    // verified batch as x_pipeline_pretrain, composed as CHAINED MVs over
+    // a live PK document table — quality-filter MV (linear changelog fold)
+    // → exact-dedup MV (changelog cascade on the filter's ops) →
+    // per-language rollup (cascade on the dedup's ops) — with every level
+    // mode-asserted and a mid-replay DELETE retracting documents through
+    // all three levels. This is the operator×runtime composition at the
+    // heart of the engine: the oracle replays the same timeline in DuckDB
+    // and hash-compares the final rollup.
+    q("m_mv_pipeline_incremental",
+      s"""WITH pos AS (SELECT doc_id, text, lang, n_chars,
+         |    CAST((row_number() OVER (ORDER BY doc_id) - 1) //
+         |      (((SELECT count(*) FROM documents) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM documents),
+         |live AS (SELECT * FROM pos WHERE NOT (n_chars % 5 = 2 AND chunk <= 3)),
+         |kept AS (SELECT doc_id, lower(trim(text)) AS norm, lang FROM live
+         |  WHERE length(text) >= 80
+         |    AND length(text) - length(replace(text, ' ', '')) >= 10),
+         |ded AS (SELECT md5(norm) AS fp, min(doc_id) AS doc_id,
+         |    arg_min(lang, doc_id) AS lang, count(*) AS dups
+         |  FROM kept GROUP BY md5(norm))
+         |SELECT lang, count(*) AS n_docs, CAST(SUM(dups) AS BIGINT) AS n_total
+         |FROM ded GROUP BY lang""".stripMargin) { (s, dir) =>
+      val docSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val t = rw.createTable("m_pl_docs", docSchema, primaryKey = Seq("doc_id"))
+      rw.mv("""SELECT doc_id, lower(trim(text)) AS norm, lang FROM m_pl_docs
+        |WHERE length(text) >= 80
+        |  AND length(text) - length(replace(text, ' ', '')) >= 10""".stripMargin,
+        "m_pl_keep")
+      rw.mv("""SELECT md5(norm) AS fp, min(doc_id) AS doc_id,
+        |  min_by(lang, doc_id) AS lang, count(*) AS dups
+        |FROM m_pl_keep GROUP BY md5(norm)""".stripMargin, "m_pl_dedup")
+      rw.mv("""SELECT lang, count(*) AS n_docs, CAST(SUM(dups) AS BIGINT) AS n_total
+        |FROM m_pl_dedup GROUP BY lang""".stripMargin, "m_pl_roll")
+      val keep = rw.mvByName("m_pl_keep").get
+      val ded = rw.mvByName("m_pl_dedup").get
+      val roll = rw.mvByName("m_pl_roll").get
+      require(keep.isDeltaJoinMode,
+        "quality-filter level must fold the document changelog")
+      require(ded.isChangelogCascadeMode,
+        "dedup level must cascade on the filter MV's changelog")
+      require(roll.isChangelogCascadeMode,
+        "rollup level must cascade on the dedup MV's changelog")
+      val rows = Tables(s, dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .collect().sortBy(_.getLong(0))
+      var i = 0
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        if (i == 4) {
+          rw.execute("DELETE FROM m_pl_docs WHERE n_chars % 5 = 2")
+          require(keep.isDeltaJoinMode && ded.isChangelogCascadeMode,
+            "the retraction wave must not demote any pipeline level")
+        }
+        t.insert(chunk.toSeq); rw.flush(); i += 1
+      }
+      require(keep.isDeltaJoinMode && ded.isChangelogCascadeMode &&
+        roll.isChangelogCascadeMode)
+      val materialized = roll.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // MIN/MAX delta-accumulation (round 10): non-invertible extremum
     // aggregates fold the upsert table's changelog — inserts fold directly
     // (greatest/least of carried and delta), and only a retraction that
