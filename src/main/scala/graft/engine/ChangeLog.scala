@@ -224,7 +224,19 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
           .filter(r => r.getLong(r.length - 1) > after).take(limit).toSeq
       case _ =>
         import org.apache.spark.sql.functions.col
-        spark.read.parquet(segs.map(_._3): _*)
+        // segment pruning (round 10): segments are offset-ordered and
+        // disjoint, so a FETCH of `limit` rows needs only the prefix of
+        // segments whose fully-qualifying row counts (minTs > after — all
+        // but possibly the first overlapping segment) reach the limit; a
+        // multi-gigabyte retained log must not be scanned to serve a
+        // 10-row catch-up batch
+        var acc = 0L
+        val take = segs.takeWhile { case (min, _, _, cnt) =>
+          val need = acc < limit
+          if (min > after) acc += cnt
+          need
+        }
+        spark.read.parquet(take.map(_._3): _*)
           .filter(col("rw_timestamp") > after)
           .orderBy("rw_timestamp")
           .limit(limit)

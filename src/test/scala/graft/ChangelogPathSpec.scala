@@ -221,6 +221,46 @@ class ChangelogPathSpec extends SparkSpec {
     rw2.close()
   }
 
+  test("catch-up FETCH scans only the segment prefix that serves the limit") {
+    // round-10 stretch: a 10-row FETCH against a long retained log must
+    // not scan every parquet segment — segments are offset-ordered, so the
+    // prefix whose counts reach the limit suffices. Pinned by task input
+    // metrics: records read during the fetch stay bounded by the first
+    // segments, not the whole log.
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("clf_t", schema)
+    rw.mv("SELECT k, v FROM clf_t", "clf_mv")
+    val t = rw.table("clf_t").get
+    for (epoch <- 0 until 20) {
+      t.insert((0 until 100).map(i => Row(s"k$epoch-$i", i.toDouble)))
+      rw.flush()
+    }
+    val mv = rw.mvByName("clf_mv").get
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val sub = mv.subscription().declareCursor(Some(0L))
+      val batch = sub.fetch(10)
+      assert(batch.size == 10)
+      Thread.sleep(1000) // listener events deliver asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get() <= 200,
+      s"a 10-row catch-up FETCH over a 2000-row log read ${recordsRead.get()} records — " +
+        "segment pruning must bound the scan to the serving prefix")
+    // and the cursor still drains the WHOLE log correctly across batches
+    val sub2 = rw.mvByName("clf_mv").get.subscription().declareCursor(Some(0L))
+    val all = Iterator.continually(sub2.fetch(500)).takeWhile(_.nonEmpty).flatten.toSeq
+    assert(all.size == 2000)
+    val offs = all.map(r => r.getLong(r.length - 1))
+    assert(offs == offs.sorted && offs.distinct.size == offs.size)
+    rw.close()
+  }
+
   test("backfill epoch writes a multi-partition segment; steady state stays one file") {
     // round-10 verdict item 5: the initial-backfill delta is the WHOLE
     // statement result — funnelling it through one sort+write task is the
