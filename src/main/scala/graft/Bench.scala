@@ -53,18 +53,27 @@ object Bench {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** (MV definitions, expected-mode probe) per streaming entry. The probe
-    * guards against a silent fall-back to batch re-run, which would time a
-    * different (cheaper-per-epoch at this scale) code path. */
-  private def streamDefs: Seq[(String, Seq[(String, String)], graft.engine.GraftEngine => Boolean, Boolean)] = Seq(
-    ("s_mv_tumble_maintain", Seq(
+  /** One streaming bench entry: MV definitions, an expected-mode probe
+    * (guards against a silent fall-back to batch re-run, which would time
+    * a different — cheaper-per-epoch at this scale — code path), whether
+    * the replay table carries a PK, and an optional pre-MV setup hook
+    * (auxiliary tables, e.g. the outer-join dimension). */
+  private final case class StreamDef(
+      name: String,
+      mvs: Seq[(String, String)],
+      probe: graft.engine.GraftEngine => Boolean,
+      pkTable: Boolean,
+      setup: graft.engine.GraftEngine => Unit = _ => ())
+
+  private def streamDefs: Seq[StreamDef] = Seq(
+    StreamDef("s_mv_tumble_maintain", Seq(
       ("bm_tw",
         """SELECT window_start, event_type, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM tumble(bench_ev, ts, interval '10 minutes')
           |GROUP BY window_start, event_type""".stripMargin)),
       rw => rw.mvByName("bm_tw").exists(_.isStreamingMode), false),
-    ("s_mv_cascade_epoch", Seq(
+    StreamDef("s_mv_cascade_epoch", Seq(
       ("bm_up",
         """SELECT window_start, event_type, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
@@ -75,14 +84,14 @@ object Bench {
           |  CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
           |FROM bm_up GROUP BY date_trunc('hour', window_start), event_type""".stripMargin)),
       rw => rw.mvByName("bm_daily").exists(_.isChangelogCascadeMode), false),
-    ("s_mv_session_maintain", Seq(
+    StreamDef("s_mv_session_maintain", Seq(
       ("bm_sess",
         """SELECT window_start, window_end, event_type, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM session(bench_ev, ts, interval '5 minutes')
           |GROUP BY window_start, window_end, event_type""".stripMargin)),
       rw => rw.mvByName("bm_sess").exists(m => m.isStreamingMode && m.isSessionMode), false),
-    ("s_mv_topn_cascade", Seq(
+    StreamDef("s_mv_topn_cascade", Seq(
       ("bm_top",
         """SELECT user_id, count(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM bench_ev GROUP BY user_id
@@ -94,12 +103,29 @@ object Bench {
         rw.mvByName("bm_roll").exists(_.isChangelogCascadeMode), false),
     // the delta-accumulation home shape (round 9): a keyed COUNT/SUM over
     // a PK table folds the table changelog — no base re-scan per epoch
-    ("s_mv_pkagg_fold", Seq(
+    StreamDef("s_mv_pkagg_fold", Seq(
       ("bm_fold",
         """SELECT user_id % 1000 AS k, count(*) AS n,
           |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
           |FROM bench_ev GROUP BY user_id % 1000""".stripMargin)),
-      rw => rw.mvByName("bm_fold").exists(_.isDeltaAggMode), true))
+      rw => rw.mvByName("bm_fold").exists(_.isDeltaAggMode), true),
+    // LEFT-outer enrichment over a half-covering dimension (round 10): the
+    // fact side streams through the outer-join delta cascade — half the
+    // facts join, half surface null-padded — measuring the linear-side
+    // fold of the newly admitted outer-join IVM path
+    StreamDef("s_mv_left_join_fold", Seq(
+      ("bm_lj",
+        """SELECT e.event_id, d.bucket_name, e.value
+          |FROM bench_ev e LEFT JOIN bench_dim d ON d.uid = e.user_id % 500""".stripMargin)),
+      rw => rw.mvByName("bm_lj").exists(_.isDeltaJoinMode), true,
+      setup = rw => {
+        rw.createTable("bench_dim", StructType(Seq(
+          StructField("uid", LongType), StructField("bucket_name", StringType))),
+          primaryKey = Seq("uid"))
+        rw.table("bench_dim").get.insert(
+          (0 until 250).map(i => org.apache.spark.sql.Row(i.toLong, s"bucket_$i")))
+        rw.flush()
+      }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,9 +177,7 @@ object Bench {
     // epoch's maintenance (diff, changelog append, cascade fold). One
     // sample each — a replay is seconds-scale, so scheduler noise is a
     // small fraction (unlike the sub-second batch queries).
-    def runStream(defs: Seq[(String, String)],
-                  probe: graft.engine.GraftEngine => Boolean,
-                  pkTable: Boolean): (Double, Long, Int) = {
+    def runStream(d: StreamDef): (Double, Long, Int) = {
       import graft.engine.{ConnOptions, GraftEngine}
       import org.apache.spark.sql.functions.col
       // streaming parallelism sized to per-epoch delta volume (8), not the
@@ -162,8 +186,9 @@ object Bench {
         Some(spark))
       try {
         rw.createTable("bench_ev", eventsSchema,
-          primaryKey = if (pkTable) Seq("event_id") else Nil)
-        defs.foreach { case (n, s) => rw.mv(s, n) }
+          primaryKey = if (d.pkTable) Seq("event_id") else Nil)
+        d.setup(rw)
+        d.mvs.foreach { case (n, s) => rw.mv(s, n) }
         val rows = Tables(spark, sfDir, "events")
           .select(eventsSchema.fieldNames.toIndexedSeq.map(col): _*)
           .orderBy("event_id").limit(streamRows).collect()
@@ -180,7 +205,7 @@ object Bench {
           rw.table("bench_ev").get.insert(c.toSeq); rw.flush(); epochs += 1
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (!probe(rw)) {
+        if (!d.probe(rw)) {
           System.err.println("[bench] streaming entry fell back to batch re-run")
           (-1.0, rows.length.toLong, epochs)
         } else (sec, rows.length.toLong, epochs)
@@ -189,9 +214,7 @@ object Bench {
         (-1.0, 0L, 0)
       } finally rw.close()
     }
-    val streamResults = streamDefs.map { case (name, defs, probe, pk) =>
-      (name, runStream(defs, probe, pk))
-    }
+    val streamResults = streamDefs.map(d => (d.name, runStream(d)))
 
     def fmt(v: Double) = "%.3f".format(v)
     val qs = results.map { case (k, ts) =>

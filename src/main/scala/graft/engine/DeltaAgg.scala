@@ -167,7 +167,12 @@ private[engine] object DeltaAgg {
   def admit(analyzed: LogicalPlan, allowFloat: Boolean = false): Option[Spec] = analyzed match {
     case a: Aggregate =>
       val cs = calls(a)
-      if (cs.isEmpty || !cs.forall(admittedCall(_, allowFloat))) return None
+      // cs.isEmpty = a keys-only aggregate (SELECT DISTINCT spelled as
+      // GROUP BY): the fold carries just the group row counter — a group
+      // appears at count > 0 and vanishes at 0, which IS distinct
+      // maintenance. The visibility mapping below still requires every
+      // output to be a grouping key.
+      if (!cs.forall(admittedCall(_, allowFloat))) return None
       // slot layout, by traversal order
       var next = 0
       val slotByCall = new java.util.IdentityHashMap[AggregateExpression, Slot]()

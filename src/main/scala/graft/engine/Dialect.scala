@@ -360,6 +360,40 @@ object Dialect {
     Some((sql.substring(0, oIdx).trim, orderText, limTxt.toInt))
   }
 
+  /** `SELECT DISTINCT list FROM …` → `SELECT list FROM … GROUP BY 1..n`
+    * (positional ordinals, inserted before any top-level
+    * ORDER/LIMIT/OFFSET tail). A DISTINCT projection IS the
+    * grouped-by-every-output aggregate, and the GROUP BY spelling is the
+    * shape the MV cascade maintains incrementally — keys-only
+    * delta-accumulation, so a DISTINCT MV folds its sources' changelogs
+    * instead of batch re-running per FLUSH (round 10). None when the
+    * transform cannot be carried safely: no top-level SELECT DISTINCT,
+    * `DISTINCT ON` (rewritten separately), a top-level set operation (an
+    * appended clause would bind to the LAST branch only), or an existing
+    * top-level GROUP BY (`SELECT DISTINCT agg FROM … GROUP BY k`). Used
+    * ONLY by the MV maintainer's admission — batch queries keep Spark's
+    * own Distinct plan. A miscount (e.g. `DISTINCT *`) yields an ordinal
+    * or ungrouped-column ANALYSIS error, never silent wrong grouping, and
+    * the admission's catch falls back to batch re-run. */
+  private[graft] def distinctToGroupBy(sql: String): Option[String] = {
+    val m = "(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstMatchIn(sql)
+      .getOrElse(return None)
+    if (sql.substring(m.end).trim.toUpperCase.startsWith("ON")) return None
+    if (Seq("UNION", "INTERSECT", "EXCEPT", "GROUP")
+        .exists(topLevelIndexOf(sql, _) >= 0)) return None
+    val fromIdx = topLevelIndexOf(sql, "FROM")
+    if (fromIdx < 0) return None
+    val n = DdlParser.splitTopLevel(sql.substring(m.end, fromIdx))
+      .map(_.trim).count(_.nonEmpty)
+    if (n == 0) return None
+    val stripped = sql.replaceFirst("(?is)^(\\s*SELECT)\\s+DISTINCT\\b", "$1")
+    val groupBy = (1 to n).mkString(" GROUP BY ", ", ", " ")
+    val cut = Seq("ORDER", "LIMIT", "OFFSET")
+      .map(topLevelIndexOf(stripped, _)).filter(_ >= 0)
+      .minOption.getOrElse(stripped.length)
+    Some(stripped.substring(0, cut) + groupBy + stripped.substring(cut))
+  }
+
   /** `SELECT list FROM … GROUP BY g HAVING p` → `SELECT list, (p) AS asCol
     * FROM … GROUP BY g`: folds the HAVING predicate into the aggregate's
     * own output as a boolean column, so a cascade MV can maintain the

@@ -1398,6 +1398,13 @@ final class MaterializedView private[engine](
     * snapshot side must never shuffle for a delta-sized probe). */
   @volatile private[graft] var lastJoinEpochPlan: Option[String] = None
 
+  /** Optimized plan of the last restricted-difference (+) term (outer-join
+    * epochs where the null-padded side changed) — spec pin: the linear
+    * side is probed by a LeftSemi join whose right side broadcasts, so
+    * neither the linear subtree nor the join's base nonlinear side ever
+    * shuffles for a delta-sized change. */
+  @volatile private[graft] var lastOuterTermPlan: Option[String] = None
+
   /** How many times the FULL defining statement has been evaluated over
     * source data (batch refresh epochs + cascade backfills/recomputes) —
     * spec probe proving a durable reopen restores the snapshot instead of
@@ -1453,7 +1460,11 @@ final class MaterializedView private[engine](
     if (ups.isEmpty && tbls.isEmpty) return false
     val preOffset = changeLog.latestOffset
     try {
-      val rewritten = engine.rewrite(stmt)
+      // SELECT DISTINCT == group-by-every-output: the GROUP BY spelling is
+      // the one the cascade maintains incrementally (keys-only fold /
+      // touched-group recompute); batch queries keep Spark's Distinct plan
+      val rewritten0 = engine.rewrite(stmt)
+      val rewritten = Dialect.distinctToGroupBy(rewritten0).getOrElse(rewritten0)
       // HAVING does not demote the chain to batch re-run: the predicate
       // folds into the aggregate's own select list as a boolean column, so
       // state maintenance and touched-key detection run on the PRE-HAVING
@@ -2224,6 +2235,7 @@ final class MaterializedView private[engine](
           val payload = adds.unionByName(dels)
           val plus = restrictOuterToDelta(spark.sql(sqlNew), u.viewName, payload)
             .select(outCols.map(col): _*).withColumn("__d", lit(1L))
+          lastOuterTermPlan = Some(plus.queryExecution.optimizedPlan.toString)
           val minus = restrictOuterToDelta(spark.sql(sqlOld),
               s"__jc_old_${u.viewName}", payload)
             .select(outCols.map(col): _*).withColumn("__d", lit(-1L))

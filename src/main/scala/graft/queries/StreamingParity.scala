@@ -776,6 +776,34 @@ object StreamingParity {
       materialized
     },
 
+    // SELECT DISTINCT as an incrementally-maintained MV (round 10): the
+    // maintainer respells DISTINCT as group-by-every-output and folds the
+    // source changelog with keys-only delta-accumulation — a distinct row
+    // appears when its multiplicity rises above zero and vanishes when the
+    // last contributing input retracts. Upsert overwrites move rows
+    // between buckets throughout the replay, so multiplicities rise AND
+    // fall; mode-asserted (a silent batch re-run would match values).
+    q("m_mv_distinct_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT DISTINCT CAST(user_id % 20 AS BIGINT) AS bucket,
+        |  CAST(floor(value / 10) AS BIGINT) AS vb
+        |FROM latest""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_dst_t", Seq(("m_dst_mv",
+        """SELECT DISTINCT user_id % 20 AS bucket,
+          |  CAST(floor(value / 10) AS BIGINT) AS vb
+          |FROM m_dst_t""".stripMargin)))
+      val mv = rw.mvByName("m_dst_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "DISTINCT over an upsert table must fold keys-only (round 10)")
+      require(mv.statementEvals <= 1,
+        "distinct-fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // Float SUM/AVG fold under the tolerance tier (round 10): with
     // `foldFloatingPointAgg` on, double sums fold with Kahan-compensated
     // carried state. The hash gate still applies — both sides round to 4

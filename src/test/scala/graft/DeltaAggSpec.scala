@@ -297,6 +297,40 @@ class DeltaAggSpec extends SparkSpec {
     rw2.close()
   }
 
+  test("SELECT DISTINCT maintains as a keys-only fold (no re-scan, groups vanish)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dad_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT DISTINCT grp, v FROM dad_t", "dad_mv")
+    val mv = rw.mvByName("dad_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "DISTINCT must maintain as a keys-only delta-accumulation (round 10)")
+    def rows: Set[(String, Any)] =
+      mv.df.collect().map(r => (r.getString(0), r.get(1))).toSet
+    val t = rw.table("dad_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 10L), Row(3L, "b", 5L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(rows == Set(("a", 10L), ("b", 5L)), "duplicates collapse")
+
+    t.insert(Seq(Row(4L, "a", 20L)))
+    rw.flush()
+    assert(rows == Set(("a", 10L), ("a", 20L), ("b", 5L)))
+
+    // upsert moves id=2 out of (a,10): multiplicity 2 → 1, row survives
+    t.insert(Seq(Row(2L, "b", 5L)))
+    rw.flush()
+    assert(rows == Set(("a", 10L), ("a", 20L), ("b", 5L)))
+
+    // last (a,10) input retracts: the distinct row must vanish
+    rw.execute("DELETE FROM dad_t WHERE id = 1")
+    rw.flush()
+    assert(rows == Set(("a", 20L), ("b", 5L)))
+    assert(mv.statementEvals == evals,
+      "distinct-fold epochs must not re-evaluate the statement")
+    assert(mv.isDeltaAggMode)
+    rw.close()
+  }
+
   test("MIN/MAX fold: inserts fold directly; only extremum retractions re-fetch") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("dam_t", schema, primaryKey = Seq("id"))

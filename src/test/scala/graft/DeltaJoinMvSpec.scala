@@ -459,6 +459,29 @@ class DeltaJoinMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("outer-side delta epoch plan: LeftSemi restriction with a broadcast probe") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djlp_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djlp_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djlp_ev e " +
+      "LEFT JOIN djlp_user u ON u.uid = e.user_id", "djlp_mv")
+    val mv = rw.mvByName("djlp_mv").get
+    assert(mv.isDeltaJoinMode)
+    rw.table("djlp_ev").get.insert(Seq(Row(10L, 1L, 5.0)))
+    rw.flush()
+    // dim-side delta → the restricted-difference term runs and records
+    rw.table("djlp_user").get.insert(Seq(Row(1L, "ann")))
+    rw.flush()
+    assert(joinRows(mv) == Set((10L, "ann", 5.0)))
+    val plan = mv.lastOuterTermPlan.getOrElse(
+      fail("no restricted-difference term plan was recorded"))
+    assert(plan.contains("LeftSemi"),
+      s"the linear side must be restricted by a semi join:\n$plan")
+    assert(plan.contains("strategy=broadcast"),
+      s"the restriction probe must broadcast (linear side never shuffles):\n$plan")
+    rw.close()
+  }
+
   test("FULL outer join stays on the always-correct batch fallback") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("djo_ev", evSchema, primaryKey = Seq("event_id"))
@@ -481,14 +504,14 @@ class DeltaJoinMvSpec extends SparkSpec {
 
   test("insert + same-row update between refreshes leaves no phantom in the OLD snapshot") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
-    rw.createTable("djp_ev", evSchema, primaryKey = Seq("event_id"))
-    rw.createTable("djp_user", userSchema, primaryKey = Seq("uid"))
-    rw.mv("SELECT e.event_id, u.name, e.value FROM djp_ev e " +
-      "JOIN djp_user u ON u.uid = e.user_id", "djp_mv")
-    val mv = rw.mvByName("djp_mv").get
+    rw.createTable("djph_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djph_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djph_ev e " +
+      "JOIN djph_user u ON u.uid = e.user_id", "djph_mv")
+    val mv = rw.mvByName("djph_mv").get
     assert(mv.isDeltaJoinMode)
-    val ev = rw.table("djp_ev").get
-    val us = rw.table("djp_user").get
+    val ev = rw.table("djph_ev").get
+    val us = rw.table("djph_user").get
     us.insert(Seq(Row(1L, "ann")))
     ev.insert(Seq(Row(10L, 1L, 5.0)))
     rw.flush()
@@ -501,12 +524,12 @@ class DeltaJoinMvSpec extends SparkSpec {
     // (5,'eve') row and the new fact would join it, leaking an extra
     // output row that no batch evaluation ever produces.
     us.insert(Seq(Row(5L, "eve")))
-    rw.execute("UPDATE djp_user SET name = 'EVE' WHERE uid = 5")
+    rw.execute("UPDATE djph_user SET name = 'EVE' WHERE uid = 5")
     // same shape on the fact side (insert + same-row update in one window),
     // so WHICHEVER source the telescoping reconstructs as OLD exposes a
     // phantom if the window is not netted first
     ev.insert(Seq(Row(20L, 5L, 9.0), Row(21L, 5L, 2.0)))
-    rw.execute("UPDATE djp_ev SET value = 2.5 WHERE event_id = 21")
+    rw.execute("UPDATE djph_ev SET value = 2.5 WHERE event_id = 21")
     rw.flush()
     assert(joinRows(mv) ==
       Set((10L, "ann", 5.0), (20L, "EVE", 9.0), (21L, "EVE", 2.5)),
