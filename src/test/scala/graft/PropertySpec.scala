@@ -397,4 +397,50 @@ class PropertySpec extends SparkSpec {
       assert(mv.isDeltaJoinMode, "the delta-join must survive the whole interleaving")
     }
   }
+
+  test("LEFT-join MV equals batch under random two-sided interleavings (round 10)") {
+    // the outer-join delta cascade: null-padded rows must appear/retract
+    // exactly as match counts cross zero under any interleaving of fact
+    // inserts, dim upserts, and DELETEs on BOTH sides — checked against a
+    // fresh batch LEFT JOIN at every flush
+    for (scenario <- 1 to 3) {
+      val evT = s"ljp_e_$scenario"; val usT = s"ljp_u_$scenario"
+      rw.createTable(evT, StructType(Seq(StructField("eid", LongType),
+        StructField("uid", LongType), StructField("v", LongType))),
+        primaryKey = Seq("eid"))
+      rw.createTable(usT, StructType(Seq(StructField("uid", LongType),
+        StructField("nm", StringType))), primaryKey = Seq("uid"))
+      val mv = rw.mv(s"SELECT e.eid, u.nm, e.v FROM $evT e " +
+        s"LEFT JOIN $usT u ON u.uid = e.uid", s"ljp_mv_$scenario")
+      assert(mv.isDeltaJoinMode)
+      sealed trait K
+      case object Ev extends K; case object Us extends K
+      case object DelE extends K; case object DelU extends K
+      case object Fl extends K
+      val gen = for {
+        kind <- Gen.frequency(4 -> Ev, 3 -> Us, 1 -> DelE, 1 -> DelU, 2 -> Fl)
+        eid <- Gen.choose(1L, 15L)
+        uid <- Gen.choose(1L, 6L)
+        v <- Gen.choose(0L, 99L)
+        nm <- Gen.oneOf("ann", "bob", "cat")
+      } yield (kind, eid, uid, v, nm)
+      def rowsOf(sql: String): Seq[(Long, Option[String], Long)] =
+        rw.fetch(sql).map(r =>
+          (r.getLong(0), Option(r.getString(1)), r.getLong(2))).sorted
+      sample(Gen.listOfN(50, gen), seed = 14000 + scenario).foreach {
+        case (Ev, eid, uid, v, _) => rw.table(evT).get.insert(Seq(Row(eid, uid, v)))
+        case (Us, _, uid, v, nm) => rw.table(usT).get.insert(Seq(Row(uid, s"$nm$v")))
+        case (DelE, eid, _, _, _) => rw.execute(s"DELETE FROM $evT WHERE eid = $eid")
+        case (DelU, _, uid, _, _) => rw.execute(s"DELETE FROM $usT WHERE uid = $uid")
+        case (Fl, _, _, _, _) =>
+          rw.flush()
+          val inc = rowsOf(s"SELECT * FROM ljp_mv_$scenario")
+          val batch = rowsOf(s"SELECT e.eid, u.nm, e.v FROM $evT e " +
+            s"LEFT JOIN $usT u ON u.uid = e.uid")
+          assert(inc == batch, s"scenario $scenario: $inc vs $batch")
+      }
+      rw.flush()
+      assert(mv.isDeltaJoinMode, "the outer delta-join must survive the whole interleaving")
+    }
+  }
 }
