@@ -2103,8 +2103,18 @@ final class MaterializedView private[engine](
                       (j ne allowedOuter) => true
       case _ =>
         p.expressions.exists(_.exists(e =>
-          e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression] ||
-            !e.deterministic)) ||
+          (e match {
+            // a subquery over ONLY static (non-changelog) relations is a
+            // per-epoch constant predicate/value — it does not break
+            // linearity in the live sources (round 10: `WHERE x IN
+            // (SELECT … FROM static_dim)` MVs fold). A subquery that
+            // reads a changelog source stays rejected: the telescoped
+            // rebinding would bind the source's delta INSIDE the
+            // subquery, which is not a linear slot.
+            case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+              boundarySourcesIn(sq.plan, boundary).nonEmpty
+            case _ => false
+          }) || !e.deterministic)) ||
           p.children.exists(nonLinearIn(_, boundary, allowedOuter))
     }
   }

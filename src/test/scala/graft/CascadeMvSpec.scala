@@ -278,4 +278,41 @@ class CascadeMvSpec extends SparkSpec {
     assert(rw.mvByName("cas_a3").isEmpty)
     rw.close()
   }
+
+  test("aggregate over a LEFT JOIN of live tables cascades; late dims move groups") {
+    // recompute-mode cascade over an outer join (the fold stays off: the
+    // null-padded side is not linear, so the delta-restricted touched-group
+    // recompute is the incremental path). A late dim arrival must move
+    // facts OUT of the NULL-padded group and into the named one.
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    val factSchema = StructType(Seq(StructField("fid", LongType),
+      StructField("uid", LongType), StructField("v", LongType)))
+    val dimSchema = StructType(Seq(StructField("uid", LongType),
+      StructField("nm", StringType)))
+    rw.createTable("clj_f", factSchema, primaryKey = Seq("fid"))
+    rw.createTable("clj_d", dimSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT d.nm AS label, count(*) AS n, CAST(sum(f.v) AS BIGINT) AS sv " +
+      "FROM clj_f f LEFT JOIN clj_d d ON d.uid = f.uid GROUP BY d.nm", "clj_mv")
+    val mv = rw.mvByName("clj_mv").get
+    assert(mv.isChangelogCascadeMode && !mv.isDeltaAggMode,
+      "agg-over-outer-join must cascade by touched-group recompute")
+    def groups: Map[Option[String], (Long, Long)] =
+      mv.df.collect().map(r =>
+        Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val f = rw.table("clj_f").get
+    val d = rw.table("clj_d").get
+    f.insert(Seq(Row(1L, 10L, 5L), Row(2L, 10L, 7L), Row(3L, 20L, 1L)))
+    rw.flush()
+    assert(groups == Map(None -> ((3L, 13L))), "all facts pad into the NULL group")
+    d.insert(Seq(Row(10L, "ann")))
+    rw.flush()
+    assert(groups == Map(Some("ann") -> ((2L, 12L)), None -> ((1L, 1L))),
+      "a late dim must move its facts out of the NULL group")
+    rw.execute("DELETE FROM clj_d WHERE uid = 10")
+    rw.flush()
+    assert(groups == Map(None -> ((3L, 13L))),
+      "deleting the dim must move the facts back to the NULL group")
+    assert(mv.isChangelogCascadeMode)
+    rw.close()
+  }
 }

@@ -482,6 +482,45 @@ class DeltaJoinMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("static-only subquery filters keep the fold; live-table subqueries fall back") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.List.of[Row](Row(1L), Row(3L)),
+      StructType(Seq(StructField("uid", LongType))))
+      .createOrReplaceTempView("djsq_dim") // static — no changelog
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djsq_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.mv("SELECT event_id, user_id, value FROM djsq_ev " +
+      "WHERE user_id IN (SELECT uid FROM djsq_dim)", "djsq_mv")
+    val mv = rw.mvByName("djsq_mv").get
+    assert(mv.isDeltaJoinMode,
+      "a subquery over ONLY static relations is linear in the live source (round 10)")
+    val ev = rw.table("djsq_ev").get
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 2L, 7.0), Row(12L, 3L, 9.0)))
+    rw.flush()
+    def rows = mv.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((10L, 1L), (12L, 3L)), "the IN predicate must filter")
+    rw.execute("DELETE FROM djsq_ev WHERE event_id = 10")
+    rw.flush()
+    assert(rows == Set((12L, 3L)))
+    assert(mv.isDeltaJoinMode)
+
+    // the same predicate over a LIVE table is NOT linear — the rebinding
+    // would bind the delta inside the subquery — so it must fall back
+    rw.createTable("djsq_live", StructType(Seq(StructField("uid", LongType),
+      StructField("x", LongType))), primaryKey = Seq("uid"))
+    rw.table("djsq_live").get.insert(Seq(Row(3L, 0L)))
+    rw.flush()
+    rw.mv("SELECT event_id, user_id, value FROM djsq_ev " +
+      "WHERE user_id IN (SELECT uid FROM djsq_live)", "djsq_mv2")
+    val mv2 = rw.mvByName("djsq_mv2").get
+    assert(!mv2.isDeltaJoinMode,
+      "a changelog source inside a subquery must not be admitted")
+    assert(mv2.df.collect().map(_.getLong(0)).toSet == Set(12L),
+      "the batch fallback still answers correctly")
+    rw.close()
+  }
+
   test("FULL outer join stays on the always-correct batch fallback") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("djo_ev", evSchema, primaryKey = Seq("event_id"))
