@@ -141,8 +141,14 @@ final class LiveTable(
     val delta = hist.filter(col("__seq") > clSeq)
     val ops =
       if (primaryKey.isEmpty)
-        delta.orderBy("__seq").drop("__seq")
-          .withColumn("op", lit(graft.streaming.Changelog.OpInsert))
+        // zero-job fast path: a plain table's delta is Insert-only, and
+        // while it still sits in the driver memory tail (nothing newer
+        // than the last spill) the ops frame is a LocalRelation built from
+        // rows we already hold, in seq order — no LocalRelation re-encode,
+        // no sort job, and the appendDF local path stamps it job-free too
+        memoryInsertOps().getOrElse(
+          delta.orderBy("__seq").drop("__seq")
+            .withColumn("op", lit(graft.streaming.Changelog.OpInsert)))
       else timedCl("tbl-changelog-diff") {
         // fastest path (round 10): while the whole raw history lives in the
         // driver memory tail (nothing spilled), the diff needs ZERO Spark
@@ -202,6 +208,26 @@ final class LiveTable(
       .limit(bound + 1).collect()
     if (rows.length > bound) return None
     localDiffOfRows(rows.toIndexedSeq)
+  }
+
+  /** Zero-job Insert-ops frame for a plain (no-PK) table whose unemitted
+    * delta is entirely in the driver memory tail (clSeq at or past the
+    * newest spilled segment): the tail rows are already seq-ordered, so
+    * the ops frame is a LocalRelation in emission order. None once any
+    * delta row has spilled — the distributed sort spelling covers it. */
+  private def memoryInsertOps(): Option[DataFrame] = {
+    val spilledMax = segments.lastOption.map(_._2).getOrElse(0L)
+    if (clSeq < spilledMax) return None
+    val sch = withSeq
+    val seqIdx = sch.fieldIndex("__seq")
+    val rows = allRows.iterator.filter(_.getLong(seqIdx) > clSeq)
+      .map(r => Row.fromSeq(
+        r.toSeq.patch(seqIdx, Nil, 1) :+ graft.streaming.Changelog.OpInsert))
+      .toIndexedSeq
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sch.fields.patch(seqIdx, Nil, 1))
+      .add("op", org.apache.spark.sql.types.StringType)
+    Some(spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema))
   }
 
   /** Zero-job changelog diff while NOTHING has spilled: the raw history IS

@@ -851,13 +851,12 @@ final class MaterializedView private[engine](
       val newTouched = folded match {
         case Some((newAux, t)) =>
           auxState = Some(newAux)
-          timed("group-recompute")(
-            keyJoin(DeltaAgg.visible(newAux, deltaAggSpec.get), t, "left_semi")
-              .localCheckpoint(true))
+          timed("group-recompute")(boundedLocal(
+            keyJoin(DeltaAgg.visible(newAux, deltaAggSpec.get), t, "left_semi")))
         case None =>
           statementEvals += 1
-          timed("group-recompute")(
-            keyJoin(spark.sql(cascadeStmt), touched, "left_semi").localCheckpoint(true))
+          timed("group-recompute")(boundedLocal(
+            keyJoin(spark.sql(cascadeStmt), touched, "left_semi")))
       }
       // drop ALL touched keys before unioning the recomputed rows: a
       // touched group with no recomputed row (all its inputs retracted)
@@ -1639,7 +1638,7 @@ final class MaterializedView private[engine](
       // full recompute over the upstream snapshots.
       val recompute = keyJoin(full, touched, "left_semi")
       lastCascadeEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
-      val newTouched = timed("group-recompute")(recompute.localCheckpoint(true))
+      val newTouched = timed("group-recompute")(boundedLocal(recompute))
       val prevTouched = keyJoin(cascadeInner.get, touched, "left_semi")
       // the diff runs on the VISIBLE projection of both sides: with a
       // folded HAVING, a touched group entering the predicate appears only
@@ -1648,9 +1647,8 @@ final class MaterializedView private[engine](
       // aggregate so the group stays maintainable either way
       emitKeyedDiffLocal(cascadeVisible(prevTouched),
         cascadeVisible(newTouched), keyCols)
-      cascadeInner = Some(timed("state-merge")(
-        keyJoin(cascadeInner.get, touched, "left_anti").union(newTouched)
-          .localCheckpoint(true)))
+      cascadeInner = Some(timed("state-merge")(boundedLocal(
+        keyJoin(cascadeInner.get, touched, "left_anti").union(newTouched))))
       val vis = cascadeVisible(cascadeInner.get)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
@@ -1811,11 +1809,7 @@ final class MaterializedView private[engine](
       // is the 100 TB path
       val merged = DeltaAgg.merge(auxState.get, addAux, delAux, spec,
         refetch, touchedLocal)
-      val newAux = timed("state-merge") {
-        val probe = merged.limit(cascadeLocalMax + 1).collect()
-        if (probe.length <= cascadeLocalMax) localDf(probe.toIndexedSeq, merged.schema)
-        else merged.localCheckpoint(true)
-      }
+      val newAux = timed("state-merge")(boundedLocal(merged))
       Some((newAux,
         touchedLocal.getOrElse(DeltaAgg.touchedKeys(addAux, delAux, spec))))
     } catch { case _: Throwable =>
@@ -1880,18 +1874,29 @@ final class MaterializedView private[engine](
           u.snap().unionByName(p).createOrReplaceTempView(cv); tempViews += cv
         }
       }
-      changed.map { case (u, _) =>
+      boundedLocal(changed.map { case (u, _) =>
         val sql = changed.foldLeft(cascadeStmt) { case (s, (o, _)) =>
           if (o.viewName == u.viewName)
             retarget(s, o.viewName, s"__cascade_delta_${o.viewName}")
           else retarget(s, o.viewName, s"__cascade_cover_${o.viewName}")
         }
         spark.sql(sql).select(keyCols.map(col): _*)
-      }.reduce(_ union _).distinct().localCheckpoint(true)
+      }.reduce(_ union _).distinct())
     } catch { case _: Throwable =>
-      spark.sql(cascadeStmt).select(keyCols.map(col): _*).distinct()
-        .localCheckpoint(true)
+      boundedLocal(spark.sql(cascadeStmt).select(keyCols.map(col): _*).distinct())
     } finally tempViews.foreach(spark.catalog.dropTempView(_)))
+  }
+
+  /** Materialize a delta/state-bounded frame as a driver-resident
+    * LocalRelation when it fits [[cascadeLocalMax]] rows (every downstream
+    * broadcast then builds job-free and re-reads cost nothing), falling
+    * back to a distributed localCheckpoint past the bound — the 100 TB
+    * path. Same job count either way (one bounded collect vs one
+    * checkpoint); the win is the epochs' downstream job count. */
+  private def boundedLocal(df: DataFrame): DataFrame = {
+    val rows = df.limit(cascadeLocalMax + 1).collect()
+    if (rows.length <= cascadeLocalMax) localDf(rows.toIndexedSeq, df.schema)
+    else df.localCheckpoint(true)
   }
 
   /** Emit a cascade epoch's keyed diff — driver-side when both sides fit
