@@ -1982,10 +1982,16 @@ final class MaterializedView private[engine](
         case Nil =>
           if (nonLinearIn(analyzed, boundary)) return false
         case Seq(oj) if oj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter ||
-                        oj.joinType == org.apache.spark.sql.catalyst.plans.RightOuter =>
+                        oj.joinType == org.apache.spark.sql.catalyst.plans.RightOuter ||
+                        oj.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+                        oj.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          // all four are linear in their ROW-PRESERVED side (left except
+          // for RightOuter) and nonlinear in the other — semi/anti
+          // membership and null-padding alike change with the other side,
+          // which the restricted-difference term accounts for
           if (nonLinearIn(analyzed, boundary, allowedOuter = oj)) return false
-          val non = if (oj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter)
-            oj.right else oj.left
+          val non = if (oj.joinType == org.apache.spark.sql.catalyst.plans.RightOuter)
+            oj.left else oj.right
           joinOuterNonLinear = boundarySourcesIn(non, boundary)
         case _ => return false
       }
@@ -2353,16 +2359,17 @@ final class MaterializedView private[engine](
   private def restrictOuterToDelta(full: DataFrame, srcView: String,
                                    payload: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
-    import org.apache.spark.sql.catalyst.plans.{LeftOuter, LeftSemi, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
     import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, Project, SubqueryAlias}
     val plan = full.queryExecution.analyzed
     val stops = cascadeUpstreams.map(_.viewName.toLowerCase).toSet + srcView.toLowerCase
     val oj = outerJoinsAbove(plan, stops) match {
-      case Seq(j) if j.joinType == LeftOuter || j.joinType == RightOuter => j
+      case Seq(j) if j.joinType == LeftOuter || j.joinType == RightOuter ||
+                     j.joinType == LeftSemi || j.joinType == LeftAnti => j
       case other =>
         throw new IllegalStateException(s"expected one outer join, found ${other.size}")
     }
-    val leftIsLinear = oj.joinType == LeftOuter
+    val leftIsLinear = oj.joinType != RightOuter
     val (linChild, nonChild) =
       if (leftIsLinear) (oj.left, oj.right) else (oj.right, oj.left)
     var found = false

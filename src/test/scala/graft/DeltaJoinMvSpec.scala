@@ -521,6 +521,41 @@ class DeltaJoinMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("LEFT SEMI / LEFT ANTI joins fold; membership flips track dim changes") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djsa_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djsa_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, e.value FROM djsa_ev e " +
+      "LEFT SEMI JOIN djsa_user u ON u.uid = e.user_id", "djsa_semi")
+    rw.mv("SELECT e.event_id, e.value FROM djsa_ev e " +
+      "LEFT ANTI JOIN djsa_user u ON u.uid = e.user_id", "djsa_anti")
+    val semi = rw.mvByName("djsa_semi").get
+    val anti = rw.mvByName("djsa_anti").get
+    assert(semi.isDeltaJoinMode, "semi join is linear in its left side — must fold")
+    assert(anti.isDeltaJoinMode, "anti join is linear in its left side — must fold")
+    def ids(mv: MaterializedView): Set[Long] =
+      mv.df.collect().map(_.getLong(0)).toSet
+    val ev = rw.table("djsa_ev").get
+    val us = rw.table("djsa_user").get
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 2L, 7.0)))
+    rw.flush()
+    assert(ids(semi) == Set.empty[Long] && ids(anti) == Set(10L, 11L))
+    // membership flips on a dim-side delta — the restricted-difference term
+    us.insert(Seq(Row(1L, "ann")))
+    rw.flush()
+    assert(ids(semi) == Set(10L) && ids(anti) == Set(11L))
+    // both sides changing in one epoch; a new unmatched fact pads the anti
+    us.insert(Seq(Row(2L, "bob")))
+    ev.insert(Seq(Row(12L, 9L, 1.0)))
+    rw.flush()
+    assert(ids(semi) == Set(10L, 11L) && ids(anti) == Set(12L))
+    rw.execute("DELETE FROM djsa_user WHERE uid = 1")
+    rw.flush()
+    assert(ids(semi) == Set(11L) && ids(anti) == Set(10L, 12L))
+    assert(semi.isDeltaJoinMode && anti.isDeltaJoinMode)
+    rw.close()
+  }
+
   test("FULL outer join stays on the always-correct batch fallback") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("djo_ev", evSchema, primaryKey = Seq("event_id"))
