@@ -134,6 +134,16 @@ final class MaterializedView private[engine](
     * broadcast hint only then (a hint on a join-less projection/filter
     * fold is a no-op that logs a planner warning per epoch). */
   private var joinHasJoin = false
+  // window-cascade state (round 10): statements with ONE window-function
+  // node over a single changelog source maintain by touched-PARTITION
+  // recompute — a source delta names the partitions whose window results
+  // can change; exactly those partitions re-evaluate (semi-join pushed
+  // below the Window) and replace their slice of the carried multiset —
+  // see [[tryStartWindowCascade]]/[[windowCascadeEpoch]]
+  private var windowMode = false
+  /** Output/source column names of the window's PARTITION BY attributes. */
+  private var windowPartCols: Seq[String] = Nil
+
   /** Changelog sources on the NON-linear side of the single admitted
     * LEFT/RIGHT outer join (lowercased viewNames; empty when the statement
     * has no outer join, or its nonlinear side reads only static tables).
@@ -252,6 +262,10 @@ final class MaterializedView private[engine](
   /** True when maintained by the delta-join cascade (signed delta joins of
     * a non-aggregate multilinear statement), not batch re-run. */
   private[graft] def isDeltaJoinMode: Boolean = joinMode
+
+  /** True when maintained by the window cascade (touched-partition
+    * recompute of a window-function statement), not batch re-run. */
+  private[graft] def isWindowCascadeMode: Boolean = windowMode
 
   /** True when the cascade folds COUNT/SUM deltas algebraically into
     * carried aux state ([[DeltaAgg]]) instead of recomputing touched
@@ -550,6 +564,10 @@ final class MaterializedView private[engine](
       // inner joins / UNION ALL) fold signed delta joins instead of batch
       // re-running — the classical IVM delta-join rule (round 9)
       if (!emitOnClose && tryStartJoinCascade()) return
+      // window-function statements maintain by touched-partition
+      // recompute (round 10) — a delta names the partitions whose window
+      // results can change, and only those re-rank
+      if (!emitOnClose && tryStartWindowCascade()) return
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
       keyCols = keyMode match {
@@ -692,6 +710,14 @@ final class MaterializedView private[engine](
       val analyzed = df.queryExecution.analyzed
       val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
       if (!streamingSafe(analyzed)) return false
+      // a window FUNCTION in the inner breaks both top-N cascade arms
+      // (round-10 hazard fix): the raw fold maps delta payloads row-wise —
+      // which would compute ranks over the DELTA alone — and the grouped
+      // arm's touched-key derivation misses groups a window shifts without
+      // naming. Window inners fall back to batch re-run.
+      val winBoundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
+        .map(_.toLowerCase).toSet
+      if (windowsAbove(analyzed, winBoundary).nonEmpty) return false
       // raw inner: only worthwhile (and only row-wise derivable) for a
       // single retraction-emitting live table
       if (!isAgg &&
@@ -1480,6 +1506,15 @@ final class MaterializedView private[engine](
       val analyzed = df.queryExecution.analyzed
       val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
       if (!isAgg || !streamingSafe(analyzed)) return false
+      // a window FUNCTION below the aggregate breaks touched-key
+      // derivation: a delta row can shift NEIGHBOR rows' window values
+      // (lag/rank/...), changing groups the delta payload never names —
+      // those statements must batch re-run (round-10 hazard fix; the
+      // boundary guard keeps source views' own resolution windows, e.g.
+      // the PK batch face's row_number, out of the scan)
+      val winBoundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
+        .map(_.toLowerCase).toSet
+      if (windowsAbove(analyzed, winBoundary).nonEmpty) return false
       val mode = deriveMode(df)
       mode match {
         case k: MaterializedView.Keyed => keyCols = k.keys
@@ -2088,6 +2123,188 @@ final class MaterializedView private[engine](
     }
   }
 
+  /** Window nodes of the plan ABOVE the source boundary. */
+  private def windowsAbove(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      boundary: Set[String]):
+      Seq[org.apache.spark.sql.catalyst.plans.logical.Window] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, Window => WindowNode}
+    p match {
+      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) => Nil
+      case w: WindowNode => w +: w.children.flatMap(windowsAbove(_, boundary))
+      case _ => p.children.flatMap(windowsAbove(_, boundary))
+    }
+  }
+
+  /** Window-cascade admission (round 10): the statement holds EXACTLY ONE
+    * window node (the analyzer fuses same-spec window expressions into one;
+    * different specs → several nodes → reject), over EXACTLY ONE changelog
+    * source, with every PARTITION BY expression a plain source column that
+    * survives in the output, and everything else multilinear. Soundness of
+    * touched-partition maintenance: below the window the plan is
+    * multilinear (Project/Filter/static joins), so every derived row
+    * carries its source row's partition value — a source delta can only
+    * change the window results of the partitions its payload names; above
+    * the window the plan is row-wise, so untouched partitions' output rows
+    * are unchanged. A global (empty PARTITION BY) window would make every
+    * epoch a full re-rank — batch re-run is the same cost, so it stays
+    * there. The carried state is the output multiset grouped as
+    * (row → count), like the delta-join cascade. */
+  private def tryStartWindowCascade(): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val tbls = engine.referencedLiveTables(stmt)
+    val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
+    if (tbls.size + ups.size != 1) return false
+    val preOffset = changeLog.latestOffset
+    try {
+      cascadeStmt = engine.rewrite(stmt)
+      val df = spark.sql(cascadeStmt)
+      val analyzed = df.queryExecution.analyzed
+      val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
+        .map(_.toLowerCase).toSet
+      val wins = windowsAbove(analyzed, boundary)
+      if (wins.size != 1) return false
+      val w = wins.head
+      if (nonLinearIn(analyzed, boundary, allowedOuter = w)) return false
+      if (w.partitionSpec.isEmpty) return false
+      val names = w.partitionSpec.map {
+        case ar: AttributeReference
+          if analyzed.output.exists(_.exprId == ar.exprId) => ar.name
+        case _ => return false
+      }
+      // the source delta payload must carry the partition columns by name
+      // (passthrough attributes keep their source names)
+      val srcCols = (tbls.map(_.schema.fieldNames.toSeq) ++
+        ups.map(_.outputSchema.fieldNames.toSeq)).head
+      if (!names.forall(srcCols.contains)) return false
+      windowPartCols = names
+      keyMode = MaterializedView.Multiset
+      keyCols = Nil
+      isAggMode = false
+      cascadeUpstreams =
+        ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
+          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
+      cascadeMode = true
+      windowMode = true
+      val restored = validSnapshotMeta("windowcascade").flatMap { case (d, offsets, _) =>
+        try {
+          if (!new java.io.File(s"$d/inner").isDirectory ||
+              !cascadeUpstreams.forall(u =>
+                offsets.get(u.viewName).exists(_ <= u.log.latestOffset))) None
+          else Some((offsets,
+            spark.read.parquet(s"$d/inner").localCheckpoint(true)))
+        } catch { case _: Throwable => None }
+      }
+      restored match {
+        case Some((offsets, inner)) =>
+          offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
+          cascadeInner = Some(inner)
+          val vis = expandCounts(inner)
+          snapshot = Some(vis)
+          vis.createOrReplaceTempView(viewName)
+        case None => windowCascadeEpoch() // initial backfill
+      }
+      true
+    } catch { case t: Throwable =>
+      if (java.lang.Boolean.getBoolean("graft.debugJoinCascade")) t.printStackTrace()
+      windowMode = false
+      cascadeMode = false
+      cascadeUpstreams = Nil
+      windowPartCols = Nil
+      if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
+      false
+    }
+  }
+
+  /** Optimized plan of the last window-cascade recompute — spec pin: the
+    * touched-partition semi join must sit BELOW the Window node, or every
+    * epoch silently re-ranks the world. */
+  @volatile private[graft] var lastWindowEpochPlan: Option[String] = None
+
+  /** Install the touched-partition restriction directly below the
+    * statement's Window node (plan surgery): the window's child semi-joins
+    * the broadcast partition-key frame under the window's own partition
+    * attributes, so the re-rank reads only the touched partitions' rows.
+    * Output attributes are untouched — everything above stays resolved. */
+  private def restrictWindowToPartitions(full: DataFrame,
+                                         touched: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    val plan = full.queryExecution.analyzed
+    val boundary = cascadeUpstreams.map(_.viewName.toLowerCase).toSet
+    val w = windowsAbove(plan, boundary) match {
+      case Seq(x) => x
+      case o => throw new IllegalStateException(s"expected one window, found ${o.size}")
+    }
+    val krPlan = org.apache.spark.sql.functions.broadcast(
+      touched.toDF(windowPartCols.map(c => s"__k_$c"): _*))
+      .queryExecution.analyzed
+    val cond = w.partitionSpec.zip(krPlan.output)
+      .map { case (pe, k) => EqualNullSafe(pe, k): org.apache.spark.sql.catalyst.expressions.Expression }
+      .reduce(And(_, _))
+    GraftColumnBridge.ofRows(spark, plan.transformUp {
+      case n if n eq w =>
+        w.copy(child = Join(w.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE))
+    })
+  }
+
+  /** One window-cascade epoch: the delta payload names the touched
+    * partitions; exactly those re-evaluate against the source's current
+    * snapshot (semi-join below the Window) and REPLACE their slice of the
+    * carried multiset; the epoch's ops are the multiset diff of the
+    * touched slice. Per-epoch cluster work is touched-partition-bounded —
+    * at 100 TB a delta touching k partitions re-ranks k partitions, never
+    * the table. */
+  private def windowCascadeEpoch(): Unit = synchronized {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (cascadeUpstreams.isEmpty) return
+    val u = cascadeUpstreams.head
+    val latest = u.log.latestOffset
+    val after = cascadeOffsets.getOrElse(u.viewName, 0L)
+    if (latest <= after && snapshot.nonEmpty) return
+    if (snapshot.isEmpty) {
+      cascadeOffsets(u.viewName) = latest
+      statementEvals += 1
+      val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
+      cascadeInner = Some(grouped)
+      val vis = expandCounts(grouped)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+      emitOps(Changelog.multisetDiff(None, vis, wide = true), wide = true)
+      return
+    }
+    if (latest <= after) return
+    val ops = u.log.dfAfter(after)
+    cascadeOffsets(u.viewName) = latest
+    val touched = timed("touched-keys")(boundedLocal(
+      ops.select(windowPartCols.map(col): _*).distinct()))
+    def restrict(df: DataFrame, how: String): DataFrame = {
+      val kr = touched.toDF(windowPartCols.map(c => s"__k_$c"): _*)
+      df.join(broadcast(kr),
+        windowPartCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), how)
+    }
+    statementEvals += 1
+    // the partition restriction is installed BELOW the Window by plan
+    // surgery: Catalyst's PushDownLeftSemiAntiJoin declines to push any
+    // semi join it could plan as a broadcast join (SPARK-37455's cost
+    // guard), which would leave the filter above the Window and re-rank
+    // the WHOLE source every epoch
+    val recompute = restrictWindowToPartitions(spark.sql(cascadeStmt), touched)
+    lastWindowEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
+    val newPart = timed("group-recompute")(boundedLocal(recompute))
+    val prevPart = expandCounts(restrict(cascadeInner.get, "left_semi"))
+    // state BEFORE ops (same failure discipline as joinCascadeEpoch): a
+    // merge failure propagates with nothing emitted this epoch
+    val merged = timed("state-merge")(boundedLocal(
+      restrict(cascadeInner.get, "left_anti").unionByName(groupedCounts(newPart))))
+    emitOps(timed("diff-collect")(Changelog.multisetDiff(Some(prevPart), newPart)))
+    cascadeInner = Some(merged)
+    val vis = expandCounts(merged)
+    snapshot = Some(vis)
+    vis.createOrReplaceTempView(viewName)
+  }
+
   /** Non-multilinear plan detector shared by the delta-join admission
     * (whole plan) and the delta-agg admission (the Aggregate's child):
     * rejects aggregates, sorts/limits, DISTINCT, set ops other than UNION
@@ -2097,19 +2314,25 @@ final class MaterializedView private[engine](
   private def nonLinearIn(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       boundary: Set[String],
-      allowedOuter: org.apache.spark.sql.catalyst.plans.logical.Join = null): Boolean = {
+      allowedOuter: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = null): Boolean = {
     import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
     import org.apache.spark.sql.catalyst.plans.logical.{
       Deduplicate, Distinct, Except, Generate, GlobalLimit, Intersect,
       Join, LocalLimit, Sort, SubqueryAlias, Window => WindowNode}
     p match {
       case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) => false
+      // the single ADMITTED non-inner join (delta-join cascade) or Window
+      // node (window cascade) falls through to the default case: its
+      // expressions and subtrees are still checked, only the node-type
+      // rejection is waived
+      case w: WindowNode if w eq allowedOuter =>
+        p.expressions.exists(_.exists(e =>
+          e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression] ||
+            !e.deterministic)) ||
+          p.children.exists(nonLinearIn(_, boundary, allowedOuter))
       case _: Aggregate | _: WindowNode | _: Sort | _: GlobalLimit |
            _: LocalLimit | _: Distinct | _: Deduplicate | _: Intersect |
            _: Except | _: Generate => true
-      // `allowedOuter` (the delta-join admission's single LEFT/RIGHT outer
-      // join) falls through to the default case: its condition and subtrees
-      // are still checked, only the join-type rejection is waived
       case j: Join if !(j.joinType == Inner || j.joinType == Cross) &&
                       (j ne allowedOuter) => true
       case _ =>
@@ -2759,6 +2982,7 @@ final class MaterializedView private[engine](
       if (topNMode) topNCascadeEpoch()
       else if (sessionMode) sessionCascadeEpoch()
       else if (joinMode) joinCascadeEpoch()
+      else if (windowMode) windowCascadeEpoch()
       else cascadeRefresh())
     else synchronized {
       statementEvals += 1
@@ -2875,6 +3099,7 @@ final class MaterializedView private[engine](
       else if (sessionMode && cascadeMode) "sessioncascade"
       else if (sessionMode) "session"
       else if (joinMode) "joincascade"
+      else if (windowMode) "windowcascade"
       else if (cascadeMode) "cascade"
       else "batch"
     // STREAM-fed top-N/session state can't record a resumable source
@@ -2886,7 +3111,7 @@ final class MaterializedView private[engine](
       val staging = s"$d.staging"
       SegmentFiles.delete(staging)
       snap.write.mode("overwrite").parquet(s"$staging/data")
-      if (cascadeHasHaving || joinMode)
+      if (cascadeHasHaving || joinMode || windowMode)
         cascadeInner.foreach(_.write.mode("overwrite").parquet(s"$staging/inner"))
       if (deltaAggSpec.nonEmpty)
         auxState.foreach(_.write.mode("overwrite").parquet(s"$staging/aux"))

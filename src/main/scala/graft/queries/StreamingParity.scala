@@ -776,6 +776,48 @@ object StreamingParity {
       materialized
     },
 
+    // Window-function MV (round 10): per-partition rank over the upsert
+    // table maintains by touched-PARTITION recompute — a delta names the
+    // partitions whose window results can change, exactly those re-rank
+    // (semi join installed below the Window by plan surgery), and their
+    // slice of the carried multiset is replaced. Upsert overwrites move
+    // users between value ranks throughout; the mid-replay DELETE of the
+    // top values forces whole-partition re-ranks from retractions.
+    // Mode-asserted (batch re-run would match values).
+    q("m_mv_window_rank_incremental",
+      s"""WITH ch AS (SELECT user_id, value, event_type, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |early AS (SELECT user_id, arg_max(value, event_id) AS v
+         |  FROM ch WHERE chunk <= 3 GROUP BY user_id),
+         |deleted AS (SELECT user_id FROM early WHERE v > 90),
+         |kept AS (SELECT * FROM ch WHERE NOT (chunk <= 3 AND
+         |  user_id IN (SELECT user_id FROM deleted))),
+         |latest AS (SELECT user_id, arg_max(value, event_id) AS value,
+         |    arg_max(event_type, event_id) AS event_type
+         |  FROM kept GROUP BY user_id)
+         |SELECT event_type, user_id, CAST(rank() OVER
+         |  (PARTITION BY event_type ORDER BY value DESC, user_id) AS BIGINT) AS r
+         |FROM latest""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_wr_t", Seq(("m_wr_mv",
+        """SELECT event_type, user_id, CAST(rank() OVER
+          |  (PARTITION BY event_type ORDER BY value DESC, user_id) AS BIGINT) AS r
+          |FROM m_wr_t""".stripMargin)),
+        withTs = true,
+        beforeChunk = Map(
+          4 -> { rw =>
+            rw.execute("DELETE FROM m_wr_t WHERE value > 90")
+            require(rw.mvByName("m_wr_mv").get.isWindowCascadeMode,
+              "retractions must not demote the window cascade")
+          }))
+      val mv = rw.mvByName("m_wr_mv").get
+      require(mv.isWindowCascadeMode,
+        "a partitioned window MV must maintain incrementally (round 10)")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // SELECT DISTINCT as an incrementally-maintained MV (round 10): the
     // maintainer respells DISTINCT as group-by-every-output and folds the
     // source changelog with keys-only delta-accumulation — a distinct row

@@ -1,0 +1,138 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Window-function MVs (round 10): statements with one window node over a
+  * single changelog source maintain by touched-PARTITION recompute — a
+  * source delta names the partitions whose window results can change,
+  * exactly those re-rank (semi-join pushed below the Window), and their
+  * slice of the carried multiset is replaced. Everything else (global
+  * windows, window-below-aggregate, expression partition keys) stays on
+  * the always-correct batch fallback. */
+class WindowCascadeMvSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(StructField("id", LongType),
+    StructField("grp", StringType), StructField("v", LongType)))
+
+  private def rows(mv: MaterializedView): Set[(Long, String, Long, Long)] =
+    mv.df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("rank-per-partition MV maintains by touched-partition recompute") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wc_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT id, grp, v, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS r FROM wc_t", "wc_mv")
+    val mv = rw.mvByName("wc_mv").get
+    assert(mv.isWindowCascadeMode,
+      "a partitioned window MV must maintain incrementally (round 10)")
+    val t = rw.table("wc_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(rows(mv) == Set((1L, "a", 10L, 2L), (2L, "a", 20L, 1L), (3L, "b", 5L, 1L)))
+
+    // a new maximum re-ranks ONLY partition a; partition b untouched
+    t.insert(Seq(Row(4L, "a", 30L)))
+    rw.flush()
+    assert(rows(mv) == Set((1L, "a", 10L, 3L), (2L, "a", 20L, 2L),
+      (4L, "a", 30L, 1L), (3L, "b", 5L, 1L)))
+    assert(mv.statementEvals == evals + 1,
+      "each epoch re-evaluates once, partition-restricted")
+    // the recompute's semi join must sit BELOW the Window (Catalyst
+    // pushdown on the partition attribute), or every epoch re-ranks all
+    val plan = mv.lastWindowEpochPlan.getOrElse(fail("no epoch plan recorded"))
+    assert(plan.indexOf("Window") < plan.indexOf("Join"),
+      s"the touched-partition semi join must push below the Window:\n$plan")
+
+    // upsert moves id=2 ACROSS partitions: both re-rank
+    t.insert(Seq(Row(2L, "b", 7L)))
+    rw.flush()
+    assert(rows(mv) == Set((1L, "a", 10L, 2L), (4L, "a", 30L, 1L),
+      (2L, "b", 7L, 1L), (3L, "b", 5L, 2L)))
+
+    // DELETE the maximum of a: ranks shift up
+    rw.execute("DELETE FROM wc_t WHERE id = 4")
+    rw.flush()
+    assert(rows(mv) == Set((1L, "a", 10L, 1L),
+      (2L, "b", 7L, 1L), (3L, "b", 5L, 2L)))
+    assert(mv.isWindowCascadeMode, "DML must not demote the window cascade")
+    rw.close()
+  }
+
+  test("running-sum window over an append-only table cascades too") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wcs_t", schema) // no PK — plain Insert changelog
+    rw.mv("SELECT id, grp, v, CAST(sum(v) OVER " +
+      "(PARTITION BY grp ORDER BY id) AS BIGINT) AS rs FROM wcs_t", "wcs_mv")
+    val mv = rw.mvByName("wcs_mv").get
+    assert(mv.isWindowCascadeMode)
+    val t = rw.table("wcs_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
+    rw.flush()
+    t.insert(Seq(Row(4L, "a", 1L), Row(5L, "b", 2L)))
+    rw.flush()
+    assert(rows(mv) == Set((1L, "a", 10L, 10L), (2L, "a", 20L, 30L),
+      (4L, "a", 1L, 31L), (3L, "b", 5L, 5L), (5L, "b", 2L, 7L)))
+    rw.close()
+  }
+
+  test("window changelog folds downstream: an aggregate cascades on the window MV") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wcc_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT id, grp, v, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS r FROM wcc_t", "wcc_win")
+    rw.mv("SELECT grp, count(*) AS top2 FROM wcc_win WHERE r <= 2 GROUP BY grp",
+      "wcc_agg")
+    assert(rw.mvByName("wcc_win").get.isWindowCascadeMode)
+    assert(rw.mvByName("wcc_agg").get.isChangelogCascadeMode,
+      "an aggregate over the window MV must consume its changelog")
+    val t = rw.table("wcc_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "a", 30L)))
+    rw.flush()
+    assert(rw.mvByName("wcc_agg").get.df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 2L)))
+    rw.execute("DELETE FROM wcc_t WHERE id = 3")
+    rw.flush()
+    assert(rw.mvByName("wcc_agg").get.df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 2L)))
+    rw.close()
+  }
+
+  test("ineligible window shapes stay on the batch fallback, values correct") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wcf_t", schema, primaryKey = Seq("id"))
+    // global (un-partitioned) window: every delta touches everything
+    rw.mv("SELECT id, CAST(rank() OVER (ORDER BY v DESC, id) AS BIGINT) AS r " +
+      "FROM wcf_t", "wcf_global")
+    assert(!rw.mvByName("wcf_global").get.isWindowCascadeMode)
+    // window BELOW an aggregate: touched-key derivation can't see shifted
+    // neighbors — must not cascade (the round-10 hazard fix)
+    rw.mv("SELECT grp, max(rr) AS worst FROM (SELECT grp, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS rr FROM wcf_t) " +
+      "GROUP BY grp", "wcf_agg")
+    assert(!rw.mvByName("wcf_agg").get.isChangelogCascadeMode &&
+      !rw.mvByName("wcf_agg").get.isWindowCascadeMode)
+    // window-function top-N inner: the raw fold would rank the DELTA alone
+    rw.mv("SELECT id, grp, v, rank() OVER (PARTITION BY grp ORDER BY v DESC, id) AS r " +
+      "FROM wcf_t ORDER BY v DESC, id LIMIT 3", "wcf_topn")
+    assert(!rw.mvByName("wcf_topn").get.isTopNMode &&
+      !rw.mvByName("wcf_topn").get.isChangelogCascadeMode)
+    val t = rw.table("wcf_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
+    rw.flush()
+    t.insert(Seq(Row(4L, "a", 30L)))
+    rw.flush()
+    assert(rw.mvByName("wcf_global").get.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((4L, 1L), (2L, 2L), (1L, 3L), (3L, 4L)))
+    assert(rw.mvByName("wcf_agg").get.df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 3L), ("b", 1L)))
+    assert(rw.mvByName("wcf_topn").get.df.collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toSet == Set((4L, 1), (2L, 2), (1L, 3)))
+    rw.close()
+  }
+}
