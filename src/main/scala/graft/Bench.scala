@@ -125,7 +125,18 @@ object Bench {
         rw.table("bench_dim").get.insert(
           (0 until 250).map(i => org.apache.spark.sql.Row(i.toLong, s"bucket_$i")))
         rw.flush()
-      }))
+      }),
+    // window-cascade maintenance (round 11; the round-10 mode had no bench
+    // entry): per-user rank over the upsert stream — each epoch re-ranks
+    // only the partitions its delta names and replaces their slice of the
+    // carried multiset; the mode probe guards against a silent batch-re-run
+    // demotion, which would time a different code path
+    StreamDef("s_mv_window_maintain", Seq(
+      ("bm_win",
+        """SELECT event_id, user_id, value, CAST(rank() OVER
+          |  (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS r
+          |FROM bench_ev""".stripMargin)),
+      rw => rw.mvByName("bm_win").exists(_.isWindowCascadeMode), true))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -231,13 +242,13 @@ object Bench {
       val lat = if (sec > 0 && epochs > 0) sec / epochs else -1.0
       s""""$k":{"sec":${fmt(sec)},"rows":$n,"epochs":$epochs,"rows_per_sec":${fmt(rps)},"epoch_latency":${fmt(lat)}}"""
     }.mkString("{", ",", "}")
-    // Truncation-proof output (round-9 verdict item 4): the headline line —
-    // total + per-query mins + streaming summary — is compact and printed
-    // FIRST so a bounded tail capture can never shear off the "total" head;
-    // the per-iteration samples blob (the big part) goes on its own second
-    // line and is droppable without losing the numbers of record.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"streaming":$streaming,"iters":$iters,"sf":"$sfDir"}""")
+    // Truncation-proof output (round-10 verdict item 2): the driver captures
+    // the TAIL of stdout, so the compact headline line — total + per-query
+    // mins + streaming summary — prints LAST; the per-iteration samples blob
+    // (the big part) rides its own earlier line and is the one a bounded
+    // tail capture may shear, without losing the numbers of record.
     println(s"""{"metric":"samples","samples":$spread}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"streaming":$streaming,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -144,11 +144,18 @@ private[engine] object DeltaAgg {
           case _ => false
         }
         // AVG over decimal: its sum buffer is decimal (exact under
-        // re-association); float AVG folds only in the tolerance tier;
-        // integral AVG averages through a DOUBLE sum — excluded from the
-        // exact tier, admitted with the float flag
+        // re-association). AVG over integrals (round 11): Spark's own
+        // buffer is a DOUBLE sum (order-sensitive rounding), but the fold
+        // does BETTER — the aux slot carries Sum(child), which is an exact
+        // LONG for integral inputs, and the visible value re-binds
+        // Average.evaluateExpression to that exact sum (one cast + one
+        // divide at the output boundary; an exact long sum that overflows
+        // 2⁶³ is outside the admitted envelope, same stance as the decimal
+        // tier's overflow guard). Float AVG folds only in the tolerance
+        // tier (no exact spelling exists).
         case av: Average => av.child.dataType match {
           case _: DecimalType => true
+          case ByteType | ShortType | IntegerType | LongType => true
           case DoubleType | FloatType => allowFloat
           case _ => false
         }

@@ -134,26 +134,54 @@ final class MaterializedView private[engine](
     * broadcast hint only then (a hint on a join-less projection/filter
     * fold is a no-op that logs a planner warning per epoch). */
   private var joinHasJoin = false
-  // window-cascade state (round 10): statements with ONE window-function
-  // node over a single changelog source maintain by touched-PARTITION
-  // recompute — a source delta names the partitions whose window results
-  // can change; exactly those partitions re-evaluate (semi-join pushed
-  // below the Window) and replace their slice of the carried multiset —
-  // see [[tryStartWindowCascade]]/[[windowCascadeEpoch]]
+  // window-cascade state (round 10, lineage-generalized round 11):
+  // statements whose window-function nodes sit on one chain over a single
+  // changelog source maintain by touched-PARTITION recompute — a source
+  // delta names the partitions whose window results can change; exactly
+  // those partitions re-evaluate (semi-join pushed below the bottom
+  // Window) and replace their slice of the carried multiset — see
+  // [[tryStartWindowCascade]]/[[windowCascadeEpoch]]
   private var windowMode = false
-  /** Output/source column names of the window's PARTITION BY attributes. */
-  private var windowPartCols: Seq[String] = Nil
+  /** Restriction-key expressions: every admitted window's PARTITION BY
+    * traces (by exprId lineage, NOT by name — round-11 fix for the
+    * shadowed-alias admission hazard) to a superset of these. Leaves are
+    * [[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]]s over
+    * the boundary source's own column names, so the same expression
+    * evaluates against BOTH the delta payload (touched-key derivation)
+    * and the carried output state (slice restriction). */
+  private var windowPartKeys: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+  /** State-side spelling of each restriction key: evaluates the same value
+    * over the MV's OUTPUT rows — the key expression itself when its leaf
+    * source columns survive plainly, or the output column that carries the
+    * computed key value (the shadowed-alias shape). Index-aligned with
+    * [[windowPartKeys]]. */
+  private var windowStateKeys: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
 
-  /** Changelog sources on the NON-linear side of the single admitted
-    * LEFT/RIGHT outer join (lowercased viewNames; empty when the statement
-    * has no outer join, or its nonlinear side reads only static tables).
-    * These sources maintain via the restricted-difference term —
-    * Q(…,jⁿᵉʷ,…) ⊖ Q(…,jᵒˡᵈ,…) with the outer join's LINEAR side
-    * semi-join-restricted to the rows that can match the delta — instead
-    * of the simple delta rebinding, which is only sound for sources the
-    * statement is linear in (round 10; null-extension is not linear in
+  /** Changelog sources on a NON-linear (null-padded) side of ANY admitted
+    * outer join — both sides for FULL OUTER (lowercased viewNames; empty
+    * when the statement has no outer join, or the padded sides read only
+    * static tables). These sources maintain via the restricted-difference
+    * term — Q(…,jⁿᵉʷ,…) ⊖ Q(…,jᵒˡᵈ,…) with the owning outer join's other
+    * side semi-join-restricted to the rows that can match the delta —
+    * instead of the simple delta rebinding, which is only sound for
+    * sources the statement is linear in (round 10 single outer; round 11
+    * any number of outer joins + FULL — null-extension is not linear in
     * the padded side). */
   private var joinOuterNonLinear: Set[String] = Set.empty
+
+  /** Changelog sources referenced ONLY inside subquery expressions
+    * (round 11): `WHERE x IN (SELECT k FROM live_dim)` and friends. The
+    * statement is not linear in them (a membership flip retracts outer
+    * rows no Q(Δ) can name), and no Join node exists to restrict — their
+    * term is the PLAIN difference Q(…,uⁿᵉʷ,…) ⊖ Q(…,uᵒˡᵈ,…): two
+    * evaluations whose unchanged rows cancel in the signed net. A
+    * dim-side epoch therefore costs ~one batch re-run — the admission's
+    * value is that the HIGH-RATE side (the outer/fact source) keeps its
+    * delta-proportional terms, where the rejected statement re-ran batch
+    * on EVERY epoch. The subquery's inner plan is a black box: it never
+    * binds a delta, only whole old/new source snapshots, so aggregates or
+    * sorts inside it are fine. */
+  private var joinSubqNonLinear: Set[String] = Set.empty
 
   // session-window state (session TVF statements): raw source rows stream
   // in append mode into a carried state, re-sessionized per epoch — see
@@ -1926,8 +1954,13 @@ final class MaterializedView private[engine](
     * LocalRelation when it fits [[cascadeLocalMax]] rows (every downstream
     * broadcast then builds job-free and re-reads cost nothing), falling
     * back to a distributed localCheckpoint past the bound — the 100 TB
-    * path. Same job count either way (one bounded collect vs one
-    * checkpoint); the win is the epochs' downstream job count. */
+    * path. Cost asymmetry is deliberate: the steady-state (bounded) case
+    * pays ONE limit-collect; an OVERSIZED frame pays the plan twice — the
+    * discarded probe collect plus the checkpoint. Oversized means a
+    * backfill-class epoch, where the plan's own execution dominates and
+    * the double run is a bounded one-off, while a cheaper probe (count
+    * first, or checkpoint-then-measure) would add a job to EVERY
+    * steady-state epoch — the hot path this helper exists to thin. */
   private def boundedLocal(df: DataFrame): DataFrame = {
     val rows = df.limit(cascadeLocalMax + 1).collect()
     if (rows.length <= cascadeLocalMax) localDf(rows.toIndexedSeq, df.schema)
@@ -1978,14 +2011,19 @@ final class MaterializedView private[engine](
     * first: the per-term plans are ordinary Catalyst joins whose delta
     * side carries an explicit broadcast hint.
     *
+    * Outer joins (LEFT/RIGHT/FULL/semi/anti, any number — round 11) are
+    * admitted on top of the multilinear core: sources preserved by every
+    * outer join above them keep the standard delta terms, sources under a
+    * null-padded side take the restricted-difference term
+    * ([[restrictOuterToDelta]]).
+    *
     * Rejected (→ batch re-run fallback, always correct): aggregates /
-    * DISTINCT (handled by [[tryStartCascade]] or non-linear), outer joins
-    * (null-extension is not multilinear), window functions, sorts/limits
-    * (the top-N paths own those), set ops other than UNION ALL,
-    * subqueries, generators, nondeterministic expressions, and any
-    * changelog source referenced more than once (the textual rebinding
-    * cannot address occurrences independently — a self-join would fold
-    * both sides at once). */
+    * DISTINCT (handled by [[tryStartCascade]] or non-linear), window
+    * functions, sorts/limits (the top-N paths own those), set ops other
+    * than UNION ALL, subqueries over changelog sources, generators,
+    * nondeterministic expressions, and any changelog source referenced
+    * more than once (the textual rebinding cannot address occurrences
+    * independently — a self-join would fold both sides at once). */
   private def tryStartJoinCascade(): Boolean = {
     import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
     import org.apache.spark.sql.catalyst.plans.logical.{
@@ -2005,39 +2043,53 @@ final class MaterializedView private[engine](
       // the scan must not descend into
       val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
         .map(_.toLowerCase).toSet
-      // ONE LeftOuter/RightOuter join is admissible (round 10): the
-      // statement stays linear in the outer join's preserved side, so those
-      // sources keep the standard delta terms; sources under the
-      // null-padded side take the restricted-difference term instead
-      // ([[outerDiffTerm]]). FULL outer (linear in neither side) and
-      // multiple outer joins stay on the batch-re-run fallback.
+      // Non-inner joins are admissible (round 10 ONE LeftOuter/RightOuter/
+      // semi/anti; round 11 ANY NUMBER of them plus FULL OUTER — the
+      // multi-dimension enrichment statement `fact LEFT JOIN dim1 LEFT
+      // JOIN dim2 …` is the most common real shape): the statement stays
+      // linear in every source preserved by ALL the outer joins above it
+      // (left joins distribute over their preserved side), so those
+      // sources keep the standard delta terms; a source under ANY
+      // null-padded side — both sides, for FULL — takes the
+      // restricted-difference term instead ([[restrictOuterToDelta]]).
       val outers = outerJoinsAbove(analyzed, boundary)
       joinOuterNonLinear = Set.empty
-      outers match {
-        case Nil =>
-          if (nonLinearIn(analyzed, boundary)) return false
-        case Seq(oj) if oj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter ||
-                        oj.joinType == org.apache.spark.sql.catalyst.plans.RightOuter ||
-                        oj.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
-                        oj.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
-          // all four are linear in their ROW-PRESERVED side (left except
-          // for RightOuter) and nonlinear in the other — semi/anti
-          // membership and null-padding alike change with the other side,
-          // which the restricted-difference term accounts for
-          if (nonLinearIn(analyzed, boundary, allowedOuter = oj)) return false
-          val non = if (oj.joinType == org.apache.spark.sql.catalyst.plans.RightOuter)
-            oj.left else oj.right
-          joinOuterNonLinear = boundarySourcesIn(non, boundary)
-        case _ => return false
+      val admissibleOuter: org.apache.spark.sql.catalyst.plans.JoinType => Boolean = {
+        import org.apache.spark.sql.catalyst.plans._
+        t => t == LeftOuter || t == RightOuter || t == LeftSemi ||
+             t == LeftAnti || t == FullOuter
       }
+      if (outers.exists(j => !admissibleOuter(j.joinType))) return false
+      if (nonLinearIn(analyzed, boundary, allowedNodes = outers,
+          allowLiveSubquery = true)) return false
+      joinOuterNonLinear = outers.flatMap { oj =>
+        import org.apache.spark.sql.catalyst.plans.{FullOuter, RightOuter}
+        oj.joinType match {
+          case RightOuter => boundarySourcesIn(oj.left, boundary)
+          case FullOuter => boundarySourcesIn(oj.left, boundary) ++
+            boundarySourcesIn(oj.right, boundary)
+          case _ => boundarySourcesIn(oj.right, boundary)
+        }
+      }.toSet
+      // sources read inside subquery expressions (round 11): plain
+      // difference terms — collected across every node's expressions
+      joinSubqNonLinear = analyzed.collect { case n => n }.flatMap(_.expressions)
+        .flatMap(_.collect {
+          case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            boundarySourcesIn(sq.plan, boundary)
+        }).flatten.toSet
       joinHasJoin = analyzed.collectFirst { case _: Join => () }.nonEmpty
       // each changelog source must appear exactly once for the telescoped
       // rebinding to address it (relation list from the parsed plan keeps
-      // duplicates, unlike statementRelations' set)
-      val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
-        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          r.multipartIdentifier.mkString(".").toLowerCase
-      }
+      // duplicates, unlike statementRelations' set). collectWithSubqueries
+      // (round 11): a subquery-read source counts too — one referenced in
+      // BOTH the body and a subquery, or in two subqueries, would fold
+      // only one occurrence
+      val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt)
+        .collectWithSubqueries {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            r.multipartIdentifier.mkString(".").toLowerCase
+        }
       val srcNames = ups.map(_.viewName) ++ tbls.map(_.viewName)
       if (srcNames.exists(n => occurrences.count(_ == n.toLowerCase) != 1))
         return false
@@ -2062,7 +2114,8 @@ final class MaterializedView private[engine](
       cascadeUpstreams =
         (ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
           tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF)))
-          .sortBy(u => joinOuterNonLinear.contains(u.viewName.toLowerCase))
+          .sortBy(u => joinOuterNonLinear.contains(u.viewName.toLowerCase) ||
+            joinSubqNonLinear.contains(u.viewName.toLowerCase))
       // durable reopen: grouped state + consumed offsets restore with zero
       // statement evals (same discipline as the other cascade modes)
       val restored = validSnapshotMeta("joincascade").flatMap { case (d, offsets, _) =>
@@ -2090,6 +2143,7 @@ final class MaterializedView private[engine](
       cascadeMode = false
       cascadeUpstreams = Nil
       joinOuterNonLinear = Set.empty
+      joinSubqNonLinear = Set.empty
       if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
       false
     }
@@ -2136,22 +2190,120 @@ final class MaterializedView private[engine](
     }
   }
 
-  /** Window-cascade admission (round 10): the statement holds EXACTLY ONE
-    * window node (the analyzer fuses same-spec window expressions into one;
-    * different specs → several nodes → reject), over EXACTLY ONE changelog
-    * source, with every PARTITION BY expression a plain source column that
-    * survives in the output, and everything else multilinear. Soundness of
-    * touched-partition maintenance: below the window the plan is
-    * multilinear (Project/Filter/static joins), so every derived row
-    * carries its source row's partition value — a source delta can only
-    * change the window results of the partitions its payload names; above
-    * the window the plan is row-wise, so untouched partitions' output rows
-    * are unchanged. A global (empty PARTITION BY) window would make every
-    * epoch a full re-rank — batch re-run is the same cost, so it stays
-    * there. The carried state is the output multiset grouped as
-    * (row → count), like the delta-join cascade. */
+  /** Trace an attribute (by exprId) through pass-through plan nodes down
+    * to the boundary source relation, returning the equivalent expression
+    * over the SOURCE's own column names (leaves =
+    * [[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]]).
+    * A plain pass-through column yields that attribute; a computed Project
+    * alias yields its defining expression with every referenced attribute
+    * itself traced (round 11 — this is what the name-membership check it
+    * replaces could not see: a computed alias SHADOWING a source column
+    * name traces to its defining expression, not to the raw source
+    * column). Window expressions and aggregate results trace to None —
+    * they are not functions of a single source row. */
+  private def traceAttr(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      id: org.apache.spark.sql.catalyst.expressions.ExprId,
+      boundary: Set[String]):
+      Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias, Window => WindowNode}
+    plan match {
+      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) =>
+        s.output.find(_.exprId == id).map(a => UnresolvedAttribute.quoted(a.name))
+      case p: Project =>
+        p.projectList.find(_.exprId == id) match {
+          case Some(ar: AttributeReference) => traceAttr(p.child, ar.exprId, boundary)
+          case Some(al: Alias) => traceExpr(al.child, p.child, boundary)
+          case _ => None
+        }
+      case a: Aggregate =>
+        a.aggregateExpressions.find(_.exprId == id) match {
+          case Some(ar: AttributeReference) => traceAttr(a.child, ar.exprId, boundary)
+          case Some(al: Alias)
+            if !al.child.exists(_.isInstanceOf[AggregateExpression]) =>
+            traceExpr(al.child, a.child, boundary)
+          case _ => None
+        }
+      case w: WindowNode =>
+        if (w.child.outputSet.exists(_.exprId == id))
+          traceAttr(w.child, id, boundary)
+        else None // a window-function result is not a per-source-row value
+      case other =>
+        // pass-through nodes (Filter, non-boundary SubqueryAlias, Join,
+        // …): descend into the child that produces the attribute
+        other.children.find(_.output.exists(_.exprId == id))
+          .flatMap(traceAttr(_, id, boundary))
+    }
+  }
+
+  /** Trace a whole expression: every referenced attribute must itself
+    * trace ([[traceAttr]]); the result substitutes the traces in. None on
+    * nondeterminism, subqueries, or any untraceable leaf. */
+  private def traceExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      boundary: Set[String]):
+      Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (!e.deterministic ||
+        e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      return None
+    var ok = true
+    val traced = e.transformUp {
+      case ar: AttributeReference =>
+        traceAttr(plan, ar.exprId, boundary).getOrElse { ok = false; ar }
+    }
+    if (ok) Some(traced) else None
+  }
+
+  /** Aggregate nodes of the plan ABOVE the source boundary. */
+  private def aggregatesAbove(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      boundary: Set[String]): Seq[Aggregate] = {
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    p match {
+      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) => Nil
+      case a: Aggregate => a +: a.children.flatMap(aggregatesAbove(_, boundary))
+      case _ => p.children.flatMap(aggregatesAbove(_, boundary))
+    }
+  }
+
+  /** The BOTTOM window of a one-chain window set: contained in every other
+    * window's subtree (None when windows sit on divergent branches). */
+  private def bottomWindow(
+      wins: Seq[org.apache.spark.sql.catalyst.plans.logical.Window]):
+      Option[org.apache.spark.sql.catalyst.plans.logical.Window] =
+    wins.find(w => wins.forall(o => (o eq w) || o.child.exists(_ eq w)))
+
+  /** Window-cascade admission (round 10; lineage-generalized round 11):
+    * the statement's window nodes all sit on ONE chain over EXACTLY ONE
+    * changelog source (referenced once), every window's PARTITION BY
+    * traces by exprId lineage ([[traceExpr]]) to deterministic expressions
+    * over the source's own columns, the traced key sets share a non-empty
+    * intersection (the restriction keys), at most one Aggregate sits ABOVE
+    * the bottom window with grouping that covers the restriction keys
+    * (each output group then aggregates rows of a single key partition),
+    * every leaf source column of the restriction keys survives in the
+    * output under its source name, and everything else is multilinear.
+    *
+    * Soundness of touched-partition maintenance: below the bottom window
+    * the plan is multilinear (Project/Filter/static joins), so every
+    * derived row carries its source row's restriction-key value — a source
+    * delta can only change the results of the key partitions its payload
+    * names (the key expression evaluates on the delta payload directly);
+    * every window partitions by a superset of the restriction keys, so all
+    * window results are confined within key partitions; an admitted
+    * aggregate groups by the keys, so its groups are too; above, the plan
+    * is row-wise. Untouched partitions' output rows are therefore exactly
+    * unchanged, and the touched partitions re-evaluate whole (semi-join
+    * below the bottom window) and REPLACE their slice of the carried
+    * multiset. A global (empty PARTITION BY) window would make every epoch
+    * a full re-rank — batch re-run is the same cost, so it stays there.
+    * The carried state is the output multiset grouped as (row → count),
+    * like the delta-join cascade. */
   private def tryStartWindowCascade(): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val tbls = engine.referencedLiveTables(stmt)
     val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
     if (tbls.size + ups.size != 1) return false
@@ -2162,22 +2314,76 @@ final class MaterializedView private[engine](
       val analyzed = df.queryExecution.analyzed
       val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
         .map(_.toLowerCase).toSet
-      val wins = windowsAbove(analyzed, boundary)
-      if (wins.size != 1) return false
-      val w = wins.head
-      if (nonLinearIn(analyzed, boundary, allowedOuter = w)) return false
-      if (w.partitionSpec.isEmpty) return false
-      val names = w.partitionSpec.map {
-        case ar: AttributeReference
-          if analyzed.output.exists(_.exprId == ar.exprId) => ar.name
-        case _ => return false
+      // the source must appear exactly once: the touched-key derivation
+      // reads the delta payload through ONE lineage; a UNION ALL or
+      // self-join referencing the source twice could route different key
+      // derivations through each occurrence (relation list from the parsed
+      // plan keeps duplicates)
+      val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.mkString(".").toLowerCase
       }
-      // the source delta payload must carry the partition columns by name
-      // (passthrough attributes keep their source names)
-      val srcCols = (tbls.map(_.schema.fieldNames.toSeq) ++
-        ups.map(_.outputSchema.fieldNames.toSeq)).head
-      if (!names.forall(srcCols.contains)) return false
-      windowPartCols = names
+      if (boundary.exists(n => occurrences.count(_ == n) != 1)) return false
+      val wins = windowsAbove(analyzed, boundary)
+      if (wins.isEmpty) return false
+      val bottom = bottomWindow(wins) match {
+        case Some(b) => b
+        case None => return false // windows on divergent branches
+      }
+      // at most one aggregate, ABOVE the bottom window (window-below-
+      // aggregate, round 11); aggregate-below-window stays rejected — the
+      // window would rank aggregate results, which are not per-source-row
+      val aggs = aggregatesAbove(analyzed, boundary)
+      if (aggs.size > 1) return false
+      val aggOpt = aggs.headOption
+      if (aggOpt.exists(a => !a.child.exists(_ eq bottom))) return false
+      if (nonLinearIn(analyzed, boundary,
+          allowedNodes = wins ++ aggOpt.toSeq)) return false
+      // trace every window's PARTITION BY; restriction keys = the traces
+      // every window shares (each window then partitions by a superset)
+      val traces: Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =
+        wins.map { w =>
+          if (w.partitionSpec.isEmpty) return false
+          w.partitionSpec.map(pe =>
+            traceExpr(pe, w.child, boundary).getOrElse(return false))
+        }
+      val sharedKeys = traces.head
+        .filter(t => traces.tail.forall(_.exists(_.sql == t.sql)))
+        .distinctBy(_.sql)
+      if (sharedKeys.isEmpty) return false
+      // each key needs a STATE-side spelling that evaluates the same value
+      // over the carried output rows (the slice restriction runs there):
+      // (a) every leaf source column survives in the output under its
+      // source name by plain lineage → the key expression itself applies;
+      // (b) an output column's own lineage IS the key (a computed alias,
+      // e.g. the shadowed-alias shape) → restrict on that column. A key
+      // with neither spelling drops out — a SUBSET of the keys is a
+      // coarser but still sound restriction (each window still partitions
+      // by a superset); only an empty set rejects.
+      val outTraces: Seq[(org.apache.spark.sql.catalyst.expressions.Attribute, String)] =
+        analyzed.output.flatMap(o =>
+          traceAttr(analyzed, o.exprId, boundary).map(t => o -> t.sql))
+      def plainSurvives(n: String): Boolean = outTraces.exists {
+        case (o, sql) => o.name == n && sql == UnresolvedAttribute.quoted(n).sql
+      }
+      val keyed: Seq[(org.apache.spark.sql.catalyst.expressions.Expression,
+                      org.apache.spark.sql.catalyst.expressions.Expression)] =
+        sharedKeys.flatMap { k =>
+          val leaves = k.collect { case u: UnresolvedAttribute => u.name }.distinct
+          if (leaves.forall(plainSurvives)) Some(k -> k)
+          else outTraces.collectFirst {
+            case (o, sql) if sql == k.sql => k -> UnresolvedAttribute.quoted(o.name)
+          }
+        }
+      if (keyed.isEmpty) return false
+      // an admitted aggregate's grouping must cover the restriction keys
+      aggOpt.foreach { a =>
+        val gt = a.groupingExpressions
+          .flatMap(g => traceExpr(g, a.child, boundary)).map(_.sql).toSet
+        if (!keyed.forall { case (k, _) => gt.contains(k.sql) }) return false
+      }
+      windowPartKeys = keyed.map(_._1)
+      windowStateKeys = keyed.map(_._2)
       keyMode = MaterializedView.Multiset
       keyCols = Nil
       isAggMode = false
@@ -2210,7 +2416,8 @@ final class MaterializedView private[engine](
       windowMode = false
       cascadeMode = false
       cascadeUpstreams = Nil
-      windowPartCols = Nil
+      windowPartKeys = Nil
+      windowStateKeys = Nil
       if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
       false
     }
@@ -2221,11 +2428,22 @@ final class MaterializedView private[engine](
     * epoch silently re-ranks the world. */
   @volatile private[graft] var lastWindowEpochPlan: Option[String] = None
 
+  /** A restriction-key expression as a Column — the unresolved-attribute
+    * leaves re-resolve against the frame it is applied to: the delta
+    * payload (source columns) for [[windowPartKeys]], the carried state
+    * (output columns) for [[windowStateKeys]] — admission guarantees the
+    * referenced names exist in the respective frame. */
+  private def windowKeyCol(i: Int): org.apache.spark.sql.Column =
+    GraftColumnBridge.column(windowPartKeys(i))
+  private def windowStateKeyCol(i: Int): org.apache.spark.sql.Column =
+    GraftColumnBridge.column(windowStateKeys(i))
+
   /** Install the touched-partition restriction directly below the
-    * statement's Window node (plan surgery): the window's child semi-joins
-    * the broadcast partition-key frame under the window's own partition
-    * attributes, so the re-rank reads only the touched partitions' rows.
-    * Output attributes are untouched — everything above stays resolved. */
+    * statement's BOTTOM window (plan surgery): its child semi-joins the
+    * broadcast key frame under the partition expressions whose lineage
+    * traces match the restriction keys — a fresh `spark.sql` plan carries
+    * fresh exprIds, so the match is by traced form, not identity. Output
+    * attributes are untouched — everything above stays resolved. */
   private def restrictWindowToPartitions(full: DataFrame,
                                          touched: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
@@ -2233,14 +2451,16 @@ final class MaterializedView private[engine](
     import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
     val plan = full.queryExecution.analyzed
     val boundary = cascadeUpstreams.map(_.viewName.toLowerCase).toSet
-    val w = windowsAbove(plan, boundary) match {
-      case Seq(x) => x
-      case o => throw new IllegalStateException(s"expected one window, found ${o.size}")
-    }
-    val krPlan = org.apache.spark.sql.functions.broadcast(
-      touched.toDF(windowPartCols.map(c => s"__k_$c"): _*))
+    val wins = windowsAbove(plan, boundary)
+    val w = bottomWindow(wins).getOrElse(
+      throw new IllegalStateException("no bottom window in recompute plan"))
+    val specByTrace = w.partitionSpec.flatMap(pe =>
+      traceExpr(pe, w.child, boundary).map(t => t.sql -> pe)).toMap
+    val pes = windowPartKeys.map(k => specByTrace.getOrElse(k.sql,
+      throw new IllegalStateException(s"restriction key ${k.sql} missing from bottom window")))
+    val krPlan = org.apache.spark.sql.functions.broadcast(touched)
       .queryExecution.analyzed
-    val cond = w.partitionSpec.zip(krPlan.output)
+    val cond = pes.zip(krPlan.output)
       .map { case (pe, k) => EqualNullSafe(pe, k): org.apache.spark.sql.catalyst.expressions.Expression }
       .reduce(And(_, _))
     GraftColumnBridge.ofRows(spark, plan.transformUp {
@@ -2275,34 +2495,55 @@ final class MaterializedView private[engine](
       return
     }
     if (latest <= after) return
-    val ops = u.log.dfAfter(after)
     cascadeOffsets(u.viewName) = latest
-    val touched = timed("touched-keys")(boundedLocal(
-      ops.select(windowPartCols.map(col): _*).distinct()))
-    def restrict(df: DataFrame, how: String): DataFrame = {
-      val kr = touched.toDF(windowPartCols.map(c => s"__k_$c"): _*)
-      df.join(broadcast(kr),
-        windowPartCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), how)
+    try {
+      val ops = u.log.dfAfter(after)
+      // touched keys: the restriction-key expressions evaluate DIRECTLY on
+      // the delta payload (its columns are the source's, which the traced
+      // leaves name) — a computed key (e.g. date_trunc('day', ts)) derives
+      // here, round 11
+      val touched = timed("touched-keys")(boundedLocal(
+        ops.select(windowPartKeys.indices
+          .map(i => windowKeyCol(i).as(s"__k_$i")): _*).distinct()))
+      def restrict(df: DataFrame, how: String): DataFrame =
+        df.join(broadcast(touched), windowStateKeys.indices
+          .map(i => windowStateKeyCol(i) <=> col(s"__k_$i")).reduce(_ && _), how)
+      statementEvals += 1
+      // the partition restriction is installed BELOW the Window by plan
+      // surgery: Catalyst's PushDownLeftSemiAntiJoin declines to push any
+      // semi join it could plan as a broadcast join (SPARK-37455's cost
+      // guard), which would leave the filter above the Window and re-rank
+      // the WHOLE source every epoch
+      val recompute = restrictWindowToPartitions(spark.sql(cascadeStmt), touched)
+      lastWindowEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
+      val newPart = timed("group-recompute")(boundedLocal(recompute))
+      val prevPart = expandCounts(restrict(cascadeInner.get, "left_semi"))
+      // state BEFORE ops (same failure discipline as joinCascadeEpoch): a
+      // merge failure propagates with nothing emitted this epoch
+      val merged = timed("state-merge")(boundedLocal(
+        restrict(cascadeInner.get, "left_anti").unionByName(groupedCounts(newPart))))
+      emitOps(timed("diff-collect")(Changelog.multisetDiff(Some(prevPart), newPart)))
+      cascadeInner = Some(merged)
+      val vis = expandCounts(merged)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+    } catch { case _: Throwable =>
+      // full-recompute repair (round 11, ADVICE): the offset above is
+      // already consumed, so a mid-epoch failure (transient Spark error,
+      // plan-surgery mismatch) must NOT skip the delta — re-evaluate the
+      // whole statement and multiset-diff against the carried state, same
+      // discipline as joinCascadeEpoch's fallback. Nothing was emitted
+      // before the first failable step completed, so the diff emits this
+      // epoch's delta exactly once.
+      statementEvals += 1
+      val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
+      val prevVis = expandCounts(cascadeInner.get)
+      val vis = expandCounts(grouped)
+      emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+      cascadeInner = Some(grouped)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
     }
-    statementEvals += 1
-    // the partition restriction is installed BELOW the Window by plan
-    // surgery: Catalyst's PushDownLeftSemiAntiJoin declines to push any
-    // semi join it could plan as a broadcast join (SPARK-37455's cost
-    // guard), which would leave the filter above the Window and re-rank
-    // the WHOLE source every epoch
-    val recompute = restrictWindowToPartitions(spark.sql(cascadeStmt), touched)
-    lastWindowEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
-    val newPart = timed("group-recompute")(boundedLocal(recompute))
-    val prevPart = expandCounts(restrict(cascadeInner.get, "left_semi"))
-    // state BEFORE ops (same failure discipline as joinCascadeEpoch): a
-    // merge failure propagates with nothing emitted this epoch
-    val merged = timed("state-merge")(boundedLocal(
-      restrict(cascadeInner.get, "left_anti").unionByName(groupedCounts(newPart))))
-    emitOps(timed("diff-collect")(Changelog.multisetDiff(Some(prevPart), newPart)))
-    cascadeInner = Some(merged)
-    val vis = expandCounts(merged)
-    snapshot = Some(vis)
-    vis.createOrReplaceTempView(viewName)
   }
 
   /** Non-multilinear plan detector shared by the delta-join admission
@@ -2314,42 +2555,40 @@ final class MaterializedView private[engine](
   private def nonLinearIn(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       boundary: Set[String],
-      allowedOuter: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = null): Boolean = {
+      allowedNodes: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = Nil,
+      allowLiveSubquery: Boolean = false): Boolean = {
     import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
     import org.apache.spark.sql.catalyst.plans.logical.{
       Deduplicate, Distinct, Except, Generate, GlobalLimit, Intersect,
       Join, LocalLimit, Sort, SubqueryAlias, Window => WindowNode}
+    def recur(c: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      nonLinearIn(c, boundary, allowedNodes, allowLiveSubquery)
+    // expression discipline applied to EVERY non-boundary node, waived or
+    // not: no nondeterminism; subqueries over static relations are a
+    // per-epoch constant (round 10). One reading a changelog source is
+    // allowed only where the caller folds it as a plain-difference source
+    // ([[joinSubqNonLinear]], round 11) — elsewhere it stays rejected: the
+    // telescoped rebinding would bind the source's delta INSIDE the
+    // subquery, which is not a linear slot.
+    def badExprs = p.expressions.exists(_.exists(e =>
+      (e match {
+        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          !allowLiveSubquery && boundarySourcesIn(sq.plan, boundary).nonEmpty
+        case _ => false
+      }) || !e.deterministic))
     p match {
       case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) => false
-      // the single ADMITTED non-inner join (delta-join cascade) or Window
-      // node (window cascade) falls through to the default case: its
-      // expressions and subtrees are still checked, only the node-type
-      // rejection is waived
-      case w: WindowNode if w eq allowedOuter =>
-        p.expressions.exists(_.exists(e =>
-          e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression] ||
-            !e.deterministic)) ||
-          p.children.exists(nonLinearIn(_, boundary, allowedOuter))
+      // ADMITTED nodes — the delta-join cascade's outer joins, the window
+      // cascade's Window chain and its one Aggregate — skip only the
+      // node-type rejection: their expressions and subtrees are still
+      // checked
+      case n if allowedNodes.exists(_ eq n) =>
+        badExprs || p.children.exists(recur)
       case _: Aggregate | _: WindowNode | _: Sort | _: GlobalLimit |
            _: LocalLimit | _: Distinct | _: Deduplicate | _: Intersect |
            _: Except | _: Generate => true
-      case j: Join if !(j.joinType == Inner || j.joinType == Cross) &&
-                      (j ne allowedOuter) => true
-      case _ =>
-        p.expressions.exists(_.exists(e =>
-          (e match {
-            // a subquery over ONLY static (non-changelog) relations is a
-            // per-epoch constant predicate/value — it does not break
-            // linearity in the live sources (round 10: `WHERE x IN
-            // (SELECT … FROM static_dim)` MVs fold). A subquery that
-            // reads a changelog source stays rejected: the telescoped
-            // rebinding would bind the source's delta INSIDE the
-            // subquery, which is not a linear slot.
-            case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-              boundarySourcesIn(sq.plan, boundary).nonEmpty
-            case _ => false
-          }) || !e.deterministic)) ||
-          p.children.exists(nonLinearIn(_, boundary, allowedOuter))
+      case j: Join if !(j.joinType == Inner || j.joinType == Cross) => true
+      case _ => badExprs || p.children.exists(recur)
     }
   }
 
@@ -2443,9 +2682,10 @@ final class MaterializedView private[engine](
         hinted(dels).createOrReplaceTempView(s"__jc_del_${u.viewName}")
         tempViews += s"__jc_del_${u.viewName}"
         // OLD snapshots serve later terms (multi-source epochs) and the
-        // restricted-difference term of a nonlinear-side source itself
+        // restricted/plain difference term of a nonlinear-side source itself
         if (parts.size > 1 ||
-            joinOuterNonLinear.contains(u.viewName.toLowerCase)) {
+            joinOuterNonLinear.contains(u.viewName.toLowerCase) ||
+            joinSubqNonLinear.contains(u.viewName.toLowerCase)) {
           val cols = adds.columns.toIndexedSeq.map(col)
           // net per distinct row before reconstructing (see foldAux): a row
           // on both sides of the window would otherwise become a phantom in
@@ -2482,6 +2722,24 @@ final class MaterializedView private[engine](
           lastOuterTermPlan = Some(plus.queryExecution.optimizedPlan.toString)
           val minus = restrictOuterToDelta(spark.sql(sqlOld),
               s"__jc_old_${u.viewName}", payload)
+            .select(outCols.map(col): _*).withColumn("__d", lit(-1L))
+          Seq(plus, minus)
+        } else if (joinSubqNonLinear.contains(u.viewName.toLowerCase)) {
+          // PLAIN difference term for a subquery-read source (round 11):
+          // Q(…,u:new,…) ⊖ Q(…,u:old,…) with no restriction — there is no
+          // Join node whose side could be semi-restricted (the membership
+          // predicate lives inside an expression). Rows whose predicate
+          // result cannot change are identical in both evaluations and
+          // cancel in the signed net; the cost is ~one batch re-run per
+          // SUBQUERY-side epoch, while the outer source keeps its
+          // delta-proportional terms.
+          val sqlNew = laterOld(cascadeStmt)
+          val sqlOld = retarget(sqlNew, u.viewName, s"__jc_old_${u.viewName}")
+          if (!sqlOld.contains(s"__jc_old_${u.viewName}"))
+            throw new IllegalStateException(s"rebinding missed ${u.viewName}")
+          val plus = spark.sql(sqlNew)
+            .select(outCols.map(col): _*).withColumn("__d", lit(1L))
+          val minus = spark.sql(sqlOld)
             .select(outCols.map(col): _*).withColumn("__d", lit(-1L))
           Seq(plus, minus)
         } else {
@@ -2558,43 +2816,61 @@ final class MaterializedView private[engine](
   }
 
   /** Restrict `full` — an evaluation of the admitted outer-join statement —
-    * so the LEFT/RIGHT outer join's LINEAR (row-preserved) side keeps only
+    * so the restricted side of the outer join OWNING `srcView` keeps only
     * rows that can match `payload` (the epoch's delta of nonlinear-side
-    * source `srcView`). Plan surgery:
-    *  1. re-bind `srcView` inside a COPY of the nonlinear subtree to the
+    * source `srcView`). The owning join is the OUTERMOST non-inner join
+    * whose null-padded side contains `srcView` (for FULL OUTER, whichever
+    * side contains it); the restricted side is its other child — the big,
+    * row-preserved one for LEFT/RIGHT/semi/anti. Plan surgery:
+    *  1. re-bind `srcView` inside a COPY of the owning subtree to the
     *     delta payload (exprId-preserving projection, so the subtree's own
     *     expressions stay resolved) — its output is exactly the candidate
-    *     right-side rows whose membership may have changed this epoch;
+    *     rows whose membership may have changed this epoch;
     *  2. re-alias that probe to fresh attribute ids (`toDF` re-ids every
-    *     column) so it cannot collide with the original nonlinear subtree
-    *     that remains under the outer join, and BROADCAST it;
-    *  3. semi-join the linear subtree against the probe under the original
-    *     join condition (re-pointed at the fresh ids) and swap the result
-    *     in as the outer join's linear child.
+    *     column) so it cannot collide with the original subtree that
+    *     remains under the outer join, and BROADCAST it;
+    *  3. semi-join the restricted subtree against the probe under the
+    *     original join condition (re-pointed at the fresh ids) and swap
+    *     the result in as that child of the outer join.
     * Soundness: the caller evaluates the statement twice (source bound new
-    * vs old) and nets the signed results; a linear-side row matching no
-    * candidate has identical matches — hence identical output — in both
-    * evaluations and cancels, so dropping it changes nothing. 100 TB
-    * shape: the linear side is probed by a broadcast-hash semi join (never
-    * shuffled), the nonlinear base is probed by the statement's own join
-    * plan against the broadcast delta — no side is re-scanned into a
-    * shuffle. */
+    * vs old) and nets the signed results; every OTHER relation binds
+    * identically in both, so a restricted-side row matching no candidate
+    * has identical matches — hence identical output, including any
+    * null-padded row the drop itself induces — in both evaluations and
+    * cancels. This holds with further outer joins above (their inputs
+    * differ only where the delta reached) and for FULL OUTER's padded rows
+    * on either side. 100 TB shape: the restricted side is probed by a
+    * broadcast-hash semi join (never shuffled), the owning subtree is
+    * probed by the statement's own join plan against the broadcast delta —
+    * no side is re-scanned into a shuffle. A source nested under TWO
+    * padded sides restricts at the outermost join, so the probe broadcasts
+    * that inner padded subtree's preserved rows — dim-sized by admission
+    * shape, not delta-sized; the common chained-enrichment statement has
+    * no nesting and stays delta-proportional. */
   private def restrictOuterToDelta(full: DataFrame, srcView: String,
                                    payload: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
-    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
     val plan = full.queryExecution.analyzed
     val stops = cascadeUpstreams.map(_.viewName.toLowerCase).toSet + srcView.toLowerCase
-    val oj = outerJoinsAbove(plan, stops) match {
-      case Seq(j) if j.joinType == LeftOuter || j.joinType == RightOuter ||
-                     j.joinType == LeftSemi || j.joinType == LeftAnti => j
-      case other =>
-        throw new IllegalStateException(s"expected one outer join, found ${other.size}")
+    def containsSrc(p: LogicalPlan): Boolean = p.exists {
+      case s: SubqueryAlias => s.alias.equalsIgnoreCase(srcView)
+      case _ => false
     }
-    val leftIsLinear = oj.joinType != RightOuter
-    val (linChild, nonChild) =
-      if (leftIsLinear) (oj.left, oj.right) else (oj.right, oj.left)
+    // outerJoinsAbove returns pre-order (outermost first): restrict where
+    // the biggest preserved side sits
+    val owning = outerJoinsAbove(plan, stops).flatMap { j =>
+      j.joinType match {
+        case RightOuter => if (containsSrc(j.left)) Some((j, j.right, j.left)) else None
+        case FullOuter =>
+          if (containsSrc(j.left)) Some((j, j.right, j.left))
+          else if (containsSrc(j.right)) Some((j, j.left, j.right)) else None
+        case _ => if (containsSrc(j.right)) Some((j, j.left, j.right)) else None
+      }
+    }
+    val (oj, linChild, nonChild) = owning.headOption.getOrElse(
+      throw new IllegalStateException(s"no outer join owns $srcView"))
     var found = false
     val subst = nonChild.transformUp {
       case s: SubqueryAlias if !found && s.alias.equalsIgnoreCase(srcView) =>
@@ -2614,10 +2890,13 @@ final class MaterializedView private[engine](
     val semiCond = oj.condition.getOrElse(Literal.TrueLiteral).transform {
       case a: AttributeReference if attrMap.contains(a.exprId) => attrMap(a.exprId)
     }
-    val restricted = Join(linChild, renamedPlan, LeftSemi, Some(semiCond), JoinHint.NONE)
+    val restricted = Join(linChild,
+      renamedPlan, org.apache.spark.sql.catalyst.plans.LeftSemi,
+      Some(semiCond), JoinHint.NONE)
     GraftColumnBridge.ofRows(spark, plan.transformUp {
       case j: Join if j eq oj =>
-        if (leftIsLinear) j.copy(left = restricted) else j.copy(right = restricted)
+        if (linChild eq oj.left) j.copy(left = restricted)
+        else j.copy(right = restricted)
     })
   }
 

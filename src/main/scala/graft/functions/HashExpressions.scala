@@ -409,6 +409,85 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): NearestCentroid = copy(child = c)
   }
 
+  /** Product-quantization encode (round 11 — replaces the interpreted
+    * lambda-HOF spelling in [[graft.operators.Similarity.pqTopK]]): per
+    * subspace j, the first-min argmin of the SEQUENTIAL squared-L2 fold
+    * against codebook `cb(j)` (m × K × sub, a fixed driver-constant model
+    * like [[NearestCentroid]]'s centroid set). Strict `<` with ascending
+    * codeword iteration reproduces `array_position(dists,
+    * array_min(dists))`'s first-occurrence tiebreak, and the inner fold
+    * accumulates in index order — bit-identical codes to the HOF spelling
+    * the DuckDB oracle replays. One tight loop per row in the scan stage:
+    * no shuffle, no join, no per-element Catalyst lambda dispatch. */
+  case class PqEncode(child: Expression, cb: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    private val m = cb.length
+    private val sub = cb(0)(0).length
+    require(m > 0 && cb.forall(_.forall(_.length == sub)),
+      "codebook subspaces must share one dimension")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private def elemAt(a: ArrayData, et: DataType, i: Int): Double = et match {
+      case FloatType => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case other => throw new IllegalArgumentException(s"PqEncode: unsupported element $other")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      require(a.numElements() == m * sub,
+        s"PqEncode: dimension mismatch ${a.numElements()} vs ${m * sub}")
+      val codes = new Array[Long](m)
+      var j = 0
+      while (j < m) {
+        val words = cb(j)
+        var best = Double.PositiveInfinity
+        var bestC = 0
+        var c = 0
+        while (c < words.length) {
+          val w = words(c)
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            if (a.isNullAt(j * sub + i)) return null
+            val t = elemAt(a, et, j * sub + i) - w(i)
+            d += t * t
+            i += 1
+          }
+          if (d < best) { best = d; bestC = c }
+          c += 1
+        }
+        codes(j) = bestC.toLong
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  }
+
+  /** PQ reconstruction: concatenate the codewords the code array names —
+    * the decode half of [[PqEncode]], same fixed codebook constant. */
+  case class PqReconstruct(child: Expression, cb: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    private val m = cb.length
+    private val sub = cb(0)(0).length
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      require(a.numElements() == m,
+        s"PqReconstruct: expected $m codes, got ${a.numElements()}")
+      val out = new Array[Double](m * sub)
+      var j = 0
+      while (j < m) {
+        if (a.isNullAt(j)) return null
+        val w = cb(j)(a.getLong(j).toInt)
+        System.arraycopy(w, 0, out, j * sub, sub)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): PqReconstruct = copy(child = c)
+  }
+
   private val eu = org.apache.spark.sql.GraftColumnBridge
 
   def wordShingles(c: Column, n: Int): Column =
@@ -439,4 +518,10 @@ object HashExpressions {
   def nearestCentroid(v: Column, cids: Array[Long],
                       cents: Array[Array[Double]], cnorms: Array[Double]): Column =
     eu.column(NearestCentroid(eu.expression(v), cids, cents, cnorms))
+
+  def pqEncode(v: Column, cb: Array[Array[Array[Double]]]): Column =
+    eu.column(PqEncode(eu.expression(v), cb))
+
+  def pqReconstruct(codes: Column, cb: Array[Array[Array[Double]]]): Column =
+    eu.column(PqReconstruct(eu.expression(codes), cb))
 }

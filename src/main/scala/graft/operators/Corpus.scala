@@ -76,25 +76,44 @@ object Corpus {
   /** [[contamination]] with a Bloom prefilter — the shape that matters at
     * 100 TB: even with the benchmark set broadcast, every corpus n-gram
     * must be probed against the exact hash relation inside the join. Here
-    * a Bloom filter built over the benchmark grams (`DataFrameStatFunctions
-    * .bloomFilter` → `org.apache.spark.util.sketch.BloomFilter`, broadcast
-    * once) discards ~everything in the scan stage BEFORE the join; the
-    * exact broadcast join then removes the Bloom's false positives, so the
-    * result is IDENTICAL to [[contamination]] — which is exactly what the
-    * oracle asserts. `fpp` trades filter size for surviving-row count. */
+    * a Bloom filter built over the benchmark grams discards ~everything in
+    * the scan stage BEFORE the join; the exact broadcast join then removes
+    * the Bloom's false positives, so the result is IDENTICAL to
+    * [[contamination]] — which is exactly what the oracle asserts.
+    * `fpp` trades filter size for surviving-row count.
+    *
+    * The filter is Spark's NATIVE pair (round 11; previously a Scala UDF
+    * over `util.sketch.BloomFilter` — the one UDF in an otherwise UDF-free
+    * hot path): `BloomFilterAggregate` builds it as one distributed
+    * aggregate over `xxhash64(gram)`, and `BloomFilterMightContain` — the
+    * codegen'd expression behind runtime bloom join pruning — probes it in
+    * the scan stage. The built filter rides the plan as a binary Literal
+    * (BloomFilterMightContain requires a constant filter side); eval sets
+    * are MBs, so the literal is broadcast-sized by construction. */
   def contaminationBloom(docs: DataFrame, benchmark: DataFrame, idCol: String,
                          textCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val bench = benchmark
       .select(explode(shingles(col(textCol), n)).as("gram")).distinct()
       .localCheckpoint(true) // reused three times: count, Bloom build, exact join
     val items = math.max(bench.count(), 1L)
-    val bf = bench.stat.bloomFilter("gram", items, fpp)
-    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    // optimal bit count for the target fpp: -n·ln(p)/ln²2, floored at one word
+    val bits = math.max(64L,
+      math.ceil(-items.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bfBytes = bench.agg(GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64(col("gram"))),
+          Literal(items), Literal(bits)).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probe = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(xxhash64(col("gram")))))
     docs.select(col(idCol), shingles(col(textCol), n).as("g"))
       .select(col(idCol), size(col("g")).cast("long").as("n_grams"),
         explode(col("g")).as("gram"))
-      .filter(mightContain(col("gram")))
+      .filter(probe)
       .join(broadcast(bench), "gram")
       .groupBy(col(idCol), col("n_grams"))
       .agg(count(lit(1)).as("n_contam"))

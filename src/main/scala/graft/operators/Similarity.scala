@@ -96,11 +96,12 @@ object Similarity {
     * exact top-k is pinned in SimilaritySpec.
     *
     * 100 TB shape: encoding and reconstruction are scan-stage map work
-    * against a broadcast (driver-constant) codebook — no shuffle; the
-    * stored index is the (id, codes) frame. The lambda HOFs here are
-    * interpreted (CodegenFallback) — at production scale the encode loop
-    * belongs in a native `Expression` like [[graft.functions.
-    * HashExpressions.NearestCentroid]]; the plan shape is identical. */
+    * against a driver-constant codebook — no shuffle; the stored index is
+    * the (id, codes) frame. Encode/decode are native expressions
+    * ([[graft.functions.HashExpressions.PqEncode]] /
+    * [[HashExpressions.PqReconstruct]], round 11 — one tight loop per row,
+    * replacing the interpreted per-element lambda-HOF chain; codes are
+    * bit-identical, PlanShapeSpec pins the HOF-free scan). */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              queryIds: Seq[Long], k: Int,
              m: Int = 8, codebookSize: Int = 32, dim: Int = 64): DataFrame = {
@@ -115,21 +116,15 @@ object Similarity {
         lit(104729L)), col("id"))
       .limit(codebookSize)
       .select(col("e")).collect().map(_.getSeq[Double](0).toIndexedSeq)
-    val cbLit: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(j => sample.toSeq.map(row => row.slice(j * sub, (j + 1) * sub)))
-    val cb = typedLit(cbLit)
+    val cbArr: Array[Array[Array[Double]]] =
+      (0 until m).map(j => sample.map(row =>
+        row.slice(j * sub, (j + 1) * sub).toArray).toArray).toArray
     // encode: per subspace, first-min argmin of sequential squared L2
-    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
-      val s = slice(col("e"), j * lit(sub) + lit(1), lit(sub))
-      val dists = transform(element_at(cb, j + lit(1)), c =>
-        aggregate(zip_with(s, c, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
-      array_position(dists, array_min(dists)) - lit(1)
-    })
+    // (native expression — scan-stage, no lambda dispatch)
+    val codes = graft.functions.HashExpressions.pqEncode(col("e"), cbArr)
     // the compressed index: id + m codeword ids (raw vectors dropped)
     val indexed = v.select(col("id"), codes.as("codes"))
-    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), j =>
-      element_at(element_at(cb, j + lit(1)),
-        element_at(col("codes"), j + lit(1)).cast("int") + lit(1))))
+    val recon = graft.functions.HashExpressions.pqReconstruct(col("codes"), cbArr)
     val reconD = indexed.withColumn("r", recon).withColumn("rn", normD(col("r")))
     val q = v.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("e").as("qe"), normD(col("e")).as("qn"))

@@ -818,6 +818,94 @@ object StreamingParity {
       materialized
     },
 
+    // Expression PARTITION BY key (round 11): `rank() OVER (PARTITION BY
+    // date_trunc('day', ts) …)` — the everyday calendar-bucketed spelling —
+    // maintains by touched-partition recompute. The restriction key is the
+    // TRACED expression (exprId lineage through the analyzer's extracted
+    // `_w0` projection), evaluated directly on the delta payload to name
+    // the touched days; the carried state restricts on the output's own
+    // `day` column (same lineage). Round 10 kept this shape on the batch
+    // fallback; mode-asserted so a silent demotion fails the oracle.
+    q("m_mv_window_exprkey_incremental",
+      s"""WITH ch AS (SELECT user_id, ts, value, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |early AS (SELECT user_id, arg_max(value, event_id) AS v
+         |  FROM ch WHERE chunk <= 3 GROUP BY user_id),
+         |deleted AS (SELECT user_id FROM early WHERE v > 90),
+         |kept AS (SELECT * FROM ch WHERE NOT (chunk <= 3 AND
+         |  user_id IN (SELECT user_id FROM deleted))),
+         |latest AS (SELECT user_id, arg_max(ts, event_id) AS ts,
+         |    arg_max(value, event_id) AS value
+         |  FROM kept GROUP BY user_id)
+         |SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+         |  value, CAST(rank() OVER
+         |  (PARTITION BY date_trunc('day', ts) ORDER BY value DESC, user_id) AS BIGINT) AS r
+         |FROM latest""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_wek_t", Seq(("m_wek_mv",
+        """SELECT user_id, date_trunc('day', ts) AS day, value, CAST(rank() OVER
+          |  (PARTITION BY date_trunc('day', ts) ORDER BY value DESC, user_id) AS BIGINT) AS r
+          |FROM m_wek_t""".stripMargin)),
+        withTs = true,
+        beforeChunk = Map(
+          4 -> { rw =>
+            rw.execute("DELETE FROM m_wek_t WHERE value > 90")
+            require(rw.mvByName("m_wek_mv").get.isWindowCascadeMode,
+              "retractions must not demote the expression-key window cascade")
+          }))
+      val mv = rw.mvByName("m_wek_mv").get
+      require(mv.isWindowCascadeMode,
+        "an expression-PARTITION-BY window MV must maintain incrementally (round 11)")
+      val materialized = mv.df
+        .withColumn("day", col("day").cast("long")).localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // Multi-window statement (round 11): TWO window functions with
+    // different specs (rank by value, row_number by user_id) sharing the
+    // partition source column — the analyzer builds two chained Window
+    // nodes; both confine results within event_type partitions, so
+    // touched-partition replacement stays sound with the semi-join
+    // installed below the BOTTOM window. Mode-asserted.
+    q("m_mv_multi_window_incremental",
+      s"""WITH ch AS (SELECT user_id, value, event_type, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |early AS (SELECT user_id, arg_max(value, event_id) AS v
+         |  FROM ch WHERE chunk <= 3 GROUP BY user_id),
+         |deleted AS (SELECT user_id FROM early WHERE v > 90),
+         |kept AS (SELECT * FROM ch WHERE NOT (chunk <= 3 AND
+         |  user_id IN (SELECT user_id FROM deleted))),
+         |latest AS (SELECT user_id, arg_max(value, event_id) AS value,
+         |    arg_max(event_type, event_id) AS event_type
+         |  FROM kept GROUP BY user_id)
+         |SELECT event_type, user_id, CAST(rank() OVER
+         |  (PARTITION BY event_type ORDER BY value DESC, user_id) AS BIGINT) AS r,
+         |  CAST(row_number() OVER
+         |  (PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS seq
+         |FROM latest""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_mwin_t", Seq(("m_mwin_mv",
+        """SELECT event_type, user_id, CAST(rank() OVER
+          |  (PARTITION BY event_type ORDER BY value DESC, user_id) AS BIGINT) AS r,
+          |  CAST(row_number() OVER
+          |  (PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS seq
+          |FROM m_mwin_t""".stripMargin)),
+        withTs = true,
+        beforeChunk = Map(
+          4 -> { rw =>
+            rw.execute("DELETE FROM m_mwin_t WHERE value > 90")
+            require(rw.mvByName("m_mwin_mv").get.isWindowCascadeMode,
+              "retractions must not demote the multi-window cascade")
+          }))
+      val mv = rw.mvByName("m_mwin_mv").get
+      require(mv.isWindowCascadeMode,
+        "a same-key multi-window MV must maintain incrementally (round 11)")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // SELECT DISTINCT as an incrementally-maintained MV (round 10): the
     // maintainer respells DISTINCT as group-by-every-output and folds the
     // source changelog with keys-only delta-accumulation — a distinct row
@@ -872,6 +960,36 @@ object StreamingParity {
         .withColumn("sx", round(col("sx"), 4))
         .withColumn("ax", round(col("ax"), 4))
       val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // Integral AVG fold (round 11 — the last decomposable-aggregate
+    // fallback): AVG over a BIGINT column folds in the EXACT tier. Spark's
+    // own batch buffer is a double sum, but the aux slot carries the exact
+    // LONG Sum(child); the visible value re-binds Average.evaluateExpression
+    // to it — one cast + one divide at the output boundary (rounded to 4
+    // here so the oracle hash is immune to either engine's division ulp).
+    // Upsert overwrites retract event_ids through the fold; mode-asserted.
+    q("m_mv_int_avg_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value, max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  round(AVG(event_id), 4) AS ae,
+        |  round(AVG(CAST(floor(value) AS BIGINT)), 4) AS av
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_iaf_t", Seq(("m_iaf_mv",
+        """SELECT user_id % 10 AS bucket, count(*) AS n,
+          |  round(avg(event_id), 4) AS ae,
+          |  round(avg(CAST(floor(value) AS BIGINT)), 4) AS av
+          |FROM m_iaf_t GROUP BY 1""".stripMargin)))
+      val mv = rw.mvByName("m_iaf_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "integral AVG must fold in the exact tier (round 11)")
+      require(mv.statementEvals <= 1,
+        "integral-AVG fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
       rw.close()
       materialized
     },
@@ -1026,6 +1144,188 @@ object StreamingParity {
       }
       require(mv.isDeltaJoinMode && mv.statementEvals <= 1,
         "outer-join delta epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // MULTI-outer-join delta cascade (round 11): fact LEFT dim1 LEFT dim2 —
+    // the multi-dimension enrichment statement round 10 still batch-re-ran
+    // (single-outer admission). Each dim folds its own restricted-
+    // difference term; the dims arrive in waves at DIFFERENT epochs
+    // (nation mid-replay at chunk 4, region at chunk 6), so each join's
+    // 0↔1 padding transitions fire independently while the other holds,
+    // and upsert overwrites retract through both joins at once. Half the
+    // facts stay permanently unmatched per dim, so the final hash covers
+    // both null paddings.
+    q("m_mv_multi_left_join_delta_incremental",
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS event_id,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT l.event_id, n.n_name AS nation, r.r_name AS region, l.value
+        |FROM latest l
+        |LEFT JOIN nation n ON n.n_nationkey = l.user_id % 50
+        |LEFT JOIN region r ON r.r_regionkey = l.user_id % 10""".stripMargin) {
+      (s, dir) =>
+      val nationSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      val regionSchema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+      val upSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType)))
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val evT = rw.createTable("m_mlj_ev", upSchema,
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      val dimT = rw.createTable("m_mlj_dim", nationSchema,
+        primaryKey = Seq("n_nationkey"))
+      val regT = rw.createTable("m_mlj_reg", regionSchema,
+        primaryKey = Seq("r_regionkey"))
+      rw.mv("""SELECT e.event_id, n.n_name AS nation, r.r_name AS region, e.value
+        |FROM m_mlj_ev e
+        |LEFT JOIN m_mlj_dim n ON n.n_nationkey = e.user_id % 50
+        |LEFT JOIN m_mlj_reg r ON r.r_regionkey = e.user_id % 10""".stripMargin,
+        "m_mlj_mv")
+      val mv = rw.mvByName("m_mlj_mv").get
+      require(mv.isDeltaJoinMode,
+        "multi-LEFT-join enrichment must fold via the delta cascade (round 11)")
+      val dims = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val regs = Tables(s, dir, "region")
+        .select("r_regionkey", "r_name")
+        .collect().sortBy(_.getInt(0))
+      val (dimA, dimB) = dims.splitAt(dims.length / 2)
+      val (regA, regB) = regs.splitAt(regs.length / 2)
+      dimT.insert(dimA.toSeq); regT.insert(regA.toSeq); rw.flush()
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      var i = 0
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        if (i == CHUNKS / 2) { dimT.insert(dimB.toSeq); rw.flush() }
+        if (i == CHUNKS * 3 / 4) { regT.insert(regB.toSeq); rw.flush() }
+        evT.insert(chunk.toSeq); rw.flush(); i += 1
+      }
+      require(mv.isDeltaJoinMode && mv.statementEvals <= 1,
+        "multi-outer delta epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // FULL-outer-join delta cascade (round 11): neither side is linear —
+    // BOTH sources fold restricted-difference terms. Joining on
+    // user_id % 200 against nation keys 0..24 leaves key 0 permanently
+    // right-padded (no user_id ≡ 0 mod 200) and half the facts
+    // left-padded, so the final hash covers both padding directions; the
+    // dim arrives in two waves, flipping right-padded dims to joined rows
+    // mid-replay, and the chunk-4 DELETE retracts facts so their dims
+    // DOWNGRADE back to right-padding — the both-sides adjustment no
+    // single-sided term can express.
+    q("m_mv_full_join_delta_incremental",
+      s"""WITH ch AS (SELECT user_id, value, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |early AS (SELECT user_id, arg_max(value, event_id) AS v
+         |  FROM ch WHERE chunk <= 3 GROUP BY user_id),
+         |deleted AS (SELECT user_id FROM early WHERE v > 90),
+         |kept AS (SELECT * FROM ch WHERE NOT (chunk <= 3 AND
+         |  user_id IN (SELECT user_id FROM deleted))),
+         |latest AS (SELECT user_id, max(event_id) AS event_id,
+         |    arg_max(value, event_id) AS value
+         |  FROM kept GROUP BY user_id)
+         |SELECT l.event_id, n.n_name AS nation, l.value
+         |FROM latest l FULL JOIN nation n ON n.n_nationkey = l.user_id % 200""".stripMargin) {
+      (s, dir) =>
+      val nationSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      val upSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType)))
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val evT = rw.createTable("m_fjd_ev", upSchema,
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      val dimT = rw.createTable("m_fjd_dim", nationSchema,
+        primaryKey = Seq("n_nationkey"))
+      rw.mv("""SELECT e.event_id, n.n_name AS nation, e.value
+        |FROM m_fjd_ev e FULL JOIN m_fjd_dim n ON n.n_nationkey = e.user_id % 200""".stripMargin,
+        "m_fjd_mv")
+      val mv = rw.mvByName("m_fjd_mv").get
+      require(mv.isDeltaJoinMode,
+        "FULL-outer join MV must fold via both-side restricted-difference terms (round 11)")
+      val dims = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val (dimA, dimB) = dims.splitAt(dims.length / 2)
+      dimT.insert(dimA.toSeq); rw.flush()
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      var i = 0
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        if (i == CHUNKS / 2) { dimT.insert(dimB.toSeq); rw.flush() }
+        if (i == 4) {
+          rw.execute("DELETE FROM m_fjd_ev WHERE value > 90")
+          require(mv.isDeltaJoinMode,
+            "fact retractions must not demote the FULL-outer fold")
+        }
+        evT.insert(chunk.toSeq); rw.flush(); i += 1
+      }
+      require(mv.isDeltaJoinMode && mv.statementEvals <= 1,
+        "FULL-outer delta epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
+    // Live-table subquery (round 11): `WHERE x IN (SELECT k FROM
+    // live_dim)` admits into the delta cascade — the dim folds as a
+    // PLAIN difference term (membership flips retract/install exactly the
+    // outer rows whose predicate changed) while the outer upsert source
+    // keeps its delta-proportional terms. The dim arrives in two waves
+    // (half before any fact, half mid-replay), so mid-replay epochs flip
+    // membership for half the key space; mode-asserted.
+    q("m_mv_live_subquery_incremental",
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS event_id,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT event_id, user_id, value FROM latest
+        |WHERE user_id % 50 IN (SELECT n_nationkey FROM nation)""".stripMargin) {
+      (s, dir) =>
+      val nationSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      val upSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType)))
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val evT = rw.createTable("m_lsq_ev", upSchema,
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      val dimT = rw.createTable("m_lsq_dim", nationSchema,
+        primaryKey = Seq("n_nationkey"))
+      rw.mv("""SELECT event_id, user_id, value FROM m_lsq_ev
+        |WHERE user_id % 50 IN (SELECT n_nationkey FROM m_lsq_dim)""".stripMargin,
+        "m_lsq_mv")
+      val mv = rw.mvByName("m_lsq_mv").get
+      require(mv.isDeltaJoinMode,
+        "a live-table IN subquery must admit into the delta cascade (round 11)")
+      val dims = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val (dimA, dimB) = dims.splitAt(dims.length / 2)
+      dimT.insert(dimA.toSeq); rw.flush()
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      var i = 0
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        if (i == CHUNKS / 2) { dimT.insert(dimB.toSeq); rw.flush() }
+        evT.insert(chunk.toSeq); rw.flush(); i += 1
+      }
+      require(mv.isDeltaJoinMode && mv.statementEvals <= 1,
+        "subquery-fold epochs must not re-evaluate the statement")
       val materialized = mv.df.localCheckpoint(true)
       rw.close()
       materialized

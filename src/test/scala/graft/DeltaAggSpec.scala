@@ -155,13 +155,44 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("integral AVG folds exactly (long sum + count, round 11)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dia_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, round(avg(v), 4) AS av, count(*) AS n " +
+      "FROM dia_t GROUP BY grp", "dia_mv")
+    val mv = rw.mvByName("dia_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "integral AVG is exact through the long-sum aux slot — must fold (round 11)")
+    val t = rw.table("dia_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 21L), Row(3L, "b", 7L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    def read() = mv.df.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(read() == Map("a" -> ((15.5, 2L)), "b" -> ((7.0, 1L))))
+    // overwrite moves the mean; retraction recomputes it from the pair
+    t.insert(Seq(Row(2L, "a", 11L)))
+    rw.flush()
+    assert(read() == Map("a" -> ((10.5, 2L)), "b" -> ((7.0, 1L))))
+    rw.execute("DELETE FROM dia_t WHERE id = 1")
+    rw.flush()
+    assert(read() == Map("a" -> ((11.0, 1L)), "b" -> ((7.0, 1L))))
+    // batch parity at the final state
+    val batch = rw.fetch("SELECT grp, round(avg(v), 4) AS av, count(*) AS n " +
+        "FROM dia_t GROUP BY grp")
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(read() == batch, "folded integral avg must equal batch evaluation")
+    assert(mv.statementEvals == evals, "avg-fold epochs must not re-evaluate")
+    rw.close()
+  }
+
   test("non-decomposable aggregates fall back to recompute and stay correct") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("daf_t", schema, primaryKey = Seq("id"))
-    rw.mv("SELECT grp, round(avg(v), 4) AS av FROM daf_t GROUP BY grp", "daf_avg")
-    val avgMv = rw.mvByName("daf_avg").get
-    assert(avgMv.isChangelogCascadeMode && !avgMv.isDeltaAggMode,
-      "avg is not admitted in v1 — recompute cascade")
+    rw.mv("SELECT grp, round(stddev(v), 4) AS sd FROM daf_t GROUP BY grp", "daf_std")
+    val stdMv = rw.mvByName("daf_std").get
+    assert(stdMv.isChangelogCascadeMode && !stdMv.isDeltaAggMode,
+      "stddev has no invertible fold — recompute cascade")
     rw.createTable("daf_d", StructType(Seq(StructField("id", LongType),
       StructField("grp", StringType), StructField("d", DoubleType))),
       primaryKey = Seq("id"))
@@ -171,8 +202,8 @@ class DeltaAggSpec extends SparkSpec {
     val t = rw.table("daf_t").get
     t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 21L)))
     rw.flush()
-    assert(avgMv.df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
-      Set(("a", 15.5)))
+    assert(stdMv.df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("a", 7.7782)))
     rw.close()
   }
 

@@ -505,8 +505,10 @@ class DeltaJoinMvSpec extends SparkSpec {
     assert(rows == Set((12L, 3L)))
     assert(mv.isDeltaJoinMode)
 
-    // the same predicate over a LIVE table is NOT linear — the rebinding
-    // would bind the delta inside the subquery — so it must fall back
+    // the same predicate over a LIVE table (round 11): the dim folds as a
+    // PLAIN difference term — a membership flip retracts/installs exactly
+    // the outer rows whose predicate result changed — while the outer
+    // source keeps its delta-proportional terms
     rw.createTable("djsq_live", StructType(Seq(StructField("uid", LongType),
       StructField("x", LongType))), primaryKey = Seq("uid"))
     rw.table("djsq_live").get.insert(Seq(Row(3L, 0L)))
@@ -514,10 +516,26 @@ class DeltaJoinMvSpec extends SparkSpec {
     rw.mv("SELECT event_id, user_id, value FROM djsq_ev " +
       "WHERE user_id IN (SELECT uid FROM djsq_live)", "djsq_mv2")
     val mv2 = rw.mvByName("djsq_mv2").get
-    assert(!mv2.isDeltaJoinMode,
-      "a changelog source inside a subquery must not be admitted")
-    assert(mv2.df.collect().map(_.getLong(0)).toSet == Set(12L),
-      "the batch fallback still answers correctly")
+    assert(mv2.isDeltaJoinMode,
+      "a live-table subquery must admit as a plain-difference source (round 11)")
+    def rows2 = mv2.df.collect().map(_.getLong(0)).toSet
+    assert(rows2 == Set(12L))
+    val evalsAfterBackfill = mv2.statementEvals
+    // membership GAINED: user 2's events enter without touching djsq_ev
+    rw.table("djsq_live").get.insert(Seq(Row(2L, 0L)))
+    rw.flush()
+    assert(rows2 == Set(11L, 12L), "a dim insert must install matching outer rows")
+    // outer-side delta with the live subquery bound current
+    rw.table("djsq_ev").get.insert(Seq(Row(13L, 2L, 1.0), Row(14L, 9L, 1.0)))
+    rw.flush()
+    assert(rows2 == Set(11L, 12L, 13L))
+    // membership LOST: predicate flips back, rows retract
+    rw.execute("DELETE FROM djsq_live WHERE uid = 2")
+    rw.flush()
+    assert(rows2 == Set(12L), "a dim delete must retract the rows it admitted")
+    assert(mv2.statementEvals == evalsAfterBackfill,
+      "subquery-fold epochs run difference terms, not counted statement re-runs")
+    assert(mv2.isDeltaJoinMode, "membership flips must not demote the fold")
     rw.close()
   }
 
@@ -556,23 +574,108 @@ class DeltaJoinMvSpec extends SparkSpec {
     rw.close()
   }
 
-  test("FULL outer join stays on the always-correct batch fallback") {
+  test("FULL outer join folds: both sides nonlinear, padding flips both ways") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("djo_ev", evSchema, primaryKey = Seq("event_id"))
     rw.createTable("djo_user", userSchema, primaryKey = Seq("uid"))
     rw.mv("SELECT e.event_id, u.name, e.value FROM djo_ev e " +
       "FULL OUTER JOIN djo_user u ON u.uid = e.user_id", "djo_mv")
     val mv = rw.mvByName("djo_mv").get
-    assert(!mv.isDeltaJoinMode,
-      "FULL outer is linear in neither side — must not enter the cascade")
-    rw.table("djo_ev").get.insert(Seq(Row(10L, 1L, 5.0)))
-    rw.table("djo_user").get.insert(Seq(Row(2L, "bob")))
-    rw.flush()
-    val rows = mv.df.collect().map(r => (
+    assert(mv.isDeltaJoinMode,
+      "FULL outer folds via both-side restricted-difference terms (round 11)")
+    def rows = mv.df.collect().map(r => (
       if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1),
       if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    val ev = rw.table("djo_ev").get
+    val us = rw.table("djo_user").get
+    ev.insert(Seq(Row(10L, 1L, 5.0)))
+    us.insert(Seq(Row(2L, "bob")))
+    rw.flush()
     assert(rows == Set((10L, null, 5.0), (-1L, "bob", -1.0)),
-      "batch fallback must pad both sides correctly")
+      "both sides must pad when unmatched")
+    val evalsAfterBackfill = mv.statementEvals
+    // left-side padding upgrades when its dim arrives; bob stays padded
+    us.insert(Seq(Row(1L, "ann")))
+    rw.flush()
+    assert(rows == Set((10L, "ann", 5.0), (-1L, "bob", -1.0)))
+    // right-side padding upgrades when a matching fact arrives
+    ev.insert(Seq(Row(11L, 2L, 7.0)))
+    rw.flush()
+    assert(rows == Set((10L, "ann", 5.0), (11L, "bob", 7.0)))
+    // dim delete downgrades its fact row back to left-padding AND must not
+    // resurrect a right-padded row for remaining matches
+    rw.execute("DELETE FROM djo_user WHERE uid = 1")
+    rw.flush()
+    assert(rows == Set((10L, null, 5.0), (11L, "bob", 7.0)))
+    // fact delete downgrades to right-padding
+    rw.execute("DELETE FROM djo_ev WHERE event_id = 11")
+    rw.flush()
+    assert(rows == Set((10L, null, 5.0), (-1L, "bob", -1.0)))
+    assert(mv.statementEvals == evalsAfterBackfill,
+      "FULL-outer delta epochs must not re-evaluate the full statement")
+    assert(mv.isDeltaJoinMode, "DML must not demote the FULL-outer fold")
+    rw.close()
+  }
+
+  test("multi-LEFT-join enrichment folds: each dim transitions 0↔1↔2 independently") {
+    val tagSchema = StructType(Seq(StructField("uid", LongType),
+      StructField("tag", StringType)))
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djm_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djm_user", userSchema, primaryKey = Seq("uid"))
+    rw.createTable("djm_tag", tagSchema) // no PK: fan-out legal
+    // the most common enrichment statement: fact LEFT dim1 LEFT dim2 —
+    // round 10 kept this on per-FLUSH batch re-run (single-outer
+    // admission); round 11 folds every outer join's restricted-difference
+    // term independently
+    rw.mv("SELECT e.event_id, u.name, t.tag, e.value FROM djm_ev e " +
+      "LEFT JOIN djm_user u ON u.uid = e.user_id " +
+      "LEFT JOIN djm_tag t ON t.uid = e.user_id", "djm_mv")
+    val mv = rw.mvByName("djm_mv").get
+    assert(mv.isDeltaJoinMode,
+      "multi-LEFT-join enrichment must fold (round 11)")
+    def rows = mv.df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getDouble(3))).toSet
+    val ev = rw.table("djm_ev").get
+    val us = rw.table("djm_user").get
+    val tg = rw.table("djm_tag").get
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 2L, 7.0)))
+    rw.flush()
+    assert(rows == Set((10L, null, null, 5.0), (11L, null, null, 7.0)),
+      "facts pad on BOTH dims until they arrive")
+    val evalsAfterBackfill = mv.statementEvals
+    // dim1 arrives for fact 10: its u-slot upgrades, t stays padded
+    us.insert(Seq(Row(1L, "ann")))
+    rw.flush()
+    assert(rows == Set((10L, "ann", null, 5.0), (11L, null, null, 7.0)))
+    // dim2 fan-out 0→1→2 on fact 10 while dim1 holds
+    tg.insert(Seq(Row(1L, "x")))
+    rw.flush()
+    assert(rows == Set((10L, "ann", "x", 5.0), (11L, null, null, 7.0)))
+    tg.insert(Seq(Row(1L, "y")))
+    rw.flush()
+    assert(rows == Set((10L, "ann", "x", 5.0), (10L, "ann", "y", 5.0),
+      (11L, null, null, 7.0)))
+    // BOTH dims and the fact change in one epoch
+    us.insert(Seq(Row(2L, "bob")))
+    tg.insert(Seq(Row(2L, "z")))
+    ev.insert(Seq(Row(12L, 9L, 1.0)))
+    rw.flush()
+    assert(rows == Set((10L, "ann", "x", 5.0), (10L, "ann", "y", 5.0),
+      (11L, "bob", "z", 7.0), (12L, null, null, 1.0)))
+    // dim2 2→1→0 on fact 10; dim1 retraction downgrades only the u slot
+    rw.execute("DELETE FROM djm_tag WHERE tag = 'y'")
+    rw.flush()
+    assert(rows == Set((10L, "ann", "x", 5.0), (11L, "bob", "z", 7.0),
+      (12L, null, null, 1.0)))
+    rw.execute("DELETE FROM djm_tag WHERE tag = 'x'")
+    rw.execute("DELETE FROM djm_user WHERE uid = 1")
+    rw.flush()
+    assert(rows == Set((10L, null, null, 5.0), (11L, "bob", "z", 7.0),
+      (12L, null, null, 1.0)))
+    assert(mv.statementEvals == evalsAfterBackfill,
+      "multi-outer delta epochs must not re-evaluate the full statement")
+    assert(mv.isDeltaJoinMode, "DML must not demote the multi-outer fold")
     rw.close()
   }
 

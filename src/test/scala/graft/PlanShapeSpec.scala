@@ -71,6 +71,26 @@ class PlanShapeSpec extends SparkSpec {
       "per-doc match count must partial-aggregate map-side")
   }
 
+  test("x_sim_topk_pq: encode/decode are native expressions, not interpreted lambda HOFs") {
+    val p = plan("x_sim_topk_pq")
+    assert(p.toLowerCase.contains("pqencode"),
+      s"PQ encode must be the native PqEncode expression (round 11):\n$p")
+    assert(p.toLowerCase.contains("pqreconstruct"),
+      s"PQ decode must be the native PqReconstruct expression:\n$p")
+    assert(!p.contains("lambdafunction") && !p.contains("NamedLambdaVariable"),
+      s"no interpreted lambda HOF may remain in the PQ scan stage:\n$p")
+  }
+
+  test("x_contam_bloom: the prefilter is the native might_contain expression, not a UDF") {
+    val p = plan("x_contam_bloom")
+    assert(p.contains("might_contain"),
+      s"the Bloom probe must be Spark's native BloomFilterMightContain:\n$p")
+    assert(!p.contains("UDF"),
+      s"no Scala UDF may remain on the contamination hot path (round 11):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exact benchmark join must still broadcast behind the prefilter:\n$p")
+  }
+
   test("x_tfidf_topterms: df is a broadcast-joined hash agg over tf, never a per-term window") {
     val p = plan("x_tfidf_topterms")
     // tf is materialized (localCheckpoint) so the final plan reads the tf

@@ -4,13 +4,16 @@ import graft.engine._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-/** Window-function MVs (round 10): statements with one window node over a
-  * single changelog source maintain by touched-PARTITION recompute — a
-  * source delta names the partitions whose window results can change,
-  * exactly those re-rank (semi-join pushed below the Window), and their
-  * slice of the carried multiset is replaced. Everything else (global
-  * windows, window-below-aggregate, expression partition keys) stays on
-  * the always-correct batch fallback. */
+/** Window-function MVs (round 10; lineage-generalized round 11):
+  * statements whose window nodes sit on one chain over a single changelog
+  * source maintain by touched-PARTITION recompute — a source delta names
+  * the key partitions whose results can change, exactly those re-rank
+  * (semi-join pushed below the bottom Window), and their slice of the
+  * carried multiset is replaced. Round 11 admits expression PARTITION BY
+  * keys (traced by exprId lineage, evaluated on the delta payload),
+  * window-below-aggregate when the grouping covers the keys, and multiple
+  * windows sharing keys; global windows stay on the always-correct batch
+  * fallback. */
 class WindowCascadeMvSpec extends SparkSpec {
 
   private val schema = StructType(Seq(StructField("id", LongType),
@@ -108,13 +111,14 @@ class WindowCascadeMvSpec extends SparkSpec {
     rw.mv("SELECT id, CAST(rank() OVER (ORDER BY v DESC, id) AS BIGINT) AS r " +
       "FROM wcf_t", "wcf_global")
     assert(!rw.mvByName("wcf_global").get.isWindowCascadeMode)
-    // window BELOW an aggregate: touched-key derivation can't see shifted
-    // neighbors — must not cascade (the round-10 hazard fix)
-    rw.mv("SELECT grp, max(rr) AS worst FROM (SELECT grp, CAST(rank() OVER " +
+    // window BELOW an aggregate whose grouping does NOT cover the window's
+    // partition key: one output group mixes partitions, so replacing the
+    // touched slice would be unsound — must stay on the batch fallback
+    rw.mv("SELECT CAST(count(*) AS BIGINT) AS n_top FROM (SELECT CAST(rank() OVER " +
       "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS rr FROM wcf_t) " +
-      "GROUP BY grp", "wcf_agg")
-    assert(!rw.mvByName("wcf_agg").get.isChangelogCascadeMode &&
-      !rw.mvByName("wcf_agg").get.isWindowCascadeMode)
+      "WHERE rr = 1", "wcf_agg_mix")
+    assert(!rw.mvByName("wcf_agg_mix").get.isChangelogCascadeMode &&
+      !rw.mvByName("wcf_agg_mix").get.isWindowCascadeMode)
     // window-function top-N inner: the raw fold would rank the DELTA alone
     rw.mv("SELECT id, grp, v, rank() OVER (PARTITION BY grp ORDER BY v DESC, id) AS r " +
       "FROM wcf_t ORDER BY v DESC, id LIMIT 3", "wcf_topn")
@@ -128,11 +132,115 @@ class WindowCascadeMvSpec extends SparkSpec {
     assert(rw.mvByName("wcf_global").get.df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((4L, 1L), (2L, 2L), (1L, 3L), (3L, 4L)))
-    assert(rw.mvByName("wcf_agg").get.df.collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSet ==
-      Set(("a", 3L), ("b", 1L)))
+    assert(rw.mvByName("wcf_agg_mix").get.df.collect()
+      .map(_.getLong(0)).toSet == Set(2L))
     assert(rw.mvByName("wcf_topn").get.df.collect()
       .map(r => (r.getLong(0), r.getInt(3))).toSet == Set((4L, 1), (2L, 2), (1L, 3)))
+    rw.close()
+  }
+
+  test("window below an aggregate cascades when the grouping covers the key") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wba_t", schema, primaryKey = Seq("id"))
+    // per-partition worst rank: grouping key grp == window partition key,
+    // so each output group aggregates exactly one partition's window
+    // results — touched-partition replacement is sound (round 11; round
+    // 10 kept this shape on the batch fallback)
+    rw.mv("SELECT grp, max(rr) AS worst, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT grp, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS rr FROM wba_t) " +
+      "GROUP BY grp", "wba_mv")
+    val mv = rw.mvByName("wba_mv").get
+    assert(mv.isWindowCascadeMode,
+      "window-below-aggregate with covering grouping must cascade (round 11)")
+    val t = rw.table("wba_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    def state() = mv.df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state() == Set(("a", 2L, 2L), ("b", 1L, 1L)))
+    t.insert(Seq(Row(4L, "a", 30L), Row(5L, "a", 1L)))
+    rw.flush()
+    assert(state() == Set(("a", 4L, 4L), ("b", 1L, 1L)))
+    assert(mv.statementEvals == evals + 1, "one partition-restricted eval per epoch")
+    // DELETE retracts through: partition a re-ranks, b untouched
+    rw.execute("DELETE FROM wba_t WHERE id = 4")
+    rw.flush()
+    assert(state() == Set(("a", 3L, 3L), ("b", 1L, 1L)))
+    assert(mv.isWindowCascadeMode, "DML must not demote the cascade")
+    rw.close()
+  }
+
+  test("computed alias shadowing a source column is admitted BY LINEAGE and stays correct") {
+    // round-11 regression (ADVICE r10, high): the round-10 name-membership
+    // admission check saw `PARTITION BY grp` where the inner subquery
+    // defines `CASE … END AS grp` over a source that ALSO has a grp
+    // column, admitted it, and derived touched partitions from the RAW
+    // source grp — which never matches the computed value; the MV silently
+    // returned wrong/empty slices. Lineage tracing now derives the key by
+    // evaluating the CASE expression on the delta payload, so the shape is
+    // both admitted and CORRECT.
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wsh_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT id, grp, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS r FROM " +
+      "(SELECT id, CASE WHEN v >= 10 THEN 'hi' ELSE 'lo' END AS grp, v FROM wsh_t)",
+      "wsh_mv")
+    val mv = rw.mvByName("wsh_mv").get
+    assert(mv.isWindowCascadeMode, "traceable computed key must admit (round 11)")
+    val t = rw.table("wsh_t").get
+    // source grp values ('a'/'b') DIFFER from the computed partition
+    // values ('hi'/'lo') — the round-10 bug would find zero matching
+    // partitions and return an empty/incorrect slice
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "b", 20L), Row(3L, "a", 5L)))
+    rw.flush()
+    def state() = mv.df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(state() == Set((1L, "hi", 2L), (2L, "hi", 1L), (3L, "lo", 1L)))
+    t.insert(Seq(Row(4L, "b", 30L), Row(5L, "b", 3L)))
+    rw.flush()
+    assert(state() == Set((4L, "hi", 1L), (2L, "hi", 2L), (1L, "hi", 3L),
+      (3L, "lo", 1L), (5L, "lo", 2L)))
+    rw.execute("DELETE FROM wsh_t WHERE id = 4")
+    rw.flush()
+    assert(state() == Set((2L, "hi", 1L), (1L, "hi", 2L),
+      (3L, "lo", 1L), (5L, "lo", 2L)))
+    assert(mv.isWindowCascadeMode)
+    rw.close()
+  }
+
+  test("multiple windows sharing partition keys cascade; divergent keys reject") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wmw_t", schema, primaryKey = Seq("id"))
+    // two DIFFERENT window specs (rank by v, row_number by id) over the
+    // same partition source column: the analyzer builds two Window nodes
+    // on one chain; both partition by grp, so the restriction key is grp
+    rw.mv("SELECT id, grp, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS r, " +
+      "CAST(row_number() OVER (PARTITION BY grp ORDER BY id) AS BIGINT) AS seq " +
+      "FROM wmw_t", "wmw_mv")
+    val mv = rw.mvByName("wmw_mv").get
+    assert(mv.isWindowCascadeMode,
+      "same-key multi-window statements must cascade (round 11)")
+    // windows with NO shared partition key: replacing one key's slice
+    // cannot bound the other window's changes — must reject
+    rw.mv("SELECT id, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS r, " +
+      "CAST(row_number() OVER (PARTITION BY v ORDER BY id) AS BIGINT) AS seq " +
+      "FROM wmw_t", "wmw_divergent")
+    assert(!rw.mvByName("wmw_divergent").get.isWindowCascadeMode)
+    val t = rw.table("wmw_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
+    rw.flush()
+    def state() = mv.df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(state() == Set((1L, "a", 2L, 1L), (2L, "a", 1L, 2L), (3L, "b", 1L, 1L)))
+    t.insert(Seq(Row(4L, "a", 30L)))
+    rw.flush()
+    assert(state() == Set((1L, "a", 3L, 1L), (2L, "a", 2L, 2L),
+      (4L, "a", 1L, 3L), (3L, "b", 1L, 1L)))
+    assert(mv.isWindowCascadeMode)
     rw.close()
   }
 }

@@ -38,8 +38,10 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
       DeltaAgg.admit(spark.sql(sql).queryExecution.analyzed)
     assert(admitOf("SELECT grp, sum(d) AS s FROM dap_d GROUP BY grp").isEmpty,
       "double sum must be rejected")
-    assert(admitOf("SELECT grp, avg(v) AS a FROM dap_v GROUP BY grp").isEmpty,
-      "avg must be rejected in v1")
+    assert(admitOf("SELECT grp, avg(d) AS a FROM dap_d GROUP BY grp").isEmpty,
+      "double avg must be rejected without the tolerance flag")
+    assert(admitOf("SELECT grp, avg(v) AS a FROM dap_v GROUP BY grp").nonEmpty,
+      "integral avg folds exactly via the long-sum slot (round 11)")
     assert(admitOf("SELECT grp, count(DISTINCT v) AS n FROM dap_v GROUP BY grp").isEmpty,
       "DISTINCT aggregates are not decomposable")
     assert(admitOf("SELECT grp, count(v) FILTER (WHERE v > 0) AS n FROM dap_v GROUP BY grp").isEmpty,
