@@ -127,14 +127,18 @@ object Bench {
         rw.flush()
       }),
     // window-cascade maintenance (round 11; the round-10 mode had no bench
-    // entry): per-user rank over the upsert stream — each epoch re-ranks
-    // only the partitions its delta names and replaces their slice of the
-    // carried multiset; the mode probe guards against a silent batch-re-run
+    // entry): per-hour rank over the time-ordered replay — the
+    // representative shape for touched-partition maintenance (each epoch's
+    // delta names only its ~90 of 720 hour buckets, so exactly that slice
+    // re-ranks and replaces; a uniform hash key would touch every
+    // partition every epoch and degenerate to a full re-rank). The
+    // date_trunc partition key also exercises the round-11 expression-key
+    // lineage path; the mode probe guards against a silent batch-re-run
     // demotion, which would time a different code path
     StreamDef("s_mv_window_maintain", Seq(
       ("bm_win",
-        """SELECT event_id, user_id, value, CAST(rank() OVER
-          |  (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS r
+        """SELECT event_id, ts, value, CAST(rank() OVER
+          |  (PARTITION BY date_trunc('hour', ts) ORDER BY value DESC, event_id) AS BIGINT) AS r
           |FROM bench_ev""".stripMargin)),
       rw => rw.mvByName("bm_win").exists(_.isWindowCascadeMode), true))
 
@@ -177,11 +181,19 @@ object Bench {
       if (base.min < 0.3) base ++ (1 to iters).map(_ => run(name)) else base
     }
 
+    // dev-only knob: SPARK_GRAFT_BENCH_STREAM=name1,name2 runs ONLY those
+    // streaming entries (skipping the batch set and warmups) — pairs with
+    // -Dgraft.epochTiming=true for per-phase epoch profiling. The driver
+    // never sets it, so artifact runs are unaffected.
+    val streamOnly = sys.env.get("SPARK_GRAFT_BENCH_STREAM")
+      .map(_.split(",").map(_.trim).toSet)
+
     // untimed warmups to absorb JVM/codegen startup (decimal-agg codegen is
     // the heaviest compile)
-    run("b_filter_pushdown"); run("b_q1_pricing")
+    if (streamOnly.isEmpty) { run("b_filter_pushdown"); run("b_q1_pricing") }
 
-    val results = headline.map(n => n -> samples(n))
+    val results =
+      if (streamOnly.isEmpty) headline.map(n => n -> samples(n)) else Nil
 
     // streaming-runtime entries: replay a fixed events prefix through the
     // MV maintainer in FLUSH-gated epochs; wall time covers ingest + every
@@ -225,7 +237,9 @@ object Bench {
         (-1.0, 0L, 0)
       } finally rw.close()
     }
-    val streamResults = streamDefs.map(d => (d.name, runStream(d)))
+    val streamResults = streamDefs
+      .filter(d => streamOnly.forall(_.contains(d.name)))
+      .map(d => (d.name, runStream(d)))
 
     def fmt(v: Double) = "%.3f".format(v)
     val qs = results.map { case (k, ts) =>

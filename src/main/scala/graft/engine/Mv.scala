@@ -156,6 +156,11 @@ final class MaterializedView private[engine](
     * computed key value (the shadowed-alias shape). Index-aligned with
     * [[windowPartKeys]]. */
   private var windowStateKeys: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+  /** Monotone latch: once the window cascade's grouped state overflows
+    * [[cascadeLocalMax]], stop probing — merge straight to a checkpoint
+    * (the probe would re-execute the merge plan every epoch only to
+    * rediscover the overflow). */
+  private var windowStateOversize = false
 
   /** Changelog sources on a NON-linear (null-padded) side of ANY admitted
     * outer join — both sides for FULL OUTER (lowercased viewNames; empty
@@ -2330,13 +2335,21 @@ final class MaterializedView private[engine](
         case Some(b) => b
         case None => return false // windows on divergent branches
       }
-      // at most one aggregate, ABOVE the bottom window (window-below-
-      // aggregate, round 11); aggregate-below-window stays rejected — the
-      // window would rank aggregate results, which are not per-source-row
+      // at most one aggregate, either ABOVE the bottom window
+      // (window-below-aggregate) or BELOW it (rank-groups-by-aggregate,
+      // e.g. `rank() OVER (PARTITION BY bucket ORDER BY n)` over a GROUP
+      // BY — round 11). Both reduce to the same key discipline: the
+      // grouping-trace check below guarantees, above, that each output
+      // group aggregates one key partition's rows, and, below, that the
+      // restriction can install under the Aggregate (each group's rows
+      // share the group's own key value, so whole touched groups
+      // re-aggregate from only their partitions' source rows).
       val aggs = aggregatesAbove(analyzed, boundary)
       if (aggs.size > 1) return false
       val aggOpt = aggs.headOption
-      if (aggOpt.exists(a => !a.child.exists(_ eq bottom))) return false
+      if (aggOpt.exists(a =>
+        !a.child.exists(_ eq bottom) && !bottom.child.exists(_ eq a)))
+        return false
       if (nonLinearIn(analyzed, boundary,
           allowedNodes = wins ++ aggOpt.toSeq)) return false
       // trace every window's PARTITION BY; restriction keys = the traces
@@ -2439,33 +2452,52 @@ final class MaterializedView private[engine](
     GraftColumnBridge.column(windowStateKeys(i))
 
   /** Install the touched-partition restriction directly below the
-    * statement's BOTTOM window (plan surgery): its child semi-joins the
-    * broadcast key frame under the partition expressions whose lineage
-    * traces match the restriction keys — a fresh `spark.sql` plan carries
-    * fresh exprIds, so the match is by traced form, not identity. Output
+    * statement's ANCHOR node (plan surgery): the BOTTOM window — or, when
+    * an admitted Aggregate sits below it (rank-groups-by-aggregate, round
+    * 11), that Aggregate, so touched key partitions re-aggregate from only
+    * their own source rows instead of re-aggregating the world and
+    * filtering above. The anchor's child semi-joins the broadcast key
+    * frame under the partition/grouping expressions whose lineage traces
+    * match the restriction keys — a fresh `spark.sql` plan carries fresh
+    * exprIds, so the match is by traced form, not identity. Output
     * attributes are untouched — everything above stays resolved. */
   private def restrictWindowToPartitions(full: DataFrame,
                                          touched: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, Expression}
     import org.apache.spark.sql.catalyst.plans.LeftSemi
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
     val plan = full.queryExecution.analyzed
     val boundary = cascadeUpstreams.map(_.viewName.toLowerCase).toSet
     val wins = windowsAbove(plan, boundary)
     val w = bottomWindow(wins).getOrElse(
       throw new IllegalStateException("no bottom window in recompute plan"))
-    val specByTrace = w.partitionSpec.flatMap(pe =>
-      traceExpr(pe, w.child, boundary).map(t => t.sql -> pe)).toMap
+    val aggBelow = aggregatesAbove(plan, boundary).headOption
+      .filter(a => w.child.exists(_ eq a))
+    val (anchor: LogicalPlan, anchorSpec: Seq[(Expression, Expression)]) =
+      aggBelow match {
+        case Some(a) =>
+          (a, a.groupingExpressions.flatMap(g =>
+            traceExpr(g, a.child, boundary).map(t => (t, g))))
+        case None =>
+          (w, w.partitionSpec.flatMap(pe =>
+            traceExpr(pe, w.child, boundary).map(t => (t, pe))))
+      }
+    val specByTrace = anchorSpec.map { case (t, e) => t.sql -> e }.toMap
     val pes = windowPartKeys.map(k => specByTrace.getOrElse(k.sql,
-      throw new IllegalStateException(s"restriction key ${k.sql} missing from bottom window")))
+      throw new IllegalStateException(s"restriction key ${k.sql} missing from anchor")))
     val krPlan = org.apache.spark.sql.functions.broadcast(touched)
       .queryExecution.analyzed
     val cond = pes.zip(krPlan.output)
-      .map { case (pe, k) => EqualNullSafe(pe, k): org.apache.spark.sql.catalyst.expressions.Expression }
+      .map { case (pe, k) => EqualNullSafe(pe, k): Expression }
       .reduce(And(_, _))
     GraftColumnBridge.ofRows(spark, plan.transformUp {
-      case n if n eq w =>
-        w.copy(child = Join(w.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE))
+      case n if n eq anchor =>
+        anchor match {
+          case a: Aggregate =>
+            a.copy(child = Join(a.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE))
+          case win: org.apache.spark.sql.catalyst.plans.logical.Window =>
+            win.copy(child = Join(win.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE))
+        }
     })
   }
 
@@ -2517,12 +2549,34 @@ final class MaterializedView private[engine](
       val recompute = restrictWindowToPartitions(spark.sql(cascadeStmt), touched)
       lastWindowEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
       val newPart = timed("group-recompute")(boundedLocal(recompute))
-      val prevPart = expandCounts(restrict(cascadeInner.get, "left_semi"))
+      val newG = groupedCounts(newPart)
+      // the epoch's ops diff BOTH sides in their GROUPED representation
+      // (the carried state already is; expanding + regrouping was the
+      // round-10 spelling's wasted work) and materialize delta-sized to
+      // the driver, so the changelog append takes its zero-job
+      // LocalRelation fast path and seeds the downstream fetch cache
+      val epochOps = timed("diff-collect")(boundedLocal(Changelog.multisetDiffGrouped(
+        restrict(cascadeInner.get, "left_semi"), newG, MaterializedView.CntCol)))
       // state BEFORE ops (same failure discipline as joinCascadeEpoch): a
-      // merge failure propagates with nothing emitted this epoch
-      val merged = timed("state-merge")(boundedLocal(
-        restrict(cascadeInner.get, "left_anti").unionByName(groupedCounts(newPart))))
-      emitOps(timed("diff-collect")(Changelog.multisetDiff(Some(prevPart), newPart)))
+      // merge failure propagates with nothing emitted this epoch. The
+      // oversize latch (round 11): a window MV's grouped state is
+      // OUTPUT-sized, not delta-sized — once it outgrows cascadeLocalMax
+      // the boundedLocal probe would re-execute the merge plan every
+      // epoch just to discover that again, so after the first overflow
+      // the merge checkpoints directly (monotone: multiset state only
+      // shrinks via whole-slice replacement, never back under the bound
+      // in a way worth re-probing).
+      val mergedPlan = restrict(cascadeInner.get, "left_anti").unionByName(newG)
+      val merged = timed("state-merge")(
+        if (windowStateOversize) mergedPlan.localCheckpoint(true)
+        else {
+          val m = boundedLocal(mergedPlan)
+          if (!m.queryExecution.logical
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+            windowStateOversize = true
+          m
+        })
+      emitOps(epochOps)
       cascadeInner = Some(merged)
       val vis = expandCounts(merged)
       snapshot = Some(vis)

@@ -862,6 +862,51 @@ object StreamingParity {
       materialized
     },
 
+    // Window OVER an aggregate (round 11): rank-groups-by-aggregate — the
+    // dashboard shape `rank() OVER (PARTITION BY bucket ORDER BY n DESC)`
+    // over a GROUP BY. The window partitions by the aggregate's own
+    // grouping column, so the touched-partition restriction installs
+    // BELOW the Aggregate: a delta's buckets re-aggregate from only their
+    // own source rows and re-rank; untouched buckets' groups and ranks
+    // are byte-identical carried state. Mode-asserted.
+    q("m_mv_window_over_agg_incremental",
+      s"""WITH ch AS (SELECT user_id, value, event_type, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |early AS (SELECT user_id, arg_max(value, event_id) AS v
+         |  FROM ch WHERE chunk <= 3 GROUP BY user_id),
+         |deleted AS (SELECT user_id FROM early WHERE v > 90),
+         |kept AS (SELECT * FROM ch WHERE NOT (chunk <= 3 AND
+         |  user_id IN (SELECT user_id FROM deleted))),
+         |latest AS (SELECT user_id, arg_max(value, event_id) AS value,
+         |    arg_max(event_type, event_id) AS event_type
+         |  FROM kept GROUP BY user_id),
+         |agg AS (SELECT CAST(user_id % 20 AS BIGINT) AS bucket, event_type,
+         |    count(*) AS n
+         |  FROM latest GROUP BY 1, 2)
+         |SELECT bucket, event_type, n, CAST(rank() OVER
+         |  (PARTITION BY bucket ORDER BY n DESC, event_type) AS BIGINT) AS r
+         |FROM agg""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_woa_t", Seq(("m_woa_mv",
+        """SELECT bucket, event_type, n, CAST(rank() OVER
+          |  (PARTITION BY bucket ORDER BY n DESC, event_type) AS BIGINT) AS r
+          |FROM (SELECT CAST(user_id % 20 AS BIGINT) AS bucket, event_type,
+          |  count(*) AS n FROM m_woa_t GROUP BY 1, 2)""".stripMargin)),
+        withTs = true,
+        beforeChunk = Map(
+          4 -> { rw =>
+            rw.execute("DELETE FROM m_woa_t WHERE value > 90")
+            require(rw.mvByName("m_woa_mv").get.isWindowCascadeMode,
+              "retractions must not demote the window-over-aggregate cascade")
+          }))
+      val mv = rw.mvByName("m_woa_mv").get
+      require(mv.isWindowCascadeMode,
+        "a window over a GROUP BY must maintain by touched-partition recompute (round 11)")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // Multi-window statement (round 11): TWO window functions with
     // different specs (rank by value, row_number by user_id) sharing the
     // partition source column — the analyzer builds two chained Window

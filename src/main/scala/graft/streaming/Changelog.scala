@@ -148,6 +148,25 @@ object Changelog {
     }
   }
 
+  /** [[multisetDiff]] over frames that are ALREADY grouped as
+    * (row → count in `cnt`) — the window cascade's carried-state
+    * representation (round 11): skips the expand-then-regroup round trip
+    * the ungrouped spelling would pay on the state side. Emission order
+    * and op counts are byte-identical to multisetDiff of the expanded
+    * frames. */
+  private[graft] def multisetDiffGrouped(prevG: DataFrame, nextG: DataFrame,
+                                         cnt: String): DataFrame = {
+    val cols = nextG.columns.filterNot(_ == cnt).toSeq
+    val pc = prevG.select(cols.map(c => col(c).as(s"__p_$c")) :+ col(cnt).as("__pc"): _*)
+    val nc = nextG.withColumnRenamed(cnt, "__nc")
+    val cond = cols.map(c => col(s"__p_$c") <=> col(c)).reduce(_ && _)
+    val delta = pc.join(nc, cond, "full_outer")
+      .select(cols.map(c => coalesce(col(c), col(s"__p_$c")).as(c)) :+
+        (coalesce(col("__nc"), lit(0L)) - coalesce(col("__pc"), lit(0L))).as("__d"): _*)
+      .filter(col("__d") =!= 0)
+    netOps(delta, cols, "__d")
+  }
+
   /** Serialize a net per-row multiset delta (`dCol` = signed count per
     * distinct row) into the op envelope: |Δ| Inserts or Deletes per row,
     * in the same deterministic emission order as [[multisetDiff]]. Shared

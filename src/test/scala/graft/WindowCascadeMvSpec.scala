@@ -172,6 +172,50 @@ class WindowCascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("rank-groups-by-aggregate: window ABOVE a GROUP BY restricts below the Aggregate") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wag_t", schema, primaryKey = Seq("id"))
+    // per-grp value buckets ranked by their count WITHIN grp: the window
+    // partitions by the aggregate's own grouping column, so touched grps
+    // re-aggregate from only their source rows (semi-join installed below
+    // the Aggregate, not just below the Window) and re-rank
+    rw.mv("SELECT grp, vb, n, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY n DESC, vb) AS BIGINT) AS r FROM " +
+      "(SELECT grp, CAST(v / 10 AS BIGINT) AS vb, count(*) AS n " +
+      "FROM wag_t GROUP BY grp, CAST(v / 10 AS BIGINT))", "wag_mv")
+    val mv = rw.mvByName("wag_mv").get
+    assert(mv.isWindowCascadeMode,
+      "rank-groups-by-aggregate must cascade (round 11)")
+    val t = rw.table("wag_t").get
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 12L), Row(3L, "a", 25L),
+      Row(4L, "b", 5L)))
+    rw.flush()
+    def state() = mv.df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(state() == Set(("a", 1L, 2L, 1L), ("a", 2L, 1L, 2L), ("b", 0L, 1L, 1L)))
+    val evals = mv.statementEvals
+    // a delta in grp a re-ranks only a's buckets; b untouched
+    t.insert(Seq(Row(5L, "a", 27L), Row(6L, "a", 29L)))
+    rw.flush()
+    assert(state() == Set(("a", 2L, 3L, 1L), ("a", 1L, 2L, 2L), ("b", 0L, 1L, 1L)))
+    assert(mv.statementEvals == evals + 1)
+    // the restriction must sit BELOW the Aggregate: otherwise every epoch
+    // re-aggregates the whole source and filters above
+    val plan = mv.lastWindowEpochPlan.getOrElse(fail("no epoch plan recorded"))
+    val lines = plan.linesIterator.toVector
+    val aggIdx = lines.indexWhere(l => l.contains("Aggregate"))
+    val semiIdx = lines.indexWhere(_.contains("LeftSemi"))
+    assert(aggIdx >= 0 && semiIdx > aggIdx,
+      s"the touched-partition semi join must install below the Aggregate:\n$plan")
+    // retraction through the aggregate into the rank: counts tie at 2,
+    // so the vb tiebreaker orders bucket 1 first
+    rw.execute("DELETE FROM wag_t WHERE id = 3")
+    rw.flush()
+    assert(state() == Set(("a", 1L, 2L, 1L), ("a", 2L, 2L, 2L), ("b", 0L, 1L, 1L)))
+    assert(mv.isWindowCascadeMode, "DML must not demote the cascade")
+    rw.close()
+  }
+
   test("computed alias shadowing a source column is admitted BY LINEAGE and stays correct") {
     // round-11 regression (ADVICE r10, high): the round-10 name-membership
     // admission check saw `PARTITION BY grp` where the inner subquery
