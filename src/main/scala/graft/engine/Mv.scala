@@ -115,6 +115,15 @@ final class MaterializedView private[engine](
     * algebraically instead of recomputing touched groups ([[DeltaAgg]]);
     * None = recompute mode. */
   private var deltaAggSpec: Option[DeltaAgg.Spec] = None
+  /** Changelog sources under a null-padded outer-join side BELOW the
+    * admitted aggregate (round 11): their fold term is the aux-partial
+    * pair over restricted Q(new)/Q(old) — [[restrictOuterToDelta]]
+    * composed with [[DeltaAgg.aux]] — because the aggregate's child is
+    * not linear in them. */
+  private var aggOuterNonLinear: Set[String] = Set.empty
+  /** Changelog sources read only inside subquery expressions below the
+    * aggregate (round 11): aux-partial pair over PLAIN Q(new)/Q(old). */
+  private var aggSubqNonLinear: Set[String] = Set.empty
   /** Carried per-group auxiliary state of the delta-accumulating cascade
     * (keys + counters/sums); [[cascadeInner]] stays the derived visible
     * (pre-HAVING) projection over it. */
@@ -789,6 +798,13 @@ final class MaterializedView private[engine](
       // replaces the SOURCE TABLE as the recompute/re-fetch state table —
       // no raw scan per epoch or underflow
       deltaAggSpec = if (isAgg) admitDeltaAgg(df, ups, tbls) else None
+      // linear sources first (same discipline as the delta-join cascade):
+      // the difference pairs bind every linear source identically in both
+      // evaluations, which holds when linear sources precede nonlinear
+      if (deltaAggSpec.nonEmpty)
+        cascadeUpstreams = cascadeUpstreams.sortBy(u =>
+          aggOuterNonLinear.contains(u.viewName.toLowerCase) ||
+            aggSubqNonLinear.contains(u.viewName.toLowerCase))
       // durable reopen: restored truncation state + bound + consumed source
       // offsets resume maintenance with zero statement evals and zero
       // replay. Parts load before anything commits; a partial/unreadable
@@ -1577,6 +1593,11 @@ final class MaterializedView private[engine](
           admitDeltaAgg(df, ups, tbls)
         case _ => None
       }
+      // linear sources first (same discipline as the delta-join cascade)
+      if (deltaAggSpec.nonEmpty)
+        cascadeUpstreams = cascadeUpstreams.sortBy(u =>
+          aggOuterNonLinear.contains(u.viewName.toLowerCase) ||
+            aggSubqNonLinear.contains(u.viewName.toLowerCase))
       // durable reopen: restored state + consumed upstream offsets resume
       // maintenance exactly where the previous incarnation stopped —
       // otherwise backfill over the upstreams' current state
@@ -1730,21 +1751,57 @@ final class MaterializedView private[engine](
     * upstream's state is already the aggregate — recompute over it is the
     * same O(state) map-side class as the fold's merge, with fewer
     * per-epoch jobs (measured faster). `cascadeStmt` must already hold
-    * the executable statement. */
+    * the executable statement.
+    *
+    * Round 11: the aggregate's child may hold outer joins
+    * (LEFT/RIGHT/FULL/semi/anti) and live-table subqueries — sources the
+    * child is NOT linear in fold via aux-partial DIFFERENCE pairs
+    * ([[aggOuterNonLinear]]/[[aggSubqNonLinear]]) instead of the
+    * sign-split delta rebinding; aggregate-over-enrichment-join (fact
+    * LEFT dim GROUP BY dim col), previously recompute-mode, now folds. */
   private def admitDeltaAgg(df: DataFrame, ups: Seq[MaterializedView],
                             tbls: Seq[LiveTable]): Option[DeltaAgg.Spec] = {
     if (ups.nonEmpty || tbls.isEmpty ||
         // ops escape hatch + A/B measurement flag
         java.lang.Boolean.getBoolean("graft.disableDeltaAgg")) return None
     val srcNames = tbls.map(_.viewName.toLowerCase)
-    val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.mkString(".").toLowerCase
-    }
+    val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt)
+      .collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.mkString(".").toLowerCase
+      }
     val analyzed = df.queryExecution.analyzed
-    val childLinear = analyzed.collectFirst { case a: Aggregate => a }
-      .exists(a => !nonLinearIn(a.child, srcNames.toSet))
-    if (srcNames.forall(n => occurrences.count(_ == n) == 1) && childLinear)
+    aggOuterNonLinear = Set.empty
+    aggSubqNonLinear = Set.empty
+    val childOk = analyzed.collectFirst { case a: Aggregate => a }.exists { a =>
+      val outers = outerJoinsAbove(a.child, srcNames.toSet)
+      val admissibleOuter: org.apache.spark.sql.catalyst.plans.JoinType => Boolean = {
+        import org.apache.spark.sql.catalyst.plans._
+        t => t == LeftOuter || t == RightOuter || t == LeftSemi ||
+             t == LeftAnti || t == FullOuter
+      }
+      if (outers.exists(j => !admissibleOuter(j.joinType))) false
+      else if (nonLinearIn(a.child, srcNames.toSet, allowedNodes = outers,
+          allowLiveSubquery = true)) false
+      else {
+        aggOuterNonLinear = outers.flatMap { oj =>
+          import org.apache.spark.sql.catalyst.plans.{FullOuter, RightOuter}
+          oj.joinType match {
+            case RightOuter => boundarySourcesIn(oj.left, srcNames.toSet)
+            case FullOuter => boundarySourcesIn(oj.left, srcNames.toSet) ++
+              boundarySourcesIn(oj.right, srcNames.toSet)
+            case _ => boundarySourcesIn(oj.right, srcNames.toSet)
+          }
+        }.toSet
+        aggSubqNonLinear = a.child.collect { case n => n }.flatMap(_.expressions)
+          .flatMap(_.collect {
+            case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+              boundarySourcesIn(sq.plan, srcNames.toSet)
+          }).flatten.toSet -- aggOuterNonLinear
+        true
+      }
+    }
+    if (srcNames.forall(n => occurrences.count(_ == n) == 1) && childOk)
       DeltaAgg.admit(analyzed, allowFloat = engine.options.foldFloatingPointAgg)
     else None
   }
@@ -1767,11 +1824,14 @@ final class MaterializedView private[engine](
       // single-source epochs: `ops` is already a checkpointed changelog
       // read and each sign slice feeds exactly one aux evaluation, so
       // re-materializing the slices only added two jobs per epoch (epoch
-      // latency is job-count-bound). Multi-source epochs keep the
-      // checkpoints — the slices feed the telescoped terms AND the netted
-      // OLD-snapshot reconstruction.
-      val single = changed.size == 1
+      // latency is job-count-bound). Multi-source epochs — and nonlinear
+      // sources, whose slices feed the OLD reconstruction and the
+      // restriction payload — keep the checkpoints.
+      def nonLin(u: MaterializedView.CascadeSrc): Boolean =
+        aggOuterNonLinear.contains(u.viewName.toLowerCase) ||
+          aggSubqNonLinear.contains(u.viewName.toLowerCase)
       val parts = changed.map { case (u, ops) =>
+        val single = changed.size == 1 && !nonLin(u)
         def slice(d: DataFrame) = if (single) d else d.localCheckpoint(true)
         val adds = slice(ops.filter(col("op").isin(
           Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op"))
@@ -1784,7 +1844,7 @@ final class MaterializedView private[engine](
         tempViews += s"__da_add_${u.viewName}"
         dels.createOrReplaceTempView(s"__da_del_${u.viewName}")
         tempViews += s"__da_del_${u.viewName}"
-        if (parts.size > 1) {
+        if (parts.size > 1 || nonLin(u)) {
           val cols = adds.columns.toIndexedSeq.map(col)
           // net the window per distinct row BEFORE reconstructing: exceptAll
           // saturates at zero multiplicity, so a row appearing on both the
@@ -1801,20 +1861,49 @@ final class MaterializedView private[engine](
           tempViews += s"__da_old_${u.viewName}"
         }
       }
-      val partials = parts.zipWithIndex.map { case ((u, _, _), i) =>
-        def termSql(deltaView: String): String = {
-          val reaimed = retarget(cascadeStmt, u.viewName, deltaView)
-          if (!reaimed.contains(deltaView))
-            throw new IllegalStateException(s"rebinding missed ${u.viewName}")
-          parts.drop(i + 1).foldLeft(reaimed) { case (s, (o, _, _)) =>
+      val partials = parts.zipWithIndex.map { case ((u, adds, dels), i) =>
+        def laterOld(sql: String): String =
+          parts.drop(i + 1).foldLeft(sql) { case (s, (o, _, _)) =>
             retarget(s, o.viewName, s"__da_old_${o.viewName}")
           }
+        if (nonLin(u)) {
+          // aux-partial DIFFERENCE pair (round 11): the aggregate's child
+          // is not linear in u (null-padded outer side / subquery
+          // membership), so evaluate the partials over Q(u:new) and
+          // Q(u:old) — rows u's delta cannot affect contribute equal
+          // partials to both sides and cancel in the signed merge. Outer
+          // sides restrict the owning join's other child to delta-matching
+          // rows ([[restrictOuterToDelta]]), keeping the pair
+          // delta-proportional; subquery sources evaluate plain (no Join
+          // node to restrict — ~one batch-shaped aux per SUBQUERY-side
+          // epoch, while the fact side keeps its delta terms).
+          val sqlNew = laterOld(cascadeStmt)
+          val sqlOld = retarget(sqlNew, u.viewName, s"__da_old_${u.viewName}")
+          if (!sqlOld.contains(s"__da_old_${u.viewName}"))
+            throw new IllegalStateException(s"rebinding missed ${u.viewName}")
+          def eval(sql: String, src: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+            if (aggOuterNonLinear.contains(u.viewName.toLowerCase)) {
+              val payload = adds.unionByName(dels)
+              restrictOuterToDelta(spark.sql(sql), src, payload)
+                .queryExecution.analyzed
+            } else spark.sql(sql).queryExecution.analyzed
+          val addAux = DeltaAgg.aux(spark, spec, eval(sqlNew, u.viewName))
+          val delAux = DeltaAgg.aux(spark, spec,
+            eval(sqlOld, s"__da_old_${u.viewName}"))
+          (addAux, delAux)
+        } else {
+          def termSql(deltaView: String): String = {
+            val reaimed = retarget(cascadeStmt, u.viewName, deltaView)
+            if (!reaimed.contains(deltaView))
+              throw new IllegalStateException(s"rebinding missed ${u.viewName}")
+            laterOld(reaimed)
+          }
+          val addAux = DeltaAgg.aux(spark, spec,
+            spark.sql(termSql(s"__da_add_${u.viewName}")).queryExecution.analyzed)
+          val delAux = DeltaAgg.aux(spark, spec,
+            spark.sql(termSql(s"__da_del_${u.viewName}")).queryExecution.analyzed)
+          (addAux, delAux)
         }
-        val addAux = DeltaAgg.aux(spark, spec,
-          spark.sql(termSql(s"__da_add_${u.viewName}")).queryExecution.analyzed)
-        val delAux = DeltaAgg.aux(spark, spec,
-          spark.sql(termSql(s"__da_del_${u.viewName}")).queryExecution.analyzed)
-        (addAux, delAux)
       }
       // ONE materialization for both sign sides (the old per-side
       // checkpoints were two separate jobs; epoch latency is

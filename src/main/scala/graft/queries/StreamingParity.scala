@@ -1376,6 +1376,60 @@ object StreamingParity {
       materialized
     },
 
+    // Aggregate over a LEFT JOIN of two live PK tables (round 11): the
+    // enrichment-then-rollup statement delta-accumulates — the dim side
+    // (not linear under null-extension) folds via the aux-partial
+    // difference pair over restricted Q(new)/Q(old), so a dim wave moves
+    // facts between the NULL-padded group and named groups through the
+    // FOLD; the fact side keeps sign-split delta partials. Joining on
+    // user_id % 50 against 25 dim keys keeps a permanent NULL group in
+    // the final hash. Mode-asserted with zero statement re-evaluations.
+    q("m_mv_left_join_agg_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT n.n_name AS nation, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |FROM latest l LEFT JOIN nation n ON n.n_nationkey = l.user_id % 50
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      val nationSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      val upSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType)))
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val evT = rw.createTable("m_ljaf_ev", upSchema,
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      val dimT = rw.createTable("m_ljaf_dim", nationSchema,
+        primaryKey = Seq("n_nationkey"))
+      rw.mv("""SELECT n.n_name AS nation, count(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        |FROM m_ljaf_ev e LEFT JOIN m_ljaf_dim n ON n.n_nationkey = e.user_id % 50
+        |GROUP BY n.n_name""".stripMargin, "m_ljaf_mv")
+      val mv = rw.mvByName("m_ljaf_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "aggregate over a LEFT JOIN must delta-accumulate (round 11)")
+      val dims = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val (dimA, dimB) = dims.splitAt(dims.length / 2)
+      dimT.insert(dimA.toSeq); rw.flush()
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      var i = 0
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        if (i == CHUNKS / 2) { dimT.insert(dimB.toSeq); rw.flush() }
+        evT.insert(chunk.toSeq); rw.flush(); i += 1
+      }
+      require(mv.isDeltaAggMode && mv.statementEvals <= 1,
+        "outer-join agg-fold epochs must not re-evaluate the statement")
+      val out = mv.df.withColumn("sv", col("sv").cast("double"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // Aggregate over a JOIN of two live PK tables (round 9): the
     // decomposable aggregate folds TELESCOPED per-source partials — the
     // join delta and the aggregate fold composed — so neither base table

@@ -280,11 +280,13 @@ class CascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
-  test("aggregate over a LEFT JOIN of live tables cascades; late dims move groups") {
-    // recompute-mode cascade over an outer join (the fold stays off: the
-    // null-padded side is not linear, so the delta-restricted touched-group
-    // recompute is the incremental path). A late dim arrival must move
-    // facts OUT of the NULL-padded group and into the named one.
+  test("aggregate over a LEFT JOIN of live tables FOLDS; late dims move groups") {
+    // round 11: agg-over-enrichment-join delta-accumulates — the dim (the
+    // null-padded side the child is not linear in) folds via the
+    // aux-partial difference pair over restricted Q(new)/Q(old); the fact
+    // side keeps sign-split delta partials. A late dim arrival must move
+    // facts OUT of the NULL-padded group and into the named one, through
+    // the FOLD (round 10 kept this shape on touched-group recompute).
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     val factSchema = StructType(Seq(StructField("fid", LongType),
       StructField("uid", LongType), StructField("v", LongType)))
@@ -295,8 +297,8 @@ class CascadeMvSpec extends SparkSpec {
     rw.mv("SELECT d.nm AS label, count(*) AS n, CAST(sum(f.v) AS BIGINT) AS sv " +
       "FROM clj_f f LEFT JOIN clj_d d ON d.uid = f.uid GROUP BY d.nm", "clj_mv")
     val mv = rw.mvByName("clj_mv").get
-    assert(mv.isChangelogCascadeMode && !mv.isDeltaAggMode,
-      "agg-over-outer-join must cascade by touched-group recompute")
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "agg-over-outer-join must delta-accumulate (round 11)")
     def groups: Map[Option[String], (Long, Long)] =
       mv.df.collect().map(r =>
         Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
@@ -305,15 +307,23 @@ class CascadeMvSpec extends SparkSpec {
     f.insert(Seq(Row(1L, 10L, 5L), Row(2L, 10L, 7L), Row(3L, 20L, 1L)))
     rw.flush()
     assert(groups == Map(None -> ((3L, 13L))), "all facts pad into the NULL group")
+    val evals = mv.statementEvals
     d.insert(Seq(Row(10L, "ann")))
     rw.flush()
     assert(groups == Map(Some("ann") -> ((2L, 12L)), None -> ((1L, 1L))),
       "a late dim must move its facts out of the NULL group")
+    // both sides in one epoch: new fact for the named group + new dim
+    d.insert(Seq(Row(20L, "bob")))
+    f.insert(Seq(Row(4L, 10L, 2L)))
+    rw.flush()
+    assert(groups == Map(Some("ann") -> ((3L, 14L)), Some("bob") -> ((1L, 1L))))
     rw.execute("DELETE FROM clj_d WHERE uid = 10")
     rw.flush()
-    assert(groups == Map(None -> ((3L, 13L))),
+    assert(groups == Map(None -> ((3L, 14L)), Some("bob") -> ((1L, 1L))),
       "deleting the dim must move the facts back to the NULL group")
-    assert(mv.isChangelogCascadeMode)
+    assert(mv.statementEvals == evals,
+      "outer-join fold epochs must not re-evaluate the statement")
+    assert(mv.isDeltaAggMode, "DML must not demote the fold")
     rw.close()
   }
 }

@@ -306,6 +306,76 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("MIN/MAX over a LEFT JOIN folds; a dim retraction re-fetches the moved extremum") {
+    // round 11: extremum slots compose with the outer-join difference
+    // pair — a dim delete moves its facts to the NULL group AND may
+    // retract a named group's carried max, which must re-fetch
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dax_f", StructType(Seq(StructField("fid", LongType),
+      StructField("uid", LongType), StructField("v", LongType))),
+      primaryKey = Seq("fid"))
+    rw.createTable("dax_d", StructType(Seq(StructField("uid", LongType),
+      StructField("nm", StringType))), primaryKey = Seq("uid"))
+    rw.mv("SELECT d.nm AS label, count(*) AS n, max(f.v) AS mx " +
+      "FROM dax_f f LEFT JOIN dax_d d ON d.uid = f.uid GROUP BY d.nm", "dax_mv")
+    val mv = rw.mvByName("dax_mv").get
+    assert(mv.isDeltaAggMode, "extremum over an outer join must fold (round 11)")
+    val f = rw.table("dax_f").get
+    val d = rw.table("dax_d").get
+    d.insert(Seq(Row(10L, "ann")))
+    f.insert(Seq(Row(1L, 10L, 5L), Row(2L, 10L, 9L), Row(3L, 20L, 3L)))
+    rw.flush()
+    def state: Map[Option[String], (Long, Long)] =
+      mv.df.collect().map(r =>
+        Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state == Map(Some("ann") -> ((2L, 9L)), None -> ((1L, 3L))))
+    // retract the fact holding ann's max: the group must re-fetch 5
+    rw.execute("DELETE FROM dax_f WHERE fid = 2")
+    rw.flush()
+    assert(state == Map(Some("ann") -> ((1L, 5L)), None -> ((1L, 3L))))
+    // dim delete: ann's remaining fact moves to NULL, whose max rises
+    rw.execute("DELETE FROM dax_d WHERE uid = 10")
+    rw.flush()
+    assert(state == Map(None -> ((2L, 5L))))
+    assert(mv.isDeltaAggMode, "DML must not demote the outer-join extremum fold")
+    rw.close()
+  }
+
+  test("aggregate with a live-table IN subquery folds; membership flips move groups") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("das_t", schema, primaryKey = Seq("id"))
+    rw.createTable("das_dim", StructType(Seq(StructField("g", StringType))),
+      primaryKey = Seq("g"))
+    rw.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM das_t " +
+      "WHERE grp IN (SELECT g FROM das_dim) GROUP BY grp", "das_mv")
+    val mv = rw.mvByName("das_mv").get
+    assert(mv.isDeltaAggMode,
+      "an aggregate filtered by a live-table subquery must fold (round 11)")
+    val t = rw.table("das_t").get
+    val dim = rw.table("das_dim").get
+    dim.insert(Seq(Row("a")))
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 7L)))
+    rw.flush()
+    assert(groups(mv) == Map("a" -> ((2L, 30L))))
+    val evals = mv.statementEvals
+    // membership GAINED: group b's rows enter without touching das_t
+    dim.insert(Seq(Row("b")))
+    rw.flush()
+    assert(groups(mv) == Map("a" -> ((2L, 30L)), "b" -> ((1L, 7L))))
+    // outer-side delta folds with the subquery bound current
+    t.insert(Seq(Row(4L, "b", 3L)))
+    rw.flush()
+    assert(groups(mv) == Map("a" -> ((2L, 30L)), "b" -> ((2L, 10L))))
+    // membership LOST: the whole group retracts
+    rw.execute("DELETE FROM das_dim WHERE g = 'a'")
+    rw.flush()
+    assert(groups(mv) == Map("b" -> ((2L, 10L))))
+    assert(mv.statementEvals == evals,
+      "subquery-fold epochs must not re-evaluate the statement")
+    assert(mv.isDeltaAggMode)
+    rw.close()
+  }
+
   test("durable reopen restores aux state and keeps folding with zero evals") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dadur").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))

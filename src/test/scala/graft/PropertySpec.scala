@@ -443,4 +443,176 @@ class PropertySpec extends SparkSpec {
       assert(mv.isDeltaJoinMode, "the outer delta-join must survive the whole interleaving")
     }
   }
+
+  test("FULL-outer MV equals batch under random two-sided interleavings (round 11)") {
+    // both sides nonlinear: padding must flip in BOTH directions as match
+    // counts cross zero, under any interleaving of inserts, upsert
+    // overwrites, and deletes on either side
+    for (scenario <- 1 to 2) {
+      val evT = s"fjp_e_$scenario"; val usT = s"fjp_u_$scenario"
+      rw.createTable(evT, StructType(Seq(StructField("eid", LongType),
+        StructField("uid", LongType), StructField("v", LongType))),
+        primaryKey = Seq("eid"))
+      rw.createTable(usT, StructType(Seq(StructField("uid", LongType),
+        StructField("nm", StringType))), primaryKey = Seq("uid"))
+      val stmt = s"SELECT e.eid, u.uid AS duid, u.nm, e.v FROM $evT e " +
+        s"FULL JOIN $usT u ON u.uid = e.uid"
+      val mv = rw.mv(stmt, s"fjp_mv_$scenario")
+      assert(mv.isDeltaJoinMode)
+      sealed trait K
+      case object Ev extends K; case object Us extends K
+      case object DelE extends K; case object DelU extends K
+      case object Fl extends K
+      val gen = for {
+        kind <- Gen.frequency(4 -> Ev, 3 -> Us, 1 -> DelE, 1 -> DelU, 2 -> Fl)
+        eid <- Gen.choose(1L, 15L)
+        uid <- Gen.choose(1L, 6L)
+        v <- Gen.choose(0L, 99L)
+        nm <- Gen.oneOf("ann", "bob", "cat")
+      } yield (kind, eid, uid, v, nm)
+      def rowsOf(sql: String): Seq[(Option[Long], Option[Long], Option[String], Option[Long])] =
+        rw.fetch(sql).map(r => (
+          if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).sorted
+      sample(Gen.listOfN(50, gen), seed = 15000 + scenario).foreach {
+        case (Ev, eid, uid, v, _) => rw.table(evT).get.insert(Seq(Row(eid, uid, v)))
+        case (Us, _, uid, v, nm) => rw.table(usT).get.insert(Seq(Row(uid, s"$nm$v")))
+        case (DelE, eid, _, _, _) => rw.execute(s"DELETE FROM $evT WHERE eid = $eid")
+        case (DelU, _, uid, _, _) => rw.execute(s"DELETE FROM $usT WHERE uid = $uid")
+        case (Fl, _, _, _, _) =>
+          rw.flush()
+          val inc = rowsOf(s"SELECT * FROM fjp_mv_$scenario")
+          val batch = rowsOf(stmt)
+          assert(inc == batch, s"scenario $scenario: $inc vs $batch")
+      }
+      rw.flush()
+      assert(mv.isDeltaJoinMode, "the FULL-outer fold must survive the whole interleaving")
+    }
+  }
+
+  test("multi-LEFT-join MV equals batch under random three-sided interleavings (round 11)") {
+    val evT = "mlp_e"; val d1T = "mlp_d1"; val d2T = "mlp_d2"
+    rw.createTable(evT, StructType(Seq(StructField("eid", LongType),
+      StructField("uid", LongType), StructField("v", LongType))),
+      primaryKey = Seq("eid"))
+    rw.createTable(d1T, StructType(Seq(StructField("uid", LongType),
+      StructField("nm", StringType))), primaryKey = Seq("uid"))
+    rw.createTable(d2T, StructType(Seq(StructField("uid", LongType),
+      StructField("tag", StringType)))) // no PK: fan-out legal
+    val stmt = s"SELECT e.eid, u.nm, t.tag, e.v FROM $evT e " +
+      s"LEFT JOIN $d1T u ON u.uid = e.uid LEFT JOIN $d2T t ON t.uid = e.uid"
+    val mv = rw.mv(stmt, "mlp_mv")
+    assert(mv.isDeltaJoinMode)
+    sealed trait K
+    case object Ev extends K; case object D1 extends K; case object D2 extends K
+    case object DelE extends K; case object DelD1 extends K; case object DelD2 extends K
+    case object Fl extends K
+    val gen = for {
+      kind <- Gen.frequency(4 -> Ev, 2 -> D1, 2 -> D2,
+        1 -> DelE, 1 -> DelD1, 1 -> DelD2, 2 -> Fl)
+      eid <- Gen.choose(1L, 15L)
+      uid <- Gen.choose(1L, 6L)
+      v <- Gen.choose(0L, 99L)
+      nm <- Gen.oneOf("ann", "bob", "cat")
+    } yield (kind, eid, uid, v, nm)
+    def rowsOf(sql: String): Seq[(Long, Option[String], Option[String], Long)] =
+      rw.fetch(sql).map(r =>
+        (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)), r.getLong(3))).sorted
+    sample(Gen.listOfN(60, gen), seed = 16001).foreach {
+      case (Ev, eid, uid, v, _) => rw.table(evT).get.insert(Seq(Row(eid, uid, v)))
+      case (D1, _, uid, v, nm) => rw.table(d1T).get.insert(Seq(Row(uid, s"$nm$v")))
+      case (D2, _, uid, v, nm) => rw.table(d2T).get.insert(Seq(Row(uid, s"t$nm$v")))
+      case (DelE, eid, _, _, _) => rw.execute(s"DELETE FROM $evT WHERE eid = $eid")
+      case (DelD1, _, uid, _, _) => rw.execute(s"DELETE FROM $d1T WHERE uid = $uid")
+      case (DelD2, _, uid, _, _) => rw.execute(s"DELETE FROM $d2T WHERE uid = $uid")
+      case (Fl, _, _, _, _) =>
+        rw.flush()
+        val inc = rowsOf("SELECT * FROM mlp_mv")
+        val batch = rowsOf(stmt)
+        assert(inc == batch, s"$inc vs $batch")
+    }
+    rw.flush()
+    assert(mv.isDeltaJoinMode, "the multi-outer fold must survive the whole interleaving")
+  }
+
+  test("window-cascade MV equals batch under random upsert/delete interleavings (round 11)") {
+    // expression PARTITION BY (computed bucket) — the lineage-derived key
+    // path: touched partitions derive by evaluating the bucket expression
+    // on the delta payload; whole-partition slices replace
+    val t = "wcp_t"
+    rw.createTable(t, StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    val stmt = s"SELECT id, grp, v, CAST(v % 3 AS BIGINT) AS bucket, " +
+      "CAST(rank() OVER (PARTITION BY CAST(v % 3 AS BIGINT) " +
+      s"ORDER BY v DESC, id) AS BIGINT) AS r FROM $t"
+    val mv = rw.mv(stmt, "wcp_mv")
+    assert(mv.isWindowCascadeMode,
+      "the expression-key window cascade must admit (round 11)")
+    sealed trait K
+    case object Ins extends K; case object Del extends K; case object Fl extends K
+    val gen = for {
+      kind <- Gen.frequency(5 -> Ins, 1 -> Del, 2 -> Fl)
+      id <- Gen.choose(1L, 12L)
+      grp <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0L, 30L)
+    } yield (kind, id, grp, v)
+    def rowsOf(sql: String): Seq[(Long, String, Long, Long, Long)] =
+      rw.fetch(sql).map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).sorted
+    sample(Gen.listOfN(60, gen), seed = 17001).foreach {
+      case (Ins, id, grp, v) => rw.table(t).get.insert(Seq(Row(id, grp, v)))
+      case (Del, id, _, _) => rw.execute(s"DELETE FROM $t WHERE id = $id")
+      case (Fl, _, _, _) =>
+        rw.flush()
+        val inc = rowsOf("SELECT * FROM wcp_mv")
+        val batch = rowsOf(stmt)
+        assert(inc == batch, s"$inc vs $batch")
+    }
+    rw.flush()
+    assert(mv.isWindowCascadeMode, "DML must not demote the window cascade")
+  }
+
+  test("agg-over-LEFT-join fold equals batch under random two-sided interleavings (round 11)") {
+    val evT = "ajp_e"; val usT = "ajp_u"
+    rw.createTable(evT, StructType(Seq(StructField("eid", LongType),
+      StructField("uid", LongType), StructField("v", LongType))),
+      primaryKey = Seq("eid"))
+    rw.createTable(usT, StructType(Seq(StructField("uid", LongType),
+      StructField("nm", StringType))), primaryKey = Seq("uid"))
+    val stmt = s"SELECT u.nm AS label, count(*) AS n, CAST(sum(e.v) AS BIGINT) AS sv, " +
+      s"max(e.v) AS mx FROM $evT e LEFT JOIN $usT u ON u.uid = e.uid GROUP BY u.nm"
+    val mv = rw.mv(stmt, "ajp_mv")
+    assert(mv.isDeltaAggMode,
+      "agg-over-outer-join must delta-accumulate (round 11)")
+    sealed trait K
+    case object Ev extends K; case object Us extends K
+    case object DelE extends K; case object DelU extends K
+    case object Fl extends K
+    val gen = for {
+      kind <- Gen.frequency(4 -> Ev, 3 -> Us, 1 -> DelE, 1 -> DelU, 2 -> Fl)
+      eid <- Gen.choose(1L, 15L)
+      uid <- Gen.choose(1L, 6L)
+      v <- Gen.choose(0L, 99L)
+      nm <- Gen.oneOf("ann", "bob", "cat")
+    } yield (kind, eid, uid, v, nm)
+    def rowsOf(sql: String): Seq[(Option[String], Long, Long, Long)] =
+      rw.fetch(sql).map(r =>
+        (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    sample(Gen.listOfN(60, gen), seed = 18001).foreach {
+      case (Ev, eid, uid, v, _) => rw.table(evT).get.insert(Seq(Row(eid, uid, v)))
+      case (Us, _, uid, v, nm) => rw.table(usT).get.insert(Seq(Row(uid, s"$nm$v")))
+      case (DelE, eid, _, _, _) => rw.execute(s"DELETE FROM $evT WHERE eid = $eid")
+      case (DelU, _, uid, _, _) => rw.execute(s"DELETE FROM $usT WHERE uid = $uid")
+      case (Fl, _, _, _, _) =>
+        rw.flush()
+        val inc = rowsOf("SELECT * FROM ajp_mv")
+        val batch = rowsOf(stmt)
+        assert(inc == batch, s"$inc vs $batch")
+    }
+    rw.flush()
+    assert(mv.isDeltaAggMode, "the outer-join agg fold must survive the interleaving")
+  }
 }
