@@ -368,6 +368,40 @@ object Corpus {
         sum("tf").cast("long").as("n_tokens"))
   }
 
+  /** Bigram LM scoring (round 11 — the conditional-probability upgrade of
+    * [[unigramLogProb]]): mean log conditional probability of the doc's
+    * bigrams under the corpus's own bigram distribution,
+    * p(w₂|w₁) = c₂(w₁,w₂) / cₚ(w₁), with the prefix count cₚ derived FROM
+    * the bigram table (Σ_w₂ c₂) so numerator and denominator count the
+    * same events and no bigram scores zero (every doc bigram exists in
+    * the corpus at least its own tf). Documents with fewer than 2 tokens
+    * have no bigrams and are excluded, like [[repetitionStats]].
+    *
+    * 100 TB shape: bigrams derive per-row inside the scan (zip_with of
+    * two slices — no positional self-join); tf₂ and c₂ are two-level
+    * partial hash aggregates; the vocabulary-bounded (c₂, cₚ) frame
+    * broadcasts back under the same size guard as the unigram pass; the
+    * per-doc score is one more partial aggregate. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bi = docs.select(col(idCol),
+        explode(zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tf2 = bi.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // vocab + scoring both read it — one text pass
+    val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum("tf").as("c2"))
+      .localCheckpoint(true)
+    val cp = c2.groupBy(col("w1")).agg(sum("c2").as("cp"))
+    val withC = tf2.join(broadcastIfVocabFits(c2.join(cp, "w1")), Seq("w1", "w2"))
+    withC.groupBy(col(idCol))
+      .agg(round(sum(col("tf") * log(col("c2") / col("cp"))) / sum("tf"), 6)
+          .as("bigram_lp"),
+        sum("tf").cast("long").as("n_bigrams"))
+  }
+
   /** Character unigram entropy per document (nats) — the cheap gibberish /
     * binary-junk detector. Two-level hash aggregate keyed (doc, char) then
     * (doc); both partial, no joins. */

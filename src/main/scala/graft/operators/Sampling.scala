@@ -63,4 +63,39 @@ object Sampling {
       counts.get(d).map(n => d -> math.min(1.0, w * total / n)) }
     stratifiedSample(df, idCol, domainCol, rates)
   }
+
+  /** Cluster-stratified diversity sampling (coverage-first data selection
+    * — the embedding-space analogue of [[stratifiedSample]], in the
+    * spirit of SemDeDup/D4-style diversification): IVF-assign each vector
+    * to its nearest centroid (deterministic hash-sampled codebook, the
+    * same fixed-K quantizer model as the ANN index), then keep the top
+    * `k` rows PER CLUSTER by (quality DESC, id) — a subset that covers
+    * every region of embedding space instead of letting dense regions
+    * crowd out the tails, with quality deciding survivors within each
+    * region.
+    *
+    * 100 TB shape: assignment is the map-side native argmax (no
+    * Exchange between scan and cid); the quality join keys on the row id
+    * (AQE-skew-splittable); the only small-keyed shuffle is the
+    * per-cluster top-k rank, and its Window partitions on cid with
+    * K ≪ rows — each cluster's candidates funnel to one task, which is
+    * the operator's documented knob (raise K for bigger corpora, exactly
+    * like the ANN index's nlist). */
+  def diverseTopK(emb: DataFrame, quality: DataFrame,
+                  idCol: String, vecCol: String,
+                  qIdCol: String, qCol: String,
+                  numCentroids: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.normD
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normD(col(vecCol)).as("vn"))
+    val cents = Similarity.ivfCentroids(v, numCentroids)
+    val assigned = Similarity.assignToCentroids(v, cents).select("id", "cid")
+    val q = quality.select(col(qIdCol).as("id"), col(qCol).cast("long").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("q").desc, col("id"))
+    assigned.join(q, Seq("id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("cid"), col("id"), col("q"), col("rnk"))
+  }
 }

@@ -607,6 +607,36 @@ object Extensions {
           max("doc_id").as("last_id"))
     },
 
+    // Cluster-stratified diversity sampling (round 11; SemDeDup/D4-style
+    // coverage selection): IVF-assign embeddings to the deterministic
+    // codebook, keep the top-5 docs per cluster by n_chars — every
+    // assignment and every survivor is replayed by the same clustering
+    // CTEs as the semantic-dedup oracle, so the selected subset itself is
+    // hash-verified.
+    q("x_sample_diverse",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, e AS cv FROM v
+         |      ORDER BY ((vec_id % 104729) * (2654435761 % 104729)) % 104729, vec_id
+         |      LIMIT 32),
+         |sc AS (SELECT v.vec_id, c.cid, ${duckCos("v.e", "c.cv")} AS csc
+         |       FROM v CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc) t
+         |  WHERE rn = 1),
+         |r AS (SELECT a.cid, a.vec_id AS id, CAST(d.n_chars AS BIGINT) AS q,
+         |    row_number() OVER (PARTITION BY a.cid
+         |      ORDER BY d.n_chars DESC, a.vec_id) AS rn
+         |  FROM asg a JOIN documents d ON d.doc_id = a.vec_id)
+         |SELECT cid, id, q, CAST(rn AS BIGINT) AS rnk FROM r WHERE rn <= 5""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Sampling.diverseTopK(
+          Tables(s, dir, "embeddings"), Tables(s, dir, "documents"),
+          "vec_id", "embedding", "doc_id", "n_chars",
+          numCentroids = 32, k = 5)
+    },
+
     // ---- multimodal -------------------------------------------------------
 
     // Binary payload plumbing + stubbed decode (no codec libs in the

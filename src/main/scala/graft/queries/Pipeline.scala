@@ -251,6 +251,30 @@ object Pipeline {
       Corpus.unigramLogProb(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Bigram conditional-probability scoring (round 11): mean
+    // ln p(w2|w1) over the doc's bigrams, with p = c2(w1,w2)/cp(w1) and
+    // the prefix count derived from the bigram table itself — numerator
+    // and denominator count the same events, so no zero probabilities.
+    // Docs with < 2 tokens have no bigrams and drop (both engines).
+    q("x_quality_bigram_lp",
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |             FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> [toks[i], toks[i+1]])) AS bg
+        |  FROM tok WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2, count(*) AS tf
+        |  FROM b GROUP BY 1, 2, 3),
+        |cc AS (SELECT doc_id, tf,
+        |    sum(tf) OVER (PARTITION BY w1, w2) AS c2,
+        |    sum(tf) OVER (PARTITION BY w1) AS cp
+        |  FROM tf)
+        |SELECT doc_id,
+        |  round(sum(tf * ln(c2 / cp)) / sum(tf), 6) AS bigram_lp,
+        |  CAST(sum(tf) AS BIGINT) AS n_bigrams
+        |FROM cc GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Corpus.bigramLogProb(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
     // ---- Gopher composite filter verdict (round 9) -------------------------
 
     // The signals AND into one keep/drop column — the canonical first-stage

@@ -146,4 +146,17 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) == 0.0)
     assert(math.abs(out(2L) - math.log(2.0)) < 1e-6)
   }
+
+  test("bigramLogProb: hand-computed conditional probabilities; short docs drop") {
+    // corpus bigrams: doc1 "x y x z" → (x,y),(y,x),(x,z); doc2 "x y" → (x,y)
+    // c2(x,y)=2 c2(y,x)=1 c2(x,z)=1; prefix counts cp(x)=3 cp(y)=1
+    // doc1 = (ln(2/3) + ln(1/1) + ln(1/3)) / 3; doc2 = ln(2/3)
+    val d = Seq((1L, "x y x z"), (2L, "x y"), (3L, "solo")).toDF("doc_id", "text")
+    val out = Corpus.bigramLogProb(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(!out.contains(3L), "a one-token doc has no bigrams and must drop")
+    val exp1 = (math.log(2.0 / 3) + math.log(1.0) + math.log(1.0 / 3)) / 3
+    assert(math.abs(out(1L)._1 - exp1) < 1e-6 && out(1L)._2 == 3L)
+    assert(math.abs(out(2L)._1 - math.log(2.0 / 3)) < 1e-6 && out(2L)._2 == 1L)
+  }
 }

@@ -71,6 +71,18 @@ class PlanShapeSpec extends SparkSpec {
       "per-doc match count must partial-aggregate map-side")
   }
 
+  test("x_sample_diverse: assignment is the native map-side argmax; rank keys on cid") {
+    val p = plan("x_sample_diverse")
+    assert(p.contains("nearestcentroid") || p.contains("NearestCentroid"),
+      s"cluster assignment must be the native argmax expression:\n$p")
+    // exactly one Window, partitioned by the cluster id — dense-region
+    // candidates funnel per-cid, never a global sort over the corpus
+    assert(p.linesIterator.count(_.contains("Window")) >= 1 &&
+      p.matches("(?s).*Window.*cid#\\d.*"),
+      s"the only rank must partition by cid:\n$p")
+    assert(!p.contains("UDF"), s"no UDF on the sampling path:\n$p")
+  }
+
   test("x_sim_topk_pq: encode/decode are native expressions, not interpreted lambda HOFs") {
     val p = plan("x_sim_topk_pq")
     assert(p.toLowerCase.contains("pqencode"),

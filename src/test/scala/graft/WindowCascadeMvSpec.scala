@@ -254,6 +254,36 @@ class WindowCascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("durable snapshot: window-cascade MV reopens with zero evals and keeps folding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wcdur").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("wcd_t", schema, primaryKey = Seq("id"))
+    val stmt = "SELECT id, grp, v, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS r FROM wcd_t"
+    rw1.mv(stmt, "wcd_mv")
+    assert(rw1.mvByName("wcd_mv").get.isWindowCascadeMode)
+    rw1.table("wcd_t").get.insert(
+      Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
+    rw1.flush()
+    rw1.close()
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw2.mv(stmt, "wcd_mv")
+    val mv = rw2.mvByName("wcd_mv").get
+    assert(mv.isWindowCascadeMode)
+    assert(mv.statementEvals == 0L, "reopen must restore state without evaluating")
+    def state() = mv.df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(state() == Set((1L, "a", 10L, 2L), (2L, "a", 20L, 1L), (3L, "b", 5L, 1L)))
+    // maintenance resumes from the restored offsets: partition a re-ranks
+    rw2.table("wcd_t").get.insert(Seq(Row(4L, "a", 30L)))
+    rw2.flush()
+    assert(state() == Set((1L, "a", 10L, 3L), (2L, "a", 20L, 2L),
+      (4L, "a", 30L, 1L), (3L, "b", 5L, 1L)))
+    assert(mv.isWindowCascadeMode)
+    rw2.close()
+  }
+
   test("multiple windows sharing partition keys cascade; divergent keys reject") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("wmw_t", schema, primaryKey = Seq("id"))
