@@ -330,4 +330,49 @@ class TopNMvSpec extends SparkSpec {
       "DML must not demote the cascade-backed top-N")
     rw.close()
   }
+
+  test("grouped top-N over an agg-over-LEFT-join inner FOLDS (round 11 composition)") {
+    // the top-N cascade's inner admission shares admitDeltaAgg, so the
+    // round-11 outer-join aggregate fold composes for free: top labels by
+    // fact count over an enrichment join, with dim arrivals moving facts
+    // between the NULL-padded label and named ones THROUGH the fold and
+    // the truncation
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tnoj_f", StructType(Seq(StructField("fid", LongType),
+      StructField("uid", LongType))), primaryKey = Seq("fid"))
+    rw.createTable("tnoj_d", StructType(Seq(StructField("uid", LongType),
+      StructField("nm", StringType))), primaryKey = Seq("uid"))
+    val mv = rw.mv("SELECT d.nm AS label, count(*) AS n FROM tnoj_f f " +
+      "LEFT JOIN tnoj_d d ON d.uid = f.uid GROUP BY d.nm " +
+      "ORDER BY n DESC, label LIMIT 2", "tnoj_mv")
+    assert(mv.isTopNMode && mv.isDeltaAggMode,
+      "the outer-join aggregate fold must back the grouped top-N (round 11)")
+    val f = rw.table("tnoj_f").get
+    val d = rw.table("tnoj_d").get
+    d.insert(Seq(Row(1L, "ann")))
+    f.insert(Seq(Row(10L, 1L), Row(11L, 1L), Row(12L, 2L), Row(13L, 3L)))
+    rw.flush()
+    def vis() = mv.df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    // counts: ann=2 (uid 1), NULL=2 (uids 2,3); ORDER BY n DESC, label —
+    // NULL labels sort LAST in Spark's default asc ordering, so ann leads
+    assert(vis() == Set((Some("ann"), 2L), (None, 2L)))
+    val evals = mv.statementEvals
+    // a late dim splits the NULL group: uid 2's fact moves to bob; at the
+    // 1-count tie, ascending label order is NULLS FIRST (Spark default),
+    // so the NULL label holds rank 2 — same as the batch evaluation
+    d.insert(Seq(Row(2L, "bob")))
+    rw.flush()
+    assert(vis() == Set((Some("ann"), 2L), (None, 1L)),
+      s"NULLS FIRST keeps the padded label at the tie: ${vis()}")
+    val batch = rw.fetch("SELECT d.nm AS label, count(*) AS n FROM tnoj_f f " +
+        "LEFT JOIN tnoj_d d ON d.uid = f.uid GROUP BY d.nm " +
+        "ORDER BY n DESC, label LIMIT 2")
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(vis() == batch, "the folded top-N must equal batch evaluation")
+    assert(mv.statementEvals == evals,
+      "outer-join fold epochs must not re-evaluate the inner statement")
+    assert(mv.isTopNMode && mv.isDeltaAggMode)
+    rw.close()
+  }
 }
