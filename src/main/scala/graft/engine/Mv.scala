@@ -2439,8 +2439,25 @@ final class MaterializedView private[engine](
       if (aggOpt.exists(a =>
         !a.child.exists(_ eq bottom) && !bottom.child.exists(_ eq a)))
         return false
+      // outer joins whose PADDED side is fully static admit (round 11):
+      // the changelog source sits on the preserved side, so every derived
+      // row still carries its source row's key and padded-ness can only
+      // change when the source itself does (`rank() OVER … FROM fact LEFT
+      // JOIN static_dim` — the enriched-rank statement). A padded LIVE
+      // side stays rejected — its delta flips OTHER rows' padding — and
+      // so does FULL (a static side's padded rows carry NULL source
+      // columns, a partition no delta payload can name).
+      val staticOuters = outerJoinsAbove(analyzed, boundary).filter { j =>
+        import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
+        j.joinType match {
+          case LeftOuter | LeftSemi | LeftAnti =>
+            boundarySourcesIn(j.right, boundary).isEmpty
+          case RightOuter => boundarySourcesIn(j.left, boundary).isEmpty
+          case _ => false
+        }
+      }
       if (nonLinearIn(analyzed, boundary,
-          allowedNodes = wins ++ aggOpt.toSeq)) return false
+          allowedNodes = wins ++ aggOpt.toSeq ++ staticOuters)) return false
       // trace every window's PARTITION BY; restriction keys = the traces
       // every window shares (each window then partitions by a superset)
       val traces: Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =

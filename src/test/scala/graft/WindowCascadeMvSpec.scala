@@ -254,6 +254,46 @@ class WindowCascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("window over a LEFT JOIN with a static dim cascades; live padded side rejects") {
+    import spark.implicits._
+    Seq((1L, "east"), (2L, "west"))
+      .toDF("uid", "region").createOrReplaceTempView("wsj_dim") // static
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wsj_t", StructType(Seq(StructField("id", LongType),
+      StructField("uid", LongType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    // enriched rank: the padded side is STATIC, so every output row keeps
+    // its fact row's key lineage — admissible (round 11; the key column
+    // must survive in the output for the state-side slice restriction)
+    rw.mv("SELECT t.id, t.uid, d.region, t.v, CAST(rank() OVER " +
+      "(PARTITION BY t.uid ORDER BY t.v DESC, t.id) AS BIGINT) AS r " +
+      "FROM wsj_t t LEFT JOIN wsj_dim d ON d.uid = t.uid", "wsj_mv")
+    val mv = rw.mvByName("wsj_mv").get
+    assert(mv.isWindowCascadeMode,
+      "a static-padded outer join below the window must admit (round 11)")
+    val t = rw.table("wsj_t").get
+    t.insert(Seq(Row(1L, 1L, 10L), Row(2L, 1L, 20L), Row(3L, 9L, 5L)))
+    rw.flush()
+    def state() = mv.df.collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)), r.getLong(3), r.getLong(4))).toSet
+    assert(state() == Set((1L, Some("east"), 10L, 2L), (2L, Some("east"), 20L, 1L),
+      (3L, None, 5L, 1L)), "unmatched facts pad; ranks per uid")
+    t.insert(Seq(Row(4L, 1L, 30L)))
+    rw.flush()
+    assert(state() == Set((1L, Some("east"), 10L, 3L), (2L, Some("east"), 20L, 2L),
+      (4L, Some("east"), 30L, 1L), (3L, None, 5L, 1L)))
+    assert(mv.isWindowCascadeMode)
+    // a LIVE padded side must stay on the batch fallback: its delta flips
+    // OTHER rows' padding, which no touched-key derivation can name
+    rw.createTable("wsj_live", StructType(Seq(StructField("uid", LongType),
+      StructField("region", StringType))), primaryKey = Seq("uid"))
+    rw.mv("SELECT t.id, d.region, t.v, rank() OVER " +
+      "(PARTITION BY t.uid ORDER BY t.v DESC, t.id) AS r " +
+      "FROM wsj_t t LEFT JOIN wsj_live d ON d.uid = t.uid", "wsj_live_mv")
+    assert(!rw.mvByName("wsj_live_mv").get.isWindowCascadeMode)
+    rw.close()
+  }
+
   test("durable snapshot: window-cascade MV reopens with zero evals and keeps folding") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wcdur").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
