@@ -1793,11 +1793,8 @@ final class MaterializedView private[engine](
             case _ => boundarySourcesIn(oj.right, srcNames.toSet)
           }
         }.toSet
-        aggSubqNonLinear = a.child.collect { case n => n }.flatMap(_.expressions)
-          .flatMap(_.collect {
-            case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-              boundarySourcesIn(sq.plan, srcNames.toSet)
-          }).flatten.toSet -- aggOuterNonLinear
+        aggSubqNonLinear =
+          subquerySourcesIn(a.child, srcNames.toSet) -- aggOuterNonLinear
         true
       }
     }
@@ -2166,12 +2163,8 @@ final class MaterializedView private[engine](
         }
       }.toSet
       // sources read inside subquery expressions (round 11): plain
-      // difference terms — collected across every node's expressions
-      joinSubqNonLinear = analyzed.collect { case n => n }.flatMap(_.expressions)
-        .flatMap(_.collect {
-          case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-            boundarySourcesIn(sq.plan, boundary)
-        }).flatten.toSet
+      // difference terms — transitive across nested subqueries (round 12)
+      joinSubqNonLinear = subquerySourcesIn(analyzed, boundary)
       joinHasJoin = analyzed.collectFirst { case _: Join => () }.nonEmpty
       // each changelog source must appear exactly once for the telescoped
       // rebinding to address it (relation list from the parsed plan keeps
@@ -2259,7 +2252,12 @@ final class MaterializedView private[engine](
     }
   }
 
-  /** Boundary source views referenced under `p` (lowercased). */
+  /** Boundary source views referenced under `p` (lowercased). Walks plan
+    * CHILDREN only — a source held inside a SubqueryExpression of a node's
+    * expressions is deliberately NOT collected here, because the two
+    * callers that classify join sides (restricted-difference terms) must
+    * not claim subquery-read sources; those take the plain-difference term
+    * via [[subquerySourcesIn]]. */
   private def boundarySourcesIn(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       boundary: Set[String]): Set[String] = {
@@ -2268,6 +2266,33 @@ final class MaterializedView private[engine](
       case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) =>
         Set(s.alias.toLowerCase)
       case _ => p.children.flatMap(boundarySourcesIn(_, boundary)).toSet
+    }
+  }
+
+  /** Boundary sources read inside ANY subquery expression under `p`, at
+    * any nesting depth — including a subquery within a subquery (round 12:
+    * `WHERE x IN (SELECT k FROM static WHERE k2 IN (SELECT j FROM live))`
+    * holds `live` two SubqueryExpression boundaries deep; the plan-child
+    * walk of [[boundarySourcesIn]] never crosses the first one, so such a
+    * source was invisible to classification and the statement folded it as
+    * LINEAR — binding the epoch delta inside the nested subquery, silently
+    * wrong). Stops at boundary aliases like every other scan (a source's
+    * own resolution plan is a black box). */
+  private def subquerySourcesIn(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      boundary: Set[String]): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    p match {
+      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) =>
+        Set.empty
+      case _ =>
+        val own = p.expressions.flatMap(_.collect {
+          case sq: SubqueryExpression =>
+            boundarySourcesIn(sq.plan, boundary) ++
+              subquerySourcesIn(sq.plan, boundary)
+        }).flatten.toSet
+        own ++ p.children.flatMap(subquerySourcesIn(_, boundary))
     }
   }
 
@@ -2733,7 +2758,12 @@ final class MaterializedView private[engine](
     def badExprs = p.expressions.exists(_.exists(e =>
       (e match {
         case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-          !allowLiveSubquery && boundarySourcesIn(sq.plan, boundary).nonEmpty
+          // transitive (round 12): a source visible only through a NESTED
+          // subquery must reject (or, when the caller waives, classify
+          // plain-difference) exactly like a single-level one
+          !allowLiveSubquery &&
+            (boundarySourcesIn(sq.plan, boundary) ++
+              subquerySourcesIn(sq.plan, boundary)).nonEmpty
         case _ => false
       }) || !e.deterministic))
     p match {

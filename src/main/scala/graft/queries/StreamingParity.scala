@@ -1376,6 +1376,75 @@ object StreamingParity {
       materialized
     },
 
+    // NESTED live-table subquery (round 12): the changelog source is
+    // visible only through a subquery WITHIN a subquery — `WHERE k IN
+    // (SELECT … FROM static WHERE … >= (SELECT min(…) FROM live_dim))`.
+    // The plan-child walk of boundarySourcesIn never crosses the first
+    // SubqueryExpression, so before the transitive subquerySourcesIn scan
+    // this shape passed admission (occurrence count is subquery-aware
+    // since round 11) but classified the dim LINEAR — binding the epoch
+    // delta INSIDE the nested subquery. The inner subquery is a scalar
+    // AGGREGATE on purpose: membership predicates (IN / NOT IN) over
+    // disjoint PK deltas are accidentally linear (the constant terms of
+    // the +/− evaluations cancel), but min() over the delta alone is not
+    // the change in min() — linear binding double-counts every already-
+    // visible row when the mid-replay wave lowers the threshold, and the
+    // phantom counts persist to the final state. The dim arrives in two
+    // waves (regions {2,3} before any fact, {0,1} mid-replay), so the
+    // threshold drop must retract nothing and install regions {0,1}
+    // exactly once through the PLAIN-difference fold; mode-asserted with
+    // zero statement re-evals.
+    q("m_mv_nested_subquery_incremental",
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS event_id,
+        |    arg_max(value, event_id) AS value
+        |  FROM events GROUP BY user_id)
+        |SELECT event_id, user_id, value FROM latest
+        |WHERE user_id % 25 IN (SELECT n_nationkey FROM nation
+        |  WHERE n_regionkey >= (SELECT min(r_regionkey) FROM region
+        |                        WHERE r_regionkey < 4))""".stripMargin) {
+      (s, dir) =>
+      val regionSchema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+      val upSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType)))
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val evT = rw.createTable("m_nsq_ev", upSchema,
+        primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      val regT = rw.createTable("m_nsq_reg", regionSchema,
+        primaryKey = Seq("r_regionkey"))
+      // the middle relation is STATIC — a per-epoch constant; only the
+      // innermost subquery reads a changelog source
+      Tables(s, dir, "nation").select("n_nationkey", "n_regionkey")
+        .createOrReplaceTempView("m_nsq_nation")
+      rw.mv("""SELECT event_id, user_id, value FROM m_nsq_ev
+        |WHERE user_id % 25 IN (SELECT n_nationkey FROM m_nsq_nation
+        |  WHERE n_regionkey >= (SELECT min(r_regionkey) FROM m_nsq_reg))""".stripMargin,
+        "m_nsq_mv")
+      val mv = rw.mvByName("m_nsq_mv").get
+      require(mv.isDeltaJoinMode,
+        "a nested live-table subquery must admit into the delta cascade (round 12)")
+      val regions = Tables(s, dir, "region")
+        .select("r_regionkey", "r_name")
+        .filter(col("r_regionkey") < 4)
+        .collect().sortBy(_.getInt(0))
+      val (regB, regA) = regions.splitAt(2)
+      regT.insert(regA.toSeq); rw.flush()
+      val rows = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+        .collect().sortBy(_.getLong(2))
+      var i = 0
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        if (i == CHUNKS / 2) { regT.insert(regB.toSeq); rw.flush() }
+        evT.insert(chunk.toSeq); rw.flush(); i += 1
+      }
+      require(mv.isDeltaJoinMode && mv.statementEvals <= 1,
+        "nested-subquery fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // Aggregate over a LEFT JOIN of two live PK tables (round 11): the
     // enrichment-then-rollup statement delta-accumulates — the dim side
     // (not linear under null-extension) folds via the aux-partial
