@@ -2659,6 +2659,11 @@ final class MaterializedView private[engine](
     }
     if (latest <= after) return
     cascadeOffsets(u.viewName) = latest
+    // the changelog append is atomic (staging dir → commit), so `emitted`
+    // cleanly splits the failure window: before emitOps completes the
+    // repair must emit this epoch's delta itself; after, it must NOT —
+    // re-diffing against the pre-epoch state would emit the delta twice
+    var emitted = false
     try {
       val ops = u.log.dfAfter(after)
       // touched keys: the restriction-key expressions evaluate DIRECTLY on
@@ -2708,23 +2713,31 @@ final class MaterializedView private[engine](
           m
         })
       emitOps(epochOps)
+      emitted = true
       cascadeInner = Some(merged)
       val vis = expandCounts(merged)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
-    } catch { case _: Throwable =>
+    } catch { case scala.util.control.NonFatal(t) =>
       // full-recompute repair (round 11, ADVICE): the offset above is
       // already consumed, so a mid-epoch failure (transient Spark error,
       // plan-surgery mismatch) must NOT skip the delta — re-evaluate the
       // whole statement and multiset-diff against the carried state, same
-      // discipline as joinCascadeEpoch's fallback. Nothing was emitted
-      // before the first failable step completed, so the diff emits this
-      // epoch's delta exactly once.
+      // discipline as joinCascadeEpoch's fallback. Fatal errors (OOM,
+      // interrupts) propagate; the warning makes a PERSISTENT silent
+      // demotion to per-epoch batch re-runs observable (round 12, ADVICE).
+      MaterializedView.log.warn(
+        s"window-cascade epoch for $viewName fell back to full recompute: $t")
       statementEvals += 1
       val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
-      val prevVis = expandCounts(cascadeInner.get)
       val vis = expandCounts(grouped)
-      emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+      if (!emitted) {
+        val prevVis = expandCounts(cascadeInner.get)
+        emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+      }
+      // emitted && a POST-emit step failed: the committed ops already
+      // describe prev→new, and `grouped` IS the new state (the full
+      // statement over the same current sources) — install it, emit nothing
       cascadeInner = Some(grouped)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
@@ -2853,6 +2866,9 @@ final class MaterializedView private[engine](
     if (changed.isEmpty) return
     val outCols = outputSchema.fieldNames.toIndexedSeq
     val tempViews = scala.collection.mutable.ArrayBuffer[String]()
+    // atomic-append discipline, same as windowCascadeEpoch: once emitOps
+    // commits, the fallback must not emit this epoch's delta again
+    var emitted = false
     try {
       // split each changed source's delta by sign once, eagerly (small)
       val parts = changed.map { case (u, ops) =>
@@ -2986,19 +3002,26 @@ final class MaterializedView private[engine](
           .filter(col(MaterializedView.CntCol) > 0)
           .localCheckpoint(true))
       emitOps(keyedOps.getOrElse(Changelog.netOps(net, outCols, "__d")))
+      emitted = true
       cascadeInner = Some(merged)
       val vis = expandCounts(merged)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
-    } catch { case _: Throwable =>
+    } catch { case scala.util.control.NonFatal(t) =>
       // full-recompute fallback: evaluate the statement against the
       // current sources and multiset-diff against the carried state —
-      // correct under any rebinding failure, just not delta-proportional
+      // correct under any rebinding failure, just not delta-proportional.
+      // Fatal errors propagate; the warning makes a persistent silent
+      // demotion observable (round 12, ADVICE).
+      MaterializedView.log.warn(
+        s"delta-join epoch for $viewName fell back to full recompute: $t")
       statementEvals += 1
       val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
-      val prevVis = expandCounts(cascadeInner.get)
       val vis = expandCounts(grouped)
-      emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+      if (!emitted) {
+        val prevVis = expandCounts(cascadeInner.get)
+        emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+      }
       cascadeInner = Some(grouped)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
@@ -3704,6 +3727,8 @@ final class MaterializedView private[engine](
 }
 
 object MaterializedView {
+  private[engine] val log = org.slf4j.LoggerFactory.getLogger(classOf[MaterializedView])
+
   /** Helper column a cascade MV's folded HAVING predicate lands in — never
     * visible: [[MaterializedView#cascadeVisible]] filters on it and drops it
     * before the snapshot or any changelog op is derived. */

@@ -98,10 +98,22 @@ object Corpus {
     val bench = benchmark
       .select(explode(shingles(col(textCol), n)).as("gram")).distinct()
       .localCheckpoint(true) // reused three times: count, Bloom build, exact join
-    val items = math.max(bench.count(), 1L)
+    // BloomFilterAggregate validates its literals against the session's
+    // runtime-bloom caps (spark.sql.optimizer.runtime.bloomFilter.
+    // maxNumItems / maxNumBits, defaults 4M items / 64M bits) and throws
+    // above them — clamp instead (round 12, ADVICE): a benchmark set past
+    // the cap just gets a higher EFFECTIVE fpp, and the exact broadcast
+    // join downstream removes every false positive, so correctness is
+    // unaffected; only the pre-join survivor count grows.
+    val conf = docs.sparkSession.sessionState.conf
+    val maxItems = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val items = math.min(math.max(bench.count(), 1L), maxItems)
     // optimal bit count for the target fpp: -n·ln(p)/ln²2, floored at one word
-    val bits = math.max(64L,
-      math.ceil(-items.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bits = math.min(maxBits, math.max(64L,
+      math.ceil(-items.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
     val bfBytes = bench.agg(GraftColumnBridge.column(
         new BloomFilterAggregate(
           GraftColumnBridge.expression(xxhash64(col("gram"))),
