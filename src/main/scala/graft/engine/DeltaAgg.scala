@@ -3,9 +3,10 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, Expression, GreaterThan, If, Literal, NamedExpression}
+  Alias, AttributeReference, Cast, Coalesce, Expression, GreaterThan, If,
+  Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+  AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.functions.{
   broadcast, coalesce, col, greatest, least, lit, sum, when}
@@ -67,10 +68,13 @@ private[engine] object DeltaAgg {
     * first of its auxiliary columns —
     * [sum, nonNullCnt] for SUM/AVG, [cnt] for COUNT,
     * [extremum, nonNullCnt] for MIN/MAX,
-    * [sum, kahanComp, nonNullCnt] for float SUM/AVG. */
-  private[engine] final case class Slot(auxIdx: Int, kind: Int) {
+    * [sum, kahanComp, nonNullCnt] for float SUM/AVG,
+    * NOTHING for COUNT(DISTINCT) — its `dkIdx` names the state-key column
+    * carrying the distinct child value (two-level tier, round 12). */
+  private[engine] final case class Slot(auxIdx: Int, kind: Int, dkIdx: Int = -1) {
     def width: Int = kind match {
       case KindCount => 1
+      case KindCountD | KindMaxD | KindMinD => 0
       case KindSumF | KindAvgF => 3
       case _ => 2
     }
@@ -84,19 +88,32 @@ private[engine] object DeltaAgg {
   private val KindMin = 4
   private val KindSumF = 5
   private val KindAvgF = 6
+  private val KindCountD = 7
+  /** dk-backed extremum (round 12): MIN/MAX whose child IS a distinct-key
+    * column of the two-level tier. The inner groups are single-valued in
+    * that child, so the extremum needs no aux columns and — crucially —
+    * no retraction re-fetch: the visible value is Max/Min over the state's
+    * key column itself, and a value leaves exactly when its last reference
+    * does. (A plain KindMax at inner granularity would flag EVERY
+    * retraction as a possible extremum removal, because the retracted
+    * value always equals the single-valued subgroup's carried max.) */
+  private val KindMaxD = 8
+  private val KindMinD = 9
 
   private def isFloat(dt: DataType): Boolean =
     dt == DoubleType || dt == FloatType
 
-  private def kindOf(ae: AggregateExpression): Int = ae.aggregateFunction match {
-    case s: Sum if isFloat(s.child.dataType) => KindSumF
-    case _: Sum => KindSum
-    case av: Average if isFloat(av.child.dataType) => KindAvgF
-    case _: Average => KindAvg
-    case _: Max => KindMax
-    case _: Min => KindMin
-    case _ => KindCount
-  }
+  private def kindOf(ae: AggregateExpression): Int =
+    if (ae.isDistinct) KindCountD
+    else ae.aggregateFunction match {
+      case s: Sum if isFloat(s.child.dataType) => KindSumF
+      case _: Sum => KindSum
+      case av: Average if isFloat(av.child.dataType) => KindAvgF
+      case _: Average => KindAvg
+      case _: Max => KindMax
+      case _: Min => KindMin
+      case _ => KindCount
+    }
 
   final class Spec private[DeltaAgg](
       private[DeltaAgg] val keyOutNames: Seq[String],
@@ -104,9 +121,27 @@ private[engine] object DeltaAgg {
       private[DeltaAgg] val visibleCols: Seq[Column],
       /** row-count aux column name (a group vanishes at 0) */
       private[DeltaAgg] val rowsCol: String,
-      private[DeltaAgg] val slots: Seq[Slot]) {
-    /** Output column names of the grouping keys (state key columns). */
+      private[DeltaAgg] val slots: Seq[Slot],
+      /** State-key columns carrying DISTINCT children values (round 12):
+        * non-empty = the TWO-LEVEL tier. The carried aux state is keyed by
+        * (grouping keys ++ distinct children) — the inner level of the
+        * classic two-level COUNT(DISTINCT) rewrite — every slot folds at
+        * that granularity with the unchanged signed machinery (a distinct
+        * value's reference rides the inner rows counter and the (k, v)
+        * row vanishes at zero), and [[visible]] aggregates the state by
+        * the OUTER keys: COUNT(DISTINCT x) = Count over the state's
+        * per-value rows. */
+      private[DeltaAgg] val distinctKeyNames: Seq[String] = Nil,
+      /** The same visible outputs as raw NamedExpressions — the two-level
+        * [[visible]] builds its Aggregate from these directly (a Column →
+        * Expression round-trip leaves a non-codegen ColumnNode wrapper). */
+      private[DeltaAgg] val visibleExprs: Seq[NamedExpression] = Nil) {
+    /** Output column names of the grouping keys (visible/outer keys). */
     def keys: Seq[String] = keyOutNames
+    /** Granularity the carried state and the merge operate at. */
+    def stateKeys: Seq[String] = keyOutNames ++ distinctKeyNames
+    /** True when the state is inner-level (DISTINCT children in the key). */
+    def isTwoLevel: Boolean = distinctKeyNames.nonEmpty
     /** True when the spec carries non-invertible (MIN/MAX) or
       * Kahan-compensated float slots — merged by the join path, which can
       * also re-fetch underflowed groups. Pure COUNT/SUM/decimal-AVG specs
@@ -133,9 +168,17 @@ private[engine] object DeltaAgg {
   }
 
   private def admittedCall(ae: AggregateExpression, allowFloat: Boolean): Boolean =
-    ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
+    ae.mode == Complete && ae.filter.isEmpty &&
       ae.aggregateFunction.children.forall(_.deterministic) &&
-      (ae.aggregateFunction match {
+      (if (ae.isDistinct)
+        // COUNT(DISTINCT x) only — the two-level tier keys the state by x,
+        // so x must be a single groupable/orderable child (round 12)
+        ae.aggregateFunction match {
+          case c: Count => c.children.size == 1 &&
+            orderable(c.children.head.dataType)
+          case _ => false
+        }
+      else ae.aggregateFunction match {
         case _: Count => true
         case s: Sum => s.child.dataType match {
           case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
@@ -180,15 +223,47 @@ private[engine] object DeltaAgg {
       // maintenance. The visibility mapping below still requires every
       // output to be a grouping key.
       if (!cs.forall(admittedCall(_, allowFloat))) return None
-      // slot layout, by traversal order
+      val hasDistinct = cs.exists(_.isDistinct)
+      // the two-level tier folds every slot at (keys ++ distinct children)
+      // granularity — exact for COUNT/SUM/AVG/MIN/MAX, but a Kahan float
+      // fold re-summed at visible time loses its compensation, so the
+      // float tier does not compose with DISTINCT
+      if (hasDistinct && cs.exists(ae => {
+        val k = kindOf(ae); k == KindSumF || k == KindAvgF })) return None
+      // slot layout, by traversal order; DISTINCT children dedupe
+      // semantically into shared state-key columns (pass 1 collects them
+      // BEFORE slot assignment so a MIN/MAX preceding its matching
+      // DISTINCT call still becomes dk-backed)
       var next = 0
+      var dkChildren = Seq.empty[Expression]
+      def dkIndexOf(c: Expression): Int = {
+        val i = dkChildren.indexWhere(_.semanticEquals(c))
+        if (i >= 0) i else { dkChildren :+= c; dkChildren.size - 1 }
+      }
+      cs.foreach { ae =>
+        if (kindOf(ae) == KindCountD)
+          dkIndexOf(ae.aggregateFunction.children.head)
+      }
       val slotByCall = new java.util.IdentityHashMap[AggregateExpression, Slot]()
       val slots = cs.map { ae =>
-        val slot = Slot(next, kindOf(ae))
+        val kind0 = kindOf(ae)
+        val dkMatch =
+          if (hasDistinct && (kind0 == KindMax || kind0 == KindMin))
+            dkChildren.indexWhere(
+              _.semanticEquals(ae.aggregateFunction.children.head))
+          else -1
+        val slot = kind0 match {
+          case KindCountD =>
+            Slot(next, kind0, dkIndexOf(ae.aggregateFunction.children.head))
+          case KindMax if dkMatch >= 0 => Slot(next, KindMaxD, dkMatch)
+          case KindMin if dkMatch >= 0 => Slot(next, KindMinD, dkMatch)
+          case _ => Slot(next, kind0)
+        }
         slotByCall.put(ae, slot)
         next += slot.width
         slot
       }
+      val distinctKeyNames = dkChildren.indices.map(i => s"__dk$i")
       val auxNames = slots.flatMap { s =>
         (0 until s.width).map(j => s"__a${s.auxIdx + j}")
       } :+ RowsCol
@@ -204,10 +279,59 @@ private[engine] object DeltaAgg {
         }
       }.filter(_._1 >= 0).toMap
       var ok = true
-      val vis = a.aggregateExpressions.map { ne =>
-        if (isKeyOutput(a, ne)) col(ne.name)
+      // outer aggregate wrapper for the two-level regime's visible pass
+      def aggE(f: AggregateFunction): Expression =
+        AggregateExpression(f, Complete, isDistinct = false, None,
+          NamedExpression.newExprId)
+      val visNamed: Seq[NamedExpression] = a.aggregateExpressions.map { ne =>
+        if (isKeyOutput(a, ne)) UnresolvedAttribute.quoted(ne.name)
         else {
           val derived = ne.transform {
+            case ae: AggregateExpression if slotByCall.containsKey(ae) &&
+                hasDistinct =>
+              // TWO-LEVEL visible derivations: the state row is one INNER
+              // group (outer keys ++ distinct values), so every slot
+              // re-aggregates its per-inner partials by the outer keys —
+              // exact for this tier's admitted kinds (sum of sums, max of
+              // maxes; the non-NULL counters re-sum for NULL discipline)
+              val s = slotByCall.get(ae)
+              def sumOf(c: String): Expression =
+                aggE(Sum(UnresolvedAttribute(c)))
+              s.kind match {
+                case KindCountD =>
+                  // state rows are unique per (keys, value): counting the
+                  // value column counts each distinct non-NULL value once
+                  aggE(Count(Seq(UnresolvedAttribute(s"__dk${s.dkIdx}"))))
+                case KindMaxD => // extremum over the state's own key column
+                  aggE(Max(UnresolvedAttribute(s"__dk${s.dkIdx}")))
+                case KindMinD =>
+                  aggE(Min(UnresolvedAttribute(s"__dk${s.dkIdx}")))
+                case KindCount =>
+                  Coalesce(Seq(sumOf(s"__a${s.auxIdx}"), Literal(0L)))
+                case KindSum =>
+                  If(GreaterThan(Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L))),
+                      Literal(0L)),
+                    Cast(sumOf(s"__a${s.auxIdx}"), ae.dataType),
+                    Literal(null, ae.dataType))
+                case KindAvg =>
+                  val av = ae.aggregateFunction.asInstanceOf[Average]
+                  av.evaluateExpression.transform {
+                    case attr: AttributeReference if attr.exprId == av.sum.exprId =>
+                      Cast(sumOf(s"__a${s.auxIdx}"), av.sum.dataType)
+                    case attr: AttributeReference if attr.exprId == av.count.exprId =>
+                      Cast(sumOf(s"__a${s.cntIdx}"), av.count.dataType)
+                  }
+                case KindMax =>
+                  If(GreaterThan(Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L))),
+                      Literal(0L)),
+                    aggE(Max(UnresolvedAttribute(s"__a${s.auxIdx}"))),
+                    Literal(null, ae.dataType))
+                case _ => // KindMin (floats rejected above)
+                  If(GreaterThan(Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L))),
+                      Literal(0L)),
+                    aggE(Min(UnresolvedAttribute(s"__a${s.auxIdx}"))),
+                    Literal(null, ae.dataType))
+              }
             case ae: AggregateExpression if slotByCall.containsKey(ae) =>
               val s = slotByCall.get(ae)
               s.kind match {
@@ -240,14 +364,16 @@ private[engine] object DeltaAgg {
                   ok = false; ar
               }
           }
-          GraftColumnBridge.column(derived match {
+          derived match {
             case n: NamedExpression => n
             case e => Alias(e, ne.name)()
-          })
+          }
         }
       }
       if (!ok) None
-      else Some(new Spec(keyNames, auxNames, vis, RowsCol, slots))
+      else Some(new Spec(keyNames, auxNames,
+        visNamed.map(GraftColumnBridge.column), RowsCol, slots,
+        distinctKeyNames, visNamed))
     case _ => None
   }
 
@@ -261,8 +387,28 @@ private[engine] object DeltaAgg {
     val a = analyzed.collectFirst { case ag: Aggregate => ag }.get
     val cs = calls(a)
     var next = 0
+    // two-level tier: DISTINCT children (deduped in the SAME traversal
+    // order as admit — the re-targeted plan of the same statement text
+    // yields the same structure) join the grouping, so partials arrive at
+    // state granularity and every other slot computes per inner group
+    var dkChildren = Seq.empty[Expression]
+    def dkIndexOf(c: Expression): Int = {
+      val i = dkChildren.indexWhere(_.semanticEquals(c))
+      if (i >= 0) i else { dkChildren :+= c; dkChildren.size - 1 }
+    }
+    cs.foreach { ae =>
+      if (kindOf(ae) == KindCountD)
+        dkIndexOf(ae.aggregateFunction.children.head)
+    }
     val auxExprs: Seq[NamedExpression] = cs.flatMap { ae =>
-      val kind = kindOf(ae)
+      val kind0 = kindOf(ae)
+      // dk-backed extremum: same detection as admit (pass 1 above filled
+      // the dk list, so ordering cannot change the outcome)
+      val kind =
+        if ((kind0 == KindMax || kind0 == KindMin) && dkChildren.exists(
+            _.semanticEquals(ae.aggregateFunction.children.head)))
+          (if (kind0 == KindMax) KindMaxD else KindMinD)
+        else kind0
       val base = next
       val width = Slot(base, kind).width
       next += width
@@ -271,6 +417,7 @@ private[engine] object DeltaAgg {
           None, NamedExpression.newExprId), s"__a$idx")()
       val child = ae.aggregateFunction.children.headOption.getOrElse(Literal(1))
       kind match {
+        case KindCountD | KindMaxD | KindMinD => Seq.empty
         case KindSum | KindMax | KindMin =>
           Seq(Alias(ae, s"__a$base")(), cnt(child, base + 1))
         case KindAvg =>
@@ -291,8 +438,11 @@ private[engine] object DeltaAgg {
     } :+ Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
       isDistinct = false, None, NamedExpression.newExprId), RowsCol)()
     val keyOuts = a.aggregateExpressions.filter(isKeyOutput(a, _))
+    val dkOuts = dkChildren.zipWithIndex.map { case (c, i) =>
+      Alias(c, s"__dk$i")() }
     GraftColumnBridge.ofRows(spark,
-      Aggregate(a.groupingExpressions, keyOuts ++ auxExprs, a.child))
+      Aggregate(a.groupingExpressions ++ dkChildren,
+        keyOuts ++ dkOuts ++ auxExprs, a.child))
   }
 
   /** Fold an epoch's insert/retract auxiliary partials into the carried
@@ -319,7 +469,9 @@ private[engine] object DeltaAgg {
       require(refetch != null, "extremum/float specs need a refetch callback")
       return mergeJoin(state, addAux, delAux, spec, refetch, touchedHint)
     }
-    val keys = spec.keyOutNames
+    // the merge operates at STATE granularity — outer keys plus the
+    // distinct-children columns for the two-level tier (round 12)
+    val keys = spec.stateKeys
     val auxCols = spec.auxNames
     def negate(df: DataFrame): DataFrame =
       df.select(keys.map(col) ++ auxCols.map(c => (col(c) * lit(-1)).as(c)): _*)
@@ -373,7 +525,7 @@ private[engine] object DeltaAgg {
                         delAux0: DataFrame, spec: Spec,
                         refetch: DataFrame => DataFrame,
                         touchedHint: Option[DataFrame] = None): DataFrame = {
-    val keys = spec.keyOutNames
+    val keys = spec.stateKeys
     val auxCols = spec.auxNames
     // one partial row per key per side: multi-source epochs union one
     // partial per telescoped term — combine with each slot's own combiner
@@ -383,9 +535,11 @@ private[engine] object DeltaAgg {
     def regroup(df: DataFrame): DataFrame = {
       val combined = auxCols.map { c =>
         val idx = c.stripPrefix("__a")
+        // width-0 (COUNT DISTINCT) slots share their auxIdx with the next
+        // slot — they own no aux column, so they never resolve here
         val slot = spec.slots.find(s =>
           c != RowsCol && idx.nonEmpty && idx.forall(_.isDigit) &&
-            s.auxIdx == idx.toInt)
+            s.width > 0 && s.auxIdx == idx.toInt)
         slot match {
           case Some(s) if s.kind == KindMax =>
             org.apache.spark.sql.functions.max(col(c)).as(c)
@@ -437,6 +591,8 @@ private[engine] object DeltaAgg {
         (z(s(cntName)) + z(a(cntName)) - z(d(cntName)))
           .cast(LongType).as(cntName)
       slot.kind match {
+        // their values ARE state-key columns — no aux arithmetic
+        case KindCountD | KindMaxD | KindMinD => Seq.empty
         case KindCount =>
           Seq((z(s(v)) + z(a(v)) - z(d(v)))
             .cast(state.schema(v).dataType).as(v))
@@ -525,12 +681,18 @@ private[engine] object DeltaAgg {
   }
 
   /** The statement's visible output derived from aux state — lazy; the
-    * caller checkpoints the (narrow) aux state only. */
+    * caller checkpoints the (narrow) aux state only. Two-level specs
+    * AGGREGATE the inner-granularity state by the outer keys (the
+    * COUNT(DISTINCT) finish); single-level specs project per row. */
   def visible(state: DataFrame, spec: Spec): DataFrame =
-    state.select(spec.visibleCols: _*)
+    if (!spec.isTwoLevel) state.select(spec.visibleCols: _*)
+    else GraftColumnBridge.ofRows(state.sparkSession,
+      Aggregate(
+        spec.keyOutNames.map(UnresolvedAttribute.quoted(_): Expression),
+        spec.visibleExprs, state.queryExecution.logical))
 
-  /** The epoch's touched keys as a frame over the aux deltas (already
-    * grouped — orders smaller than the state). */
+  /** The epoch's touched OUTER keys as a frame over the aux deltas
+    * (already grouped — orders smaller than the state). */
   def touchedKeys(addAux: DataFrame, delAux: DataFrame, spec: Spec): DataFrame =
     addAux.select(spec.keyOutNames.map(col): _*)
       .union(delAux.select(spec.keyOutNames.map(col): _*)).distinct()

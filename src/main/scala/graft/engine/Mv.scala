@@ -1917,7 +1917,7 @@ final class MaterializedView private[engine](
           .withColumn("__sgn", org.apache.spark.sql.functions.lit(-1)))
       val auxRows = timed("delta-aux")(
         bothPlan.limit(cascadeLocalMax + 1).collect())
-      val (addAux, delAux, touchedLocal) =
+      val (addAux, delAux, touchedLocal, touchedOuterLocal) =
         if (auxRows.length <= cascadeLocalMax) {
           val sch = org.apache.spark.sql.types.StructType(
             bothPlan.schema.fields.dropRight(1))
@@ -1927,18 +1927,27 @@ final class MaterializedView private[engine](
             .map(untag).toIndexedSeq
           val dels = auxRows.iterator.filter(_.getInt(tagIdx) == -1)
             .map(untag).toIndexedSeq
-          val keyIdx = spec.keys.map(sch.fieldIndex)
-          val tkeys = (adds.iterator ++ dels.iterator)
-            .map(r => keyIdx.map(r.get).toList).toSet
-          val keySchema = org.apache.spark.sql.types.StructType(
-            spec.keys.map(k => sch(sch.fieldIndex(k))))
-          val tdf = localDf(tkeys.iterator.map(Row.fromSeq(_)).toIndexedSeq, keySchema)
-          (localDf(adds, sch), localDf(dels, sch), Some(tdf))
+          // the merge's touched-frame hint is STATE-granularity (outer
+          // keys ++ distinct-children columns for two-level specs); the
+          // returned frame — the visible diff's restriction — is OUTER
+          def touchedOf(names: Seq[String]): DataFrame = {
+            val keyIdx = names.map(sch.fieldIndex)
+            val tkeys = (adds.iterator ++ dels.iterator)
+              .map(r => keyIdx.map(r.get).toList).toSet
+            val keySchema = org.apache.spark.sql.types.StructType(
+              names.map(k => sch(sch.fieldIndex(k))))
+            localDf(tkeys.iterator.map(Row.fromSeq(_)).toIndexedSeq, keySchema)
+          }
+          val tdf = touchedOf(spec.stateKeys)
+          val tdfOuter =
+            if (!spec.isTwoLevel || spec.keys.isEmpty) tdf
+            else touchedOf(spec.keys)
+          (localDf(adds, sch), localDf(dels, sch), Some(tdf), Some(tdfOuter))
         } else {
           val bothAux = bothPlan.localCheckpoint(true)
           (bothAux.filter(col("__sgn") === 1).drop("__sgn"),
             bothAux.filter(col("__sgn") === -1).drop("__sgn"),
-            None)
+            None, None)
         }
       // extremum re-fetch (MIN/MAX slots): recompute EXACTLY the groups
       // whose carried extremum a retraction may have removed, against the
@@ -1949,11 +1958,13 @@ final class MaterializedView private[engine](
         statementEvals += 1
         val fullAux = DeltaAgg.aux(spark, spec,
           spark.sql(cascadeStmt).queryExecution.analyzed)
-        if (spec.keys.isEmpty) fullAux
+        // underflow is detected at STATE granularity (per inner group for
+        // two-level specs), so the semi-restriction joins on state keys
+        if (spec.stateKeys.isEmpty) fullAux
         else {
-          val kr = keysDf.toDF(spec.keys.map(k => s"__k_$k"): _*)
+          val kr = keysDf.toDF(spec.stateKeys.map(k => s"__k_$k"): _*)
           fullAux.join(org.apache.spark.sql.functions.broadcast(kr),
-            spec.keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _),
+            spec.stateKeys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _),
             "left_semi")
         }
       }
@@ -1965,7 +1976,7 @@ final class MaterializedView private[engine](
         refetch, touchedLocal)
       val newAux = timed("state-merge")(boundedLocal(merged))
       Some((newAux,
-        touchedLocal.getOrElse(DeltaAgg.touchedKeys(addAux, delAux, spec))))
+        touchedOuterLocal.getOrElse(DeltaAgg.touchedKeys(addAux, delAux, spec))))
     } catch { case _: Throwable =>
       deltaAggSpec = None
       None
@@ -1991,9 +2002,19 @@ final class MaterializedView private[engine](
         // GlobalRow: the single row is the touched set by definition
         def restrict(df: DataFrame) =
           if (keyCols.isEmpty) df else keyJoin(df, touched, "left_semi")
+        // two-level specs restrict the aux STATE below the visible
+        // aggregate (the outer keys are state-key columns, so the semi
+        // join installs under the re-aggregation by construction —
+        // Catalyst's pushdown would decline the broadcastable semi,
+        // SPARK-37455, and re-aggregate the WHOLE state per epoch)
+        val (oldVisT, newVisT) =
+          if (spec.isTwoLevel && keyCols.nonEmpty)
+            (DeltaAgg.visible(keyJoin(auxState.get, touched, "left_semi"), spec),
+             DeltaAgg.visible(keyJoin(newAux, touched, "left_semi"), spec))
+          else (restrict(cascadeInner.get), restrict(newInnerFull))
         emitKeyedDiffLocal(
-          cascadeVisible(restrict(cascadeInner.get)),
-          cascadeVisible(restrict(newInnerFull)),
+          cascadeVisible(oldVisT),
+          cascadeVisible(newVisT),
           keyCols)
         auxState = Some(newAux)
         cascadeInner = Some(newInnerFull)

@@ -1039,6 +1039,40 @@ object StreamingParity {
       materialized
     },
 
+    // COUNT(DISTINCT) fold (round 12 — the two-level tier): the carried
+    // aux state is keyed by (bucket, distinct value) — per-value reference
+    // counts ride the inner rows counter, a value's row vanishes when its
+    // last reference retracts, and the visible pass re-aggregates the
+    // state by bucket (count of per-value rows = the distinct count).
+    // Upsert overwrites move users between value decades all through the
+    // replay, so reference counts rise AND fall and distinct values appear
+    // AND vanish through the fold; plain count/sum slots fold at the same
+    // inner granularity (sum of sums is exact). Mode-asserted with zero
+    // statement re-evaluations.
+    q("m_mv_count_distinct_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value,
+        |    max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  count(DISTINCT CAST(floor(value / 10) AS BIGINT)) AS dv,
+        |  CAST(SUM(event_id % 1000) AS BIGINT) AS se
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_cdf_t", Seq(("m_cdf_mv",
+        """SELECT user_id % 10 AS bucket, count(*) AS n,
+          |  count(DISTINCT CAST(floor(value / 10) AS BIGINT)) AS dv,
+          |  CAST(SUM(event_id % 1000) AS BIGINT) AS se
+          |FROM m_cdf_t GROUP BY 1""".stripMargin)))
+      val mv = rw.mvByName("m_cdf_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "COUNT(DISTINCT) must fold via the two-level tier (round 12)")
+      require(mv.statementEvals <= 1,
+        "count-distinct fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

@@ -45,6 +45,89 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("COUNT(DISTINCT) folds via the two-level tier; refs retract and values vanish") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dcd_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, count(DISTINCT v) AS dv, " +
+      "max(v) AS mx FROM dcd_t GROUP BY grp", "dcd_mv")
+    val mv = rw.mvByName("dcd_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "COUNT(DISTINCT) must fold via the two-level tier (round 12)")
+    val t = rw.table("dcd_t").get
+    def state: Map[String, (Long, Long, Any)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.get(3)))).toMap
+    // two rows share v=10: one distinct value, refcount 2
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 10L), Row(3L, "a", 20L),
+      Row(4L, "b", 5L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(state == Map("a" -> ((3L, 2L, 20L)), "b" -> ((1L, 1L, 5L))))
+    // retract ONE of the two v=10 refs: the distinct count must NOT drop
+    rw.execute("DELETE FROM dcd_t WHERE id = 1")
+    rw.flush()
+    assert(state == Map("a" -> ((2L, 2L, 20L)), "b" -> ((1L, 1L, 5L))),
+      "a surviving reference must keep the distinct value counted")
+    // retract the LAST v=10 ref: now the value vanishes from the count
+    rw.execute("DELETE FROM dcd_t WHERE id = 2")
+    rw.flush()
+    assert(state == Map("a" -> ((1L, 1L, 20L)), "b" -> ((1L, 1L, 5L))))
+    // upsert moves id=3 into a NEW value and retracts the old max: the
+    // dk-BACKED extremum (max child == distinct child) derives from the
+    // state's own key column — no re-fetch, ever
+    t.insert(Seq(Row(3L, "a", 7L)))
+    rw.flush()
+    assert(state == Map("a" -> ((1L, 1L, 7L)), "b" -> ((1L, 1L, 5L))))
+    // group b vanishes entirely
+    rw.execute("DELETE FROM dcd_t WHERE grp = 'b'")
+    rw.flush()
+    assert(state == Map("a" -> ((1L, 1L, 7L))))
+    // NULLs never count as distinct values
+    t.insert(Seq(Row(5L, "a", null)))
+    rw.flush()
+    assert(state == Map("a" -> ((2L, 1L, 7L))),
+      "NULL must not contribute a distinct value")
+    assert(mv.statementEvals == evals,
+      "count-distinct epochs (incl. dk-backed max retractions) must not re-evaluate")
+    assert(mv.isDeltaAggMode)
+    rw.close()
+  }
+
+  test("COUNT(DISTINCT) composes with a non-dk extremum (inner re-fetch path)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dcx_t", schema, primaryKey = Seq("id"))
+    // min(id) is NOT a distinct child: inner (grp, v) groups are
+    // multi-valued in id, so the extremum folds with the join-merge's
+    // per-inner-group retraction re-fetch
+    rw.mv("SELECT grp, count(DISTINCT v) AS dv, min(id) AS mi " +
+      "FROM dcx_t GROUP BY grp", "dcx_mv")
+    val mv = rw.mvByName("dcx_mv").get
+    assert(mv.isDeltaAggMode)
+    val t = rw.table("dcx_t").get
+    def state: Map[String, (Long, Long)] =
+      mv.df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 10L), Row(3L, "a", 20L)))
+    rw.flush()
+    assert(state == Map("a" -> ((2L, 1L))))
+    // retract the carried min id within the (a, 10) inner group: the
+    // re-fetch recomputes exactly that inner group; the distinct count
+    // keeps its surviving reference
+    rw.execute("DELETE FROM dcx_t WHERE id = 1")
+    rw.flush()
+    assert(state == Map("a" -> ((2L, 2L))),
+      "inner-group extremum re-fetch must compose with the distinct tier")
+    // retract the LAST (a, 10) reference: the value leaves the distinct
+    // count in the same epoch the extremum re-fetches
+    rw.execute("DELETE FROM dcx_t WHERE id = 2")
+    rw.flush()
+    assert(state == Map("a" -> ((1L, 3L))))
+    rw.execute("DELETE FROM dcx_t WHERE id = 3")
+    rw.flush()
+    assert(state.isEmpty, "the group must vanish with its last row")
+    assert(mv.isDeltaAggMode)
+    rw.close()
+  }
+
   test("NULL-sum semantics survive the fold (sum NULL iff no non-null inputs)") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("dan_t", schema, primaryKey = Seq("id"))
