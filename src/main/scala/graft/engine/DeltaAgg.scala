@@ -3,10 +3,11 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, Cast, Coalesce, Expression, GreaterThan, If,
-  Literal, NamedExpression}
+  Alias, AttributeReference, Cast, Coalesce, Divide, Expression, GreaterThan,
+  Greatest, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
+  AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min,
+  StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.functions.{
   broadcast, coalesce, col, greatest, least, lit, sum, when}
@@ -76,6 +77,7 @@ private[engine] object DeltaAgg {
       case KindCount => 1
       case KindCountD | KindMaxD | KindMinD => 0
       case KindSumF | KindAvgF => 3
+      case KindStdS | KindStdP | KindVarS | KindVarP => 3
       case _ => 2
     }
     /** Index of the slot's non-NULL counter column (valid for width ≥ 2). */
@@ -99,9 +101,35 @@ private[engine] object DeltaAgg {
     * value always equals the single-valued subgroup's carried max.) */
   private val KindMaxD = 8
   private val KindMinD = 9
+  /** stddev/variance (round 12): decomposable as [sum-of-squares, sum,
+    * nonNullCnt] — all three slots signed-invertible, so the fold stays on
+    * the fast union+re-sum path. EXACT tier when the (double-typed) child
+    * is the analyzer's cast of an integral column — the sums carry in
+    * DECIMAL(38,0); the tolerance tier (foldFloatingPointAgg) admits raw
+    * double children with plain double sums. The finish re-derives
+    * m₂ = S₂ − S₁²/n in double at the output boundary, clamped at 0
+    * against cancellation epsilon; NULL below the ddof threshold exactly
+    * like Spark's own n==0 / n==1 semantics. */
+  private val KindStdS = 10
+  private val KindStdP = 11
+  private val KindVarS = 12
+  private val KindVarP = 13
+
+  private def isStd(kind: Int): Boolean =
+    kind == KindStdS || kind == KindStdP || kind == KindVarS || kind == KindVarP
 
   private def isFloat(dt: DataType): Boolean =
     dt == DoubleType || dt == FloatType
+
+  /** The integral column under the analyzer's to-double cast, when the
+    * stddev/variance child admits the exact decimal-sum tier. */
+  private def stdExactChild(e: Expression): Option[Expression] = e match {
+    case c: Cast => c.child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => Some(c.child)
+      case _ => None
+    }
+    case _ => None
+  }
 
   private def kindOf(ae: AggregateExpression): Int =
     if (ae.isDistinct) KindCountD
@@ -112,6 +140,10 @@ private[engine] object DeltaAgg {
       case _: Average => KindAvg
       case _: Max => KindMax
       case _: Min => KindMin
+      case _: StddevSamp => KindStdS
+      case _: StddevPop => KindStdP
+      case _: VarianceSamp => KindVarS
+      case _: VariancePop => KindVarP
       case _ => KindCount
     }
 
@@ -204,6 +236,12 @@ private[engine] object DeltaAgg {
         }
         case m: Max => orderable(m.child.dataType)
         case m: Min => orderable(m.child.dataType)
+        // stddev/variance: exact tier for integral-under-cast children,
+        // tolerance tier (plain double sums) behind the float flag
+        case sd: StddevSamp => allowFloat || stdExactChild(sd.child).nonEmpty
+        case sd: StddevPop => allowFloat || stdExactChild(sd.child).nonEmpty
+        case sd: VarianceSamp => allowFloat || stdExactChild(sd.child).nonEmpty
+        case sd: VariancePop => allowFloat || stdExactChild(sd.child).nonEmpty
         case _ => false
       })
 
@@ -226,10 +264,12 @@ private[engine] object DeltaAgg {
       val hasDistinct = cs.exists(_.isDistinct)
       // the two-level tier folds every slot at (keys ++ distinct children)
       // granularity — exact for COUNT/SUM/AVG/MIN/MAX, but a Kahan float
-      // fold re-summed at visible time loses its compensation, so the
-      // float tier does not compose with DISTINCT
+      // fold re-summed at visible time loses its compensation and the
+      // stddev finish has no outer-re-aggregation spelling here, so
+      // neither composes with DISTINCT
       if (hasDistinct && cs.exists(ae => {
-        val k = kindOf(ae); k == KindSumF || k == KindAvgF })) return None
+        val k = kindOf(ae); k == KindSumF || k == KindAvgF || isStd(k) }))
+        return None
       // slot layout, by traversal order; DISTINCT children dedupe
       // semantically into shared state-key columns (pass 1 collects them
       // BEFORE slot assignment so a MIN/MAX preceding its matching
@@ -335,6 +375,26 @@ private[engine] object DeltaAgg {
             case ae: AggregateExpression if slotByCall.containsKey(ae) =>
               val s = slotByCall.get(ae)
               s.kind match {
+                case k if isStd(k) =>
+                  // finish from [S₂, S₁, n]: m₂ = S₂ − S₁²/n in double,
+                  // clamped at 0 (cancellation epsilon must not reach
+                  // sqrt); NULL below the ddof threshold — n==0 for pop,
+                  // n<=1 for samp — matching Spark's defaults
+                  val n = UnresolvedAttribute(s"__a${s.cntIdx}")
+                  val nD = Cast(n, DoubleType)
+                  val s2 = Cast(UnresolvedAttribute(s"__a${s.auxIdx}"), DoubleType)
+                  val s1 = Cast(UnresolvedAttribute(s"__a${s.auxIdx + 1}"), DoubleType)
+                  val m2 = Greatest(Seq(
+                    Subtract(s2, Divide(Multiply(s1, s1), nD)),
+                    Literal(0.0, DoubleType)))
+                  val samp = k == KindStdS || k == KindVarS
+                  val variance = Divide(m2,
+                    if (samp) Subtract(nD, Literal(1.0, DoubleType)) else nD)
+                  val value =
+                    if (k == KindStdS || k == KindStdP) Sqrt(variance)
+                    else variance
+                  If(GreaterThan(n, Literal(if (samp) 1L else 0L)),
+                    value, Literal(null, DoubleType))
                 case KindSum | KindSumF | KindMax | KindMin =>
                   // value slots surface NULL exactly when the group has no
                   // non-NULL inputs — the paired counter decides
@@ -416,8 +476,24 @@ private[engine] object DeltaAgg {
         Alias(AggregateExpression(Count(Seq(child)), Complete, isDistinct = false,
           None, NamedExpression.newExprId), s"__a$idx")()
       val child = ae.aggregateFunction.children.headOption.getOrElse(Literal(1))
+      def sumOf(e: Expression, idx: Int): NamedExpression =
+        Alias(AggregateExpression(Sum(e), Complete, isDistinct = false,
+          None, NamedExpression.newExprId), s"__a$idx")()
       kind match {
         case KindCountD | KindMaxD | KindMinD => Seq.empty
+        case k if isStd(k) =>
+          // [sum-of-squares, sum, nonNullCnt] — exact decimal sums for an
+          // integral-under-cast child (a long² always fits DECIMAL(38,0)),
+          // plain double sums in the tolerance tier
+          stdExactChild(child) match {
+            case Some(c) =>
+              val dec = Cast(c, DecimalType(38, 0))
+              Seq(sumOf(Multiply(dec, dec), base),
+                sumOf(dec, base + 1), cnt(child, base + 2))
+            case None =>
+              Seq(sumOf(Multiply(child, child), base),
+                sumOf(child, base + 1), cnt(child, base + 2))
+          }
         case KindSum | KindMax | KindMin =>
           Seq(Alias(ae, s"__a$base")(), cnt(child, base + 1))
         case KindAvg =>
@@ -600,6 +676,15 @@ private[engine] object DeltaAgg {
           val cn = s"__a${slot.cntIdx}"
           Seq(
             checkedCast(z(s(v)) + z(a(v)) - z(d(v)), state.schema(v).dataType).as(v),
+            counters(cn))
+        case k if isStd(k) =>
+          // [S₂, S₁, n] — all signed-invertible
+          val sm = s"__a${slot.auxIdx + 1}"
+          val cn = s"__a${slot.cntIdx}"
+          Seq(
+            checkedCast(z(s(v)) + z(a(v)) - z(d(v)), state.schema(v).dataType).as(v),
+            checkedCast(z(s(sm)) + z(a(sm)) - z(d(sm)),
+              state.schema(sm).dataType).as(sm),
             counters(cn))
         case KindMax | KindMin =>
           val cn = s"__a${slot.cntIdx}"

@@ -1039,6 +1039,38 @@ object StreamingParity {
       materialized
     },
 
+    // stddev/variance fold (round 12): decomposed as [sum-of-squares, sum,
+    // non-null count] — all signed-invertible, so the fold stays on the
+    // fast re-sum path with zero re-fetches. The integral child (event_id
+    // % 1000 under the analyzer's to-double cast) takes the EXACT tier:
+    // sums carry in DECIMAL(38,0), the m₂ finish runs once in double at
+    // the output boundary (both sides round to 4 decimals, which the
+    // finish's ~ulp division error cannot move). Upsert overwrites
+    // retract event_ids throughout; mode-asserted.
+    q("m_mv_stddev_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value,
+        |    max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  round(stddev_samp(event_id % 1000), 4) AS sd,
+        |  round(var_pop(event_id % 1000), 4) AS vp
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_sdf_t", Seq(("m_sdf_mv",
+        """SELECT user_id % 10 AS bucket, count(*) AS n,
+          |  round(stddev_samp(event_id % 1000), 4) AS sd,
+          |  round(var_pop(event_id % 1000), 4) AS vp
+          |FROM m_sdf_t GROUP BY 1""".stripMargin)))
+      val mv = rw.mvByName("m_sdf_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "stddev/variance over integrals must fold in the exact tier (round 12)")
+      require(mv.statementEvals <= 1,
+        "stddev fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // COUNT(DISTINCT) fold (round 12 — the two-level tier): the carried
     // aux state is keyed by (bucket, distinct value) — per-value reference
     // counts ride the inner rows counter, a value's row vanishes when its

@@ -147,14 +147,14 @@ class CascadeMvSpec extends SparkSpec {
       StructField("k", StringType), StructField("v", DoubleType))))
     rw.mv("SELECT k, count(*) AS n FROM cpp_t GROUP BY k", "cpp_up")
     // expression grouping key (substring) — the harder pushdown case.
-    // stddev keeps this statement OUT of the delta-accumulation path
-    // (integral avg folds since round 11) so the test still pins the
-    // RECOMPUTE epoch's pushdown property.
+    // percentile keeps this statement OUT of the delta-accumulation path
+    // (stddev folds since round 12; integral avg since round 11) so the
+    // test still pins the RECOMPUTE epoch's pushdown property.
     rw.mv("SELECT substring(k, 1, 1) AS g, CAST(SUM(n) AS BIGINT) AS n, " +
-      "round(coalesce(stddev(n), -1), 4) AS a FROM cpp_up GROUP BY substring(k, 1, 1)", "cpp_dn")
+      "round(coalesce(percentile(n, 0.5), -1), 4) AS a FROM cpp_up GROUP BY substring(k, 1, 1)", "cpp_dn")
     val down = rw.mvByName("cpp_dn").get
     assert(down.isChangelogCascadeMode)
-    assert(!down.isDeltaAggMode, "stddev must force the recompute cascade")
+    assert(!down.isDeltaAggMode, "percentile must force the recompute cascade")
     val t = rw.table("cpp_t").get
     t.insert(Seq(Row("a1", 1.0), Row("b1", 2.0)))
     rw.flush()

@@ -128,6 +128,44 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("stddev/variance fold exactly over integrals; ddof NULL edges survive") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dsd_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, stddev_samp(v) AS sd, " +
+      "var_pop(v) AS vp FROM dsd_t GROUP BY grp", "dsd_mv")
+    val mv = rw.mvByName("dsd_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "integral stddev/variance must fold in the exact tier (round 12)")
+    val t = rw.table("dsd_t").get
+    def state: Map[String, (Long, Any, Any)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.get(2), r.get(3)))).toMap
+    t.insert(Seq(Row(1L, "a", 2L), Row(2L, "a", 4L), Row(3L, "a", 6L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    // values {2,4,6}: var_samp = 4 → stddev_samp = 2; var_pop = 8/3
+    assert(state("a")._1 == 3L)
+    assert(state("a")._2 == 2.0d)
+    assert(math.abs(state("a")._3.asInstanceOf[Double] - 8.0 / 3) < 1e-12)
+    // retraction folds by signed subtraction: {2,4} → samp 2, pop 1
+    rw.execute("DELETE FROM dsd_t WHERE id = 3")
+    rw.flush()
+    assert(math.abs(state("a")._2.asInstanceOf[Double] - math.sqrt(2.0)) < 1e-12)
+    assert(state("a")._3 == 1.0d)
+    // single row: samp NULL (ddof), pop 0
+    rw.execute("DELETE FROM dsd_t WHERE id = 2")
+    rw.flush()
+    assert(state("a") == ((1L, null, 0.0d)),
+      "n=1 must yield NULL stddev_samp and 0 var_pop")
+    // all-NULL inputs: both NULL while the group row remains
+    t.insert(Seq(Row(1L, "a", null)))
+    rw.flush()
+    assert(state("a") == ((1L, null, null)))
+    assert(mv.statementEvals == evals,
+      "stddev fold epochs must not re-evaluate the statement")
+    rw.close()
+  }
+
   test("NULL-sum semantics survive the fold (sum NULL iff no non-null inputs)") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("dan_t", schema, primaryKey = Seq("id"))
@@ -272,10 +310,12 @@ class DeltaAggSpec extends SparkSpec {
   test("non-decomposable aggregates fall back to recompute and stay correct") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("daf_t", schema, primaryKey = Seq("id"))
-    rw.mv("SELECT grp, round(stddev(v), 4) AS sd FROM daf_t GROUP BY grp", "daf_std")
+    // percentile (not stddev — that folds since round 12) is the
+    // genuinely non-decomposable representative
+    rw.mv("SELECT grp, round(percentile(v, 0.5), 4) AS sd FROM daf_t GROUP BY grp", "daf_std")
     val stdMv = rw.mvByName("daf_std").get
     assert(stdMv.isChangelogCascadeMode && !stdMv.isDeltaAggMode,
-      "stddev has no invertible fold — recompute cascade")
+      "percentile has no invertible fold — recompute cascade")
     rw.createTable("daf_d", StructType(Seq(StructField("id", LongType),
       StructField("grp", StringType), StructField("d", DoubleType))),
       primaryKey = Seq("id"))
@@ -286,7 +326,7 @@ class DeltaAggSpec extends SparkSpec {
     t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 21L)))
     rw.flush()
     assert(stdMv.df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
-      Set(("a", 7.7782)))
+      Set(("a", 15.5)))
     rw.close()
   }
 
