@@ -170,6 +170,33 @@ final class MaterializedView private[engine](
     * (the probe would re-execute the merge plan every epoch only to
     * rediscover the overflow). */
   private var windowStateOversize = false
+  /** Window-cascade keyed local state tier (round 12): the carried
+    * multiset, driver-resident and KEYED by the restriction-key tuple, so
+    * an epoch replaces its touched slices by hash-map point writes and
+    * diffs them with [[Changelog.localMultisetDiff]] — zero Spark jobs in
+    * the whole state tail. Profiling showed the distributed spelling spent
+    * ~55% of a bench epoch re-scanning OUTPUT-sized state as separate
+    * diff (semi ⋈ + full-outer) and merge (anti ⋈ ∪ union → checkpoint)
+    * jobs even though the epoch's change is delta-sized. This is the same
+    * cost model as a streaming engine's keyed state store: point reads and
+    * writes per touched key, never a full-state rewrite per epoch. Bounded
+    * by [[windowLocalStateMax]] EXPANDED rows; outgrowing it (or an
+    * output type with no local ordering) disables the tier permanently
+    * ([[windowLocalDisabled]]) and the distributed grouped-state spelling
+    * — the 100 TB shape, where state lives as a checkpointed frame (at
+    * cluster scale: a keyed state store / Delta MERGE) — takes over. */
+  private var windowLocalState:
+    Option[scala.collection.mutable.LinkedHashMap[Row, IndexedSeq[Row]]] = None
+  /** Output schema of the localized window state (set iff the tier is or
+    * was active — the map's rows carry no schema of their own). */
+  private var windowLocalSchema: Option[org.apache.spark.sql.types.StructType] = None
+  /** Monotone disable for the local tier: state/slice over the cap or an
+    * unorderable output type — both only recur, so never re-probe. A
+    * TRANSIENT drop (epoch repair) clears only [[windowLocalState]] and
+    * the tier re-localizes at the next epoch. */
+  private var windowLocalDisabled = false
+  /** Driver-memory budget for the local window state, in expanded rows. */
+  private[graft] var windowLocalStateMax = 200000
 
   /** Changelog sources on a NON-linear (null-padded) side of ANY admitted
     * outer join — both sides for FULL OUTER (lowercased viewNames; empty
@@ -2653,13 +2680,87 @@ final class MaterializedView private[engine](
     })
   }
 
+  /** Try to lift the distributed window-cascade state into the keyed
+    * local tier ([[windowLocalState]]): ONE bounded collect of the
+    * expanded state with the state-key spellings evaluated alongside.
+    * Refused — monotonically, via [[windowLocalDisabled]] — when the
+    * multiset outgrows [[windowLocalStateMax]] or an output type has no
+    * local ordering (the driver-side diff could not reproduce the
+    * distributed emission order). */
+  private def tryLocalizeWindowState(): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (windowLocalState.nonEmpty || windowLocalDisabled || cascadeInner.isEmpty)
+      return
+    val vis = expandCounts(cascadeInner.get)
+    val schema = vis.schema
+    if (schema.fields.exists(f => Changelog.localOrdering(f.dataType).isEmpty)) {
+      windowLocalDisabled = true; return
+    }
+    val n = schema.length
+    val withKeys = vis.select(vis.columns.toIndexedSeq.map(col) ++
+      windowStateKeys.indices.map(i => windowStateKeyCol(i).as(s"__sk_$i")): _*)
+    val rows = withKeys.limit(windowLocalStateMax + 1).collect()
+    if (rows.length > windowLocalStateMax) { windowLocalDisabled = true; return }
+    val m = new scala.collection.mutable.LinkedHashMap[Row, IndexedSeq[Row]]()
+    groupSliceByKey(rows, n).foreach { case (k, b) => m.update(k, b) }
+    windowLocalSchema = Some(schema)
+    windowLocalState = Some(m)
+    syncWindowLocalState()
+  }
+
+  /** Split collected (output ++ __sk_*) rows into key → expanded-rows
+    * slices — key equality is [[Row]]'s value-based equals/hashCode. */
+  private def groupSliceByKey(rows: Array[Row], n: Int)
+      : scala.collection.mutable.LinkedHashMap[Row, IndexedSeq[Row]] = {
+    val grouped = new scala.collection.mutable.LinkedHashMap[
+      Row, scala.collection.mutable.ArrayBuffer[Row]]()
+    rows.foreach { r =>
+      val key = Row.fromSeq((n until r.length).map(r.get(_)))
+      grouped.getOrElseUpdate(key,
+        new scala.collection.mutable.ArrayBuffer[Row]()) +=
+        Row.fromSeq((0 until n).map(r.get(_)))
+    }
+    grouped.map { case (k, b) => k -> (b.toIndexedSeq: IndexedSeq[Row]) }
+  }
+
+  /** Publish the local map as the visible snapshot (a LocalRelation — no
+    * checkpoint job) and keep [[cascadeInner]] as its LAZY grouped
+    * spelling, executed only by the rare consumers (durable persist, the
+    * epoch-repair diff, tier fallback). */
+  private def syncWindowLocalState(): Unit = {
+    val all = windowLocalState.get.valuesIterator.flatten.toIndexedSeq
+    val vis = localDf(all, windowLocalSchema.get)
+    snapshot = Some(vis)
+    cascadeInner = Some(groupedCounts(vis))
+    vis.createOrReplaceTempView(viewName)
+  }
+
+  /** Fall out of the local tier mid-run: checkpoint the (pre-epoch) lazy
+    * grouped state so the distributed epoch body proceeds against
+    * materialized state. `disable` latches the tier off permanently —
+    * size/type refusals only recur; a transient epoch repair instead just
+    * drops the map and the tier re-localizes next epoch. */
+  private def unlocalizeWindowState(disable: Boolean): Unit = {
+    windowLocalState.foreach { _ =>
+      cascadeInner = Some(cascadeInner.get.localCheckpoint(true))
+      val vis = expandCounts(cascadeInner.get)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+    }
+    windowLocalState = None
+    if (disable) windowLocalDisabled = true
+  }
+
   /** One window-cascade epoch: the delta payload names the touched
     * partitions; exactly those re-evaluate against the source's current
     * snapshot (semi-join below the Window) and REPLACE their slice of the
     * carried multiset; the epoch's ops are the multiset diff of the
     * touched slice. Per-epoch cluster work is touched-partition-bounded —
     * at 100 TB a delta touching k partitions re-ranks k partitions, never
-    * the table. */
+    * the table. The state tail (slice diff + replacement) runs in the
+    * keyed local tier ([[windowLocalState]]) while the multiset fits —
+    * map point writes, zero jobs — and as the distributed grouped-state
+    * spelling (semi/anti joins against a checkpointed frame) beyond it. */
   private def windowCascadeEpoch(): Unit = synchronized {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (cascadeUpstreams.isEmpty) return
@@ -2676,6 +2777,11 @@ final class MaterializedView private[engine](
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
       emitOps(Changelog.multisetDiff(None, vis, wide = true), wide = true)
+      // lift the freshly-built state into the local tier right away so the
+      // FIRST incremental epoch already takes the zero-job state tail; a
+      // localize failure must not fail the (already-committed) backfill
+      try tryLocalizeWindowState()
+      catch { case scala.util.control.NonFatal(_) => () }
       return
     }
     if (latest <= after) return
@@ -2686,14 +2792,21 @@ final class MaterializedView private[engine](
     // re-diffing against the pre-epoch state would emit the delta twice
     var emitted = false
     try {
+      tryLocalizeWindowState()
       val ops = u.log.dfAfter(after)
       // touched keys: the restriction-key expressions evaluate DIRECTLY on
       // the delta payload (its columns are the source's, which the traced
       // leaves name) — a computed key (e.g. date_trunc('day', ts)) derives
-      // here, round 11
-      val touched = timed("touched-keys")(boundedLocal(
-        ops.select(windowPartKeys.indices
-          .map(i => windowKeyCol(i).as(s"__k_$i")): _*).distinct()))
+      // here, round 11. boundedLocal inlined to keep the key ROWS — the
+      // local tier's map lookups need them
+      val touchedRaw = ops.select(windowPartKeys.indices
+        .map(i => windowKeyCol(i).as(s"__k_$i")): _*).distinct()
+      val touchedRows = timed("touched-keys")(
+        touchedRaw.limit(cascadeLocalMax + 1).collect())
+      val touched =
+        if (touchedRows.length <= cascadeLocalMax)
+          localDf(touchedRows.toIndexedSeq, touchedRaw.schema)
+        else touchedRaw.localCheckpoint(true)
       def restrict(df: DataFrame, how: String): DataFrame =
         df.join(broadcast(touched), windowStateKeys.indices
           .map(i => windowStateKeyCol(i) <=> col(s"__k_$i")).reduce(_ && _), how)
@@ -2705,6 +2818,54 @@ final class MaterializedView private[engine](
       // the WHOLE source every epoch
       val recompute = restrictWindowToPartitions(spark.sql(cascadeStmt), touched)
       lastWindowEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
+
+      // ---- keyed local state tail: the slice collects ONCE (with its
+      // state keys evaluated alongside), the diff runs driver-side, and
+      // touched slices replace by map point writes — zero further jobs ----
+      if (windowLocalState.nonEmpty && touchedRows.length <= cascadeLocalMax) {
+        val state = windowLocalState.get
+        val schema = windowLocalSchema.get
+        val n = schema.length
+        val withKeys = recompute.select(
+          recompute.columns.toIndexedSeq.map(col) ++
+            windowStateKeys.indices.map(i => windowStateKeyCol(i).as(s"__sk_$i")): _*)
+        val sliceRows = timed("group-recompute")(
+          withKeys.limit(windowLocalStateMax + 1).collect())
+        if (sliceRows.length <= windowLocalStateMax) {
+          val newByKey = groupSliceByKey(sliceRows, n)
+          val newSlice = newByKey.valuesIterator.flatten.toIndexedSeq
+          val oldSlice = touchedRows.toIndexedSeq
+            .flatMap(k => state.getOrElse(k, IndexedSeq.empty[Row]))
+          Changelog.localMultisetDiff(Some(oldSlice), newSlice, schema) match {
+            case Some(opsRows) =>
+              if (opsRows.nonEmpty)
+                timed("emitOps")(emitOps(localDf(opsRows.toIndexedSeq,
+                  schema.add("op", org.apache.spark.sql.types.StringType))))
+              emitted = true
+              // point writes AFTER the emit (same atomic-append split as
+              // the distributed branch below): vanished partitions drop,
+              // the rest replace their slice
+              touchedRows.foreach(state.remove)
+              newByKey.foreach { case (k, rs) => state.update(k, rs) }
+              timed("state-merge")(syncWindowLocalState())
+              // per-slice fits don't bound the TOTAL: once the grown
+              // multiset outruns the driver budget, hand the (consistent)
+              // state to the distributed tier for good
+              if (state.valuesIterator.map(_.length.toLong).sum > windowLocalStateMax)
+                unlocalizeWindowState(disable = true)
+              return
+            case None => () // unorderable type slipped through — fall out
+          }
+        }
+        // slice over the cap / unorderable: permanent fall-back, and the
+        // distributed body below re-runs the recompute bounded its own way
+        unlocalizeWindowState(disable = true)
+      } else if (windowLocalState.nonEmpty) {
+        // a touched-key set too large to hold is a backfill-class delta —
+        // the state it implies won't fit either
+        unlocalizeWindowState(disable = true)
+      }
+
       val newPart = timed("group-recompute")(boundedLocal(recompute))
       val newG = groupedCounts(newPart)
       // the epoch's ops diff BOTH sides in their GROUPED representation
@@ -2753,9 +2914,13 @@ final class MaterializedView private[engine](
       val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
       val vis = expandCounts(grouped)
       if (!emitted) {
+        // pre-epoch state: the local map is unmutated before the emit, so
+        // its lazy grouped spelling in cascadeInner is still the truth
         val prevVis = expandCounts(cascadeInner.get)
         emitOps(Changelog.multisetDiff(Some(prevVis), vis))
       }
+      // transient drop — NOT a disable: the tier re-localizes next epoch
+      windowLocalState = None
       // emitted && a POST-emit step failed: the committed ops already
       // describe prev→new, and `grouped` IS the new state (the full
       // statement over the same current sources) — install it, emit nothing
