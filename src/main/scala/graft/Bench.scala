@@ -200,7 +200,24 @@ object Bench {
     // epoch's maintenance (diff, changelog append, cascade fold). One
     // sample each — a replay is seconds-scale, so scheduler noise is a
     // small fraction (unlike the sub-second batch queries).
-    def runStream(d: StreamDef): (Double, Long, Int) = {
+    // per-entry observability (round-12 verdict item 2): job count and
+    // shuffle-write bytes over the timed replay window, so a round-over-
+    // round throughput move can be ruled environment noise (same
+    // jobs/bytes, slower wall) or a plan/code regression (job or shuffle
+    // growth) from the artifact alone
+    final class ReplayCounters extends org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+
+    def runStream(d: StreamDef): (Double, Long, Int, Long, Long) = {
       import graft.engine.{ConnOptions, GraftEngine}
       import org.apache.spark.sql.functions.col
       // streaming parallelism sized to per-epoch delta volume (8), not the
@@ -217,24 +234,32 @@ object Bench {
           .orderBy("event_id").limit(streamRows).collect()
         if (rows.isEmpty) {
           System.err.println("[bench] streaming entry skipped: empty events fixture")
-          return (-1.0, 0L, 0)
+          return (-1.0, 0L, 0, 0L, 0L)
         }
         val chunk = (rows.length + streamEpochs - 1) / streamEpochs
         // the ACTUAL epoch count — ceil(rows/chunk) can undershoot
         // streamEpochs at small fixtures, and epoch_latency divides by it
         var epochs = 0
+        val counters = new ReplayCounters
+        spark.sparkContext.addSparkListener(counters)
         val t0 = System.nanoTime()
-        rows.grouped(chunk).foreach { c =>
-          rw.table("bench_ev").get.insert(c.toSeq); rw.flush(); epochs += 1
+        val sec = try {
+          rows.grouped(chunk).foreach { c =>
+            rw.table("bench_ev").get.insert(c.toSeq); rw.flush(); epochs += 1
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          // the counters ride the async bus — drain before reading
+          org.apache.spark.GraftListenerBridge.waitListeners(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(counters)
         }
-        val sec = (System.nanoTime() - t0) / 1e9
         if (!d.probe(rw)) {
           System.err.println("[bench] streaming entry fell back to batch re-run")
-          (-1.0, rows.length.toLong, epochs)
-        } else (sec, rows.length.toLong, epochs)
+          (-1.0, rows.length.toLong, epochs, counters.jobs.get, counters.shuffleBytes.get)
+        } else (sec, rows.length.toLong, epochs, counters.jobs.get, counters.shuffleBytes.get)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming entry failed: ${e.getMessage}")
-        (-1.0, 0L, 0)
+        (-1.0, 0L, 0, 0L, 0L)
       } finally rw.close()
     }
     val streamResults = streamDefs
@@ -251,10 +276,11 @@ object Bench {
     val total = results.map { case (_, ts) =>
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }.filter(_ >= 0).sum
-    val streaming = streamResults.map { case (k, (sec, n, epochs)) =>
+    val streaming = streamResults.map { case (k, (sec, n, epochs, jobs, shBytes)) =>
       val rps = if (sec > 0) n / sec else -1.0
       val lat = if (sec > 0 && epochs > 0) sec / epochs else -1.0
-      s""""$k":{"sec":${fmt(sec)},"rows":$n,"epochs":$epochs,"rows_per_sec":${fmt(rps)},"epoch_latency":${fmt(lat)}}"""
+      val jpe = if (epochs > 0) jobs.toDouble / epochs else -1.0
+      s""""$k":{"sec":${fmt(sec)},"rows":$n,"epochs":$epochs,"rows_per_sec":${fmt(rps)},"epoch_latency":${fmt(lat)},"jobs_per_epoch":${fmt(jpe)},"shuffle_bytes":$shBytes}"""
     }.mkString("{", ",", "}")
     // Truncation-proof output (round-10 verdict item 2): the driver captures
     // the TAIL of stdout, so the compact headline line — total + per-query

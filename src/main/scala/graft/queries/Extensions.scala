@@ -465,6 +465,69 @@ object Extensions {
         .withColumnRenamed("rank", "rnk")
     },
 
+    // IVF×PQ composed ANN (FAISS IVFPQ, round 12): the coarse quantizer
+    // prunes to nProbe inverted lists AND the lists hold PQ codes — ADC
+    // scores ~nProbe/K of the corpus against the 8-int compressed index,
+    // then the classic exact-refine tail re-ranks the shortlist's raw
+    // vectors. The oracle replays centroid sample → assignment → shared
+    // codebook fit → encoding → probes → in-list ADC → shortlist → refine
+    // end-to-end; recall vs exact pinned in SimilaritySpec.
+    q("x_sim_topk_ivfpq",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, e AS cv FROM v
+         |      ORDER BY ((vec_id % 104729) * (2654435761 % 104729)) % 104729, vec_id
+         |      LIMIT 32),
+         |sc AS (SELECT v.vec_id, c.cid, ${duckCos("v.e", "c.cv")} AS csc
+         |       FROM v CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc) t
+         |  WHERE rn = 1),
+         |cb AS (SELECT row_number() OVER (ORDER BY
+         |      ((vec_id % 104729) * (2654435761 % 104729)) % 104729, vec_id) AS cidx, e
+         |    FROM v
+         |    ORDER BY ((vec_id % 104729) * (2654435761 % 104729)) % 104729, vec_id
+         |    LIMIT 64),
+         |d AS (SELECT v.vec_id, j.j AS j, cb.cidx,
+         |    list_sum(list_transform(range(1, 9), i ->
+         |      (v.e[j.j*8+i] - cb.e[j.j*8+i]) * (v.e[j.j*8+i] - cb.e[j.j*8+i]))) AS dist
+         |  FROM v CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS j) j CROSS JOIN cb),
+         |code AS (SELECT vec_id, j, cidx FROM (
+         |    SELECT vec_id, j, cidx, row_number() OVER (
+         |      PARTITION BY vec_id, j ORDER BY dist, cidx) AS rn FROM d) t
+         |  WHERE rn = 1),
+         |recon AS (SELECT code.vec_id,
+         |    flatten(list(list_slice(cb.e, j*8+1, j*8+8) ORDER BY j)) AS r
+         |  FROM code JOIN cb USING (cidx) GROUP BY code.vec_id),
+         |qp AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csc DESC, cid) AS rn FROM sc
+         |    WHERE vec_id IN (0,1,2,3,4)) t
+         |  WHERE rn <= 2),
+         |adc AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+         |    ${duckCos("qv.e", "recon.r")} AS a2
+         |  FROM qp JOIN asg a USING (cid)
+         |  JOIN recon ON recon.vec_id = a.vec_id
+         |  JOIN v qv ON qv.vec_id = qp.query_id
+         |  WHERE a.vec_id <> qp.query_id),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY a2 DESC, neighbor_id) AS rn FROM adc) t
+         |  WHERE rn <= 50),
+         |ref AS (SELECT sl.query_id, sl.neighbor_id, ${duckCos("qv.e", "nv.e")} AS cc
+         |  FROM sl JOIN v nv ON nv.vec_id = sl.neighbor_id
+         |  JOIN v qv ON qv.vec_id = sl.query_id),
+         |r2 AS (SELECT query_id, neighbor_id, cc, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cc DESC, neighbor_id) AS rn FROM ref)
+         |SELECT query_id, neighbor_id, round(cc, 6) AS score, rn AS rnk
+         |FROM r2 WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      Similarity.ivfPqTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, numCentroids = 32, nProbe = 2,
+          m = 8, codebookSize = 64)
+        .withColumnRenamed("rank", "rnk")
+    },
+
     // ---- text analysis ----------------------------------------------------
 
     q("x_text_tokens",

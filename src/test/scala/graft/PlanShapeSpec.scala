@@ -93,6 +93,20 @@ class PlanShapeSpec extends SparkSpec {
       s"no interpreted lambda HOF may remain in the PQ scan stage:\n$p")
   }
 
+  test("x_sim_topk_ivfpq: ADC scores inside probed lists via a hash join on cid") {
+    val p = plan("x_sim_topk_ivfpq")
+    assert(p.contains("nearestcentroid") || p.contains("NearestCentroid"),
+      s"list assignment must be the native map-side argmax:\n$p")
+    assert(p.toLowerCase.contains("pqencode") && p.toLowerCase.contains("pqreconstruct"),
+      s"the inverted lists must hold native-encoded PQ codes:\n$p")
+    // the round-11 flat-ADC gap: pqTopK crossJoined every query against the
+    // WHOLE compressed corpus. Composed, the candidate join is an equi-join
+    // on the probed list id — corpus rows outside the nProbe lists are
+    // never scored
+    assert(p.matches("(?s).*BroadcastHashJoin \\[cid#.*"),
+      s"ADC candidates must come from a broadcast hash join on cid:\n$p")
+  }
+
   test("x_contam_bloom: the prefilter is the native might_contain expression, not a UDF") {
     val p = plan("x_contam_bloom")
     assert(p.contains("might_contain"),

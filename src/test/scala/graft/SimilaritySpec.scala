@@ -111,6 +111,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 25, s"PQ refine recall@10 total $recall/50 (measured 35/50)")
   }
 
+  test("IVF×PQ composed top-k: complete per-query results and a recall floor") {
+    // sf0.01: 500 vectors / 32 lists ≈ 16 per inverted list, so nProbe=2
+    // surfaces ~30 candidates — genuine coarse pruning on top of the PQ
+    // approximation, not a disguised exact scan
+    val emb01 = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(emb01, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivfpq = Similarity.ivfPqTopK(emb01, "vec_id", "embedding", qids, 10,
+        numCentroids = 32, nProbe = 2, m = 8, codebookSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = ivfpq.groupBy(_._1)
+    assert(byQ.keySet == qids.toSet)
+    byQ.values.foreach(rows => assert(rows.length == 10))
+    val recall = (exact.toSet intersect ivfpq.toSet).size
+    assert(recall >= 10, s"IVFPQ recall@10 total $recall/50")
+  }
+
   test("LSH top-k recall vs exact top-k is substantial") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
