@@ -165,6 +165,19 @@ final class MaterializedView private[engine](
     * computed key value (the shadowed-alias shape). Index-aligned with
     * [[windowPartKeys]]. */
   private var windowStateKeys: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+  /** Live changelog sources on the NULL-PADDED (or semi/anti filter) side
+    * of an admitted outer join below the window chain (round 12), keyed by
+    * lowercased viewName. The value is the owning join's condition traced
+    * to evaluable leaves: padded-side attributes spell as
+    * `__pd_<dimcol>` (the epoch renames the dim's delta payload with that
+    * prefix), preserved-side attributes substitute their primary-source
+    * lineage. A dim delta can flip enrichment/padding/membership only of
+    * preserved rows it MATCHES — rows matching no delta row have an
+    * identical dim match set before and after, hence identical output —
+    * so the touched partitions derive by semi-joining the PRIMARY source's
+    * current snapshot against the renamed payload under this condition and
+    * projecting the window keys; exactly those partitions re-rank. */
+  private var windowPaddedDims: Map[String, org.apache.spark.sql.catalyst.expressions.Expression] = Map.empty
   /** Monotone latch: once the window cascade's grouped state overflows
     * [[cascadeLocalMax]], stop probing — merge straight to a checkpoint
     * (the probe would re-execute the merge plan every epoch only to
@@ -2443,11 +2456,14 @@ final class MaterializedView private[engine](
       Option[org.apache.spark.sql.catalyst.plans.logical.Window] =
     wins.find(w => wins.forall(o => (o eq w) || o.child.exists(_ eq w)))
 
-  /** Window-cascade admission (round 10; lineage-generalized round 11):
-    * the statement's window nodes all sit on ONE chain over EXACTLY ONE
-    * changelog source (referenced once), every window's PARTITION BY
-    * traces by exprId lineage ([[traceExpr]]) to deterministic expressions
-    * over the source's own columns, the traced key sets share a non-empty
+  /** Window-cascade admission (round 10; lineage-generalized round 11;
+    * live padded dims round 12): the statement's window nodes all sit on
+    * ONE chain over exactly one PRIMARY changelog source (referenced
+    * once); further changelog sources admit only on the padded/filter
+    * side of an outer join whose condition traces ([[windowPaddedDims]]).
+    * Every window's PARTITION BY traces by exprId lineage ([[traceExpr]])
+    * to deterministic expressions
+    * over the primary's own columns, the traced key sets share a non-empty
     * intersection (the restriction keys), at most one Aggregate sits ABOVE
     * the bottom window with grouping that covers the restriction keys
     * (each output group then aggregates rows of a single key partition),
@@ -2473,7 +2489,7 @@ final class MaterializedView private[engine](
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val tbls = engine.referencedLiveTables(stmt)
     val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
-    if (tbls.size + ups.size != 1) return false
+    if (tbls.size + ups.size < 1) return false
     val preOffset = changeLog.latestOffset
     try {
       cascadeStmt = engine.rewrite(stmt)
@@ -2481,7 +2497,7 @@ final class MaterializedView private[engine](
       val analyzed = df.queryExecution.analyzed
       val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
         .map(_.toLowerCase).toSet
-      // the source must appear exactly once: the touched-key derivation
+      // each source must appear exactly once: the touched-key derivation
       // reads the delta payload through ONE lineage; a UNION ALL or
       // self-join referencing the source twice could route different key
       // derivations through each occurrence (relation list from the parsed
@@ -2497,6 +2513,24 @@ final class MaterializedView private[engine](
         case Some(b) => b
         case None => return false // windows on divergent branches
       }
+      // multi-source (round 12): every source beyond ONE primary must sit
+      // on the padded/filter side of an admitted outer join (classified
+      // below); the PRIMARY carries the key lineage
+      val dimCandidates: Set[String] =
+        outerJoinsAbove(analyzed, boundary).flatMap { j =>
+          import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
+          j.joinType match {
+            case LeftOuter | LeftSemi | LeftAnti => boundarySourcesIn(j.right, boundary)
+            case RightOuter => boundarySourcesIn(j.left, boundary)
+            case _ => Set.empty[String]
+          }
+        }.toSet
+      val primaries = boundary -- dimCandidates
+      if (primaries.size != 1) return false
+      val primaryName = primaries.head
+      // key lineage stops at the PRIMARY only — a key tracing into a dim
+      // would not be a function of the preserved rows and must fail
+      val primaryBoundary = Set(primaryName)
       // at most one aggregate, either ABOVE the bottom window
       // (window-below-aggregate) or BELOW it (rank-groups-by-aggregate,
       // e.g. `rank() OVER (PARTITION BY bucket ORDER BY n)` over a GROUP
@@ -2512,32 +2546,86 @@ final class MaterializedView private[engine](
       if (aggOpt.exists(a =>
         !a.child.exists(_ eq bottom) && !bottom.child.exists(_ eq a)))
         return false
-      // outer joins whose PADDED side is fully static admit (round 11):
-      // the changelog source sits on the preserved side, so every derived
-      // row still carries its source row's key and padded-ness can only
-      // change when the source itself does (`rank() OVER … FROM fact LEFT
-      // JOIN static_dim` — the enriched-rank statement). A padded LIVE
-      // side stays rejected — its delta flips OTHER rows' padding — and
-      // so does FULL (a static side's padded rows carry NULL source
-      // columns, a partition no delta payload can name).
-      val staticOuters = outerJoinsAbove(analyzed, boundary).filter { j =>
+      // outer joins below the window chain admit in two flavors:
+      //  - STATIC padded side (round 11): the primary sits on the
+      //    preserved side, so every derived row still carries its source
+      //    row's key and padded-ness can only change when the primary
+      //    itself does (`rank() OVER … FROM fact LEFT JOIN static_dim`).
+      //  - LIVE padded side (round 12): a dim delta flips enrichment /
+      //    padding / semi-membership of exactly the preserved rows it
+      //    MATCHES under the join condition — rows matching no delta row
+      //    keep an identical dim match set and identical output. The
+      //    condition is traced here to an expression evaluable over
+      //    (primary snapshot ⋈ renamed dim payload); the epoch derives
+      //    the touched partitions from that restricted term, like the
+      //    delta-join cascade's restricted-difference term.
+      // FULL stays rejected either way (padded rows on the primary's own
+      // side carry NULL key columns no derivation can name).
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      // per-join classification: None = inadmissible; Some(None) = static
+      // padded side; Some(Some(dim -> cond)) = live padded side
+      val classified = outerJoinsAbove(analyzed, boundary).map { j =>
         import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
-        j.joinType match {
-          case LeftOuter | LeftSemi | LeftAnti =>
-            boundarySourcesIn(j.right, boundary).isEmpty
-          case RightOuter => boundarySourcesIn(j.left, boundary).isEmpty
-          case _ => false
+        val sides = j.joinType match {
+          case LeftOuter | LeftSemi | LeftAnti => Some((j.right, j.left))
+          case RightOuter => Some((j.left, j.right))
+          case _ => None
+        }
+        j -> sides.flatMap { case (padded, preserved) =>
+          val dimsHere = boundarySourcesIn(padded, boundary)
+          if (dimsHere.isEmpty) Some(None) // static padded side (round 11)
+          else if (dimsHere.size > 1 ||
+              !boundarySourcesIn(preserved, boundary).contains(primaryName) ||
+              dimsHere.contains(primaryName)) None
+          else {
+            // LIVE padded side: trace the condition. Padded-side leaves
+            // rename to __pd_<dimcol> (the epoch prefixes the payload
+            // frame's columns so primary/dim name collisions — the common
+            // `ON d.k = t.k` — cannot ambiguate resolution);
+            // preserved-side leaves substitute their primary lineage.
+            val dimName = dimsHere.head
+            j.condition.filter(c => c.deterministic && !c.exists(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+              .flatMap { cond =>
+                var ok = true
+                val traced = cond.transformUp {
+                  case ar: AttributeReference if padded.outputSet.contains(ar) =>
+                    traceAttr(padded, ar.exprId, Set(dimName)).map(_.transformUp {
+                      case ua: UnresolvedAttribute =>
+                        UnresolvedAttribute.quoted("__pd_" + ua.name)
+                    }).getOrElse { ok = false; ar }
+                  case ar: AttributeReference if preserved.outputSet.contains(ar) =>
+                    traceAttr(preserved, ar.exprId, primaryBoundary)
+                      .getOrElse { ok = false; ar }
+                  case ar: AttributeReference => ok = false; ar
+                }
+                if (ok) Some(Some(dimName -> traced)) else None
+              }
+          }
         }
       }
+      val admittedOuters = classified.collect { case (j, Some(_)) => j }
+      val paddedDims: Map[String, org.apache.spark.sql.catalyst.expressions.Expression] =
+        classified.collect { case (_, Some(Some(dc))) => dc }.toMap
+      // a dim reachable through an outer join the classification did NOT
+      // admit (nested padded sides, FULL, untraceable conditions) leaves
+      // that join outside allowedNodes — nonLinearIn rejects below
       if (nonLinearIn(analyzed, boundary,
-          allowedNodes = wins ++ aggOpt.toSeq ++ staticOuters)) return false
+          allowedNodes = wins ++ aggOpt.toSeq ++ admittedOuters)) return false
+      // every non-primary source must be claimed by exactly ONE admitted
+      // padded side (two owning joins would each need their own condition
+      // in the derivation; the map can hold only one — reject)
+      if ((boundary - primaryName) != paddedDims.keySet.map(_.toLowerCase))
+        return false
+      if (classified.count { case (_, Some(Some(_))) => true; case _ => false } !=
+          paddedDims.size) return false
       // trace every window's PARTITION BY; restriction keys = the traces
       // every window shares (each window then partitions by a superset)
       val traces: Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =
         wins.map { w =>
           if (w.partitionSpec.isEmpty) return false
           w.partitionSpec.map(pe =>
-            traceExpr(pe, w.child, boundary).getOrElse(return false))
+            traceExpr(pe, w.child, primaryBoundary).getOrElse(return false))
         }
       val sharedKeys = traces.head
         .filter(t => traces.tail.forall(_.exists(_.sql == t.sql)))
@@ -2554,7 +2642,7 @@ final class MaterializedView private[engine](
       // by a superset); only an empty set rejects.
       val outTraces: Seq[(org.apache.spark.sql.catalyst.expressions.Attribute, String)] =
         analyzed.output.flatMap(o =>
-          traceAttr(analyzed, o.exprId, boundary).map(t => o -> t.sql))
+          traceAttr(analyzed, o.exprId, primaryBoundary).map(t => o -> t.sql))
       def plainSurvives(n: String): Boolean = outTraces.exists {
         case (o, sql) => o.name == n && sql == UnresolvedAttribute.quoted(n).sql
       }
@@ -2571,17 +2659,21 @@ final class MaterializedView private[engine](
       // an admitted aggregate's grouping must cover the restriction keys
       aggOpt.foreach { a =>
         val gt = a.groupingExpressions
-          .flatMap(g => traceExpr(g, a.child, boundary)).map(_.sql).toSet
+          .flatMap(g => traceExpr(g, a.child, primaryBoundary)).map(_.sql).toSet
         if (!keyed.forall { case (k, _) => gt.contains(k.sql) }) return false
       }
       windowPartKeys = keyed.map(_._1)
       windowStateKeys = keyed.map(_._2)
+      windowPaddedDims = paddedDims
       keyMode = MaterializedView.Multiset
       keyCols = Nil
       isAggMode = false
-      cascadeUpstreams =
+      val allSrcs =
         ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
           tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
+      // primary FIRST — the epoch reads head as the key-lineage source
+      cascadeUpstreams = allSrcs.filter(_.viewName.toLowerCase == primaryName) ++
+        allSrcs.filterNot(_.viewName.toLowerCase == primaryName)
       cascadeMode = true
       windowMode = true
       val restored = validSnapshotMeta("windowcascade").flatMap { case (d, offsets, _) =>
@@ -2610,6 +2702,7 @@ final class MaterializedView private[engine](
       cascadeUpstreams = Nil
       windowPartKeys = Nil
       windowStateKeys = Nil
+      windowPaddedDims = Map.empty
       if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
       false
     }
@@ -2647,6 +2740,8 @@ final class MaterializedView private[engine](
     import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
     val plan = full.queryExecution.analyzed
     val boundary = cascadeUpstreams.map(_.viewName.toLowerCase).toSet
+    // key lineage stops at the PRIMARY (head) — padded dims carry no keys
+    val keyBoundary = Set(cascadeUpstreams.head.viewName.toLowerCase)
     val wins = windowsAbove(plan, boundary)
     val w = bottomWindow(wins).getOrElse(
       throw new IllegalStateException("no bottom window in recompute plan"))
@@ -2656,10 +2751,10 @@ final class MaterializedView private[engine](
       aggBelow match {
         case Some(a) =>
           (a, a.groupingExpressions.flatMap(g =>
-            traceExpr(g, a.child, boundary).map(t => (t, g))))
+            traceExpr(g, a.child, keyBoundary).map(t => (t, g))))
         case None =>
           (w, w.partitionSpec.flatMap(pe =>
-            traceExpr(pe, w.child, boundary).map(t => (t, pe))))
+            traceExpr(pe, w.child, keyBoundary).map(t => (t, pe))))
       }
     val specByTrace = anchorSpec.map { case (t, e) => t.sql -> e }.toMap
     val pes = windowPartKeys.map(k => specByTrace.getOrElse(k.sql,
@@ -2764,12 +2859,12 @@ final class MaterializedView private[engine](
   private def windowCascadeEpoch(): Unit = synchronized {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (cascadeUpstreams.isEmpty) return
-    val u = cascadeUpstreams.head
-    val latest = u.log.latestOffset
-    val after = cascadeOffsets.getOrElse(u.viewName, 0L)
-    if (latest <= after && snapshot.nonEmpty) return
+    val latests = cascadeUpstreams.map(u => u -> u.log.latestOffset)
+    val anyNew = latests.exists { case (u, l) =>
+      l > cascadeOffsets.getOrElse(u.viewName, 0L) }
+    if (!anyNew && snapshot.nonEmpty) return
     if (snapshot.isEmpty) {
-      cascadeOffsets(u.viewName) = latest
+      latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
       statementEvals += 1
       val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
       cascadeInner = Some(grouped)
@@ -2784,8 +2879,14 @@ final class MaterializedView private[engine](
       catch { case scala.util.control.NonFatal(_) => () }
       return
     }
-    if (latest <= after) return
-    cascadeOffsets(u.viewName) = latest
+    if (!anyNew) return
+    val changed: Seq[(MaterializedView.CascadeSrc, DataFrame)] =
+      latests.flatMap { case (u, l) =>
+        val after = cascadeOffsets.getOrElse(u.viewName, 0L)
+        cascadeOffsets(u.viewName) = l
+        if (l > after) Some(u -> u.log.dfAfter(after)) else None
+      }
+    if (changed.isEmpty) return
     // the changelog append is atomic (staging dir → commit), so `emitted`
     // cleanly splits the failure window: before emitOps completes the
     // repair must emit this epoch's delta itself; after, it must NOT —
@@ -2793,14 +2894,36 @@ final class MaterializedView private[engine](
     var emitted = false
     try {
       tryLocalizeWindowState()
-      val ops = u.log.dfAfter(after)
-      // touched keys: the restriction-key expressions evaluate DIRECTLY on
-      // the delta payload (its columns are the source's, which the traced
-      // leaves name) — a computed key (e.g. date_trunc('day', ts)) derives
-      // here, round 11. boundedLocal inlined to keep the key ROWS — the
-      // local tier's map lookups need them
-      val touchedRaw = ops.select(windowPartKeys.indices
-        .map(i => windowKeyCol(i).as(s"__k_$i")): _*).distinct()
+      val primary = cascadeUpstreams.head
+      // touched keys, one term per changed source:
+      //  - PRIMARY delta: the restriction-key expressions evaluate
+      //    DIRECTLY on the delta payload (its columns are the source's,
+      //    which the traced leaves name) — a computed key (e.g.
+      //    date_trunc('day', ts)) derives here, round 11.
+      //  - PADDED-DIM delta (round 12): the affected preserved rows are
+      //    exactly those MATCHING the delta under the traced join
+      //    condition — semi-join the primary's current snapshot against
+      //    the __pd_-renamed payload and project the keys. Preserved rows
+      //    the primary's own delta added/removed this epoch are named by
+      //    the primary term; unchanged-but-rematched rows are in the
+      //    current snapshot — the union covers every affected partition
+      //    (over-touching recomputes idempotently).
+      // boundedLocal inlined to keep the key ROWS — the local tier's map
+      // lookups need them
+      val touchedRaw = changed.map { case (u, ops) =>
+        if (u.viewName == primary.viewName)
+          ops.select(windowPartKeys.indices
+            .map(i => windowKeyCol(i).as(s"__k_$i")): _*)
+        else {
+          val cond = windowPaddedDims(u.viewName.toLowerCase)
+          val pay0 = ops.drop("rw_timestamp").drop("op")
+          val pay = pay0.toDF(pay0.columns.toIndexedSeq.map("__pd_" + _): _*)
+          primary.snap().join(broadcast(pay),
+              GraftColumnBridge.column(cond), "left_semi")
+            .select(windowPartKeys.indices
+              .map(i => windowKeyCol(i).as(s"__k_$i")): _*)
+        }
+      }.reduce(_ unionByName _).distinct()
       val touchedRows = timed("touched-keys")(
         touchedRaw.limit(cascadeLocalMax + 1).collect())
       val touched =

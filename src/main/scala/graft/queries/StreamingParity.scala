@@ -951,6 +951,58 @@ object StreamingParity {
       materialized
     },
 
+    // LIVE padded side below the window cascade (round 12): the enriched
+    // rank `rank() OVER (PARTITION BY bucket …) FROM fact LEFT JOIN
+    // live_dim` — a dim delta flips enrichment/padding of exactly the
+    // fact rows matching it under the join condition, so the touched
+    // partitions derive by semi-joining the fact snapshot against the
+    // dim delta (the restricted term) and only those re-rank. The dim
+    // churns mid-replay in BOTH directions (insert → enrich, delete →
+    // re-pad, upsert → re-enrich); the oracle pins the final dim state.
+    // Mode-asserted mid-replay and at the end.
+    q("m_mv_window_padded_incremental",
+      s"""WITH ch AS (SELECT user_id, value, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |latest AS (SELECT user_id, arg_max(value, event_id) AS value
+         |  FROM ch GROUP BY user_id),
+         |dim AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'even'),
+         |  (CAST(1 AS BIGINT), 'uno'), (CAST(3 AS BIGINT), 'three')) AS d(bucket, label))
+         |SELECT t.user_id, CAST(t.user_id % 5 AS BIGINT) AS bucket, d.label, t.value,
+         |  CAST(rank() OVER (PARTITION BY t.user_id % 5
+         |    ORDER BY t.value DESC, t.user_id) AS BIGINT) AS r
+         |FROM latest t LEFT JOIN dim d ON d.bucket = t.user_id % 5""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_wp_t", Seq(("m_wp_mv",
+        """SELECT t.user_id, CAST(t.user_id % 5 AS BIGINT) AS bucket, d.label, t.value,
+          |  CAST(rank() OVER (PARTITION BY t.user_id % 5
+          |    ORDER BY t.value DESC, t.user_id) AS BIGINT) AS r
+          |FROM m_wp_t t LEFT JOIN m_wp_dim d ON d.bucket = t.user_id % 5""".stripMargin)),
+        setup = { rw =>
+          rw.createTable("m_wp_dim", StructType(Seq(
+            StructField("bucket", LongType), StructField("label", StringType))),
+            primaryKey = Seq("bucket"))
+        },
+        beforeChunk = Map(
+          2 -> { rw =>
+            rw.table("m_wp_dim").get.insert(Seq(Row(0L, "even"), Row(1L, "one")))
+          },
+          4 -> { rw =>
+            rw.execute("DELETE FROM m_wp_dim WHERE bucket = 1")
+            rw.table("m_wp_dim").get.insert(Seq(Row(3L, "three")))
+            require(rw.mvByName("m_wp_mv").get.isWindowCascadeMode,
+              "dim churn must not demote the padded window cascade")
+          },
+          6 -> { rw =>
+            rw.table("m_wp_dim").get.insert(Seq(Row(1L, "uno")))
+          }))
+      val mv = rw.mvByName("m_wp_mv").get
+      require(mv.isWindowCascadeMode,
+        "a live padded side must maintain by touched-partition recompute (round 12)")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // SELECT DISTINCT as an incrementally-maintained MV (round 10): the
     // maintainer respells DISTINCT as group-by-every-output and folds the
     // source changelog with keys-only delta-accumulation — a distinct row
@@ -1674,7 +1726,8 @@ object StreamingParity {
       mvDefs: Seq[(String, String)],
       withTs: Boolean = false,
       beforeChunk: Map[Int, GraftEngine => Unit] = Map.empty,
-      opts: ConnOptions = ConnOptions()): GraftEngine = {
+      opts: ConnOptions = ConnOptions(),
+      setup: GraftEngine => Unit = _ => ()): GraftEngine = {
     val fields =
       if (withTs) Seq(StructField("user_id", LongType),
         StructField("ts", TimestampType), StructField("event_type", StringType),
@@ -1682,6 +1735,7 @@ object StreamingParity {
       else Seq(StructField("user_id", LongType),
         StructField("value", DoubleType), StructField("event_id", LongType))
     val rw = GraftEngine.open(opts, Some(s))
+    setup(rw) // auxiliary tables an MV references (e.g. a live dim)
     val t = rw.createTable(table, StructType(fields),
       primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
     mvDefs.foreach { case (n, st) => rw.mv(st, n) }

@@ -254,7 +254,7 @@ class WindowCascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
-  test("window over a LEFT JOIN with a static dim cascades; live padded side rejects") {
+  test("window over a LEFT JOIN with a static dim cascades; live padded side too (round 12)") {
     import spark.implicits._
     Seq((1L, "east"), (2L, "west"))
       .toDF("uid", "region").createOrReplaceTempView("wsj_dim") // static
@@ -283,14 +283,48 @@ class WindowCascadeMvSpec extends SparkSpec {
     assert(state() == Set((1L, Some("east"), 10L, 3L), (2L, Some("east"), 20L, 2L),
       (4L, Some("east"), 30L, 1L), (3L, None, 5L, 1L)))
     assert(mv.isWindowCascadeMode)
-    // a LIVE padded side must stay on the batch fallback: its delta flips
-    // OTHER rows' padding, which no touched-key derivation can name
+    // LIVE padded side (round 12): a dim delta flips enrichment/padding of
+    // exactly the fact rows it MATCHES under the join condition — the
+    // touched partitions derive by semi-joining the primary's snapshot
+    // against the dim delta (the restricted term), and only those re-rank
     rw.createTable("wsj_live", StructType(Seq(StructField("uid", LongType),
       StructField("region", StringType))), primaryKey = Seq("uid"))
+    rw.mv("SELECT t.id, t.uid, d.region, t.v, CAST(rank() OVER " +
+      "(PARTITION BY t.uid ORDER BY t.v DESC, t.id) AS BIGINT) AS r " +
+      "FROM wsj_t t LEFT JOIN wsj_live d ON d.uid = t.uid", "wsj_live_mv")
+    val lmv = rw.mvByName("wsj_live_mv").get
+    assert(lmv.isWindowCascadeMode,
+      "a live padded side with a traceable condition must admit (round 12)")
+    def lstate() = lmv.df.collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)), r.getLong(4))).toSet
+    // dim is empty: every fact row padded
+    assert(lstate() == Set((1L, None, 3L), (2L, None, 2L), (4L, None, 1L),
+      (3L, None, 1L)))
+    val evals = lmv.statementEvals
+    // dim INSERT: padding→enrichment flips for uid=1 facts; uid=9 untouched
+    rw.table("wsj_live").get.insert(Seq(Row(1L, "east")))
+    rw.flush()
+    assert(lstate() == Set((1L, Some("east"), 3L), (2L, Some("east"), 2L),
+      (4L, Some("east"), 1L), (3L, None, 1L)))
+    assert(lmv.statementEvals == evals + 1,
+      "one partition-restricted eval per dim epoch")
+    // dim DELETE: enrichment→padding flips back (the other direction)
+    rw.execute("DELETE FROM wsj_live WHERE uid = 1")
+    rw.flush()
+    assert(lstate() == Set((1L, None, 3L), (2L, None, 2L), (4L, None, 1L),
+      (3L, None, 1L)))
+    // primary-side deltas still fold through the payload-key term
+    t.insert(Seq(Row(5L, 9L, 50L)))
+    rw.flush()
+    assert(lstate() == Set((1L, None, 3L), (2L, None, 2L), (4L, None, 1L),
+      (5L, None, 1L), (3L, None, 2L)))
+    assert(lmv.isWindowCascadeMode, "dim DML must not demote the cascade")
+    // a partition key that does NOT survive the output still rejects —
+    // the carried state has no slice-restriction spelling for it
     rw.mv("SELECT t.id, d.region, t.v, rank() OVER " +
       "(PARTITION BY t.uid ORDER BY t.v DESC, t.id) AS r " +
-      "FROM wsj_t t LEFT JOIN wsj_live d ON d.uid = t.uid", "wsj_live_mv")
-    assert(!rw.mvByName("wsj_live_mv").get.isWindowCascadeMode)
+      "FROM wsj_t t LEFT JOIN wsj_live d ON d.uid = t.uid", "wsj_nokey_mv")
+    assert(!rw.mvByName("wsj_nokey_mv").get.isWindowCascadeMode)
     rw.close()
   }
 
