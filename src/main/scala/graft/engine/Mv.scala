@@ -211,6 +211,26 @@ final class MaterializedView private[engine](
   /** Driver-memory budget for the local window state, in expanded rows. */
   private[graft] var windowLocalStateMax = 200000
 
+  // global-window prefix-fold state (round 12): window statements the
+  // KEYED cascade refuses — a global (no PARTITION BY) or untraceable-key
+  // window — maintain by cutting the plan below its bottommost nonlinear
+  // node: the LINEAR prefix folds the source delta into a carried
+  // input-multiset state (delta-proportional), and the suffix (windows,
+  // sorts, aggregates — arbitrary deterministic shape) re-evaluates over
+  // the carried state each epoch — "re-rank the carried multiset ⊕
+  // delta", never re-scanning the source. Epoch cost is O(state); state
+  // is the window's INPUT (≈ output-sized for a global rank) — the right
+  // 100 TB trade for corpus-wide cutoff ranks, where the alternative is a
+  // full base re-scan per epoch. See [[tryStartGlobalWindow]] /
+  // [[windowGlobalEpoch]].
+  private var windowGlobalMode = false
+  /** Grouped (row → count) multiset of the cut node's output — the
+    * suffix's input state. */
+  private var windowInputState: Option[DataFrame] = None
+  /** Monotone oversize latch for [[windowInputState]] (same discipline as
+    * [[windowStateOversize]]). */
+  private var windowInputOversize = false
+
   /** Changelog sources on a NON-linear (null-padded) side of ANY admitted
     * outer join — both sides for FULL OUTER (lowercased viewNames; empty
     * when the statement has no outer join, or the padded sides read only
@@ -348,6 +368,7 @@ final class MaterializedView private[engine](
   /** True when maintained by the window cascade (touched-partition
     * recompute of a window-function statement), not batch re-run. */
   private[graft] def isWindowCascadeMode: Boolean = windowMode
+  private[graft] def isGlobalWindowMode: Boolean = windowGlobalMode
 
   /** True when the cascade folds COUNT/SUM deltas algebraically into
     * carried aux state ([[DeltaAgg]]) instead of recomputing touched
@@ -650,6 +671,10 @@ final class MaterializedView private[engine](
       // recompute (round 10) — a delta names the partitions whose window
       // results can change, and only those re-rank
       if (!emitOnClose && tryStartWindowCascade()) return
+      // global / untraceable-key windows (round 12): fold the linear
+      // prefix's delta into a carried input multiset and re-evaluate the
+      // window suffix over the state — never re-scan the source
+      if (!emitOnClose && tryStartGlobalWindow()) return
       val df = spark.sql(engine.rewrite(stmt))
       keyMode = deriveMode(df)
       keyCols = keyMode match {
@@ -3053,6 +3078,293 @@ final class MaterializedView private[engine](
     }
   }
 
+  // ---- global-window prefix fold (round 12) -------------------------------
+
+  /** Locate the prefix/suffix cut of the global-window fold: walk the
+    * path from the plan root to the single boundary source and find the
+    * BOTTOMMOST nonlinear node B on it. Returns (B's path child — the cut
+    * subtree whose output multiset becomes the carried input state — and
+    * the path's outer joins whose PADDED side is source-free, to allow in
+    * the prefix linearity check). None when no nonlinear node sits on the
+    * path, or the first break is a non-inner join with the source on its
+    * padded/filter side (null-extension is not linear in that side and
+    * the break is not single-child — the KEYED cascade's restricted term
+    * handles that shape instead). */
+  private def globalWindowCut(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      boundary: Set[String]):
+      Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+              Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = {
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Deduplicate, Distinct, Except, Generate, GlobalLimit, Intersect,
+      Join, LocalLimit, Sort, SubqueryAlias, LogicalPlan, Window => WindowNode}
+    def path(p: LogicalPlan): Option[List[LogicalPlan]] = p match {
+      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) =>
+        Some(List(p))
+      case _ => p.children.iterator.flatMap(path).nextOption().map(p :: _)
+    }
+    val rev = path(analyzed).getOrElse(return None).reverse // source … root
+    var allowedJoins = List.empty[LogicalPlan]
+    for (i <- 1 until rev.length) {
+      val c = rev(i - 1)
+      rev(i) match {
+        case _: Aggregate | _: WindowNode | _: Sort | _: GlobalLimit |
+             _: LocalLimit | _: Distinct | _: Deduplicate | _: Intersect |
+             _: Except | _: Generate =>
+          return Some((c, allowedJoins))
+        case j: Join if !(j.joinType == Inner || j.joinType == Cross) =>
+          val sourceOnPadded = j.joinType match {
+            case LeftOuter | LeftSemi | LeftAnti => j.right eq c
+            case RightOuter => j.left eq c
+            case _ => true // FULL etc: padded both sides
+          }
+          if (sourceOnPadded) return None
+          allowedJoins ::= j
+        case _ => ()
+      }
+    }
+    None
+  }
+
+  /** Global-window admission (round 12) — tried only after the KEYED
+    * window cascade refused. The statement must read exactly ONE
+    * changelog source, referenced once and never through a subquery; at
+    * least one Window node must exist (this mode exists for the global /
+    * untraceable-key window shapes); the prefix below [[globalWindowCut]]
+    * must be linear; the suffix above must be deterministic (it
+    * re-evaluates wholesale over the carried state, so sorts, limits,
+    * DISTINCT, aggregates and divergent window chains are all fine
+    * there). Reference: the global-rank data-selection MV
+    * (`risingwave/core.py` materialized-view surface). */
+  private def tryStartGlobalWindow(): Boolean = {
+    val tbls = engine.referencedLiveTables(stmt)
+    val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
+    if (tbls.size + ups.size != 1) return false
+    val preOffset = changeLog.latestOffset
+    try {
+      cascadeStmt = engine.rewrite(stmt)
+      val analyzed = spark.sql(cascadeStmt).queryExecution.analyzed
+      val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
+        .map(_.toLowerCase).toSet
+      val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.mkString(".").toLowerCase
+      }
+      if (boundary.exists(n => occurrences.count(_ == n) != 1)) return false
+      // a source read through ANY subquery expression (at any depth) has
+      // no linear slot for the prefix delta term
+      if (subquerySourcesIn(analyzed, boundary).nonEmpty) return false
+      if (windowsAbove(analyzed, boundary).isEmpty) return false
+      val (cut, allowedJoins) =
+        globalWindowCut(analyzed, boundary).getOrElse(return false)
+      if (nonLinearIn(cut, boundary, allowedNodes = allowedJoins)) return false
+      // the fold groups the state by NAME — ambiguous cut columns reject
+      if (cut.output.map(_.name.toLowerCase).distinct.size != cut.output.size)
+        return false
+      // suffix determinism (walk stops at the cut; the prefix's
+      // expressions were vetted by nonLinearIn)
+      var suffixOk = true
+      def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+        if (!(p eq cut)) {
+          if (!p.expressions.forall(_.deterministic)) suffixOk = false
+          p.children.foreach(walk)
+        }
+      walk(analyzed)
+      if (!suffixOk) return false
+      keyMode = MaterializedView.Multiset
+      keyCols = Nil
+      isAggMode = false
+      cascadeUpstreams =
+        ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
+          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
+      windowGlobalMode = true
+      val restored = validSnapshotMeta("globalwindow").flatMap { case (d, offsets, _) =>
+        try {
+          if (!new java.io.File(s"$d/inner").isDirectory ||
+              !new java.io.File(s"$d/winput").isDirectory ||
+              !cascadeUpstreams.forall(u =>
+                offsets.get(u.viewName).exists(_ <= u.log.latestOffset))) None
+          else Some((offsets,
+            spark.read.parquet(s"$d/inner").localCheckpoint(true),
+            spark.read.parquet(s"$d/winput").localCheckpoint(true)))
+        } catch { case _: Throwable => None }
+      }
+      restored match {
+        case Some((offsets, inner, winput)) =>
+          offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
+          cascadeInner = Some(inner)
+          windowInputState = Some(winput)
+          val vis = expandCounts(inner)
+          snapshot = Some(vis)
+          vis.createOrReplaceTempView(viewName)
+        case None => windowGlobalEpoch() // initial backfill
+      }
+      true
+    } catch { case t: Throwable =>
+      if (java.lang.Boolean.getBoolean("graft.debugJoinCascade")) t.printStackTrace()
+      windowGlobalMode = false
+      cascadeUpstreams = Nil
+      windowInputState = None
+      if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
+      false
+    }
+  }
+
+  /** Evaluate the suffix over the carried input state: plan surgery swaps
+    * the cut subtree for an exprId-preserving projection of the state
+    * frame (positional — same statement text, same cut arity/names), so
+    * every reference above the cut stays resolved and the SOURCE relation
+    * — which lives only inside the discarded cut subtree — never appears
+    * in the evaluated plan. */
+  private def evalGlobalSuffix(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      cut: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val sp = state.queryExecution.analyzed
+    if (sp.output.length != cut.output.length)
+      throw new IllegalStateException(
+        s"global-window state arity ${sp.output.length} != cut ${cut.output.length}")
+    val proj = Project(cut.output.zip(sp.output).map { case (o, s) =>
+      Alias(s, o.name)(exprId = o.exprId) }, sp)
+    GraftColumnBridge.ofRows(spark, analyzed.transformUp {
+      case n if n eq cut => proj
+    })
+  }
+
+  /** One global-window epoch: fold the signed prefix delta terms into the
+    * carried input multiset, re-evaluate the suffix over the folded state
+    * (the only per-epoch evaluation — the base statement is never re-run;
+    * [[statementEvals]] pins this), multiset-diff against the carried
+    * output, emit, install. 100 TB shape: the prefix terms bind the
+    * (small) delta payload, the fold is one hash aggregation over
+    * (state ∪ delta), and the suffix — the global re-rank — runs over
+    * carried state, which a global window forces to be output-sized work
+    * anyway; the base table is read exactly once, at backfill. */
+  private def windowGlobalEpoch(): Unit = synchronized {
+    import org.apache.spark.sql.functions.{col, sum}
+    if (cascadeUpstreams.isEmpty) return
+    val u = cascadeUpstreams.head
+    val latest = u.log.latestOffset
+    val after = cascadeOffsets.getOrElse(u.viewName, 0L)
+    if (latest <= after && snapshot.nonEmpty) return
+    val boundary = Set(u.viewName.toLowerCase)
+    if (snapshot.isEmpty) {
+      cascadeOffsets(u.viewName) = latest
+      statementEvals += 1
+      val analyzed = spark.sql(cascadeStmt).queryExecution.analyzed
+      val (cut, _) = globalWindowCut(analyzed, boundary).getOrElse(
+        throw new IllegalStateException("global-window cut missing at backfill"))
+      // ONE base scan: the prefix materializes the input state; the
+      // suffix then evaluates over the state, not the source
+      val inputG = groupedCounts(GraftColumnBridge.ofRows(spark, cut))
+        .localCheckpoint(true)
+      windowInputState = Some(inputG)
+      val grouped = groupedCounts(
+        evalGlobalSuffix(analyzed, cut, expandCounts(inputG))).localCheckpoint(true)
+      cascadeInner = Some(grouped)
+      val vis = expandCounts(grouped)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+      emitOps(Changelog.multisetDiff(None, vis, wide = true), wide = true)
+      return
+    }
+    if (latest <= after) return
+    cascadeOffsets(u.viewName) = latest
+    var emitted = false
+    val tempViews = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      val payload = u.log.dfAfter(after).drop("rw_timestamp")
+      val adds = payload.filter(col("op").isin(
+        Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op").localCheckpoint(true)
+      val dels = payload.filter(col("op").isin(
+        Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op").localCheckpoint(true)
+      // prefix delta terms: the statement retargeted at the signed
+      // payload views, cut below the bottom nonlinear node — prefix
+      // linearity makes prefix(Δ±) the exact input-state delta
+      def term(view: String, d: DataFrame): DataFrame = {
+        d.createOrReplaceTempView(view); tempViews += view
+        val sql = retarget(cascadeStmt, u.viewName, view)
+        if (!sql.contains(view))
+          throw new IllegalStateException(s"rebinding missed ${u.viewName}")
+        val a = spark.sql(sql).queryExecution.analyzed
+        val (c, _) = globalWindowCut(a, Set(view.toLowerCase)).getOrElse(
+          throw new IllegalStateException("cut missing in retargeted plan"))
+        GraftColumnBridge.ofRows(spark, c)
+      }
+      val plusG = groupedCounts(term(s"__gw_add_${u.viewName}", adds))
+      val minusG = groupedCounts(term(s"__gw_del_${u.viewName}", dels))
+        .withColumn(MaterializedView.CntCol, -col(MaterializedView.CntCol))
+      val stateCols = windowInputState.get.columns
+        .filterNot(_ == MaterializedView.CntCol).toIndexedSeq
+      val foldedPlan = windowInputState.get
+        .unionByName(plusG).unionByName(minusG)
+        .groupBy(stateCols.map(col): _*)
+        .agg(sum(col(MaterializedView.CntCol)).as(MaterializedView.CntCol))
+        .filter(col(MaterializedView.CntCol) > 0)
+      val folded = timed("input-fold")(
+        if (windowInputOversize) foldedPlan.localCheckpoint(true)
+        else {
+          val f = boundedLocal(foldedPlan)
+          if (!f.queryExecution.logical
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+            windowInputOversize = true
+          f
+        })
+      // suffix re-eval over the carried multiset ⊕ delta — the source
+      // relation is absent from this plan (no base re-scan)
+      val analyzed = spark.sql(cascadeStmt).queryExecution.analyzed
+      val (cut, _) = globalWindowCut(analyzed, boundary).getOrElse(
+        throw new IllegalStateException("global-window cut missing at epoch"))
+      val newG = timed("suffix-eval")(
+        if (windowStateOversize)
+          groupedCounts(evalGlobalSuffix(analyzed, cut, expandCounts(folded)))
+            .localCheckpoint(true)
+        else {
+          val g = boundedLocal(groupedCounts(
+            evalGlobalSuffix(analyzed, cut, expandCounts(folded))))
+          if (!g.queryExecution.logical
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+            windowStateOversize = true
+          g
+        })
+      val epochOps = timed("diff-collect")(boundedLocal(
+        Changelog.multisetDiffGrouped(cascadeInner.get, newG, MaterializedView.CntCol)))
+      emitOps(epochOps)
+      emitted = true
+      windowInputState = Some(folded)
+      cascadeInner = Some(newG)
+      val vis = expandCounts(newG)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+    } catch { case scala.util.control.NonFatal(t) =>
+      // full-recompute repair — correct under any surgery/rebinding
+      // failure; the warning keeps a persistent demotion observable
+      MaterializedView.log.warn(
+        s"global-window epoch for $viewName fell back to full recompute: $t")
+      statementEvals += 1
+      val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
+      val vis = expandCounts(grouped)
+      if (!emitted) {
+        val prevVis = expandCounts(cascadeInner.get)
+        emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+      }
+      cascadeInner = Some(grouped)
+      snapshot = Some(vis)
+      vis.createOrReplaceTempView(viewName)
+      // the input state must track the repaired output — rebuild it from
+      // the prefix (repair-only second scan); a failure here leaves None,
+      // which the NEXT epoch's fold turns into another observable repair
+      windowInputState =
+        try globalWindowCut(spark.sql(cascadeStmt).queryExecution.analyzed, boundary)
+          .map { case (c, _) =>
+            groupedCounts(GraftColumnBridge.ofRows(spark, c)).localCheckpoint(true) }
+        catch { case scala.util.control.NonFatal(_) => None }
+    } finally tempViews.foreach(spark.catalog.dropTempView(_))
+  }
+
   /** Non-multilinear plan detector shared by the delta-join admission
     * (whole plan) and the delta-agg admission (the Aggregate's child):
     * rejects aggregates, sorts/limits, DISTINCT, set ops other than UNION
@@ -3785,6 +4097,7 @@ final class MaterializedView private[engine](
       else if (joinMode) joinCascadeEpoch()
       else if (windowMode) windowCascadeEpoch()
       else cascadeRefresh())
+    else if (windowGlobalMode) timed("cascade-epoch")(windowGlobalEpoch())
     else synchronized {
       statementEvals += 1
       val next = spark.sql(engine.rewrite(stmt)).localCheckpoint(true)
@@ -3901,6 +4214,7 @@ final class MaterializedView private[engine](
       else if (sessionMode) "session"
       else if (joinMode) "joincascade"
       else if (windowMode) "windowcascade"
+      else if (windowGlobalMode) "globalwindow"
       else if (cascadeMode) "cascade"
       else "batch"
     // STREAM-fed top-N/session state can't record a resumable source
@@ -3912,8 +4226,10 @@ final class MaterializedView private[engine](
       val staging = s"$d.staging"
       SegmentFiles.delete(staging)
       snap.write.mode("overwrite").parquet(s"$staging/data")
-      if (cascadeHasHaving || joinMode || windowMode)
+      if (cascadeHasHaving || joinMode || windowMode || windowGlobalMode)
         cascadeInner.foreach(_.write.mode("overwrite").parquet(s"$staging/inner"))
+      if (windowGlobalMode)
+        windowInputState.foreach(_.write.mode("overwrite").parquet(s"$staging/winput"))
       if (deltaAggSpec.nonEmpty)
         auxState.foreach(_.write.mode("overwrite").parquet(s"$staging/aux"))
       if (topNMode || sessionMode)

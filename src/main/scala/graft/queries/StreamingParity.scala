@@ -1003,6 +1003,49 @@ object StreamingParity {
       materialized
     },
 
+    // Global-window MV (round 12): the corpus-wide data-selection rank —
+    // `rank() OVER (ORDER BY value DESC)` with NO partition key — which
+    // the keyed cascade refuses (one global partition). The prefix-fold
+    // mode carries the window's INPUT multiset (post-filter), folds each
+    // epoch's signed delta into it, and re-evaluates the rank over the
+    // carried state — the base statement is never re-run after backfill
+    // (statementEvals-pinned) and the source is never re-scanned. Upsert
+    // overwrites move users through the global ranking all replay long;
+    // the mid-replay DELETE retracts the top values.
+    q("m_mv_global_window_incremental",
+      s"""WITH ch AS (SELECT user_id, value, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |early AS (SELECT user_id, arg_max(value, event_id) AS v
+         |  FROM ch WHERE chunk <= 3 GROUP BY user_id),
+         |deleted AS (SELECT user_id FROM early WHERE v > 90),
+         |kept AS (SELECT * FROM ch WHERE NOT (chunk <= 3 AND
+         |  user_id IN (SELECT user_id FROM deleted))),
+         |latest AS (SELECT user_id, arg_max(value, event_id) AS value
+         |  FROM kept GROUP BY user_id)
+         |SELECT user_id, value, CAST(rank() OVER
+         |  (ORDER BY value DESC, user_id) AS BIGINT) AS r
+         |FROM latest WHERE value > 10""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_gw_t", Seq(("m_gw_mv",
+        """SELECT user_id, value, CAST(rank() OVER
+          |  (ORDER BY value DESC, user_id) AS BIGINT) AS r
+          |FROM m_gw_t WHERE value > 10""".stripMargin)),
+        beforeChunk = Map(
+          4 -> { rw =>
+            rw.execute("DELETE FROM m_gw_t WHERE value > 90")
+            require(rw.mvByName("m_gw_mv").get.isGlobalWindowMode,
+              "retractions must not demote the global-window fold")
+          }))
+      val mv = rw.mvByName("m_gw_mv").get
+      require(mv.isGlobalWindowMode,
+        "a global-rank MV must fold via the prefix cut (round 12)")
+      require(mv.statementEvals <= 1,
+        "global-window epochs must not re-evaluate the base statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // SELECT DISTINCT as an incrementally-maintained MV (round 10): the
     // maintainer respells DISTINCT as group-by-every-output and folds the
     // source changelog with keys-only delta-accumulation — a distinct row

@@ -104,29 +104,38 @@ class WindowCascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
-  test("ineligible window shapes stay on the batch fallback, values correct") {
+  test("global / non-covering window shapes fold via the prefix cut (round 12)") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("wcf_t", schema, primaryKey = Seq("id"))
-    // global (un-partitioned) window: every delta touches everything
+    // global (un-partitioned) window: the KEYED cascade refuses (every
+    // delta touches the one partition), so the prefix-fold mode carries
+    // the window INPUT multiset and re-ranks it ⊕ delta — never the source
     rw.mv("SELECT id, CAST(rank() OVER (ORDER BY v DESC, id) AS BIGINT) AS r " +
       "FROM wcf_t", "wcf_global")
-    assert(!rw.mvByName("wcf_global").get.isWindowCascadeMode)
+    val gmv = rw.mvByName("wcf_global").get
+    assert(!gmv.isWindowCascadeMode && gmv.isGlobalWindowMode,
+      "a global window must fold via the prefix cut (round 12)")
     // window BELOW an aggregate whose grouping does NOT cover the window's
-    // partition key: one output group mixes partitions, so replacing the
-    // touched slice would be unsound — must stay on the batch fallback
+    // partition key: keyed slice replacement is unsound, but the suffix
+    // re-evaluates wholesale over the carried input — global mode takes it
     rw.mv("SELECT CAST(count(*) AS BIGINT) AS n_top FROM (SELECT CAST(rank() OVER " +
       "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS rr FROM wcf_t) " +
       "WHERE rr = 1", "wcf_agg_mix")
     assert(!rw.mvByName("wcf_agg_mix").get.isChangelogCascadeMode &&
-      !rw.mvByName("wcf_agg_mix").get.isWindowCascadeMode)
-    // window-function top-N inner: the raw fold would rank the DELTA alone
+      !rw.mvByName("wcf_agg_mix").get.isWindowCascadeMode &&
+      rw.mvByName("wcf_agg_mix").get.isGlobalWindowMode)
+    // window-function top-N inner: the raw fold would rank the DELTA
+    // alone; the suffix (Sort+Limit above the window) re-evaluates over
+    // carried state instead
     rw.mv("SELECT id, grp, v, rank() OVER (PARTITION BY grp ORDER BY v DESC, id) AS r " +
       "FROM wcf_t ORDER BY v DESC, id LIMIT 3", "wcf_topn")
     assert(!rw.mvByName("wcf_topn").get.isTopNMode &&
-      !rw.mvByName("wcf_topn").get.isChangelogCascadeMode)
+      !rw.mvByName("wcf_topn").get.isChangelogCascadeMode &&
+      rw.mvByName("wcf_topn").get.isGlobalWindowMode)
     val t = rw.table("wcf_t").get
     t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
     rw.flush()
+    val evals = gmv.statementEvals
     t.insert(Seq(Row(4L, "a", 30L)))
     rw.flush()
     assert(rw.mvByName("wcf_global").get.df.collect()
@@ -136,6 +145,20 @@ class WindowCascadeMvSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(2L))
     assert(rw.mvByName("wcf_topn").get.df.collect()
       .map(r => (r.getLong(0), r.getInt(3))).toSet == Set((4L, 1), (2L, 2), (1L, 3)))
+    // zero base re-scans per epoch: the fold binds the delta, the suffix
+    // binds carried state — statementEvals stays flat after backfill
+    assert(gmv.statementEvals == evals,
+      "global-window epochs must not re-evaluate the base statement")
+    // retractions fold through the signed minus term: upsert moves id=2,
+    // DELETE retracts the maximum
+    t.insert(Seq(Row(2L, "b", 40L)))
+    rw.execute("DELETE FROM wcf_t WHERE id = 4")
+    rw.flush()
+    assert(rw.mvByName("wcf_global").get.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(gmv.statementEvals == evals && gmv.isGlobalWindowMode,
+      "DML must not demote the global-window fold")
     rw.close()
   }
 
@@ -355,6 +378,36 @@ class WindowCascadeMvSpec extends SparkSpec {
     assert(state() == Set((1L, "a", 10L, 3L), (2L, "a", 20L, 2L),
       (4L, "a", 30L, 1L), (3L, "b", 5L, 1L)))
     assert(mv.isWindowCascadeMode)
+    rw2.close()
+  }
+
+  test("durable snapshot: global-window MV reopens with zero evals and keeps folding") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gwdur").toString
+    val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw1.createTable("gwd_t", schema, primaryKey = Seq("id"))
+    val stmt = "SELECT id, v, CAST(rank() OVER (ORDER BY v DESC, id) AS BIGINT) AS r " +
+      "FROM gwd_t"
+    rw1.mv(stmt, "gwd_mv")
+    assert(rw1.mvByName("gwd_mv").get.isGlobalWindowMode)
+    rw1.table("gwd_t").get.insert(
+      Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "b", 5L)))
+    rw1.flush()
+    rw1.close()
+
+    val rw2 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
+    rw2.mv(stmt, "gwd_mv")
+    val mv = rw2.mvByName("gwd_mv").get
+    assert(mv.isGlobalWindowMode)
+    assert(mv.statementEvals == 0L, "reopen must restore BOTH states without evaluating")
+    def state() = mv.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state() == Set((2L, 20L, 1L), (1L, 10L, 2L), (3L, 5L, 3L)))
+    // maintenance resumes from the restored input multiset: the fold and
+    // re-rank proceed with still zero base evaluations
+    rw2.table("gwd_t").get.insert(Seq(Row(4L, "a", 30L)))
+    rw2.flush()
+    assert(state() == Set((4L, 30L, 1L), (2L, 20L, 2L), (1L, 10L, 3L), (3L, 5L, 4L)))
+    assert(mv.statementEvals == 0L && mv.isGlobalWindowMode)
     rw2.close()
   }
 

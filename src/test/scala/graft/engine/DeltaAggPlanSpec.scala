@@ -30,7 +30,7 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
       s"the state side must never pay a two-sided shuffle join:\n$plan")
   }
 
-  test("admit: double sums, avg, distinct, and filters are rejected") {
+  test("admit: double sums/avg and filters reject; distinct/stddev fold (round 12)") {
     import spark.implicits._
     Seq(("a", 1.0)).toDF("grp", "d").createOrReplaceTempView("dap_d")
     Seq(("a", 1L)).toDF("grp", "v").createOrReplaceTempView("dap_v")
@@ -42,8 +42,12 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
       "double avg must be rejected without the tolerance flag")
     assert(admitOf("SELECT grp, avg(v) AS a FROM dap_v GROUP BY grp").nonEmpty,
       "integral avg folds exactly via the long-sum slot (round 11)")
-    assert(admitOf("SELECT grp, count(DISTINCT v) AS n FROM dap_v GROUP BY grp").isEmpty,
-      "DISTINCT aggregates are not decomposable")
+    assert(admitOf("SELECT grp, count(DISTINCT v) AS n FROM dap_v GROUP BY grp").nonEmpty,
+      "COUNT(DISTINCT) folds via the two-level reference-count tier (round 12)")
+    assert(admitOf("SELECT grp, stddev_samp(v) AS s FROM dap_v GROUP BY grp").nonEmpty,
+      "stddev over an integral child folds via the sum-of-squares tier (round 12)")
+    assert(admitOf("SELECT grp, stddev_samp(d) AS s FROM dap_d GROUP BY grp").isEmpty,
+      "double-child stddev stays rejected without the tolerance flag")
     assert(admitOf("SELECT grp, count(v) FILTER (WHERE v > 0) AS n FROM dap_v GROUP BY grp").isEmpty,
       "filtered aggregate calls are rejected")
     assert(admitOf("SELECT grp, count(*) AS n, sum(v) AS sv FROM dap_v GROUP BY grp").nonEmpty,
