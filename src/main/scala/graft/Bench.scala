@@ -140,7 +140,21 @@ object Bench {
         """SELECT event_id, ts, value, CAST(rank() OVER
           |  (PARTITION BY date_trunc('hour', ts) ORDER BY value DESC, event_id) AS BIGINT) AS r
           |FROM bench_ev""".stripMargin)),
-      rw => rw.mvByName("bm_win").exists(_.isWindowCascadeMode), true))
+      rw => rw.mvByName("bm_win").exists(_.isWindowCascadeMode), true),
+    // global-window prefix fold (round 12): the corpus-wide data-selection
+    // cutoff rank — NO partition key, so the keyed cascade refuses and the
+    // prefix-fold mode carries the (top-decile-filtered) window INPUT
+    // multiset, folds each epoch's signed delta into it and re-ranks the
+    // carried state; the base is scanned once, at backfill. A global rank
+    // legitimately shifts most surviving ranks every epoch, so the
+    // emitted ops are output-sized — that cost is the statement's
+    // semantics, not the maintainer's; the entry tracks it honestly
+    StreamDef("s_mv_global_window", Seq(
+      ("bm_gw",
+        """SELECT event_id, value, CAST(rank() OVER
+          |  (ORDER BY value DESC, event_id) AS BIGINT) AS r
+          |FROM bench_ev WHERE value > 90""".stripMargin)),
+      rw => rw.mvByName("bm_gw").exists(_.isGlobalWindowMode), true))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
