@@ -615,4 +615,89 @@ class PropertySpec extends SparkSpec {
     rw.flush()
     assert(mv.isDeltaAggMode, "the outer-join agg fold must survive the interleaving")
   }
+
+  test("global-window fold equals batch under random upsert/delete interleavings (round 12)") {
+    // global rank (no PARTITION BY) with a prefix filter: the prefix-fold
+    // mode carries the filtered input multiset, folds signed deltas and
+    // re-ranks the carried state — never re-evaluating the base statement
+    val t = "gwp_t"
+    rw.createTable(t, StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    val stmt = s"SELECT id, grp, v, CAST(rank() OVER (ORDER BY v DESC, id) AS BIGINT) AS r " +
+      s"FROM $t WHERE v >= 5"
+    val mv = rw.mv(stmt, "gwp_mv")
+    assert(mv.isGlobalWindowMode,
+      "a global window must fold via the prefix cut (round 12)")
+    sealed trait K
+    case object Ins extends K; case object Del extends K; case object Fl extends K
+    val gen = for {
+      kind <- Gen.frequency(5 -> Ins, 1 -> Del, 2 -> Fl)
+      id <- Gen.choose(1L, 12L)
+      grp <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0L, 30L)
+    } yield (kind, id, grp, v)
+    def rowsOf(sql: String): Seq[(Long, String, Long, Long)] =
+      rw.fetch(sql).map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    sample(Gen.listOfN(60, gen), seed = 19001).foreach {
+      case (Ins, id, grp, v) => rw.table(t).get.insert(Seq(Row(id, grp, v)))
+      case (Del, id, _, _) => rw.execute(s"DELETE FROM $t WHERE id = $id")
+      case (Fl, _, _, _) =>
+        rw.flush()
+        val inc = rowsOf("SELECT * FROM gwp_mv")
+        val batch = rowsOf(stmt)
+        assert(inc == batch, s"$inc vs $batch")
+    }
+    rw.flush()
+    assert(mv.isGlobalWindowMode && mv.statementEvals <= 1,
+      "the global-window fold must survive the interleaving with zero re-evals")
+  }
+
+  test("live-padded window cascade equals batch under random two-sided interleavings (round 12)") {
+    // fact LEFT JOIN live_dim below a partitioned rank: dim churn flips
+    // enrichment/padding of matching fact rows; touched partitions derive
+    // from the restricted term (fact ⋉ dim delta)
+    val fT = "wlp_f"; val dT = "wlp_d"
+    rw.createTable(fT, StructType(Seq(StructField("id", LongType),
+      StructField("uid", LongType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    rw.createTable(dT, StructType(Seq(StructField("uid", LongType),
+      StructField("nm", StringType))), primaryKey = Seq("uid"))
+    val stmt = s"SELECT f.id, f.uid, d.nm, f.v, CAST(rank() OVER " +
+      s"(PARTITION BY f.uid ORDER BY f.v DESC, f.id) AS BIGINT) AS r " +
+      s"FROM $fT f LEFT JOIN $dT d ON d.uid = f.uid"
+    val mv = rw.mv(stmt, "wlp_mv")
+    assert(mv.isWindowCascadeMode,
+      "a live padded side below the window must admit (round 12)")
+    sealed trait K
+    case object Ev extends K; case object Us extends K
+    case object DelE extends K; case object DelU extends K
+    case object Fl extends K
+    val gen = for {
+      kind <- Gen.frequency(4 -> Ev, 3 -> Us, 1 -> DelE, 1 -> DelU, 2 -> Fl)
+      id <- Gen.choose(1L, 15L)
+      uid <- Gen.choose(1L, 5L)
+      v <- Gen.choose(0L, 99L)
+      nm <- Gen.oneOf("ann", "bob", "cat")
+    } yield (kind, id, uid, v, nm)
+    def rowsOf(sql: String): Seq[(Long, Long, Option[String], Long, Long)] =
+      rw.fetch(sql).map(r =>
+        (r.getLong(0), r.getLong(1), Option(r.getString(2)), r.getLong(3),
+          r.getLong(4))).sorted
+    sample(Gen.listOfN(60, gen), seed = 19002).foreach {
+      case (Ev, id, uid, v, _) => rw.table(fT).get.insert(Seq(Row(id, uid, v)))
+      case (Us, _, uid, v, nm) => rw.table(dT).get.insert(Seq(Row(uid, s"$nm$v")))
+      case (DelE, id, _, _, _) => rw.execute(s"DELETE FROM $fT WHERE id = $id")
+      case (DelU, _, uid, _, _) => rw.execute(s"DELETE FROM $dT WHERE uid = $uid")
+      case (Fl, _, _, _, _) =>
+        rw.flush()
+        val inc = rowsOf("SELECT * FROM wlp_mv")
+        val batch = rowsOf(stmt)
+        assert(inc == batch, s"$inc vs $batch")
+    }
+    rw.flush()
+    assert(mv.isWindowCascadeMode,
+      "the live-padded window cascade must survive the interleaving")
+  }
 }
