@@ -70,12 +70,13 @@ private[engine] object DeltaAgg {
     * [sum, nonNullCnt] for SUM/AVG, [cnt] for COUNT,
     * [extremum, nonNullCnt] for MIN/MAX,
     * [sum, kahanComp, nonNullCnt] for float SUM/AVG,
-    * NOTHING for COUNT(DISTINCT) — its `dkIdx` names the state-key column
-    * carrying the distinct child value (two-level tier, round 12). */
+    * NOTHING for COUNT/SUM/AVG(DISTINCT) — their `dkIdx` names the
+    * state-key column carrying the distinct child value (two-level tier,
+    * round 12). */
   private[engine] final case class Slot(auxIdx: Int, kind: Int, dkIdx: Int = -1) {
     def width: Int = kind match {
       case KindCount => 1
-      case KindCountD | KindMaxD | KindMinD => 0
+      case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD => 0
       case KindSumF | KindAvgF => 3
       case KindStdS | KindStdP | KindVarS | KindVarP => 3
       case _ => 2
@@ -114,9 +115,22 @@ private[engine] object DeltaAgg {
   private val KindStdP = 11
   private val KindVarS = 12
   private val KindVarP = 13
+  /** SUM/AVG(DISTINCT) (round 12): same two-level state as COUNT(DISTINCT)
+    * — the distinct child is a state-key column and the (keys, value) row
+    * vanishes with its last reference — so the slots own no aux columns
+    * and the visible pass re-aggregates the state's own key column
+    * (Sum / Sum÷Count over the per-value rows). Exact tier only
+    * (integral/decimal child): a float SUM(DISTINCT) has no
+    * order-insensitive spelling at the visible boundary. */
+  private val KindSumD = 14
+  private val KindAvgD = 15
 
   private def isStd(kind: Int): Boolean =
     kind == KindStdS || kind == KindStdP || kind == KindVarS || kind == KindVarP
+
+  /** Kinds whose distinct child becomes a state-key (__dk) column. */
+  private def isDkKind(kind: Int): Boolean =
+    kind == KindCountD || kind == KindSumD || kind == KindAvgD
 
   private def isFloat(dt: DataType): Boolean =
     dt == DoubleType || dt == FloatType
@@ -132,7 +146,11 @@ private[engine] object DeltaAgg {
   }
 
   private def kindOf(ae: AggregateExpression): Int =
-    if (ae.isDistinct) KindCountD
+    if (ae.isDistinct) ae.aggregateFunction match {
+      case _: Sum => KindSumD
+      case _: Average => KindAvgD
+      case _ => KindCountD
+    }
     else ae.aggregateFunction match {
       case s: Sum if isFloat(s.child.dataType) => KindSumF
       case _: Sum => KindSum
@@ -203,11 +221,23 @@ private[engine] object DeltaAgg {
     ae.mode == Complete && ae.filter.isEmpty &&
       ae.aggregateFunction.children.forall(_.deterministic) &&
       (if (ae.isDistinct)
-        // COUNT(DISTINCT x) only — the two-level tier keys the state by x,
-        // so x must be a single groupable/orderable child (round 12)
+        // COUNT/SUM/AVG(DISTINCT x) — the two-level tier keys the state by
+        // x, so x must be a single groupable/orderable child; SUM/AVG stay
+        // in the exact tier (integral/decimal child) since the visible
+        // re-sum over distinct values has no Kahan spelling (round 12)
         ae.aggregateFunction match {
           case c: Count => c.children.size == 1 &&
             orderable(c.children.head.dataType)
+          case s: Sum => s.child.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                 _: DecimalType => true
+            case _ => false
+          }
+          case av: Average => av.child.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                 _: DecimalType => true
+            case _ => false
+          }
           case _ => false
         }
       else ae.aggregateFunction match {
@@ -281,9 +311,14 @@ private[engine] object DeltaAgg {
         if (i >= 0) i else { dkChildren :+= c; dkChildren.size - 1 }
       }
       cs.foreach { ae =>
-        if (kindOf(ae) == KindCountD)
+        if (isDkKind(kindOf(ae)))
           dkIndexOf(ae.aggregateFunction.children.head)
       }
+      // more than one distinct child: state rows are (keys, a, b, …)
+      // tuples, so every dk-derived visible aggregate must itself be
+      // DISTINCT over its own column — a plain Count/Sum would tally one
+      // value once per combination with the OTHER children's values
+      val multiDk = dkChildren.size > 1
       val slotByCall = new java.util.IdentityHashMap[AggregateExpression, Slot]()
       val slots = cs.map { ae =>
         val kind0 = kindOf(ae)
@@ -293,7 +328,7 @@ private[engine] object DeltaAgg {
               _.semanticEquals(ae.aggregateFunction.children.head))
           else -1
         val slot = kind0 match {
-          case KindCountD =>
+          case KindCountD | KindSumD | KindAvgD =>
             Slot(next, kind0, dkIndexOf(ae.aggregateFunction.children.head))
           case KindMax if dkMatch >= 0 => Slot(next, KindMaxD, dkMatch)
           case KindMin if dkMatch >= 0 => Slot(next, KindMinD, dkMatch)
@@ -320,8 +355,8 @@ private[engine] object DeltaAgg {
       }.filter(_._1 >= 0).toMap
       var ok = true
       // outer aggregate wrapper for the two-level regime's visible pass
-      def aggE(f: AggregateFunction): Expression =
-        AggregateExpression(f, Complete, isDistinct = false, None,
+      def aggE(f: AggregateFunction, distinct: Boolean = false): Expression =
+        AggregateExpression(f, Complete, isDistinct = distinct, None,
           NamedExpression.newExprId)
       val visNamed: Seq[NamedExpression] = a.aggregateExpressions.map { ne =>
         if (isKeyOutput(a, ne)) UnresolvedAttribute.quoted(ne.name)
@@ -341,7 +376,25 @@ private[engine] object DeltaAgg {
                 case KindCountD =>
                   // state rows are unique per (keys, value): counting the
                   // value column counts each distinct non-NULL value once
-                  aggE(Count(Seq(UnresolvedAttribute(s"__dk${s.dkIdx}"))))
+                  // (DISTINCT again when several dk children multiply rows)
+                  aggE(Count(Seq(UnresolvedAttribute(s"__dk${s.dkIdx}"))),
+                    distinct = multiDk)
+                case KindSumD =>
+                  // Sum over the per-value rows = sum of distinct values;
+                  // NULL falls out (Sum of an empty/all-NULL column)
+                  Cast(aggE(Sum(UnresolvedAttribute(s"__dk${s.dkIdx}")),
+                    distinct = multiDk), ae.dataType)
+                case KindAvgD =>
+                  val av = ae.aggregateFunction.asInstanceOf[Average]
+                  val dk = s"__dk${s.dkIdx}"
+                  av.evaluateExpression.transform {
+                    case attr: AttributeReference if attr.exprId == av.sum.exprId =>
+                      Cast(aggE(Sum(UnresolvedAttribute(dk)),
+                        distinct = multiDk), av.sum.dataType)
+                    case attr: AttributeReference if attr.exprId == av.count.exprId =>
+                      aggE(Count(Seq(UnresolvedAttribute(dk))),
+                        distinct = multiDk)
+                  }
                 case KindMaxD => // extremum over the state's own key column
                   aggE(Max(UnresolvedAttribute(s"__dk${s.dkIdx}")))
                 case KindMinD =>
@@ -457,7 +510,7 @@ private[engine] object DeltaAgg {
       if (i >= 0) i else { dkChildren :+= c; dkChildren.size - 1 }
     }
     cs.foreach { ae =>
-      if (kindOf(ae) == KindCountD)
+      if (isDkKind(kindOf(ae)))
         dkIndexOf(ae.aggregateFunction.children.head)
     }
     val auxExprs: Seq[NamedExpression] = cs.flatMap { ae =>
@@ -480,7 +533,8 @@ private[engine] object DeltaAgg {
         Alias(AggregateExpression(Sum(e), Complete, isDistinct = false,
           None, NamedExpression.newExprId), s"__a$idx")()
       kind match {
-        case KindCountD | KindMaxD | KindMinD => Seq.empty
+        case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD =>
+          Seq.empty
         case k if isStd(k) =>
           // [sum-of-squares, sum, nonNullCnt] — exact decimal sums for an
           // integral-under-cast child (a long² always fits DECIMAL(38,0)),
@@ -668,7 +722,8 @@ private[engine] object DeltaAgg {
           .cast(LongType).as(cntName)
       slot.kind match {
         // their values ARE state-key columns — no aux arithmetic
-        case KindCountD | KindMaxD | KindMinD => Seq.empty
+        case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD =>
+          Seq.empty
         case KindCount =>
           Seq((z(s(v)) + z(a(v)) - z(d(v)))
             .cast(state.schema(v).dataType).as(v))

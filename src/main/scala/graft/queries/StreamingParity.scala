@@ -1200,6 +1200,40 @@ object StreamingParity {
       materialized
     },
 
+    // SUM/AVG(DISTINCT) fold (round 12): the distinct child is a state-key
+    // column, so the visible sum/avg re-aggregate the state's own per-value
+    // rows — a value contributes once however many references carry it,
+    // and leaves the sum when its last reference retracts. TWO distinct
+    // children here (value decade and event_id mod 7): state rows are
+    // (bucket, decade, mod) tuples, pinning the per-column DISTINCT
+    // re-aggregation — a plain Count/Sum over one dk column would tally
+    // each value once per combination with the other child's values.
+    q("m_mv_sum_distinct_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value,
+        |    max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        |  CAST(sum(DISTINCT CAST(floor(value / 10) AS BIGINT)) AS BIGINT) AS sdv,
+        |  round(avg(DISTINCT CAST(floor(value / 10) AS BIGINT)), 4) AS adv,
+        |  count(DISTINCT event_id % 7) AS dm
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_sdd_t", Seq(("m_sdd_mv",
+        """SELECT user_id % 10 AS bucket,
+          |  CAST(sum(DISTINCT CAST(floor(value / 10) AS BIGINT)) AS BIGINT) AS sdv,
+          |  round(avg(DISTINCT CAST(floor(value / 10) AS BIGINT)), 4) AS adv,
+          |  count(DISTINCT event_id % 7) AS dm
+          |FROM m_sdd_t GROUP BY 1""".stripMargin)))
+      val mv = rw.mvByName("m_sdd_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "SUM/AVG(DISTINCT) must fold via the two-level tier (round 12)")
+      require(mv.statementEvals <= 1,
+        "distinct-sum fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

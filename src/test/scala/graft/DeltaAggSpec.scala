@@ -704,4 +704,74 @@ class DeltaAggSpec extends SparkSpec {
     }
     rw.close()
   }
+
+  test("SUM/AVG(DISTINCT) fold via the two-level tier; refs retract exactly") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dsd_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, sum(DISTINCT v) AS sdv, avg(DISTINCT v) AS adv, " +
+      "count(DISTINCT v) AS dv FROM dsd_t GROUP BY grp", "dsd_mv")
+    val mv = rw.mvByName("dsd_mv").get
+    assert(mv.isDeltaAggMode,
+      "SUM/AVG(DISTINCT) must fold via the two-level tier (round 12)")
+    val t = rw.table("dsd_t").get
+    def state: Map[String, (Long, Double, Long)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // v=10 carried twice: it must contribute ONCE to the distinct sum
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 10L), Row(3L, "a", 20L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(state == Map("a" -> ((30L, 15.0, 2L))))
+    // retract one of the two refs: the distinct sum must not change
+    rw.execute("DELETE FROM dsd_t WHERE id = 1")
+    rw.flush()
+    assert(state == Map("a" -> ((30L, 15.0, 2L))),
+      "a surviving reference must keep the value in the distinct sum")
+    // retract the last v=10 ref: the value leaves the sum and the avg
+    rw.execute("DELETE FROM dsd_t WHERE id = 2")
+    rw.flush()
+    assert(state == Map("a" -> ((20L, 20.0, 1L))))
+    // NULL contributes to none of the three
+    t.insert(Seq(Row(4L, "a", null)))
+    rw.flush()
+    assert(state == Map("a" -> ((20L, 20.0, 1L))))
+    assert(mv.statementEvals == evals,
+      "distinct-sum epochs must not re-evaluate the statement")
+    rw.close()
+  }
+
+  test("multiple distinct children stay per-column over the shared state") {
+    // regression: with TWO distinct children the state rows are
+    // (grp, v, w) tuples — a non-DISTINCT visible Count/Sum over one dk
+    // column would tally each value once per combination with the other
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dmd_t", StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", LongType),
+      StructField("w", LongType))), primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(DISTINCT v) AS dv, count(DISTINCT w) AS dw, " +
+      "sum(DISTINCT v) AS sdv FROM dmd_t GROUP BY grp", "dmd_mv")
+    val mv = rw.mvByName("dmd_mv").get
+    assert(mv.isDeltaAggMode)
+    val t = rw.table("dmd_t").get
+    def state: Map[String, (Long, Long, Long)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // v=10 appears under two different w values → three (v, w) state rows
+    // but only two distinct v and two distinct w
+    t.insert(Seq(Row(1L, "a", 10L, 1L), Row(2L, "a", 10L, 2L),
+      Row(3L, "a", 20L, 1L)))
+    rw.flush()
+    assert(state == Map("a" -> ((2L, 2L, 30L))),
+      "per-column distinct must not count (v, w) combinations")
+    // retracting one (10, 1) row keeps v=10 alive via (10, 2)
+    rw.execute("DELETE FROM dmd_t WHERE id = 1")
+    rw.flush()
+    assert(state == Map("a" -> ((2L, 2L, 30L))))
+    // retracting (10, 2) drops v=10 AND w=2 together
+    rw.execute("DELETE FROM dmd_t WHERE id = 2")
+    rw.flush()
+    assert(state == Map("a" -> ((1L, 1L, 20L))))
+    assert(mv.isDeltaAggMode)
+    rw.close()
+  }
 }

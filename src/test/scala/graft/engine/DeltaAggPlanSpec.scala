@@ -44,6 +44,11 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
       "integral avg folds exactly via the long-sum slot (round 11)")
     assert(admitOf("SELECT grp, count(DISTINCT v) AS n FROM dap_v GROUP BY grp").nonEmpty,
       "COUNT(DISTINCT) folds via the two-level reference-count tier (round 12)")
+    assert(admitOf("SELECT grp, sum(DISTINCT v) AS s, avg(DISTINCT v) AS a " +
+      "FROM dap_v GROUP BY grp").nonEmpty,
+      "SUM/AVG(DISTINCT) over integrals fold via the two-level tier (round 12)")
+    assert(admitOf("SELECT grp, sum(DISTINCT d) AS s FROM dap_d GROUP BY grp").isEmpty,
+      "float SUM(DISTINCT) stays rejected — no order-insensitive re-sum exists")
     assert(admitOf("SELECT grp, stddev_samp(v) AS s FROM dap_v GROUP BY grp").nonEmpty,
       "stddev over an integral child folds via the sum-of-squares tier (round 12)")
     assert(admitOf("SELECT grp, stddev_samp(d) AS s FROM dap_d GROUP BY grp").isEmpty,
