@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias, AttributeReference, Cast, Coalesce, Divide, Expression, GreaterThan,
   Greatest, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min,
-  StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
+  AggregateExpression, AggregateFunction, Average, Complete, Count, Max,
+  Median, Min, Percentile, StddevPop, StddevSamp, Sum, VariancePop,
+  VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.functions.{
   broadcast, coalesce, col, greatest, least, lit, sum, when}
@@ -76,7 +77,8 @@ private[engine] object DeltaAgg {
   private[engine] final case class Slot(auxIdx: Int, kind: Int, dkIdx: Int = -1) {
     def width: Int = kind match {
       case KindCount => 1
-      case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD => 0
+      case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
+           KindPct => 0
       case KindSumF | KindAvgF => 3
       case KindStdS | KindStdP | KindVarS | KindVarP => 3
       case _ => 2
@@ -124,13 +126,39 @@ private[engine] object DeltaAgg {
     * order-insensitive spelling at the visible boundary. */
   private val KindSumD = 14
   private val KindAvgD = 15
+  /** Exact percentile/median (round 12): the two-level state IS the
+    * group's value HISTOGRAM — per-(group, value) reference counts — so
+    * the visible pass re-evaluates Spark's own [[Percentile]] with the
+    * state's row counter as its frequency argument. Exact for ANY numeric
+    * child including floats (the state stores the values themselves, not
+    * order-sensitive sums; the single interpolation at the output boundary
+    * is the same arithmetic a batch evaluation performs on the same
+    * multiset), and needs no retraction re-fetch: a retracted value's
+    * refcount simply reaches zero and the row leaves the histogram.
+    * State is O(distinct values) per group — the honest cost of exact
+    * percentile IVM (same state RisingWave's percentile operator keeps).
+    * Reference: risingwave-py surfaces percentile MVs via core.py's
+    * materialized-view passthrough. */
+  private val KindPct = 16
 
   private def isStd(kind: Int): Boolean =
     kind == KindStdS || kind == KindStdP || kind == KindVarS || kind == KindVarP
 
-  /** Kinds whose distinct child becomes a state-key (__dk) column. */
+  /** State-key (__dk) columns a call contributes: its distinct children
+    * (ALL of them for a multi-argument COUNT DISTINCT) or a percentile/
+    * median's ordering child. Empty = the call owns plain aux slots. */
+  private def dkChildrenOf(ae: AggregateExpression): Seq[Expression] =
+    kindOf(ae) match {
+      case KindCountD => ae.aggregateFunction.children
+      case KindSumD | KindAvgD => Seq(ae.aggregateFunction.children.head)
+      case KindPct => Seq(ae.aggregateFunction.children.head)
+      case _ => Nil
+    }
+
+  /** Kinds whose value columns live in the state KEY, not aux slots. */
   private def isDkKind(kind: Int): Boolean =
-    kind == KindCountD || kind == KindSumD || kind == KindAvgD
+    kind == KindCountD || kind == KindSumD || kind == KindAvgD ||
+      kind == KindPct
 
   private def isFloat(dt: DataType): Boolean =
     dt == DoubleType || dt == FloatType
@@ -149,9 +177,15 @@ private[engine] object DeltaAgg {
     if (ae.isDistinct) ae.aggregateFunction match {
       case _: Sum => KindSumD
       case _: Average => KindAvgD
+      // MIN/MAX(DISTINCT x) ≡ MIN/MAX(x): normalize to the plain
+      // extremum slots (no reason to key the state by x for them; if
+      // another call DOES key it, the dk-match below upgrades anyway)
+      case _: Max => KindMax
+      case _: Min => KindMin
       case _ => KindCountD
     }
     else ae.aggregateFunction match {
+      case _: Percentile | _: Median => KindPct
       case s: Sum if isFloat(s.child.dataType) => KindSumF
       case _: Sum => KindSum
       case av: Average if isFloat(av.child.dataType) => KindAvgF
@@ -222,12 +256,15 @@ private[engine] object DeltaAgg {
       ae.aggregateFunction.children.forall(_.deterministic) &&
       (if (ae.isDistinct)
         // COUNT/SUM/AVG(DISTINCT x) — the two-level tier keys the state by
-        // x, so x must be a single groupable/orderable child; SUM/AVG stay
-        // in the exact tier (integral/decimal child) since the visible
-        // re-sum over distinct values has no Kahan spelling (round 12)
+        // x, so every distinct child must be groupable/orderable (COUNT
+        // admits multi-argument calls: each child becomes a key column and
+        // the visible re-count goes over the tuple); SUM/AVG stay in the
+        // exact tier (integral/decimal child) since the visible re-sum
+        // over distinct values has no Kahan spelling (round 12).
+        // MIN/MAX(DISTINCT) ≡ MIN/MAX — normalized to the plain slots.
         ae.aggregateFunction match {
-          case c: Count => c.children.size == 1 &&
-            orderable(c.children.head.dataType)
+          case c: Count => c.children.nonEmpty &&
+            c.children.forall(ch => orderable(ch.dataType))
           case s: Sum => s.child.dataType match {
             case ByteType | ShortType | IntegerType | LongType |
                  _: DecimalType => true
@@ -238,10 +275,32 @@ private[engine] object DeltaAgg {
                  _: DecimalType => true
             case _ => false
           }
+          case m: Max => orderable(m.child.dataType)
+          case m: Min => orderable(m.child.dataType)
           case _ => false
         }
       else ae.aggregateFunction match {
         case _: Count => true
+        // exact percentile/median (round 12): the child becomes a state
+        // key, so the carried state is the group's value histogram and
+        // the visible pass re-runs Percentile frequency-weighted by the
+        // state's row counter. Any numeric child is exact here — the
+        // state holds values, not order-sensitive sums. The percentage
+        // must fold (it re-binds verbatim in the visible pass) and the
+        // frequency must be the parser's default 1 (a user-supplied
+        // frequency column is not derivable from the histogram state).
+        case p: Percentile =>
+          p.child.dataType.isInstanceOf[NumericType] &&
+            orderable(p.child.dataType) &&
+            p.percentageExpression.foldable && !p.reverse &&
+            (p.frequencyExpression match {
+              case Literal(v, ByteType | ShortType | IntegerType | LongType) =>
+                v != null && v.toString == "1"
+              case _ => false
+            })
+        case m: Median =>
+          m.child.dataType.isInstanceOf[NumericType] &&
+            orderable(m.child.dataType)
         case s: Sum => s.child.dataType match {
           case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
           // float tier: Kahan-compensated fold behind the opt-in flag
@@ -291,44 +350,44 @@ private[engine] object DeltaAgg {
       // maintenance. The visibility mapping below still requires every
       // output to be a grouping key.
       if (!cs.forall(admittedCall(_, allowFloat))) return None
-      val hasDistinct = cs.exists(_.isDistinct)
-      // the two-level tier folds every slot at (keys ++ distinct children)
-      // granularity — exact for COUNT/SUM/AVG/MIN/MAX, but a Kahan float
-      // fold re-summed at visible time loses its compensation and the
-      // stddev finish has no outer-re-aggregation spelling here, so
-      // neither composes with DISTINCT
-      if (hasDistinct && cs.exists(ae => {
-        val k = kindOf(ae); k == KindSumF || k == KindAvgF || isStd(k) }))
+      // the two-level tier folds every slot at (keys ++ dk children)
+      // granularity — exact for COUNT/SUM/AVG/MIN/MAX/stddev (the stddev
+      // visible pass re-sums its per-inner exact partials), but a Kahan
+      // float fold re-summed at visible time loses its compensation, so
+      // the float tier does not compose with dk-keyed state
+      val needTwoLevel = cs.exists(ae => dkChildrenOf(ae).nonEmpty)
+      if (needTwoLevel && cs.exists(ae => {
+        val k = kindOf(ae); k == KindSumF || k == KindAvgF }))
         return None
-      // slot layout, by traversal order; DISTINCT children dedupe
-      // semantically into shared state-key columns (pass 1 collects them
-      // BEFORE slot assignment so a MIN/MAX preceding its matching
-      // DISTINCT call still becomes dk-backed)
+      // slot layout, by traversal order; dk children (DISTINCT children,
+      // percentile ordering children) dedupe semantically into shared
+      // state-key columns (pass 1 collects them BEFORE slot assignment so
+      // a MIN/MAX preceding its matching dk call still becomes dk-backed)
       var next = 0
       var dkChildren = Seq.empty[Expression]
       def dkIndexOf(c: Expression): Int = {
         val i = dkChildren.indexWhere(_.semanticEquals(c))
         if (i >= 0) i else { dkChildren :+= c; dkChildren.size - 1 }
       }
-      cs.foreach { ae =>
-        if (isDkKind(kindOf(ae)))
-          dkIndexOf(ae.aggregateFunction.children.head)
-      }
-      // more than one distinct child: state rows are (keys, a, b, …)
-      // tuples, so every dk-derived visible aggregate must itself be
-      // DISTINCT over its own column — a plain Count/Sum would tally one
-      // value once per combination with the OTHER children's values
+      cs.foreach(ae => dkChildrenOf(ae).foreach(dkIndexOf))
+      // more than one dk child: state rows are (keys, a, b, …) tuples, so
+      // every dk-derived visible DISTINCT aggregate must itself be
+      // DISTINCT over its own column(s) — a plain Count/Sum would tally
+      // one value once per combination with the OTHER children's values.
+      // (Percentile is immune: its frequency weighting sums the row
+      // counter across the other children's combinations, which is
+      // exactly the value's total multiplicity.)
       val multiDk = dkChildren.size > 1
       val slotByCall = new java.util.IdentityHashMap[AggregateExpression, Slot]()
       val slots = cs.map { ae =>
         val kind0 = kindOf(ae)
         val dkMatch =
-          if (hasDistinct && (kind0 == KindMax || kind0 == KindMin))
+          if (kind0 == KindMax || kind0 == KindMin)
             dkChildren.indexWhere(
               _.semanticEquals(ae.aggregateFunction.children.head))
           else -1
         val slot = kind0 match {
-          case KindCountD | KindSumD | KindAvgD =>
+          case KindCountD | KindSumD | KindAvgD | KindPct =>
             Slot(next, kind0, dkIndexOf(ae.aggregateFunction.children.head))
           case KindMax if dkMatch >= 0 => Slot(next, KindMaxD, dkMatch)
           case KindMin if dkMatch >= 0 => Slot(next, KindMinD, dkMatch)
@@ -363,9 +422,9 @@ private[engine] object DeltaAgg {
         else {
           val derived = ne.transform {
             case ae: AggregateExpression if slotByCall.containsKey(ae) &&
-                hasDistinct =>
+                needTwoLevel =>
               // TWO-LEVEL visible derivations: the state row is one INNER
-              // group (outer keys ++ distinct values), so every slot
+              // group (outer keys ++ dk values), so every slot
               // re-aggregates its per-inner partials by the outer keys —
               // exact for this tier's admitted kinds (sum of sums, max of
               // maxes; the non-NULL counters re-sum for NULL discipline)
@@ -374,11 +433,13 @@ private[engine] object DeltaAgg {
                 aggE(Sum(UnresolvedAttribute(c)))
               s.kind match {
                 case KindCountD =>
-                  // state rows are unique per (keys, value): counting the
-                  // value column counts each distinct non-NULL value once
-                  // (DISTINCT again when several dk children multiply rows)
-                  aggE(Count(Seq(UnresolvedAttribute(s"__dk${s.dkIdx}"))),
-                    distinct = multiDk)
+                  // state rows are unique per (keys, values): counting the
+                  // value column(s) counts each distinct non-NULL tuple
+                  // once (DISTINCT again when OTHER dk children multiply
+                  // rows; multi-argument COUNT counts its own tuple)
+                  val dks = ae.aggregateFunction.children.map(c =>
+                    UnresolvedAttribute(s"__dk${dkIndexOf(c)}"): Expression)
+                  aggE(Count(dks), distinct = multiDk)
                 case KindSumD =>
                   // Sum over the per-value rows = sum of distinct values;
                   // NULL falls out (Sum of an empty/all-NULL column)
@@ -395,6 +456,22 @@ private[engine] object DeltaAgg {
                       aggE(Count(Seq(UnresolvedAttribute(dk))),
                         distinct = multiDk)
                   }
+                case KindPct =>
+                  // the state is the value histogram: re-run Spark's own
+                  // Percentile over the per-value rows with the refcount
+                  // as frequency — frequency sums across other dk
+                  // children's combinations, reproducing each value's
+                  // exact multiplicity; NULL values sit in the NULL inner
+                  // group, which Percentile ignores
+                  val dk = UnresolvedAttribute(s"__dk${s.dkIdx}")
+                  val freq = UnresolvedAttribute(RowsCol)
+                  val pct = ae.aggregateFunction match {
+                    case p: Percentile =>
+                      new Percentile(dk, p.percentageExpression, freq)
+                    case _ =>
+                      new Percentile(dk, Literal(0.5, DoubleType), freq)
+                  }
+                  Cast(aggE(pct), ae.dataType)
                 case KindMaxD => // extremum over the state's own key column
                   aggE(Max(UnresolvedAttribute(s"__dk${s.dkIdx}")))
                 case KindMinD =>
@@ -414,6 +491,26 @@ private[engine] object DeltaAgg {
                     case attr: AttributeReference if attr.exprId == av.count.exprId =>
                       Cast(sumOf(s"__a${s.cntIdx}"), av.count.dataType)
                   }
+                case k if isStd(k) =>
+                  // stddev/variance re-aggregate exactly: per-inner
+                  // [S₂, S₁, n] partials are plain (decimal-exact) sums,
+                  // so summing them across inner groups reproduces the
+                  // outer group's moments; same finish as the flat tier
+                  val n = Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L)))
+                  val nD = Cast(n, DoubleType)
+                  val s2 = Cast(sumOf(s"__a${s.auxIdx}"), DoubleType)
+                  val s1 = Cast(sumOf(s"__a${s.auxIdx + 1}"), DoubleType)
+                  val m2 = Greatest(Seq(
+                    Subtract(s2, Divide(Multiply(s1, s1), nD)),
+                    Literal(0.0, DoubleType)))
+                  val samp = k == KindStdS || k == KindVarS
+                  val variance = Divide(m2,
+                    if (samp) Subtract(nD, Literal(1.0, DoubleType)) else nD)
+                  val value =
+                    if (k == KindStdS || k == KindStdP) Sqrt(variance)
+                    else variance
+                  If(GreaterThan(n, Literal(if (samp) 1L else 0L)),
+                    value, Literal(null, DoubleType))
                 case KindMax =>
                   If(GreaterThan(Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L))),
                       Literal(0L)),
@@ -509,10 +606,7 @@ private[engine] object DeltaAgg {
       val i = dkChildren.indexWhere(_.semanticEquals(c))
       if (i >= 0) i else { dkChildren :+= c; dkChildren.size - 1 }
     }
-    cs.foreach { ae =>
-      if (isDkKind(kindOf(ae)))
-        dkIndexOf(ae.aggregateFunction.children.head)
-    }
+    cs.foreach(ae => dkChildrenOf(ae).foreach(dkIndexOf))
     val auxExprs: Seq[NamedExpression] = cs.flatMap { ae =>
       val kind0 = kindOf(ae)
       // dk-backed extremum: same detection as admit (pass 1 above filled
@@ -533,7 +627,8 @@ private[engine] object DeltaAgg {
         Alias(AggregateExpression(Sum(e), Complete, isDistinct = false,
           None, NamedExpression.newExprId), s"__a$idx")()
       kind match {
-        case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD =>
+        case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
+             KindPct =>
           Seq.empty
         case k if isStd(k) =>
           // [sum-of-squares, sum, nonNullCnt] — exact decimal sums for an
@@ -722,7 +817,8 @@ private[engine] object DeltaAgg {
           .cast(LongType).as(cntName)
       slot.kind match {
         // their values ARE state-key columns — no aux arithmetic
-        case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD =>
+        case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
+             KindPct =>
           Seq.empty
         case KindCount =>
           Seq((z(s(v)) + z(a(v)) - z(d(v)))

@@ -1234,6 +1234,44 @@ object StreamingParity {
       materialized
     },
 
+    // exact percentile/median fold (round 12): the two-level state IS the
+    // group's value histogram (per-(group, value) refcounts), and the
+    // visible pass re-runs Spark's Percentile frequency-weighted by the
+    // state's row counter — exact for doubles (values are stored, not
+    // summed; Spark's p·(n−1) linear interpolation is DuckDB's
+    // quantile_cont). A distinct counter shares the state (two dk
+    // children) and stddev re-aggregates its per-inner exact partials —
+    // the full histogram-tier composition in one MV.
+    q("m_mv_percentile_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value,
+        |    max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(median(value), 4) AS med,
+        |  round(stddev_samp(CAST(floor(value) AS BIGINT)), 4) AS sd,
+        |  count(DISTINCT event_id % 5) AS dm
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_pctf_t", Seq(("m_pctf_mv",
+        """SELECT user_id % 8 AS bucket,
+          |  round(percentile(value, 0.5), 4) AS p50,
+          |  round(percentile(value, 0.9), 4) AS p90,
+          |  round(median(value), 4) AS med,
+          |  round(stddev_samp(CAST(floor(value) AS BIGINT)), 4) AS sd,
+          |  count(DISTINCT event_id % 5) AS dm
+          |FROM m_pctf_t GROUP BY 1""".stripMargin)))
+      val mv = rw.mvByName("m_pctf_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "percentile must fold via the histogram tier (round 12)")
+      require(mv.statementEvals <= 1,
+        "percentile fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

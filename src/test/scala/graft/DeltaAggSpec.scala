@@ -310,12 +310,14 @@ class DeltaAggSpec extends SparkSpec {
   test("non-decomposable aggregates fall back to recompute and stay correct") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("daf_t", schema, primaryKey = Seq("id"))
-    // percentile (not stddev — that folds since round 12) is the
-    // genuinely non-decomposable representative
-    rw.mv("SELECT grp, round(percentile(v, 0.5), 4) AS sd FROM daf_t GROUP BY grp", "daf_std")
+    // approx_count_distinct (not stddev or percentile — those fold since
+    // round 12) is the genuinely non-decomposable representative: an HLL
+    // sketch cannot retract
+    rw.mv("SELECT grp, CAST(approx_count_distinct(v) AS BIGINT) AS sd " +
+      "FROM daf_t GROUP BY grp", "daf_std")
     val stdMv = rw.mvByName("daf_std").get
     assert(stdMv.isChangelogCascadeMode && !stdMv.isDeltaAggMode,
-      "percentile has no invertible fold — recompute cascade")
+      "approx_count_distinct has no invertible fold — recompute cascade")
     rw.createTable("daf_d", StructType(Seq(StructField("id", LongType),
       StructField("grp", StringType), StructField("d", DoubleType))),
       primaryKey = Seq("id"))
@@ -325,8 +327,9 @@ class DeltaAggSpec extends SparkSpec {
     val t = rw.table("daf_t").get
     t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 21L)))
     rw.flush()
-    assert(stdMv.df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ==
-      Set(("a", 15.5)))
+    assert(stdMv.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L)),
+      "the recompute cascade must still produce exact small-n sketch counts")
     rw.close()
   }
 
@@ -772,6 +775,134 @@ class DeltaAggSpec extends SparkSpec {
     rw.flush()
     assert(state == Map("a" -> ((1L, 1L, 20L))))
     assert(mv.isDeltaAggMode)
+    rw.close()
+  }
+
+  test("percentile/median fold via the value-histogram state, doubles exact") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dpc_t", StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", DoubleType))),
+      primaryKey = Seq("id"))
+    // max(v) shares the histogram key → dk-backed extremum, no re-fetch
+    rw.mv("SELECT grp, percentile(v, 0.5) AS p50, median(v) AS med, " +
+      "percentile(v, 0.9) AS p90, max(v) AS mx FROM dpc_t GROUP BY grp",
+      "dpc_mv")
+    val mv = rw.mvByName("dpc_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "exact percentile must fold via the histogram tier (round 12)")
+    val t = rw.table("dpc_t").get
+    def state: Map[String, (Any, Any, Any, Any)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.get(1), r.get(2), r.get(3), r.get(4)))).toMap
+    // duplicated value 20.0 must weight the histogram by its refcount
+    t.insert(Seq(Row(1L, "a", 10.0), Row(2L, "a", 20.0), Row(3L, "a", 30.0),
+      Row(4L, "a", 20.0), Row(5L, "b", 1.5)))
+    rw.flush()
+    val evals = mv.statementEvals
+    // a: sorted [10,20,20,30] — p50 = 20; p90 at pos 2.7 = 20 + 0.7*10
+    assert(state("a") == ((20.0, 20.0, 27.000000000000004, 30.0)))
+    assert(state("b") == ((1.5, 1.5, 1.5, 1.5)))
+    // retract the maximum: histogram loses one value, percentiles shift,
+    // and the dk-backed max re-derives WITHOUT an extremum re-fetch
+    rw.execute("DELETE FROM dpc_t WHERE id = 3")
+    rw.flush()
+    assert(state("a") == ((20.0, 20.0, 20.0, 20.0)))
+    // retract ONE of the duplicated 20s: the value stays (refcount 1)
+    rw.execute("DELETE FROM dpc_t WHERE id = 4")
+    rw.flush()
+    assert(state("a") == ((15.0, 15.0, 19.0, 20.0)),
+      "sorted [10,20]: p50 interpolates to 15, p90 to 19")
+    // NULL values sit in the histogram's NULL row — Percentile ignores it
+    t.insert(Seq(Row(6L, "a", null)))
+    rw.flush()
+    assert(state("a") == ((15.0, 15.0, 19.0, 20.0)))
+    // group b vanishes with its last row
+    rw.execute("DELETE FROM dpc_t WHERE grp = 'b'")
+    rw.flush()
+    assert(!state.contains("b"))
+    assert(mv.statementEvals == evals,
+      "percentile fold epochs must not re-evaluate the statement")
+    rw.close()
+  }
+
+  test("percentile matches batch evaluation over a replayed interleaving") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dpb_t", StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", DoubleType))),
+      primaryKey = Seq("id"))
+    val stmt = "SELECT grp, percentile(v, 0.25) AS q1, median(v) AS med, " +
+      "stddev_samp(CAST(v AS BIGINT)) AS sd, count(DISTINCT v) AS dv " +
+      "FROM dpb_t GROUP BY grp"
+    rw.mv(stmt, "dpb_mv")
+    val mv = rw.mvByName("dpb_mv").get
+    assert(mv.isDeltaAggMode,
+      "stddev must re-aggregate exactly over the two-level state")
+    val t = rw.table("dpb_t").get
+    val rnd = new scala.util.Random(42)
+    var nextId = 0L
+    for (_ <- 0 until 6) {
+      // unique ids per batch (in-batch upsert order is not the property
+      // under test); a mix of fresh ids and overwrites of earlier ones
+      val ops = (0 until 10).map { _ =>
+        nextId += 1
+        val id = if (rnd.nextBoolean() && nextId > 4)
+          rnd.nextLong(nextId) + 1 else nextId
+        id -> Row(id, s"g${rnd.nextInt(3)}", (rnd.nextInt(9) + 1) * 10.0)
+      }.toMap.values.toSeq
+      t.insert(ops)
+      if (rnd.nextBoolean()) rw.execute(
+        s"DELETE FROM dpb_t WHERE id = ${rnd.nextLong(nextId) + 1}")
+      rw.flush()
+      val got = mv.df.collect().map(r => (r.getString(0), r.get(1), r.get(2),
+        r.get(3), r.get(4))).toSet
+      val want = rw.fetch(stmt)
+        .map(r => (r.getString(0), r.get(1), r.get(2),
+          r.get(3), r.get(4))).toSet
+      // doubles: percentiles bit-match (same multiset, same interpolation);
+      // stddev compares within an epsilon (different summation order)
+      def close(a: Any, b: Any): Boolean = (a, b) match {
+        case (null, null) => true
+        case (x: Double, y: Double) => math.abs(x - y) < 1e-9
+        case (x, y) => x == y
+      }
+      val wantByKey = want.map(w => w._1 -> w).toMap
+      assert(got.size == want.size && got.forall { g =>
+        wantByKey.get(g._1).exists(w =>
+          close(g._2, w._2) && close(g._3, w._3) &&
+          close(g._4, w._4) && g._5 == w._5)
+      }, s"fold diverged from batch:\ngot  $got\nwant $want")
+    }
+    rw.close()
+  }
+
+  test("MIN/MAX(DISTINCT) normalize; multi-arg COUNT(DISTINCT) counts tuples") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dmm_t", StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", LongType),
+      StructField("w", LongType))), primaryKey = Seq("id"))
+    rw.mv("SELECT grp, max(DISTINCT v) AS mx, min(DISTINCT v) AS mn, " +
+      "count(DISTINCT v, w) AS pairs FROM dmm_t GROUP BY grp", "dmm_mv")
+    val mv = rw.mvByName("dmm_mv").get
+    assert(mv.isDeltaAggMode,
+      "MIN/MAX(DISTINCT) ≡ MIN/MAX — must not block the fold")
+    val t = rw.table("dmm_t").get
+    def state: Map[String, (Long, Long, Long)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // (10,1) appears twice → one tuple; three distinct (v,w) pairs
+    t.insert(Seq(Row(1L, "a", 10L, 1L), Row(2L, "a", 10L, 1L),
+      Row(3L, "a", 10L, 2L), Row(4L, "a", 20L, 1L)))
+    rw.flush()
+    assert(state == Map("a" -> ((20L, 10L, 3L))))
+    // retract the only v=20 row: max falls back to 10, pairs drop to 2
+    rw.execute("DELETE FROM dmm_t WHERE id = 4")
+    rw.flush()
+    assert(state == Map("a" -> ((10L, 10L, 2L))))
+    // a NULL in either column keeps the tuple out of the count
+    t.insert(Seq(Row(5L, "a", 30L, null)))
+    rw.flush()
+    assert(state == Map("a" -> ((30L, 10L, 2L))),
+      "COUNT(DISTINCT v, w) must skip tuples with any NULL; max sees 30")
     rw.close()
   }
 }

@@ -60,5 +60,23 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
     assert(admitOf(
       "SELECT grp, CAST(sum(v) AS BIGINT) AS sv, count(*) > 1 AS big FROM dap_v GROUP BY grp").nonEmpty,
       "deterministic wrappers over admitted calls must be admitted")
+    // round 12: exact percentile/median via the value-histogram state —
+    // floats admit (the state stores values, not order-sensitive sums)
+    assert(admitOf("SELECT grp, percentile(d, 0.5) AS p, median(d) AS m " +
+      "FROM dap_d GROUP BY grp").nonEmpty,
+      "percentile/median fold via the histogram tier, even over doubles")
+    assert(admitOf("SELECT grp, percentile(d, 0.5, 2) AS p FROM dap_d GROUP BY grp").isEmpty,
+      "a user-supplied frequency is not derivable from the histogram state")
+    assert(admitOf("SELECT grp, max(DISTINCT v) AS m, min(DISTINCT d) AS n " +
+      "FROM dap_v JOIN dap_d USING (grp) GROUP BY grp").nonEmpty,
+      "MIN/MAX(DISTINCT) normalize to the plain extremum slots")
+    assert(admitOf("SELECT grp, count(DISTINCT v, d) AS n " +
+      "FROM dap_v JOIN dap_d USING (grp) GROUP BY grp").nonEmpty,
+      "multi-argument COUNT(DISTINCT) keys the state by the tuple")
+    assert(admitOf("SELECT grp, count(DISTINCT v) AS n, stddev_samp(v) AS s " +
+      "FROM dap_v GROUP BY grp").nonEmpty,
+      "stddev re-aggregates exactly over the two-level state (round 12)")
+    assert(admitOf("SELECT grp, approx_count_distinct(v) AS n FROM dap_v GROUP BY grp").isEmpty,
+      "HLL sketches are non-retractable — recompute cascade")
   }
 }
