@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias, AttributeReference, Cast, Coalesce, Divide, Expression, GreaterThan,
   Greatest, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, AggregateFunction, Average, Complete, Count, Max,
-  Median, Min, Percentile, StddevPop, StddevSamp, Sum, VariancePop,
-  VarianceSamp}
+  AggregateExpression, AggregateFunction, Average, BoolAnd, BoolOr,
+  Complete, Count, CountIf, Max, MaxBy, Median, Min, MinBy, Percentile,
+  StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.functions.{
   broadcast, coalesce, col, greatest, least, lit, sum, when}
@@ -81,6 +81,7 @@ private[engine] object DeltaAgg {
            KindPct => 0
       case KindSumF | KindAvgF => 3
       case KindStdS | KindStdP | KindVarS | KindVarP => 3
+      case KindMaxBy | KindMinBy => 3 // [arg, extremum ord, nonNullOrdCnt]
       case _ => 2
     }
     /** Index of the slot's non-NULL counter column (valid for width ≥ 2). */
@@ -140,6 +141,15 @@ private[engine] object DeltaAgg {
     * Reference: risingwave-py surfaces percentile MVs via core.py's
     * materialized-view passthrough. */
   private val KindPct = 16
+  /** max_by/min_by (round 12): the argument-at-extremum pair folds like
+    * the extremum tier — inserts compare ordering values and carry the
+    * winning argument; a retraction whose ordering value ties or beats
+    * the carried extremum re-fetches the group (the argument at the new
+    * extremum is not derivable from [arg, ord] state alone). These are
+    * the latest-row primitives (RisingWave's own upsert materialization
+    * is arg_max over the version column). */
+  private val KindMaxBy = 17
+  private val KindMinBy = 18
 
   private def isStd(kind: Int): Boolean =
     kind == KindStdS || kind == KindStdP || kind == KindVarS || kind == KindVarP
@@ -186,6 +196,12 @@ private[engine] object DeltaAgg {
     }
     else ae.aggregateFunction match {
       case _: Percentile | _: Median => KindPct
+      // bool_and/bool_or ARE min/max over booleans (false < true) — the
+      // extremum slots, including the retraction re-fetch, apply verbatim
+      case _: BoolAnd => KindMin
+      case _: BoolOr => KindMax
+      case _: MaxBy => KindMaxBy
+      case _: MinBy => KindMinBy
       case s: Sum if isFloat(s.child.dataType) => KindSumF
       case _: Sum => KindSum
       case av: Average if isFloat(av.child.dataType) => KindAvgF
@@ -232,10 +248,12 @@ private[engine] object DeltaAgg {
       * keep the union+re-sum fast path. */
     private[DeltaAgg] def needJoinMerge: Boolean =
       slots.exists(s => s.kind == KindMax || s.kind == KindMin ||
+        s.kind == KindMaxBy || s.kind == KindMinBy ||
         s.kind == KindSumF || s.kind == KindAvgF)
-    /** Spec probe: whether any slot is a MIN/MAX extremum. */
+    /** Spec probe: whether any slot re-fetches on extremum retraction. */
     private[graft] def hasExtremum: Boolean =
-      slots.exists(s => s.kind == KindMax || s.kind == KindMin)
+      slots.exists(s => s.kind == KindMax || s.kind == KindMin ||
+        s.kind == KindMaxBy || s.kind == KindMinBy)
   }
 
   private def isKeyOutput(a: Aggregate, ne: NamedExpression): Boolean = ne match {
@@ -281,6 +299,17 @@ private[engine] object DeltaAgg {
         }
       else ae.aggregateFunction match {
         case _: Count => true
+        // count_if is a count slot whose partial evaluates the predicate
+        // (its runtime replacement is Count(nullif(pred, false)))
+        case _: CountIf => true
+        case _: BoolAnd | _: BoolOr => true // boolean extremum slots
+        // max_by/min_by: the ordering child drives the extremum fold and
+        // the retraction underflow test; the argument rides along. Both
+        // stay in atomic orderable types so the carried state snapshots
+        case mb: MaxBy => orderable(mb.children(1).dataType) &&
+          orderable(mb.children(0).dataType)
+        case mb: MinBy => orderable(mb.children(1).dataType) &&
+          orderable(mb.children(0).dataType)
         // exact percentile/median (round 12): the child becomes a state
         // key, so the carried state is the group's value histogram and
         // the visible pass re-runs Percentile frequency-weighted by the
@@ -516,6 +545,17 @@ private[engine] object DeltaAgg {
                       Literal(0L)),
                     aggE(Max(UnresolvedAttribute(s"__a${s.auxIdx}"))),
                     Literal(null, ae.dataType))
+                case KindMaxBy | KindMinBy =>
+                  // per-inner [arg, ord] pairs re-compete across the
+                  // outer group with the same max_by/min_by semantics
+                  val arg = UnresolvedAttribute(s"__a${s.auxIdx}")
+                  val ord = UnresolvedAttribute(s"__a${s.auxIdx + 1}")
+                  val f: AggregateFunction =
+                    if (s.kind == KindMaxBy) MaxBy(arg, ord)
+                    else MinBy(arg, ord)
+                  If(GreaterThan(Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L))),
+                      Literal(0L)),
+                    aggE(f), Literal(null, ae.dataType))
                 case _ => // KindMin (floats rejected above)
                   If(GreaterThan(Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L))),
                       Literal(0L)),
@@ -545,7 +585,8 @@ private[engine] object DeltaAgg {
                     else variance
                   If(GreaterThan(n, Literal(if (samp) 1L else 0L)),
                     value, Literal(null, DoubleType))
-                case KindSum | KindSumF | KindMax | KindMin =>
+                case KindSum | KindSumF | KindMax | KindMin |
+                     KindMaxBy | KindMinBy =>
                   // value slots surface NULL exactly when the group has no
                   // non-NULL inputs — the paired counter decides
                   If(GreaterThan(UnresolvedAttribute(s"__a${s.cntIdx}"), Literal(0L)),
@@ -645,6 +686,17 @@ private[engine] object DeltaAgg {
           }
         case KindSum | KindMax | KindMin =>
           Seq(Alias(ae, s"__a$base")(), cnt(child, base + 1))
+        case KindMaxBy | KindMinBy =>
+          // [argument at the extremum, extremum ordering value,
+          //  non-NULL ordering counter] — rows with a NULL ordering value
+          // are invisible to max_by, so the counter tracks the ordering
+          val ord = ae.aggregateFunction.children(1)
+          val ext: AggregateFunction =
+            if (kind == KindMaxBy) Max(ord) else Min(ord)
+          Seq(Alias(ae, s"__a$base")(),
+            Alias(AggregateExpression(ext, Complete, isDistinct = false,
+              None, NamedExpression.newExprId), s"__a${base + 1}")(),
+            cnt(ord, base + 2))
         case KindAvg =>
           // the avg folds as its (decimal-exact) sum + non-null count
           Seq(
@@ -760,15 +812,31 @@ private[engine] object DeltaAgg {
     def regroup(df: DataFrame): DataFrame = {
       val combined = auxCols.map { c =>
         val idx = c.stripPrefix("__a")
-        // width-0 (COUNT DISTINCT) slots share their auxIdx with the next
-        // slot — they own no aux column, so they never resolve here
+        // width-0 (COUNT DISTINCT / histogram) slots share their auxIdx
+        // with the next slot — they own no aux column, never resolve here.
+        // Match by column OFFSET within the owning slot: max_by's three
+        // columns combine differently (arg follows its ord; ord takes the
+        // extremum; the counter sums).
         val slot = spec.slots.find(s =>
           c != RowsCol && idx.nonEmpty && idx.forall(_.isDigit) &&
-            s.width > 0 && s.auxIdx == idx.toInt)
+            s.width > 0 && idx.toInt >= s.auxIdx &&
+            idx.toInt < s.auxIdx + s.width)
+        val off = slot.map(idx.toInt - _.auxIdx).getOrElse(-1)
         slot match {
-          case Some(s) if s.kind == KindMax =>
+          case Some(s) if s.kind == KindMax && off == 0 =>
             org.apache.spark.sql.functions.max(col(c)).as(c)
-          case Some(s) if s.kind == KindMin =>
+          case Some(s) if s.kind == KindMin && off == 0 =>
+            org.apache.spark.sql.functions.min(col(c)).as(c)
+          case Some(s) if (s.kind == KindMaxBy || s.kind == KindMinBy) &&
+              off == 0 =>
+            val ordc = s"__a${s.auxIdx + 1}"
+            (if (s.kind == KindMaxBy)
+              org.apache.spark.sql.functions.max_by(col(c), col(ordc))
+            else
+              org.apache.spark.sql.functions.min_by(col(c), col(ordc))).as(c)
+          case Some(s) if s.kind == KindMaxBy && off == 1 =>
+            org.apache.spark.sql.functions.max(col(c)).as(c)
+          case Some(s) if s.kind == KindMinBy && off == 1 =>
             org.apache.spark.sql.functions.min(col(c)).as(c)
           case _ => sum(col(c)).as(c)
         }
@@ -851,6 +919,27 @@ private[engine] object DeltaAgg {
             if (slot.kind == KindMax) greatest(s(v), a(v)) else least(s(v), a(v))
           Seq(
             when(uf, lit(null).cast(state.schema(v).dataType)).otherwise(fold).as(v),
+            counters(cn))
+        case KindMaxBy | KindMinBy =>
+          // the ORDERING column drives both the fold and the underflow
+          // test; the argument column follows whichever side won. A
+          // retraction tying-or-beating the carried extremum ordering
+          // value re-fetches (the runner-up argument is not in state).
+          val ov = s"__a${slot.auxIdx + 1}"
+          val cn = s"__a${slot.cntIdx}"
+          val isMax = slot.kind == KindMaxBy
+          val safe = if (isMax) d(ov) < s(ov) else d(ov) > s(ov)
+          val uf = (z(d(cn)) > 0) && !coalesce(safe, lit(false))
+          ufFlags += uf
+          val takeAdd = s(ov).isNull ||
+            (a(ov).isNotNull && (if (isMax) a(ov) > s(ov) else a(ov) < s(ov)))
+          val argFold = when(takeAdd, a(v)).otherwise(s(v))
+          val ordFold = if (isMax) greatest(s(ov), a(ov)) else least(s(ov), a(ov))
+          Seq(
+            when(uf, lit(null).cast(state.schema(v).dataType))
+              .otherwise(argFold).as(v),
+            when(uf, lit(null).cast(state.schema(ov).dataType))
+              .otherwise(ordFold).as(ov),
             counters(cn))
         case _ => // KindSumF | KindAvgF — Kahan-compensated float fold
           val cp = s"__a${slot.auxIdx + 1}"

@@ -1272,6 +1272,41 @@ object StreamingParity {
       materialized
     },
 
+    // argument-at-extremum fold (round 12): max_by/min_by carry
+    // [arg, extremum ord, counter] state — inserts compare ordering
+    // values map-side, only a retraction tying-or-beating the carried
+    // extremum re-fetches its group (RisingWave's extremum re-fetch with
+    // the argument riding along); bool_and/bool_or fold as boolean
+    // extrema and count_if as a predicated count slot. event_id is unique
+    // per user so the arg_max/max_by tie semantics never diverge.
+    q("m_mv_argmax_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value,
+        |    max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 9 AS BIGINT) AS bucket,
+        |  arg_max(value, event_id) AS freshest,
+        |  arg_min(value, event_id) AS oldest,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  bool_or(value > 900) AS any_big,
+        |  CAST(count_if(value > 500) AS BIGINT) AS n_big
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_amx_t", Seq(("m_amx_mv",
+        """SELECT user_id % 9 AS bucket,
+          |  max_by(value, event_id) AS freshest,
+          |  min_by(value, event_id) AS oldest,
+          |  bool_and(value >= 0) AS all_nonneg,
+          |  bool_or(value > 900) AS any_big,
+          |  count_if(value > 500) AS n_big
+          |FROM m_amx_t GROUP BY 1""".stripMargin)))
+      val mv = rw.mvByName("m_amx_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "max_by/bool/count_if must fold via the delta-agg tier (round 12)")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

@@ -905,4 +905,58 @@ class DeltaAggSpec extends SparkSpec {
       "COUNT(DISTINCT v, w) must skip tuples with any NULL; max sees 30")
     rw.close()
   }
+
+  test("max_by/min_by fold; only ordering retractions re-fetch; bool slots") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dab_t", StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", LongType),
+      StructField("ord", LongType), StructField("b", BooleanType))),
+      primaryKey = Seq("id"))
+    rw.mv("SELECT grp, max_by(v, ord) AS latest, min_by(v, ord) AS first, " +
+      "bool_and(b) AS allb, bool_or(b) AS anyb, count_if(b) AS nb " +
+      "FROM dab_t GROUP BY grp", "dab_mv")
+    val mv = rw.mvByName("dab_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "max_by/bool_and/count_if must delta-accumulate (round 12)")
+    val t = rw.table("dab_t").get
+    def state: Map[String, (Any, Any, Any, Any, Long)] =
+      mv.df.collect().map(r => r.getString(0) ->
+        ((r.get(1), r.get(2), r.get(3), r.get(4), r.getLong(5)))).toMap
+    t.insert(Seq(Row(1L, "a", 100L, 1L, true), Row(2L, "a", 200L, 5L, false),
+      Row(3L, "a", 300L, 3L, true)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(state == Map("a" -> ((200L, 100L, false, true, 2L))))
+
+    // a higher ordering value folds directly — no re-fetch
+    t.insert(Seq(Row(4L, "a", 400L, 9L, true)))
+    rw.flush()
+    assert(state("a") == ((400L, 100L, false, true, 3L)))
+    assert(mv.statementEvals == evals,
+      "a new ordering maximum must fold without re-fetch")
+
+    // retracting a NON-extremum ordering row also folds directly (its
+    // false bool retracts via the MIN slot's own safety test)
+    rw.execute("DELETE FROM dab_t WHERE id = 2")
+    rw.flush()
+    assert(state("a")._1 == 400L && state("a")._5 == 3L)
+
+    // retracting the ordering MAXIMUM re-fetches: the runner-up argument
+    // (ord=3 → v=300) is not derivable from the carried [arg, ord] pair
+    val evals2 = mv.statementEvals
+    rw.execute("DELETE FROM dab_t WHERE id = 4")
+    rw.flush()
+    assert(state("a") == ((300L, 100L, true, true, 2L)))
+    assert(mv.statementEvals == evals2 + 1,
+      "retracting the ordering extremum must re-fetch exactly once")
+    assert(mv.isDeltaAggMode, "re-fetch must not demote the fold")
+
+    // NULL ordering rows are invisible to max_by/min_by
+    t.insert(Seq(Row(5L, "a", 999L, null, null)))
+    rw.flush()
+    assert(state("a")._1 == 300L && state("a")._2 == 100L)
+    // bool slots ignore the NULL b too
+    assert(state("a")._3 == true && state("a")._5 == 2L)
+    rw.close()
+  }
 }

@@ -78,5 +78,12 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
       "stddev re-aggregates exactly over the two-level state (round 12)")
     assert(admitOf("SELECT grp, approx_count_distinct(v) AS n FROM dap_v GROUP BY grp").isEmpty,
       "HLL sketches are non-retractable — recompute cascade")
+    // round 12: argument-at-extremum + boolean + predicated-count slots
+    assert(admitOf("SELECT grp, max_by(v, d) AS latest, min_by(d, v) AS fst " +
+      "FROM dap_v JOIN dap_d USING (grp) GROUP BY grp").nonEmpty,
+      "max_by/min_by fold with the ordering-retraction re-fetch")
+    assert(admitOf("SELECT grp, bool_and(v > 0) AS a, bool_or(v > 1) AS o, " +
+      "count_if(v > 0) AS n FROM dap_v GROUP BY grp").nonEmpty,
+      "bool_and/bool_or are boolean extrema; count_if is a count slot")
   }
 }
