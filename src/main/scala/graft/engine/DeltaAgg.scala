@@ -434,6 +434,16 @@ private[engine] object DeltaAgg {
       // re-evaluates over the derived aggregate values (unresolved
       // attribute references bind against the aux state frame)
       val keyNames = a.aggregateExpressions.filter(isKeyOutput(a, _)).map(_.name)
+      // every grouping expression must surface as an output key — a
+      // grouping column the output drops (e.g. a ROLLUP/CUBE plan's
+      // spark_grouping_id) would make the aux frame emit several state
+      // rows per visible key and the merge would collapse distinct inner
+      // groups (a rollup subtotal with the base group it shadows)
+      if (!a.groupingExpressions.forall(g => a.aggregateExpressions.exists {
+        case ar: AttributeReference => g.semanticEquals(ar)
+        case al: Alias => g.semanticEquals(al.child)
+        case _ => false
+      })) return None
       val keyForAttr: Map[Long, String] = a.aggregateExpressions.collect {
         case ar: AttributeReference => ar.exprId.id -> ar.name
         case al: Alias => al.child match {

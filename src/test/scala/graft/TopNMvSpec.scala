@@ -375,4 +375,40 @@ class TopNMvSpec extends SparkSpec {
     assert(mv.isTopNMode && mv.isDeltaAggMode)
     rw.close()
   }
+
+  test("top-N over a ROLLUP inner must not fold (hidden grouping_id) and stays correct") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("tn_ru", StructType(Seq(StructField("id", LongType),
+      StructField("g1", StringType), StructField("g2", StringType),
+      StructField("v", LongType))), primaryKey = Seq("id"))
+    // the rollup's Aggregate groups by spark_grouping_id, which the output
+    // drops — the delta-agg spec MUST refuse (its state would merge each
+    // subtotal row into the base group it shadows); the grouped-top-N path
+    // reaches the spec without the cascade's Multiset rejection, so this
+    // pins admit's own guard end to end
+    val stmt = "SELECT g1, g2, CAST(sum(v) AS BIGINT) AS sv FROM tn_ru " +
+      "GROUP BY ROLLUP(g1, g2) ORDER BY sv DESC, g1 NULLS FIRST, g2 NULLS FIRST LIMIT 3"
+    rw.mv(stmt, "tn_ru_mv")
+    val mv = rw.mvByName("tn_ru_mv").get
+    assert(!mv.isDeltaAggMode,
+      "a rollup inner must not delta-accumulate — grouping_id is no output key")
+    val t = rw.table("tn_ru").get
+    def read() = mv.df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def batch() = rw.fetch(stmt)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    t.insert(Seq(Row(1L, "a", "x", 10L), Row(2L, "a", "y", 20L),
+      Row(3L, "b", "x", 5L)))
+    rw.flush()
+    // grand total 35, a-subtotal 30, (a,y) 20 — subtotals must stay
+    // DISTINCT rows from the NULL-keyed base groups they shadow
+    assert(read() == Set((null, null, 35L), ("a", null, 30L), ("a", "y", 20L)))
+    assert(read() == batch())
+    // retraction flows through every rollup level
+    rw.execute("DELETE FROM tn_ru WHERE id = 2")
+    rw.flush()
+    assert(read() == batch())
+    assert(read().contains((null, null, 15L)))
+    rw.close()
+  }
 }

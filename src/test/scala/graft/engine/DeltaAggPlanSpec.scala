@@ -85,5 +85,12 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
     assert(admitOf("SELECT grp, bool_and(v > 0) AS a, bool_or(v > 1) AS o, " +
       "count_if(v > 0) AS n FROM dap_v GROUP BY grp").nonEmpty,
       "bool_and/bool_or are boolean extrema; count_if is a count slot")
+    // ROLLUP/CUBE plans group by spark_grouping_id, which the output
+    // drops — folding would collapse a subtotal row into the base group
+    // it shadows (the grouped-top-N path reaches admit without the
+    // cascade's Multiset rejection, so admit must reject on its own)
+    assert(admitOf("SELECT grp, count(*) AS n FROM dap_v " +
+      "GROUP BY ROLLUP(grp)").isEmpty,
+      "hidden grouping columns (rollup grouping_id) must reject the fold")
   }
 }
