@@ -1826,10 +1826,17 @@ final class MaterializedView private[engine](
     * LEFT dim GROUP BY dim col), previously recompute-mode, now folds. */
   private def admitDeltaAgg(df: DataFrame, ups: Seq[MaterializedView],
                             tbls: Seq[LiveTable]): Option[DeltaAgg.Spec] = {
-    if (ups.nonEmpty || tbls.isEmpty ||
+    if ((ups.isEmpty && tbls.isEmpty) ||
         // ops escape hatch + A/B measurement flag
         java.lang.Boolean.getBoolean("graft.disableDeltaAgg")) return None
-    val srcNames = tbls.map(_.viewName.toLowerCase)
+    // upstream MVs admit exactly like tables (round 12): their changelogs
+    // carry the same 4-op contract, CascadeSrc already exposes snap() for
+    // the OLD reconstruction and the extremum re-fetch, and the textual
+    // retarget binds their view names — so agg-over-MV cascades (the
+    // everyday rollup-over-rollup chain) fold instead of recomputing
+    // touched groups against the upstream snapshot
+    val srcNames = (tbls.map(_.viewName) ++ ups.map(_.viewName))
+      .map(_.toLowerCase)
     val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt)
       .collectWithSubqueries {
         case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>

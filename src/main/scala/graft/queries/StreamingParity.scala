@@ -712,10 +712,11 @@ object StreamingParity {
       val roll = rw.mvByName("m_pl_roll").get
       require(keep.isDeltaJoinMode,
         "quality-filter level must fold the document changelog")
-      require(ded.isChangelogCascadeMode,
-        "dedup level must cascade on the filter MV's changelog")
-      require(roll.isChangelogCascadeMode,
-        "rollup level must cascade on the dedup MV's changelog")
+      require(ded.isChangelogCascadeMode && ded.isDeltaAggMode,
+        "dedup level must delta-accumulate on the filter MV's changelog " +
+          "(MV-sourced fold, round 12; min_by slot)")
+      require(roll.isChangelogCascadeMode && roll.isDeltaAggMode,
+        "rollup level must delta-accumulate on the dedup MV's changelog")
       val rows = Tables(s, dir, "documents")
         .select("doc_id", "text", "lang", "n_chars")
         .collect().sortBy(_.getLong(0))

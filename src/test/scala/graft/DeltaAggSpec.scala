@@ -959,4 +959,56 @@ class DeltaAggSpec extends SparkSpec {
     assert(state("a")._3 == true && state("a")._5 == 2L)
     rw.close()
   }
+
+  test("aggregate over an UPSTREAM MV changelog folds (agg→agg chain, round 12)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dup_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM dup_t GROUP BY grp",
+      "dup_up")
+    // the rollup reads dup_up's CHANGELOG — with the MV-source admission
+    // it must delta-accumulate instead of recomputing touched groups
+    // against the upstream snapshot
+    rw.mv("SELECT substring(grp, 1, 1) AS g, CAST(sum(n) AS BIGINT) AS total, " +
+      "CAST(sum(sv) AS BIGINT) AS sums, max(sv) AS mx FROM dup_up " +
+      "GROUP BY substring(grp, 1, 1)", "dup_dn")
+    val up = rw.mvByName("dup_up").get
+    val dn = rw.mvByName("dup_dn").get
+    assert(up.isDeltaAggMode, "the table-sourced upstream folds as before")
+    assert(dn.isChangelogCascadeMode && dn.isDeltaAggMode,
+      "an aggregate over an MV changelog must fold (round 12)")
+    val t = rw.table("dup_t").get
+    def state: Map[String, (Long, Long, Any)] =
+      dn.df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.get(3)))).toMap
+    t.insert(Seq(Row(1L, "a1", 10L), Row(2L, "a2", 20L), Row(3L, "b1", 5L)))
+    rw.flush()
+    val evals = dn.statementEvals
+    assert(state == Map("a" -> ((2L, 30L, 20L)), "b" -> ((1L, 5L, 5L))))
+    // the upstream emits an Update pair for a2's bumped aggregate row.
+    // The retracted old row (sv=20) TIES the downstream's carried max —
+    // exactly one delta-restricted extremum re-fetch, then the signed
+    // merge folds the install side
+    t.insert(Seq(Row(4L, "a2", 7L)))
+    rw.flush()
+    assert(state("a") == ((3L, 37L, 27L)),
+      "a2's (2, 27) row replaces (1, 20): totals 1+2, 10+27, max 27")
+    assert(dn.statementEvals == evals + 1,
+      "replacing the extremum row must re-fetch exactly once")
+    // deleting a1's only row: the upstream group vanishes; the downstream
+    // max(sv) sees a non-extremum retraction (10 < 27) and folds with NO
+    // further evaluation
+    rw.execute("DELETE FROM dup_t WHERE id = 1")
+    rw.flush()
+    assert(state("a") == ((2L, 27L, 27L)))
+    assert(dn.statementEvals == evals + 1,
+      "a non-extremum retraction folds without re-evaluating")
+    assert(dn.isDeltaAggMode, "the re-fetch must not demote the fold")
+    // final parity against a batch evaluation of the same chain
+    val batch = rw.fetch("SELECT substring(grp, 1, 1) AS g, " +
+        "CAST(sum(n) AS BIGINT) AS total, CAST(sum(sv) AS BIGINT) AS sums, " +
+        "max(sv) AS mx FROM dup_up GROUP BY substring(grp, 1, 1)")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.get(3)))).toMap
+    assert(state == batch)
+    rw.close()
+  }
 }
