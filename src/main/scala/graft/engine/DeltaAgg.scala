@@ -51,8 +51,10 @@ import org.apache.spark.sql.types.{
   *  - the analyzed plan is a single root [[Aggregate]] whose child is
   *    multilinear in its changelog sources (Project/Filter/inner joins
   *    with static dims — validated by the caller's linearity scan);
-  *  - every aggregate call is Complete, non-DISTINCT, unfiltered, and of
-  *    an admitted kind above;
+  *  - every aggregate call is Complete and of an admitted kind above;
+  *    FILTER (WHERE …) predicates admit on plain slots (the partials and
+  *    their derived helpers inherit the predicate — round 12), while
+  *    dk-keyed kinds (DISTINCT, percentile) reject them;
   *  - output columns are grouping keys or deterministic expressions over
   *    admitted aggregate calls and keys (CAST/round wrappers, folded
   *    HAVING predicates — all fine: the expression is re-evaluated over
@@ -270,7 +272,15 @@ private[engine] object DeltaAgg {
   }
 
   private def admittedCall(ae: AggregateExpression, allowFloat: Boolean): Boolean =
-    ae.mode == Complete && ae.filter.isEmpty &&
+    ae.mode == Complete &&
+      // FILTER (WHERE …) admits on plain slots (round 12): the partial
+      // and each derived helper (counter, sum-of-squares, ordering
+      // extremum) inherit the predicate, so the signed fold sees only
+      // passing rows. dk-keyed kinds reject with a filter: their
+      // per-value refcounts ride the slot-agnostic row counter, which a
+      // per-call predicate cannot restrict.
+      ae.filter.forall(f => f.deterministic &&
+        !(ae.isDistinct || isDkKind(kindOf(ae)))) &&
       ae.aggregateFunction.children.forall(_.deterministic) &&
       (if (ae.isDistinct)
         // COUNT/SUM/AVG(DISTINCT x) — the two-level tier keys the state by
@@ -410,8 +420,10 @@ private[engine] object DeltaAgg {
       val slotByCall = new java.util.IdentityHashMap[AggregateExpression, Slot]()
       val slots = cs.map { ae =>
         val kind0 = kindOf(ae)
+        // a FILTERed extremum must keep its own (filtered) aux pair — the
+        // dk histogram column is unfiltered
         val dkMatch =
-          if (kind0 == KindMax || kind0 == KindMin)
+          if ((kind0 == KindMax || kind0 == KindMin) && ae.filter.isEmpty)
             dkChildren.indexWhere(
               _.semanticEquals(ae.aggregateFunction.children.head))
           else -1
@@ -661,22 +673,26 @@ private[engine] object DeltaAgg {
     val auxExprs: Seq[NamedExpression] = cs.flatMap { ae =>
       val kind0 = kindOf(ae)
       // dk-backed extremum: same detection as admit (pass 1 above filled
-      // the dk list, so ordering cannot change the outcome)
+      // the dk list, so ordering cannot change the outcome); FILTERed
+      // extrema keep their own aux pair like admit
       val kind =
-        if ((kind0 == KindMax || kind0 == KindMin) && dkChildren.exists(
-            _.semanticEquals(ae.aggregateFunction.children.head)))
+        if ((kind0 == KindMax || kind0 == KindMin) && ae.filter.isEmpty &&
+            dkChildren.exists(
+              _.semanticEquals(ae.aggregateFunction.children.head)))
           (if (kind0 == KindMax) KindMaxD else KindMinD)
         else kind0
       val base = next
       val width = Slot(base, kind).width
       next += width
+      // every derived helper inherits the call's own FILTER predicate —
+      // the aux state must see exactly the rows the visible call sees
       def cnt(child: Expression, idx: Int): NamedExpression =
         Alias(AggregateExpression(Count(Seq(child)), Complete, isDistinct = false,
-          None, NamedExpression.newExprId), s"__a$idx")()
+          ae.filter, NamedExpression.newExprId), s"__a$idx")()
       val child = ae.aggregateFunction.children.headOption.getOrElse(Literal(1))
       def sumOf(e: Expression, idx: Int): NamedExpression =
         Alias(AggregateExpression(Sum(e), Complete, isDistinct = false,
-          None, NamedExpression.newExprId), s"__a$idx")()
+          ae.filter, NamedExpression.newExprId), s"__a$idx")()
       kind match {
         case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
              KindPct =>
@@ -705,19 +721,19 @@ private[engine] object DeltaAgg {
             if (kind == KindMaxBy) Max(ord) else Min(ord)
           Seq(Alias(ae, s"__a$base")(),
             Alias(AggregateExpression(ext, Complete, isDistinct = false,
-              None, NamedExpression.newExprId), s"__a${base + 1}")(),
+              ae.filter, NamedExpression.newExprId), s"__a${base + 1}")(),
             cnt(ord, base + 2))
         case KindAvg =>
           // the avg folds as its (decimal-exact) sum + non-null count
           Seq(
             Alias(AggregateExpression(Sum(child), Complete, isDistinct = false,
-              None, NamedExpression.newExprId), s"__a$base")(),
+              ae.filter, NamedExpression.newExprId), s"__a$base")(),
             cnt(child, base + 1))
         case KindSumF | KindAvgF =>
           // [sum, kahan compensation (0 for a fresh partial), nonNullCnt]
           Seq(
             Alias(AggregateExpression(Sum(child), Complete, isDistinct = false,
-              None, NamedExpression.newExprId), s"__a$base")(),
+              ae.filter, NamedExpression.newExprId), s"__a$base")(),
             Alias(Literal(0.0, DoubleType), s"__a${base + 1}")(),
             cnt(child, base + 2))
         case _ => Seq(Alias(ae, s"__a$base")())

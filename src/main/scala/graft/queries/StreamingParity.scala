@@ -1308,6 +1308,41 @@ object StreamingParity {
       materialized
     },
 
+    // FILTERed aggregate fold (round 12): each call's FILTER (WHERE …)
+    // predicate rides into its aux partials and derived helpers (counter,
+    // ordering extremum), so the signed fold and the extremum re-fetch
+    // see exactly the rows the visible call sees. NULL discipline holds
+    // per predicate: a group with zero passing rows surfaces NULL sums.
+    q("m_mv_filtered_agg_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value,
+        |    max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 11 AS BIGINT) AS bucket,
+        |  CAST(count(*) FILTER (WHERE value > 500) AS BIGINT) AS nbig,
+        |  CAST(sum(CAST(floor(value) AS BIGINT))
+        |    FILTER (WHERE CAST(floor(value) AS BIGINT) % 2 = 0) AS BIGINT) AS se,
+        |  max(value) FILTER (WHERE value < 900) AS mx,
+        |  round(avg(CAST(floor(value) AS BIGINT))
+        |    FILTER (WHERE value > 100), 4) AS av
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_flt_t", Seq(("m_flt_mv",
+        """SELECT user_id % 11 AS bucket,
+          |  count(*) FILTER (WHERE value > 500) AS nbig,
+          |  sum(CAST(floor(value) AS BIGINT))
+          |    FILTER (WHERE CAST(floor(value) AS BIGINT) % 2 = 0) AS se,
+          |  max(value) FILTER (WHERE value < 900) AS mx,
+          |  round(avg(CAST(floor(value) AS BIGINT))
+          |    FILTER (WHERE value > 100), 4) AS av
+          |FROM m_flt_t GROUP BY 1""".stripMargin)))
+      val mv = rw.mvByName("m_flt_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "FILTERed plain aggregates must fold (round 12)")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

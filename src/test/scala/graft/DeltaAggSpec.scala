@@ -960,6 +960,42 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("FILTERed aggregates fold; the predicate gates partials and re-fetches") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dfl_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) FILTER (WHERE v > 10) AS nbig, " +
+      "sum(v) FILTER (WHERE v % 20 = 0) AS se, " +
+      "max(v) FILTER (WHERE v < 100) AS mx FROM dfl_t GROUP BY grp", "dfl_mv")
+    val mv = rw.mvByName("dfl_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "FILTERed plain aggregates must fold (round 12)")
+    val t = rw.table("dfl_t").get
+    def state: Map[String, (Long, Any, Any)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.get(2), r.get(3)))).toMap
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 20L), Row(3L, "a", 150L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    // nbig: {20, 150}; se: {20}; mx < 100: {10, 20} → 20
+    assert(state == Map("a" -> ((2L, 20L, 20L))))
+    // retracting a row the filters exclude from mx (150 ≥ 100) must not
+    // trigger the extremum re-fetch; nbig decrements
+    rw.execute("DELETE FROM dfl_t WHERE id = 3")
+    rw.flush()
+    assert(state == Map("a" -> ((1L, 20L, 20L))))
+    assert(mv.statementEvals == evals,
+      "a retraction outside the extremum filter must fold without re-fetch")
+    // retracting the filtered maximum re-fetches under the SAME predicate
+    rw.execute("DELETE FROM dfl_t WHERE id = 2")
+    rw.flush()
+    assert(state == Map("a" -> ((0L, null, 10L))),
+      "sum over zero passing rows is NULL; the filtered max falls to 10")
+    assert(mv.statementEvals == evals + 1,
+      "retracting the filtered extremum re-fetches exactly once")
+    assert(mv.isDeltaAggMode)
+    rw.close()
+  }
+
   test("aggregate over an UPSTREAM MV changelog folds (agg→agg chain, round 12)") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("dup_t", schema, primaryKey = Seq("id"))

@@ -53,8 +53,16 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
       "stddev over an integral child folds via the sum-of-squares tier (round 12)")
     assert(admitOf("SELECT grp, stddev_samp(d) AS s FROM dap_d GROUP BY grp").isEmpty,
       "double-child stddev stays rejected without the tolerance flag")
-    assert(admitOf("SELECT grp, count(v) FILTER (WHERE v > 0) AS n FROM dap_v GROUP BY grp").isEmpty,
-      "filtered aggregate calls are rejected")
+    assert(admitOf("SELECT grp, count(v) FILTER (WHERE v > 0) AS n, " +
+      "sum(v) FILTER (WHERE v % 2 = 0) AS se, max(v) FILTER (WHERE v < 100) AS mx " +
+      "FROM dap_v GROUP BY grp").nonEmpty,
+      "FILTERed plain aggregates fold — partials inherit the predicate (round 12)")
+    assert(admitOf("SELECT grp, count(DISTINCT v) FILTER (WHERE v > 0) AS n " +
+      "FROM dap_v GROUP BY grp").isEmpty,
+      "FILTER on dk-keyed kinds rejects — refcounts ride the unfiltered row counter")
+    assert(admitOf("SELECT grp, percentile(v, 0.5) FILTER (WHERE v > 0) AS p " +
+      "FROM dap_v GROUP BY grp").isEmpty,
+      "FILTER on the histogram tier rejects for the same reason")
     assert(admitOf("SELECT grp, count(*) AS n, sum(v) AS sv FROM dap_v GROUP BY grp").nonEmpty,
       "plain count/sum must be admitted")
     assert(admitOf(
