@@ -3,12 +3,14 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, Cast, Coalesce, Divide, Expression, GreaterThan,
-  Greatest, If, Literal, Multiply, NamedExpression, Sqrt, Subtract}
+  Alias, And, AttributeReference, Cast, Coalesce, Divide, Expression,
+  GreaterThan, Greatest, If, IsNull, Literal, Multiply, NamedExpression,
+  Or, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, AggregateFunction, Average, BoolAnd, BoolOr,
-  Complete, Count, CountIf, Max, MaxBy, Median, Min, MinBy, Percentile,
-  StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
+  Complete, Corr, Count, CountIf, CovPopulation, CovSample, Max, MaxBy,
+  Median, Min, MinBy, Percentile, StddevPop, StddevSamp, Sum, VariancePop,
+  VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.functions.{
   broadcast, coalesce, col, greatest, least, lit, sum, when}
@@ -84,6 +86,8 @@ private[engine] object DeltaAgg {
       case KindSumF | KindAvgF => 3
       case KindStdS | KindStdP | KindVarS | KindVarP => 3
       case KindMaxBy | KindMinBy => 3 // [arg, extremum ord, nonNullOrdCnt]
+      case KindCorr => 6 // [Σxy, Σx, Σy, Σx², Σy², n]
+      case KindCovS | KindCovP => 4 // [Σxy, Σx, Σy, n]
       case _ => 2
     }
     /** Index of the slot's non-NULL counter column (valid for width ≥ 2). */
@@ -152,9 +156,24 @@ private[engine] object DeltaAgg {
     * is arg_max over the version column). */
   private val KindMaxBy = 17
   private val KindMinBy = 18
+  /** Bivariate statistics (round 12): corr / covar_samp / covar_pop fold
+    * via signed raw co-moments — [Σxy, Σx, Σy, (Σx², Σy²,) n-both-non-null]
+    * — with the single-variable sums gated to rows where BOTH children are
+    * non-NULL (Spark skips the whole row when either side is NULL). Exact
+    * decimal sums for integral-under-cast children, double sums behind the
+    * float gate. Zero-variance corr surfaces NULL — the SQL-standard /
+    * DuckDB / RisingWave stance; Spark's NATIVE corr under ANSI raises
+    * DIVIDE_BY_ZERO on such a group, so the maintained face is total where
+    * the equivalent ad-hoc query is not. */
+  private val KindCorr = 19
+  private val KindCovS = 20
+  private val KindCovP = 21
 
   private def isStd(kind: Int): Boolean =
     kind == KindStdS || kind == KindStdP || kind == KindVarS || kind == KindVarP
+
+  private def isCov(kind: Int): Boolean =
+    kind == KindCorr || kind == KindCovS || kind == KindCovP
 
   /** State-key (__dk) columns a call contributes: its distinct children
     * (ALL of them for a multi-argument COUNT DISTINCT) or a percentile/
@@ -198,6 +217,9 @@ private[engine] object DeltaAgg {
     }
     else ae.aggregateFunction match {
       case _: Percentile | _: Median => KindPct
+      case _: Corr => KindCorr
+      case _: CovSample => KindCovS
+      case _: CovPopulation => KindCovP
       // bool_and/bool_or ARE min/max over booleans (false < true) — the
       // extremum slots, including the retraction re-fetch, apply verbatim
       case _: BoolAnd => KindMin
@@ -370,6 +392,12 @@ private[engine] object DeltaAgg {
         case sd: StddevPop => allowFloat || stdExactChild(sd.child).nonEmpty
         case sd: VarianceSamp => allowFloat || stdExactChild(sd.child).nonEmpty
         case sd: VariancePop => allowFloat || stdExactChild(sd.child).nonEmpty
+        // bivariate stats: both children must be exact (integral-under-
+        // cast) or the float gate open
+        case cv if cv.isInstanceOf[Corr] || cv.isInstanceOf[CovSample] ||
+            cv.isInstanceOf[CovPopulation] =>
+          allowFloat || (stdExactChild(cv.children(0)).nonEmpty &&
+            stdExactChild(cv.children(1)).nonEmpty)
         case _ => false
       })
 
@@ -562,6 +590,36 @@ private[engine] object DeltaAgg {
                     else variance
                   If(GreaterThan(n, Literal(if (samp) 1L else 0L)),
                     value, Literal(null, DoubleType))
+                case k if isCov(k) =>
+                  // per-inner co-moments re-sum exactly across the state
+                  val n = Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L)))
+                  val nD = Cast(n, DoubleType)
+                  def m(j: Int) =
+                    Cast(sumOf(s"__a${s.auxIdx + j}"), DoubleType)
+                  val ck = Subtract(m(0), Divide(Multiply(m(1), m(2)), nD))
+                  k match {
+                    case KindCovP =>
+                      If(GreaterThan(n, Literal(0L)), Divide(ck, nD),
+                        Literal(null, DoubleType))
+                    case KindCovS =>
+                      If(GreaterThan(n, Literal(1L)),
+                        Divide(ck, Subtract(nD, Literal(1.0, DoubleType))),
+                        Literal(null, DoubleType))
+                    case _ =>
+                      val mx = Greatest(Seq(Subtract(m(3),
+                        Divide(Multiply(m(1), m(1)), nD)),
+                        Literal(0.0, DoubleType)))
+                      val my = Greatest(Seq(Subtract(m(4),
+                        Divide(Multiply(m(2), m(2)), nD)),
+                        Literal(0.0, DoubleType)))
+                      val div = Sqrt(Multiply(mx, my))
+                      // nested guards: div's own moments divide by n, so
+                      // they must not evaluate when n = 0 (ANSI throws)
+                      If(GreaterThan(n, Literal(0L)),
+                        If(GreaterThan(div, Literal(0.0, DoubleType)),
+                          Divide(ck, div), Literal(null, DoubleType)),
+                        Literal(null, DoubleType))
+                  }
                 case KindMax =>
                   If(GreaterThan(Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L))),
                       Literal(0L)),
@@ -614,6 +672,37 @@ private[engine] object DeltaAgg {
                   If(GreaterThan(UnresolvedAttribute(s"__a${s.cntIdx}"), Literal(0L)),
                     UnresolvedAttribute(s"__a${s.auxIdx}"),
                     Literal(null, ae.dataType))
+                case k if isCov(k) =>
+                  // finish from the raw co-moments; divide-by-zero → NULL
+                  // (Spark's default nullOnDivideByZero stance)
+                  val n = UnresolvedAttribute(s"__a${s.cntIdx}")
+                  val nD = Cast(n, DoubleType)
+                  def m(j: Int) =
+                    Cast(UnresolvedAttribute(s"__a${s.auxIdx + j}"), DoubleType)
+                  val ck = Subtract(m(0), Divide(Multiply(m(1), m(2)), nD))
+                  k match {
+                    case KindCovP =>
+                      If(GreaterThan(n, Literal(0L)), Divide(ck, nD),
+                        Literal(null, DoubleType))
+                    case KindCovS =>
+                      If(GreaterThan(n, Literal(1L)),
+                        Divide(ck, Subtract(nD, Literal(1.0, DoubleType))),
+                        Literal(null, DoubleType))
+                    case _ => // corr
+                      val mx = Greatest(Seq(Subtract(m(3),
+                        Divide(Multiply(m(1), m(1)), nD)),
+                        Literal(0.0, DoubleType)))
+                      val my = Greatest(Seq(Subtract(m(4),
+                        Divide(Multiply(m(2), m(2)), nD)),
+                        Literal(0.0, DoubleType)))
+                      val div = Sqrt(Multiply(mx, my))
+                      // nested guards: div's own moments divide by n, so
+                      // they must not evaluate when n = 0 (ANSI throws)
+                      If(GreaterThan(n, Literal(0L)),
+                        If(GreaterThan(div, Literal(0.0, DoubleType)),
+                          Divide(ck, div), Literal(null, DoubleType)),
+                        Literal(null, DoubleType))
+                  }
                 case KindAvg | KindAvgF =>
                   // Spark's own finish expression, re-bound to the aux
                   // sum/count columns (their types equal the avg buffer
@@ -736,6 +825,34 @@ private[engine] object DeltaAgg {
               ae.filter, NamedExpression.newExprId), s"__a$base")(),
             Alias(Literal(0.0, DoubleType), s"__a${base + 1}")(),
             cnt(child, base + 2))
+        case k if isCov(k) =>
+          // [Σxy, Σx, Σy, (Σx², Σy²,) n-both-non-null]: the pairwise
+          // product NULLs itself when either side is NULL; the
+          // single-variable sums and squares gate explicitly so every
+          // moment sees exactly the rows the visible call sees
+          val cx = ae.aggregateFunction.children(0)
+          val cy = ae.aggregateFunction.children(1)
+          val (gx, gy) = (stdExactChild(cx), stdExactChild(cy)) match {
+            case (Some(ex), Some(ey)) =>
+              (Cast(ex, DecimalType(38, 0)): Expression,
+               Cast(ey, DecimalType(38, 0)): Expression)
+            case _ => (cx, cy)
+          }
+          val eitherNull = Or(IsNull(cx), IsNull(cy))
+          def gate(e: Expression): Expression =
+            If(eitherNull, Literal(null, e.dataType), e)
+          def pairCnt(idx: Int): NamedExpression =
+            Alias(AggregateExpression(Count(Seq(cx, cy)), Complete,
+              isDistinct = false, ae.filter, NamedExpression.newExprId),
+              s"__a$idx")()
+          val headCols = Seq(
+            sumOf(Multiply(gx, gy), base),
+            sumOf(gate(gx), base + 1),
+            sumOf(gate(gy), base + 2))
+          if (k == KindCorr)
+            headCols ++ Seq(sumOf(gate(Multiply(gx, gx)), base + 3),
+              sumOf(gate(Multiply(gy, gy)), base + 4), pairCnt(base + 5))
+          else headCols :+ pairCnt(base + 3)
         case _ => Seq(Alias(ae, s"__a$base")())
       }
     } :+ Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
@@ -931,6 +1048,14 @@ private[engine] object DeltaAgg {
             checkedCast(z(s(sm)) + z(a(sm)) - z(d(sm)),
               state.schema(sm).dataType).as(sm),
             counters(cn))
+        case k if isCov(k) =>
+          // raw co-moments — all signed-invertible
+          val cn = s"__a${slot.cntIdx}"
+          (0 until slot.width - 1).map { j =>
+            val cname = s"__a${slot.auxIdx + j}"
+            checkedCast(z(s(cname)) + z(a(cname)) - z(d(cname)),
+              state.schema(cname).dataType).as(cname)
+          } :+ counters(cn)
         case KindMax | KindMin =>
           val cn = s"__a${slot.cntIdx}"
           // a retraction whose most competitive value ties or beats the

@@ -1343,6 +1343,37 @@ object StreamingParity {
       materialized
     },
 
+    // bivariate statistics fold (round 12): corr/covar_samp/covar_pop
+    // carry signed raw co-moments — exact decimal sums for the integral
+    // children, one double finish at the visible boundary (zero-variance
+    // corr surfaces NULL, matching DuckDB; Spark's native ANSI corr would
+    // throw there, so the maintained face is strictly more total).
+    q("m_mv_corr_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value,
+        |    max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 6 AS BIGINT) AS bucket,
+        |  round(corr(CAST(floor(value) AS BIGINT), event_id % 97), 4) AS c,
+        |  round(covar_samp(CAST(floor(value) AS BIGINT), event_id % 97), 4) AS cs,
+        |  round(covar_pop(CAST(floor(value) AS BIGINT), event_id % 97), 4) AS cp
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_cov_t", Seq(("m_cov_mv",
+        """SELECT user_id % 6 AS bucket,
+          |  round(corr(CAST(floor(value) AS BIGINT), event_id % 97), 4) AS c,
+          |  round(covar_samp(CAST(floor(value) AS BIGINT), event_id % 97), 4) AS cs,
+          |  round(covar_pop(CAST(floor(value) AS BIGINT), event_id % 97), 4) AS cp
+          |FROM m_cov_t GROUP BY 1""".stripMargin)))
+      val mv = rw.mvByName("m_cov_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "bivariate stats must fold via signed co-moments (round 12)")
+      require(mv.statementEvals <= 1,
+        "co-moment fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

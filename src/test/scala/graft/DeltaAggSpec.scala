@@ -960,6 +960,59 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("corr/covar fold via signed co-moments; NULL edges match Spark") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("dcv_t", StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("x", LongType),
+      StructField("y", LongType))), primaryKey = Seq("id"))
+    val stmt = "SELECT grp, round(corr(x, y), 4) AS c, " +
+      "round(covar_samp(x, y), 4) AS cs, round(covar_pop(x, y), 4) AS cp " +
+      "FROM dcv_t GROUP BY grp"
+    rw.mv(stmt, "dcv_mv")
+    val mv = rw.mvByName("dcv_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "bivariate stats over integral children must fold (round 12)")
+    val t = rw.table("dcv_t").get
+    def state: Map[String, (Any, Any, Any)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.get(1), r.get(2), r.get(3)))).toMap
+    def batch: Map[String, (Any, Any, Any)] =
+      rw.fetch(stmt).map(r =>
+        r.getString(0) -> ((r.get(1), r.get(2), r.get(3)))).toMap
+    // perfectly correlated pair + a row with a NULL side (skipped whole)
+    t.insert(Seq(Row(1L, "a", 1L, 2L), Row(2L, "a", 3L, 6L),
+      Row(3L, "a", 2L, null), Row(4L, "b", 5L, 7L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(state("a") == ((1.0, 4.0, 2.0)),
+      "NULL-sided rows must be invisible to every moment")
+    // single pair: corr/covar_samp NULL, covar_pop 0 (Spark's edges)
+    assert(state("b") == ((null, null, 0.0)))
+    assert(state == batch)
+    // retraction: dropping the second pair sends a back to the n=1 edges
+    rw.execute("DELETE FROM dcv_t WHERE id = 2")
+    rw.flush()
+    assert(state("a") == ((null, null, 0.0)))
+    assert(state == batch)
+    // anti-correlated insert wave; zero-variance x for group b. The MV
+    // face surfaces NULL corr there (the SQL/DuckDB/RisingWave stance);
+    // Spark's NATIVE corr under ANSI raises DIVIDE_BY_ZERO on that very
+    // group, so the batch parity check excludes it — the MV being total
+    // where the ad-hoc query throws is the intended behavior
+    t.insert(Seq(Row(5L, "a", 10L, 0L), Row(6L, "b", 5L, 9L)))
+    rw.flush()
+    assert(state("a")._1 == -1.0)
+    assert(state("b")._1 == null,
+      "zero x-variance must yield NULL corr (divide-by-zero → NULL)")
+    val batchA = rw.fetch(stmt.replace("GROUP BY grp",
+        "WHERE grp = 'a' GROUP BY grp"))
+      .map(r => r.getString(0) -> ((r.get(1), r.get(2), r.get(3)))).toMap
+    assert(Map("a" -> state("a")) == batchA)
+    assert(mv.statementEvals == evals,
+      "co-moment folds must never re-evaluate the statement")
+    rw.close()
+  }
+
   test("FILTERed aggregates fold; the predicate gates partials and re-fetches") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("dfl_t", schema, primaryKey = Seq("id"))

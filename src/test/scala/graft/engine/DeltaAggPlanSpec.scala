@@ -63,6 +63,11 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
     assert(admitOf("SELECT grp, percentile(v, 0.5) FILTER (WHERE v > 0) AS p " +
       "FROM dap_v GROUP BY grp").isEmpty,
       "FILTER on the histogram tier rejects for the same reason")
+    assert(admitOf("SELECT grp, corr(v, v * 2) AS c, covar_pop(v, v + 1) AS cp " +
+      "FROM dap_v GROUP BY grp").nonEmpty,
+      "bivariate stats over integral-under-cast children fold (round 12)")
+    assert(admitOf("SELECT grp, corr(d, d) AS c FROM dap_d GROUP BY grp").isEmpty,
+      "double-child corr stays rejected without the tolerance flag")
     assert(admitOf("SELECT grp, count(*) AS n, sum(v) AS sv FROM dap_v GROUP BY grp").nonEmpty,
       "plain count/sum must be admitted")
     assert(admitOf(
