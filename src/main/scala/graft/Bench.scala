@@ -154,7 +154,24 @@ object Bench {
         """SELECT event_id, value, CAST(rank() OVER
           |  (ORDER BY value DESC, event_id) AS BIGINT) AS r
           |FROM bench_ev WHERE value > 90""".stripMargin)),
-      rw => rw.mvByName("bm_gw").exists(_.isGlobalWindowMode), true))
+      rw => rw.mvByName("bm_gw").exists(_.isGlobalWindowMode), true),
+    // histogram-tier fold (round 12): per-hour exact p90 + distinct-user
+    // + FILTERed counts — the monitoring-MV shape for the two-level
+    // (group, value)-keyed state. Time-bucketed keys are the
+    // representative workload (an epoch's delta names ~90 of 720 hour
+    // buckets, so the fold merges and the visible pass re-aggregates
+    // exactly that slice; a uniform hash key would touch every group
+    // every epoch — that cost is the statement's, not the maintainer's).
+    // All slots are invertible → the union+re-sum fast-path merge, no
+    // re-fetch probes; the probe guards against recompute demotion
+    StreamDef("s_mv_histogram_fold", Seq(
+      ("bm_hist",
+        """SELECT date_trunc('hour', ts) AS h,
+          |  count(DISTINCT user_id % 50) AS du,
+          |  round(percentile(CAST(value AS BIGINT), 0.9), 4) AS p90,
+          |  count(*) FILTER (WHERE value > 500) AS nbig
+          |FROM bench_ev GROUP BY date_trunc('hour', ts)""".stripMargin)),
+      rw => rw.mvByName("bm_hist").exists(_.isDeltaAggMode), true))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

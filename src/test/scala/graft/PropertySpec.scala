@@ -700,4 +700,47 @@ class PropertySpec extends SparkSpec {
     assert(mv.isWindowCascadeMode,
       "the live-padded window cascade must survive the interleaving")
   }
+
+  test("histogram-tier fold equals batch under random upsert/delete interleavings (round 12)") {
+    // the round-12 delta-agg composition in one statement: two-level
+    // distinct state (count+sum DISTINCT), the value-histogram percentile,
+    // an argument-at-extremum slot, a FILTERed count, and a co-moment
+    // covariance — all sharing one carried state keyed by (grp, v)
+    val t = "htp_t"
+    rw.createTable(t, StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    val stmt = s"SELECT grp, count(DISTINCT v) AS dv, " +
+      s"CAST(sum(DISTINCT v) AS BIGINT) AS sdv, " +
+      s"round(percentile(v, 0.5), 4) AS p50, max_by(v, id) AS latest, " +
+      s"round(covar_pop(v, id), 4) AS cp, " +
+      s"count(*) FILTER (WHERE v % 2 = 0) AS ne FROM $t GROUP BY grp"
+    val mv = rw.mv(stmt, "htp_mv")
+    assert(mv.isDeltaAggMode,
+      "the histogram-tier composition must fold (round 12)")
+    sealed trait K
+    case object Ins extends K; case object Del extends K; case object Fl extends K
+    val gen = for {
+      kind <- Gen.frequency(5 -> Ins, 2 -> Del, 2 -> Fl)
+      id <- Gen.choose(1L, 14L)
+      grp <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0L, 12L)
+    } yield (kind, id, grp, v)
+    def rowsOf(sql: String): Seq[(String, Long, Any, Any, Any, Any, Long)] =
+      rw.fetch(sql).map(r => (r.getString(0), r.getLong(1), r.get(2),
+        r.get(3), r.get(4), r.get(5), r.getLong(6)))
+        .sortBy(_._1)
+    sample(Gen.listOfN(60, gen), seed = 19003).foreach {
+      case (Ins, id, grp, v) => rw.table(t).get.insert(Seq(Row(id, grp, v)))
+      case (Del, id, _, _) => rw.execute(s"DELETE FROM $t WHERE id = $id")
+      case (Fl, _, _, _) =>
+        rw.flush()
+        val inc = rowsOf("SELECT * FROM htp_mv")
+        val batch = rowsOf(stmt)
+        assert(inc == batch, s"$inc vs $batch")
+    }
+    rw.flush()
+    assert(mv.isDeltaAggMode,
+      "the histogram-tier fold must survive the interleaving undemoted")
+  }
 }
