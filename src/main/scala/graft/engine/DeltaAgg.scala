@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, AggregateFunction, Average, BoolAnd, BoolOr,
   Complete, Corr, Count, CountIf, CovPopulation, CovSample, Max, MaxBy,
-  Median, Min, MinBy, Percentile, StddevPop, StddevSamp, Sum, VariancePop,
-  VarianceSamp}
+  Median, Min, MinBy, Percentile, RegrAvgX, RegrAvgY, RegrCount,
+  RegrIntercept, RegrR2, RegrSXX, RegrSXY, RegrSYY, RegrSlope, StddevPop,
+  StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.functions.{
   broadcast, coalesce, col, greatest, least, lit, sum, when}
@@ -86,7 +87,7 @@ private[engine] object DeltaAgg {
       case KindSumF | KindAvgF => 3
       case KindStdS | KindStdP | KindVarS | KindVarP => 3
       case KindMaxBy | KindMinBy => 3 // [arg, extremum ord, nonNullOrdCnt]
-      case KindCorr => 6 // [Σxy, Σx, Σy, Σx², Σy², n]
+      case KindCorr | KindRegr => 6 // [Σxy, Σx, Σy, Σx², Σy², n]
       case KindCovS | KindCovP => 4 // [Σxy, Σx, Σy, n]
       case _ => 2
     }
@@ -168,12 +169,32 @@ private[engine] object DeltaAgg {
   private val KindCorr = 19
   private val KindCovS = 20
   private val KindCovP = 21
+  /** The linear-regression family (round 12): every regr_* function is a
+    * finish over the same six raw co-moments KindCorr carries, so they
+    * share its aux builder and merge verbatim; the VARIANT (slope,
+    * intercept, r², count, avgx, avgy, sxx, syy, sxy) rides in the slot's
+    * otherwise-unused dkIdx field. Argument order is SQL's
+    * regr_*(y, x) — children(0) is the dependent variable. */
+  private val KindRegr = 22
+
+  private def regrVariant(f: AggregateFunction): Int = f match {
+    case _: RegrCount => 0
+    case _: RegrAvgX => 1
+    case _: RegrAvgY => 2
+    case _: RegrSXY => 3
+    case _: RegrSXX => 4
+    case _: RegrSYY => 5
+    case _: RegrSlope => 6
+    case _: RegrIntercept => 7
+    case _ => 8 // RegrR2
+  }
 
   private def isStd(kind: Int): Boolean =
     kind == KindStdS || kind == KindStdP || kind == KindVarS || kind == KindVarP
 
   private def isCov(kind: Int): Boolean =
-    kind == KindCorr || kind == KindCovS || kind == KindCovP
+    kind == KindCorr || kind == KindCovS || kind == KindCovP ||
+      kind == KindRegr
 
   /** State-key (__dk) columns a call contributes: its distinct children
     * (ALL of them for a multi-argument COUNT DISTINCT) or a percentile/
@@ -201,6 +222,11 @@ private[engine] object DeltaAgg {
       case ByteType | ShortType | IntegerType | LongType => Some(c.child)
       case _ => None
     }
+    // regr_count keeps its integral children uncast (no double coercion)
+    case _ if (e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }) => Some(e)
     case _ => None
   }
 
@@ -220,6 +246,9 @@ private[engine] object DeltaAgg {
       case _: Corr => KindCorr
       case _: CovSample => KindCovS
       case _: CovPopulation => KindCovP
+      case _: RegrCount | _: RegrAvgX | _: RegrAvgY | _: RegrSXY |
+           _: RegrSXX | _: RegrSYY | _: RegrSlope | _: RegrIntercept |
+           _: RegrR2 => KindRegr
       // bool_and/bool_or ARE min/max over booleans (false < true) — the
       // extremum slots, including the retraction re-fetch, apply verbatim
       case _: BoolAnd => KindMin
@@ -278,6 +307,41 @@ private[engine] object DeltaAgg {
     private[graft] def hasExtremum: Boolean =
       slots.exists(s => s.kind == KindMax || s.kind == KindMin ||
         s.kind == KindMaxBy || s.kind == KindMinBy)
+  }
+
+  /** Finish a regr_* variant from the six raw co-moments: `n` is the
+    * both-non-NULL pair counter, `m(j)` the j-th moment as a double
+    * (0 = Σxy, 1 = Σy, 2 = Σx, 3 = Σy², 4 = Σx² — regr args are (y, x)).
+    * Edge semantics mirror Spark's natives where they don't throw:
+    * n = 0 → NULL (count → 0); zero x-variance → NULL slope/intercept/r²;
+    * zero y-variance with x-variance present → r² = 1. Guards nest so no
+    * moment divides before the n > 0 test (ANSI). */
+  private def regrFinish(variant: Int, dt: DataType, n: Expression,
+                         m: Int => Expression): Expression = {
+    val nD = Cast(n, DoubleType)
+    def guard(e: => Expression): Expression =
+      If(GreaterThan(n, Literal(0L)), e, Literal(null, DoubleType))
+    def ck = Subtract(m(0), Divide(Multiply(m(1), m(2)), nD))
+    def sxx = Subtract(m(4), Divide(Multiply(m(2), m(2)), nD))
+    def syy = Subtract(m(3), Divide(Multiply(m(1), m(1)), nD))
+    variant match {
+      case 0 => Cast(Coalesce(Seq(n, Literal(0L))), dt) // regr_count
+      case 1 => guard(Divide(m(2), nD)) // regr_avgx
+      case 2 => guard(Divide(m(1), nD)) // regr_avgy
+      case 3 => guard(ck) // regr_sxy
+      case 4 => guard(Greatest(Seq(sxx, Literal(0.0, DoubleType)))) // sxx
+      case 5 => guard(Greatest(Seq(syy, Literal(0.0, DoubleType)))) // syy
+      case 6 => guard(If(GreaterThan(sxx, Literal(0.0, DoubleType)),
+        Divide(ck, sxx), Literal(null, DoubleType))) // regr_slope
+      case 7 => guard(If(GreaterThan(sxx, Literal(0.0, DoubleType)),
+        Divide(Subtract(m(1), Multiply(Divide(ck, sxx), m(2))), nD),
+        Literal(null, DoubleType))) // regr_intercept
+      case _ => guard(If(GreaterThan(sxx, Literal(0.0, DoubleType)),
+        If(GreaterThan(syy, Literal(0.0, DoubleType)),
+          Divide(Multiply(ck, ck), Multiply(sxx, syy)),
+          Literal(1.0, DoubleType)),
+        Literal(null, DoubleType))) // regr_r2
+    }
   }
 
   private def isKeyOutput(a: Aggregate, ne: NamedExpression): Boolean = ne match {
@@ -392,10 +456,10 @@ private[engine] object DeltaAgg {
         case sd: StddevPop => allowFloat || stdExactChild(sd.child).nonEmpty
         case sd: VarianceSamp => allowFloat || stdExactChild(sd.child).nonEmpty
         case sd: VariancePop => allowFloat || stdExactChild(sd.child).nonEmpty
-        // bivariate stats: both children must be exact (integral-under-
-        // cast) or the float gate open
-        case cv if cv.isInstanceOf[Corr] || cv.isInstanceOf[CovSample] ||
-            cv.isInstanceOf[CovPopulation] =>
+        // bivariate stats (corr/covar/regr_* family): both children must
+        // be exact (integral-under-cast) or the float gate open
+        case cv if kindOf(ae) == KindCorr || kindOf(ae) == KindCovS ||
+            kindOf(ae) == KindCovP || kindOf(ae) == KindRegr =>
           allowFloat || (stdExactChild(cv.children(0)).nonEmpty &&
             stdExactChild(cv.children(1)).nonEmpty)
         case _ => false
@@ -460,6 +524,9 @@ private[engine] object DeltaAgg {
             Slot(next, kind0, dkIndexOf(ae.aggregateFunction.children.head))
           case KindMax if dkMatch >= 0 => Slot(next, KindMaxD, dkMatch)
           case KindMin if dkMatch >= 0 => Slot(next, KindMinD, dkMatch)
+          // regr_* variant rides the otherwise-unused dkIdx field
+          case KindRegr =>
+            Slot(next, KindRegr, regrVariant(ae.aggregateFunction))
           case _ => Slot(next, kind0)
         }
         slotByCall.put(ae, slot)
@@ -590,6 +657,10 @@ private[engine] object DeltaAgg {
                     else variance
                   If(GreaterThan(n, Literal(if (samp) 1L else 0L)),
                     value, Literal(null, DoubleType))
+                case KindRegr =>
+                  regrFinish(s.dkIdx, ae.dataType,
+                    Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L))),
+                    j => Cast(sumOf(s"__a${s.auxIdx + j}"), DoubleType))
                 case k if isCov(k) =>
                   // per-inner co-moments re-sum exactly across the state
                   val n = Coalesce(Seq(sumOf(s"__a${s.cntIdx}"), Literal(0L)))
@@ -672,6 +743,11 @@ private[engine] object DeltaAgg {
                   If(GreaterThan(UnresolvedAttribute(s"__a${s.cntIdx}"), Literal(0L)),
                     UnresolvedAttribute(s"__a${s.auxIdx}"),
                     Literal(null, ae.dataType))
+                case KindRegr =>
+                  regrFinish(s.dkIdx, ae.dataType,
+                    UnresolvedAttribute(s"__a${s.cntIdx}"),
+                    j => Cast(UnresolvedAttribute(s"__a${s.auxIdx + j}"),
+                      DoubleType))
                 case k if isCov(k) =>
                   // finish from the raw co-moments; divide-by-zero → NULL
                   // (Spark's default nullOnDivideByZero stance)
@@ -849,7 +925,7 @@ private[engine] object DeltaAgg {
             sumOf(Multiply(gx, gy), base),
             sumOf(gate(gx), base + 1),
             sumOf(gate(gy), base + 2))
-          if (k == KindCorr)
+          if (k == KindCorr || k == KindRegr)
             headCols ++ Seq(sumOf(gate(Multiply(gx, gx)), base + 3),
               sumOf(gate(Multiply(gy, gy)), base + 4), pairCnt(base + 5))
           else headCols :+ pairCnt(base + 3)

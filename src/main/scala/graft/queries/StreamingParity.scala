@@ -1374,6 +1374,45 @@ object StreamingParity {
       materialized
     },
 
+    // linear-regression family fold (round 12): all nine regr_* functions
+    // are finishes over the SAME six raw co-moments, so one carried state
+    // maintains the whole family; argument order is regr_*(y, x).
+    q("m_mv_regr_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value,
+        |    max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 7 AS BIGINT) AS bucket,
+        |  round(regr_slope(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS sl,
+        |  round(regr_intercept(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS ic,
+        |  round(regr_r2(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS r2,
+        |  CAST(regr_count(CAST(floor(value) AS BIGINT), event_id % 89) AS BIGINT) AS n,
+        |  round(regr_avgx(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS ax,
+        |  round(regr_avgy(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS ay,
+        |  round(regr_sxx(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS sxx,
+        |  round(regr_sxy(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS sxy,
+        |  round(regr_syy(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS syy
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_rgr_t", Seq(("m_rgr_mv",
+        """SELECT user_id % 7 AS bucket,
+          |  round(regr_slope(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS sl,
+          |  round(regr_intercept(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS ic,
+          |  round(regr_r2(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS r2,
+          |  regr_count(CAST(floor(value) AS BIGINT), event_id % 89) AS n,
+          |  round(regr_avgx(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS ax,
+          |  round(regr_avgy(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS ay,
+          |  round(regr_sxx(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS sxx,
+          |  round(regr_sxy(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS sxy,
+          |  round(regr_syy(CAST(floor(value) AS BIGINT), event_id % 89), 4) AS syy
+          |FROM m_rgr_t GROUP BY 1""".stripMargin)))
+      val mv = rw.mvByName("m_rgr_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "the regr family must fold via the shared co-moments (round 12)")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

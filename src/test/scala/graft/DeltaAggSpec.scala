@@ -1013,6 +1013,50 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("regr_* family folds from the shared co-moment state") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("drg_t", StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("x", LongType),
+      StructField("y", LongType))), primaryKey = Seq("id"))
+    val stmt = "SELECT grp, round(regr_slope(y, x), 4) AS sl, " +
+      "round(regr_intercept(y, x), 4) AS ic, round(regr_r2(y, x), 4) AS r2, " +
+      "regr_count(y, x) AS n, round(regr_avgx(y, x), 4) AS ax, " +
+      "round(regr_avgy(y, x), 4) AS ay, round(regr_sxx(y, x), 4) AS sxx, " +
+      "round(regr_sxy(y, x), 4) AS sxy, round(regr_syy(y, x), 4) AS syy " +
+      "FROM drg_t GROUP BY grp"
+    rw.mv(stmt, "drg_mv")
+    val mv = rw.mvByName("drg_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "the regr family must fold via the shared co-moments (round 12)")
+    val t = rw.table("drg_t").get
+    def state: Map[String, Seq[Any]] =
+      mv.df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // x={1,2,3}, y={2,4,7}: slope 2.5, intercept −2/3, r² 25/(2·38/3),
+    // plus a NULL-sided row (invisible) and a single-pair group
+    t.insert(Seq(Row(1L, "a", 1L, 2L), Row(2L, "a", 2L, 4L),
+      Row(3L, "a", 3L, 7L), Row(4L, "a", 9L, null),
+      Row(5L, "b", 5L, 7L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(state("a") == Seq(2.5, -0.6667, 0.9868, 3L, 2.0, 4.3333, 2.0,
+      5.0, 12.6667))
+    // single pair: count 1, averages defined, moments 0, fits NULL
+    assert(state("b") == Seq(null, null, null, 1L, 5.0, 7.0, 0.0, 0.0, 0.0))
+    // retract the outlier pair: the fit over {(1,2),(2,4)} is exact
+    rw.execute("DELETE FROM drg_t WHERE id = 3")
+    rw.flush()
+    assert(state("a") == Seq(2.0, 0.0, 1.0, 2L, 1.5, 3.0, 0.5, 1.0, 2.0))
+    assert(mv.statementEvals == evals,
+      "co-moment folds must never re-evaluate the statement")
+    // batch parity on the non-degenerate group (native regr under ANSI
+    // can throw on zero-variance groups; the fold surfaces NULL there)
+    val batchA = rw.fetch(stmt.replace("GROUP BY grp",
+        "WHERE grp = 'a' GROUP BY grp"))
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(Map("a" -> state("a")) == batchA)
+    rw.close()
+  }
+
   test("FILTERed aggregates fold; the predicate gates partials and re-fetches") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("dfl_t", schema, primaryKey = Seq("id"))

@@ -68,6 +68,11 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
       "bivariate stats over integral-under-cast children fold (round 12)")
     assert(admitOf("SELECT grp, corr(d, d) AS c FROM dap_d GROUP BY grp").isEmpty,
       "double-child corr stays rejected without the tolerance flag")
+    assert(admitOf("SELECT grp, regr_slope(v, v * 2) AS sl, " +
+      "regr_count(v, v) AS n, regr_r2(v, v * 3) AS r2 FROM dap_v GROUP BY grp").nonEmpty,
+      "the regr_* family folds from the shared co-moments (round 12)")
+    assert(admitOf("SELECT grp, regr_slope(d, d) AS sl FROM dap_d GROUP BY grp").isEmpty,
+      "double-child regr stays rejected without the tolerance flag")
     assert(admitOf("SELECT grp, count(*) AS n, sum(v) AS sv FROM dap_v GROUP BY grp").nonEmpty,
       "plain count/sum must be admitted")
     assert(admitOf(
