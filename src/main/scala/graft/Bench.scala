@@ -297,7 +297,12 @@ object Bench {
       .filter(d => streamOnly.forall(_.contains(d.name)))
       .map(d => (d.name, runStream(d)))
 
-    def fmt(v: Double) = "%.3f".format(v)
+    // trailing zeros carry no information and the final line lives under a
+    // hard byte budget (below) — "2.000" prints as "2", "5.780" as "5.78"
+    def fmt(v: Double): String = {
+      val s = "%.3f".format(v)
+      if (!s.contains('.')) s else s.replaceAll("0+$", "").stripSuffix(".")
+    }
     val qs = results.map { case (k, ts) =>
       s""""$k":${fmt(if (ts.exists(_ < 0)) -1.0 else ts.min)}"""
     }.mkString("{", ",", "}")
@@ -307,19 +312,43 @@ object Bench {
     val total = results.map { case (_, ts) =>
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }.filter(_ >= 0).sum
-    val streaming = streamResults.map { case (k, (sec, n, epochs, jobs, shBytes)) =>
+    val streamingDetail = streamResults.map { case (k, (sec, n, epochs, jobs, shBytes)) =>
       val rps = if (sec > 0) n / sec else -1.0
       val lat = if (sec > 0 && epochs > 0) sec / epochs else -1.0
       val jpe = if (epochs > 0) jobs.toDouble / epochs else -1.0
       s""""$k":{"sec":${fmt(sec)},"rows":$n,"epochs":$epochs,"rows_per_sec":${fmt(rps)},"epoch_latency":${fmt(lat)},"jobs_per_epoch":${fmt(jpe)},"shuffle_bytes":$shBytes}"""
     }.mkString("{", ",", "}")
-    // Truncation-proof output (round-10 verdict item 2): the driver captures
-    // the TAIL of stdout, so the compact headline line — total + per-query
-    // mins + streaming summary — prints LAST; the per-iteration samples blob
-    // (the big part) rides its own earlier line and is the one a bounded
-    // tail capture may shear, without losing the numbers of record.
+    // Compact per-entry spelling for the FINAL line: rows_per_sec and
+    // epoch_latency are derivable (rows/sec, sec/epochs) and print verbatim
+    // on the streaming_detail line, so the budget-bound line omits them.
+    // `fields` lets the budget guard below drop further derivable detail
+    // rather than ever exceeding the tail window.
+    def streamingCompact(fields: Int): String = streamResults.map {
+      case (k, (sec, n, epochs, jobs, shBytes)) =>
+        val jpe = if (epochs > 0) jobs.toDouble / epochs else -1.0
+        val base = s""""sec":${fmt(sec)},"rows":$n,"epochs":$epochs"""
+        val extra = fields match {
+          case 2 => s""","jobs_per_epoch":${fmt(jpe)},"shuffle_bytes":$shBytes"""
+          case 1 => s""","jobs_per_epoch":${fmt(jpe)}"""
+          case _ => ""
+        }
+        s""""$k":{$base$extra}"""
+    }.mkString("{", ",", "}")
+    // Truncation-proof output (round-10 item 2; re-broken in r12 by the
+    // grown streaming section, round-12 verdict item 2): the driver captures
+    // the LAST 2000 chars of stdout and parses the final JSON line, so that
+    // line is byte-budgeted — total + per-query mins + compact streaming —
+    // with a hard guard that degrades the compact streaming fields rather
+    // than ever shearing. Full per-iteration samples and the 7-field
+    // streaming detail ride their own earlier lines.
     println(s"""{"metric":"samples","samples":$spread}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"streaming":$streaming,"iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"streaming_detail","streaming":$streamingDetail}""")
+    val budget = 1900 // driver tail = 2000 chars; leave newline + slack
+    def finalLine(fields: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"streaming":${streamingCompact(fields)},"iters":$iters,"sf":"$sfDir"}"""
+    val line = (2 to 0 by -1).map(finalLine).find(_.length <= budget)
+      .getOrElse(finalLine(0))
+    println(line)
     spark.stop()
   }
 }

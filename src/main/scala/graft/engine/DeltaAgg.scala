@@ -3,12 +3,14 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, AttributeReference, Cast, Coalesce, Divide, Expression,
-  GreaterThan, Greatest, If, IsNull, Literal, Multiply, NamedExpression,
-  Or, Sqrt, Subtract}
+  Alias, And, ArrayJoin, ArrayRepeat, AttributeReference, Cast, Coalesce,
+  Descending, Divide, Expression, Flatten, GreaterThan, Greatest,
+  HllSketchEstimate, If, IsNotNull, IsNull, KnownNotNull, Literal,
+  Multiply, NamedExpression, Or, SortArray, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, AggregateFunction, Average, BoolAnd, BoolOr,
-  Complete, Corr, Count, CountIf, CovPopulation, CovSample, Max, MaxBy,
+  CollectList, Complete, Corr, Count, CountIf, CovPopulation,
+  CovSample, HllSketchAgg, HyperLogLogPlusPlus, ListAgg, Max, MaxBy,
   Median, Min, MinBy, Percentile, RegrAvgX, RegrAvgY, RegrCount,
   RegrIntercept, RegrR2, RegrSXX, RegrSXY, RegrSYY, RegrSlope, StddevPop,
   StddevSamp, Sum, VariancePop, VarianceSamp}
@@ -83,7 +85,7 @@ private[engine] object DeltaAgg {
     def width: Int = kind match {
       case KindCount => 1
       case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
-           KindPct => 0
+           KindPct | KindListAgg | KindListAggDesc | KindArrAgg => 0
       case KindSumF | KindAvgF => 3
       case KindStdS | KindStdP | KindVarS | KindVarP => 3
       case KindMaxBy | KindMinBy => 3 // [arg, extremum ord, nonNullOrdCnt]
@@ -176,6 +178,35 @@ private[engine] object DeltaAgg {
     * otherwise-unused dkIdx field. Argument order is SQL's
     * regr_*(y, x) — children(0) is the dependent variable. */
   private val KindRegr = 22
+  /** Order-sensitive multiset aggregates (round 13): string_agg/listagg
+    * and array_agg/collect_list ride the SAME two-level dk state as exact
+    * percentile — the per-(group, value) refcounts ARE the group's value
+    * multiset — so the fold is the unchanged signed row-counter machinery
+    * (a value leaves the concat exactly when its last reference retracts)
+    * and the slots own no aux columns. The visible pass rebuilds the
+    * ordered result from the state's own rows: array_repeat(value,
+    * refcount) per state row, collected, value-sorted (repeated arrays of
+    * distinct values order lexicographically by their value), flattened,
+    * then joined (listagg) or emitted as the array (collect_list).
+    * Admission requires a listagg ordering, when present, to be BY THE
+    * VALUE ITSELF — the one order derivable from a value-keyed histogram;
+    * an unordered listagg / collect_list is documented nondeterministic in
+    * Spark, and the fold emits the value-ascending instance (wrap
+    * collect_list in sort_array for a deterministic face). */
+  private val KindListAgg = 23
+  private val KindListAggDesc = 24
+  private val KindArrAgg = 25
+  /** Insert-only HLL fold (round 13): `approx_count_distinct` MVs carry a
+    * DataSketches HLL sketch per group — merge-only state, folded by
+    * hll_union_agg over (carried ∪ insert-partials) — while the source
+    * changelog stays insert-only; the FIRST statement-visible retraction
+    * demotes the MV to touched-group recompute for good (a sketch cannot
+    * subtract — RisingWave's own approx-distinct posture). The estimator
+    * therefore switches from Spark's HyperLogLog++ (batch face) to
+    * DataSketches HLL (maintained face); both honor the statement's rsd
+    * (lgConfigK derived from relativeSD), and approx faces are
+    * tolerance-contracted, not value-pinned. */
+  private val KindHll = 26
 
   private def regrVariant(f: AggregateFunction): Int = f match {
     case _: RegrCount => 0
@@ -204,13 +235,17 @@ private[engine] object DeltaAgg {
       case KindCountD => ae.aggregateFunction.children
       case KindSumD | KindAvgD => Seq(ae.aggregateFunction.children.head)
       case KindPct => Seq(ae.aggregateFunction.children.head)
+      case KindListAgg | KindListAggDesc =>
+        Seq(ae.aggregateFunction.asInstanceOf[ListAgg].child)
+      case KindArrAgg => Seq(ae.aggregateFunction.children.head)
       case _ => Nil
     }
 
   /** Kinds whose value columns live in the state KEY, not aux slots. */
   private def isDkKind(kind: Int): Boolean =
     kind == KindCountD || kind == KindSumD || kind == KindAvgD ||
-      kind == KindPct
+      kind == KindPct || kind == KindListAgg || kind == KindListAggDesc ||
+      kind == KindArrAgg
 
   private def isFloat(dt: DataType): Boolean =
     dt == DoubleType || dt == FloatType
@@ -243,6 +278,11 @@ private[engine] object DeltaAgg {
     }
     else ae.aggregateFunction match {
       case _: Percentile | _: Median => KindPct
+      case la: ListAgg =>
+        if (la.orderExpressions.exists(_.direction == Descending))
+          KindListAggDesc
+        else KindListAgg
+      case _: CollectList => KindArrAgg
       case _: Corr => KindCorr
       case _: CovSample => KindCovS
       case _: CovPopulation => KindCovP
@@ -307,6 +347,29 @@ private[engine] object DeltaAgg {
     private[graft] def hasExtremum: Boolean =
       slots.exists(s => s.kind == KindMax || s.kind == KindMin ||
         s.kind == KindMaxBy || s.kind == KindMinBy)
+    /** Sum-like aux value columns paired with their slot's non-NULL
+      * counter: a NULL value while the counter is positive can ONLY mean
+      * the Sum aggregate itself overflowed (non-ANSI decimal Sum returns
+      * NULL past DECIMAL(38,…) — a single long² or x·y product is ~8.5e37,
+      * so two or three large-magnitude rows overflow INSIDE the partial,
+      * where [[checkedCast]] never sees it; the union+re-sum merge would
+      * then skip the NULL partial and silently drop the epoch's
+      * contribution). Every guarded site raises instead, aborting the fold
+      * into the caller's recompute fallback. Float sums are exempt (double
+      * overflow goes to ±Infinity, not NULL); COUNT and extremum slots
+      * cannot overflow. */
+    private[DeltaAgg] lazy val momentGuards: Map[String, String] =
+      slots.flatMap { s =>
+        val cnt = s"__a${s.cntIdx}"
+        s.kind match {
+          case KindSum | KindAvg => Seq(s"__a${s.auxIdx}" -> cnt)
+          case k if isStd(k) =>
+            Seq(s"__a${s.auxIdx}" -> cnt, s"__a${s.auxIdx + 1}" -> cnt)
+          case k if isCov(k) =>
+            (0 until s.width - 1).map(j => s"__a${s.auxIdx + j}" -> cnt)
+          case _ => Nil
+        }
+      }.toMap
   }
 
   /** Finish a regr_* variant from the six raw co-moments: `n` is the
@@ -401,7 +464,16 @@ private[engine] object DeltaAgg {
         case _: BoolAnd | _: BoolOr => true // boolean extremum slots
         // max_by/min_by: the ordering child drives the extremum fold and
         // the retraction underflow test; the argument rides along. Both
-        // stay in atomic orderable types so the carried state snapshots
+        // stay in atomic orderable types so the carried state snapshots.
+        // Tie semantics: Spark documents max_by/min_by as nondeterministic
+        // when several rows share the extremum ordering value, and the
+        // fold inherits that latitude — an insert TYING the carried
+        // extremum keeps the carried argument (takeAdd compares strictly),
+        // while a full recompute (batch, or the repair path) may pick
+        // either row. Both faces are valid answers to the same statement;
+        // they can durably differ only for tie-heavy data, and a
+        // retraction touching the tied extremum re-fetches (restoring
+        // whatever the recompute picks).
         case mb: MaxBy => orderable(mb.children(1).dataType) &&
           orderable(mb.children(0).dataType)
         case mb: MinBy => orderable(mb.children(1).dataType) &&
@@ -426,6 +498,21 @@ private[engine] object DeltaAgg {
         case m: Median =>
           m.child.dataType.isInstanceOf[NumericType] &&
             orderable(m.child.dataType)
+        // string_agg/listagg: the dk histogram rebuilds the concat, so the
+        // ordering (when present) must be by the value itself — the one
+        // order the value-keyed state can reproduce; the delimiter must
+        // fold (it re-binds verbatim in the visible finish). Unordered
+        // listagg is documented nondeterministic — the fold emits the
+        // value-ascending instance.
+        case la: ListAgg =>
+          la.child.dataType == StringType && la.delimiter.foldable &&
+            (la.orderExpressions.isEmpty ||
+              (la.orderExpressions.size == 1 &&
+                la.orderExpressions.head.child.semanticEquals(la.child)))
+        // array_agg/collect_list: documented nondeterministic order — the
+        // fold emits the value-ascending instance (wrap in sort_array for
+        // a deterministic face); the element must be a state-keyable type
+        case cl: CollectList => orderable(cl.child.dataType)
         case s: Sum => s.child.dataType match {
           case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
           // float tier: Kahan-compensated fold behind the opt-in flag
@@ -522,6 +609,8 @@ private[engine] object DeltaAgg {
         val slot = kind0 match {
           case KindCountD | KindSumD | KindAvgD | KindPct =>
             Slot(next, kind0, dkIndexOf(ae.aggregateFunction.children.head))
+          case KindListAgg | KindListAggDesc | KindArrAgg =>
+            Slot(next, kind0, dkIndexOf(dkChildrenOf(ae).head))
           case KindMax if dkMatch >= 0 => Slot(next, KindMaxD, dkMatch)
           case KindMin if dkMatch >= 0 => Slot(next, KindMinD, dkMatch)
           // regr_* variant rides the otherwise-unused dkIdx field
@@ -622,6 +711,35 @@ private[engine] object DeltaAgg {
                   aggE(Max(UnresolvedAttribute(s"__dk${s.dkIdx}")))
                 case KindMinD =>
                   aggE(Min(UnresolvedAttribute(s"__dk${s.dkIdx}")))
+                case KindListAgg | KindListAggDesc | KindArrAgg =>
+                  // rebuild the ordered multiset from the histogram state:
+                  // each state row contributes its value repeated refcount
+                  // times; repeated arrays of DISTINCT values order
+                  // lexicographically by their value, so sort_array over
+                  // the collected per-row arrays + flatten IS the
+                  // value-ordered multiset. NULL values sit in
+                  // filter-skipped state rows (both aggregates drop NULL
+                  // inputs); the refcount sums across OTHER dk children's
+                  // combinations because equal-valued rows each contribute
+                  // their own repeat array.
+                  val dk = UnresolvedAttribute(s"__dk${s.dkIdx}")
+                  val rep = ArrayRepeat(KnownNotNull(dk),
+                    Cast(UnresolvedAttribute(RowsCol), IntegerType))
+                  val collected = AggregateExpression(
+                    CollectList(rep), Complete, isDistinct = false,
+                    Some(IsNotNull(dk)), NamedExpression.newExprId)
+                  val ordered = Flatten(SortArray(collected,
+                    Literal(s.kind != KindListAggDesc)))
+                  if (s.kind == KindArrAgg) ordered
+                  else {
+                    val la = ae.aggregateFunction.asInstanceOf[ListAgg]
+                    val delim = Coalesce(Seq(
+                      Cast(la.delimiter, StringType), Literal("")))
+                    val nonNull = aggE(Count(Seq(dk)))
+                    If(GreaterThan(nonNull, Literal(0L)),
+                      ArrayJoin(ordered, delim, None),
+                      Literal(null, ae.dataType))
+                  }
                 case KindCount =>
                   Coalesce(Seq(sumOf(s"__a${s.auxIdx}"), Literal(0L)))
                 case KindSum =>
@@ -860,7 +978,7 @@ private[engine] object DeltaAgg {
           ae.filter, NamedExpression.newExprId), s"__a$idx")()
       kind match {
         case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
-             KindPct =>
+             KindPct | KindListAgg | KindListAggDesc | KindArrAgg =>
           Seq.empty
         case k if isStd(k) =>
           // [sum-of-squares, sum, nonNullCnt] — exact decimal sums for an
@@ -936,9 +1054,28 @@ private[engine] object DeltaAgg {
     val keyOuts = a.aggregateExpressions.filter(isKeyOutput(a, _))
     val dkOuts = dkChildren.zipWithIndex.map { case (c, i) =>
       Alias(c, s"__dk$i")() }
-    GraftColumnBridge.ofRows(spark,
+    val frame = GraftColumnBridge.ofRows(spark,
       Aggregate(a.groupingExpressions ++ dkChildren,
         keyOuts ++ dkOuts ++ auxExprs, a.child))
+    guardMoments(frame, spec)
+  }
+
+  /** Overflow tripwire over a partial/regrouped aux frame: raise when a
+    * sum-like moment is NULL while its slot's non-NULL counter is positive
+    * (see [[Spec.momentGuards]]) — the raise aborts the epoch's fold inside
+    * the caller's checkpoint, degrading to the always-correct recompute. */
+  private def guardMoments(frame: DataFrame, spec: Spec): DataFrame = {
+    val guards = spec.momentGuards
+    if (guards.isEmpty) frame
+    else frame.select(frame.columns.toIndexedSeq.map { c =>
+      guards.get(c) match {
+        case Some(cn) =>
+          when(col(c).isNull && col(cn) > lit(0L),
+            overflowRaise(frame.schema(c).dataType))
+            .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
   }
 
   /** Fold an epoch's insert/retract auxiliary partials into the carried
@@ -975,14 +1112,36 @@ private[engine] object DeltaAgg {
       // global aggregate: ONE row, always touched, NEVER dropped — a
       // global aggregate over an empty input still yields its row
       // (count 0, sums NULL), exactly like the batch evaluation
-      return state.unionByName(addAux).unionByName(negate(delAux))
-        .groupBy()
-        .agg(auxCols.map(c => sum(col(c)).as(c)).head,
-             auxCols.map(c => sum(col(c)).as(c)).tail: _*)
+      return guardMoments(
+        state.unionByName(addAux).unionByName(negate(delAux))
+          .groupBy()
+          .agg(auxCols.map(c => sum(col(c)).as(c)).head,
+               auxCols.map(c => sum(col(c)).as(c)).tail: _*), spec)
         .select(spec.auxNames.map { c =>
           checkedCast(col(c), state.schema(c).dataType).as(c)
         }: _*)
     }
+    val (untouched, resummed) =
+      mergeParts(state, addAux, delAux, spec, touchedHint).get
+    untouched.unionByName(resummed)
+  }
+
+  /** The keyed fast-path merge split into its two halves — (untouched
+    * passthrough via broadcast anti join, re-summed touched slice) — so a
+    * caller with an over-bound state can materialize ONLY the
+    * delta-proportional slice and stack it over the carried frame, instead
+    * of re-persisting the whole state every epoch (round 13, verdict #4).
+    * None for join-merge (extremum/float) and global (keyless) specs —
+    * those keep [[merge]]'s own paths. */
+  def mergeParts(state: DataFrame, addAux: DataFrame, delAux: DataFrame,
+                 spec: Spec,
+                 touchedHint: Option[DataFrame] = None)
+      : Option[(DataFrame, DataFrame)] = {
+    if (spec.needJoinMerge || spec.stateKeys.isEmpty) return None
+    val keys = spec.stateKeys
+    val auxCols = spec.auxNames
+    def negate(df: DataFrame): DataFrame =
+      df.select(keys.map(col) ++ auxCols.map(c => (col(c) * lit(-1)).as(c)): _*)
     val touched = touchedHint.getOrElse(addAux.select(keys.map(col): _*)
       .union(delAux.select(keys.map(col): _*)).distinct())
     val kr = touched.toDF(keys.map(k => s"__k_$k"): _*)
@@ -990,12 +1149,12 @@ private[engine] object DeltaAgg {
       keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
     val stateTouched = state.join(broadcast(kr), keyCond(state), "left_semi")
     val untouched = state.join(broadcast(kr), keyCond(state), "left_anti")
-    val resummed = stateTouched
+    val resummed = guardMoments(stateTouched
       .unionByName(addAux)
       .unionByName(negate(delAux))
       .groupBy(keys.map(col): _*)
       .agg(auxCols.map(c => sum(col(c)).as(c)).head,
-           auxCols.map(c => sum(col(c)).as(c)).tail: _*)
+           auxCols.map(c => sum(col(c)).as(c)).tail: _*), spec)
       .filter(col(spec.rowsCol) > 0)
       // cast aux sums back to the state schema: decimal addition widens
       // the type per fold, and an ever-widening state schema would break
@@ -1003,7 +1162,7 @@ private[engine] object DeltaAgg {
       .select(keys.map(col) ++ spec.auxNames.map { c =>
         checkedCast(col(c), state.schema(c).dataType).as(c)
       }: _*)
-    untouched.unionByName(resummed)
+    Some((untouched, resummed))
   }
 
   /** Join-based merge for specs with non-invertible (MIN/MAX) or
@@ -1060,8 +1219,10 @@ private[engine] object DeltaAgg {
           case _ => sum(col(c)).as(c)
         }
       }
-      if (keys.isEmpty) df.groupBy().agg(combined.head, combined.tail: _*)
-      else df.groupBy(keys.map(col): _*).agg(combined.head, combined.tail: _*)
+      guardMoments(
+        if (keys.isEmpty) df.groupBy().agg(combined.head, combined.tail: _*)
+        else df.groupBy(keys.map(col): _*).agg(combined.head, combined.tail: _*),
+        spec)
     }
     val addG = regroup(addAux0)
     val delG = regroup(delAux0)
@@ -1105,7 +1266,7 @@ private[engine] object DeltaAgg {
       slot.kind match {
         // their values ARE state-key columns — no aux arithmetic
         case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
-             KindPct =>
+             KindPct | KindListAgg | KindListAggDesc | KindArrAgg =>
           Seq.empty
         case KindCount =>
           Seq((z(s(v)) + z(a(v)) - z(d(v)))
@@ -1113,15 +1274,17 @@ private[engine] object DeltaAgg {
         case KindSum | KindAvg =>
           val cn = s"__a${slot.cntIdx}"
           Seq(
-            checkedCast(z(s(v)) + z(a(v)) - z(d(v)), state.schema(v).dataType).as(v),
+            checkedSigned(z(s(v)) + z(a(v)) - z(d(v)), state.schema(v).dataType).as(v),
             counters(cn))
         case k if isStd(k) =>
-          // [S₂, S₁, n] — all signed-invertible
+          // [S₂, S₁, n] — all signed-invertible; inputs are z()-coalesced
+          // non-NULL, so a NULL fold result can only mean decimal Add
+          // overflow → checkedSigned raises instead of carrying NULL
           val sm = s"__a${slot.auxIdx + 1}"
           val cn = s"__a${slot.cntIdx}"
           Seq(
-            checkedCast(z(s(v)) + z(a(v)) - z(d(v)), state.schema(v).dataType).as(v),
-            checkedCast(z(s(sm)) + z(a(sm)) - z(d(sm)),
+            checkedSigned(z(s(v)) + z(a(v)) - z(d(v)), state.schema(v).dataType).as(v),
+            checkedSigned(z(s(sm)) + z(a(sm)) - z(d(sm)),
               state.schema(sm).dataType).as(sm),
             counters(cn))
         case k if isCov(k) =>
@@ -1129,7 +1292,7 @@ private[engine] object DeltaAgg {
           val cn = s"__a${slot.cntIdx}"
           (0 until slot.width - 1).map { j =>
             val cname = s"__a${slot.auxIdx + j}"
-            checkedCast(z(s(cname)) + z(a(cname)) - z(d(cname)),
+            checkedSigned(z(s(cname)) + z(a(cname)) - z(d(cname)),
               state.schema(cname).dataType).as(cname)
           } :+ counters(cn)
         case KindMax | KindMin =>
@@ -1224,13 +1387,20 @@ private[engine] object DeltaAgg {
     * so precision overflow degrades to the always-correct touched-group
     * recompute instead of silently corrupting the carried sum. */
   private def checkedCast(c: Column, dt: DataType): Column = {
-    import org.apache.spark.sql.functions.raise_error
     val casted = c.cast(dt)
-    when(c.isNotNull && casted.isNull,
-      raise_error(lit("graft delta-agg fold overflowed the state precision"))
-        .cast(dt))
-      .otherwise(casted)
+    when(c.isNotNull && casted.isNull, overflowRaise(dt)).otherwise(casted)
   }
+
+  /** [[checkedCast]] for signed-fold arithmetic whose inputs are
+    * z()-coalesced non-NULL: a NULL result can only mean the decimal Add
+    * itself overflowed (non-ANSI returns NULL, which checkedCast alone
+    * would pass through). */
+  private def checkedSigned(e: Column, dt: DataType): Column =
+    when(e.isNull, overflowRaise(dt)).otherwise(checkedCast(e, dt))
+
+  private def overflowRaise(dt: DataType): Column =
+    org.apache.spark.sql.functions.raise_error(
+      lit("graft delta-agg fold overflowed the state precision")).cast(dt)
 
   /** The statement's visible output derived from aux state — lazy; the
     * caller checkpoints the (narrow) aux state only. Two-level specs

@@ -533,7 +533,25 @@ final class MaterializedView private[engine](
     * multi-partition sort instead of the steady-state single-task funnel
     * ([[ChangeLog.appendDF]]). */
   private def emitOps(ops: DataFrame, wide: Boolean = false): Unit =
-    if (!recovering) timed("emitOps")(changeLog.appendDF(ops, wide))
+    if (!recovering) {
+      timed("emitOps")(changeLog.appendDF(ops, wide))
+      epochEmitted = true
+    }
+
+  /** True once THIS epoch's ops committed to the changelog (reset at each
+    * epoch entry). The interrupt-safety finally blocks key on it: an escape
+    * that bypasses the NonFatal repair handler (InterruptedException is not
+    * NonFatal) restores the pre-epoch source offsets ONLY while nothing was
+    * emitted — the next epoch then re-folds the same delta against the
+    * unmutated state; after a commit the offsets must stand (a restore
+    * would double-emit) and every epoch body orders its fallible state
+    * work BEFORE the commit, so post-commit state is already consistent. */
+  private var epochEmitted = false
+
+  /** Restore the captured pre-epoch changelog offsets (see
+    * [[epochEmitted]]) so an interrupted epoch's delta is not lost. */
+  private def restoreOffsets(prev: Map[String, Long]): Unit =
+    prev.foreach { case (k, v) => cascadeOffsets(k) = v }
 
   /** Start a maintainer stream under the configured streaming parallelism
     * ([[ConnOptions.streamShufflePartitions]] — RisingWave's
@@ -1748,6 +1766,8 @@ final class MaterializedView private[engine](
       // replay — emitting first would double the backfill on failure
       emitOps(Changelog.diff(None, vis, keyCols, wide = true), wide = true)
     } else {
+      val prevOffsets = latests.map { case (u, _) =>
+        u.viewName -> cascadeOffsets.getOrElse(u.viewName, 0L) }.toMap
       val parts: Seq[(MaterializedView.CascadeSrc, Option[DataFrame])] =
         latests.map { case (u, l) =>
           val after = cascadeOffsets.getOrElse(u.viewName, 0L)
@@ -1759,53 +1779,70 @@ final class MaterializedView private[engine](
         }
       val changedOps = parts.collect { case (u, Some(p)) => (u, p) }
       if (changedOps.isEmpty) return
-      // algebraic fold: COUNT/SUM deltas accumulate into the carried aux
-      // state — per-epoch cost ∝ delta, and the sources are never re-scanned
-      if (deltaAggSpec.nonEmpty && auxState.nonEmpty &&
-          deltaAggEpoch(changedOps)) return
-      val changed = changedOps.map { case (u, p) => (u, p.drop("op")) }
-      if (keyCols.isEmpty) {
-        // GlobalRow: the one group is touched by definition; recompute it
-        // over the upstream snapshots (compacted — orders smaller than raw
-        // data) and emit the update pair (or Insert/Delete across a folded
-        // HAVING boundary)
+      epochEmitted = false
+      var settled = false
+      try {
+        // algebraic fold: COUNT/SUM deltas accumulate into the carried aux
+        // state — per-epoch cost ∝ delta, and the sources are never re-scanned
+        if (deltaAggSpec.nonEmpty && auxState.nonEmpty &&
+            deltaAggEpoch(changedOps)) { settled = true; return }
+        val changed = changedOps.map { case (u, p) => (u, p.drop("op")) }
+        if (keyCols.isEmpty) {
+          // GlobalRow: the one group is touched by definition; recompute it
+          // over the upstream snapshots (compacted — orders smaller than raw
+          // data) and emit the update pair (or Insert/Delete across a folded
+          // HAVING boundary)
+          statementEvals += 1
+          val newInner = spark.sql(cascadeStmt).localCheckpoint(true)
+          emitKeyedDiffLocal(cascadeVisible(cascadeInner.get),
+            cascadeVisible(newInner), Nil)
+          cascadeInner = Some(newInner)
+          val vis = cascadeVisible(newInner)
+          snapshot = Some(vis)
+          vis.createOrReplaceTempView(viewName)
+          settled = true
+          return
+        }
+        val touched = cascadeTouchedKeys(changed)
+        if (timed("touched-empty-check")(touched.rdd.isEmpty())) {
+          settled = true; return
+        }
         statementEvals += 1
-        val newInner = spark.sql(cascadeStmt).localCheckpoint(true)
-        emitKeyedDiffLocal(cascadeVisible(cascadeInner.get),
-          cascadeVisible(newInner), Nil)
-        cascadeInner = Some(newInner)
-        val vis = cascadeVisible(newInner)
+        val full = spark.sql(cascadeStmt)
+        // per-epoch cost proportional to touched groups relies on Catalyst's
+        // PushDownLeftSemiAntiJoin planting the key filter BELOW the final
+        // Aggregate (verified to fire for both attribute and expression
+        // grouping keys, incl. the null-safe <=> condition). The optimized
+        // plan is recorded so CascadeMvSpec can pin the property — a Spark
+        // upgrade that stops pushing would silently turn every epoch into a
+        // full recompute over the upstream snapshots.
+        val recompute = keyJoin(full, touched, "left_semi")
+        lastCascadeEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
+        val newTouched = timed("group-recompute")(boundedLocal(recompute))
+        val prevTouched = keyJoin(cascadeInner.get, touched, "left_semi")
+        // state BEFORE ops (same failure discipline as joinCascadeEpoch):
+        // the fallible merge materializes first, so any failure leaves
+        // with NOTHING emitted and the offset-restore below re-folds the
+        // delta next epoch; prevTouched captured the pre-merge frame
+        val merged = timed("state-merge")(boundedLocal(
+          keyJoin(cascadeInner.get, touched, "left_anti").union(newTouched)))
+        // the diff runs on the VISIBLE projection of both sides: with a
+        // folded HAVING, a touched group entering the predicate appears only
+        // on the new side (Insert) and one leaving it only on the old side
+        // (Delete) — the state merge above still carries the full pre-HAVING
+        // aggregate so the group stays maintainable either way
+        emitKeyedDiffLocal(cascadeVisible(prevTouched),
+          cascadeVisible(newTouched), keyCols)
+        cascadeInner = Some(merged)
+        val vis = cascadeVisible(merged)
         snapshot = Some(vis)
         vis.createOrReplaceTempView(viewName)
-        return
+        settled = true
+      } finally {
+        // an escape with nothing committed (incl. InterruptedException,
+        // which no handler here catches) must not lose the consumed delta
+        if (!settled && !epochEmitted) restoreOffsets(prevOffsets)
       }
-      val touched = cascadeTouchedKeys(changed)
-      if (timed("touched-empty-check")(touched.rdd.isEmpty())) return
-      statementEvals += 1
-      val full = spark.sql(cascadeStmt)
-      // per-epoch cost proportional to touched groups relies on Catalyst's
-      // PushDownLeftSemiAntiJoin planting the key filter BELOW the final
-      // Aggregate (verified to fire for both attribute and expression
-      // grouping keys, incl. the null-safe <=> condition). The optimized
-      // plan is recorded so CascadeMvSpec can pin the property — a Spark
-      // upgrade that stops pushing would silently turn every epoch into a
-      // full recompute over the upstream snapshots.
-      val recompute = keyJoin(full, touched, "left_semi")
-      lastCascadeEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
-      val newTouched = timed("group-recompute")(boundedLocal(recompute))
-      val prevTouched = keyJoin(cascadeInner.get, touched, "left_semi")
-      // the diff runs on the VISIBLE projection of both sides: with a
-      // folded HAVING, a touched group entering the predicate appears only
-      // on the new side (Insert) and one leaving it only on the old side
-      // (Delete) — the state merge below still carries the full pre-HAVING
-      // aggregate so the group stays maintainable either way
-      emitKeyedDiffLocal(cascadeVisible(prevTouched),
-        cascadeVisible(newTouched), keyCols)
-      cascadeInner = Some(timed("state-merge")(boundedLocal(
-        keyJoin(cascadeInner.get, touched, "left_anti").union(newTouched))))
-      val vis = cascadeVisible(cascadeInner.get)
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
     }
   }
 
@@ -2044,9 +2081,8 @@ final class MaterializedView private[engine](
       // epoch's merge probes it job-free and the visible/diff evaluations
       // plan without exchanges; past the bound the distributed checkpoint
       // is the 100 TB path
-      val merged = DeltaAgg.merge(auxState.get, addAux, delAux, spec,
-        refetch, touchedLocal)
-      val newAux = timed("state-merge")(boundedLocal(merged))
+      val newAux = timed("state-merge")(
+        mergeAuxState(spec, addAux, delAux, refetch, touchedLocal))
       Some((newAux,
         touchedOuterLocal.getOrElse(DeltaAgg.touchedKeys(addAux, delAux, spec))))
     } catch { case _: Throwable =>
@@ -2095,6 +2131,59 @@ final class MaterializedView private[engine](
         vis.createOrReplaceTempView(viewName)
         true
     }
+
+  /** Aux-state size latch + delta-segment depth (round 13, verdict #4):
+    * [[boundedLocal]]'s probe re-executes the full merge plan, and the
+    * over-bound fallback then executes it AGAIN into the checkpoint — for
+    * a histogram-tier state (O(distinct values) rows by design) that was
+    * 2× O(state) of pure persistence every epoch. Once the state overflows
+    * the local bound, `auxOversize` latches (monotone, same stance as
+    * [[windowStateOversize]]) and epochs switch to delta-segment
+    * persistence below. */
+  private var auxOversize = false
+  private var auxSegmentDepth = 0
+  /** Full-compaction cadence of the segment stack: each epoch adds one
+    * broadcast anti join + a LocalRelation union layer over the base
+    * checkpoint, so reads stay cheap at small depths; every Nth epoch the
+    * stack checkpoints flat (the LiveTable.maybeCompact shape). */
+  private[graft] var auxCompactEvery = 8
+
+  /** Materialize the epoch's folded aux state. Under [[cascadeLocalMax]]
+    * the whole state lands driver-side (LocalRelation — zero-job probes
+    * downstream). Past it, the keyed fast path persists ONLY the touched
+    * slice (delta-proportional) and stacks it over the carried frame with
+    * a broadcast anti join, checkpointing flat every [[auxCompactEvery]]
+    * epochs; join-merge (extremum/float) and global specs checkpoint
+    * directly — still once, not probe+checkpoint twice. */
+  private def mergeAuxState(spec: DeltaAgg.Spec, addAux: DataFrame,
+      delAux: DataFrame, refetch: DataFrame => DataFrame,
+      touchedLocal: Option[DataFrame]): DataFrame = {
+    if (!auxOversize) {
+      val m = boundedLocal(DeltaAgg.merge(auxState.get, addAux, delAux,
+        spec, refetch, touchedLocal))
+      if (!m.queryExecution.logical
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
+        auxOversize = true
+        auxSegmentDepth = 0
+      }
+      m
+    } else DeltaAgg.mergeParts(auxState.get, addAux, delAux, spec,
+        touchedLocal) match {
+      case Some((untouched, resummed)) =>
+        // touched slice is delta-sized — lands driver-side in the usual
+        // epoch; the untouched rows never re-persist
+        val slice = boundedLocal(resummed)
+        val stacked = untouched.unionByName(slice)
+        auxSegmentDepth += 1
+        if (auxSegmentDepth >= auxCompactEvery) {
+          auxSegmentDepth = 0
+          stacked.localCheckpoint(true)
+        } else stacked
+      case None =>
+        DeltaAgg.merge(auxState.get, addAux, delAux, spec, refetch,
+          touchedLocal).localCheckpoint(true)
+    }
+  }
 
   /** Downstream keys a cascade epoch must recompute: the statement
     * retargeted once per changed upstream onto a private view over that
@@ -2912,6 +3001,8 @@ final class MaterializedView private[engine](
       return
     }
     if (!anyNew) return
+    val prevOffsets = latests.map { case (u, _) =>
+      u.viewName -> cascadeOffsets.getOrElse(u.viewName, 0L) }.toMap
     val changed: Seq[(MaterializedView.CascadeSrc, DataFrame)] =
       latests.flatMap { case (u, l) =>
         val after = cascadeOffsets.getOrElse(u.viewName, 0L)
@@ -2924,6 +3015,7 @@ final class MaterializedView private[engine](
     // repair must emit this epoch's delta itself; after, it must NOT —
     // re-diffing against the pre-epoch state would emit the delta twice
     var emitted = false
+    var settled = false
     try {
       tryLocalizeWindowState()
       val primary = cascadeUpstreams.head
@@ -3016,9 +3108,14 @@ final class MaterializedView private[engine](
         // distributed body below re-runs the recompute bounded its own way
         unlocalizeWindowState(disable = true)
       } else if (windowLocalState.nonEmpty) {
-        // a touched-key set too large to hold is a backfill-class delta —
-        // the state it implies won't fit either
-        unlocalizeWindowState(disable = true)
+        // a touched-key set too large to hold is a backfill-class DELTA —
+        // delta-sized, not state-sized (round-12 ADVICE): one bulk load
+        // must not demote every subsequent small epoch to the distributed
+        // tail, so this drop is transient and the tier re-localizes next
+        // epoch (tryLocalizeWindowState's own probe then decides whether
+        // the grown STATE still fits; the permanent latch is reserved for
+        // state-size and unorderable-type refusals)
+        unlocalizeWindowState(disable = false)
       }
 
       val newPart = timed("group-recompute")(boundedLocal(recompute))
@@ -3055,14 +3152,17 @@ final class MaterializedView private[engine](
       val vis = expandCounts(merged)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
+      settled = true
     } catch { case scala.util.control.NonFatal(t) =>
       // full-recompute repair (round 11, ADVICE): the offset above is
       // already consumed, so a mid-epoch failure (transient Spark error,
       // plan-surgery mismatch) must NOT skip the delta — re-evaluate the
       // whole statement and multiset-diff against the carried state, same
       // discipline as joinCascadeEpoch's fallback. Fatal errors (OOM,
-      // interrupts) propagate; the warning makes a PERSISTENT silent
-      // demotion to per-epoch batch re-runs observable (round 12, ADVICE).
+      // interrupts) propagate, with the pre-epoch offsets restored by the
+      // finally below while nothing was committed; the warning makes a
+      // PERSISTENT silent demotion to per-epoch batch re-runs observable
+      // (round 12, ADVICE).
       MaterializedView.log.warn(
         s"window-cascade epoch for $viewName fell back to full recompute: $t")
       statementEvals += 1
@@ -3073,6 +3173,7 @@ final class MaterializedView private[engine](
         // its lazy grouped spelling in cascadeInner is still the truth
         val prevVis = expandCounts(cascadeInner.get)
         emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+        emitted = true
       }
       // transient drop — NOT a disable: the tier re-localizes next epoch
       windowLocalState = None
@@ -3082,6 +3183,17 @@ final class MaterializedView private[engine](
       cascadeInner = Some(grouped)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
+      settled = true
+    } finally {
+      // a survivable non-NonFatal escape (InterruptedException — excluded
+      // from NonFatal, so the repair above never ran) with nothing
+      // committed: restore the consumed offsets so the NEXT epoch re-folds
+      // this delta instead of permanently losing it (round-12 ADVICE).
+      // After a commit the state is already consistent — the local-tier
+      // branch mutates its map and syncs BEFORE the only post-emit job
+      // (the oversize unlocalize checkpoint), and the distributed branch
+      // merges state before emitting — so the offsets must stand.
+      if (!settled && !emitted) restoreOffsets(prevOffsets)
     }
   }
 
@@ -3281,6 +3393,7 @@ final class MaterializedView private[engine](
     if (latest <= after) return
     cascadeOffsets(u.viewName) = latest
     var emitted = false
+    var settled = false
     val tempViews = scala.collection.mutable.ArrayBuffer[String]()
     try {
       // deltas stay LAZY: each binds exactly one term's temp view, so an
@@ -3383,6 +3496,7 @@ final class MaterializedView private[engine](
       val vis = expandCounts(newG)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
+      settled = true
     } catch { case scala.util.control.NonFatal(t) =>
       // full-recompute repair — correct under any surgery/rebinding
       // failure; the warning keeps a persistent demotion observable
@@ -3394,19 +3508,35 @@ final class MaterializedView private[engine](
       if (!emitted) {
         val prevVis = expandCounts(cascadeInner.get)
         emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+        emitted = true
       }
       cascadeInner = Some(grouped)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
       // the input state must track the repaired output — rebuild it from
       // the prefix (repair-only second scan); a failure here leaves None,
-      // which the NEXT epoch's fold turns into another observable repair
+      // which the NEXT epoch's fold turns into another observable repair.
+      // Throwable, not NonFatal: an InterruptedException escaping HERE —
+      // after the repair's ops committed — would leave a stale input
+      // state with no repair marker; None is that marker, and the
+      // interrupt flag is re-asserted for the owner to see.
       windowInputState =
         try globalWindowCut(spark.sql(cascadeStmt).queryExecution.analyzed, boundary)
           .map { case (c, _) =>
             groupedCounts(GraftColumnBridge.ofRows(spark, c)).localCheckpoint(true) }
-        catch { case scala.util.control.NonFatal(_) => None }
-    } finally tempViews.foreach(spark.catalog.dropTempView(_))
+        catch { case t2: Throwable =>
+          if (t2.isInstanceOf[InterruptedException])
+            Thread.currentThread().interrupt()
+          None
+        }
+      settled = true
+    } finally {
+      // pre-commit non-NonFatal escape: restore the consumed offset so the
+      // next epoch re-folds this delta (round-12 ADVICE); post-commit the
+      // body's state installs precede any further fallible work
+      if (!settled && !emitted) cascadeOffsets(u.viewName) = after
+      tempViews.foreach(spark.catalog.dropTempView(_))
+    }
   }
 
   /** Non-multilinear plan detector shared by the delta-join admission
@@ -3522,6 +3652,8 @@ final class MaterializedView private[engine](
       return
     }
 
+    val prevOffsets = latests.map { case (u, _) =>
+      u.viewName -> cascadeOffsets.getOrElse(u.viewName, 0L) }.toMap
     val changed: Seq[(MaterializedView.CascadeSrc, DataFrame)] =
       latests.flatMap { case (u, l) =>
         val after = cascadeOffsets.getOrElse(u.viewName, 0L)
@@ -3534,6 +3666,7 @@ final class MaterializedView private[engine](
     // atomic-append discipline, same as windowCascadeEpoch: once emitOps
     // commits, the fallback must not emit this epoch's delta again
     var emitted = false
+    var settled = false
     try {
       // split each changed source's delta by sign once, eagerly (small)
       val parts = changed.map { case (u, ops) =>
@@ -3672,12 +3805,14 @@ final class MaterializedView private[engine](
       val vis = expandCounts(merged)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
+      settled = true
     } catch { case scala.util.control.NonFatal(t) =>
       // full-recompute fallback: evaluate the statement against the
       // current sources and multiset-diff against the carried state —
       // correct under any rebinding failure, just not delta-proportional.
-      // Fatal errors propagate; the warning makes a persistent silent
-      // demotion observable (round 12, ADVICE).
+      // Fatal errors propagate (pre-commit offsets restored below); the
+      // warning makes a persistent silent demotion observable (round 12,
+      // ADVICE).
       MaterializedView.log.warn(
         s"delta-join epoch for $viewName fell back to full recompute: $t")
       statementEvals += 1
@@ -3686,11 +3821,20 @@ final class MaterializedView private[engine](
       if (!emitted) {
         val prevVis = expandCounts(cascadeInner.get)
         emitOps(Changelog.multisetDiff(Some(prevVis), vis))
+        emitted = true
       }
       cascadeInner = Some(grouped)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
-    } finally tempViews.foreach(spark.catalog.dropTempView(_))
+      settled = true
+    } finally {
+      // pre-commit non-NonFatal escape (InterruptedException bypasses the
+      // handler above): restore the consumed offsets so the next epoch
+      // re-folds this delta instead of losing it (round-12 ADVICE);
+      // post-commit, state merged BEFORE the emit, so the offsets stand
+      if (!settled && !emitted) restoreOffsets(prevOffsets)
+      tempViews.foreach(spark.catalog.dropTempView(_))
+    }
   }
 
   /** Restrict `full` — an evaluation of the admitted outer-join statement —

@@ -1413,6 +1413,41 @@ object StreamingParity {
       materialized
     },
 
+    // order-sensitive aggregate fold (round 13, verdict #3): string_agg/
+    // listagg (ASC and DESC) and array_agg/collect_list ride the SAME
+    // two-level dk histogram state as exact percentile — per-(group,
+    // value) refcounts ARE the multiset — and the visible pass rebuilds
+    // the ordered concat from the state's own rows (array_repeat by
+    // refcount, value-sort, flatten, join). A retracted value leaves the
+    // concat exactly when its last reference does (upsert overwrites
+    // retract mid-replay here). All three calls share ONE dk column.
+    q("m_mv_string_agg_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(event_type, event_id) AS et
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 12 AS BIGINT) AS bucket,
+        |  string_agg(et, ',' ORDER BY et) AS sa,
+        |  string_agg(et, '+' ORDER BY et DESC) AS sad,
+        |  array_to_string(list_sort(list(et)), '|') AS aa,
+        |  count(*) AS n
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_sag_t", Seq(("m_sag_mv",
+        """SELECT user_id % 12 AS bucket,
+          |  listagg(event_type, ',') WITHIN GROUP (ORDER BY event_type) AS sa,
+          |  listagg(event_type, '+') WITHIN GROUP (ORDER BY event_type DESC) AS sad,
+          |  array_join(sort_array(collect_list(event_type)), '|') AS aa,
+          |  count(*) AS n
+          |FROM m_sag_t GROUP BY 1""".stripMargin)), withTs = true)
+      val mv = rw.mvByName("m_sag_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "string_agg/collect_list must fold via the histogram tier (round 13)")
+      require(mv.statementEvals <= 1,
+        "order-sensitive fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

@@ -1144,4 +1144,51 @@ class DeltaAggSpec extends SparkSpec {
     assert(state == batch)
     rw.close()
   }
+
+  test("string_agg/collect_list fold via the histogram state; retracted values leave the concat") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("s", StringType)))
+    rw.createTable("sag_t", sch, primaryKey = Seq("id"))
+    // ASC + DESC listagg and a sorted collect_list share ONE dk column;
+    // the refcounted state rebuilds each face at the visible boundary
+    rw.mv("SELECT grp, listagg(s, ',') WITHIN GROUP (ORDER BY s) AS sa, " +
+      "listagg(s, '+') WITHIN GROUP (ORDER BY s DESC) AS sad, " +
+      "sort_array(collect_list(s)) AS aa FROM sag_t GROUP BY grp", "sag_mv")
+    val mv = rw.mvByName("sag_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "order-sensitive aggregates must fold via the histogram tier (round 13)")
+    val t = rw.table("sag_t").get
+    def state: Map[String, (Any, Any, Seq[String])] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.get(1), r.get(2), r.getSeq[String](3)))).toMap
+    // two rows share s=x: refcount 2 -> x appears twice in every face
+    t.insert(Seq(Row(1L, "a", "x"), Row(2L, "a", "x"), Row(3L, "a", "m"),
+      Row(4L, "b", "q")))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(state == Map(
+      "a" -> (("m,x,x", "x+x+m", Seq("m", "x", "x"))),
+      "b" -> (("q", "q", Seq("q")))))
+    // retract ONE of the two x refs: exactly one x leaves the concat
+    rw.execute("DELETE FROM sag_t WHERE id = 1")
+    rw.flush()
+    assert(state("a") == (("m,x", "x+m", Seq("m", "x"))))
+    // upsert moves id=2 to a new value: x vanishes entirely, y appears
+    t.insert(Seq(Row(2L, "a", "y")))
+    rw.flush()
+    assert(state("a") == (("m,y", "y+m", Seq("m", "y"))))
+    // an all-NULL group: listagg surfaces NULL, collect_list an empty array
+    t.insert(Seq(Row(5L, "c", null)))
+    rw.flush()
+    assert(state("c") == ((null, null, Seq())))
+    // group b vanishes with its last row
+    rw.execute("DELETE FROM sag_t WHERE grp = 'b'")
+    rw.flush()
+    assert(!state.contains("b"))
+    assert(mv.statementEvals == evals,
+      "order-sensitive fold epochs must not re-evaluate the statement")
+    assert(mv.isDeltaAggMode)
+    rw.close()
+  }
 }
