@@ -83,7 +83,7 @@ private[engine] object DeltaAgg {
     * round 12). */
   private[engine] final case class Slot(auxIdx: Int, kind: Int, dkIdx: Int = -1) {
     def width: Int = kind match {
-      case KindCount => 1
+      case KindCount | KindHll => 1
       case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
            KindPct | KindListAgg | KindListAggDesc | KindArrAgg => 0
       case KindSumF | KindAvgF => 3
@@ -283,6 +283,7 @@ private[engine] object DeltaAgg {
           KindListAggDesc
         else KindListAgg
       case _: CollectList => KindArrAgg
+      case _: HyperLogLogPlusPlus => KindHll
       case _: Corr => KindCorr
       case _: CovSample => KindCovS
       case _: CovPopulation => KindCovP
@@ -347,6 +348,19 @@ private[engine] object DeltaAgg {
     private[graft] def hasExtremum: Boolean =
       slots.exists(s => s.kind == KindMax || s.kind == KindMin ||
         s.kind == KindMaxBy || s.kind == KindMinBy)
+    /** True when the spec carries a merge-only HLL sketch slot — the
+      * caller must demote to recompute on the first statement-visible
+      * retraction (a sketch cannot subtract). */
+    private[graft] def hasHll: Boolean = slots.exists(_.kind == KindHll)
+    /** True when every aux column folds by plain signed addition (no
+      * extremum/float/sketch slots) — the driver-local map tier's
+      * admission: point arithmetic reproduces the union+re-sum merge
+      * exactly. */
+    private[graft] def isPureSigned: Boolean = !needJoinMerge && !hasHll
+    /** Sketch-valued aux columns: combined by hll_union_agg, never
+      * negated or summed. */
+    private[DeltaAgg] lazy val sketchCols: Set[String] =
+      slots.collect { case s if s.kind == KindHll => s"__a${s.auxIdx}" }.toSet
     /** Sum-like aux value columns paired with their slot's non-NULL
       * counter: a NULL value while the counter is positive can ONLY mean
       * the Sum aggregate itself overflowed (non-ANSI decimal Sum returns
@@ -513,6 +527,13 @@ private[engine] object DeltaAgg {
         // fold emits the value-ascending instance (wrap in sort_array for
         // a deterministic face); the element must be a state-keyable type
         case cl: CollectList => orderable(cl.child.dataType)
+        // approx_count_distinct: merge-only DataSketches HLL state while
+        // the changelog stays insert-only (foldAux demotes on the first
+        // retraction); child types are HllSketchAgg's input envelope
+        case h: HyperLogLogPlusPlus => h.child.dataType match {
+          case IntegerType | LongType | StringType => true
+          case _ => false
+        }
         case s: Sum => s.child.dataType match {
           case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
           // float tier: Kahan-compensated fold behind the opt-in flag
@@ -622,6 +643,15 @@ private[engine] object DeltaAgg {
         next += slot.width
         slot
       }
+      // the HLL sketch slot composes with neither the two-level tier (the
+      // dk state already holds exact distinct values — an approx sketch
+      // alongside it would be strictly worse) nor the join-merge path (no
+      // sketch arithmetic there); such statements keep recompute mode
+      if (slots.exists(_.kind == KindHll) &&
+          (needTwoLevel || slots.exists(s =>
+            s.kind == KindMax || s.kind == KindMin || s.kind == KindMaxBy ||
+              s.kind == KindMinBy || s.kind == KindSumF || s.kind == KindAvgF)))
+        return None
       val distinctKeyNames = dkChildren.indices.map(i => s"__dk$i")
       val auxNames = slots.flatMap { s =>
         (0 until s.width).map(j => s"__a${s.auxIdx + j}")
@@ -908,6 +938,12 @@ private[engine] object DeltaAgg {
                     case attr: AttributeReference if attr.exprId == av.count.exprId =>
                       UnresolvedAttribute(s"__a${s.cntIdx}")
                   }
+                case KindHll =>
+                  // estimate at the visible boundary; an empty/absent
+                  // sketch surfaces 0 — approx_count_distinct never NULLs
+                  Cast(Coalesce(Seq(
+                    HllSketchEstimate(UnresolvedAttribute(s"__a${s.auxIdx}")),
+                    Literal(0L))), ae.dataType)
                 case _ => UnresolvedAttribute(s"__a${s.auxIdx}")
               }
             case ar: AttributeReference =>
@@ -1019,6 +1055,16 @@ private[engine] object DeltaAgg {
               ae.filter, NamedExpression.newExprId), s"__a$base")(),
             Alias(Literal(0.0, DoubleType), s"__a${base + 1}")(),
             cnt(child, base + 2))
+        case KindHll =>
+          // merge-only sketch partial: lgConfigK from the statement's rsd
+          // (HLL++'s precision is p = ceil(2·log₂(1.106/rsd)); DataSketches
+          // clamps to [4, 21]) so a user-tightened approx keeps its bound
+          val h = ae.aggregateFunction.asInstanceOf[HyperLogLogPlusPlus]
+          val lgK = math.min(21, math.max(4, math.ceil(
+            2.0 * math.log(1.106 / h.relativeSD) / math.log(2.0)).toInt))
+          Seq(Alias(AggregateExpression(HllSketchAgg(child, Literal(lgK)),
+            Complete, isDistinct = false, ae.filter,
+            NamedExpression.newExprId), s"__a$base")())
         case k if isCov(k) =>
           // [Σxy, Σx, Σy, (Σx², Σy²,) n-both-non-null]: the pairwise
           // product NULLs itself when either side is NULL; the
@@ -1059,6 +1105,22 @@ private[engine] object DeltaAgg {
         keyOuts ++ dkOuts ++ auxExprs, a.child))
     guardMoments(frame, spec)
   }
+
+  /** Sign-negate a retraction partial for the union+re-sum fast path.
+    * Sketch columns pass through un-negated (binary has no −1 product);
+    * the caller's insert-only contract for HLL specs guarantees the DEL
+    * side is empty whenever a sketch column is present. */
+  private def negateAux(df: DataFrame, spec: Spec): DataFrame =
+    df.select(spec.stateKeys.map(col) ++ spec.auxNames.map { c =>
+      (if (spec.sketchCols(c)) col(c) else col(c) * lit(-1)).as(c)
+    }: _*)
+
+  /** Per-column combiner of the union+re-sum merge: signed Sum everywhere
+    * except sketch columns, which union via hll_union_agg (merge-only). */
+  private def combineAux(spec: Spec, c: String): Column =
+    if (spec.sketchCols(c))
+      org.apache.spark.sql.functions.hll_union_agg(col(c), lit(true)).as(c)
+    else sum(col(c)).as(c)
 
   /** Overflow tripwire over a partial/regrouped aux frame: raise when a
     * sum-like moment is NULL while its slot's non-NULL counter is positive
@@ -1106,17 +1168,15 @@ private[engine] object DeltaAgg {
     // distinct-children columns for the two-level tier (round 12)
     val keys = spec.stateKeys
     val auxCols = spec.auxNames
-    def negate(df: DataFrame): DataFrame =
-      df.select(keys.map(col) ++ auxCols.map(c => (col(c) * lit(-1)).as(c)): _*)
     if (keys.isEmpty) {
       // global aggregate: ONE row, always touched, NEVER dropped — a
       // global aggregate over an empty input still yields its row
       // (count 0, sums NULL), exactly like the batch evaluation
       return guardMoments(
-        state.unionByName(addAux).unionByName(negate(delAux))
+        state.unionByName(addAux).unionByName(negateAux(delAux, spec))
           .groupBy()
-          .agg(auxCols.map(c => sum(col(c)).as(c)).head,
-               auxCols.map(c => sum(col(c)).as(c)).tail: _*), spec)
+          .agg(combineAux(spec, auxCols.head), auxCols.tail.map(c =>
+            combineAux(spec, c)): _*), spec)
         .select(spec.auxNames.map { c =>
           checkedCast(col(c), state.schema(c).dataType).as(c)
         }: _*)
@@ -1140,8 +1200,6 @@ private[engine] object DeltaAgg {
     if (spec.needJoinMerge || spec.stateKeys.isEmpty) return None
     val keys = spec.stateKeys
     val auxCols = spec.auxNames
-    def negate(df: DataFrame): DataFrame =
-      df.select(keys.map(col) ++ auxCols.map(c => (col(c) * lit(-1)).as(c)): _*)
     val touched = touchedHint.getOrElse(addAux.select(keys.map(col): _*)
       .union(delAux.select(keys.map(col): _*)).distinct())
     val kr = touched.toDF(keys.map(k => s"__k_$k"): _*)
@@ -1151,10 +1209,10 @@ private[engine] object DeltaAgg {
     val untouched = state.join(broadcast(kr), keyCond(state), "left_anti")
     val resummed = guardMoments(stateTouched
       .unionByName(addAux)
-      .unionByName(negate(delAux))
+      .unionByName(negateAux(delAux, spec))
       .groupBy(keys.map(col): _*)
-      .agg(auxCols.map(c => sum(col(c)).as(c)).head,
-           auxCols.map(c => sum(col(c)).as(c)).tail: _*), spec)
+      .agg(combineAux(spec, auxCols.head), auxCols.tail.map(c =>
+        combineAux(spec, c)): _*), spec)
       .filter(col(spec.rowsCol) > 0)
       // cast aux sums back to the state schema: decimal addition widens
       // the type per fold, and an ever-widening state schema would break

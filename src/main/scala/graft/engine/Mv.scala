@@ -2026,7 +2026,7 @@ final class MaterializedView private[engine](
           .withColumn("__sgn", org.apache.spark.sql.functions.lit(-1)))
       val auxRows = timed("delta-aux")(
         bothPlan.limit(cascadeLocalMax + 1).collect())
-      val (addAux, delAux, touchedLocal, touchedOuterLocal) =
+      val (addAux, delAux, touchedLocal, touchedOuterLocal, localParts) =
         if (auxRows.length <= cascadeLocalMax) {
           val sch = org.apache.spark.sql.types.StructType(
             bothPlan.schema.fields.dropRight(1))
@@ -2051,13 +2051,25 @@ final class MaterializedView private[engine](
           val tdfOuter =
             if (!spec.isTwoLevel || spec.keys.isEmpty) tdf
             else touchedOf(spec.keys)
-          (localDf(adds, sch), localDf(dels, sch), Some(tdf), Some(tdfOuter))
+          (localDf(adds, sch), localDf(dels, sch), Some(tdf), Some(tdfOuter),
+            Some((adds, dels)))
         } else {
           val bothAux = bothPlan.localCheckpoint(true)
           (bothAux.filter(col("__sgn") === 1).drop("__sgn"),
             bothAux.filter(col("__sgn") === -1).drop("__sgn"),
-            None, None)
+            None, None, None)
         }
+      // insert-only HLL fold (round 13, verdict #5): a statement-visible
+      // retraction cannot fold into a merge-only sketch — the throw lands
+      // in the catch below, which drops the spec, and the epoch (plus all
+      // later ones) takes the always-correct touched-group recompute
+      // (RisingWave's own approx-distinct posture)
+      if (spec.hasHll && (delAux.queryExecution.logical match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          lr.data.nonEmpty
+        case _ => delAux.take(1).nonEmpty
+      })) throw new IllegalStateException(
+        "approx_count_distinct fold is insert-only; a retraction demotes to recompute")
       // extremum re-fetch (MIN/MAX slots): recompute EXACTLY the groups
       // whose carried extremum a retraction may have removed, against the
       // sources' current snapshots — the semi-join pushes below the
@@ -2082,10 +2094,16 @@ final class MaterializedView private[engine](
       // plan without exchanges; past the bound the distributed checkpoint
       // is the 100 TB path
       val newAux = timed("state-merge")(
-        mergeAuxState(spec, addAux, delAux, refetch, touchedLocal))
+        mergeAuxState(spec, addAux, delAux, refetch, touchedLocal, localParts))
       Some((newAux,
         touchedOuterLocal.getOrElse(DeltaAgg.touchedKeys(addAux, delAux, spec))))
-    } catch { case _: Throwable =>
+    } catch { case t: Throwable =>
+      // demotion is correctness-preserving (the caller recomputes touched
+      // groups) but must be OBSERVABLE — a silent drop turns every later
+      // epoch into the slower path with no trace
+      MaterializedView.log.warn(
+        s"delta-agg fold for $viewName dropped to touched-group recompute: $t")
+      if (t.isInstanceOf[InterruptedException]) Thread.currentThread().interrupt()
       deltaAggSpec = None
       None
     } finally tempViews.foreach(spark.catalog.dropTempView(_))
@@ -2148,25 +2166,163 @@ final class MaterializedView private[engine](
     * stack checkpoints flat (the LiveTable.maybeCompact shape). */
   private[graft] var auxCompactEvery = 8
 
-  /** Materialize the epoch's folded aux state. Under [[cascadeLocalMax]]
-    * the whole state lands driver-side (LocalRelation — zero-job probes
-    * downstream). Past it, the keyed fast path persists ONLY the touched
-    * slice (delta-proportional) and stacks it over the carried frame with
-    * a broadcast anti join, checkpointing flat every [[auxCompactEvery]]
-    * epochs; join-merge (extremum/float) and global specs checkpoint
-    * directly — still once, not probe+checkpoint twice. */
+  /** Driver-local aux-state map tier (round 13): for pure-signed specs
+    * (every slot folds by signed addition — no extremum/float/sketch)
+    * whose state fits [[auxStateLocalMax]] rows, the carried aux state
+    * lives in a driver map keyed by the state-key tuple, and each epoch's
+    * already-driver-collected partials fold by point arithmetic — ZERO
+    * jobs for the state merge, and every downstream evaluation (visible
+    * diff, snapshot readers) plans over a LocalRelation instead of
+    * re-scanning a checkpointed frame. Mirrors [[windowLocalState]]'s
+    * design and bound; outgrowing the bound (or a distributed
+    * backfill-class epoch) drops the map and the distributed tiers below
+    * take over — the 100 TB path. */
+  private var auxLocalMap: Option[scala.collection.mutable.LinkedHashMap[
+    Row, Array[Any]]] = None
+  private[graft] var auxStateLocalMax = 200000
+  /** True while the aux state is maintained by the driver map (probe). */
+  private[graft] def auxStateIsLocal: Boolean = auxLocalMap.nonEmpty
+
+  /** a ⊞ sign·b on external Row values. NULL is the additive identity
+    * (Sum skips NULLs); the result is NULL only when both sides are.
+    * Long overflow raises (addExact) and a decimal sum outgrowing the
+    * state precision raises — both land in foldAux's demote-to-recompute
+    * catch, the same stance as the distributed merge's checkedCast. */
+  private def addSigned(a: Any, b: Any, sign: Int, dt: org.apache.spark.sql.types.DataType): Any = {
+    if (b == null) return a
+    val sb = (b, sign) match {
+      case (v, 1) => v
+      case (v: java.lang.Long, _) => java.lang.Long.valueOf(-v)
+      case (v: java.lang.Double, _) => java.lang.Double.valueOf(-v)
+      case (v: java.math.BigDecimal, _) => v.negate()
+      case (v, _) => v
+    }
+    if (a == null) return sb
+    (a, sb) match {
+      case (x: java.lang.Long, y: java.lang.Long) =>
+        java.lang.Long.valueOf(Math.addExact(x.longValue(), y.longValue()))
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.valueOf(x + y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        val r = x.add(y)
+        dt match {
+          case d: org.apache.spark.sql.types.DecimalType
+              if r.precision - r.scale > d.precision - d.scale =>
+            throw new ArithmeticException(
+              "graft delta-agg fold overflowed the state precision")
+          case _ => r
+        }
+      case _ => throw new IllegalStateException(
+        s"aux map tier cannot add ${a.getClass} / ${sb.getClass}")
+    }
+  }
+
+  /** Fold one sign side's partial rows into the map by point writes.
+    * Row layout is the aux frame's: state keys first, aux columns after
+    * (rows counter last). A key whose rows counter reaches ≤ 0 leaves the
+    * map — the distributed merge's `rowsCol > 0` filter. */
+  private def foldIntoAuxMap(m: scala.collection.mutable.LinkedHashMap[Row, Array[Any]],
+      rows: IndexedSeq[Row], sign: Int, nKeys: Int,
+      auxTypes: IndexedSeq[org.apache.spark.sql.types.DataType]): Unit = {
+    val nAux = auxTypes.length
+    rows.foreach { r =>
+      val key = Row.fromSeq((0 until nKeys).map(r.get))
+      val cur = m.getOrElse(key, null)
+      val out = new Array[Any](nAux)
+      var j = 0
+      while (j < nAux) {
+        out(j) = addSigned(if (cur == null) null else cur(j),
+          r.get(nKeys + j), sign, auxTypes(j))
+        j += 1
+      }
+      val rowsCnt = out(nAux - 1)
+      if (rowsCnt == null || rowsCnt.asInstanceOf[Long] <= 0L) m.remove(key)
+      else m.update(key, out)
+    }
+  }
+
+  private def auxMapToDf(spec: DeltaAgg.Spec): DataFrame = {
+    val m = auxLocalMap.get
+    val rows = m.iterator.map { case (k, aux) =>
+      Row.fromSeq(k.toSeq ++ aux) }.toIndexedSeq
+    localDf(rows, auxLocalSchema.get)
+  }
+  private var auxLocalSchema: Option[org.apache.spark.sql.types.StructType] = None
+
+  /** Seed the map from a collected full state; false = a column type the
+    * point arithmetic doesn't cover (stay on the LocalRelation tier). */
+  private def seedAuxMap(rows: IndexedSeq[Row],
+      schema: org.apache.spark.sql.types.StructType,
+      spec: DeltaAgg.Spec): Boolean = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val nKeys = spec.stateKeys.length
+    val auxOk = schema.fields.drop(nKeys).forall(_.dataType match {
+      case LongType | DoubleType | _: DecimalType => true
+      case _ => false
+    })
+    if (!auxOk || spec.stateKeys.isEmpty) return false
+    val m = new scala.collection.mutable.LinkedHashMap[Row, Array[Any]]()
+    rows.foreach { r =>
+      m.update(Row.fromSeq((0 until nKeys).map(r.get)),
+        Array.tabulate[Any](schema.length - nKeys)(j => r.get(nKeys + j)))
+    }
+    auxLocalSchema = Some(schema)
+    auxLocalMap = Some(m)
+    true
+  }
+
+  /** Materialize the epoch's folded aux state, cheapest tier first:
+    * (0) driver map point-merge — zero jobs (pure-signed specs, local
+    * partials, state ≤ [[auxStateLocalMax]]); (1) distributed merge
+    * probed down to a LocalRelation / map seed while the state fits;
+    * (2) past the bound (latched — the probe re-executes the full merge
+    * plan, so re-probing every epoch would pay O(state) twice): the keyed
+    * fast path persists ONLY the touched slice (delta-proportional) and
+    * stacks it over the carried frame with a broadcast anti join,
+    * checkpointing flat every [[auxCompactEvery]] epochs; join-merge
+    * (extremum/float) specs checkpoint directly. */
   private def mergeAuxState(spec: DeltaAgg.Spec, addAux: DataFrame,
       delAux: DataFrame, refetch: DataFrame => DataFrame,
-      touchedLocal: Option[DataFrame]): DataFrame = {
-    if (!auxOversize) {
-      val m = boundedLocal(DeltaAgg.merge(auxState.get, addAux, delAux,
-        spec, refetch, touchedLocal))
-      if (!m.queryExecution.logical
-          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
+      touchedLocal: Option[DataFrame],
+      localParts: Option[(IndexedSeq[Row], IndexedSeq[Row])]): DataFrame = {
+    if (auxLocalMap.nonEmpty) localParts match {
+      case Some((addRows, delRows)) if spec.isPureSigned =>
+        val m = auxLocalMap.get
+        val nKeys = spec.stateKeys.length
+        val auxTypes = auxLocalSchema.get.fields.drop(nKeys)
+          .map(_.dataType).toIndexedSeq
+        foldIntoAuxMap(m, addRows, 1, nKeys, auxTypes)
+        foldIntoAuxMap(m, delRows, -1, nKeys, auxTypes)
+        if (m.size <= auxStateLocalMax) return auxMapToDf(spec)
+        // outgrew the bound: hand a consistent frame to the distributed
+        // tiers for good (monotone, like the window tier's total-size latch)
+        val full = auxMapToDf(spec)
+        auxLocalMap = None
         auxOversize = true
         auxSegmentDepth = 0
+        return full.localCheckpoint(true)
+      case _ =>
+        // distributed backfill-class epoch: the map content IS auxState's
+        // LocalRelation — drop the map (transient) and merge distributed;
+        // the seed below re-localizes when the state still fits
+        auxLocalMap = None
+    }
+    if (!auxOversize) {
+      val merged = DeltaAgg.merge(auxState.get, addAux, delAux,
+        spec, refetch, touchedLocal)
+      val probeMax =
+        if (spec.isPureSigned && spec.stateKeys.nonEmpty) auxStateLocalMax
+        else cascadeLocalMax
+      val rows = merged.limit(probeMax + 1).collect()
+      if (rows.length <= probeMax) {
+        val local = localDf(rows.toIndexedSeq, merged.schema)
+        if (spec.isPureSigned) seedAuxMap(rows.toIndexedSeq, merged.schema, spec)
+        local
+      } else {
+        auxOversize = true
+        auxSegmentDepth = 0
+        merged.localCheckpoint(true)
       }
-      m
     } else DeltaAgg.mergeParts(auxState.get, addAux, delAux, spec,
         touchedLocal) match {
       case Some((untouched, resummed)) =>
@@ -3073,6 +3229,12 @@ final class MaterializedView private[engine](
         val state = windowLocalState.get
         val schema = windowLocalSchema.get
         val n = schema.length
+        // degenerate-shape detection (round 13): consecutive epochs whose
+        // delta touches ~every carried partition — the map size makes the
+        // fraction a free probe here
+        if (state.size >= 8 && touchedRows.length >= 0.9 * state.size)
+          windowDegenerateEpochs += 1
+        else windowDegenerateEpochs = 0
         val withKeys = recompute.select(
           recompute.columns.toIndexedSeq.map(col) ++
             windowStateKeys.indices.map(i => windowStateKeyCol(i).as(s"__sk_$i")): _*)
@@ -3100,6 +3262,12 @@ final class MaterializedView private[engine](
               // state to the distributed tier for good
               if (state.valuesIterator.map(_.length.toLong).sum > windowLocalStateMax)
                 unlocalizeWindowState(disable = true)
+              // a wholesale-touch streak reroutes the statement to the
+              // global-window input fold (epoch already committed; the
+              // switch only re-seeds the input state) — round 13
+              if (!windowRerouteRefused &&
+                  windowDegenerateEpochs >= windowDegenerateAfter)
+                tryRerouteToGlobalWindow()
               return
             case None => () // unorderable type slipped through — fall out
           }
@@ -3195,6 +3363,81 @@ final class MaterializedView private[engine](
       // merges state before emitting — so the offsets must stand.
       if (!settled && !emitted) restoreOffsets(prevOffsets)
     }
+  }
+
+  /** Degenerate-shape latch (round 13, verdict #6): a PARTITION BY key
+    * that every epoch's delta touches wholesale (e.g. a uniform hash of
+    * the row id) makes the keyed cascade re-rank every partition every
+    * epoch AND pay the per-partition machinery on top. After
+    * [[windowDegenerateAfter]] consecutive local-tier epochs touching
+    * ≥90% of ≥8 carried partitions, the statement reroutes to the
+    * global-window input fold — same carried grouped output state, plus a
+    * one-off prefix scan to seed the input multiset — whose epochs
+    * re-evaluate the whole window suffix ONCE over carried ⊕ delta (the
+    * cost the statement's semantics demand, with none of the
+    * per-partition overhead). Detection lives in the local tier, where
+    * the partition count is a free map probe. */
+  private var windowDegenerateEpochs = 0
+  private[graft] var windowDegenerateAfter = 2
+  private var windowRerouteRefused = false
+
+  private def tryRerouteToGlobalWindow(): Unit = {
+    if (cascadeUpstreams.size != 1) { windowRerouteRefused = true; return }
+    try {
+      val u = cascadeUpstreams.head
+      val boundary = Set(u.viewName.toLowerCase)
+      val analyzed = spark.sql(cascadeStmt).queryExecution.analyzed
+      // same admission as tryStartGlobalWindow, minus the backfill: the
+      // cascade's grouped output state IS the global fold's state shape
+      val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.mkString(".").toLowerCase
+      }
+      def refuse(): Unit = windowRerouteRefused = true
+      if (occurrences.count(_ == u.viewName.toLowerCase) != 1) { refuse(); return }
+      if (subquerySourcesIn(analyzed, boundary).nonEmpty) { refuse(); return }
+      if (windowsAbove(analyzed, boundary).isEmpty) { refuse(); return }
+      val (cut, allowedJoins) = globalWindowCut(analyzed, boundary) match {
+        case Some(x) => x
+        case None => refuse(); return
+      }
+      if (nonLinearIn(cut, boundary, allowedNodes = allowedJoins)) { refuse(); return }
+      if (cut.output.map(_.name.toLowerCase).distinct.size != cut.output.size) {
+        refuse(); return
+      }
+      // reroute ONLY when the cut sits directly below the bottom WINDOW:
+      // an Aggregate between them (window-over-aggregate) would make the
+      // carried input multiset RAW-input-sized and re-aggregate it
+      // wholesale every epoch — strictly worse than the keyed cascade's
+      // touched-group recomputation, degenerate key or not
+      val cutParentIsWindow = analyzed.collectFirst {
+        case p if p.children.exists(_ eq cut) => p
+      }.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window])
+      if (!cutParentIsWindow) { refuse(); return }
+      var suffixOk = true
+      def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+        if (!(p eq cut)) {
+          if (!p.expressions.forall(_.deterministic)) suffixOk = false
+          p.children.foreach(walk)
+        }
+      walk(analyzed)
+      if (!suffixOk) { refuse(); return }
+      // the switch's one-off cost: materialize the prefix input multiset
+      // (offsets are already consumed through this epoch, so the current
+      // source snapshot IS the state the fold expects)
+      statementEvals += 1
+      val inputG = groupedCounts(GraftColumnBridge.ofRows(spark, cut))
+        .localCheckpoint(true)
+      unlocalizeWindowState(disable = false) // grouped state off the local map
+      windowInputState = Some(inputG)
+      windowMode = false
+      cascadeMode = false
+      windowGlobalMode = true
+      windowDegenerateEpochs = 0
+      MaterializedView.log.warn(
+        s"window cascade for $viewName rerouted to the global-window input " +
+        "fold (degenerate shape: consecutive epochs touched ~every partition)")
+    } catch { case scala.util.control.NonFatal(_) => windowRerouteRefused = true }
   }
 
   // ---- global-window prefix fold (round 12) -------------------------------

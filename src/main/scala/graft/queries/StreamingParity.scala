@@ -1448,6 +1448,52 @@ object StreamingParity {
       materialized
     },
 
+    // insert-only approx_count_distinct fold (round 13, verdict #5): the
+    // MV carries a merge-only DataSketches HLL sketch per group — each
+    // epoch unions the insert partials, never re-scanning the base — and
+    // would demote to recompute on the first retraction (DeltaAggSpec
+    // pins the demotion). The PK is event_id (unique in the fixture), so
+    // the chunked replay is genuinely insert-only. Approx faces are
+    // tolerance-contracted like b_approx_distinct: the hash-checked
+    // output is the exact count plus "approx within 20% of exact".
+    q("m_mv_approx_distinct_fold",
+      """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  count(DISTINCT event_id % 4000) AS exact_ids,
+        |  true AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val fields = Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType))
+      rw.createTable("m_adf_t", StructType(fields), primaryKey = Seq("event_id"))
+      rw.mv(
+        """SELECT user_id % 10 AS bucket,
+          |  approx_count_distinct(event_id % 4000) AS ad,
+          |  count(*) AS n
+          |FROM m_adf_t GROUP BY 1""".stripMargin, "m_adf_mv")
+      val mv = rw.mvByName("m_adf_mv").get
+      val rows = Tables(s, dir, "events")
+        .select(fields.map(f => col(f.name)): _*)
+        .collect().sortBy(_.getLong(0))
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        rw.table("m_adf_t").get.insert(chunk.toSeq); rw.flush()
+      }
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "insert-only approx_count_distinct must fold merge-only (round 13)")
+      require(mv.statementEvals <= 1,
+        "sketch fold epochs must not re-evaluate the statement")
+      val exact = Tables(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(countDistinct(col("event_id") % 4000).as("exact_ids"))
+      val out = mv.df.join(exact, "bucket")
+        .select(col("bucket"), col("n"), col("exact_ids"),
+          (abs(col("ad") - col("exact_ids")) <= col("exact_ids") * 0.2)
+            .as("approx_ok"))
+      val materialized = out.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

@@ -147,17 +147,18 @@ class CascadeMvSpec extends SparkSpec {
       StructField("k", StringType), StructField("v", DoubleType))))
     rw.mv("SELECT k, count(*) AS n FROM cpp_t GROUP BY k", "cpp_up")
     // expression grouping key (substring) — the harder pushdown case.
-    // approx_count_distinct (an HLL sketch, non-retractable) keeps this
-    // statement OUT of the delta-accumulation path (stddev folds since
-    // round 12, integral avg since round 11, exact percentile since the
-    // round-12 histogram tier) so the test still pins the RECOMPUTE
-    // epoch's pushdown property.
+    // approx_percentile (a quantile sketch, non-retractable and with no
+    // merge-only admission) keeps this statement OUT of the
+    // delta-accumulation path (stddev folds since round 12, integral avg
+    // since round 11, exact percentile since the round-12 histogram tier,
+    // approx_count_distinct merge-folds insert-only since round 13) so
+    // the test still pins the RECOMPUTE epoch's pushdown property.
     rw.mv("SELECT substring(k, 1, 1) AS g, CAST(SUM(n) AS BIGINT) AS n, " +
-      "CAST(approx_count_distinct(n) AS BIGINT) AS a FROM cpp_up GROUP BY substring(k, 1, 1)", "cpp_dn")
+      "CAST(approx_percentile(n, 0.5) AS BIGINT) AS a FROM cpp_up GROUP BY substring(k, 1, 1)", "cpp_dn")
     val down = rw.mvByName("cpp_dn").get
     assert(down.isChangelogCascadeMode)
     assert(!down.isDeltaAggMode,
-      "approx_count_distinct must force the recompute cascade")
+      "approx_percentile must force the recompute cascade")
     val t = rw.table("cpp_t").get
     t.insert(Seq(Row("a1", 1.0), Row("b1", 2.0)))
     rw.flush()

@@ -310,14 +310,16 @@ class DeltaAggSpec extends SparkSpec {
   test("non-decomposable aggregates fall back to recompute and stay correct") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("daf_t", schema, primaryKey = Seq("id"))
-    // approx_count_distinct (not stddev or percentile — those fold since
-    // round 12) is the genuinely non-decomposable representative: an HLL
-    // sketch cannot retract
-    rw.mv("SELECT grp, CAST(approx_count_distinct(v) AS BIGINT) AS sd " +
+    // approx_percentile (not stddev/percentile/approx_count_distinct —
+    // exact percentile folds since round 12, the HLL sketch merge-folds
+    // insert-only since round 13) is the genuinely non-decomposable
+    // representative: a KLL/GK quantile sketch cannot retract and has no
+    // merge-only admission
+    rw.mv("SELECT grp, CAST(approx_percentile(v, 0.5) AS BIGINT) AS sd " +
       "FROM daf_t GROUP BY grp", "daf_std")
     val stdMv = rw.mvByName("daf_std").get
     assert(stdMv.isChangelogCascadeMode && !stdMv.isDeltaAggMode,
-      "approx_count_distinct has no invertible fold — recompute cascade")
+      "approx_percentile has no invertible fold — recompute cascade")
     rw.createTable("daf_d", StructType(Seq(StructField("id", LongType),
       StructField("grp", StringType), StructField("d", DoubleType))),
       primaryKey = Seq("id"))
@@ -328,8 +330,8 @@ class DeltaAggSpec extends SparkSpec {
     t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 21L)))
     rw.flush()
     assert(stdMv.df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
-      Set(("a", 2L)),
-      "the recompute cascade must still produce exact small-n sketch counts")
+      Set(("a", 10L)),
+      "the recompute cascade must still produce exact small-n quantiles")
     rw.close()
   }
 
@@ -1189,6 +1191,47 @@ class DeltaAggSpec extends SparkSpec {
     assert(mv.statementEvals == evals,
       "order-sensitive fold epochs must not re-evaluate the statement")
     assert(mv.isDeltaAggMode)
+    rw.close()
+  }
+
+  test("insert-only approx_count_distinct folds a merge-only sketch; first retraction demotes") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("hll_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, approx_count_distinct(v) AS ad, count(*) AS n " +
+      "FROM hll_t GROUP BY grp", "hll_mv")
+    val mv = rw.mvByName("hll_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "approx_count_distinct over a PK table must fold merge-only (round 13)")
+    val t = rw.table("hll_t").get
+    def state: Map[String, (Long, Long)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // unique ids, never overwritten: pure inserts -> the sketch unions
+    t.insert(Seq(Row(1L, "a", 10L), Row(2L, "a", 10L), Row(3L, "a", 20L),
+      Row(4L, "b", 5L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    // HLL is exact at tiny cardinalities — both sketches agree with exact
+    assert(state == Map("a" -> ((2L, 3L)), "b" -> ((1L, 1L))))
+    t.insert(Seq(Row(5L, "a", 30L), Row(6L, "b", 5L)))
+    rw.flush()
+    assert(state == Map("a" -> ((3L, 4L)), "b" -> ((1L, 2L))))
+    assert(mv.statementEvals == evals,
+      "insert-only sketch epochs must not re-evaluate the statement")
+    assert(mv.isDeltaAggMode)
+    // FIRST retraction (PK overwrite 10→99: a gains a 4th distinct value):
+    // the sketch cannot subtract — the fold demotes to touched-group
+    // recompute, values stay correct
+    t.insert(Seq(Row(2L, "a", 99L)))
+    rw.flush()
+    assert(state == Map("a" -> ((4L, 4L)), "b" -> ((1L, 2L))),
+      "post-demotion recompute must keep exact small-set parity")
+    assert(!mv.isDeltaAggMode,
+      "a retraction must demote the merge-only sketch fold for good")
+    // later epochs keep maintaining correctly in recompute mode
+    rw.execute("DELETE FROM hll_t WHERE grp = 'b'")
+    rw.flush()
+    assert(state == Map("a" -> ((4L, 4L))))
     rw.close()
   }
 }

@@ -444,4 +444,50 @@ class WindowCascadeMvSpec extends SparkSpec {
     assert(mv.isWindowCascadeMode)
     rw.close()
   }
+
+  test("a uniform key touching every partition reroutes to the global-window input fold") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wcd_t", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))),
+      primaryKey = Seq("id"))
+    // id % 10 is a uniform hash: every insert wave touches all 10
+    // partitions, so the keyed cascade re-ranks everything each epoch AND
+    // pays the per-partition machinery — after two such epochs the
+    // degenerate latch reroutes the statement to the global-window input
+    // fold (round 13, one-off prefix re-seed, same grouped output state)
+    rw.mv("SELECT id, v, CAST(rank() OVER " +
+      "(PARTITION BY id % 10 ORDER BY v DESC, id) AS BIGINT) AS r " +
+      "FROM wcd_t", "wcd_mv")
+    val mv = rw.mvByName("wcd_mv").get
+    val t = rw.table("wcd_t").get
+    t.insert((0L until 40L).map(i => Row(i, (i * 7 % 41).toDouble)))
+    rw.flush()
+    assert(mv.isWindowCascadeMode, "keyed statement starts in the cascade")
+    def batchParity(): Unit = {
+      val batch = rw.fetch("SELECT id, v, CAST(rank() OVER " +
+        "(PARTITION BY id % 10 ORDER BY v DESC, id) AS BIGINT) AS r FROM wcd_t")
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val got = mv.df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == batch, "maintained face must match batch")
+    }
+    // two consecutive wholesale epochs fire the latch
+    t.insert((40L until 80L).map(i => Row(i, (i * 11 % 43).toDouble)))
+    rw.flush()
+    assert(mv.isWindowCascadeMode, "one wholesale epoch must not reroute yet")
+    t.insert((80L until 120L).map(i => Row(i, (i * 13 % 47).toDouble)))
+    rw.flush()
+    assert(mv.isGlobalWindowMode && !mv.isWindowCascadeMode,
+      "two wholesale-touch epochs must reroute to the global-window fold")
+    batchParity()
+    // further epochs maintain through the rerouted fold, including
+    // retractions (PK overwrite moves a row across partitions)
+    t.insert((120L until 160L).map(i => Row(i, (i * 17 % 53).toDouble)))
+    rw.flush()
+    t.insert(Seq(Row(5L, 999.0)))
+    rw.flush()
+    assert(mv.isGlobalWindowMode)
+    batchParity()
+    rw.close()
+  }
 }
