@@ -34,9 +34,14 @@ final class MaterializedView private[engine](
     val schemaName: String,
     val name: String,
     val stmt: String,
-    watermarks: Map[String, (String, String)] = Map.empty) {
+    watermarks: Map[String, (String, String)] = Map.empty)
+  extends WindowCascadeSupport with SessionMvSupport with TopNMvSupport {
 
-  private val spark = engine.spark
+  private[engine] val spark = engine.spark
+  /** The owning engine, for the [[WindowCascadeSupport]] mixin (a
+    * constructor parameter is invisible from a trait). */
+  private[engine] def ownerEngine: GraftEngine = engine
+  private[engine] def mvWatermarks: Map[String, (String, String)] = watermarks
   def viewName: String = Dialect.mangle(schemaName, name)
 
   private[engine] val changeLog =
@@ -70,67 +75,45 @@ final class MaterializedView private[engine](
         stmtMd5.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
-  @volatile private var snapshot: Option[DataFrame] = None
-  @volatile private var query: Option[StreamingQuery] = None
-  private var keyCols: Seq[String] = Nil
-  private var keyMode: MaterializedView.KeyMode = MaterializedView.Multiset
-  private var streamingMode = false
-  private var isAggMode = false
+  @volatile private[engine] var snapshot: Option[DataFrame] = None
+  @volatile private[engine] var query: Option[StreamingQuery] = None
+  private[engine] var keyCols: Seq[String] = Nil
+  private[engine] var keyMode: MaterializedView.KeyMode = MaterializedView.Multiset
+  private[engine] var streamingMode = false
+  private[engine] var isAggMode = false
 
-  // incremental top-N state (RisingWave's TopN / GroupTopN operator shape):
-  // the inner (pre-ORDER/LIMIT) statement streams; the visible snapshot is
-  // its re-truncation per epoch. Raw top-N carries ≤ n rows of inner state;
-  // grouped (aggregate-inner) top-N carries top-(n + cache margin) keys
-  // plus a one-row re-fetch bound — see [[handleTopNDelta]].
-  private var topNMode = false
-  @volatile private var innerState: Option[DataFrame] = None
-  private var topNOrderText = ""
-  private var topNLimit = 0
-  private var topNInnerStmt = ""
-  /** Cache margin C of grouped top-N state (top-(n+C) keys carried; the
-    * same role as RisingWave GroupTopN's cache headroom): large enough
-    * that ordinary churn re-ranks inside the carried state, small enough
-    * that state stays O(n) — NOT O(distinct keys) — at any corpus size. */
-  // private[graft]: specs shrink the margin to force eviction/underflow
-  // interleavings that would need huge fixtures at the default n+max(2n,16)
-  private[graft] var topNCacheMargin = 0
-  /** Most competitive sort position ever evicted from the grouped top-N
-    * state (frozen at eviction): if it would rank inside the visible top
-    * n, an evicted key may belong there and the state must re-fetch. */
-  private var topNBound: Option[Row] = None
-  private def topNSrcView = s"__topn_src_$viewName"
 
   // changelog-cascade state (agg-over-agg MV chains, and — round 8 —
   // aggregates over changelog-emitting PK/upsert/DML-mutated live tables):
   // the downstream maintainer consumes its upstreams' 4-op changelogs as
   // retraction streams — see [[tryStartCascade]]/[[cascadeRefresh]]
-  private var cascadeMode = false
-  private var cascadeUpstreams: Seq[MaterializedView.CascadeSrc] = Nil
-  private val cascadeOffsets = scala.collection.mutable.Map[String, Long]()
+  private[engine] var cascadeMode = false
+  private[engine] var cascadeUpstreams: Seq[MaterializedView.CascadeSrc] = Nil
+  private[engine] val cascadeOffsets = scala.collection.mutable.Map[String, Long]()
   /** Executable SQL the cascade maintains: the rewritten statement, with a
     * top-level HAVING folded into the select list as [[havingCol]] so state
     * and touched-key detection run on the pre-HAVING aggregate. */
-  private var cascadeStmt: String = ""
+  private[engine] var cascadeStmt: String = ""
   /** Decomposable-aggregate layout when the cascade folds deltas
     * algebraically instead of recomputing touched groups ([[DeltaAgg]]);
     * None = recompute mode. */
-  private var deltaAggSpec: Option[DeltaAgg.Spec] = None
+  private[engine] var deltaAggSpec: Option[DeltaAgg.Spec] = None
   /** Changelog sources under a null-padded outer-join side BELOW the
     * admitted aggregate (round 11): their fold term is the aux-partial
     * pair over restricted Q(new)/Q(old) — [[restrictOuterToDelta]]
     * composed with [[DeltaAgg.aux]] — because the aggregate's child is
     * not linear in them. */
-  private var aggOuterNonLinear: Set[String] = Set.empty
+  private[engine] var aggOuterNonLinear: Set[String] = Set.empty
   /** Changelog sources read only inside subquery expressions below the
     * aggregate (round 11): aux-partial pair over PLAIN Q(new)/Q(old). */
-  private var aggSubqNonLinear: Set[String] = Set.empty
+  private[engine] var aggSubqNonLinear: Set[String] = Set.empty
   /** Carried per-group auxiliary state of the delta-accumulating cascade
     * (keys + counters/sums); [[cascadeInner]] stays the derived visible
     * (pre-HAVING) projection over it. */
-  @volatile private var auxState: Option[DataFrame] = None
-  private var cascadeHasHaving = false
+  @volatile private[engine] var auxState: Option[DataFrame] = None
+  private[engine] var cascadeHasHaving = false
   /** Pre-HAVING keyed state (== the visible snapshot when no HAVING). */
-  private var cascadeInner: Option[DataFrame] = None
+  private[engine] var cascadeInner: Option[DataFrame] = None
 
   // delta-join cascade state (round 9): NON-aggregate multilinear
   // statements — projections, filters, inner/cross joins, UNION ALL —
@@ -143,93 +126,6 @@ final class MaterializedView private[engine](
     * broadcast hint only then (a hint on a join-less projection/filter
     * fold is a no-op that logs a planner warning per epoch). */
   private var joinHasJoin = false
-  // window-cascade state (round 10, lineage-generalized round 11):
-  // statements whose window-function nodes sit on one chain over a single
-  // changelog source maintain by touched-PARTITION recompute — a source
-  // delta names the partitions whose window results can change; exactly
-  // those partitions re-evaluate (semi-join pushed below the bottom
-  // Window) and replace their slice of the carried multiset — see
-  // [[tryStartWindowCascade]]/[[windowCascadeEpoch]]
-  private var windowMode = false
-  /** Restriction-key expressions: every admitted window's PARTITION BY
-    * traces (by exprId lineage, NOT by name — round-11 fix for the
-    * shadowed-alias admission hazard) to a superset of these. Leaves are
-    * [[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]]s over
-    * the boundary source's own column names, so the same expression
-    * evaluates against BOTH the delta payload (touched-key derivation)
-    * and the carried output state (slice restriction). */
-  private var windowPartKeys: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
-  /** State-side spelling of each restriction key: evaluates the same value
-    * over the MV's OUTPUT rows — the key expression itself when its leaf
-    * source columns survive plainly, or the output column that carries the
-    * computed key value (the shadowed-alias shape). Index-aligned with
-    * [[windowPartKeys]]. */
-  private var windowStateKeys: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
-  /** Live changelog sources on the NULL-PADDED (or semi/anti filter) side
-    * of an admitted outer join below the window chain (round 12), keyed by
-    * lowercased viewName. The value is the owning join's condition traced
-    * to evaluable leaves: padded-side attributes spell as
-    * `__pd_<dimcol>` (the epoch renames the dim's delta payload with that
-    * prefix), preserved-side attributes substitute their primary-source
-    * lineage. A dim delta can flip enrichment/padding/membership only of
-    * preserved rows it MATCHES — rows matching no delta row have an
-    * identical dim match set before and after, hence identical output —
-    * so the touched partitions derive by semi-joining the PRIMARY source's
-    * current snapshot against the renamed payload under this condition and
-    * projecting the window keys; exactly those partitions re-rank. */
-  private var windowPaddedDims: Map[String, org.apache.spark.sql.catalyst.expressions.Expression] = Map.empty
-  /** Monotone latch: once the window cascade's grouped state overflows
-    * [[cascadeLocalMax]], stop probing — merge straight to a checkpoint
-    * (the probe would re-execute the merge plan every epoch only to
-    * rediscover the overflow). */
-  private var windowStateOversize = false
-  /** Window-cascade keyed local state tier (round 12): the carried
-    * multiset, driver-resident and KEYED by the restriction-key tuple, so
-    * an epoch replaces its touched slices by hash-map point writes and
-    * diffs them with [[Changelog.localMultisetDiff]] — zero Spark jobs in
-    * the whole state tail. Profiling showed the distributed spelling spent
-    * ~55% of a bench epoch re-scanning OUTPUT-sized state as separate
-    * diff (semi ⋈ + full-outer) and merge (anti ⋈ ∪ union → checkpoint)
-    * jobs even though the epoch's change is delta-sized. This is the same
-    * cost model as a streaming engine's keyed state store: point reads and
-    * writes per touched key, never a full-state rewrite per epoch. Bounded
-    * by [[windowLocalStateMax]] EXPANDED rows; outgrowing it (or an
-    * output type with no local ordering) disables the tier permanently
-    * ([[windowLocalDisabled]]) and the distributed grouped-state spelling
-    * — the 100 TB shape, where state lives as a checkpointed frame (at
-    * cluster scale: a keyed state store / Delta MERGE) — takes over. */
-  private var windowLocalState:
-    Option[scala.collection.mutable.LinkedHashMap[Row, IndexedSeq[Row]]] = None
-  /** Output schema of the localized window state (set iff the tier is or
-    * was active — the map's rows carry no schema of their own). */
-  private var windowLocalSchema: Option[org.apache.spark.sql.types.StructType] = None
-  /** Monotone disable for the local tier: state/slice over the cap or an
-    * unorderable output type — both only recur, so never re-probe. A
-    * TRANSIENT drop (epoch repair) clears only [[windowLocalState]] and
-    * the tier re-localizes at the next epoch. */
-  private var windowLocalDisabled = false
-  /** Driver-memory budget for the local window state, in expanded rows. */
-  private[graft] var windowLocalStateMax = 200000
-
-  // global-window prefix-fold state (round 12): window statements the
-  // KEYED cascade refuses — a global (no PARTITION BY) or untraceable-key
-  // window — maintain by cutting the plan below its bottommost nonlinear
-  // node: the LINEAR prefix folds the source delta into a carried
-  // input-multiset state (delta-proportional), and the suffix (windows,
-  // sorts, aggregates — arbitrary deterministic shape) re-evaluates over
-  // the carried state each epoch — "re-rank the carried multiset ⊕
-  // delta", never re-scanning the source. Epoch cost is O(state); state
-  // is the window's INPUT (≈ output-sized for a global rank) — the right
-  // 100 TB trade for corpus-wide cutoff ranks, where the alternative is a
-  // full base re-scan per epoch. See [[tryStartGlobalWindow]] /
-  // [[windowGlobalEpoch]].
-  private var windowGlobalMode = false
-  /** Grouped (row → count) multiset of the cut node's output — the
-    * suffix's input state. */
-  private var windowInputState: Option[DataFrame] = None
-  /** Monotone oversize latch for [[windowInputState]] (same discipline as
-    * [[windowStateOversize]]). */
-  private var windowInputOversize = false
 
   /** Changelog sources on a NON-linear (null-padded) side of ANY admitted
     * outer join — both sides for FULL OUTER (lowercased viewNames; empty
@@ -257,26 +153,6 @@ final class MaterializedView private[engine](
     * sorts inside it are fine. */
   private var joinSubqNonLinear: Set[String] = Set.empty
 
-  // session-window state (session TVF statements): raw source rows stream
-  // in append mode into a carried state, re-sessionized per epoch — see
-  // [[tryStartSession]]/[[handleSessionDelta]]. With a watermarked source,
-  // sessions that can no longer change freeze out of the carried state
-  // ([[compactSessions]]) — `frozen` holds their output rows.
-  private var sessionMode = false
-  private var sessionOuterSql = ""
-  private var sessionTsCol = ""
-  /** Session grouping keys (non-window GROUP BY columns, present by name
-    * in the raw state): Some(keys) enables per-key compaction; None =
-    * expression keys, fall back to the global coverage-chain scan. */
-  private var sessionKeys: Option[Seq[String]] = None
-  /** Per-key compaction cut points ((keys..., __cut ms), max-merged per
-    * epoch; a single global row when keyless): rows retired from the
-    * carried state AND the late-row gate — a delta row below its key's cut
-    * would re-sessionize into a session that overlaps an already-frozen
-    * one, so it is dropped (the reference's late-row semantics). */
-  private var sessionCuts: Option[DataFrame] = None
-  @volatile private var frozen: Option[DataFrame] = None
-  private def sessionSrcView = s"__sess_src_$viewName"
 
   /** For append-only streaming MVs (stateless plans): the MV's streaming
     * face — downstream MVs bind to it and maintain incrementally (streaming
@@ -396,7 +272,7 @@ final class MaterializedView private[engine](
     * Only Keyed plans may run in streaming update mode: an update-mode delta
     * without key columns can't be merged back into the snapshot (it would
     * key on aggregate VALUES and retain stale rows). */
-  private def deriveMode(df: DataFrame): MaterializedView.KeyMode = {
+  private[engine] def deriveMode(df: DataFrame): MaterializedView.KeyMode = {
     val plan = df.queryExecution.analyzed
     plan.collectFirst { case a: Aggregate =>
       if (a.groupingExpressions.isEmpty) MaterializedView.GlobalRow
@@ -435,7 +311,7 @@ final class MaterializedView private[engine](
     * mode either. The Aggregate's own subtree must also be aggregate-free —
     * stacked aggregations are rejected by Spark's streaming planner at
     * start(), so they fall back to batch re-run here. */
-  private def streamingSafe(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+  private[engine] def streamingSafe(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def aggFree(p: LogicalPlan): Boolean =
       !p.exists { case _: Aggregate => true; case _ => false }
@@ -456,7 +332,7 @@ final class MaterializedView private[engine](
     * size ([[closeDurMs]]). Requires a watermarked source, a tumble()/hop()
     * TVF (for the window size), and window_start in the output — otherwise
     * the MV falls back to batch re-run (eager-emission superset). */
-  private val emitOnClose =
+  private[engine] val emitOnClose =
     "(?i)EMIT\\s+ON\\s+WINDOW\\s+CLOSE".r.findFirstIn(stmt).nonEmpty
 
   /** Window size of the statement's tumble/hop TVF, for closure checks. */
@@ -481,7 +357,7 @@ final class MaterializedView private[engine](
     * recent completed micro-batch) in streaming mode, or the fold-side
     * watermark [[cascadeWatermarkMs]] advanced from epoch max event times
     * in cascade mode. 0 before the first. */
-  private def watermarkMs: Long =
+  private[engine] def watermarkMs: Long =
     if (cascadeMode) cascadeWatermarkMs
     else query.flatMap(q => Option(q.lastProgress))
       .flatMap(p => Option(p.eventTime).flatMap(m => Option(m.get("watermark"))))
@@ -494,10 +370,7 @@ final class MaterializedView private[engine](
     * — under a retraction-emitting source that promise extends to
     * retractions, so a fold op under a frozen cut is gated exactly like a
     * late row (the reference's late-data stance). */
-  @volatile private var cascadeWatermarkMs: Long = 0L
-  /** (bare ts column, delay ms) when the session-cascade's source table
-    * has a declared watermark. */
-  private var sessionCascadeWm: Option[(String, Long)] = None
+  @volatile private[engine] var cascadeWatermarkMs: Long = 0L
 
   @volatile private var pending: Option[DataFrame] = None
 
@@ -512,7 +385,7 @@ final class MaterializedView private[engine](
     * the hint each maintenance epoch paid a two-sided shuffle per
     * semi/anti join (measured ~0.3-0.5 s/epoch of pure exchange overhead
     * at bench scale). */
-  private def keyJoin(left: DataFrame, keysDf: DataFrame, how: String): DataFrame = {
+  private[engine] def keyJoin(left: DataFrame, keysDf: DataFrame, how: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val kr = keysDf.toDF(keyCols.map(c => s"__k_$c"): _*)
     left.join(broadcast(kr),
@@ -526,13 +399,13 @@ final class MaterializedView private[engine](
     * and SINCE-0 replay after reopen would diverge from before. Consumed
     * entirely within [[start]] — the backfill epoch is drained
     * synchronously there. */
-  @volatile private var recovering = false
+  @volatile private[engine] var recovering = false
 
   /** `wide = true` on initial-backfill epochs: the delta is the whole
     * statement result, so the changelog append keeps the caller's
     * multi-partition sort instead of the steady-state single-task funnel
     * ([[ChangeLog.appendDF]]). */
-  private def emitOps(ops: DataFrame, wide: Boolean = false): Unit =
+  private[engine] def emitOps(ops: DataFrame, wide: Boolean = false): Unit =
     if (!recovering) {
       timed("emitOps")(changeLog.appendDF(ops, wide))
       epochEmitted = true
@@ -546,11 +419,11 @@ final class MaterializedView private[engine](
     * unmutated state; after a commit the offsets must stand (a restore
     * would double-emit) and every epoch body orders its fallible state
     * work BEFORE the commit, so post-commit state is already consistent. */
-  private var epochEmitted = false
+  private[engine] var epochEmitted = false
 
   /** Restore the captured pre-epoch changelog offsets (see
     * [[epochEmitted]]) so an interrupted epoch's delta is not lost. */
-  private def restoreOffsets(prev: Map[String, Long]): Unit =
+  private[engine] def restoreOffsets(prev: Map[String, Long]): Unit =
     prev.foreach { case (k, v) => cascadeOffsets(k) = v }
 
   /** Start a maintainer stream under the configured streaming parallelism
@@ -559,7 +432,7 @@ final class MaterializedView private[engine](
     * session and freezes its conf, which fixes the query's state-store
     * partition count, so setting the shuffle width around start() and
     * restoring it scopes the override to this maintainer only. */
-  private def startMaintainer(f: => StreamingQuery): StreamingQuery =
+  private[engine] def startMaintainer(f: => StreamingQuery): StreamingQuery =
     engine.options.streamShufflePartitions match {
       case None => f
       case Some(n) =>
@@ -573,7 +446,7 @@ final class MaterializedView private[engine](
     * `[epoch-timing] view phase ms` line per phase to stderr. Diagnostic
     * only — the throughput numbers live in the bench's streaming entries. */
   private val epochTiming = java.lang.Boolean.getBoolean("graft.epochTiming")
-  private def timed[T](phase: String)(f: => T): T =
+  private[engine] def timed[T](phase: String)(f: => T): T =
     if (!epochTiming) f
     else {
       val t0 = System.nanoTime()
@@ -706,874 +579,6 @@ final class MaterializedView private[engine](
     }
   }
 
-  /** Attempt incremental top-N maintenance. The inner statement must admit
-    * a streaming plan (stateless → append mode, or a Keyed aggregate →
-    * update mode), and the ORDER BY/LIMIT tail must analyze against the
-    * inner schema (it may reference ordinals or output columns; an ORDER BY
-    * over columns the projection dropped cannot re-truncate and falls back
-    * to batch re-run). Returns false — with reader streams released — on
-    * any ineligibility. */
-  private def tryStartTopN(innerStmt: String, orderText: String, n: Int): Boolean = {
-    try {
-      // durable reopen: a valid snapshot's recorded per-table positions gate
-      // the face backfill (resolved BEFORE binding — the MemoryStream seeds
-      // at attach), so restore is O(state) with zero source replay. The
-      // snapshot PARTS are loaded before anything binds: a partially
-      // written snapshot dir (data but no inner, unreadable parquet) must
-      // fall back to replay recovery — gating the faces first and failing
-      // the read after would silently skip the gated rows.
-      val restored = streamRestoreSeqs("topn").flatMap { seqs =>
-        engine.mvSnapshotDirFor(viewName).flatMap { d =>
-          try {
-            if (!new java.io.File(s"$d/inner").isDirectory ||
-                !new java.io.File(s"$d/data").isDirectory) None
-            else {
-              val inner = spark.read.parquet(s"$d/inner").localCheckpoint(true)
-              val bound =
-                if (new java.io.File(s"$d/bound").isDirectory)
-                  spark.read.parquet(s"$d/bound").collect().headOption
-                else None
-              val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
-              Some((seqs, inner, bound, snap))
-            }
-          } catch { case _: Throwable => None }
-        }
-      }
-      val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName,
-        restored.map(_._1).getOrElse(Map.empty))(
-        spark.sql(engine.rewrite(innerStmt)))
-      val analyzed = sdf.queryExecution.analyzed
-      val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
-      val innerMode = if (isAgg) deriveMode(sdf) else MaterializedView.Multiset
-      val eligible = sdf.isStreaming && streamingSafe(analyzed) &&
-        (!isAgg || innerMode.isInstanceOf[MaterializedView.Keyed])
-      if (!eligible) { engine.releaseStreamReaders(viewName); return false }
-      // pre-validate the truncation statement against the (empty) inner
-      // schema — a failure here must fall back, not strand a started stream
-      spark.createDataFrame(java.util.List.of[Row](), sdf.schema)
-        .createOrReplaceTempView(topNSrcView)
-      spark.sql(s"SELECT * FROM $topNSrcView ORDER BY $orderText LIMIT $n").schema
-
-      isAggMode = isAgg
-      keyMode = MaterializedView.Multiset // visible snapshot diffs as a multiset
-      keyCols = innerMode match {
-        case MaterializedView.Keyed(ks) => ks
-        case _ => sdf.columns.toSeq
-      }
-      topNOrderText = orderText
-      topNLimit = n
-      topNInnerStmt = innerStmt
-      topNCacheMargin = math.max(2 * n, 16)
-      topNBound = None
-      topNVisibleRows = None
-      restored.foreach { case (_, inner, bound, snap) =>
-        innerState = Some(inner)
-        inner.createOrReplaceTempView(topNSrcView)
-        topNBound = bound
-        snapshot = Some(snap)
-        snap.createOrReplaceTempView(viewName)
-      }
-      if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
-      query = Some(startMaintainer(
-        sdf.writeStream
-          .outputMode(if (isAgg) "update" else "append")
-          .foreachBatch((batch: Dataset[Row], _: Long) =>
-            handleTopNDelta(batch.toDF(), isAgg))
-          .queryName(s"${viewName}_maintainer")
-          .start()))
-      streamingMode = true
-      topNMode = true
-      if (recovering) query.foreach(_.processAllAvailable())
-      true
-    } catch { case _: Throwable =>
-      engine.releaseStreamReaders(viewName)
-      // the validation view may already be registered when the truncation
-      // statement fails to analyze — don't leak it into the shared catalog
-      spark.catalog.dropTempView(topNSrcView)
-      false
-    }
-  }
-
-  /** Grouped (aggregate-inner) top-N as a changelog cascade (round 9,
-    * RisingWave's GroupTopN shape over its state-table re-fetch). Instead
-    * of holding the inner aggregate in Spark's streaming state store —
-    * which cannot be restored across an engine reopen, forcing replay
-    * recovery — the maintainer derives the inner's per-epoch delta the way
-    * [[cascadeRefresh]] does: consume the sources' 4-op changelogs, derive
-    * the touched inner keys, recompute exactly those groups against the
-    * sources' current snapshots (semi-join pushdown keeps the cost
-    * delta-proportional), and feed the result to the same
-    * truncate/bound/re-fetch machinery ([[truncateGrouped]]). ALL
-    * maintainer state is now carried (n+C rows + bound row + consumed
-    * offsets), so durable snapshots restore grouped top-N with zero
-    * statement evals and zero source replay — and retraction-emitting
-    * sources (PK/upsert tables, DML-mutated tables, aggregate upstream
-    * MVs) become admissible: a recomputed touched group that vanished
-    * simply leaves the merge. Inner statements with a top-level HAVING
-    * keep the streaming path (the fold/ranking interplay is not carried
-    * here); sources with no changelog (raw streams) fall back too.
-    *
-    * RAW (stateless-inner) top-N over ONE PK/upsert or DML-mutated table
-    * (round 9): the inner maps the delta payloads row-wise through a
-    * retargeted evaluation; inserts fold into the O(n) carried truncation
-    * and a retraction that touches a carried row forces ONE re-fetch (a
-    * displaced replacement is outside the carried state by definition —
-    * RisingWave TopN's state-table re-fetch, with the source table in that
-    * role). Append-only sources keep the cheaper streaming path (no
-    * changelog double-write); multi-live-relation raw inners fall back
-    * (same-epoch join retractions are not derivable row-wise). */
-  private def tryStartTopNCascade(innerStmt: String, orderText: String, n: Int): Boolean = {
-    val tbls = engine.referencedLiveTables(innerStmt)
-    val ups = engine.referencedMvs(innerStmt, excluding = (schemaName, name))
-    if (ups.isEmpty && tbls.isEmpty) return false
-    val preOffset = changeLog.latestOffset
-    try {
-      val rewritten = engine.rewrite(innerStmt)
-      if (Dialect.foldHaving(rewritten, MaterializedView.HavingCol).nonEmpty)
-        return false
-      val df = spark.sql(rewritten)
-      val analyzed = df.queryExecution.analyzed
-      val isAgg = analyzed.collectFirst { case _: Aggregate => true }.nonEmpty
-      if (!streamingSafe(analyzed)) return false
-      // a window FUNCTION in the inner breaks both top-N cascade arms
-      // (round-10 hazard fix): the raw fold maps delta payloads row-wise —
-      // which would compute ranks over the DELTA alone — and the grouped
-      // arm's touched-key derivation misses groups a window shifts without
-      // naming. Window inners fall back to batch re-run.
-      val winBoundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
-        .map(_.toLowerCase).toSet
-      if (windowsAbove(analyzed, winBoundary).nonEmpty) return false
-      // raw inner: only worthwhile (and only row-wise derivable) for a
-      // single retraction-emitting live table
-      if (!isAgg &&
-          !(ups.isEmpty && tbls.size == 1 &&
-            (tbls.head.primaryKey.nonEmpty || tbls.head.mutated)))
-        return false
-      val ks =
-        if (!isAgg) df.columns.toSeq
-        else deriveMode(df) match {
-          case MaterializedView.Keyed(ks) => ks
-          case _ => return false
-        }
-      // pre-validate the truncation tail against the (empty) inner schema
-      spark.createDataFrame(java.util.List.of[Row](), df.schema)
-        .createOrReplaceTempView(topNSrcView)
-      spark.sql(s"SELECT * FROM $topNSrcView ORDER BY $orderText LIMIT $n").schema
-
-      isAggMode = isAgg
-      keyMode = MaterializedView.Multiset // visible snapshot diffs as a multiset
-      keyCols = ks
-      topNOrderText = orderText
-      topNLimit = n
-      topNInnerStmt = innerStmt
-      topNCacheMargin = math.max(2 * n, 16)
-      topNBound = None
-      topNVisibleRows = None
-      cascadeStmt = rewritten
-      cascadeHasHaving = false
-      cascadeUpstreams =
-        ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
-          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
-      cascadeMode = true
-      topNMode = true
-      // the inner aggregate folds deltas algebraically when admitted
-      // (RisingWave's HashAgg-feeding-GroupTopN structure): the aux state
-      // replaces the SOURCE TABLE as the recompute/re-fetch state table —
-      // no raw scan per epoch or underflow
-      deltaAggSpec = if (isAgg) admitDeltaAgg(df, ups, tbls) else None
-      // linear sources first (same discipline as the delta-join cascade):
-      // the difference pairs bind every linear source identically in both
-      // evaluations, which holds when linear sources precede nonlinear
-      if (deltaAggSpec.nonEmpty)
-        cascadeUpstreams = cascadeUpstreams.sortBy(u =>
-          aggOuterNonLinear.contains(u.viewName.toLowerCase) ||
-            aggSubqNonLinear.contains(u.viewName.toLowerCase))
-      // durable reopen: restored truncation state + bound + consumed source
-      // offsets resume maintenance with zero statement evals and zero
-      // replay. Parts load before anything commits; a partial/unreadable
-      // snapshot (or a source log reset below a recorded offset) falls back
-      // to the initial-epoch backfill.
-      val restored = validSnapshotMeta("topncascade").flatMap { case (d, offsets, _) =>
-        try {
-          if (!new java.io.File(s"$d/inner").isDirectory ||
-              !new java.io.File(s"$d/data").isDirectory ||
-              !cascadeUpstreams.forall(u =>
-                offsets.get(u.viewName).exists(_ <= u.log.latestOffset)))
-            None
-          else {
-            val inner = spark.read.parquet(s"$d/inner").localCheckpoint(true)
-            val bound =
-              if (new java.io.File(s"$d/bound").isDirectory)
-                spark.read.parquet(s"$d/bound").collect().headOption
-              else None
-            val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
-            val aux =
-              if (new java.io.File(s"$d/aux").isDirectory)
-                Some(spark.read.parquet(s"$d/aux").localCheckpoint(true))
-              else None
-            Some((offsets, inner, bound, snap, aux))
-          }
-        } catch { case _: Throwable => None }
-      }
-      restored match {
-        case Some((offsets, inner, bound, snap, aux)) =>
-          offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
-          innerState = Some(inner)
-          topNBound = bound
-          auxState = aux
-          // a snapshot persisted by a recompute-mode incarnation has no
-          // aux — folding cannot resume from it
-          if (aux.isEmpty) deltaAggSpec = None
-          snapshot = Some(snap)
-          snap.createOrReplaceTempView(viewName)
-        case None => topNCascadeEpoch() // initial backfill
-      }
-      true
-    } catch { case _: Throwable =>
-      cascadeMode = false
-      topNMode = false
-      cascadeUpstreams = Nil
-      innerState = None
-      topNBound = None
-      topNVisibleRows = None
-      deltaAggSpec = None
-      auxState = None
-      spark.catalog.dropTempView(topNSrcView)
-      // same half-backfill discipline as tryStartCascade: if no ops were
-      // emitted the fallback runs its own backfill from scratch
-      if (changeLog.latestOffset == preOffset) snapshot = None
-      false
-    }
-  }
-
-  /** One grouped-top-N cascade epoch: consume the source changelogs,
-    * derive the touched inner keys, recompute exactly those groups, then
-    * run the standard truncate → visible-eval → multiset-diff sequence of
-    * [[handleTopNDelta]]. The first epoch (no snapshot yet) evaluates the
-    * inner once and seeds the n+C state and eviction bound from the full
-    * ranking. */
-  private def topNCascadeEpoch(): Unit = synchronized {
-    import org.apache.spark.sql.functions.col
-    if (cascadeUpstreams.isEmpty) return
-    val latests = cascadeUpstreams.map(u => u -> u.log.latestOffset)
-    val anyNew = latests.exists { case (u, l) =>
-      l > cascadeOffsets.getOrElse(u.viewName, 0L) }
-    if (!anyNew && snapshot.nonEmpty) return
-
-    if (snapshot.isEmpty) {
-      latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
-      statementEvals += 1
-      val full = deltaAggSpec match {
-        case Some(spec) if isAggMode =>
-          // ONE source pass builds the aux state; the ranked seed derives
-          val auxFull = try
-            DeltaAgg.aux(spark, spec, spark.sql(cascadeStmt).queryExecution.analyzed)
-              .localCheckpoint(true)
-          catch { case t: Throwable => deltaAggSpec = None; throw t }
-          auxState = Some(auxFull)
-          DeltaAgg.visible(auxFull, spec)
-        case _ => spark.sql(cascadeStmt).localCheckpoint(true)
-      }
-      val stateRows =
-        if (isAggMode) {
-          val (k, rows, evictedBest) = rankedPrefix(full)
-          topNBound = evictedBest
-          innerState = Some(k)
-          rows.toIndexedSeq
-        } else { // raw: state == visible n
-          val rows = topNEval(full).collect().toIndexedSeq
-          innerState = Some(localDf(rows, full.schema))
-          rows
-        }
-      publishTopNVisible(stateRows, innerState.get.schema)
-    } else {
-      val parts = latests.map { case (u, l) =>
-        val after = cascadeOffsets.getOrElse(u.viewName, 0L)
-        val p = if (l > after) Some(u.log.dfAfter(after).drop("rw_timestamp"))
-          else None
-        cascadeOffsets(u.viewName) = l
-        (u, p)
-      }
-      val changed = parts.collect { case (u, Some(p)) => (u, p) }
-      if (changed.isEmpty) return
-      if (!isAggMode) { rawTopNFold(changed.head._1, changed.head._2); return }
-      // algebraic fold: the aux state answers the touched groups' new
-      // values — the source tables are never re-scanned
-      val folded =
-        if (deltaAggSpec.nonEmpty && auxState.nonEmpty) foldAux(changed)
-        else None
-      val touched = folded.map(_._2).getOrElse(
-        cascadeTouchedKeys(changed.map { case (u, p) => (u, p.drop("op")) }))
-      if (folded.isEmpty &&
-          timed("touched-empty-check")(touched.rdd.isEmpty())) return
-      val newTouched = folded match {
-        case Some((newAux, t)) =>
-          auxState = Some(newAux)
-          timed("group-recompute")(boundedLocal(
-            keyJoin(DeltaAgg.visible(newAux, deltaAggSpec.get), t, "left_semi")))
-        case None =>
-          statementEvals += 1
-          timed("group-recompute")(boundedLocal(
-            keyJoin(spark.sql(cascadeStmt), touched, "left_semi")))
-      }
-      // drop ALL touched keys before unioning the recomputed rows: a
-      // touched group with no recomputed row (all its inputs retracted)
-      // must leave the carried state — update-mode streaming could never
-      // name such a group, but cascade retractions can
-      val merged = keyJoin(innerState.get, touched, "left_anti").union(newTouched)
-      val (kept, stateRows) = timed("truncate")(truncateGrouped(merged, touched))
-      innerState = Some(kept)
-      timed("visible-publish")(publishTopNVisible(stateRows, kept.schema))
-    }
-  }
-
-  /** One raw-top-N cascade epoch over the single source table's 4-op
-    * delta: map the insert and retraction payloads row-wise through the
-    * inner statement (retargeted at private delta views — a filter inside
-    * the inner drops non-qualifying payload rows on both sides), then
-    *  - if any retraction touches the carried top-n state, re-fetch from a
-    *    full evaluation (the replacement row is outside the carried state
-    *    by definition — same argument as the grouped bound re-fetch);
-    *  - otherwise fold the mapped inserts in and re-truncate to n: a row
-    *    outside the carried top-n can only re-enter through a retraction,
-    *    which the re-fetch arm covers, so O(n) state stays sound even
-    *    under upserts. */
-  private def rawTopNFold(src: MaterializedView.CascadeSrc, opsDf: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.col
-    val dv = s"__cascade_delta_${src.viewName}"
-    def mapThrough(p: DataFrame): DataFrame = {
-      p.createOrReplaceTempView(dv)
-      try spark.sql(retarget(cascadeStmt, src.viewName, dv)).localCheckpoint(true)
-      finally spark.catalog.dropTempView(dv)
-    }
-    val adds0 = mapThrough(opsDf.filter(col("op").isin(
-      Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op"))
-    val dels0 = mapThrough(opsDf.filter(col("op").isin(
-      Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op"))
-    // net the window per distinct mapped row: a row inserted AND deleted
-    // within the consumed window is in neither the carried state nor the
-    // source — the un-netted adds side would fold it in as a phantom (and
-    // the un-netted dels side would force a spurious re-fetch)
-    val adds = adds0.exceptAll(dels0).localCheckpoint(true)
-    val dels = dels0.exceptAll(adds0).localCheckpoint(true)
-    val state = innerState.get
-    // null-safe whole-row match against the (broadcast — O(n)) state
-    val cols = state.columns.toSeq
-    val sr = state.toDF(cols.map(c => s"__s_$c"): _*)
-    val touchesState = !dels.join(org.apache.spark.sql.functions.broadcast(sr),
-      cols.map(c => col(c) <=> col(s"__s_$c")).reduce(_ && _), "left_semi")
-      .rdd.isEmpty()
-    val stateRows = timed("truncate")(
-      (if (touchesState) {
-        statementEvals += 1
-        topNEval(spark.sql(cascadeStmt))
-      } else topNEval(state.unionByName(adds))).collect().toIndexedSeq)
-    innerState = Some(localDf(stateRows, state.schema))
-    publishTopNVisible(stateRows, state.schema)
-  }
-
-  /** Session-window MV maintenance: stream the source's raw rows (append
-    * mode — stateless, so any live table or append-only MV face binds),
-    * union them into a carried state, and re-evaluate the session
-    * aggregation over that state each epoch; the visible snapshot diffs as
-    * a multiset (session bounds are unstable keys — a merge retracts the
-    * sessions it absorbed, surfacing as Delete + Insert pairs, which is
-    * exactly RisingWave's changelog for merged session windows).
-    *
-    * State note (W9): without a watermark ANY late row may merge two
-    * existing sessions, so full raw history is the honest state bound —
-    * the same always-correctable stance the engine takes for non-windowed
-    * streaming aggregates. With a watermark, sessions whose end precedes
-    * watermark - gap can be frozen out of the carried state (their rows
-    * can never gain a neighbor); that compaction is the 100 TB knob and
-    * composes with the RocksDB state store option. */
-  /** Admission for the changelog-fold session path ([[sessionCascadeEpoch]]):
-    * the statement's session TVF reads exactly one retraction-emitting live
-    * table (PK/upsert or DML-mutated) and no upstream MVs. Append-only
-    * tables keep the cheaper streaming path (no changelog double-write);
-    * EMIT ON WINDOW CLOSE needs watermark compaction, which this path does
-    * not carry — it falls through to the batch fallback. */
-  private def tryStartSessionCascade(tsCol: String): Boolean = {
-    val tbls = engine.referencedLiveTables(stmt)
-    val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
-    if (!(ups.isEmpty && tbls.size == 1 &&
-          (tbls.head.primaryKey.nonEmpty || tbls.head.mutated))) return false
-    val preOffset = changeLog.latestOffset
-    try {
-      val t = tbls.head
-      sessionTsCol = tsCol.split('.').last
-      sessionOuterSql = engine.rewrite(Dialect.retargetSessionTvf(stmt, sessionSrcView))
-      // pre-validate the retargeted statement against the (empty) table
-      // schema before committing to the mode
-      spark.createDataFrame(java.util.List.of[Row](), t.schema)
-        .createOrReplaceTempView(sessionSrcView)
-      spark.sql(sessionOuterSql).schema
-      // per-key compaction keys are derived for symmetry, but compaction
-      // never fires here (no streaming query → no watermark)
-      sessionKeys = {
-        val rawCols = t.schema.fieldNames.toSet
-        spark.sql(sessionOuterSql).queryExecution.analyzed
-          .collectFirst { case a: Aggregate => a }
-          .flatMap { a =>
-            val cls = a.groupingExpressions.map {
-              case ar: AttributeReference if rawCols.contains(ar.name) =>
-                Some(Some(ar.name))
-              case e if e.toString.toLowerCase.replace("_", "")
-                .contains("sessionwindow") => Some(None)
-              case _ => None
-            }
-            if (cls.forall(_.nonEmpty)) Some(cls.flatten.flatten) else None
-          }
-      }
-      sessionCuts = None
-      frozen = None
-      sessionCascadeWm = watermarks.get(t.name).map { case (c, d) =>
-        (c.split('.').last, Dialect.intervalMillis(d)) }
-      isAggMode = true
-      keyMode = MaterializedView.Multiset
-      keyCols = Nil
-      cascadeUpstreams = Seq(
-        MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
-      cascadeMode = true
-      sessionMode = true
-      // durable reopen: raw state (+ frozen sessions and cuts under a
-      // declared watermark) + consumed offset restore with zero statement
-      // evals and zero replay (same discipline as topncascade). The fold
-      // watermark itself restarts at 0 and re-advances with new data —
-      // the restored cuts keep gating late rows meanwhile.
-      val restored = validSnapshotMeta("sessioncascade").flatMap { case (d, offsets, _) =>
-        try {
-          if (!new java.io.File(s"$d/inner").isDirectory ||
-              !new java.io.File(s"$d/data").isDirectory ||
-              !cascadeUpstreams.forall(u =>
-                offsets.get(u.viewName).exists(_ <= u.log.latestOffset)))
-            None
-          else {
-            val froz =
-              if (new java.io.File(s"$d/frozen").isDirectory)
-                Some(spark.read.parquet(s"$d/frozen").localCheckpoint(true))
-              else None
-            val cuts =
-              if (new java.io.File(s"$d/cuts").isDirectory)
-                Some(spark.read.parquet(s"$d/cuts").localCheckpoint(true))
-              else None
-            Some((offsets,
-              spark.read.parquet(s"$d/inner").localCheckpoint(true),
-              froz, cuts,
-              spark.read.parquet(s"$d/data").localCheckpoint(true)))
-          }
-        } catch { case _: Throwable => None }
-      }
-      restored match {
-        case Some((offsets, inner, froz, cuts, snap)) =>
-          offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
-          innerState = Some(inner)
-          inner.createOrReplaceTempView(sessionSrcView)
-          frozen = froz
-          sessionCuts = cuts
-          snapshot = Some(snap)
-          snap.createOrReplaceTempView(viewName)
-        case None => sessionCascadeEpoch() // initial backfill
-      }
-      true
-    } catch { case _: Throwable =>
-      cascadeMode = false
-      sessionMode = false
-      cascadeUpstreams = Nil
-      innerState = None
-      spark.catalog.dropTempView(sessionSrcView)
-      if (changeLog.latestOffset == preOffset) snapshot = None
-      false
-    }
-  }
-
-  private def tryStartSession(tbl: String, tsCol: String): Boolean = {
-    try {
-      sessionTsCol = tsCol.split('.').last // raw state carries bare columns
-      val innerStmt = s"SELECT * FROM $tbl"
-      // durable reopen: see tryStartTopN — snapshot parts load BEFORE the
-      // faces bind, so a partial/unreadable snapshot falls back to replay
-      // instead of gating the faces past rows no restored state covers
-      val restored = streamRestoreSeqs("session").flatMap { seqs =>
-        engine.mvSnapshotDirFor(viewName).flatMap { d =>
-          try {
-            if (!new java.io.File(s"$d/data").isDirectory) None
-            else {
-              val inner =
-                if (new java.io.File(s"$d/inner").isDirectory)
-                  Some(spark.read.parquet(s"$d/inner").localCheckpoint(true))
-                else None
-              val froz =
-                if (new java.io.File(s"$d/frozen").isDirectory)
-                  Some(spark.read.parquet(s"$d/frozen").localCheckpoint(true))
-                else None
-              val cuts =
-                if (new java.io.File(s"$d/cuts").isDirectory)
-                  Some(spark.read.parquet(s"$d/cuts").localCheckpoint(true))
-                else None
-              val snap = spark.read.parquet(s"$d/data").localCheckpoint(true)
-              Some((seqs, inner, froz, cuts, snap))
-            }
-          } catch { case _: Throwable => None }
-        }
-      }
-      val sdf = engine.withStreamingViews(watermarks, innerStmt, viewName,
-        restored.map(_._1).getOrElse(Map.empty))(
-        spark.sql(engine.rewrite(innerStmt)))
-      if (!sdf.isStreaming) { engine.releaseStreamReaders(viewName); return false }
-      // the statement, re-aimed at the carried-state view; pre-validate
-      // against the (empty) inner schema before starting anything
-      sessionOuterSql = engine.rewrite(Dialect.retargetSessionTvf(stmt, sessionSrcView))
-      spark.createDataFrame(java.util.List.of[Row](), sdf.schema)
-        .createOrReplaceTempView(sessionSrcView)
-      val outSchema = spark.sql(sessionOuterSql).schema
-      // EOWC closure detection reads the session bounds from the output;
-      // without them nothing would ever emit — fall back to batch re-run
-      if (emitOnClose && !(outSchema.fieldNames.contains("window_start") &&
-            outSchema.fieldNames.contains("window_end"))) {
-        engine.releaseStreamReaders(viewName)
-        spark.catalog.dropTempView(sessionSrcView)
-        return false
-      }
-      // derive the session grouping keys for per-key compaction: every
-      // non-window grouping expression must be a plain column of the raw
-      // state (an expression key can't map frozen sessions back to raw
-      // rows — those statements keep the global chain-scan compaction)
-      sessionKeys = {
-        val rawCols = sdf.columns.toSet
-        spark.sql(sessionOuterSql).queryExecution.analyzed
-          .collectFirst { case a: Aggregate => a }
-          .flatMap { a =>
-            val cls = a.groupingExpressions.map {
-              case ar: AttributeReference if rawCols.contains(ar.name) =>
-                Some(Some(ar.name))
-              case e if e.toString.toLowerCase.replace("_", "")
-                .contains("sessionwindow") => Some(None)
-              case _ => None
-            }
-            if (cls.forall(_.nonEmpty)) Some(cls.flatten.flatten) else None
-          }
-      }
-      sessionCuts = None
-      restored.foreach { case (_, inner, froz, cuts, snap) =>
-        inner.foreach { i =>
-          innerState = Some(i)
-          i.createOrReplaceTempView(sessionSrcView)
-        }
-        frozen = froz
-        sessionCuts = cuts
-        snapshot = Some(snap)
-        snap.createOrReplaceTempView(viewName)
-      }
-
-      isAggMode = true
-      keyMode = MaterializedView.Multiset
-      keyCols = Nil
-      if (snapshot.isEmpty) df.createOrReplaceTempView(viewName)
-      query = Some(startMaintainer(
-        sdf.writeStream
-          .outputMode("append")
-          .foreachBatch((batch: Dataset[Row], _: Long) =>
-            handleSessionDelta(batch.toDF()))
-          .queryName(s"${viewName}_maintainer")
-          .start()))
-      streamingMode = true
-      sessionMode = true
-      if (recovering) query.foreach(_.processAllAvailable())
-      true
-    } catch { case _: Throwable =>
-      engine.releaseStreamReaders(viewName)
-      spark.catalog.dropTempView(sessionSrcView)
-      false
-    }
-  }
-
-  /** Session micro-batch: append the delta to the carried raw state,
-    * re-sessionize, union with the frozen sessions, diff the visible
-    * snapshot as a multiset, then compact. Under EMIT ON WINDOW CLOSE the
-    * visible snapshot is the frozen set ONLY (compaction runs first):
-    * frozen only grows, so the multiset diff degenerates to exactly one
-    * Insert per closed session — final-only emission. */
-  private def handleSessionDelta(delta: DataFrame): Unit = synchronized {
-    val clone = delta.localCheckpoint(true)
-    val d0 = spark.createDataFrame(clone.rdd, clone.schema)
-    if (clone.rdd.isEmpty()) return
-    // late-row gate: a row below its key's compaction cut would join the
-    // carried state and re-sessionize into a session overlapping one
-    // already frozen (Spark watermarks only drop late rows in STATEFUL
-    // operators, and this maintainer streams a stateless passthrough) —
-    // drop it, mirroring the reference's late-row semantics
-    val d = applyCuts(d0)
-    if (d.isEmpty) return
-    innerState = Some(innerState.map(_.union(d)).getOrElse(d).localCheckpoint(true))
-    sessionRecomputeAndEmit()
-  }
-
-  /** Shared tail of a session epoch: re-sessionize the carried raw state,
-    * derive the visible snapshot (frozen ∪ live sessions; frozen-only
-    * under EMIT ON WINDOW CLOSE), emit the multiset diff, and compact. */
-  private def sessionRecomputeAndEmit(): Unit = {
-    innerState.get.createOrReplaceTempView(sessionSrcView)
-    // Driver-resident epoch tail (round 9, same discipline as
-    // [[publishTopNVisible]]): with no compaction state in play (no
-    // watermark → frozen/cuts empty) the visible snapshot IS the
-    // re-sessionized output, and while it stays under
-    // [[sessionLocalDiffMax]] rows the epoch's changelog delta is the
-    // driver-side multiset diff — the distributed diff spent several
-    // Spark jobs (two groupBys, a full-outer join, explode, sort) on a
-    // few thousand rows every epoch. Once the output outgrows the bound
-    // the tail disables itself permanently (session sets only grow
-    // without compaction — [[sessionLocalDisabled]] is monotone), and
-    // compaction-active statements never enter. The heavy lifting — the
-    // re-sessionize over the carried raw state — stays distributed.
-    // only watermark-free statements qualify: with a declared watermark
-    // compaction may begin at ANY epoch (frozen/cuts are empty until the
-    // first session closes), and skipping compactSessions would mean
-    // nothing ever freezes
-    if (!emitOnClose && watermarks.isEmpty && sessionCascadeWm.isEmpty &&
-        frozen.isEmpty && sessionCuts.isEmpty && !sessionLocalDisabled) {
-      val cdf = spark.sql(sessionOuterSql)
-      val rows = timed("session-collect")(
-        cdf.limit(sessionLocalDiffMax + 1).collect().toIndexedSeq)
-      if (rows.length <= sessionLocalDiffMax) {
-        val schema = cdf.schema
-        val localOps =
-          if (snapshot.nonEmpty && sessionVisibleRows.isEmpty) None
-          else Changelog.localMultisetDiff(
-            if (snapshot.isEmpty) None else sessionVisibleRows.map(_.toSeq),
-            rows, schema)
-        val nextVisible = localDf(rows, schema)
-        localOps match {
-          case Some(ops) =>
-            if (ops.nonEmpty) timed("emitOps")(emitOps(localDf(ops.toIndexedSeq,
-              schema.add("op", org.apache.spark.sql.types.StringType))))
-          case None => emitOps(Changelog.multisetDiff(snapshot, nextVisible))
-        }
-        snapshot = Some(nextVisible)
-        sessionVisibleRows = Some(rows)
-        nextVisible.createOrReplaceTempView(viewName)
-        return
-      }
-      sessionLocalDisabled = true
-      sessionVisibleRows = None
-    }
-    val computed = spark.sql(sessionOuterSql).localCheckpoint(true)
-    val wide = snapshot.isEmpty // first epoch = whole-history session set
-    if (emitOnClose) {
-      compactSessions(computed)
-      val nextVisible = frozen.getOrElse(df.limit(0))
-      emitOps(Changelog.multisetDiff(snapshot, nextVisible, wide), wide)
-      snapshot = Some(nextVisible)
-    } else {
-      val nextVisible = frozen
-        .map(f => f.unionByName(computed).localCheckpoint(true)).getOrElse(computed)
-      emitOps(Changelog.multisetDiff(snapshot, nextVisible, wide), wide)
-      snapshot = Some(nextVisible)
-      compactSessions(computed)
-    }
-    snapshot.get.createOrReplaceTempView(viewName)
-  }
-
-  /** Previous epoch's visible session rows, driver-resident for the local
-    * diff tail of [[sessionRecomputeAndEmit]]. None exactly when the
-    * snapshot came from elsewhere (durable restore, fallback epoch) —
-    * which forces one distributed diff before the tail takes over. */
-  private var sessionVisibleRows: Option[IndexedSeq[Row]] = None
-  /** Latched once the session output exceeds [[sessionLocalDiffMax]] —
-    * session sets only grow while compaction is off, so re-probing every
-    * epoch would pay the limit-collect for nothing. */
-  private var sessionLocalDisabled = false
-  // private[graft]: specs shrink it to force the distributed fallback
-  private[graft] var sessionLocalDiffMax = 20000
-
-  /** Session MV over ONE PK/upsert (or DML-mutated) live table — the
-    * retraction-emitting sources the streaming session path cannot bind
-    * (its face replays raw version appends, so a session would count every
-    * version of a key). The carried raw state folds the table's keyed 4-op
-    * changelog instead: Insert/UpdateInsert payloads join the multiset,
-    * Delete/UpdateDelete payloads retract one instance each (EXCEPT ALL),
-    * then the standard re-sessionize → diff tail runs. No watermark
-    * compaction (there is no streaming query to carry a watermark): full
-    * raw history is the state bound — the honest always-correctable
-    * stance, and strictly better than the per-FLUSH batch re-run these
-    * statements used to get. Durable snapshots persist the raw state +
-    * consumed offsets (mode `sessioncascade`) — reopen is O(state). */
-  private def sessionCascadeEpoch(): Unit = synchronized {
-    import org.apache.spark.sql.functions.col
-    if (cascadeUpstreams.isEmpty) return
-    val u = cascadeUpstreams.head
-    val latest = u.log.latestOffset
-    val after = cascadeOffsets.getOrElse(u.viewName, 0L)
-    if (latest <= after && snapshot.nonEmpty) return
-    if (snapshot.isEmpty) {
-      cascadeOffsets(u.viewName) = latest
-      // backfill: the PK-resolved visible rows ARE the raw session state
-      innerState = Some(u.snap().localCheckpoint(true))
-      advanceCascadeWatermark(innerState.get)
-      sessionRecomputeAndEmit()
-    } else {
-      if (latest <= after) return
-      val ops = u.log.dfAfter(after)
-      cascadeOffsets(u.viewName) = latest
-      val adds = applyCuts(ops.filter(col("op").isin(
-        Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op", "rw_timestamp"))
-      val dels = applyCuts(ops.filter(col("op").isin(
-        Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op", "rw_timestamp"))
-      // net the window per distinct row first: a row inserted AND deleted
-      // within the consumed window (multiple emissions between refreshes)
-      // is not in the pre-window state, so the saturating exceptAll would
-      // drop nothing and union would add a phantom raw row
-      val addsNet = adds.exceptAll(dels)
-      val delsNet = dels.exceptAll(adds)
-      innerState = Some(timed("state-fold")(
-        innerState.get.exceptAll(delsNet).union(addsNet).localCheckpoint(true)))
-      advanceCascadeWatermark(adds)
-      sessionRecomputeAndEmit()
-    }
-  }
-
-  /** Advance the fold-side watermark from an epoch's inserted rows (max
-    * event time − declared delay). No-op without a declared watermark. */
-  private def advanceCascadeWatermark(rows: DataFrame): Unit =
-    sessionCascadeWm.foreach { case (tsCol, delayMs) =>
-      import org.apache.spark.sql.functions.{col, max, unix_millis}
-      val mx = rows.agg(max(unix_millis(col(tsCol).cast("timestamp")))).head()
-      if (!mx.isNullAt(0))
-        cascadeWatermarkMs = math.max(cascadeWatermarkMs, mx.getLong(0) - delayMs)
-    }
-
-  /** Watermark-driven session-state compaction (the 100 TB knob): a
-    * session whose `window_end` ≤ watermark can never change (no future
-    * on-time row lands within gap of its last event), so its output row
-    * freezes and its raw rows leave the carried state. The cut point C is
-    * chosen so that NO session interval straddles it — sessions sorted by
-    * start with a running max of ends; C is the largest running-max value
-    * ≤ watermark that also precedes the next session's start — which makes
-    * "freeze sessions ending ≤ C" and "drop raw rows with ts < C" exact
-    * complements (a straddling closed session would otherwise be frozen
-    * AND partially recomputed from its surviving rows). Without a
-    * watermark nothing freezes: full history is the honest state bound
-    * (any late row may merge sessions — RisingWave's always-correctable
-    * semantics). Requires window_start/window_end in the output. */
-  private def compactSessions(computed: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, max, unix_millis}
-    val wm = watermarkMs
-    if (wm <= 0 || sessionTsCol.isEmpty) return
-    if (!computed.columns.contains("window_start") ||
-        !computed.columns.contains("window_end")) return
-    val we = unix_millis(col("window_end"))
-    sessionKeys match {
-      case Some(keys) =>
-        // per-key compaction (round-6): within a key, sessions are
-        // disjoint and ordered, so the finished sessions (end ≤ watermark)
-        // are a prefix and the key's cut = its largest finished end —
-        // freezing and row retirement both keyed, no global ordering, no
-        // single-task Window. Cross-key session overlap (which forces the
-        // global chain scan below to stop at the first straddler) is
-        // irrelevant here, so this path also freezes MORE eagerly —
-        // exactly Spark's own per-key session-closure semantics.
-        val newlyFrozen = computed.filter(we <= wm)
-        if (newlyFrozen.isEmpty) return
-        val newCuts = newlyFrozen.groupBy(keys.map(col): _*)
-          .agg(max(we).as("__cut"))
-        finishCompaction(newlyFrozen, newCuts, keys)
-      case None =>
-        // expression-keyed statements: global coverage-chain scan. The cut
-        // C is chosen so NO session straddles it — sessions sorted by
-        // start with a running max of ends; C is the largest running-max
-        // value ≤ watermark that also precedes the next session's start —
-        // making "freeze sessions ending ≤ C" and "drop raw rows with
-        // ts < C" exact complements. Tiny frame: one row per open-or-new
-        // session (already aggregated), but inherently one task.
-        import org.apache.spark.sql.expressions.{Window => W}
-        import org.apache.spark.sql.functions.lead
-        val w = W.orderBy("ws")
-        val cand = computed
-          .select(unix_millis(col("window_start")).as("ws"), we.as("we"))
-          .withColumn("cm", max("we").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
-          .withColumn("nws", lead("ws", 1).over(w))
-          .filter(col("cm") <= wm && (col("nws").isNull || col("cm") <= col("nws")))
-          .agg(max("cm").as("cut"))
-          .head()
-        if (cand.isNullAt(0)) return
-        val cut = cand.getLong(0)
-        val newlyFrozen = computed.filter(we <= cut)
-        if (newlyFrozen.isEmpty) return
-        val newCuts = spark.range(1).select(lit(cut).as("__cut"))
-        finishCompaction(newlyFrozen, newCuts, Nil)
-    }
-  }
-
-  /** Shared compaction tail: max-merge the new cut points into the carried
-    * cut table, freeze the session rows, retire their raw rows. */
-  private def finishCompaction(newlyFrozen: DataFrame, newCuts: DataFrame,
-                               keys: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, max}
-    sessionCuts = Some((sessionCuts match {
-      case Some(prev) => prev.unionByName(newCuts)
-        .groupBy(keys.map(col): _*).agg(max("__cut").as("__cut"))
-      case None => newCuts
-    }).localCheckpoint(true))
-    frozen = Some(frozen.map(_.unionByName(newlyFrozen)).getOrElse(newlyFrozen)
-      .localCheckpoint(true))
-    innerState = innerState.map(s => applyCuts(s).localCheckpoint(true))
-    innerState.foreach(_.createOrReplaceTempView(sessionSrcView))
-  }
-
-  /** Drop raw rows below their key's cut point (keyed join against the cut
-    * table; a broadcast cross join of the single global row when keyless).
-    * Applied to the carried state at compaction AND to every incoming
-    * delta — a late row under the cut would re-sessionize into a session
-    * overlapping an already-frozen one. */
-  private def applyCuts(rows: DataFrame): DataFrame = sessionCuts match {
-    case None => rows
-    case Some(cuts) =>
-      import org.apache.spark.sql.functions.{broadcast, col, unix_millis}
-      val ts = unix_millis(col(sessionTsCol).cast("timestamp"))
-      val keys = sessionKeys.getOrElse(Nil)
-      if (keys.isEmpty)
-        rows.crossJoin(broadcast(cuts)).filter(ts >= col("__cut")).drop("__cut")
-      else {
-        // null-safe (<=>) like keyJoin: grouping keys can legitimately be
-        // NULL, and a plain equi-join would never match a NULL-keyed cut —
-        // its frozen session's raw rows would survive retirement and its
-        // late rows would pass the gate, re-freezing (and double-counting)
-        // the same session every epoch
-        val kr = cuts.toDF(cuts.columns.map(c => s"__c_$c").toIndexedSeq: _*)
-        rows.join(kr, keys.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _), "left")
-          .filter(col("__c___cut").isNull || ts >= col("__c___cut"))
-          .select(rows.columns.map(col).toIndexedSeq: _*)
-      }
-  }
-
-  /** Optimized plan of the last cascade epoch's touched-group recompute —
-    * spec probe pinning the semi-join-below-Aggregate pushdown. */
-  @volatile private[graft] var lastCascadeEpochPlan: Option[String] = None
-
-  /** Optimized plan of the last delta-join epoch's first + term —
-    * recorded so DeltaJoinMvSpec can pin the broadcast-delta property (the
-    * snapshot side must never shuffle for a delta-sized probe). */
-  @volatile private[graft] var lastJoinEpochPlan: Option[String] = None
-
-  /** Optimized plan of the last restricted-difference (+) term (outer-join
-    * epochs where the null-padded side changed) — spec pin: the linear
-    * side is probed by a LeftSemi join whose right side broadcasts, so
-    * neither the linear subtree nor the join's base nonlinear side ever
-    * shuffles for a delta-sized change. */
-  @volatile private[graft] var lastOuterTermPlan: Option[String] = None
-
-  /** How many times the FULL defining statement has been evaluated over
-    * source data (batch refresh epochs + cascade backfills/recomputes) —
-    * spec probe proving a durable reopen restores the snapshot instead of
-    * re-executing the statement. Analysis-only `spark.sql` calls (schema,
-    * mode derivation) don't count; they never read data. */
-  @volatile private[graft] var statementEvals: Long = 0L
-
-  /** Carried grouped-top-N state rows — boundedness probe for specs. */
-  private[graft] def topNStateCount: Long = synchronized {
-    innerState.map(_.count()).getOrElse(0L)
-  }
-
   /** Spec probe: whether this MV's changelog still replays its complete
     * history (false once retention pruning dropped segments — durable
     * across reopen via the on-disk marker). */
@@ -1585,11 +590,6 @@ final class MaterializedView private[engine](
     * re-streams the whole source history. */
   private[graft] def consumedRows: Long = synchronized {
     query.toSeq.flatMap(_.recentProgress.map(_.numInputRows)).sum
-  }
-
-  /** (carried raw rows, frozen session rows) — compaction probe for specs. */
-  private[graft] def sessionStateCounts: (Long, Long) = synchronized {
-    (innerState.map(_.count()).getOrElse(0L), frozen.map(_.count()).getOrElse(0L))
   }
 
   /** Changelog-cascade admission: the statement is a Keyed or global
@@ -1861,7 +861,7 @@ final class MaterializedView private[engine](
     * ([[aggOuterNonLinear]]/[[aggSubqNonLinear]]) instead of the
     * sign-split delta rebinding; aggregate-over-enrichment-join (fact
     * LEFT dim GROUP BY dim col), previously recompute-mode, now folds. */
-  private def admitDeltaAgg(df: DataFrame, ups: Seq[MaterializedView],
+  private[engine] def admitDeltaAgg(df: DataFrame, ups: Seq[MaterializedView],
                             tbls: Seq[LiveTable]): Option[DeltaAgg.Spec] = {
     if ((ups.isEmpty && tbls.isEmpty) ||
         // ops escape hatch + A/B measurement flag
@@ -1921,7 +921,7 @@ final class MaterializedView private[engine](
     * and return (newAux, touchedKeys). None = re-targeting failed; the
     * caller drops the spec and recomputes. Shared by [[deltaAggEpoch]]
     * and the grouped top-N epoch. */
-  private def foldAux(changed: Seq[(MaterializedView.CascadeSrc, DataFrame)]):
+  private[engine] def foldAux(changed: Seq[(MaterializedView.CascadeSrc, DataFrame)]):
       Option[(DataFrame, DataFrame)] = {
     import org.apache.spark.sql.functions.col
     val spec = deltaAggSpec.get
@@ -2350,10 +1350,10 @@ final class MaterializedView private[engine](
     * cascade and the grouped-top-N cascade epochs. */
   /** Re-aim `sql`'s references to relation `from` at relation `to` (word
     * boundary, case-insensitive) — the cascade's delta/cover rebinding. */
-  private def retarget(sql: String, from: String, to: String): String =
+  private[engine] def retarget(sql: String, from: String, to: String): String =
     sql.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b", to)
 
-  private def cascadeTouchedKeys(
+  private[engine] def cascadeTouchedKeys(
       changed: Seq[(MaterializedView.CascadeSrc, DataFrame)]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val tempViews = scala.collection.mutable.ArrayBuffer[String]()
@@ -2390,7 +1390,7 @@ final class MaterializedView private[engine](
     * the double run is a bounded one-off, while a cheaper probe (count
     * first, or checkpoint-then-measure) would add a job to EVERY
     * steady-state epoch — the hot path this helper exists to thin. */
-  private def boundedLocal(df: DataFrame): DataFrame = {
+  private[engine] def boundedLocal(df: DataFrame): DataFrame = {
     val rows = df.limit(cascadeLocalMax + 1).collect()
     if (rows.length <= cascadeLocalMax) localDf(rows.toIndexedSeq, df.schema)
     else df.localCheckpoint(true)
@@ -2403,7 +1403,7 @@ final class MaterializedView private[engine](
     * jobs), distributed otherwise or when a key type has no local
     * ordering. Emission order is byte-identical either way. */
   private[graft] var cascadeLocalMax = 50000
-  private def emitKeyedDiffLocal(prevDf: DataFrame, nextDf: DataFrame,
+  private[engine] def emitKeyedDiffLocal(prevDf: DataFrame, nextDf: DataFrame,
                                  keys: Seq[String]): Unit = {
     val ops = timed("diff-collect")(
       Changelog.diffPreferLocal(prevDf, nextDf, keys, cascadeLocalMax))
@@ -2413,7 +1413,7 @@ final class MaterializedView private[engine](
   /** Visible projection of a cascade's pre-HAVING state: apply the folded
     * predicate (NULL = fail, matching SQL HAVING's 3VL) and drop the helper
     * column. Identity when the statement has no HAVING. */
-  private def cascadeVisible(inner: DataFrame): DataFrame = {
+  private[engine] def cascadeVisible(inner: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (cascadeHasHaving)
       inner.where(col(MaterializedView.HavingCol))
@@ -2576,7 +1576,7 @@ final class MaterializedView private[engine](
 
   /** Non-inner joins of the plan ABOVE the source boundary (a source
     * view's own resolution plan may contain anything — black box). */
-  private def outerJoinsAbove(
+  private[engine] def outerJoinsAbove(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       boundary: Set[String]):
       Seq[org.apache.spark.sql.catalyst.plans.logical.Join] = {
@@ -2596,7 +1596,7 @@ final class MaterializedView private[engine](
     * callers that classify join sides (restricted-difference terms) must
     * not claim subquery-read sources; those take the plain-difference term
     * via [[subquerySourcesIn]]. */
-  private def boundarySourcesIn(
+  private[engine] def boundarySourcesIn(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       boundary: Set[String]): Set[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
@@ -2616,7 +1616,7 @@ final class MaterializedView private[engine](
     * LINEAR — binding the epoch delta inside the nested subquery, silently
     * wrong). Stops at boundary aliases like every other scan (a source's
     * own resolution plan is a black box). */
-  private def subquerySourcesIn(
+  private[engine] def subquerySourcesIn(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       boundary: Set[String]): Set[String] = {
     import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
@@ -2635,7 +1635,7 @@ final class MaterializedView private[engine](
   }
 
   /** Window nodes of the plan ABOVE the source boundary. */
-  private def windowsAbove(
+  private[engine] def windowsAbove(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       boundary: Set[String]):
       Seq[org.apache.spark.sql.catalyst.plans.logical.Window] = {
@@ -2647,1140 +1647,6 @@ final class MaterializedView private[engine](
     }
   }
 
-  /** Trace an attribute (by exprId) through pass-through plan nodes down
-    * to the boundary source relation, returning the equivalent expression
-    * over the SOURCE's own column names (leaves =
-    * [[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]]).
-    * A plain pass-through column yields that attribute; a computed Project
-    * alias yields its defining expression with every referenced attribute
-    * itself traced (round 11 — this is what the name-membership check it
-    * replaces could not see: a computed alias SHADOWING a source column
-    * name traces to its defining expression, not to the raw source
-    * column). Window expressions and aggregate results trace to None —
-    * they are not functions of a single source row. */
-  private def traceAttr(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      id: org.apache.spark.sql.catalyst.expressions.ExprId,
-      boundary: Set[String]):
-      Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias, Window => WindowNode}
-    plan match {
-      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) =>
-        s.output.find(_.exprId == id).map(a => UnresolvedAttribute.quoted(a.name))
-      case p: Project =>
-        p.projectList.find(_.exprId == id) match {
-          case Some(ar: AttributeReference) => traceAttr(p.child, ar.exprId, boundary)
-          case Some(al: Alias) => traceExpr(al.child, p.child, boundary)
-          case _ => None
-        }
-      case a: Aggregate =>
-        a.aggregateExpressions.find(_.exprId == id) match {
-          case Some(ar: AttributeReference) => traceAttr(a.child, ar.exprId, boundary)
-          case Some(al: Alias)
-            if !al.child.exists(_.isInstanceOf[AggregateExpression]) =>
-            traceExpr(al.child, a.child, boundary)
-          case _ => None
-        }
-      case w: WindowNode =>
-        if (w.child.outputSet.exists(_.exprId == id))
-          traceAttr(w.child, id, boundary)
-        else None // a window-function result is not a per-source-row value
-      case other =>
-        // pass-through nodes (Filter, non-boundary SubqueryAlias, Join,
-        // …): descend into the child that produces the attribute
-        other.children.find(_.output.exists(_.exprId == id))
-          .flatMap(traceAttr(_, id, boundary))
-    }
-  }
-
-  /** Trace a whole expression: every referenced attribute must itself
-    * trace ([[traceAttr]]); the result substitutes the traces in. None on
-    * nondeterminism, subqueries, or any untraceable leaf. */
-  private def traceExpr(
-      e: org.apache.spark.sql.catalyst.expressions.Expression,
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      boundary: Set[String]):
-      Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    if (!e.deterministic ||
-        e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-      return None
-    var ok = true
-    val traced = e.transformUp {
-      case ar: AttributeReference =>
-        traceAttr(plan, ar.exprId, boundary).getOrElse { ok = false; ar }
-    }
-    if (ok) Some(traced) else None
-  }
-
-  /** Aggregate nodes of the plan ABOVE the source boundary. */
-  private def aggregatesAbove(
-      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      boundary: Set[String]): Seq[Aggregate] = {
-    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-    p match {
-      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) => Nil
-      case a: Aggregate => a +: a.children.flatMap(aggregatesAbove(_, boundary))
-      case _ => p.children.flatMap(aggregatesAbove(_, boundary))
-    }
-  }
-
-  /** The BOTTOM window of a one-chain window set: contained in every other
-    * window's subtree (None when windows sit on divergent branches). */
-  private def bottomWindow(
-      wins: Seq[org.apache.spark.sql.catalyst.plans.logical.Window]):
-      Option[org.apache.spark.sql.catalyst.plans.logical.Window] =
-    wins.find(w => wins.forall(o => (o eq w) || o.child.exists(_ eq w)))
-
-  /** Window-cascade admission (round 10; lineage-generalized round 11;
-    * live padded dims round 12): the statement's window nodes all sit on
-    * ONE chain over exactly one PRIMARY changelog source (referenced
-    * once); further changelog sources admit only on the padded/filter
-    * side of an outer join whose condition traces ([[windowPaddedDims]]).
-    * Every window's PARTITION BY traces by exprId lineage ([[traceExpr]])
-    * to deterministic expressions
-    * over the primary's own columns, the traced key sets share a non-empty
-    * intersection (the restriction keys), at most one Aggregate sits ABOVE
-    * the bottom window with grouping that covers the restriction keys
-    * (each output group then aggregates rows of a single key partition),
-    * every leaf source column of the restriction keys survives in the
-    * output under its source name, and everything else is multilinear.
-    *
-    * Soundness of touched-partition maintenance: below the bottom window
-    * the plan is multilinear (Project/Filter/static joins), so every
-    * derived row carries its source row's restriction-key value — a source
-    * delta can only change the results of the key partitions its payload
-    * names (the key expression evaluates on the delta payload directly);
-    * every window partitions by a superset of the restriction keys, so all
-    * window results are confined within key partitions; an admitted
-    * aggregate groups by the keys, so its groups are too; above, the plan
-    * is row-wise. Untouched partitions' output rows are therefore exactly
-    * unchanged, and the touched partitions re-evaluate whole (semi-join
-    * below the bottom window) and REPLACE their slice of the carried
-    * multiset. A global (empty PARTITION BY) window would make every epoch
-    * a full re-rank — batch re-run is the same cost, so it stays there.
-    * The carried state is the output multiset grouped as (row → count),
-    * like the delta-join cascade. */
-  private def tryStartWindowCascade(): Boolean = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    val tbls = engine.referencedLiveTables(stmt)
-    val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
-    if (tbls.size + ups.size < 1) return false
-    val preOffset = changeLog.latestOffset
-    try {
-      cascadeStmt = engine.rewrite(stmt)
-      val df = spark.sql(cascadeStmt)
-      val analyzed = df.queryExecution.analyzed
-      val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
-        .map(_.toLowerCase).toSet
-      // each source must appear exactly once: the touched-key derivation
-      // reads the delta payload through ONE lineage; a UNION ALL or
-      // self-join referencing the source twice could route different key
-      // derivations through each occurrence (relation list from the parsed
-      // plan keeps duplicates)
-      val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
-        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          r.multipartIdentifier.mkString(".").toLowerCase
-      }
-      if (boundary.exists(n => occurrences.count(_ == n) != 1)) return false
-      val wins = windowsAbove(analyzed, boundary)
-      if (wins.isEmpty) return false
-      val bottom = bottomWindow(wins) match {
-        case Some(b) => b
-        case None => return false // windows on divergent branches
-      }
-      // multi-source (round 12): every source beyond ONE primary must sit
-      // on the padded/filter side of an admitted outer join (classified
-      // below); the PRIMARY carries the key lineage
-      val dimCandidates: Set[String] =
-        outerJoinsAbove(analyzed, boundary).flatMap { j =>
-          import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
-          j.joinType match {
-            case LeftOuter | LeftSemi | LeftAnti => boundarySourcesIn(j.right, boundary)
-            case RightOuter => boundarySourcesIn(j.left, boundary)
-            case _ => Set.empty[String]
-          }
-        }.toSet
-      val primaries = boundary -- dimCandidates
-      if (primaries.size != 1) return false
-      val primaryName = primaries.head
-      // key lineage stops at the PRIMARY only — a key tracing into a dim
-      // would not be a function of the preserved rows and must fail
-      val primaryBoundary = Set(primaryName)
-      // at most one aggregate, either ABOVE the bottom window
-      // (window-below-aggregate) or BELOW it (rank-groups-by-aggregate,
-      // e.g. `rank() OVER (PARTITION BY bucket ORDER BY n)` over a GROUP
-      // BY — round 11). Both reduce to the same key discipline: the
-      // grouping-trace check below guarantees, above, that each output
-      // group aggregates one key partition's rows, and, below, that the
-      // restriction can install under the Aggregate (each group's rows
-      // share the group's own key value, so whole touched groups
-      // re-aggregate from only their partitions' source rows).
-      val aggs = aggregatesAbove(analyzed, boundary)
-      if (aggs.size > 1) return false
-      val aggOpt = aggs.headOption
-      if (aggOpt.exists(a =>
-        !a.child.exists(_ eq bottom) && !bottom.child.exists(_ eq a)))
-        return false
-      // outer joins below the window chain admit in two flavors:
-      //  - STATIC padded side (round 11): the primary sits on the
-      //    preserved side, so every derived row still carries its source
-      //    row's key and padded-ness can only change when the primary
-      //    itself does (`rank() OVER … FROM fact LEFT JOIN static_dim`).
-      //  - LIVE padded side (round 12): a dim delta flips enrichment /
-      //    padding / semi-membership of exactly the preserved rows it
-      //    MATCHES under the join condition — rows matching no delta row
-      //    keep an identical dim match set and identical output. The
-      //    condition is traced here to an expression evaluable over
-      //    (primary snapshot ⋈ renamed dim payload); the epoch derives
-      //    the touched partitions from that restricted term, like the
-      //    delta-join cascade's restricted-difference term.
-      // FULL stays rejected either way (padded rows on the primary's own
-      // side carry NULL key columns no derivation can name).
-      import org.apache.spark.sql.catalyst.expressions.AttributeReference
-      // per-join classification: None = inadmissible; Some(None) = static
-      // padded side; Some(Some(dim -> cond)) = live padded side
-      val classified = outerJoinsAbove(analyzed, boundary).map { j =>
-        import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
-        val sides = j.joinType match {
-          case LeftOuter | LeftSemi | LeftAnti => Some((j.right, j.left))
-          case RightOuter => Some((j.left, j.right))
-          case _ => None
-        }
-        j -> sides.flatMap { case (padded, preserved) =>
-          val dimsHere = boundarySourcesIn(padded, boundary)
-          if (dimsHere.isEmpty) Some(None) // static padded side (round 11)
-          else if (dimsHere.size > 1 ||
-              !boundarySourcesIn(preserved, boundary).contains(primaryName) ||
-              dimsHere.contains(primaryName)) None
-          else {
-            // LIVE padded side: trace the condition. Padded-side leaves
-            // rename to __pd_<dimcol> (the epoch prefixes the payload
-            // frame's columns so primary/dim name collisions — the common
-            // `ON d.k = t.k` — cannot ambiguate resolution);
-            // preserved-side leaves substitute their primary lineage.
-            val dimName = dimsHere.head
-            j.condition.filter(c => c.deterministic && !c.exists(
-                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-              .flatMap { cond =>
-                var ok = true
-                val traced = cond.transformUp {
-                  case ar: AttributeReference if padded.outputSet.contains(ar) =>
-                    traceAttr(padded, ar.exprId, Set(dimName)).map(_.transformUp {
-                      case ua: UnresolvedAttribute =>
-                        UnresolvedAttribute.quoted("__pd_" + ua.name)
-                    }).getOrElse { ok = false; ar }
-                  case ar: AttributeReference if preserved.outputSet.contains(ar) =>
-                    traceAttr(preserved, ar.exprId, primaryBoundary)
-                      .getOrElse { ok = false; ar }
-                  case ar: AttributeReference => ok = false; ar
-                }
-                if (ok) Some(Some(dimName -> traced)) else None
-              }
-          }
-        }
-      }
-      val admittedOuters = classified.collect { case (j, Some(_)) => j }
-      val paddedDims: Map[String, org.apache.spark.sql.catalyst.expressions.Expression] =
-        classified.collect { case (_, Some(Some(dc))) => dc }.toMap
-      // a dim reachable through an outer join the classification did NOT
-      // admit (nested padded sides, FULL, untraceable conditions) leaves
-      // that join outside allowedNodes — nonLinearIn rejects below
-      if (nonLinearIn(analyzed, boundary,
-          allowedNodes = wins ++ aggOpt.toSeq ++ admittedOuters)) return false
-      // every non-primary source must be claimed by exactly ONE admitted
-      // padded side (two owning joins would each need their own condition
-      // in the derivation; the map can hold only one — reject)
-      if ((boundary - primaryName) != paddedDims.keySet.map(_.toLowerCase))
-        return false
-      if (classified.count { case (_, Some(Some(_))) => true; case _ => false } !=
-          paddedDims.size) return false
-      // trace every window's PARTITION BY; restriction keys = the traces
-      // every window shares (each window then partitions by a superset)
-      val traces: Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] =
-        wins.map { w =>
-          if (w.partitionSpec.isEmpty) return false
-          w.partitionSpec.map(pe =>
-            traceExpr(pe, w.child, primaryBoundary).getOrElse(return false))
-        }
-      val sharedKeys = traces.head
-        .filter(t => traces.tail.forall(_.exists(_.sql == t.sql)))
-        .distinctBy(_.sql)
-      if (sharedKeys.isEmpty) return false
-      // each key needs a STATE-side spelling that evaluates the same value
-      // over the carried output rows (the slice restriction runs there):
-      // (a) every leaf source column survives in the output under its
-      // source name by plain lineage → the key expression itself applies;
-      // (b) an output column's own lineage IS the key (a computed alias,
-      // e.g. the shadowed-alias shape) → restrict on that column. A key
-      // with neither spelling drops out — a SUBSET of the keys is a
-      // coarser but still sound restriction (each window still partitions
-      // by a superset); only an empty set rejects.
-      val outTraces: Seq[(org.apache.spark.sql.catalyst.expressions.Attribute, String)] =
-        analyzed.output.flatMap(o =>
-          traceAttr(analyzed, o.exprId, primaryBoundary).map(t => o -> t.sql))
-      def plainSurvives(n: String): Boolean = outTraces.exists {
-        case (o, sql) => o.name == n && sql == UnresolvedAttribute.quoted(n).sql
-      }
-      val keyed: Seq[(org.apache.spark.sql.catalyst.expressions.Expression,
-                      org.apache.spark.sql.catalyst.expressions.Expression)] =
-        sharedKeys.flatMap { k =>
-          val leaves = k.collect { case u: UnresolvedAttribute => u.name }.distinct
-          if (leaves.forall(plainSurvives)) Some(k -> k)
-          else outTraces.collectFirst {
-            case (o, sql) if sql == k.sql => k -> UnresolvedAttribute.quoted(o.name)
-          }
-        }
-      if (keyed.isEmpty) return false
-      // an admitted aggregate's grouping must cover the restriction keys
-      aggOpt.foreach { a =>
-        val gt = a.groupingExpressions
-          .flatMap(g => traceExpr(g, a.child, primaryBoundary)).map(_.sql).toSet
-        if (!keyed.forall { case (k, _) => gt.contains(k.sql) }) return false
-      }
-      windowPartKeys = keyed.map(_._1)
-      windowStateKeys = keyed.map(_._2)
-      windowPaddedDims = paddedDims
-      keyMode = MaterializedView.Multiset
-      keyCols = Nil
-      isAggMode = false
-      val allSrcs =
-        ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
-          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
-      // primary FIRST — the epoch reads head as the key-lineage source
-      cascadeUpstreams = allSrcs.filter(_.viewName.toLowerCase == primaryName) ++
-        allSrcs.filterNot(_.viewName.toLowerCase == primaryName)
-      cascadeMode = true
-      windowMode = true
-      val restored = validSnapshotMeta("windowcascade").flatMap { case (d, offsets, _) =>
-        try {
-          if (!new java.io.File(s"$d/inner").isDirectory ||
-              !cascadeUpstreams.forall(u =>
-                offsets.get(u.viewName).exists(_ <= u.log.latestOffset))) None
-          else Some((offsets,
-            spark.read.parquet(s"$d/inner").localCheckpoint(true)))
-        } catch { case _: Throwable => None }
-      }
-      restored match {
-        case Some((offsets, inner)) =>
-          offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
-          cascadeInner = Some(inner)
-          val vis = expandCounts(inner)
-          snapshot = Some(vis)
-          vis.createOrReplaceTempView(viewName)
-        case None => windowCascadeEpoch() // initial backfill
-      }
-      true
-    } catch { case t: Throwable =>
-      if (java.lang.Boolean.getBoolean("graft.debugJoinCascade")) t.printStackTrace()
-      windowMode = false
-      cascadeMode = false
-      cascadeUpstreams = Nil
-      windowPartKeys = Nil
-      windowStateKeys = Nil
-      windowPaddedDims = Map.empty
-      if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
-      false
-    }
-  }
-
-  /** Optimized plan of the last window-cascade recompute — spec pin: the
-    * touched-partition semi join must sit BELOW the Window node, or every
-    * epoch silently re-ranks the world. */
-  @volatile private[graft] var lastWindowEpochPlan: Option[String] = None
-
-  /** A restriction-key expression as a Column — the unresolved-attribute
-    * leaves re-resolve against the frame it is applied to: the delta
-    * payload (source columns) for [[windowPartKeys]], the carried state
-    * (output columns) for [[windowStateKeys]] — admission guarantees the
-    * referenced names exist in the respective frame. */
-  private def windowKeyCol(i: Int): org.apache.spark.sql.Column =
-    GraftColumnBridge.column(windowPartKeys(i))
-  private def windowStateKeyCol(i: Int): org.apache.spark.sql.Column =
-    GraftColumnBridge.column(windowStateKeys(i))
-
-  /** Install the touched-partition restriction directly below the
-    * statement's ANCHOR node (plan surgery): the BOTTOM window — or, when
-    * an admitted Aggregate sits below it (rank-groups-by-aggregate, round
-    * 11), that Aggregate, so touched key partitions re-aggregate from only
-    * their own source rows instead of re-aggregating the world and
-    * filtering above. The anchor's child semi-joins the broadcast key
-    * frame under the partition/grouping expressions whose lineage traces
-    * match the restriction keys — a fresh `spark.sql` plan carries fresh
-    * exprIds, so the match is by traced form, not identity. Output
-    * attributes are untouched — everything above stays resolved. */
-  private def restrictWindowToPartitions(full: DataFrame,
-                                         touched: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, Expression}
-    import org.apache.spark.sql.catalyst.plans.LeftSemi
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
-    val plan = full.queryExecution.analyzed
-    val boundary = cascadeUpstreams.map(_.viewName.toLowerCase).toSet
-    // key lineage stops at the PRIMARY (head) — padded dims carry no keys
-    val keyBoundary = Set(cascadeUpstreams.head.viewName.toLowerCase)
-    val wins = windowsAbove(plan, boundary)
-    val w = bottomWindow(wins).getOrElse(
-      throw new IllegalStateException("no bottom window in recompute plan"))
-    val aggBelow = aggregatesAbove(plan, boundary).headOption
-      .filter(a => w.child.exists(_ eq a))
-    val (anchor: LogicalPlan, anchorSpec: Seq[(Expression, Expression)]) =
-      aggBelow match {
-        case Some(a) =>
-          (a, a.groupingExpressions.flatMap(g =>
-            traceExpr(g, a.child, keyBoundary).map(t => (t, g))))
-        case None =>
-          (w, w.partitionSpec.flatMap(pe =>
-            traceExpr(pe, w.child, keyBoundary).map(t => (t, pe))))
-      }
-    val specByTrace = anchorSpec.map { case (t, e) => t.sql -> e }.toMap
-    val pes = windowPartKeys.map(k => specByTrace.getOrElse(k.sql,
-      throw new IllegalStateException(s"restriction key ${k.sql} missing from anchor")))
-    val krPlan = org.apache.spark.sql.functions.broadcast(touched)
-      .queryExecution.analyzed
-    val cond = pes.zip(krPlan.output)
-      .map { case (pe, k) => EqualNullSafe(pe, k): Expression }
-      .reduce(And(_, _))
-    GraftColumnBridge.ofRows(spark, plan.transformUp {
-      case n if n eq anchor =>
-        anchor match {
-          case a: Aggregate =>
-            a.copy(child = Join(a.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE))
-          case win: org.apache.spark.sql.catalyst.plans.logical.Window =>
-            win.copy(child = Join(win.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE))
-        }
-    })
-  }
-
-  /** Try to lift the distributed window-cascade state into the keyed
-    * local tier ([[windowLocalState]]): ONE bounded collect of the
-    * expanded state with the state-key spellings evaluated alongside.
-    * Refused — monotonically, via [[windowLocalDisabled]] — when the
-    * multiset outgrows [[windowLocalStateMax]] or an output type has no
-    * local ordering (the driver-side diff could not reproduce the
-    * distributed emission order). */
-  private def tryLocalizeWindowState(): Unit = {
-    import org.apache.spark.sql.functions.col
-    if (windowLocalState.nonEmpty || windowLocalDisabled || cascadeInner.isEmpty)
-      return
-    val vis = expandCounts(cascadeInner.get)
-    val schema = vis.schema
-    if (schema.fields.exists(f => Changelog.localOrdering(f.dataType).isEmpty)) {
-      windowLocalDisabled = true; return
-    }
-    val n = schema.length
-    val withKeys = vis.select(vis.columns.toIndexedSeq.map(col) ++
-      windowStateKeys.indices.map(i => windowStateKeyCol(i).as(s"__sk_$i")): _*)
-    val rows = withKeys.limit(windowLocalStateMax + 1).collect()
-    if (rows.length > windowLocalStateMax) { windowLocalDisabled = true; return }
-    val m = new scala.collection.mutable.LinkedHashMap[Row, IndexedSeq[Row]]()
-    groupSliceByKey(rows, n).foreach { case (k, b) => m.update(k, b) }
-    windowLocalSchema = Some(schema)
-    windowLocalState = Some(m)
-    syncWindowLocalState()
-  }
-
-  /** Split collected (output ++ __sk_*) rows into key → expanded-rows
-    * slices — key equality is [[Row]]'s value-based equals/hashCode. */
-  private def groupSliceByKey(rows: Array[Row], n: Int)
-      : scala.collection.mutable.LinkedHashMap[Row, IndexedSeq[Row]] = {
-    val grouped = new scala.collection.mutable.LinkedHashMap[
-      Row, scala.collection.mutable.ArrayBuffer[Row]]()
-    rows.foreach { r =>
-      val key = Row.fromSeq((n until r.length).map(r.get(_)))
-      grouped.getOrElseUpdate(key,
-        new scala.collection.mutable.ArrayBuffer[Row]()) +=
-        Row.fromSeq((0 until n).map(r.get(_)))
-    }
-    grouped.map { case (k, b) => k -> (b.toIndexedSeq: IndexedSeq[Row]) }
-  }
-
-  /** Publish the local map as the visible snapshot (a LocalRelation — no
-    * checkpoint job) and keep [[cascadeInner]] as its LAZY grouped
-    * spelling, executed only by the rare consumers (durable persist, the
-    * epoch-repair diff, tier fallback). */
-  private def syncWindowLocalState(): Unit = {
-    val all = windowLocalState.get.valuesIterator.flatten.toIndexedSeq
-    val vis = localDf(all, windowLocalSchema.get)
-    snapshot = Some(vis)
-    cascadeInner = Some(groupedCounts(vis))
-    vis.createOrReplaceTempView(viewName)
-  }
-
-  /** Fall out of the local tier mid-run: checkpoint the (pre-epoch) lazy
-    * grouped state so the distributed epoch body proceeds against
-    * materialized state. `disable` latches the tier off permanently —
-    * size/type refusals only recur; a transient epoch repair instead just
-    * drops the map and the tier re-localizes next epoch. */
-  private def unlocalizeWindowState(disable: Boolean): Unit = {
-    windowLocalState.foreach { _ =>
-      cascadeInner = Some(cascadeInner.get.localCheckpoint(true))
-      val vis = expandCounts(cascadeInner.get)
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
-    }
-    windowLocalState = None
-    if (disable) windowLocalDisabled = true
-  }
-
-  /** One window-cascade epoch: the delta payload names the touched
-    * partitions; exactly those re-evaluate against the source's current
-    * snapshot (semi-join below the Window) and REPLACE their slice of the
-    * carried multiset; the epoch's ops are the multiset diff of the
-    * touched slice. Per-epoch cluster work is touched-partition-bounded —
-    * at 100 TB a delta touching k partitions re-ranks k partitions, never
-    * the table. The state tail (slice diff + replacement) runs in the
-    * keyed local tier ([[windowLocalState]]) while the multiset fits —
-    * map point writes, zero jobs — and as the distributed grouped-state
-    * spelling (semi/anti joins against a checkpointed frame) beyond it. */
-  private def windowCascadeEpoch(): Unit = synchronized {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    if (cascadeUpstreams.isEmpty) return
-    val latests = cascadeUpstreams.map(u => u -> u.log.latestOffset)
-    val anyNew = latests.exists { case (u, l) =>
-      l > cascadeOffsets.getOrElse(u.viewName, 0L) }
-    if (!anyNew && snapshot.nonEmpty) return
-    if (snapshot.isEmpty) {
-      latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
-      statementEvals += 1
-      val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
-      cascadeInner = Some(grouped)
-      val vis = expandCounts(grouped)
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
-      emitOps(Changelog.multisetDiff(None, vis, wide = true), wide = true)
-      // lift the freshly-built state into the local tier right away so the
-      // FIRST incremental epoch already takes the zero-job state tail; a
-      // localize failure must not fail the (already-committed) backfill
-      try tryLocalizeWindowState()
-      catch { case scala.util.control.NonFatal(_) => () }
-      return
-    }
-    if (!anyNew) return
-    val prevOffsets = latests.map { case (u, _) =>
-      u.viewName -> cascadeOffsets.getOrElse(u.viewName, 0L) }.toMap
-    val changed: Seq[(MaterializedView.CascadeSrc, DataFrame)] =
-      latests.flatMap { case (u, l) =>
-        val after = cascadeOffsets.getOrElse(u.viewName, 0L)
-        cascadeOffsets(u.viewName) = l
-        if (l > after) Some(u -> u.log.dfAfter(after)) else None
-      }
-    if (changed.isEmpty) return
-    // the changelog append is atomic (staging dir → commit), so `emitted`
-    // cleanly splits the failure window: before emitOps completes the
-    // repair must emit this epoch's delta itself; after, it must NOT —
-    // re-diffing against the pre-epoch state would emit the delta twice
-    var emitted = false
-    var settled = false
-    try {
-      tryLocalizeWindowState()
-      val primary = cascadeUpstreams.head
-      // touched keys, one term per changed source:
-      //  - PRIMARY delta: the restriction-key expressions evaluate
-      //    DIRECTLY on the delta payload (its columns are the source's,
-      //    which the traced leaves name) — a computed key (e.g.
-      //    date_trunc('day', ts)) derives here, round 11.
-      //  - PADDED-DIM delta (round 12): the affected preserved rows are
-      //    exactly those MATCHING the delta under the traced join
-      //    condition — semi-join the primary's current snapshot against
-      //    the __pd_-renamed payload and project the keys. Preserved rows
-      //    the primary's own delta added/removed this epoch are named by
-      //    the primary term; unchanged-but-rematched rows are in the
-      //    current snapshot — the union covers every affected partition
-      //    (over-touching recomputes idempotently).
-      // boundedLocal inlined to keep the key ROWS — the local tier's map
-      // lookups need them
-      val touchedRaw = changed.map { case (u, ops) =>
-        if (u.viewName == primary.viewName)
-          ops.select(windowPartKeys.indices
-            .map(i => windowKeyCol(i).as(s"__k_$i")): _*)
-        else {
-          val cond = windowPaddedDims(u.viewName.toLowerCase)
-          val pay0 = ops.drop("rw_timestamp").drop("op")
-          val pay = pay0.toDF(pay0.columns.toIndexedSeq.map("__pd_" + _): _*)
-          primary.snap().join(broadcast(pay),
-              GraftColumnBridge.column(cond), "left_semi")
-            .select(windowPartKeys.indices
-              .map(i => windowKeyCol(i).as(s"__k_$i")): _*)
-        }
-      }.reduce(_ unionByName _).distinct()
-      val touchedRows = timed("touched-keys")(
-        touchedRaw.limit(cascadeLocalMax + 1).collect())
-      val touched =
-        if (touchedRows.length <= cascadeLocalMax)
-          localDf(touchedRows.toIndexedSeq, touchedRaw.schema)
-        else touchedRaw.localCheckpoint(true)
-      def restrict(df: DataFrame, how: String): DataFrame =
-        df.join(broadcast(touched), windowStateKeys.indices
-          .map(i => windowStateKeyCol(i) <=> col(s"__k_$i")).reduce(_ && _), how)
-      statementEvals += 1
-      // the partition restriction is installed BELOW the Window by plan
-      // surgery: Catalyst's PushDownLeftSemiAntiJoin declines to push any
-      // semi join it could plan as a broadcast join (SPARK-37455's cost
-      // guard), which would leave the filter above the Window and re-rank
-      // the WHOLE source every epoch
-      val recompute = restrictWindowToPartitions(spark.sql(cascadeStmt), touched)
-      lastWindowEpochPlan = Some(recompute.queryExecution.optimizedPlan.toString)
-
-      // ---- keyed local state tail: the slice collects ONCE (with its
-      // state keys evaluated alongside), the diff runs driver-side, and
-      // touched slices replace by map point writes — zero further jobs ----
-      if (windowLocalState.nonEmpty && touchedRows.length <= cascadeLocalMax) {
-        val state = windowLocalState.get
-        val schema = windowLocalSchema.get
-        val n = schema.length
-        // degenerate-shape detection (round 13): consecutive epochs whose
-        // delta touches ~every carried partition — the map size makes the
-        // fraction a free probe here
-        if (state.size >= 8 && touchedRows.length >= 0.9 * state.size)
-          windowDegenerateEpochs += 1
-        else windowDegenerateEpochs = 0
-        val withKeys = recompute.select(
-          recompute.columns.toIndexedSeq.map(col) ++
-            windowStateKeys.indices.map(i => windowStateKeyCol(i).as(s"__sk_$i")): _*)
-        val sliceRows = timed("group-recompute")(
-          withKeys.limit(windowLocalStateMax + 1).collect())
-        if (sliceRows.length <= windowLocalStateMax) {
-          val newByKey = groupSliceByKey(sliceRows, n)
-          val newSlice = newByKey.valuesIterator.flatten.toIndexedSeq
-          val oldSlice = touchedRows.toIndexedSeq
-            .flatMap(k => state.getOrElse(k, IndexedSeq.empty[Row]))
-          Changelog.localMultisetDiff(Some(oldSlice), newSlice, schema) match {
-            case Some(opsRows) =>
-              if (opsRows.nonEmpty)
-                timed("emitOps")(emitOps(localDf(opsRows.toIndexedSeq,
-                  schema.add("op", org.apache.spark.sql.types.StringType))))
-              emitted = true
-              // point writes AFTER the emit (same atomic-append split as
-              // the distributed branch below): vanished partitions drop,
-              // the rest replace their slice
-              touchedRows.foreach(state.remove)
-              newByKey.foreach { case (k, rs) => state.update(k, rs) }
-              timed("state-merge")(syncWindowLocalState())
-              // per-slice fits don't bound the TOTAL: once the grown
-              // multiset outruns the driver budget, hand the (consistent)
-              // state to the distributed tier for good
-              if (state.valuesIterator.map(_.length.toLong).sum > windowLocalStateMax)
-                unlocalizeWindowState(disable = true)
-              // a wholesale-touch streak reroutes the statement to the
-              // global-window input fold (epoch already committed; the
-              // switch only re-seeds the input state) — round 13
-              if (!windowRerouteRefused &&
-                  windowDegenerateEpochs >= windowDegenerateAfter)
-                tryRerouteToGlobalWindow()
-              return
-            case None => () // unorderable type slipped through — fall out
-          }
-        }
-        // slice over the cap / unorderable: permanent fall-back, and the
-        // distributed body below re-runs the recompute bounded its own way
-        unlocalizeWindowState(disable = true)
-      } else if (windowLocalState.nonEmpty) {
-        // a touched-key set too large to hold is a backfill-class DELTA —
-        // delta-sized, not state-sized (round-12 ADVICE): one bulk load
-        // must not demote every subsequent small epoch to the distributed
-        // tail, so this drop is transient and the tier re-localizes next
-        // epoch (tryLocalizeWindowState's own probe then decides whether
-        // the grown STATE still fits; the permanent latch is reserved for
-        // state-size and unorderable-type refusals)
-        unlocalizeWindowState(disable = false)
-      }
-
-      val newPart = timed("group-recompute")(boundedLocal(recompute))
-      val newG = groupedCounts(newPart)
-      // the epoch's ops diff BOTH sides in their GROUPED representation
-      // (the carried state already is; expanding + regrouping was the
-      // round-10 spelling's wasted work) and materialize delta-sized to
-      // the driver, so the changelog append takes its zero-job
-      // LocalRelation fast path and seeds the downstream fetch cache
-      val epochOps = timed("diff-collect")(boundedLocal(Changelog.multisetDiffGrouped(
-        restrict(cascadeInner.get, "left_semi"), newG, MaterializedView.CntCol)))
-      // state BEFORE ops (same failure discipline as joinCascadeEpoch): a
-      // merge failure propagates with nothing emitted this epoch. The
-      // oversize latch (round 11): a window MV's grouped state is
-      // OUTPUT-sized, not delta-sized — once it outgrows cascadeLocalMax
-      // the boundedLocal probe would re-execute the merge plan every
-      // epoch just to discover that again, so after the first overflow
-      // the merge checkpoints directly (monotone: multiset state only
-      // shrinks via whole-slice replacement, never back under the bound
-      // in a way worth re-probing).
-      val mergedPlan = restrict(cascadeInner.get, "left_anti").unionByName(newG)
-      val merged = timed("state-merge")(
-        if (windowStateOversize) mergedPlan.localCheckpoint(true)
-        else {
-          val m = boundedLocal(mergedPlan)
-          if (!m.queryExecution.logical
-              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-            windowStateOversize = true
-          m
-        })
-      emitOps(epochOps)
-      emitted = true
-      cascadeInner = Some(merged)
-      val vis = expandCounts(merged)
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
-      settled = true
-    } catch { case scala.util.control.NonFatal(t) =>
-      // full-recompute repair (round 11, ADVICE): the offset above is
-      // already consumed, so a mid-epoch failure (transient Spark error,
-      // plan-surgery mismatch) must NOT skip the delta — re-evaluate the
-      // whole statement and multiset-diff against the carried state, same
-      // discipline as joinCascadeEpoch's fallback. Fatal errors (OOM,
-      // interrupts) propagate, with the pre-epoch offsets restored by the
-      // finally below while nothing was committed; the warning makes a
-      // PERSISTENT silent demotion to per-epoch batch re-runs observable
-      // (round 12, ADVICE).
-      MaterializedView.log.warn(
-        s"window-cascade epoch for $viewName fell back to full recompute: $t")
-      statementEvals += 1
-      val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
-      val vis = expandCounts(grouped)
-      if (!emitted) {
-        // pre-epoch state: the local map is unmutated before the emit, so
-        // its lazy grouped spelling in cascadeInner is still the truth
-        val prevVis = expandCounts(cascadeInner.get)
-        emitOps(Changelog.multisetDiff(Some(prevVis), vis))
-        emitted = true
-      }
-      // transient drop — NOT a disable: the tier re-localizes next epoch
-      windowLocalState = None
-      // emitted && a POST-emit step failed: the committed ops already
-      // describe prev→new, and `grouped` IS the new state (the full
-      // statement over the same current sources) — install it, emit nothing
-      cascadeInner = Some(grouped)
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
-      settled = true
-    } finally {
-      // a survivable non-NonFatal escape (InterruptedException — excluded
-      // from NonFatal, so the repair above never ran) with nothing
-      // committed: restore the consumed offsets so the NEXT epoch re-folds
-      // this delta instead of permanently losing it (round-12 ADVICE).
-      // After a commit the state is already consistent — the local-tier
-      // branch mutates its map and syncs BEFORE the only post-emit job
-      // (the oversize unlocalize checkpoint), and the distributed branch
-      // merges state before emitting — so the offsets must stand.
-      if (!settled && !emitted) restoreOffsets(prevOffsets)
-    }
-  }
-
-  /** Degenerate-shape latch (round 13, verdict #6): a PARTITION BY key
-    * that every epoch's delta touches wholesale (e.g. a uniform hash of
-    * the row id) makes the keyed cascade re-rank every partition every
-    * epoch AND pay the per-partition machinery on top. After
-    * [[windowDegenerateAfter]] consecutive local-tier epochs touching
-    * ≥90% of ≥8 carried partitions, the statement reroutes to the
-    * global-window input fold — same carried grouped output state, plus a
-    * one-off prefix scan to seed the input multiset — whose epochs
-    * re-evaluate the whole window suffix ONCE over carried ⊕ delta (the
-    * cost the statement's semantics demand, with none of the
-    * per-partition overhead). Detection lives in the local tier, where
-    * the partition count is a free map probe. */
-  private var windowDegenerateEpochs = 0
-  private[graft] var windowDegenerateAfter = 2
-  private var windowRerouteRefused = false
-
-  private def tryRerouteToGlobalWindow(): Unit = {
-    if (cascadeUpstreams.size != 1) { windowRerouteRefused = true; return }
-    try {
-      val u = cascadeUpstreams.head
-      val boundary = Set(u.viewName.toLowerCase)
-      val analyzed = spark.sql(cascadeStmt).queryExecution.analyzed
-      // same admission as tryStartGlobalWindow, minus the backfill: the
-      // cascade's grouped output state IS the global fold's state shape
-      val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
-        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          r.multipartIdentifier.mkString(".").toLowerCase
-      }
-      def refuse(): Unit = windowRerouteRefused = true
-      if (occurrences.count(_ == u.viewName.toLowerCase) != 1) { refuse(); return }
-      if (subquerySourcesIn(analyzed, boundary).nonEmpty) { refuse(); return }
-      if (windowsAbove(analyzed, boundary).isEmpty) { refuse(); return }
-      val (cut, allowedJoins) = globalWindowCut(analyzed, boundary) match {
-        case Some(x) => x
-        case None => refuse(); return
-      }
-      if (nonLinearIn(cut, boundary, allowedNodes = allowedJoins)) { refuse(); return }
-      if (cut.output.map(_.name.toLowerCase).distinct.size != cut.output.size) {
-        refuse(); return
-      }
-      // reroute ONLY when the cut sits directly below the bottom WINDOW:
-      // an Aggregate between them (window-over-aggregate) would make the
-      // carried input multiset RAW-input-sized and re-aggregate it
-      // wholesale every epoch — strictly worse than the keyed cascade's
-      // touched-group recomputation, degenerate key or not
-      val cutParentIsWindow = analyzed.collectFirst {
-        case p if p.children.exists(_ eq cut) => p
-      }.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window])
-      if (!cutParentIsWindow) { refuse(); return }
-      var suffixOk = true
-      def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
-        if (!(p eq cut)) {
-          if (!p.expressions.forall(_.deterministic)) suffixOk = false
-          p.children.foreach(walk)
-        }
-      walk(analyzed)
-      if (!suffixOk) { refuse(); return }
-      // the switch's one-off cost: materialize the prefix input multiset
-      // (offsets are already consumed through this epoch, so the current
-      // source snapshot IS the state the fold expects)
-      statementEvals += 1
-      val inputG = groupedCounts(GraftColumnBridge.ofRows(spark, cut))
-        .localCheckpoint(true)
-      unlocalizeWindowState(disable = false) // grouped state off the local map
-      windowInputState = Some(inputG)
-      windowMode = false
-      cascadeMode = false
-      windowGlobalMode = true
-      windowDegenerateEpochs = 0
-      MaterializedView.log.warn(
-        s"window cascade for $viewName rerouted to the global-window input " +
-        "fold (degenerate shape: consecutive epochs touched ~every partition)")
-    } catch { case scala.util.control.NonFatal(_) => windowRerouteRefused = true }
-  }
-
-  // ---- global-window prefix fold (round 12) -------------------------------
-
-  /** Locate the prefix/suffix cut of the global-window fold: walk the
-    * path from the plan root to the single boundary source and find the
-    * BOTTOMMOST nonlinear node B on it. Returns (B's path child — the cut
-    * subtree whose output multiset becomes the carried input state — and
-    * the path's outer joins whose PADDED side is source-free, to allow in
-    * the prefix linearity check). None when no nonlinear node sits on the
-    * path, or the first break is a non-inner join with the source on its
-    * padded/filter side (null-extension is not linear in that side and
-    * the break is not single-child — the KEYED cascade's restricted term
-    * handles that shape instead). */
-  private def globalWindowCut(
-      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      boundary: Set[String]):
-      Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-              Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])] = {
-    import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
-    import org.apache.spark.sql.catalyst.plans.logical.{
-      Deduplicate, Distinct, Except, Generate, GlobalLimit, Intersect,
-      Join, LocalLimit, Sort, SubqueryAlias, LogicalPlan, Window => WindowNode}
-    def path(p: LogicalPlan): Option[List[LogicalPlan]] = p match {
-      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) =>
-        Some(List(p))
-      case _ => p.children.iterator.flatMap(path).nextOption().map(p :: _)
-    }
-    val rev = path(analyzed).getOrElse(return None).reverse // source … root
-    var allowedJoins = List.empty[LogicalPlan]
-    for (i <- 1 until rev.length) {
-      val c = rev(i - 1)
-      rev(i) match {
-        case _: Aggregate | _: WindowNode | _: Sort | _: GlobalLimit |
-             _: LocalLimit | _: Distinct | _: Deduplicate | _: Intersect |
-             _: Except | _: Generate =>
-          return Some((c, allowedJoins))
-        case j: Join if !(j.joinType == Inner || j.joinType == Cross) =>
-          val sourceOnPadded = j.joinType match {
-            case LeftOuter | LeftSemi | LeftAnti => j.right eq c
-            case RightOuter => j.left eq c
-            case _ => true // FULL etc: padded both sides
-          }
-          if (sourceOnPadded) return None
-          allowedJoins ::= j
-        case _ => ()
-      }
-    }
-    None
-  }
-
-  /** Global-window admission (round 12) — tried only after the KEYED
-    * window cascade refused. The statement must read exactly ONE
-    * changelog source, referenced once and never through a subquery; at
-    * least one Window node must exist (this mode exists for the global /
-    * untraceable-key window shapes); the prefix below [[globalWindowCut]]
-    * must be linear; the suffix above must be deterministic (it
-    * re-evaluates wholesale over the carried state, so sorts, limits,
-    * DISTINCT, aggregates and divergent window chains are all fine
-    * there). Reference: the global-rank data-selection MV
-    * (`risingwave/core.py` materialized-view surface). */
-  private def tryStartGlobalWindow(): Boolean = {
-    val tbls = engine.referencedLiveTables(stmt)
-    val ups = engine.referencedMvs(stmt, excluding = (schemaName, name))
-    if (tbls.size + ups.size != 1) return false
-    val preOffset = changeLog.latestOffset
-    try {
-      cascadeStmt = engine.rewrite(stmt)
-      val analyzed = spark.sql(cascadeStmt).queryExecution.analyzed
-      val boundary = (tbls.map(_.viewName) ++ ups.map(_.viewName))
-        .map(_.toLowerCase).toSet
-      val occurrences = spark.sessionState.sqlParser.parsePlan(cascadeStmt).collect {
-        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-          r.multipartIdentifier.mkString(".").toLowerCase
-      }
-      if (boundary.exists(n => occurrences.count(_ == n) != 1)) return false
-      // a source read through ANY subquery expression (at any depth) has
-      // no linear slot for the prefix delta term
-      if (subquerySourcesIn(analyzed, boundary).nonEmpty) return false
-      if (windowsAbove(analyzed, boundary).isEmpty) return false
-      val (cut, allowedJoins) =
-        globalWindowCut(analyzed, boundary).getOrElse(return false)
-      if (nonLinearIn(cut, boundary, allowedNodes = allowedJoins)) return false
-      // the fold groups the state by NAME — ambiguous cut columns reject
-      if (cut.output.map(_.name.toLowerCase).distinct.size != cut.output.size)
-        return false
-      // suffix determinism (walk stops at the cut; the prefix's
-      // expressions were vetted by nonLinearIn)
-      var suffixOk = true
-      def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
-        if (!(p eq cut)) {
-          if (!p.expressions.forall(_.deterministic)) suffixOk = false
-          p.children.foreach(walk)
-        }
-      walk(analyzed)
-      if (!suffixOk) return false
-      keyMode = MaterializedView.Multiset
-      keyCols = Nil
-      isAggMode = false
-      cascadeUpstreams =
-        ups.map(u => MaterializedView.CascadeSrc(u.viewName, u.changeLog, () => u.df)) ++
-          tbls.map(t => MaterializedView.CascadeSrc(t.viewName, t.enableChangelog(), () => t.batchDF))
-      windowGlobalMode = true
-      val restored = validSnapshotMeta("globalwindow").flatMap { case (d, offsets, _) =>
-        try {
-          if (!new java.io.File(s"$d/inner").isDirectory ||
-              !new java.io.File(s"$d/winput").isDirectory ||
-              !cascadeUpstreams.forall(u =>
-                offsets.get(u.viewName).exists(_ <= u.log.latestOffset))) None
-          else Some((offsets,
-            spark.read.parquet(s"$d/inner").localCheckpoint(true),
-            spark.read.parquet(s"$d/winput").localCheckpoint(true)))
-        } catch { case _: Throwable => None }
-      }
-      restored match {
-        case Some((offsets, inner, winput)) =>
-          offsets.foreach { case (v, o) => cascadeOffsets(v) = o }
-          cascadeInner = Some(inner)
-          windowInputState = Some(winput)
-          val vis = expandCounts(inner)
-          snapshot = Some(vis)
-          vis.createOrReplaceTempView(viewName)
-        case None => windowGlobalEpoch() // initial backfill
-      }
-      true
-    } catch { case t: Throwable =>
-      if (java.lang.Boolean.getBoolean("graft.debugJoinCascade")) t.printStackTrace()
-      windowGlobalMode = false
-      cascadeUpstreams = Nil
-      windowInputState = None
-      if (changeLog.latestOffset == preOffset) { snapshot = None; cascadeInner = None }
-      false
-    }
-  }
-
-  /** Evaluate the suffix over the carried input state: plan surgery swaps
-    * the cut subtree for an exprId-preserving projection of the state
-    * frame (positional — same statement text, same cut arity/names), so
-    * every reference above the cut stays resolved and the SOURCE relation
-    * — which lives only inside the discarded cut subtree — never appears
-    * in the evaluated plan. */
-  private def evalGlobalSuffix(
-      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      cut: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      state: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.logical.Project
-    val sp = state.queryExecution.analyzed
-    if (sp.output.length != cut.output.length)
-      throw new IllegalStateException(
-        s"global-window state arity ${sp.output.length} != cut ${cut.output.length}")
-    val proj = Project(cut.output.zip(sp.output).map { case (o, s) =>
-      Alias(s, o.name)(exprId = o.exprId) }, sp)
-    GraftColumnBridge.ofRows(spark, analyzed.transformUp {
-      case n if n eq cut => proj
-    })
-  }
-
-  /** One global-window epoch: fold the signed prefix delta terms into the
-    * carried input multiset, re-evaluate the suffix over the folded state
-    * (the only per-epoch evaluation — the base statement is never re-run;
-    * [[statementEvals]] pins this), multiset-diff against the carried
-    * output, emit, install. 100 TB shape: the prefix terms bind the
-    * (small) delta payload, the fold is one hash aggregation over
-    * (state ∪ delta), and the suffix — the global re-rank — runs over
-    * carried state, which a global window forces to be output-sized work
-    * anyway; the base table is read exactly once, at backfill. */
-  private def windowGlobalEpoch(): Unit = synchronized {
-    import org.apache.spark.sql.functions.{col, sum}
-    if (cascadeUpstreams.isEmpty) return
-    val u = cascadeUpstreams.head
-    val latest = u.log.latestOffset
-    val after = cascadeOffsets.getOrElse(u.viewName, 0L)
-    if (latest <= after && snapshot.nonEmpty) return
-    val boundary = Set(u.viewName.toLowerCase)
-    if (snapshot.isEmpty) {
-      cascadeOffsets(u.viewName) = latest
-      statementEvals += 1
-      val analyzed = spark.sql(cascadeStmt).queryExecution.analyzed
-      val (cut, _) = globalWindowCut(analyzed, boundary).getOrElse(
-        throw new IllegalStateException("global-window cut missing at backfill"))
-      // ONE base scan: the prefix materializes the input state; the
-      // suffix then evaluates over the state, not the source
-      val inputG = groupedCounts(GraftColumnBridge.ofRows(spark, cut))
-        .localCheckpoint(true)
-      windowInputState = Some(inputG)
-      val grouped = groupedCounts(
-        evalGlobalSuffix(analyzed, cut, expandCounts(inputG))).localCheckpoint(true)
-      cascadeInner = Some(grouped)
-      val vis = expandCounts(grouped)
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
-      emitOps(Changelog.multisetDiff(None, vis, wide = true), wide = true)
-      return
-    }
-    if (latest <= after) return
-    cascadeOffsets(u.viewName) = latest
-    var emitted = false
-    var settled = false
-    val tempViews = scala.collection.mutable.ArrayBuffer[String]()
-    try {
-      // deltas stay LAZY: each binds exactly one term's temp view, so an
-      // eager checkpoint would pay a job per sign only to save re-reads
-      // that never happen (the epoch's ops segment is driver-cached by
-      // the append's LocalRelation fast path anyway)
-      val payload = u.log.dfAfter(after).drop("rw_timestamp")
-      val adds = payload.filter(col("op").isin(
-        Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op")
-      val dels = payload.filter(col("op").isin(
-        Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op")
-      // prefix delta terms: the statement retargeted at the signed
-      // payload views, cut below the bottom nonlinear node — prefix
-      // linearity makes prefix(Δ±) the exact input-state delta
-      def term(view: String, d: DataFrame): DataFrame = {
-        d.createOrReplaceTempView(view); tempViews += view
-        val sql = retarget(cascadeStmt, u.viewName, view)
-        if (!sql.contains(view))
-          throw new IllegalStateException(s"rebinding missed ${u.viewName}")
-        val a = spark.sql(sql).queryExecution.analyzed
-        val (c, _) = globalWindowCut(a, Set(view.toLowerCase)).getOrElse(
-          throw new IllegalStateException("cut missing in retargeted plan"))
-        GraftColumnBridge.ofRows(spark, c)
-      }
-      val plusG = groupedCounts(term(s"__gw_add_${u.viewName}", adds))
-      val minusG = groupedCounts(term(s"__gw_del_${u.viewName}", dels))
-        .withColumn(MaterializedView.CntCol, -col(MaterializedView.CntCol))
-      val stateCols = windowInputState.get.columns
-        .filterNot(_ == MaterializedView.CntCol).toIndexedSeq
-      val foldedPlan = windowInputState.get
-        .unionByName(plusG).unionByName(minusG)
-        .groupBy(stateCols.map(col): _*)
-        .agg(sum(col(MaterializedView.CntCol)).as(MaterializedView.CntCol))
-        .filter(col(MaterializedView.CntCol) > 0)
-      val folded = timed("input-fold")(
-        if (windowInputOversize) foldedPlan.localCheckpoint(true)
-        else {
-          val f = boundedLocal(foldedPlan)
-          if (!f.queryExecution.logical
-              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-            windowInputOversize = true
-          f
-        })
-      // suffix re-eval over the carried multiset ⊕ delta — the source
-      // relation is absent from this plan (no base re-scan)
-      val analyzed = spark.sql(cascadeStmt).queryExecution.analyzed
-      val (cut, _) = globalWindowCut(analyzed, boundary).getOrElse(
-        throw new IllegalStateException("global-window cut missing at epoch"))
-      val newG = timed("suffix-eval")(
-        if (windowStateOversize)
-          groupedCounts(evalGlobalSuffix(analyzed, cut, expandCounts(folded)))
-            .localCheckpoint(true)
-        else {
-          val g = boundedLocal(groupedCounts(
-            evalGlobalSuffix(analyzed, cut, expandCounts(folded))))
-          if (!g.queryExecution.logical
-              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-            windowStateOversize = true
-          g
-        })
-      // ops diff: when both grouped states are driver-resident
-      // (boundedLocal's LocalRelations — LocalTableScan collect launches
-      // no job), the diff runs driver-side like the top-N/window local
-      // tiers, and the LocalRelation ops frame takes the changelog's
-      // zero-job append fast path; the distributed grouped diff is the
-      // over-bound fallback (profiled 0.64 s/epoch of pure job overhead
-      // at bench scale for a ~10k-row state)
-      def localGrouped(df: DataFrame): Option[(Seq[Row], Int)] =
-        if (df.queryExecution.logical
-            .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-          Some((df.collect().toIndexedSeq, df.columns.indexOf(MaterializedView.CntCol)))
-        else None
-      def expandLocal(rows: Seq[Row], ci: Int): Option[Seq[Row]] = {
-        val out = Seq.newBuilder[Row]
-        rows.foreach { r =>
-          val c = r.getLong(ci)
-          if (c < 0 || c > 1000000) return None // corrupt/degenerate: fall back
-          val base = Row.fromSeq(r.toSeq.patch(ci, Nil, 1))
-          var i = 0L; while (i < c) { out += base; i += 1 }
-        }
-        Some(out.result())
-      }
-      val outSchema0 = org.apache.spark.sql.types.StructType(
-        newG.schema.fields.filterNot(_.name == MaterializedView.CntCol))
-      val epochOps = timed("diff-collect")(
-        (for {
-          (pRows, pci) <- localGrouped(cascadeInner.get)
-          (nRows, nci) <- localGrouped(newG)
-          pExp <- expandLocal(pRows, pci)
-          nExp <- expandLocal(nRows, nci)
-          ops <- Changelog.localMultisetDiff(Some(pExp), nExp, outSchema0)
-        } yield localDf(ops.toIndexedSeq,
-          outSchema0.add("op", org.apache.spark.sql.types.StringType)))
-        .getOrElse(boundedLocal(
-          Changelog.multisetDiffGrouped(cascadeInner.get, newG, MaterializedView.CntCol))))
-      emitOps(epochOps)
-      emitted = true
-      windowInputState = Some(folded)
-      cascadeInner = Some(newG)
-      val vis = expandCounts(newG)
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
-      settled = true
-    } catch { case scala.util.control.NonFatal(t) =>
-      // full-recompute repair — correct under any surgery/rebinding
-      // failure; the warning keeps a persistent demotion observable
-      MaterializedView.log.warn(
-        s"global-window epoch for $viewName fell back to full recompute: $t")
-      statementEvals += 1
-      val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
-      val vis = expandCounts(grouped)
-      if (!emitted) {
-        val prevVis = expandCounts(cascadeInner.get)
-        emitOps(Changelog.multisetDiff(Some(prevVis), vis))
-        emitted = true
-      }
-      cascadeInner = Some(grouped)
-      snapshot = Some(vis)
-      vis.createOrReplaceTempView(viewName)
-      // the input state must track the repaired output — rebuild it from
-      // the prefix (repair-only second scan); a failure here leaves None,
-      // which the NEXT epoch's fold turns into another observable repair.
-      // Throwable, not NonFatal: an InterruptedException escaping HERE —
-      // after the repair's ops committed — would leave a stale input
-      // state with no repair marker; None is that marker, and the
-      // interrupt flag is re-asserted for the owner to see.
-      windowInputState =
-        try globalWindowCut(spark.sql(cascadeStmt).queryExecution.analyzed, boundary)
-          .map { case (c, _) =>
-            groupedCounts(GraftColumnBridge.ofRows(spark, c)).localCheckpoint(true) }
-        catch { case t2: Throwable =>
-          if (t2.isInstanceOf[InterruptedException])
-            Thread.currentThread().interrupt()
-          None
-        }
-      settled = true
-    } finally {
-      // pre-commit non-NonFatal escape: restore the consumed offset so the
-      // next epoch re-folds this delta (round-12 ADVICE); post-commit the
-      // body's state installs precede any further fallible work
-      if (!settled && !emitted) cascadeOffsets(u.viewName) = after
-      tempViews.foreach(spark.catalog.dropTempView(_))
-    }
-  }
 
   /** Non-multilinear plan detector shared by the delta-join admission
     * (whole plan) and the delta-agg admission (the Aggregate's child):
@@ -3788,7 +1654,7 @@ final class MaterializedView private[engine](
     * ALL, outer joins, generators, subqueries, and nondeterminism. The
     * scan stops at `boundary` source views (lowercased) — a source's own
     * resolution plan is a black box. */
-  private def nonLinearIn(
+  private[engine] def nonLinearIn(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       boundary: Set[String],
       allowedNodes: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = Nil,
@@ -3838,7 +1704,7 @@ final class MaterializedView private[engine](
     * the compact carried state of the delta-join cascade (a join result's
     * duplicate rows collapse; NULLs group null-safely, matching multiset
     * equality). */
-  private def groupedCounts(df: DataFrame): DataFrame = {
+  private[engine] def groupedCounts(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit}
     df.groupBy(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       .agg(count(lit(1)).as(MaterializedView.CntCol))
@@ -3847,7 +1713,7 @@ final class MaterializedView private[engine](
   /** Expand the grouped state back to the visible multiset — lazy, so the
     * per-epoch cost is the checkpoint of the GROUPED state; the expansion
     * runs only when a client fetch or dependent plan actually scans it. */
-  private def expandCounts(grouped: DataFrame): DataFrame = {
+  private[engine] def expandCounts(grouped: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, lit, sequence}
     val cols = grouped.columns.filterNot(_ == MaterializedView.CntCol).toIndexedSeq
     grouped
@@ -4165,202 +2031,12 @@ final class MaterializedView private[engine](
     })
   }
 
-  /** Re-truncate a state DataFrame with the statement's own ORDER BY/LIMIT
-    * tail (SQL evaluation, so ordinals and expression sorts behave exactly
-    * as the batch statement would). `limit` overrides the statement's n
-    * for the grouped path's top-(n+C) state truncation. */
-  private def topNEval(state: DataFrame, limit: Int = -1): DataFrame = {
-    val lim = if (limit < 0) topNLimit else limit
-    state.createOrReplaceTempView(topNSrcView)
-    spark.sql(s"SELECT * FROM $topNSrcView ORDER BY $topNOrderText LIMIT $lim")
-  }
-
-  /** Top-N micro-batch: merge the inner delta into the inner state, then
-    * re-truncate to the visible snapshot and diff it as a multiset (rows
-    * can leave the top-N when displaced — Deletes the plain streaming modes
-    * never emit).
-    *
-    * Raw (stateless-inner) top-N truncates the carried state itself: a row
-    * outside the current top n can never re-enter later (scores only get
-    * more competitive as rows append), so O(n) state suffices — the same
-    * argument RisingWave's TopN operator uses.
-    *
-    * Grouped (aggregate-inner) top-N keeps top-(n + C) keys (C =
-    * [[topNCacheMargin]]) instead of every key — at corpus scale full
-    * per-key state would equal the raw aggregate's footprint. Correctness
-    * of the truncation: an evicted key's aggregate only changes when a
-    * delta names it (update mode), so its sort position is FROZEN at
-    * eviction; the most competitive frozen position is carried as
-    * [[topNBound]], and if it would rank inside the visible top n — i.e.
-    * the carried keys have worsened past a key we dropped — the state
-    * re-fetches from a batch evaluation of the inner statement
-    * (RisingWave GroupTopN's re-fetch-on-underflow, with the source table
-    * in the role of its state table). Purely-growing aggregates (counts,
-    * positive sums) never worsen, so they never re-fetch. */
-  private def handleTopNDelta(delta: DataFrame, isAgg: Boolean): Unit = synchronized {
-    val clone = delta.localCheckpoint(true)
-    val d = spark.createDataFrame(clone.rdd, clone.schema)
-    if (clone.rdd.isEmpty()) return
-    val merged = mergeDelta(innerState, d, keyed = isAgg)
-    val (kept, stateRows) = timed("truncate")(
-      if (isAgg) truncateGrouped(merged,
-        d.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct())
-      else {
-        val rows = topNEval(merged).collect().toIndexedSeq
-        (localDf(rows, merged.schema), rows)
-      })
-    innerState = Some(kept)
-    timed("visible-publish")(publishTopNVisible(stateRows, kept.schema))
-  }
-
-  /** ONE ranked evaluation of a grouped-top-N state frame: the first n+C
-    * rows (the kept state, rebuilt driver-side — bounded by the cache
-    * margin, never by key count) and row n+C+1, which IS the most
-    * competitive row evicted by this truncation (every other evicted row
-    * ranks below it). Replaces the old kept-eval + evicted-anti-join +
-    * bound-eval sequence — three Spark jobs — with one sort-limit job. */
-  private def rankedPrefix(df: DataFrame): (DataFrame, Array[Row], Option[Row]) = {
-    val lim = topNLimit + topNCacheMargin
-    val rows = topNEval(df, lim + 1).collect()
-    val keptRows = rows.take(lim)
-    // a LocalRelation IS materialized — checkpointing ≤ n+C driver rows
-    // would spend a Spark job to copy them back to the cluster
-    val kept = spark.createDataFrame(
-      java.util.Arrays.asList(keptRows.toIndexedSeq: _*), df.schema)
-    (kept, keptRows, rows.drop(lim).headOption)
-  }
-
-  /** Truncate merged grouped-top-N state to top-(n+C), fold newly evicted
-    * rows into the bound, and re-fetch on underflow (bound ranks inside
-    * the visible top n). Small frames throughout: n+C state rows + the
-    * delta — the only full evaluation is the (rare) re-fetch.
-    * `namedKeys` are the keys THIS epoch's delta named (touched keys in
-    * cascade mode): a bound whose key they name is stale even when the
-    * key's group vanished from `merged` entirely (cascade retractions). */
-  private def truncateGrouped(merged: DataFrame,
-      namedKeys: DataFrame): (DataFrame, IndexedSeq[Row]) = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val lim = topNLimit + topNCacheMargin
-    // a carried bound whose key re-entered the carried state (named by this
-    // delta) is STALE — but it was also the ONLY upper bound carried for
-    // ALL previously evicted keys, so it cannot simply be dropped: a
-    // weaker bound rebuilt from this epoch's evictions alone would let a
-    // later underflow go undetected and the visible top-N silently diverge
-    // from the batch result. Re-establish the exact bound from a full
-    // evaluation instead: one re-fetch now, a fresh tight bound afterwards
-    // (strictly better than the stale row's repeated spurious re-fetches).
-    // The probe is a literal filter on the named-key frame — no join plan,
-    // no broadcast exchange, one limit-1 job.
-    val boundKeyReentered = topNBound.exists { b =>
-      val conds = keyCols.map { c =>
-        val v = b.get(merged.schema.fieldIndex(c))
-        if (v == null) col(c).isNull else col(c) <=> lit(v)
-      }
-      namedKeys.toDF(keyCols: _*).filter(conds.reduce(_ && _)).take(1).nonEmpty
-    }
-    // ONE ranked evaluation decides everything else: pool = the merged
-    // state ∪ the carried bound row (tagged 1). In ranked order, tag-0
-    // rows 1..lim are the kept state and tag-0 row lim+1 is the best row
-    // THIS truncation evicts; the first candidate encountered — the tag-1
-    // bound or that row lim+1, whichever ranks first — is the new bound,
-    // and the count of kept rows preceding it is its visible rank (the
-    // underflow test). LIMIT lim+2 suffices: at most one tag-1 row rides
-    // along. The order text is SQL, so only the engine can compare under
-    // it — the old sequence spent separate eval + candidate-rank jobs on
-    // the same answers.
-    lazy val (keptRows, underflowByRank) = {
-      val tagged = merged.withColumn("__tag", lit(0))
-      val pool = topNBound match {
-        case Some(b) => tagged.unionByName(
-          rowDf(b, merged.schema).withColumn("__tag", lit(1)))
-        case None => tagged
-      }
-      pool.createOrReplaceTempView(topNSrcView)
-      val ranked = spark.sql(
-        s"SELECT * FROM $topNSrcView ORDER BY $topNOrderText LIMIT ${lim + 2}")
-        .collect()
-      val tagIdx = merged.schema.length
-      def untag(r: Row) = Row.fromSeq(r.toSeq.dropRight(1))
-      val kept = ranked.filter(_.getInt(tagIdx) == 0).take(lim).map(untag)
-      var tag0Seen = 0
-      var cand: Option[Row] = None
-      val it = ranked.iterator
-      while (cand.isEmpty && it.hasNext) {
-        val r = it.next()
-        if (r.getInt(tagIdx) == 1 || tag0Seen == lim) cand = Some(untag(r))
-        else tag0Seen += 1
-      }
-      val uf = cand match {
-        case None => false // no bound carried and nothing evicted
-        case Some(b) =>
-          topNBound = Some(b)
-          tag0Seen + 1 <= topNLimit
-      }
-      (kept.toIndexedSeq, uf)
-    }
-    val underflow = boundKeyReentered || underflowByRank
-    if (!underflow) (localDf(keptRows, merged.schema), keptRows)
-    else {
-      // re-fetch: the delta-accumulating inner answers from its aux state
-      // (zero statement evals, no source scan); otherwise evaluate the
-      // inner statement against the source
-      val full = (deltaAggSpec, auxState) match {
-        case (Some(spec), Some(aux)) => DeltaAgg.visible(aux, spec)
-        case _ =>
-          statementEvals += 1
-          spark.sql(engine.rewrite(topNInnerStmt)).localCheckpoint(true)
-      }
-      // row n+C+1 of the FULL evaluation is the best row evicted overall —
-      // the exact fresh bound
-      val (keptF, rowsF, evictedBestF) = rankedPrefix(full)
-      topNBound = evictedBestF
-      (keptF, rowsF.toIndexedSeq)
-    }
-  }
-
-  private def rowDf(r: Row, schema: org.apache.spark.sql.types.StructType): DataFrame =
+  private[engine] def rowDf(r: Row, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(java.util.List.of(r), schema)
 
-  private def localDf(rows: IndexedSeq[Row],
+  private[engine] def localDf(rows: IndexedSeq[Row],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-
-  /** The visible top-N rows of the previous epoch, in statement order —
-    * kept driver-resident so [[publishTopNVisible]] can diff epochs
-    * without a Spark job. None exactly when `snapshot` was produced
-    * elsewhere (durable restore; mode fallback), which forces one
-    * distributed diff before the local tail takes over. */
-  private var topNVisibleRows: Option[IndexedSeq[Row]] = None
-
-  /** Zero-job visible-snapshot publication for the top-N modes: the
-    * ranked state rows are already in statement order, so the visible set
-    * is their first n (no re-evaluation), the snapshot binds as a
-    * LocalRelation (no checkpoint job), and the epoch's changelog delta
-    * is the driver-side multiset diff ([[Changelog.localMultisetDiff]]).
-    * The only cluster work left in the tail is the changelog append
-    * itself. Scale note: everything here is ≤ n+C rows BY DEFINITION —
-    * driver residency is the honest cost model for a top-N result, while
-    * the per-epoch heavy lifting (group recompute, re-fetch) stays
-    * distributed. */
-  private def publishTopNVisible(stateRows: IndexedSeq[Row],
-      schema: org.apache.spark.sql.types.StructType): Unit = {
-    val visRows = stateRows.take(topNLimit)
-    val nextVisible = localDf(visRows, schema)
-    val localOps =
-      if (snapshot.nonEmpty && topNVisibleRows.isEmpty) None
-      else Changelog.localMultisetDiff(
-        if (snapshot.isEmpty) None else topNVisibleRows.map(_.toSeq),
-        visRows, schema)
-    localOps match {
-      case Some(ops) =>
-        if (ops.nonEmpty) emitOps(localDf(ops.toIndexedSeq,
-          schema.add("op", org.apache.spark.sql.types.StringType)))
-      case None => emitOps(Changelog.multisetDiff(snapshot, nextVisible))
-    }
-    snapshot = Some(nextVisible)
-    topNVisibleRows = Some(visRows)
-    nextVisible.createOrReplaceTempView(viewName)
-  }
 
   /** Streaming micro-batch: `delta` holds the new value of every changed key
     * (update mode) or fresh appended rows (append mode).
@@ -4478,7 +2154,7 @@ final class MaterializedView private[engine](
     * stateless streams, null-safe replace-by-key ([[keyJoin]] on
     * [[keyCols]]) for update-mode aggregates. Shared by the plain and
     * top-N handlers so the keyed-merge semantics live in one place. */
-  private def mergeDelta(prev: Option[DataFrame], d: DataFrame,
+  private[engine] def mergeDelta(prev: Option[DataFrame], d: DataFrame,
                          keyed: Boolean): DataFrame = prev match {
     case None => d
     case Some(s) if !keyed => s.union(d)
@@ -4699,7 +2375,7 @@ final class MaterializedView private[engine](
     * (a snapshot persisted before further emitted epochs is stale), same
     * maintenance mode. Returns (snapshot dir, upstream-MV offsets,
     * source-table seqs). */
-  private def validSnapshotMeta(mode: String): Option[(String, Map[String, Long], Map[String, Long])] =
+  private[engine] def validSnapshotMeta(mode: String): Option[(String, Map[String, Long], Map[String, Long])] =
     engine.mvSnapshotDirFor(viewName).flatMap { d =>
       try {
         val metaPath = java.nio.file.Paths.get(s"$d/_snapshot_meta")
@@ -4752,7 +2428,7 @@ final class MaterializedView private[engine](
     * face streams bind: a valid snapshot whose recorded per-table positions
     * are consistent with the restored tables yields the seq map the faces
     * backfill from (nothing, normally — close flushed first). */
-  private def streamRestoreSeqs(mode: String): Option[Map[String, Long]] =
+  private[engine] def streamRestoreSeqs(mode: String): Option[Map[String, Long]] =
     validSnapshotMeta(mode).map(_._3).filter { seqs =>
       val tbls = engine.referencedLiveTables(stmt)
       // every referenced table needs an EXACT viewName-keyed entry — a

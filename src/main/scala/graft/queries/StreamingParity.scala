@@ -1494,6 +1494,54 @@ object StreamingParity {
       materialized
     },
 
+    // multi-source global-window fold (round 13, verdict #8): a global
+    // rank over a UNION ALL of TWO live PK tables — the prefix is
+    // multilinear in both sources, so each epoch folds per-source signed
+    // delta terms (later-positioned sources bound to reconstructed OLD
+    // snapshots, the telescoped form) into the carried input multiset and
+    // re-evaluates only the suffix; the bases are scanned once, at
+    // backfill (statementEvals pins it). Upsert overwrites retract
+    // through the union from both sides.
+    q("m_mv_global_window_union_incremental",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(value, event_id) AS value,
+        |    max(event_id) AS event_id
+        |  FROM events GROUP BY user_id)
+        |SELECT event_id, value,
+        |  CAST(rank() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS r
+        |FROM latest WHERE value > 900""".stripMargin) { (s, dir) =>
+      val rw = GraftEngine.open(ConnOptions(), Some(s))
+      val fields = Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("event_id", LongType))
+      Seq("m_gwu_a", "m_gwu_b").foreach { t =>
+        rw.createTable(t, StructType(fields),
+          primaryKey = Seq("user_id"), versionColumn = Some("event_id"))
+      }
+      rw.mv(
+        """SELECT event_id, value,
+          |  CAST(rank() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS r
+          |FROM (SELECT event_id, value FROM m_gwu_a
+          |      UNION ALL SELECT event_id, value FROM m_gwu_b) u
+          |WHERE value > 900""".stripMargin, "m_gwu_mv")
+      val mv = rw.mvByName("m_gwu_mv").get
+      require(mv.isGlobalWindowMode,
+        "a union-all global rank must take the global-window fold (round 13)")
+      val rows = Tables(s, dir, "events")
+        .select(fields.map(f => col(f.name)): _*)
+        .collect().sortBy(_.getLong(2))
+      rows.grouped((rows.length + CHUNKS - 1) / CHUNKS).foreach { chunk =>
+        val (evens, odds) = chunk.partition(_.getLong(0) % 2 == 0)
+        if (evens.nonEmpty) rw.table("m_gwu_a").get.insert(evens.toSeq)
+        if (odds.nonEmpty) rw.table("m_gwu_b").get.insert(odds.toSeq)
+        rw.flush()
+      }
+      require(mv.statementEvals <= 1,
+        "union global-window epochs must not re-scan the bases")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // EMIT ON WINDOW CLOSE, driver-verified: a watermarked tumble MV with
     // the final-only emit policy holds windows in a pending buffer and
     // emits each exactly once when the watermark passes its end. Spark's

@@ -94,8 +94,20 @@ class DeltaAggPlanSpec extends graft.SparkSpec {
     assert(admitOf("SELECT grp, count(DISTINCT v) AS n, stddev_samp(v) AS s " +
       "FROM dap_v GROUP BY grp").nonEmpty,
       "stddev re-aggregates exactly over the two-level state (round 12)")
-    assert(admitOf("SELECT grp, approx_count_distinct(v) AS n FROM dap_v GROUP BY grp").isEmpty,
-      "HLL sketches are non-retractable — recompute cascade")
+    // round 13: the HLL sketch admits as a merge-only slot (foldAux
+    // demotes on the first retraction), but composes with neither the
+    // two-level tier nor the join-merge (extremum) path
+    assert(admitOf("SELECT grp, approx_count_distinct(v) AS n FROM dap_v GROUP BY grp").nonEmpty,
+      "approx_count_distinct admits merge-only (round 13)")
+    assert(admitOf("SELECT grp, approx_count_distinct(v) AS n, " +
+      "count(DISTINCT v) AS dv FROM dap_v GROUP BY grp").isEmpty,
+      "a sketch beside the exact dk state is strictly worse — recompute")
+    assert(admitOf("SELECT grp, approx_count_distinct(v) AS n, max(d) AS mx " +
+      "FROM dap_v JOIN dap_d USING (grp) GROUP BY grp").isEmpty,
+      "the join-merge path has no sketch arithmetic — recompute")
+    assert(admitOf("SELECT grp, approx_percentile(v, 0.5) AS p " +
+      "FROM dap_v GROUP BY grp").isEmpty,
+      "quantile sketches are non-retractable with no merge-only admission")
     // round 12: argument-at-extremum + boolean + predicated-count slots
     assert(admitOf("SELECT grp, max_by(v, d) AS latest, min_by(d, v) AS fst " +
       "FROM dap_v JOIN dap_d USING (grp) GROUP BY grp").nonEmpty,
