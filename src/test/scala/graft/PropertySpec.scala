@@ -743,4 +743,45 @@ class PropertySpec extends SparkSpec {
     assert(mv.isDeltaAggMode,
       "the histogram-tier fold must survive the interleaving undemoted")
   }
+
+  test("order-sensitive fold equals batch under random upsert/delete interleavings (round 13)") {
+    // round-13 composition: ASC + DESC listagg and a sorted collect_list
+    // share ONE dk histogram column; every face rebuilds from the
+    // refcounted state at each flush and must equal the native batch
+    // evaluation (deterministic: orderings are BY THE VALUE)
+    val t = "osp_t"
+    rw.createTable(t, StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("s", StringType))),
+      primaryKey = Seq("id"))
+    val stmt = s"SELECT grp, listagg(s, ',') WITHIN GROUP (ORDER BY s) AS sa, " +
+      s"listagg(s, '+') WITHIN GROUP (ORDER BY s DESC) AS sad, " +
+      s"array_join(sort_array(collect_list(s)), '|') AS aa, count(*) AS n " +
+      s"FROM $t GROUP BY grp"
+    val mv = rw.mv(stmt, "osp_mv")
+    assert(mv.isDeltaAggMode,
+      "the order-sensitive composition must fold (round 13)")
+    sealed trait K
+    case object Ins extends K; case object Del extends K; case object Fl extends K
+    val gen = for {
+      kind <- Gen.frequency(5 -> Ins, 2 -> Del, 2 -> Fl)
+      id <- Gen.choose(1L, 12L)
+      grp <- Gen.oneOf("a", "b")
+      sv <- Gen.oneOf("m", "q", "x", "y", "z")
+    } yield (kind, id, grp, sv)
+    def rowsOf(sql: String): Seq[(String, Any, Any, Any, Long)] =
+      rw.fetch(sql).map(r => (r.getString(0), r.get(1), r.get(2), r.get(3),
+        r.getLong(4))).sortBy(_._1)
+    sample(Gen.listOfN(60, gen), seed = 19013).foreach {
+      case (Ins, id, grp, sv) => rw.table(t).get.insert(Seq(Row(id, grp, sv)))
+      case (Del, id, _, _) => rw.execute(s"DELETE FROM $t WHERE id = $id")
+      case (Fl, _, _, _) =>
+        rw.flush()
+        val inc = rowsOf("SELECT * FROM osp_mv")
+        val batch = rowsOf(stmt)
+        assert(inc == batch, s"$inc vs $batch")
+    }
+    rw.flush()
+    assert(mv.isDeltaAggMode,
+      "the order-sensitive fold must survive the interleaving undemoted")
+  }
 }
