@@ -921,6 +921,44 @@ final class MaterializedView private[engine](
     * and return (newAux, touchedKeys). None = re-targeting failed; the
     * caller drops the spec and recomputes. Shared by [[deltaAggEpoch]]
     * and the grouped top-N epoch. */
+  /** Cached analyzed aux-term plans for the single-source linear fold
+    * (round 13): the retargeted statement text is IDENTICAL every epoch,
+    * so re-parsing and re-resolving it (twice per epoch, once per sign)
+    * only rebuilt the same tree around a different delta payload. The
+    * first epoch's analyzed aux plan is kept per delta view and each
+    * later epoch swaps the view's subtree for an exprId-preserving
+    * projection of that epoch's payload frame — the same plan surgery
+    * [[evalGlobalSuffix]] uses. Bypassed by multi-source and nonlinear
+    * epochs (their OLD-snapshot views rebuild per epoch); cleared with
+    * the spec on demotion. */
+  private var auxTermTemplates: Map[String,
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = Map.empty
+
+  private def auxFromTemplate(view: String, payload: DataFrame)
+      (build: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
+    auxTermTemplates.get(view) match {
+      case Some(tpl) =>
+        val np = payload.queryExecution.analyzed
+        var swapped = false
+        val out = tpl.transformUp {
+          case s: SubqueryAlias if s.alias.equalsIgnoreCase(view) &&
+              s.output.length == np.output.length =>
+            swapped = true
+            Project(s.output.zip(np.output).map { case (o, n) =>
+              Alias(n, o.name)(exprId = o.exprId) }, np)
+        }
+        if (!swapped) // arity drift / alias mismatch: rebuild and re-cache
+          { auxTermTemplates -= view; auxFromTemplate(view, payload)(build) }
+        else GraftColumnBridge.ofRows(spark, out)
+      case None =>
+        val df = build
+        auxTermTemplates += view -> df.queryExecution.analyzed
+        df
+    }
+  }
+
   private[engine] def foldAux(changed: Seq[(MaterializedView.CascadeSrc, DataFrame)]):
       Option[(DataFrame, DataFrame)] = {
     import org.apache.spark.sql.functions.col
@@ -1004,10 +1042,21 @@ final class MaterializedView private[engine](
               throw new IllegalStateException(s"rebinding missed ${u.viewName}")
             laterOld(reaimed)
           }
-          val addAux = DeltaAgg.aux(spark, spec,
-            spark.sql(termSql(s"__da_add_${u.viewName}")).queryExecution.analyzed)
-          val delAux = DeltaAgg.aux(spark, spec,
-            spark.sql(termSql(s"__da_del_${u.viewName}")).queryExecution.analyzed)
+          // SINGLE-UPSTREAM statements reuse the first epoch's analyzed
+          // plan with the payload swapped in (no re-parse/re-resolve).
+          // The guard is on the STATEMENT's upstream count, not the
+          // epoch's changed count: with a second live source, the cached
+          // plan would freeze that source's first-epoch snapshot subtree
+          // (its view re-resolves to CURRENT content only under a fresh
+          // analysis), silently folding against stale data.
+          val single = cascadeUpstreams.size == 1 && changed.size == 1
+          def buildTerm(view: String, payload: DataFrame): DataFrame =
+            if (single) auxFromTemplate(view, payload)(DeltaAgg.aux(spark,
+              spec, spark.sql(termSql(view)).queryExecution.analyzed))
+            else DeltaAgg.aux(spark, spec,
+              spark.sql(termSql(view)).queryExecution.analyzed)
+          val addAux = buildTerm(s"__da_add_${u.viewName}", adds)
+          val delAux = buildTerm(s"__da_del_${u.viewName}", dels)
           (addAux, delAux)
         }
       }
@@ -1105,6 +1154,7 @@ final class MaterializedView private[engine](
         s"delta-agg fold for $viewName dropped to touched-group recompute: $t")
       if (t.isInstanceOf[InterruptedException]) Thread.currentThread().interrupt()
       deltaAggSpec = None
+      auxTermTemplates = Map.empty
       None
     } finally tempViews.foreach(spark.catalog.dropTempView(_))
   }
