@@ -192,7 +192,11 @@ private[engine] object DeltaAgg {
     * VALUE ITSELF — the one order derivable from a value-keyed histogram;
     * an unordered listagg / collect_list is documented nondeterministic in
     * Spark, and the fold emits the value-ascending instance (wrap
-    * collect_list in sort_array for a deterministic face). */
+    * collect_list in sort_array for a deterministic face).
+    * Reference surface: report-style string_agg/array_agg MVs reach the
+    * engine through the SQL passthrough (`risingwave/core.py:161-212`,
+    * execute/fetch) and the materialized-view path
+    * (`risingwave/core.py:451-456`). */
   private val KindListAgg = 23
   private val KindListAggDesc = 24
   private val KindArrAgg = 25
@@ -205,7 +209,12 @@ private[engine] object DeltaAgg {
     * therefore switches from Spark's HyperLogLog++ (batch face) to
     * DataSketches HLL (maintained face); both honor the statement's rsd
     * (lgConfigK derived from relativeSD), and approx faces are
-    * tolerance-contracted, not value-pinned. */
+    * tolerance-contracted, not value-pinned.
+    * Reference surface: approx_count_distinct MVs reach the engine
+    * through the materialized-view passthrough
+    * (`risingwave/core.py:451-456`); the insert-only-fold / demote
+    * posture mirrors RisingWave's own non-retractable approx-distinct
+    * handling. */
   private val KindHll = 26
 
   private def regrVariant(f: AggregateFunction): Int = f match {

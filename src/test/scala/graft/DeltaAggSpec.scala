@@ -1234,4 +1234,48 @@ class DeltaAggSpec extends SparkSpec {
     assert(state == Map("a" -> ((4L, 4L))))
     rw.close()
   }
+
+  test("over-bound aux state takes the delta-segment stack with periodic compaction") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("seg_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT grp, count(*) AS n, sum(v) AS sv FROM seg_t GROUP BY grp",
+      "seg_mv")
+    val mv = rw.mvByName("seg_mv").get
+    assert(mv.isDeltaAggMode)
+    // shrink the driver-map bound below the group count so the FIRST fold
+    // epoch latches oversize, and compact every 2 epochs so one test run
+    // exercises slice-stacking AND the flat checkpoint
+    mv.auxStateLocalMax = 4
+    mv.auxCompactEvery = 2
+    val t = rw.table("seg_t").get
+    def state: Map[String, (Long, Long)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    t.insert((1L to 6L).map(i => Row(i, s"g$i", i * 10)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(state == (1L to 6L).map(i => s"g$i" -> ((1L, i * 10))).toMap)
+    assert(!mv.auxStateIsLocal,
+      "six state rows over a bound of four must refuse the map tier")
+    // epoch 2: slice-only persistence over the stacked frame
+    t.insert(Seq(Row(7L, "g1", 5L), Row(8L, "g7", 70L)))
+    rw.flush()
+    assert(state("g1") == ((2L, 15L)) && state("g7") == ((1L, 70L)))
+    // epoch 3 triggers the periodic compaction (auxCompactEvery = 2);
+    // retraction + vanish still fold correctly through the stack
+    rw.execute("DELETE FROM seg_t WHERE grp = 'g2'")
+    rw.flush()
+    assert(!state.contains("g2"))
+    // epoch 4: fold continues over the compacted checkpoint
+    t.insert(Seq(Row(2L, "g3", 3L)))
+    rw.flush()
+    assert(state("g3") == ((2L, 33L)))
+    assert(mv.statementEvals == evals,
+      "segment-stack epochs must not re-evaluate the statement")
+    assert(mv.isDeltaAggMode)
+    val batch = rw.fetch("SELECT grp, count(*) AS n, sum(v) AS sv FROM seg_t GROUP BY grp")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state == batch, "stacked state must equal batch")
+    rw.close()
+  }
 }
