@@ -29,6 +29,8 @@ class DeltaAggSpec extends SparkSpec {
     rw.flush()
     val evals = mv.statementEvals
     assert(groups(mv) == Map("a" -> ((2L, 30L)), "b" -> ((1L, 5L))))
+    assert(mv.auxStateIsLocal,
+      "a small pure-signed state must ride the zero-job driver map tier (round 13)")
 
     // overwrite moves id=2 from a to b: a's sums decrement, b's increment
     t.insert(Seq(Row(2L, "b", 7L)))
