@@ -1501,7 +1501,13 @@ object StreamingParity {
     // snapshots, the telescoped form) into the carried input multiset and
     // re-evaluates only the suffix; the bases are scanned once, at
     // backfill (statementEvals pins it). Upsert overwrites retract
-    // through the union from both sides.
+    // through the union from both sides. The `value > 100` threshold
+    // sits inside the fixture range at every SF (latest-per-user rows
+    // above it: 1 at sf0.001, 15 at sf0.01, 226 at sf0.1) while >10% of
+    // raw rows cross it during replay, so membership flips exercise the
+    // per-source retraction terms — round 13 shipped this with > 900,
+    // above the fixture max, which made the oracle pass vacuously on
+    // zero rows (round-14 fix).
     q("m_mv_global_window_union_incremental",
       """WITH latest AS (
         |  SELECT user_id, arg_max(value, event_id) AS value,
@@ -1509,7 +1515,7 @@ object StreamingParity {
         |  FROM events GROUP BY user_id)
         |SELECT event_id, value,
         |  CAST(rank() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS r
-        |FROM latest WHERE value > 900""".stripMargin) { (s, dir) =>
+        |FROM latest WHERE value > 100""".stripMargin) { (s, dir) =>
       val rw = GraftEngine.open(ConnOptions(), Some(s))
       val fields = Seq(StructField("user_id", LongType),
         StructField("value", DoubleType), StructField("event_id", LongType))
@@ -1522,7 +1528,7 @@ object StreamingParity {
           |  CAST(rank() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS r
           |FROM (SELECT event_id, value FROM m_gwu_a
           |      UNION ALL SELECT event_id, value FROM m_gwu_b) u
-          |WHERE value > 900""".stripMargin, "m_gwu_mv")
+          |WHERE value > 100""".stripMargin, "m_gwu_mv")
       val mv = rw.mvByName("m_gwu_mv").get
       require(mv.isGlobalWindowMode,
         "a union-all global rank must take the global-window fold (round 13)")

@@ -278,6 +278,23 @@ object TierB {
         .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust_no_orders"))
     },
 
+    // Non-empty anti-join twin (round 14, verdict #2): at the driver's SF
+    // every customer has at least one order, so b_join_anti passes on an
+    // empty result — which can't catch a dropped-row bug. This variant
+    // anti-joins against an orders subset that genuinely lacks matches
+    // for some customers (3/30/308 survivors at sf0.001/0.01/0.1); the
+    // 0-row original stays as the empty-case pin.
+    q("b_join_anti_nonempty",
+      """SELECT c_nationkey, count(*) AS n_cust_no_big_orders
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      Tables(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust_no_big_orders"))
+    },
+
     q("b_join_right",
       """SELECT c_mktsegment, count(*) AS n,
         |  count(o_orderkey) AS n_orders
@@ -307,6 +324,21 @@ object TierB {
       val p = Tables(s, dir, "part")
       val avgP = p.agg(round(avg("p_retailprice"), 4).as("ap"))
       p.join(broadcast(avgP), col("p_retailprice") < col("ap") - 100)
+        .groupBy("p_brand").agg(count(lit(1)).as("n_cheaper"))
+    },
+
+    // Non-empty theta twin (round 14, verdict #2): part prices span only
+    // [900, 1000), so `< avg - 100` selects nothing at any SF and the
+    // original passes on 0 rows. `< avg - 2` keeps the non-equi shape and
+    // selects 80/960/9600 rows at sf0.001/0.01/0.1.
+    q("b_join_theta_nonempty",
+      """SELECT p_brand, count(*) AS n_cheaper
+        |FROM part JOIN (SELECT round(avg(p_retailprice), 4) AS ap FROM part) t
+        |ON p_retailprice < t.ap - 2
+        |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir, "part")
+      val avgP = p.agg(round(avg("p_retailprice"), 4).as("ap"))
+      p.join(broadcast(avgP), col("p_retailprice") < col("ap") - 2)
         .groupBy("p_brand").agg(count(lit(1)).as("n_cheaper"))
     },
 
@@ -479,6 +511,16 @@ object TierB {
       """SELECT p_brand, count(*) AS n_expensive
         |FROM part
         |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY p_brand""".stripMargin),
+
+    // Non-empty scalar-subquery twin (round 14, verdict #2): prices top
+    // out ~5% above the mean, so the 1.5x original selects nothing;
+    // 1.005x selects 55/906/9060 rows at sf0.001/0.01/0.1 while keeping
+    // the same decorrelated scalar-subquery plan shape.
+    sqlBoth("b_subq_scalar_nonempty",
+      """SELECT p_brand, count(*) AS n_expensive
+        |FROM part
+        |WHERE p_retailprice > 1.005 * (SELECT avg(p_retailprice) FROM part)
         |GROUP BY p_brand""".stripMargin),
 
     sqlBoth("b_subq_in",

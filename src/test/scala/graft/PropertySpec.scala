@@ -784,4 +784,53 @@ class PropertySpec extends SparkSpec {
     assert(mv.isDeltaAggMode,
       "the order-sensitive fold must survive the interleaving undemoted")
   }
+
+  test("multi-source global-window fold equals batch under two-sided interleavings (round 14)") {
+    // round 14 (verdict #1): the round-13 multi-source prefix fold — a
+    // global rank over a UNION ALL of TWO live PK tables — had only a
+    // vacuous oracle (its filter sat above the fixture max, 0 rows both
+    // sides). This drives it with data: per-source signed delta terms,
+    // later source bound to the reconstructed OLD snapshot of the
+    // earlier one, membership flips crossing the prefix filter from
+    // BOTH sides, at zero statement re-evaluations.
+    val aT = "gwu_a"; val bT = "gwu_b"
+    Seq(aT, bT).foreach { t =>
+      rw.createTable(t, StructType(Seq(StructField("id", LongType),
+        StructField("v", LongType))), primaryKey = Seq("id"))
+    }
+    val stmt = s"SELECT id, v, CAST(rank() OVER (ORDER BY v DESC, id) AS BIGINT) AS r " +
+      s"FROM (SELECT id, v FROM $aT UNION ALL SELECT id, v FROM $bT) u WHERE v >= 5"
+    val mv = rw.mv(stmt, "gwu_mv")
+    assert(mv.isGlobalWindowMode,
+      "a union-all global rank must take the multi-source prefix fold (round 13)")
+    sealed trait K
+    case object InsA extends K; case object InsB extends K
+    case object DelA extends K; case object DelB extends K
+    case object Fl extends K
+    val gen = for {
+      kind <- Gen.frequency(4 -> InsA, 4 -> InsB, 1 -> DelA, 1 -> DelB, 2 -> Fl)
+      id <- Gen.choose(1L, 12L)
+      v <- Gen.choose(0L, 30L)
+    } yield (kind, id, v)
+    def rowsOf(sql: String): Seq[(Long, Long, Long)] =
+      rw.fetch(sql).map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // disjoint id spaces per table (a: 100+id, b: 200+id) keep the union
+    // a true multiset while upserts within each side retract freely
+    sample(Gen.listOfN(70, gen), seed = 19014).foreach {
+      case (InsA, id, v) => rw.table(aT).get.insert(Seq(Row(100L + id, v)))
+      case (InsB, id, v) => rw.table(bT).get.insert(Seq(Row(200L + id, v)))
+      case (DelA, id, _) => rw.execute(s"DELETE FROM $aT WHERE id = ${100L + id}")
+      case (DelB, id, _) => rw.execute(s"DELETE FROM $bT WHERE id = ${200L + id}")
+      case (Fl, _, _) =>
+        rw.flush()
+        val inc = rowsOf("SELECT * FROM gwu_mv")
+        val batch = rowsOf(stmt)
+        assert(inc == batch, s"$inc vs $batch")
+    }
+    rw.flush()
+    val finalInc = rowsOf("SELECT * FROM gwu_mv")
+    assert(finalInc.nonEmpty, "the interleaving must leave visible rows — a 0-row pass proves nothing")
+    assert(mv.isGlobalWindowMode && mv.statementEvals <= 1,
+      "the multi-source fold must survive the interleaving with zero re-evals")
+  }
 }
