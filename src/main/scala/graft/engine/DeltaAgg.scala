@@ -1,12 +1,14 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{
+  UnresolvedAttribute, UnresolvedExtractValue}
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, And, ArrayJoin, ArrayRepeat, AttributeReference, Cast, Coalesce,
-  Descending, Divide, Expression, Flatten, GreaterThan, Greatest,
-  HllSketchEstimate, If, IsNotNull, IsNull, KnownNotNull, Literal,
-  Multiply, NamedExpression, Or, SortArray, Sqrt, Subtract}
+  Alias, And, ArrayJoin, ArrayRepeat, ArrayTransform, AttributeReference,
+  Cast, Coalesce, CreateNamedStruct, Descending, Divide, Expression,
+  Flatten, GreaterThan, Greatest, HllSketchEstimate, If, IsNotNull, IsNull,
+  KnownNotNull, LambdaFunction, Literal, Multiply, NamedExpression, Or,
+  SortArray, Sqrt, Subtract, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, AggregateFunction, Average, BoolAnd, BoolOr,
   CollectList, Complete, Corr, Count, CountIf, CovPopulation,
@@ -85,7 +87,8 @@ private[engine] object DeltaAgg {
     def width: Int = kind match {
       case KindCount | KindHll => 1
       case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
-           KindPct | KindListAgg | KindListAggDesc | KindArrAgg => 0
+           KindPct | KindListAgg | KindListAggDesc | KindListAggOrd |
+           KindArrAgg => 0
       case KindSumF | KindAvgF => 3
       case KindStdS | KindStdP | KindVarS | KindVarP => 3
       case KindMaxBy | KindMinBy => 3 // [arg, extremum ord, nonNullOrdCnt]
@@ -216,6 +219,18 @@ private[engine] object DeltaAgg {
     * posture mirrors RisingWave's own non-retractable approx-distinct
     * handling. */
   private val KindHll = 26
+  /** Ordered listagg by OTHER columns (round 14): `string_agg(v, d ORDER
+    * BY o[, …])` — the everyday report shape the round-13 fold rejected —
+    * keys the state by the composite (o…, v) tuple (the dk histogram
+    * already carries multi-column keys) and the visible pass rebuilds by
+    * sorting the repeat arrays on the FULL composite struct (structs
+    * compare by field position, ordering columns first), then extracting
+    * the value component after the sort. SortArray sorts whole structs in
+    * one direction, so admission requires every ordering direction equal
+    * with its default null ordering; ties in the ordering prefix emit
+    * value-ordered — the deterministic instance of what Spark documents
+    * as nondeterministic for tied WITHIN GROUP orderings. */
+  private val KindListAggOrd = 27
 
   private def regrVariant(f: AggregateFunction): Int = f match {
     case _: RegrCount => 0
@@ -246,6 +261,11 @@ private[engine] object DeltaAgg {
       case KindPct => Seq(ae.aggregateFunction.children.head)
       case KindListAgg | KindListAggDesc =>
         Seq(ae.aggregateFunction.asInstanceOf[ListAgg].child)
+      case KindListAggOrd =>
+        // ordering children FIRST (struct field order = sort precedence),
+        // the value child LAST
+        val la = ae.aggregateFunction.asInstanceOf[ListAgg]
+        la.orderExpressions.map(_.child) :+ la.child
       case KindArrAgg => Seq(ae.aggregateFunction.children.head)
       case _ => Nil
     }
@@ -254,7 +274,7 @@ private[engine] object DeltaAgg {
   private def isDkKind(kind: Int): Boolean =
     kind == KindCountD || kind == KindSumD || kind == KindAvgD ||
       kind == KindPct || kind == KindListAgg || kind == KindListAggDesc ||
-      kind == KindArrAgg
+      kind == KindListAggOrd || kind == KindArrAgg
 
   private def isFloat(dt: DataType): Boolean =
     dt == DoubleType || dt == FloatType
@@ -288,7 +308,11 @@ private[engine] object DeltaAgg {
     else ae.aggregateFunction match {
       case _: Percentile | _: Median => KindPct
       case la: ListAgg =>
-        if (la.orderExpressions.exists(_.direction == Descending))
+        val byValue = la.orderExpressions.isEmpty ||
+          (la.orderExpressions.size == 1 &&
+            la.orderExpressions.head.child.semanticEquals(la.child))
+        if (!byValue) KindListAggOrd
+        else if (la.orderExpressions.exists(_.direction == Descending))
           KindListAggDesc
         else KindListAgg
       case _: CollectList => KindArrAgg
@@ -531,7 +555,17 @@ private[engine] object DeltaAgg {
           la.child.dataType == StringType && la.delimiter.foldable &&
             (la.orderExpressions.isEmpty ||
               (la.orderExpressions.size == 1 &&
-                la.orderExpressions.head.child.semanticEquals(la.child)))
+                la.orderExpressions.head.child.semanticEquals(la.child)) ||
+              // ordered by OTHER columns (round 14): each ordering child
+              // becomes a state-key column and the rebuild sorts structs
+              // of (ordkeys…, value) in ONE direction — so every
+              // direction must agree, at its default null ordering
+              // (struct comparison has no per-field spelling), over
+              // state-keyable deterministic children
+              la.orderExpressions.forall(so =>
+                so.child.deterministic && orderable(so.child.dataType) &&
+                  so.direction == la.orderExpressions.head.direction &&
+                  so.nullOrdering == so.direction.defaultNullOrdering))
         // array_agg/collect_list: documented nondeterministic order — the
         // fold emits the value-ascending instance (wrap in sort_array for
         // a deterministic face); the element must be a state-keyable type
@@ -641,6 +675,11 @@ private[engine] object DeltaAgg {
             Slot(next, kind0, dkIndexOf(ae.aggregateFunction.children.head))
           case KindListAgg | KindListAggDesc | KindArrAgg =>
             Slot(next, kind0, dkIndexOf(dkChildrenOf(ae).head))
+          // the slot's dkIdx names the VALUE column (dk children list the
+          // ordering columns first); the rebuild re-derives the ordering
+          // columns' indices from the call itself
+          case KindListAggOrd =>
+            Slot(next, kind0, dkIndexOf(dkChildrenOf(ae).last))
           case KindMax if dkMatch >= 0 => Slot(next, KindMaxD, dkMatch)
           case KindMin if dkMatch >= 0 => Slot(next, KindMinD, dkMatch)
           // regr_* variant rides the otherwise-unused dkIdx field
@@ -779,6 +818,42 @@ private[engine] object DeltaAgg {
                       ArrayJoin(ordered, delim, None),
                       Literal(null, ae.dataType))
                   }
+                case KindListAggOrd =>
+                  // ordered-by-other-columns listagg (round 14): the state
+                  // key carries the composite (ordkeys…, value) tuple, so
+                  // the repeat arrays hold structs — the outer sort orders
+                  // by the ordering columns first (structs compare by
+                  // field position) and the value components are extracted
+                  // AFTER the sort. One direction for the whole struct
+                  // (admission pinned all directions equal); a NULL
+                  // ordkey field sorts where the direction's default null
+                  // ordering puts it (struct comparison: null first
+                  // ascending, last descending). NULL values drop via the
+                  // collect filter, exactly like the value-ordered kinds.
+                  val la = ae.aggregateFunction.asInstanceOf[ListAgg]
+                  val dk = UnresolvedAttribute(s"__dk${s.dkIdx}")
+                  val structFields: Seq[Expression] =
+                    la.orderExpressions.zipWithIndex.flatMap { case (so, i) =>
+                      Seq(Literal(s"o$i"),
+                        UnresolvedAttribute(s"__dk${dkIndexOf(so.child)}"))
+                    } ++ Seq(Literal("v"), KnownNotNull(dk))
+                  val rep = ArrayRepeat(CreateNamedStruct(structFields),
+                    Cast(UnresolvedAttribute(RowsCol), IntegerType))
+                  val collected = AggregateExpression(
+                    CollectList(rep), Complete, isDistinct = false,
+                    Some(IsNotNull(dk)), NamedExpression.newExprId)
+                  val asc = la.orderExpressions.head.direction != Descending
+                  val x = UnresolvedNamedLambdaVariable(Seq("x"))
+                  val ordered = ArrayTransform(
+                    Flatten(SortArray(collected, Literal(asc))),
+                    LambdaFunction(UnresolvedExtractValue(x, Literal("v")),
+                      Seq(x)))
+                  val delim = Coalesce(Seq(
+                    Cast(la.delimiter, StringType), Literal("")))
+                  val nonNull = aggE(Count(Seq(dk)))
+                  If(GreaterThan(nonNull, Literal(0L)),
+                    ArrayJoin(ordered, delim, None),
+                    Literal(null, ae.dataType))
                 case KindCount =>
                   Coalesce(Seq(sumOf(s"__a${s.auxIdx}"), Literal(0L)))
                 case KindSum =>
@@ -1023,7 +1098,8 @@ private[engine] object DeltaAgg {
           ae.filter, NamedExpression.newExprId), s"__a$idx")()
       kind match {
         case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
-             KindPct | KindListAgg | KindListAggDesc | KindArrAgg =>
+             KindPct | KindListAgg | KindListAggDesc | KindListAggOrd |
+             KindArrAgg =>
           Seq.empty
         case k if isStd(k) =>
           // [sum-of-squares, sum, nonNullCnt] — exact decimal sums for an
@@ -1333,7 +1409,8 @@ private[engine] object DeltaAgg {
       slot.kind match {
         // their values ARE state-key columns — no aux arithmetic
         case KindCountD | KindMaxD | KindMinD | KindSumD | KindAvgD |
-             KindPct | KindListAgg | KindListAggDesc | KindArrAgg =>
+             KindPct | KindListAgg | KindListAggDesc | KindListAggOrd |
+             KindArrAgg =>
           Seq.empty
         case KindCount =>
           Seq((z(s(v)) + z(a(v)) - z(d(v)))

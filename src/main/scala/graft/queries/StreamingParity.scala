@@ -1448,6 +1448,44 @@ object StreamingParity {
       materialized
     },
 
+    // listagg ordered by ANOTHER column (round 14, verdict #4): the
+    // everyday report shape — `string_agg(name, ',' ORDER BY ts)` — folds
+    // by keying the state with the composite (ordkey…, value) tuple; the
+    // visible pass sorts the repeat arrays on the full composite struct
+    // and extracts the value component after the sort. Three faces share
+    // the state columns: ASC and DESC by event_id, plus a TWO-ordkey
+    // ordering (value, event_id). event_id is unique per surviving row,
+    // so every ordering is tie-free and both engines agree exactly;
+    // upsert overwrites MOVE values within the order mid-replay (the old
+    // composite retracts, the new one installs).
+    q("m_mv_string_agg_ordered_fold",
+      """WITH latest AS (
+        |  SELECT user_id, arg_max(event_type, event_id) AS et,
+        |    arg_max(value, event_id) AS v, max(event_id) AS eid
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(user_id % 12 AS BIGINT) AS bucket,
+        |  string_agg(et, ',' ORDER BY eid) AS sa,
+        |  string_agg(et, '+' ORDER BY eid DESC) AS sad,
+        |  string_agg(et, '|' ORDER BY v, eid) AS sav,
+        |  count(*) AS n
+        |FROM latest GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_sao_t", Seq(("m_sao_mv",
+        """SELECT user_id % 12 AS bucket,
+          |  listagg(event_type, ',') WITHIN GROUP (ORDER BY event_id) AS sa,
+          |  listagg(event_type, '+') WITHIN GROUP (ORDER BY event_id DESC) AS sad,
+          |  listagg(event_type, '|') WITHIN GROUP (ORDER BY value, event_id) AS sav,
+          |  count(*) AS n
+          |FROM m_sao_t GROUP BY 1""".stripMargin)), withTs = true)
+      val mv = rw.mvByName("m_sao_mv").get
+      require(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+        "listagg ordered by another column must fold (round 14)")
+      require(mv.statementEvals <= 1,
+        "ordered-listagg fold epochs must not re-evaluate the statement")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // insert-only approx_count_distinct fold (round 13, verdict #5): the
     // MV carries a merge-only DataSketches HLL sketch per group — each
     // epoch unions the insert partials, never re-scanning the base — and

@@ -1196,6 +1196,66 @@ class DeltaAggSpec extends SparkSpec {
     rw.close()
   }
 
+  test("string_agg ordered by ANOTHER column folds via the composite-key histogram (round 14)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("s", StringType),
+      StructField("ts", LongType)))
+    rw.createTable("sao_t", sch, primaryKey = Seq("id"))
+    // the everyday report shape: concat ordered by a DIFFERENT column —
+    // the state keys the composite (ts, s) tuple and the rebuild sorts
+    // structs on the full composite before extracting the value
+    rw.mv("SELECT grp, listagg(s, ',') WITHIN GROUP (ORDER BY ts) AS sa, " +
+      "listagg(s, '+') WITHIN GROUP (ORDER BY ts DESC) AS sad, " +
+      "count(*) AS n FROM sao_t GROUP BY grp", "sao_mv")
+    val mv = rw.mvByName("sao_mv").get
+    assert(mv.isChangelogCascadeMode && mv.isDeltaAggMode,
+      "listagg ordered by another column must fold (round 14)")
+    val t = rw.table("sao_t").get
+    def state: Map[String, (Any, Any, Long)] =
+      mv.df.collect().map(r =>
+        r.getString(0) -> ((r.get(1), r.get(2), r.getLong(3)))).toMap
+    // values deliberately NOT in ordkey order; two rows share (ts=30, s=w)
+    // so the composite refcount reaches 2
+    t.insert(Seq(Row(1L, "a", "z", 10L), Row(2L, "a", "m", 20L),
+      Row(3L, "a", "w", 30L), Row(4L, "a", "w", 30L), Row(5L, "b", "k", 5L)))
+    rw.flush()
+    val evals = mv.statementEvals
+    assert(state == Map(
+      "a" -> (("z,m,w,w", "w+w+m+z", 4L)),
+      "b" -> (("k", "k", 1L))))
+    // the retracted row changes the ORDER of survivors: removing the
+    // ts=10 head row promotes m to the front; one w ref leaves too
+    rw.execute("DELETE FROM sao_t WHERE id = 1")
+    rw.execute("DELETE FROM sao_t WHERE id = 3")
+    rw.flush()
+    assert(state("a") == (("m,w", "w+m", 2L)))
+    // an upsert MOVES a value within the order: m jumps past w via its
+    // new ordkey — the old (20, m) composite retracts, (99, m) installs
+    t.insert(Seq(Row(2L, "a", "m", 99L)))
+    rw.flush()
+    assert(state("a") == (("w,m", "m+w", 2L)))
+    // a NULL ordkey sorts NULLS FIRST ascending / NULLS LAST descending
+    // (the direction defaults struct comparison reproduces)
+    t.insert(Seq(Row(6L, "a", "n", null)))
+    rw.flush()
+    assert(state("a") == (("n,w,m", "m+w+n", 3L)))
+    // NULL values still drop from the concat but count in n
+    t.insert(Seq(Row(7L, "a", null, 1L)))
+    rw.flush()
+    assert(state("a") == (("n,w,m", "m+w+n", 4L)))
+    assert(mv.statementEvals == evals,
+      "ordered-listagg fold epochs must not re-evaluate the statement")
+    assert(mv.isDeltaAggMode)
+    // batch parity on the final state
+    val batch = rw.fetch("SELECT grp, listagg(s, ',') WITHIN GROUP (ORDER BY ts) AS sa, " +
+        "listagg(s, '+') WITHIN GROUP (ORDER BY ts DESC) AS sad, " +
+        "count(*) AS n FROM sao_t GROUP BY grp")
+      .map(r => r.getString(0) -> ((r.get(1), r.get(2), r.getLong(3)))).toMap
+    assert(state == batch)
+    rw.close()
+  }
+
   test("insert-only approx_count_distinct folds a merge-only sketch; first retraction demotes") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("hll_t", schema, primaryKey = Seq("id"))
