@@ -57,15 +57,19 @@ object Bench {
     * (guards against a silent fall-back to batch re-run, which would time
     * a different — cheaper-per-epoch at this scale — code path), whether
     * the replay table carries a PK, and an optional pre-MV setup hook
-    * (auxiliary tables, e.g. the outer-join dimension). */
-  private final case class StreamDef(
+    * (auxiliary tables, e.g. the outer-join dimension).
+    * `private[graft]` (round 14): CountersSpec replays the same defs and
+    * pins per-entry job/shuffle ceilings, so a structural regression
+    * fails `sbt test` instead of waiting for cross-round artifact
+    * archaeology. */
+  private[graft] final case class StreamDef(
       name: String,
       mvs: Seq[(String, String)],
       probe: graft.engine.GraftEngine => Boolean,
       pkTable: Boolean,
       setup: graft.engine.GraftEngine => Unit = _ => ())
 
-  private def streamDefs: Seq[StreamDef] = Seq(
+  private[graft] def streamDefs: Seq[StreamDef] = Seq(
     StreamDef("s_mv_tumble_maintain", Seq(
       ("bm_tw",
         """SELECT window_start, event_type, count(*) AS n,
@@ -173,6 +177,75 @@ object Bench {
           |FROM bench_ev GROUP BY date_trunc('hour', ts)""".stripMargin)),
       rw => rw.mvByName("bm_hist").exists(_.isDeltaAggMode), true))
 
+  // per-entry observability (round-12 verdict item 2): job count and
+  // shuffle-write bytes over the timed replay window, so a round-over-
+  // round throughput move can be ruled environment noise (same
+  // jobs/bytes, slower wall) or a plan/code regression (job or shuffle
+  // growth) from the artifact alone
+  private final class ReplayCounters extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      shuffleBytes.addAndGet(
+        s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  /** Replay one streaming entry and return
+    * (wall sec | -1 on failure/demotion, rows, epochs, jobs, shuffleBytes).
+    * Shared by Bench.main and CountersSpec (which pins the job/shuffle
+    * counters as a regression gate — they are deterministic at a fixed
+    * fixture+code, unlike wall time on this machine). */
+  private[graft] def runStreamEntry(spark: SparkSession, sfDir: String,
+      d: StreamDef): (Double, Long, Int, Long, Long) = {
+    import graft.engine.{ConnOptions, GraftEngine}
+    import org.apache.spark.sql.functions.col
+    // streaming parallelism sized to per-epoch delta volume (8), not the
+    // batch shuffle width (32) — see ConnOptions.streamShufflePartitions
+    val rw = GraftEngine.open(ConnOptions(streamShufflePartitions = Some(8)),
+      Some(spark))
+    try {
+      rw.createTable("bench_ev", eventsSchema,
+        primaryKey = if (d.pkTable) Seq("event_id") else Nil)
+      d.setup(rw)
+      d.mvs.foreach { case (n, s) => rw.mv(s, n) }
+      val rows = Tables(spark, sfDir, "events")
+        .select(eventsSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .orderBy("event_id").limit(streamRows).collect()
+      if (rows.isEmpty) {
+        System.err.println("[bench] streaming entry skipped: empty events fixture")
+        return (-1.0, 0L, 0, 0L, 0L)
+      }
+      val chunk = (rows.length + streamEpochs - 1) / streamEpochs
+      // the ACTUAL epoch count — ceil(rows/chunk) can undershoot
+      // streamEpochs at small fixtures, and epoch_latency divides by it
+      var epochs = 0
+      val counters = new ReplayCounters
+      spark.sparkContext.addSparkListener(counters)
+      val t0 = System.nanoTime()
+      val sec = try {
+        rows.grouped(chunk).foreach { c =>
+          rw.table("bench_ev").get.insert(c.toSeq); rw.flush(); epochs += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        // the counters ride the async bus — drain before reading
+        org.apache.spark.GraftListenerBridge.waitListeners(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(counters)
+      }
+      if (!d.probe(rw)) {
+        System.err.println("[bench] streaming entry fell back to batch re-run")
+        (-1.0, rows.length.toLong, epochs, counters.jobs.get, counters.shuffleBytes.get)
+      } else (sec, rows.length.toLong, epochs, counters.jobs.get, counters.shuffleBytes.get)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming entry failed: ${e.getMessage}")
+      (-1.0, 0L, 0, 0L, 0L)
+    } finally rw.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -231,68 +304,8 @@ object Bench {
     // epoch's maintenance (diff, changelog append, cascade fold). One
     // sample each — a replay is seconds-scale, so scheduler noise is a
     // small fraction (unlike the sub-second batch queries).
-    // per-entry observability (round-12 verdict item 2): job count and
-    // shuffle-write bytes over the timed replay window, so a round-over-
-    // round throughput move can be ruled environment noise (same
-    // jobs/bytes, slower wall) or a plan/code regression (job or shuffle
-    // growth) from the artifact alone
-    final class ReplayCounters extends org.apache.spark.scheduler.SparkListener {
-      val jobs = new java.util.concurrent.atomic.AtomicLong
-      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffleBytes.addAndGet(
-          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-
-    def runStream(d: StreamDef): (Double, Long, Int, Long, Long) = {
-      import graft.engine.{ConnOptions, GraftEngine}
-      import org.apache.spark.sql.functions.col
-      // streaming parallelism sized to per-epoch delta volume (8), not the
-      // batch shuffle width (32) — see ConnOptions.streamShufflePartitions
-      val rw = GraftEngine.open(ConnOptions(streamShufflePartitions = Some(8)),
-        Some(spark))
-      try {
-        rw.createTable("bench_ev", eventsSchema,
-          primaryKey = if (d.pkTable) Seq("event_id") else Nil)
-        d.setup(rw)
-        d.mvs.foreach { case (n, s) => rw.mv(s, n) }
-        val rows = Tables(spark, sfDir, "events")
-          .select(eventsSchema.fieldNames.toIndexedSeq.map(col): _*)
-          .orderBy("event_id").limit(streamRows).collect()
-        if (rows.isEmpty) {
-          System.err.println("[bench] streaming entry skipped: empty events fixture")
-          return (-1.0, 0L, 0, 0L, 0L)
-        }
-        val chunk = (rows.length + streamEpochs - 1) / streamEpochs
-        // the ACTUAL epoch count — ceil(rows/chunk) can undershoot
-        // streamEpochs at small fixtures, and epoch_latency divides by it
-        var epochs = 0
-        val counters = new ReplayCounters
-        spark.sparkContext.addSparkListener(counters)
-        val t0 = System.nanoTime()
-        val sec = try {
-          rows.grouped(chunk).foreach { c =>
-            rw.table("bench_ev").get.insert(c.toSeq); rw.flush(); epochs += 1
-          }
-          (System.nanoTime() - t0) / 1e9
-        } finally {
-          // the counters ride the async bus — drain before reading
-          org.apache.spark.GraftListenerBridge.waitListeners(spark.sparkContext)
-          spark.sparkContext.removeSparkListener(counters)
-        }
-        if (!d.probe(rw)) {
-          System.err.println("[bench] streaming entry fell back to batch re-run")
-          (-1.0, rows.length.toLong, epochs, counters.jobs.get, counters.shuffleBytes.get)
-        } else (sec, rows.length.toLong, epochs, counters.jobs.get, counters.shuffleBytes.get)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming entry failed: ${e.getMessage}")
-        (-1.0, 0L, 0, 0L, 0L)
-      } finally rw.close()
-    }
+    def runStream(d: StreamDef): (Double, Long, Int, Long, Long) =
+      runStreamEntry(spark, sfDir, d)
     val streamResults = streamDefs
       .filter(d => streamOnly.forall(_.contains(d.name)))
       .map(d => (d.name, runStream(d)))
