@@ -36,7 +36,7 @@ class CountersSpec extends SparkSpec {
     "s_mv_session_maintain" -> (7.0, 1285518L),
     "s_mv_topn_cascade" -> (13.75, 204682L),
     "s_mv_pkagg_fold" -> (6.625, 176974L),
-    "s_mv_left_join_fold" -> (9.0, 1186867L),
+    "s_mv_left_join_fold" -> (7.0, 337404L), // r14: driver-local join-state map tier
     "s_mv_window_maintain" -> (8.0, 1325781L),
     "s_mv_global_window" -> (7.25, 270113L),
     "s_mv_histogram_fold" -> (10.25, 511133L),

@@ -714,4 +714,64 @@ class DeltaJoinMvSpec extends SparkSpec {
     assert(mv.isDeltaJoinMode)
     rw.close()
   }
+
+  test("grouped join state rides the driver map tier (round 14)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djl_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djl_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djl_ev e " +
+      "JOIN djl_user u ON u.uid = e.user_id", "djl_mv")
+    val mv = rw.mvByName("djl_mv").get
+    assert(mv.isDeltaJoinMode)
+    val ev = rw.table("djl_ev").get
+    val us = rw.table("djl_user").get
+    us.insert(Seq(Row(1L, "ann"), Row(2L, "bob")))
+    rw.flush()
+    assert(mv.joinStateIsLocal,
+      "a bounded binary-free grouped state must seed the driver map at backfill")
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 2L, 7.0)))
+    rw.flush()
+    assert(mv.joinStateIsLocal, "delta epochs must keep the map tier engaged")
+    assert(joinRows(mv) == Set((10L, "ann", 5.0), (11L, "bob", 7.0)))
+    // retraction folds through the map by point arithmetic
+    rw.execute("DELETE FROM djl_ev WHERE event_id = 10")
+    rw.flush()
+    assert(joinRows(mv) == Set((11L, "bob", 7.0)))
+    assert(mv.joinStateIsLocal)
+    rw.close()
+  }
+
+  test("join state outgrowing the local bound latches to the distributed tier") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("djo_ev", evSchema, primaryKey = Seq("event_id"))
+    rw.createTable("djo_user", userSchema, primaryKey = Seq("uid"))
+    rw.mv("SELECT e.event_id, u.name, e.value FROM djo_ev e " +
+      "JOIN djo_user u ON u.uid = e.user_id", "djo_bound_mv")
+    val mv = rw.mvByName("djo_bound_mv").get
+    assert(mv.isDeltaJoinMode)
+    mv.joinStateLocalMax = 3 // shrink the bound: the fold must outgrow it
+    val ev = rw.table("djo_ev").get
+    val us = rw.table("djo_user").get
+    us.insert(Seq(Row(1L, "ann"), Row(2L, "bob")))
+    ev.insert(Seq(Row(10L, 1L, 5.0), Row(11L, 2L, 7.0)))
+    rw.flush()
+    assert(mv.joinStateIsLocal, "state of 2 rows fits the shrunken bound")
+    // push the state past the bound mid-fold: the map must hand a
+    // CONSISTENT frame to the distributed tier and latch (monotone)
+    ev.insert((20L to 25L).map(i => Row(i, 1L, i.toDouble)))
+    rw.flush()
+    assert(!mv.joinStateIsLocal, "outgrowing the bound must drop the map")
+    val expected = Set((11L, "bob", 7.0), (10L, "ann", 5.0)) ++
+      (20L to 25L).map(i => (i, "ann", i.toDouble))
+    assert(joinRows(mv) == expected, "the handed-off frame must be consistent")
+    // shrinking back below the bound must NOT re-engage (monotone latch —
+    // the probe would re-execute the full merge plan every epoch)
+    rw.execute("DELETE FROM djo_ev WHERE event_id >= 20")
+    rw.flush()
+    assert(!mv.joinStateIsLocal, "the oversize latch is monotone")
+    assert(joinRows(mv) == Set((10L, "ann", 5.0), (11L, "bob", 7.0)),
+      "the distributed tier must keep folding correctly after the latch")
+    assert(mv.isDeltaJoinMode, "no demotion anywhere in the hand-off")
+    rw.close()
+  }
 }
