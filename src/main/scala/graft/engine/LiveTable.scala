@@ -177,13 +177,20 @@ final class LiveTable(
   }
 
   private val clTiming = java.lang.Boolean.getBoolean("graft.epochTiming")
-  private def timedCl[T](phase: String)(f: => T): T =
-    if (!clTiming) f
-    else {
-      val t0 = System.nanoTime()
-      try f finally System.err.println(
-        s"[epoch-timing] $viewName $phase ${(System.nanoTime() - t0) / 1000000} ms")
-    }
+  private def timedCl[T](phase: String)(f: => T): T = {
+    // phase tag on the job's local properties — see MaterializedView.timed
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("graft.phase")
+    sc.setLocalProperty("graft.phase", s"$viewName:$phase")
+    try {
+      if (!clTiming) f
+      else {
+        val t0 = System.nanoTime()
+        try f finally System.err.println(
+          s"[epoch-timing] $viewName $phase ${(System.nanoTime() - t0) / 1000000} ms")
+      }
+    } finally sc.setLocalProperty("graft.phase", prev)
+  }
 
   /** Driver-side changelog diff for a flush whose touched keys' raw
     * history fits under a bound: ONE semi-join + collect job, then the
@@ -376,10 +383,135 @@ final class LiveTable(
     else spark.read.parquet(segments.map(_._3).toSeq: _*).unionByName(mem)
   }
 
+  /** Driver-local merged-face tier for PK tables (round 14): the batch
+    * face is one current row per key — exactly a map keyed by the PK
+    * tuple — yet the window spelling below re-resolves versions over the
+    * FULL raw history for EVERY reader, every epoch: at the bench that
+    * re-dedup was an O(table) exchange per window-cascade epoch (98% of
+    * `s_mv_window_maintain`'s shuffle — profiled with
+    * `graft.tools.ShuffleProfile`), paid again by every batch-re-run MV
+    * and client fetch. While the current-row set fits [[mergedFaceMax]]
+    * (and every PK/version type has a local ordering — the map's point
+    * upserts replay the exact (version DESC NULLS LAST, __seq DESC)
+    * winner rule), the face is a LocalRelation maintained by point
+    * writes: no dedup window, no history scan, job-free broadcast builds
+    * for every downstream reader. Outgrowing the bound latches to the
+    * distributed window spelling (monotone); at cluster scale this tier
+    * IS the compacted keyed table format (RocksDB/LSM state) the scale
+    * notes name — the window face is the replayable fallback, not the
+    * steady state. Values keep their `__seq` so future upserts compare
+    * against the stored winner exactly as the window would. */
+  private var mergedFace:
+    Option[scala.collection.mutable.LinkedHashMap[List[Any], Row]] = None
+  private var mergedFaceCache: Option[DataFrame] = None
+  private var mergedFaceOversize = false
+  private[graft] var mergedFaceMax = 200000
+  /** True while the batch face is served from the driver map (probe). */
+  private[graft] def faceIsLocal: Boolean = synchronized(mergedFace.nonEmpty)
+
+  /** Winner rule shared with [[localDiffOfRows]]/[[resolvedForKeys]]:
+    * larger under (version DESC NULLS LAST, then `__seq` DESC) wins.
+    * None when the version type has no local ordering. */
+  private lazy val winnerOrdering: Option[Ordering[Row]] = {
+    val sch = withSeq
+    val verName = versionColumn.getOrElse("__seq")
+    graft.streaming.Changelog.localOrdering(sch(verName).dataType).map { verOrd =>
+      val seqIdx = sch.fieldIndex("__seq")
+      val verIdx = sch.fieldIndex(verName)
+      new Ordering[Row] {
+        def compare(a: Row, b: Row): Int = {
+          val av = a.get(verIdx); val bv = b.get(verIdx)
+          val c =
+            if (av == null && bv == null) 0
+            else if (av == null) -1
+            else if (bv == null) 1
+            else verOrd.compare(av, bv)
+          if (c != 0) c
+          else java.lang.Long.compare(a.getLong(seqIdx), b.getLong(seqIdx))
+        }
+      }
+    }
+  }
+
+  private lazy val mergedFaceAdmissible: Boolean =
+    primaryKey.nonEmpty && winnerOrdering.nonEmpty &&
+      primaryKey.forall(k => graft.streaming.Changelog
+        .localOrdering(schema(k).dataType).nonEmpty) // scalar, value-hashable keys
+
+  private def mergedPut(m: scala.collection.mutable.LinkedHashMap[List[Any], Row],
+      keyIdx: Seq[Int], ord: Ordering[Row], r: Row): Unit = {
+    val k = keyIdx.map(r.get).toList
+    val cur = m.getOrElse(k, null)
+    if (cur == null || ord.compare(r, cur) > 0) m.update(k, r)
+  }
+
+  /** Seed the map: driver-side from the memory tail while nothing has
+    * spilled (zero jobs), one bounded resolve-collect over the raw
+    * history otherwise (no worse than the window face a single read pays).
+    * Over the bound → latch oversize for good. */
+  private def trySeedMergedFace(): Unit = {
+    if (mergedFace.nonEmpty || mergedFaceOversize || !mergedFaceAdmissible) return
+    val keyIdx = primaryKey.map(withSeq.fieldIndex)
+    val ord = winnerOrdering.get
+    val m = new scala.collection.mutable.LinkedHashMap[List[Any], Row]()
+    if (segments.isEmpty) allRows.foreach(r => mergedPut(m, keyIdx, ord, r))
+    else {
+      val ver = versionColumn.map(col).getOrElse(col("__seq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(primaryKey.map(col): _*)
+        .orderBy(ver.desc_nulls_last, col("__seq").desc)
+      val rows = rawHistoryDF.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .limit(mergedFaceMax + 1).collect()
+      if (rows.length > mergedFaceMax) { mergedFaceOversize = true; return }
+      rows.foreach(r => mergedPut(m, keyIdx, ord, r))
+    }
+    if (m.size > mergedFaceMax) { mergedFaceOversize = true; return }
+    mergedFace = Some(m)
+    mergedFaceCache = None
+  }
+
+  /** Fold freshly-appended rows into the map by point upserts (called
+    * under the table lock from [[addBatch]]). Outgrowing the bound drops
+    * the map and latches — the window face below is always the truth. */
+  private def mergedFaceAppend(rows: Seq[Row]): Unit = mergedFace.foreach { m =>
+    val keyIdx = primaryKey.map(withSeq.fieldIndex)
+    val ord = winnerOrdering.get
+    rows.foreach(r => mergedPut(m, keyIdx, ord, r))
+    mergedFaceCache = None
+    if (m.size > mergedFaceMax) {
+      mergedFace = None
+      mergedFaceOversize = true
+    }
+  }
+
+  /** Drop the map (bulk executor-side ingest, DML rewrite — paths whose
+    * rows never cross the driver); the next read re-seeds bounded. */
+  private def invalidateMergedFace(): Unit = {
+    mergedFace = None
+    mergedFaceCache = None
+  }
+
   /** Batch face: all ingested rows, with upsert-by-primary-key semantics
     * applied (keep the max-version row; version NULLs never overwrite — the
     * `ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN` contract). */
   def batchDF: DataFrame = synchronized {
+    if (primaryKey.nonEmpty) {
+      trySeedMergedFace()
+      mergedFace match {
+        case Some(m) =>
+          return mergedFaceCache.getOrElse {
+            // __seq rides last (withSeq appends it) — strip for the face
+            val rows = m.valuesIterator
+              .map(r => Row.fromSeq(r.toSeq.dropRight(1))).toIndexedSeq
+            val df = spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), schema)
+            mergedFaceCache = Some(df)
+            df
+          }
+        case None => ()
+      }
+    }
     val base = rawHistoryDF
     val df =
       if (primaryKey.isEmpty) base.drop("__seq")
@@ -500,6 +632,9 @@ final class LiveTable(
     SegmentFiles.commit(staging, path)
     segments += ((base + 1, base + n, path, n))
     seq = base + n
+    // bulk rows never cross the driver — the merged-face map can't fold
+    // them point-wise; drop it and let the next read re-seed bounded
+    invalidateMergedFace()
     if (readerStreams.nonEmpty) {
       spark.read.parquet(path).orderBy("__seq").drop("__seq")
         .toLocalIterator().asScala.grouped(batchSize)
@@ -522,6 +657,7 @@ final class LiveTable(
 
   private def addBatch(rows: Seq[Row]): Unit = {
     allRows ++= rows
+    mergedFaceAppend(rows)
     // the streaming faces carry the declared schema (no __seq)
     val faces = rows.map(r => Row.fromSeq(r.toSeq.dropRight(1)))
     readerStreams.values.foreach(_._1.addData(faces))
@@ -678,6 +814,9 @@ final class LiveTable(
       segments += ((base + 1, base + n, path, n))
     }
     seq = base + n
+    // the rewrite replaced the history wholesale (and `f` changed rows for
+    // DML) — drop the map; the next read re-seeds from the new segment
+    invalidateMergedFace()
     if (clEnabled && emitRetractions) {
       // the rewrite's retractions: keyed diff on the PK (UpdateDelete/
       // UpdateInsert/Delete), multiset Insert/Delete deltas otherwise

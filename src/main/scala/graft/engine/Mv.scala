@@ -446,13 +446,23 @@ final class MaterializedView private[engine](
     * `[epoch-timing] view phase ms` line per phase to stderr. Diagnostic
     * only — the throughput numbers live in the bench's streaming entries. */
   private val epochTiming = java.lang.Boolean.getBoolean("graft.epochTiming")
-  private[engine] def timed[T](phase: String)(f: => T): T =
-    if (!epochTiming) f
-    else {
-      val t0 = System.nanoTime()
-      try f finally System.err.println(
-        s"[epoch-timing] $viewName $phase ${(System.nanoTime() - t0) / 1000000} ms")
-    }
+  private[engine] def timed[T](phase: String)(f: => T): T = {
+    // phase tag rides the job's local properties (AQE's thread-local
+    // capture propagates it to every query stage it submits) — per-phase
+    // shuffle attribution for profilers and the Spark UI; a thread-local
+    // map put, negligible when unread
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("graft.phase")
+    sc.setLocalProperty("graft.phase", s"$viewName:$phase")
+    try {
+      if (!epochTiming) f
+      else {
+        val t0 = System.nanoTime()
+        try f finally System.err.println(
+          s"[epoch-timing] $viewName $phase ${(System.nanoTime() - t0) / 1000000} ms")
+      }
+    } finally sc.setLocalProperty("graft.phase", prev)
+  }
 
   private[engine] def start(): Unit = {
     recovering = changeLog.latestOffset > 0
@@ -1637,6 +1647,23 @@ final class MaterializedView private[engine](
       case j: Join if !(j.joinType == Inner || j.joinType == Cross) =>
         j +: j.children.flatMap(outerJoinsAbove(_, boundary))
       case _ => p.children.flatMap(outerJoinsAbove(_, boundary))
+    }
+  }
+
+  /** ALL joins of the plan above the source boundary — the window
+    * cascade's round-14 classification walks inner joins too (a live
+    * source on the non-primary side of an INNER join admits with the
+    * same condition-traced touched-partition derivation as a live padded
+    * side). */
+  private[engine] def joinsAbove(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      boundary: Set[String]):
+      Seq[org.apache.spark.sql.catalyst.plans.logical.Join] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, SubqueryAlias}
+    p match {
+      case s: SubqueryAlias if boundary.contains(s.alias.toLowerCase) => Nil
+      case j: Join => j +: j.children.flatMap(joinsAbove(_, boundary))
+      case _ => p.children.flatMap(joinsAbove(_, boundary))
     }
   }
 

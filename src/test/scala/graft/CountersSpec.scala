@@ -36,10 +36,15 @@ class CountersSpec extends SparkSpec {
     "s_mv_session_maintain" -> (7.0, 1285518L),
     "s_mv_topn_cascade" -> (13.75, 204682L),
     "s_mv_pkagg_fold" -> (6.625, 176974L),
-    "s_mv_left_join_fold" -> (7.0, 337404L), // r14: driver-local join-state map tier
-    "s_mv_window_maintain" -> (8.0, 1325781L),
+    // r14: join-state map tier + merged-face tier (PK dedup window gone)
+    "s_mv_left_join_fold" -> (6.0, 261812L),
+    "s_mv_window_maintain" -> (7.0, 246300L),
     "s_mv_global_window" -> (7.25, 270113L),
     "s_mv_histogram_fold" -> (10.25, 511133L),
+    // r14: the pkagg fold with driver tiers forced off — the measured
+    // over-bound fallback shape (delta-segment persistence); vs the map
+    // tier: 11.875 vs 6.625 jobs/epoch, 260 kB vs 177 kB shuffle
+    "s_mv_pkagg_fold_overbound" -> (11.875, 259650L),
   )
 
   for (d <- Bench.streamDefs) {

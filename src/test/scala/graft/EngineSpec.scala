@@ -190,6 +190,43 @@ class EngineSpec extends SparkSpec {
     assert(got == Seq(("a", 5L), ("b", 1L)))
   }
 
+  test("PK face rides the merged-face map tier; versions, DML and the latch hold (round 14)") {
+    val rw2 = GraftEngine.open(ConnOptions(), Some(spark))
+    rw2.execute(
+      """CREATE TABLE mf (k STRING PRIMARY KEY, v BIGINT)
+        |ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(v)""".stripMargin)
+    val t = rw2.table("mf").get
+    rw2.execute("INSERT INTO mf VALUES ('a', 2), ('b', 1)")
+    rw2.execute("INSERT INTO mf VALUES ('a', 5)")
+    rw2.execute("INSERT INTO mf VALUES ('a', 3)") // stale version: must not win
+    rw2.execute("FLUSH")
+    assert(t.faceIsLocal, "a bounded scalar-keyed PK face must ride the driver map")
+    assert(t.batchDF.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "the map face must be a LocalRelation — no dedup window, no history scan")
+    def face(): Seq[(String, Long)] =
+      rw2.fetch("SELECT k, v FROM mf ORDER BY k").map(r => (r.getString(0), r.getLong(1)))
+    assert(face() == Seq(("a", 5L), ("b", 1L)),
+      "map point upserts must replay the (version DESC NULLS LAST, __seq DESC) winner rule")
+    // DML rewrite invalidates; the next read re-seeds from the new segment
+    rw2.execute("UPDATE mf SET v = 9 WHERE k = 'b'")
+    rw2.execute("FLUSH")
+    assert(face() == Seq(("a", 5L), ("b", 9L)))
+    assert(t.faceIsLocal, "post-DML read must re-seed the map from the rewritten history")
+    // over-bound: the latch is monotone and the window face takes over
+    t.mergedFaceMax = 2
+    rw2.execute("INSERT INTO mf VALUES ('c', 1), ('d', 1)")
+    rw2.execute("FLUSH")
+    assert(!t.faceIsLocal, "outgrowing the bound must drop the map for good")
+    assert(face() == Seq(("a", 5L), ("b", 9L), ("c", 1L), ("d", 1L)),
+      "the window face must serve identical rows after the latch")
+    rw2.execute("INSERT INTO mf VALUES ('a', 7)")
+    rw2.execute("FLUSH")
+    assert(!t.faceIsLocal, "the oversize latch is monotone")
+    assert(face() == Seq(("a", 7L), ("b", 9L), ("c", 1L), ("d", 1L)))
+    rw2.close()
+  }
+
   test("batch-rerun MV over static parquet emits Delete on shrink") {
     // MV over a filtered live table: deleting is modeled by key disappearing
     rw.createTable("del_t", StructType(Seq(
