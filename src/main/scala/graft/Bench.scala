@@ -67,7 +67,8 @@ object Bench {
       mvs: Seq[(String, String)],
       probe: graft.engine.GraftEngine => Boolean,
       pkTable: Boolean,
-      setup: graft.engine.GraftEngine => Unit = _ => ())
+      setup: graft.engine.GraftEngine => Unit = _ => (),
+      tune: graft.engine.GraftEngine => Unit = _ => ())
 
   private[graft] def streamDefs: Seq[StreamDef] = Seq(
     StreamDef("s_mv_tumble_maintain", Seq(
@@ -175,7 +176,23 @@ object Bench {
           |  round(percentile(CAST(value AS BIGINT), 0.9), 4) AS p90,
           |  count(*) FILTER (WHERE value > 500) AS nbig
           |FROM bench_ev GROUP BY date_trunc('hour', ts)""".stripMargin)),
-      rw => rw.mvByName("bm_hist").exists(_.isDeltaAggMode), true))
+      rw => rw.mvByName("bm_hist").exists(_.isDeltaAggMode), true),
+    // over-bound fallback shape (round 14, verdict #7): the pkagg fold with
+    // its driver-local tiers forced off — auxStateLocalMax = 0 latches the
+    // aux map AND the LocalRelation probe to oversize on the first epoch,
+    // so every epoch runs the delta-segment persistence path (touched-slice
+    // stacking + broadcast anti join + periodic flat checkpoints) that a
+    // 100 TB deployment would live on. The first measured point on the
+    // fallback cost curve; the probe pins that the fold stayed
+    // delta-accumulating AND actually left the driver tiers
+    StreamDef("s_mv_pkagg_fold_overbound", Seq(
+      ("bm_fold_ob",
+        """SELECT user_id % 1000 AS k, count(*) AS n,
+          |  SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          |FROM bench_ev GROUP BY user_id % 1000""".stripMargin)),
+      rw => rw.mvByName("bm_fold_ob").exists(m =>
+        m.isDeltaAggMode && !m.auxStateIsLocal), true,
+      tune = rw => rw.mvByName("bm_fold_ob").foreach(_.auxStateLocalMax = 0)))
 
   // per-entry observability (round-12 verdict item 2): job count and
   // shuffle-write bytes over the timed replay window, so a round-over-
@@ -212,6 +229,7 @@ object Bench {
         primaryKey = if (d.pkTable) Seq("event_id") else Nil)
       d.setup(rw)
       d.mvs.foreach { case (n, s) => rw.mv(s, n) }
+      d.tune(rw)
       val rows = Tables(spark, sfDir, "events")
         .select(eventsSchema.fieldNames.toIndexedSeq.map(col): _*)
         .orderBy("event_id").limit(streamRows).collect()

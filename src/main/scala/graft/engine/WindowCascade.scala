@@ -257,21 +257,20 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
         case Some(b) => b
         case None => return false // windows on divergent branches
       }
-      // multi-source (round 12): every source beyond ONE primary must sit
-      // on the padded/filter side of an admitted outer join (classified
-      // below); the PRIMARY carries the key lineage
-      val dimCandidates: Set[String] =
-        outerJoinsAbove(analyzed, boundary).flatMap { j =>
-          import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
-          j.joinType match {
-            case LeftOuter | LeftSemi | LeftAnti => boundarySourcesIn(j.right, boundary)
-            case RightOuter => boundarySourcesIn(j.left, boundary)
-            case _ => Set.empty[String]
-          }
-        }.toSet
-      val primaries = boundary -- dimCandidates
-      if (primaries.size != 1) return false
-      val primaryName = primaries.head
+      // the PRIMARY is the key-lineage owner (round 14; generalizes the
+      // round-12 padded-dim spelling): every window's full PARTITION BY
+      // must trace to exactly ONE source — that source's rows name the
+      // touched partitions; every OTHER live source must classify below
+      // as the single live side of an admitted join (an outer padded
+      // side, rounds 11/12, or — round 14 — either side of an INNER
+      // join), whose delta's touched partitions derive via the traced
+      // join condition against the primary's snapshot. A key tracing
+      // into two sources (or none) has no owner — reject.
+      val keyOwners = boundary.filter(src =>
+        wins.forall(w => w.partitionSpec.nonEmpty &&
+          w.partitionSpec.forall(pe => traceExpr(pe, w.child, Set(src)).nonEmpty)))
+      if (keyOwners.size != 1) return false
+      val primaryName = keyOwners.head
       // key lineage stops at the PRIMARY only — a key tracing into a dim
       // would not be a function of the preserved rows and must fail
       val primaryBoundary = Set(primaryName)
@@ -305,14 +304,31 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
       //    delta-join cascade's restricted-difference term.
       // FULL stays rejected either way (padded rows on the primary's own
       // side carry NULL key columns no derivation can name).
+      //
+      // Round 14 adds INNER joins of two live tables (`rank() OVER
+      // (PARTITION BY k …) FROM fact JOIN dim`): a delta on the
+      // non-primary side changes the join output of exactly the primary
+      // rows it MATCHES under the condition — the identical derivation
+      // the live padded side already runs (primary snapshot ⋈ renamed
+      // payload, semi), so the classification reuses the trace verbatim;
+      // only the side assignment differs (whichever side holds the
+      // primary is preserved).
       import org.apache.spark.sql.catalyst.expressions.AttributeReference
       // per-join classification: None = inadmissible; Some(None) = static
-      // padded side; Some(Some(dim -> cond)) = live padded side
-      val classified = outerJoinsAbove(analyzed, boundary).map { j =>
-        import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
+      // non-primary side; Some(Some(dim -> cond)) = live non-primary side
+      val classified = joinsAbove(analyzed, boundary).map { j =>
+        import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
         val sides = j.joinType match {
           case LeftOuter | LeftSemi | LeftAnti => Some((j.right, j.left))
           case RightOuter => Some((j.left, j.right))
+          case Inner | Cross =>
+            val l = boundarySourcesIn(j.left, boundary)
+            val r = boundarySourcesIn(j.right, boundary)
+            if (l.contains(primaryName) && !r.contains(primaryName))
+              Some((j.right, j.left))
+            else if (r.contains(primaryName) && !l.contains(primaryName))
+              Some((j.left, j.right))
+            else None // a join of two dims below the primary — unclaimed
           case _ => None
         }
         j -> sides.flatMap { case (padded, preserved) =>

@@ -1004,6 +1004,67 @@ object StreamingParity {
       materialized
     },
 
+    // Multi-source KEYED window cascade (round 14): the enriched rank over
+    // an INNER JOIN of TWO live tables — `rank() OVER (PARTITION BY bucket
+    // …) FROM fact JOIN live_dim` — both sides churning. A dim delta
+    // changes the join output of exactly the fact rows matching it under
+    // the condition, so its touched partitions derive by the same
+    // restricted term as the round-12 live padded side (fact snapshot ⋈
+    // dim payload, semi); fact deltas name their partitions directly.
+    // Unlike the padded shape, unmatched fact rows VANISH from the window
+    // input (inner semantics), so dim inserts/deletes add/remove whole
+    // partition slices. Fact retractions (DELETE) cross mid-replay too.
+    // Mode-asserted mid-replay and at the end.
+    q("m_mv_window_join_incremental",
+      s"""WITH ch AS (SELECT user_id, value, event_id,
+         |    CAST(event_id // (((SELECT count(*) FROM events) + ${CHUNKS - 1}) // $CHUNKS) AS INT) AS chunk
+         |  FROM events),
+         |early AS (SELECT user_id, arg_max(value, event_id) AS v
+         |  FROM ch WHERE chunk <= 3 GROUP BY user_id),
+         |deleted AS (SELECT user_id FROM early WHERE v > 90),
+         |kept AS (SELECT * FROM ch WHERE NOT (chunk <= 3 AND
+         |  user_id IN (SELECT user_id FROM deleted))),
+         |latest AS (SELECT user_id, arg_max(value, event_id) AS value
+         |  FROM kept GROUP BY user_id),
+         |dim AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'even'),
+         |  (CAST(1 AS BIGINT), 'uno'), (CAST(3 AS BIGINT), 'three')) AS d(bucket, label))
+         |SELECT t.user_id, d.bucket, d.label, t.value,
+         |  CAST(rank() OVER (PARTITION BY t.user_id % 5
+         |    ORDER BY t.value DESC, t.user_id) AS BIGINT) AS r
+         |FROM latest t JOIN dim d ON d.bucket = t.user_id % 5""".stripMargin) { (s, dir) =>
+      val rw = replayUpsert(s, dir, "m_wj_t", Seq(("m_wj_mv",
+        """SELECT t.user_id, d.bucket, d.label, t.value,
+          |  CAST(rank() OVER (PARTITION BY t.user_id % 5
+          |    ORDER BY t.value DESC, t.user_id) AS BIGINT) AS r
+          |FROM m_wj_t t JOIN m_wj_dim d ON d.bucket = t.user_id % 5""".stripMargin)),
+        setup = { rw =>
+          rw.createTable("m_wj_dim", StructType(Seq(
+            StructField("bucket", LongType), StructField("label", StringType))),
+            primaryKey = Seq("bucket"))
+        },
+        beforeChunk = Map(
+          2 -> { rw =>
+            rw.table("m_wj_dim").get.insert(Seq(Row(0L, "even"), Row(1L, "one")))
+          },
+          4 -> { rw =>
+            rw.execute("DELETE FROM m_wj_t WHERE value > 90")
+            rw.execute("DELETE FROM m_wj_dim WHERE bucket = 1")
+            rw.table("m_wj_dim").get.insert(Seq(Row(3L, "three")))
+            require(rw.mvByName("m_wj_mv").get.isWindowCascadeMode,
+              "fact+dim churn must not demote the join window cascade")
+          },
+          6 -> { rw =>
+            rw.table("m_wj_dim").get.insert(Seq(Row(1L, "uno")))
+          }))
+      val mv = rw.mvByName("m_wj_mv").get
+      require(mv.isWindowCascadeMode,
+        "a keyed window over two live tables must maintain by " +
+          "touched-partition recompute (round 14)")
+      val materialized = mv.df.localCheckpoint(true)
+      rw.close()
+      materialized
+    },
+
     // Global-window MV (round 12): the corpus-wide data-selection rank —
     // `rank() OVER (ORDER BY value DESC)` with NO partition key — which
     // the keyed cascade refuses (one global partition). The prefix-fold

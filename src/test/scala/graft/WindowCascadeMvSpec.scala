@@ -351,6 +351,70 @@ class WindowCascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("keyed window over an INNER JOIN of two LIVE tables cascades (round 14)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wij_ev", StructType(Seq(StructField("id", LongType),
+      StructField("uid", LongType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    rw.createTable("wij_usr", StructType(Seq(StructField("uid", LongType),
+      StructField("name", StringType))), primaryKey = Seq("uid"))
+    rw.mv("SELECT e.id, e.uid, u.name, e.v, CAST(rank() OVER " +
+      "(PARTITION BY e.uid ORDER BY e.v DESC, e.id) AS BIGINT) AS r " +
+      "FROM wij_ev e JOIN wij_usr u ON u.uid = e.uid", "wij_mv")
+    val mv = rw.mvByName("wij_mv").get
+    assert(mv.isWindowCascadeMode,
+      "rank over an INNER join of two live tables must window-cascade (round 14)")
+    val ev = rw.table("wij_ev").get
+    val us = rw.table("wij_usr").get
+    def state() = mv.df.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    def parity(): Unit = {
+      val batch = spark.sql("SELECT e.id, e.uid, u.name, e.v, CAST(rank() OVER " +
+        "(PARTITION BY e.uid ORDER BY e.v DESC, e.id) AS BIGINT) AS r " +
+        "FROM wij_ev e JOIN wij_usr u ON u.uid = e.uid").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+      assert(state() == batch, "cascade state must equal batch re-evaluation")
+    }
+    us.insert(Seq(Row(1L, "ann"), Row(2L, "bob")))
+    ev.insert(Seq(Row(10L, 1L, 10L), Row(11L, 1L, 20L), Row(12L, 9L, 5L)))
+    rw.flush()
+    assert(state() == Set((10L, "ann", 10L, 2L), (11L, "ann", 20L, 1L)),
+      "unmatched uid=9 must not join")
+    parity()
+    val evals = mv.statementEvals
+    // FACT-side delta: only uid=1's partition re-ranks
+    ev.insert(Seq(Row(13L, 1L, 30L)))
+    rw.flush()
+    assert(state() == Set((10L, "ann", 10L, 3L), (11L, "ann", 20L, 2L),
+      (13L, "ann", 30L, 1L)))
+    parity()
+    // DIM-side delta: late user uid=9 joins the dangling fact — the
+    // touched partitions derive from fact ⋈ dim-delta (the round-12
+    // restricted term, reused verbatim for the INNER side)
+    us.insert(Seq(Row(9L, "zoe")))
+    rw.flush()
+    assert(state() == Set((10L, "ann", 10L, 3L), (11L, "ann", 20L, 2L),
+      (13L, "ann", 30L, 1L), (12L, "zoe", 5L, 1L)))
+    parity()
+    // DIM retraction: uid=9's partition drops its join outputs entirely
+    rw.execute("DELETE FROM wij_usr WHERE uid = 9")
+    rw.flush()
+    parity()
+    // both sides churning in ONE epoch
+    us.insert(Seq(Row(3L, "cat"), Row(9L, "ZOE")))
+    ev.insert(Seq(Row(14L, 3L, 7L), Row(15L, 1L, 25L)))
+    rw.flush()
+    parity()
+    // dim UPSERT (name change) rewrites the enriched column in place
+    us.insert(Seq(Row(1L, "ANN")))
+    rw.flush()
+    parity()
+    assert(mv.isWindowCascadeMode, "no demotion through fact/dim churn and DML")
+    assert(mv.statementEvals > evals,
+      "epochs run partition-restricted evals (not zero-eval folds)")
+    rw.close()
+  }
+
   test("durable snapshot: window-cascade MV reopens with zero evals and keeps folding") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wcdur").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
