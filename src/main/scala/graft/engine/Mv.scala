@@ -2477,6 +2477,7 @@ final class MaterializedView private[engine](
         topNMode = false
         sessionMode = false
         innerState = None
+        sessionRawLocal = None
         frozen = None
         topNVisibleRows = None
         sessionVisibleRows = None

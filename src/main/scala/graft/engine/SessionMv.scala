@@ -156,6 +156,8 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
   private[engine] def tryStartSession(tbl: String, tsCol: String): Boolean = {
     try {
       sessionTsCol = tsCol.split('.').last // raw state carries bare columns
+      sessionGapUs = Dialect.sessionTvf(stmt)
+        .map(t => Dialect.intervalMillis(t._3) * 1000L).getOrElse(0L)
       val innerStmt = s"SELECT * FROM $tbl"
       // durable reopen: see tryStartTopN — snapshot parts load BEFORE the
       // faces bind, so a partial/unreadable snapshot falls back to replay
@@ -271,6 +273,19 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     // drop it, mirroring the reference's late-row semantics
     val d = applyCuts(d0)
     if (d.isEmpty) return
+    // affected-slice tier: land the delta driver-side and run the epoch
+    // restricted to the touched sessions' raw rows
+    if (sessionRawLocal.nonEmpty) {
+      val deltaRows = d.limit(sessionRawLocalMax + 1).collect()
+      if (deltaRows.length <= sessionRawLocalMax &&
+          sessionSliceEpoch(deltaRows.toIndexedSeq)) return
+      // slice refused (oversized delta, NULL event time, unorderable
+      // value): this epoch takes the distributed spelling below — the
+      // buffer no longer reflects the post-epoch state, so drop it; the
+      // full path re-seeds when the state still fits. innerState is the
+      // tier's own (pre-delta) LocalRelation, so the union stays correct.
+      sessionRawLocal = None
+    }
     innerState = Some(innerState.map(_.union(d)).getOrElse(d).localCheckpoint(true))
     sessionRecomputeAndEmit()
   }
@@ -318,6 +333,20 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
         snapshot = Some(nextVisible)
         sessionVisibleRows = Some(rows)
         nextVisible.createOrReplaceTempView(viewName)
+        // seed the affected-slice tier (round 14): raw rows driver-side,
+        // so subsequent epochs re-sessionize only the touched sessions'
+        // slice. Streaming path only — the session CASCADE mutates
+        // innerState with retractions outside the tier's fold.
+        if (streamingMode && !sessionSliceDisabled && sessionRawLocal.isEmpty &&
+            sessionSliceEligible) {
+          val raw = innerState.get.limit(sessionRawLocalMax + 1).collect()
+          if (raw.length <= sessionRawLocalMax) {
+            sessionRawSchema = Some(innerState.get.schema)
+            sessionOutSchema = Some(schema)
+            sessionRawLocal =
+              Some(scala.collection.mutable.ArrayBuffer(raw.toIndexedSeq: _*))
+          } else sessionSliceDisabled = true
+        }
         return
       }
       sessionLocalDisabled = true
@@ -349,8 +378,169 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     * session sets only grow while compaction is off, so re-probing every
     * epoch would pay the limit-collect for nothing. */
   private[engine] var sessionLocalDisabled = false
-  // private[graft]: specs shrink it to force the distributed fallback
-  private[graft] var sessionLocalDiffMax = 20000
+  // private[graft]: specs shrink it to force the distributed fallback.
+  // 200k (round 14, was 20k): aligned with the other driver tiers'
+  // bounds — sparse data makes most rows their own session, and a visible
+  // set in the tens of thousands is exactly where the affected-slice tier
+  // below pays off most (the full re-sessionize it replaces is O(visible))
+  private[graft] var sessionLocalDiffMax = 200000
+
+  // ---- affected-slice session tier (round 14) -------------------------
+  //
+  // The full-recompute epoch re-sessionizes the WHOLE carried raw state —
+  // an O(total rows) session_window exchange per epoch (12.1 MB/epoch at
+  // the sf0.1 bench, the largest in the streaming set, 100% of the
+  // entry's shuffle per ShuffleProfile). But appended rows can only merge
+  // sessions FORWARD: a session Z with end < min(delta ts) − gap is
+  // untouchable (any session affected by a delta row at t has end ≥ t,
+  // and all such sessions sit strictly after Z, so the slice boundary
+  // S = min start of affected sessions satisfies Z's rows < S). So each
+  // epoch re-sessionizes ONLY raw rows at/after S per touched key, diffs
+  // the affected outputs driver-side, and keeps every untouched session
+  // row verbatim — delta-proportional work, zero full-state exchange.
+  //
+  // Engages only where the local diff tail already runs (streaming path,
+  // no watermark/EOWC/frozen/cuts) AND the statement's shape lets the
+  // carried output name its sessions: plain-column grouping keys and the
+  // session bounds (window_start/window_end) present in the output by
+  // name. Bounds/latch discipline mirrors the other driver tiers; any
+  // in-epoch refusal (NULL event time, oversized delta or slice) falls
+  // back to the distributed spelling for that epoch and re-seeds.
+  private[engine] var sessionRawLocal:
+    Option[scala.collection.mutable.ArrayBuffer[Row]] = None
+  private var sessionRawSchema: Option[org.apache.spark.sql.types.StructType] = None
+  private var sessionOutSchema: Option[org.apache.spark.sql.types.StructType] = None
+  private var sessionSliceDisabled = false
+  private[graft] var sessionRawLocalMax = 200000
+  private[engine] var sessionGapUs = 0L
+  /** True while the raw session state is driver-resident (probe). */
+  private[graft] def sessionSliceActive: Boolean = sessionRawLocal.nonEmpty
+
+  /** Exact event-time micros of a driver-side temporal value; None for
+    * NULL or a non-temporal type (callers refuse the slice epoch). */
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant; Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case l: java.time.LocalDateTime =>
+      val i = l.toInstant(java.time.ZoneOffset.UTC)
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
+  /** Shape admission for the slice tier, decided once per MV. */
+  private lazy val sessionSliceEligible: Boolean = try {
+    import graft.streaming.Changelog
+    sessionKeys.exists { keys =>
+      val outS = spark.sql(sessionOuterSql).schema
+      val names = outS.fieldNames.toSet
+      sessionGapUs > 0 &&
+        names.contains("window_start") && names.contains("window_end") &&
+        keys.forall(names.contains) &&
+        // the affected/untouched split and the local diff need orderable,
+        // value-hashable driver types throughout the output
+        outS.fields.forall(f => Changelog.localOrdering(f.dataType).nonEmpty)
+    }
+  } catch { case _: Throwable => false }
+
+  /** One affected-slice epoch. Returns false — with NO side effects — when
+    * the epoch cannot run restricted (NULL event time, an unorderable
+    * value, the recomputed slice outgrowing [[sessionLocalDiffMax]]); the
+    * caller then takes the distributed spelling for this epoch. */
+  private def sessionSliceEpoch(deltaRows: IndexedSeq[Row]): Boolean = {
+    import graft.streaming.Changelog
+    val buf = sessionRawLocal.get
+    val rawSchema = sessionRawSchema.get
+    val outS = sessionOutSchema.get
+    val prevVis = sessionVisibleRows.getOrElse(return false)
+    if (snapshot.isEmpty) return false
+    val keys = sessionKeys.get
+    val tsIdx = rawSchema.fieldIndex(sessionTsCol)
+    val rawKeyIdx = keys.map(rawSchema.fieldIndex)
+    val outKeyIdx = keys.map(outS.fieldIndex)
+    val wsIdx = outS.fieldIndex("window_start")
+    val weIdx = outS.fieldIndex("window_end")
+    // per touched key: the earliest delta event time
+    val minTs = scala.collection.mutable.HashMap[List[Any], Long]()
+    deltaRows.foreach { r =>
+      val m = tsMicros(r.get(tsIdx)).getOrElse(return false)
+      val k = rawKeyIdx.map(r.get).toList
+      minTs.update(k, math.min(m, minTs.getOrElse(k, Long.MaxValue)))
+    }
+    // split the carried visible rows: a session with end ≥ C = minTs − gap
+    // may merge with the delta (inclusive compare = sound over-touching);
+    // everything else is untouchable this epoch
+    val untouched = scala.collection.mutable.ArrayBuffer[Row]()
+    val oldAffected = scala.collection.mutable.ArrayBuffer[Row]()
+    val sliceStart = scala.collection.mutable.HashMap[List[Any], Long]()
+    prevVis.foreach { r =>
+      val k = outKeyIdx.map(r.get).toList
+      minTs.get(k) match {
+        case Some(mt) =>
+          val we = tsMicros(r.get(weIdx)).getOrElse(return false)
+          if (we >= mt - sessionGapUs) {
+            oldAffected += r
+            val ws = tsMicros(r.get(wsIdx)).getOrElse(return false)
+            sliceStart.update(k, math.min(ws, sliceStart.getOrElse(k, Long.MaxValue)))
+          } else untouched += r
+        case None => untouched += r
+      }
+    }
+    // raw slice: touched keys' rows at/after the earliest affected
+    // session's start (no affected session → no raw row can sit past C,
+    // see the tier note — the slice is the delta alone)
+    val slice = scala.collection.mutable.ArrayBuffer[Row]()
+    var sliceOk = true
+    buf.foreach { r =>
+      val k = rawKeyIdx.map(r.get).toList
+      sliceStart.get(k).foreach { s =>
+        tsMicros(r.get(tsIdx)) match {
+          case Some(m) => if (m >= s) slice += r
+          case None => sliceOk = false
+        }
+      }
+    }
+    if (!sliceOk) return false
+    // re-sessionize ONLY the slice: the statement over a LocalRelation —
+    // the exchange carries slice ∪ delta, never the full state
+    val newAffected = try {
+      localDf((slice ++ deltaRows).toIndexedSeq, rawSchema)
+        .createOrReplaceTempView(sessionSrcView)
+      val rows = timed("session-slice")(
+        spark.sql(sessionOuterSql).limit(sessionLocalDiffMax + 1).collect())
+      if (rows.length > sessionLocalDiffMax) return false
+      rows.toIndexedSeq
+    } catch { case scala.util.control.NonFatal(_) => return false }
+    // untouched rows are identical on both sides of the full diff and
+    // cancel; diffing the affected subsets emits the same ops in the same
+    // deterministic order
+    val ops = Changelog.localMultisetDiff(
+      Some(oldAffected.toSeq), newAffected, outS).getOrElse(return false)
+    // ---- commit ----
+    if (ops.nonEmpty) timed("emitOps")(emitOps(localDf(ops.toIndexedSeq,
+      outS.add("op", org.apache.spark.sql.types.StringType))))
+    buf ++= deltaRows
+    val nextVisible = (untouched ++ newAffected).toIndexedSeq
+    sessionVisibleRows = Some(nextVisible)
+    val nv = localDf(nextVisible, outS)
+    snapshot = Some(nv)
+    nv.createOrReplaceTempView(viewName)
+    innerState = Some(localDf(buf.toIndexedSeq, rawSchema))
+    // bounds: a grown raw state or visible set hands off to the
+    // distributed tiers for good (monotone, like every driver tier)
+    if (buf.length > sessionRawLocalMax) {
+      sessionRawLocal = None
+      sessionSliceDisabled = true
+    }
+    if (nextVisible.length > sessionLocalDiffMax) {
+      sessionRawLocal = None
+      sessionSliceDisabled = true
+      sessionLocalDisabled = true
+      sessionVisibleRows = None
+    }
+    true
+  }
 
   /** Session MV over ONE PK/upsert (or DML-mutated) live table — the
     * retraction-emitting sources the streaming session path cannot bind

@@ -626,16 +626,18 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
     if (snapshot.isEmpty) {
       latests.foreach { case (u, l) => cascadeOffsets(u.viewName) = l }
       statementEvals += 1
-      val grouped = groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true)
+      val grouped = timed("backfill")(
+        groupedCounts(spark.sql(cascadeStmt)).localCheckpoint(true))
       cascadeInner = Some(grouped)
       val vis = expandCounts(grouped)
       snapshot = Some(vis)
       vis.createOrReplaceTempView(viewName)
-      emitOps(Changelog.multisetDiff(None, vis, wide = true), wide = true)
+      timed("backfill")(
+        emitOps(Changelog.multisetDiff(None, vis, wide = true), wide = true))
       // lift the freshly-built state into the local tier right away so the
       // FIRST incremental epoch already takes the zero-job state tail; a
       // localize failure must not fail the (already-committed) backfill
-      try tryLocalizeWindowState()
+      try timed("backfill")(tryLocalizeWindowState())
       catch { case scala.util.control.NonFatal(_) => () }
       return
     }

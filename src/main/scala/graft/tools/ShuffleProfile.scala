@@ -51,7 +51,15 @@ object ShuffleProfile {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val w = si.taskMetrics.shuffleWriteMetrics.bytesWritten
-        val k = stagePhase.getOrElse(si.stageId, "untagged")
+        // untagged stages (outside any timed() phase) fall back to the
+        // first graft frame of the submission stack, then the callsite
+        val k = stagePhase.get(si.stageId).filter(_ != "untagged").getOrElse {
+          si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("ShuffleProfile"))
+            .map(l => "untagged:" + l.trim.takeWhile(_ != '(') +
+              l.trim.dropWhile(_ != '(').take(40))
+            .getOrElse("untagged:" + si.name)
+        }
         val (pw, pn) = agg.getOrElse(k, (0L, 0L))
         agg.update(k, (pw + w, pn + 1))
       }

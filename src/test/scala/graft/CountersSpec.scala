@@ -33,7 +33,7 @@ class CountersSpec extends SparkSpec {
   private val pinned: Map[String, (Double, Long)] = Map(
     "s_mv_tumble_maintain" -> (2.0, 171094L),
     "s_mv_cascade_epoch" -> (7.75, 358306L),
-    "s_mv_session_maintain" -> (7.0, 1285518L),
+    "s_mv_session_maintain" -> (7.125, 308135L), // r14: affected-slice tier
     "s_mv_topn_cascade" -> (13.75, 204682L),
     "s_mv_pkagg_fold" -> (6.625, 176974L),
     // r14: join-state map tier + merged-face tier (PK dedup window gone)

@@ -398,4 +398,68 @@ class SessionMvSpec extends SparkSpec {
     assert(vis(m2) == Set((0L, "a", 1L), (50L, "b", 1L), (60L, "a", 1L)))
     rw2.close()
   }
+
+  test("affected-slice tier: epochs re-sessionize only the touched tail (round 14)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("slc_t", schema)
+    val m = rw.mv(
+      """SELECT window_start, window_end, k, count(*) AS n, SUM(v) AS sv
+        |FROM session(slc_t, ts, interval '10 seconds')
+        |GROUP BY window_start, window_end, k""".stripMargin, "slc_mv")
+    assert(m.isSessionMode)
+    val t = rw.table("slc_t").get
+    def state() = m.df.collect().map(r =>
+      (r.getTimestamp(0).toInstant.getEpochSecond,
+       r.getTimestamp(1).toInstant.getEpochSecond,
+       r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    def parity(): Unit = {
+      val batch = spark.sql(
+        """SELECT session_window.start, session_window.end, k, count(*), SUM(v)
+          |FROM slc_t GROUP BY session_window(ts, '10 seconds'), k""".stripMargin)
+        .collect().map(r =>
+          (r.getTimestamp(0).toInstant.getEpochSecond,
+           r.getTimestamp(1).toInstant.getEpochSecond,
+           r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(state() == batch, "slice state must equal batch re-sessionization")
+    }
+    // epoch 1: two separated sessions per key
+    t.insert(Seq(Row("a", ts(0), 1.0), Row("a", ts(30), 2.0),
+      Row("b", ts(5), 3.0)))
+    rw.flush()
+    assert(m.sessionSliceActive, "a bounded eligible statement must seed the slice tier")
+    parity()
+    // epoch 2: extends ONLY a's last session; the [0,10) session and all
+    // of b are untouched — their output rows must survive verbatim
+    t.insert(Seq(Row("a", ts(35), 4.0)))
+    rw.flush()
+    assert(m.sessionSliceActive)
+    parity()
+    assert(state().contains((30L, 45L, "a", 2L, 6.0)), "tail session must extend")
+    assert(state().contains((0L, 10L, "a", 1L, 1.0)), "untouched session must survive")
+    // epoch 3: a bridging row MERGES a's two sessions — the affected set
+    // reaches back past the delta's own timestamp through the boundary
+    t.insert(Seq(Row("a", ts(22), 5.0)))
+    rw.flush()
+    parity()
+    assert(state().contains((0L, 45L, "a", 4L, 12.0)) ||
+           state().contains((22L, 45L, "a", 3L, 11.0)), "bridge must merge or chain")
+    // epoch 4: a LATE row older than every session → every session of its
+    // key is affected → the slice degenerates to the full key, correctly
+    t.insert(Seq(Row("b", ts(1) /* before b's [5,15) start */, 6.0)))
+    rw.flush()
+    parity()
+    // over-bound: the raw state outgrows the shrunken bound mid-epoch —
+    // the tier must hand off monotonically and stay correct
+    m.sessionRawLocalMax = 8
+    t.insert((100 to 104).map(i => Row("c", ts(i.toLong * 60), i.toDouble)))
+    rw.flush()
+    assert(!m.sessionSliceActive, "outgrowing the bound must drop the tier")
+    parity()
+    t.insert(Seq(Row("c", ts(100L * 60 + 5), 9.0))) // post-latch epochs stay correct
+    rw.flush()
+    assert(!m.sessionSliceActive, "the latch is monotone")
+    parity()
+    assert(m.isSessionMode, "no demotion through the hand-off")
+    rw.close()
+  }
 }
