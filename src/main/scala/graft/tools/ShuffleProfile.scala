@@ -41,11 +41,13 @@ object ShuffleProfile {
     spark.sparkContext.setLogLevel("ERROR")
 
     val stagePhase = mutable.HashMap[Int, String]()
+    val jobsPerPhase = mutable.LinkedHashMap[String, Long]()
     val agg = mutable.LinkedHashMap[String, (Long, Long)]() // phase -> (bytes, stages)
     val lsn = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val ph = Option(js.properties)
           .flatMap(p => Option(p.getProperty("graft.phase"))).getOrElse("untagged")
+        jobsPerPhase.update(ph, jobsPerPhase.getOrElse(ph, 0L) + 1L)
         js.stageIds.foreach(sid => stagePhase(sid) = ph)
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -74,6 +76,10 @@ object ShuffleProfile {
     val total = math.max(1L, agg.valuesIterator.map(_._1).sum)
     agg.toSeq.sortBy(-_._2._1).foreach { case (k, (w, n)) =>
       println(f"  $k%-42s $w%10d bytes (${100.0 * w / total}%5.1f%%) over $n%4d stages")
+    }
+    println("  jobs per phase:")
+    jobsPerPhase.toSeq.sortBy(-_._2).foreach { case (k, n) =>
+      println(f"    $k%-40s $n%5d jobs (${n.toDouble / epochs}%6.3f /epoch)")
     }
     spark.stop()
   }

@@ -415,6 +415,51 @@ class WindowCascadeMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("INNER and LEFT live dims compose under one window cascade (round 14)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wmx_ev", StructType(Seq(StructField("id", LongType),
+      StructField("uid", LongType), StructField("cat", LongType),
+      StructField("v", LongType))), primaryKey = Seq("id"))
+    rw.createTable("wmx_usr", StructType(Seq(StructField("uid", LongType),
+      StructField("name", StringType))), primaryKey = Seq("uid"))
+    rw.createTable("wmx_cat", StructType(Seq(StructField("cid", LongType),
+      StructField("label", StringType))), primaryKey = Seq("cid"))
+    val stmt = "SELECT e.id, e.uid, u.name, c.label, e.v, CAST(rank() OVER " +
+      "(PARTITION BY e.uid ORDER BY e.v DESC, e.id) AS BIGINT) AS r " +
+      "FROM wmx_ev e JOIN wmx_usr u ON u.uid = e.uid " +
+      "LEFT JOIN wmx_cat c ON c.cid = e.cat"
+    rw.mv(stmt, "wmx_mv")
+    val mv = rw.mvByName("wmx_mv").get
+    assert(mv.isWindowCascadeMode,
+      "an INNER live dim and a LEFT live dim must both classify under one primary")
+    def parity(): Unit = {
+      def shape(rows: Array[Row]) = rows.map(r => (r.getLong(0),
+        r.getString(2), Option(r.getString(3)), r.getLong(4), r.getLong(5))).toSet
+      assert(shape(mv.df.collect()) == shape(spark.sql(stmt).collect()))
+    }
+    val ev = rw.table("wmx_ev").get
+    rw.table("wmx_usr").get.insert(Seq(Row(1L, "ann"), Row(2L, "bob")))
+    rw.table("wmx_cat").get.insert(Seq(Row(7L, "news")))
+    ev.insert(Seq(Row(10L, 1L, 7L, 10L), Row(11L, 1L, 8L, 20L), Row(12L, 2L, 7L, 5L)))
+    rw.flush(); parity()
+    // inner-dim churn: a user appears and disappears
+    rw.table("wmx_usr").get.insert(Seq(Row(3L, "cat")))
+    ev.insert(Seq(Row(13L, 3L, 8L, 9L)))
+    rw.flush(); parity()
+    rw.execute("DELETE FROM wmx_usr WHERE uid = 2")
+    rw.flush(); parity()
+    // padded-dim churn: enrichment flips for cat=8 rows only
+    rw.table("wmx_cat").get.insert(Seq(Row(8L, "blog")))
+    rw.flush(); parity()
+    // all three churn in one epoch
+    rw.table("wmx_usr").get.insert(Seq(Row(2L, "BOB")))
+    rw.table("wmx_cat").get.insert(Seq(Row(7L, "NEWS")))
+    ev.insert(Seq(Row(14L, 1L, 7L, 30L)))
+    rw.flush(); parity()
+    assert(mv.isWindowCascadeMode, "no demotion through mixed dim churn")
+    rw.close()
+  }
+
   test("durable snapshot: window-cascade MV reopens with zero evals and keeps folding") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wcdur").toString
     val rw1 = GraftEngine.open(ConnOptions(dataDir = Some(dir)), Some(spark))
