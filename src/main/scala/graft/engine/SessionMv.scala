@@ -68,6 +68,8 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     try {
       val t = tbls.head
       sessionTsCol = tsCol.split('.').last
+      sessionGapUs = Dialect.sessionTvf(stmt)
+        .map(g => Dialect.intervalMillis(g._3) * 1000L).getOrElse(0L)
       sessionOuterSql = ownerEngine.rewrite(Dialect.retargetSessionTvf(stmt, sessionSrcView))
       // pre-validate the retargeted statement against the (empty) table
       // schema before committing to the mode
@@ -335,10 +337,15 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
         nextVisible.createOrReplaceTempView(viewName)
         // seed the affected-slice tier (round 14): raw rows driver-side,
         // so subsequent epochs re-sessionize only the touched sessions'
-        // slice. Streaming path only — the session CASCADE mutates
-        // innerState with retractions outside the tier's fold.
-        if (streamingMode && !sessionSliceDisabled && sessionRawLocal.isEmpty &&
-            sessionSliceEligible) {
+        // slice. Both session paths route their folds through the tier —
+        // the streaming path appends, the cascade path appends AND
+        // removes (its keyed changelog retractions). The raw schema must
+        // be value-hashable throughout: removals and the slice scan key
+        // whole raw rows.
+        if ((streamingMode || cascadeMode) && !sessionSliceDisabled &&
+            sessionRawLocal.isEmpty && sessionSliceEligible &&
+            innerState.get.schema.fields.forall(f =>
+              Changelog.localOrdering(f.dataType).nonEmpty)) {
           val raw = innerState.get.limit(sessionRawLocalMax + 1).collect()
           if (raw.length <= sessionRawLocalMax) {
             sessionRawSchema = Some(innerState.get.schema)
@@ -444,11 +451,18 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     }
   } catch { case _: Throwable => false }
 
-  /** One affected-slice epoch. Returns false — with NO side effects — when
-    * the epoch cannot run restricted (NULL event time, an unorderable
-    * value, the recomputed slice outgrowing [[sessionLocalDiffMax]]); the
-    * caller then takes the distributed spelling for this epoch. */
-  private def sessionSliceEpoch(deltaRows: IndexedSeq[Row]): Boolean = {
+  /** One affected-slice epoch over an appended delta (`addRows`) and —
+    * the session CASCADE's retraction fold, round 14 — a removed multiset
+    * (`delRows`; a deleted row's own session has end ≥ its ts, so the
+    * same affected-region proof covers removals, including session
+    * SPLITS, whose fragments stay inside the slice). Returns false — with
+    * NO side effects — when the epoch cannot run restricted (NULL event
+    * time, an unorderable value, a removal naming a row the carried state
+    * does not hold, the recomputed slice outgrowing
+    * [[sessionLocalDiffMax]]); the caller then takes the distributed
+    * spelling for this epoch. */
+  private def sessionSliceEpoch(addRows: IndexedSeq[Row],
+      delRows: IndexedSeq[Row] = IndexedSeq.empty): Boolean = {
     import graft.streaming.Changelog
     val buf = sessionRawLocal.get
     val rawSchema = sessionRawSchema.get
@@ -461,13 +475,30 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     val outKeyIdx = keys.map(outS.fieldIndex)
     val wsIdx = outS.fieldIndex("window_start")
     val weIdx = outS.fieldIndex("window_end")
-    // per touched key: the earliest delta event time
+    // per touched key: the earliest delta event time (adds AND removals)
     val minTs = scala.collection.mutable.HashMap[List[Any], Long]()
-    deltaRows.foreach { r =>
+    (addRows.iterator ++ delRows.iterator).foreach { r =>
       val m = tsMicros(r.get(tsIdx)).getOrElse(return false)
       val k = rawKeyIdx.map(r.get).toList
       minTs.update(k, math.min(m, minTs.getOrElse(k, Long.MaxValue)))
     }
+    // apply removals to a post-removal view of the raw state; a removal
+    // the state cannot satisfy is an inconsistency — refuse, recompute
+    val postBuf: scala.collection.mutable.ArrayBuffer[Row] =
+      if (delRows.isEmpty) buf
+      else {
+        val rm = scala.collection.mutable.HashMap[Row, Int]()
+        delRows.foreach(r => rm.update(r, rm.getOrElse(r, 0) + 1))
+        val nb = new scala.collection.mutable.ArrayBuffer[Row](buf.length)
+        buf.foreach { r =>
+          rm.get(r) match {
+            case Some(c) => if (c == 1) rm.remove(r) else rm.update(r, c - 1)
+            case None => nb += r
+          }
+        }
+        if (rm.nonEmpty) return false
+        nb
+      }
     // split the carried visible rows: a session with end ≥ C = minTs − gap
     // may merge with the delta (inclusive compare = sound over-touching);
     // everything else is untouchable this epoch
@@ -492,7 +523,7 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     // see the tier note — the slice is the delta alone)
     val slice = scala.collection.mutable.ArrayBuffer[Row]()
     var sliceOk = true
-    buf.foreach { r =>
+    postBuf.foreach { r =>
       val k = rawKeyIdx.map(r.get).toList
       sliceStart.get(k).foreach { s =>
         tsMicros(r.get(tsIdx)) match {
@@ -505,7 +536,7 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     // re-sessionize ONLY the slice: the statement over a LocalRelation —
     // the exchange carries slice ∪ delta, never the full state
     val newAffected = try {
-      localDf((slice ++ deltaRows).toIndexedSeq, rawSchema)
+      localDf((slice ++ addRows).toIndexedSeq, rawSchema)
         .createOrReplaceTempView(sessionSrcView)
       val rows = timed("session-slice")(
         spark.sql(sessionOuterSql).limit(sessionLocalDiffMax + 1).collect())
@@ -520,16 +551,18 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     // ---- commit ----
     if (ops.nonEmpty) timed("emitOps")(emitOps(localDf(ops.toIndexedSeq,
       outS.add("op", org.apache.spark.sql.types.StringType))))
-    buf ++= deltaRows
+    val committed = postBuf
+    committed ++= addRows
+    if (!(committed eq buf)) sessionRawLocal = Some(committed)
     val nextVisible = (untouched ++ newAffected).toIndexedSeq
     sessionVisibleRows = Some(nextVisible)
     val nv = localDf(nextVisible, outS)
     snapshot = Some(nv)
     nv.createOrReplaceTempView(viewName)
-    innerState = Some(localDf(buf.toIndexedSeq, rawSchema))
+    innerState = Some(localDf(committed.toIndexedSeq, rawSchema))
     // bounds: a grown raw state or visible set hands off to the
     // distributed tiers for good (monotone, like every driver tier)
-    if (buf.length > sessionRawLocalMax) {
+    if (committed.length > sessionRawLocalMax) {
       sessionRawLocal = None
       sessionSliceDisabled = true
     }
@@ -571,6 +604,46 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
       if (latest <= after) return
       val ops = u.log.dfAfter(after)
       cascadeOffsets(u.viewName) = latest
+      // affected-slice tier (round 14): land the delta ops driver-side,
+      // net the window per distinct row, and fold adds AND removals by
+      // the restricted epoch — no full-state exceptAll/union, no
+      // full-state re-sessionize
+      if (sessionRawLocal.nonEmpty && sessionCuts.isEmpty && frozen.isEmpty &&
+          sessionCascadeWm.isEmpty) {
+        val payload = ops.drop("rw_timestamp")
+        val collected = payload.limit(sessionRawLocalMax + 1).collect()
+        val handled = collected.length <= sessionRawLocalMax && {
+          val opIdx = payload.schema.fieldIndex("op")
+          val rawSchema = sessionRawSchema.get
+          val colIdx = rawSchema.fieldNames.map(payload.schema.fieldIndex(_))
+          def strip(r: Row) = Row.fromSeq(colIdx.toIndexedSeq.map(r.get))
+          val adds = scala.collection.mutable.ArrayBuffer[Row]()
+          val dels = scala.collection.mutable.ArrayBuffer[Row]()
+          collected.foreach { r =>
+            r.getString(opIdx) match {
+              case Changelog.OpInsert | Changelog.OpUpdateInsert => adds += strip(r)
+              case _ => dels += strip(r)
+            }
+          }
+          // net per distinct row: a row inserted AND deleted within the
+          // consumed window is not in the pre-window state — a phantom on
+          // both sides, cancel it
+          val cnt = scala.collection.mutable.HashMap[Row, Int]()
+          adds.foreach(r => cnt.update(r, cnt.getOrElse(r, 0) + 1))
+          dels.foreach(r => cnt.update(r, cnt.getOrElse(r, 0) - 1))
+          val addsNet = scala.collection.mutable.ArrayBuffer[Row]()
+          val delsNet = scala.collection.mutable.ArrayBuffer[Row]()
+          cnt.foreach { case (r, c) =>
+            if (c > 0) (1 to c).foreach(_ => addsNet += r)
+            else if (c < 0) (1 to -c).foreach(_ => delsNet += r)
+          }
+          sessionSliceEpoch(addsNet.toIndexedSeq, delsNet.toIndexedSeq)
+        }
+        if (handled) return
+        // refused: this epoch folds distributed below; drop the (now
+        // stale-prone) buffer — the full path re-seeds when it still fits
+        sessionRawLocal = None
+      }
       val adds = applyCuts(ops.filter(col("op").isin(
         Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op", "rw_timestamp"))
       val dels = applyCuts(ops.filter(col("op").isin(

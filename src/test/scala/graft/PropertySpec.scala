@@ -833,4 +833,53 @@ class PropertySpec extends SparkSpec {
     assert(mv.isGlobalWindowMode && mv.statementEvals <= 1,
       "the multi-source fold must survive the interleaving with zero re-evals")
   }
+
+  test("affected-slice session tier equals batch under random append interleavings (round 14)") {
+    // dense, out-of-order timestamps in a small range force every shape
+    // the slice proof covers: tail extensions, cross-boundary merges,
+    // bridges between old sessions, and far-past late rows whose affected
+    // set degenerates to the whole key
+    val t = "sprop_t"
+    rw.createTable(t, StructType(Seq(StructField("k", StringType),
+      StructField("ts", TimestampType), StructField("v", LongType))))
+    val mv = rw.mv(
+      s"""SELECT window_start, window_end, k, count(*) AS n,
+         |  CAST(SUM(v) AS BIGINT) AS sv
+         |FROM session($t, ts, interval '10 seconds')
+         |GROUP BY window_start, window_end, k""".stripMargin, "sprop_mv")
+    assert(mv.isSessionMode)
+    def tsOf(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    sealed trait K
+    case object Ins extends K; case object Late extends K; case object Fl extends K
+    val gen = for {
+      kind <- Gen.frequency(6 -> Ins, 1 -> Late, 2 -> Fl)
+      k <- Gen.oneOf("a", "b")
+      sec <- Gen.choose(100L, 400L)
+      late <- Gen.choose(0L, 40L)
+      v <- Gen.choose(1L, 50L)
+    } yield (kind, k, sec, late, v)
+    def stateOf(sql: String): Seq[(Long, Long, String, Long, Long)] =
+      spark.sql(sql).collect().map(r =>
+        (r.getTimestamp(0).toInstant.getEpochSecond,
+         r.getTimestamp(1).toInstant.getEpochSecond,
+         r.getString(2), r.getLong(3), r.getLong(4))).toSeq.sorted
+    val batchSql =
+      s"""SELECT session_window.start, session_window.end, k, count(*),
+         |  CAST(SUM(v) AS BIGINT) FROM $t
+         |GROUP BY session_window(ts, '10 seconds'), k""".stripMargin
+    var sliceEpochs = 0
+    sample(Gen.listOfN(70, gen), seed = 19014).foreach {
+      case (Ins, k, sec, _, v) => rw.table(t).get.insert(Seq(Row(k, tsOf(sec), v)))
+      case (Late, k, _, late, v) => rw.table(t).get.insert(Seq(Row(k, tsOf(late), v)))
+      case (Fl, _, _, _, _) =>
+        rw.flush()
+        if (mv.sessionSliceActive) sliceEpochs += 1
+        assert(stateOf("SELECT * FROM sprop_mv") == stateOf(batchSql))
+    }
+    rw.flush()
+    assert(stateOf("SELECT * FROM sprop_mv") == stateOf(batchSql))
+    assert(mv.sessionSliceActive && sliceEpochs > 3,
+      "the slice tier must carry the interleaving, not fall back")
+    assert(mv.isSessionMode)
+  }
 }

@@ -307,12 +307,16 @@ class SessionMvSpec extends SparkSpec {
     def vis() = mv.df.collect().map(r =>
       (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(2), r.getLong(3))).toSet
     assert(vis() == Set((0L, "a", 2L), (30L, "a", 1L)))
+    assert(mv.sessionSliceActive,
+      "the cascade fold must ride the affected-slice tier too (round 14)")
     // upsert id=2 to ts=35: leaves the first session, bridges nothing —
     // first session shrinks to 1, second grows to 2
     t.insert(Seq(Row(2L, "a", ts(35), 1.0)))
     rw.flush()
     assert(vis() == Set((0L, "a", 1L), (30L, "a", 2L)),
       "an upsert overwrite must move its row between sessions")
+    assert(mv.sessionSliceActive,
+      "keyed retraction pairs must fold through the slice, not drop the tier")
     // upsert id=1 to ts=20: NOW it bridges 20-30-35 into one session
     t.insert(Seq(Row(1L, "a", ts(20), 1.0)))
     rw.flush()
