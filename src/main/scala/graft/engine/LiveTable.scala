@@ -567,6 +567,15 @@ final class LiveTable(
         i.atZone(sessionZone).toLocalDateTime
       case (l: java.time.LocalDateTime, org.apache.spark.sql.types.TimestampType) =>
         java.sql.Timestamp.from(l.atZone(sessionZone).toInstant)
+      // canonicalize the two java.time external types Spark also accepts:
+      // the merged-face map keys/orders on raw JVM values, so a
+      // parquet-seeded java.sql.Timestamp and an appended Instant for the
+      // same PK must land as the SAME representation (and Changelog
+      // .localOrdering casts versions to java.sql.{Timestamp,Date})
+      case (i: java.time.Instant, org.apache.spark.sql.types.TimestampType) =>
+        java.sql.Timestamp.from(i)
+      case (d: java.time.LocalDate, org.apache.spark.sql.types.DateType) =>
+        java.sql.Date.valueOf(d)
       case _ => v
     }
 

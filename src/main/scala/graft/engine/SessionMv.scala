@@ -68,8 +68,13 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     try {
       val t = tbls.head
       sessionTsCol = tsCol.split('.').last
+      // gap spellings Spark's session_window accepts but intervalMillis
+      // rejects ('0.5 seconds', '1 week') must not abort mode admission —
+      // gapUs=0 just keeps the slice tier off (sessionSliceEligible
+      // requires gap > 0); the fold itself never needs the gap value
       sessionGapUs = Dialect.sessionTvf(stmt)
-        .map(g => Dialect.intervalMillis(g._3) * 1000L).getOrElse(0L)
+        .flatMap(g => scala.util.Try(Dialect.intervalMillis(g._3) * 1000L).toOption)
+        .getOrElse(0L)
       sessionOuterSql = ownerEngine.rewrite(Dialect.retargetSessionTvf(stmt, sessionSrcView))
       // pre-validate the retargeted statement against the (empty) table
       // schema before committing to the mode
@@ -158,8 +163,11 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
   private[engine] def tryStartSession(tbl: String, tsCol: String): Boolean = {
     try {
       sessionTsCol = tsCol.split('.').last // raw state carries bare columns
+      // same Try guard as tryStartSessionCascade: an unparsable gap keeps
+      // the slice tier off instead of demoting the whole mode
       sessionGapUs = Dialect.sessionTvf(stmt)
-        .map(t => Dialect.intervalMillis(t._3) * 1000L).getOrElse(0L)
+        .flatMap(t => scala.util.Try(Dialect.intervalMillis(t._3) * 1000L).toOption)
+        .getOrElse(0L)
       val innerStmt = s"SELECT * FROM $tbl"
       // durable reopen: see tryStartTopN — snapshot parts load BEFORE the
       // faces bind, so a partial/unreadable snapshot falls back to replay
@@ -611,8 +619,13 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
       if (sessionRawLocal.nonEmpty && sessionCuts.isEmpty && frozen.isEmpty &&
           sessionCascadeWm.isEmpty) {
         val payload = ops.drop("rw_timestamp")
+        // NonFatal guard: offsets are already advanced above, so a throw
+        // escaping here would lose the epoch's delta for good — a refusal
+        // must instead fall through to the distributed fold below (the
+        // same failure semantics as sessionSliceEpoch's own try)
+        val handled = try {
         val collected = payload.limit(sessionRawLocalMax + 1).collect()
-        val handled = collected.length <= sessionRawLocalMax && {
+        collected.length <= sessionRawLocalMax && {
           val opIdx = payload.schema.fieldIndex("op")
           val rawSchema = sessionRawSchema.get
           val colIdx = rawSchema.fieldNames.map(payload.schema.fieldIndex(_))
@@ -639,6 +652,7 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
           }
           sessionSliceEpoch(addsNet.toIndexedSeq, delsNet.toIndexedSeq)
         }
+        } catch { case scala.util.control.NonFatal(_) => false }
         if (handled) return
         // refused: this epoch folds distributed below; drop the (now
         // stale-prone) buffer — the full path re-seeds when it still fits

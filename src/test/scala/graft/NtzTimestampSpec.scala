@@ -100,6 +100,48 @@ class NtzTimestampSpec extends SparkSpec {
     } finally rw.close()
   }
 
+  test("PK/version ingest canonicalizes java.time.Instant and LocalDate (merged-face tier)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    try {
+      // TIMESTAMPTZ version column: seed with java.sql.Timestamp, then
+      // upsert the SAME key spelled as java.time.Instant — pre-fix the
+      // merged-face map kept both representations as distinct version
+      // objects and the version ordering (which casts to java.sql.Timestamp)
+      // threw ClassCastException on the first read
+      rw.execute(
+        """CREATE TABLE inst_vt (k STRING PRIMARY KEY, ver TIMESTAMPTZ, v BIGINT)
+          |ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver)""".stripMargin)
+      rw.insertRow("inst_vt", forceFlush = true, values = Map(
+        "k" -> "a", "ver" -> java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(10)),
+        "v" -> 1L))
+      rw.insertRow("inst_vt", forceFlush = true, values = Map(
+        "k" -> "a", "ver" -> java.time.Instant.ofEpochSecond(20), "v" -> 2L))
+      rw.insertRow("inst_vt", forceFlush = true, values = Map(
+        "k" -> "a", "ver" -> java.time.Instant.ofEpochSecond(15), "v" -> 3L)) // stale
+      rw.execute("FLUSH")
+      val got = rw.fetch("SELECT k, v FROM inst_vt").map(r => (r.getString(0), r.getLong(1)))
+      assert(got == Seq(("a", 2L)), s"got $got")
+      // DATE PK fed java.sql.Date and java.time.LocalDate must be ONE key
+      rw.execute("CREATE TABLE date_pk (d DATE PRIMARY KEY, v BIGINT)")
+      rw.insertRow("date_pk", forceFlush = true, values = Map(
+        "d" -> java.sql.Date.valueOf("2024-03-01"), "v" -> 1L))
+      rw.insertRow("date_pk", forceFlush = true, values = Map(
+        "d" -> java.time.LocalDate.parse("2024-03-01"), "v" -> 2L))
+      rw.execute("FLUSH")
+      val g2 = rw.fetch("SELECT d, v FROM date_pk")
+        .map(r => (r.getDate(0).toString, r.getLong(1)))
+      assert(g2 == Seq(("2024-03-01", 2L)), s"got $g2")
+      // TIMESTAMPTZ PK fed as Instant through the DataFrame insert path
+      rw.execute("CREATE TABLE ts_pk (ts TIMESTAMPTZ PRIMARY KEY, v BIGINT)")
+      val t = rw.table("ts_pk").get
+      t.insert(Seq(Row(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(7)), 1L)))
+      t.insert(Seq(Row(java.time.Instant.ofEpochSecond(7), 2L)))
+      rw.execute("FLUSH")
+      val g3 = rw.fetch("SELECT v FROM ts_pk").map(_.getLong(0))
+      assert(g3 == Seq(2L), s"got $g3")
+    } finally rw.close()
+  }
+
   test("hop and session TVFs work over an NTZ live table") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     try {

@@ -64,6 +64,28 @@ class SessionMvSpec extends SparkSpec {
     rw.close()
   }
 
+  test("gap spellings intervalMillis rejects ('1 week') do not demote the session mode") {
+    // Spark's session_window parses '1 week'; Dialect.intervalMillis does
+    // not — the gap probe must degrade to gapUs=0 (slice tier off), not
+    // abort mode admission into the per-flush batch fallback
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("sessg_t", schema)
+    val m = rw.mv(
+      """SELECT window_start, window_end, k, count(*) AS n
+        |FROM session(sessg_t, ts, interval '1 week')
+        |GROUP BY window_start, window_end, k""".stripMargin, "sessg_mv")
+    assert(m.isStreamingMode && m.isSessionMode,
+      "an unparsable-but-Spark-valid gap must keep the streaming session path")
+    val t = rw.table("sessg_t").get
+    t.insert(Seq(Row("a", ts(0), 1.0), Row("a", ts(3600), 2.0),
+      Row("b", ts(10 * 86400), 1.0)))
+    rw.flush()
+    val got = m.df.collect().map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 2L), ("b", 1L)), s"got $got")
+    assert(m.isSessionMode, "mode must survive the epoch")
+    rw.close()
+  }
+
   test("watermarked session MV freezes closed sessions and prunes raw state") {
     val rw = GraftEngine.open(ConnOptions(), Some(spark))
     rw.createTable("sessw_t", schema)
