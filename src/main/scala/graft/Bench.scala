@@ -264,6 +264,44 @@ object Bench {
     } finally rw.close()
   }
 
+  /** Machine-calibration probes (round 15): rounds 11–14 each burned a
+    * verdict cycle proving a wall-time swing was the machine hour, not the
+    * code (counters flat, wall 1.3–8×). Emit two fixed-work clocks with
+    * every artifact so any reader can normalize wall across machine hours:
+    * (a) `cpu_st_sec` — 1e8 pinned-seed splitmix64 steps on ONE thread
+    * (pure ALU, no allocation: tracks raw per-core speed / co-tenant CPU
+    * steal), and (b) `spark_tiny_sec` — a fixed 1M-row / 64-group shuffle
+    * job through the noop sink (tracks scheduler + task-launch overhead,
+    * which the many-job streaming entries amplify). Both min-of-3.
+    * Normalization rule (also in SURVEY): divide an entry's wall by the
+    * same round's probe before cross-round comparison — jobs/epoch and
+    * shuffle_bytes remain the primary regression signal. */
+  private def calibrate(spark: SparkSession): (Double, Double) = {
+    def timeMin(f: => Unit): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+    var sink = 0L
+    val cpu = timeMin {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 100000000) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        sink ^= z ^ (z >>> 31)
+        i += 1
+      }
+    }
+    if (sink == 42L) System.err.println("calibration sink") // keep `sink` live
+    val tiny = timeMin {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000L).groupBy((col("id") % 64).as("k"))
+        .agg(count(lit(1)).as("n")).write.format("noop").mode("overwrite").save()
+    }
+    (cpu, tiny)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -313,6 +351,10 @@ object Bench {
     // untimed warmups to absorb JVM/codegen startup (decimal-agg codegen is
     // the heaviest compile)
     if (streamOnly.isEmpty) { run("b_filter_pushdown"); run("b_q1_pricing") }
+
+    // calibration AFTER warmup (JIT settled) and BEFORE the timed set, so
+    // the probes sample the same machine hour the numbers come from
+    val (calCpu, calTiny) = calibrate(spark)
 
     val results =
       if (streamOnly.isEmpty) headline.map(n => n -> samples(n)) else Nil
@@ -374,9 +416,11 @@ object Bench {
     // streaming detail ride their own earlier lines.
     println(s"""{"metric":"samples","samples":$spread}""")
     println(s"""{"metric":"streaming_detail","streaming":$streamingDetail}""")
+    val cal = s""""calibration":{"cpu_st_sec":${fmt(calCpu)},"spark_tiny_sec":${fmt(calTiny)}}"""
+    println(s"""{"metric":"calibration",$cal}""")
     val budget = 1900 // driver tail = 2000 chars; leave newline + slack
     def finalLine(fields: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"streaming":${streamingCompact(fields)},"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"streaming":${streamingCompact(fields)},$cal,"iters":$iters,"sf":"$sfDir"}"""
     val line = (2 to 0 by -1).map(finalLine).find(_.length <= budget)
       .getOrElse(finalLine(0))
     println(line)
