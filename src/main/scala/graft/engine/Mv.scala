@@ -1822,7 +1822,7 @@ final class MaterializedView private[engine](
     * inside Row.hashCode, so a binary anywhere in the schema would make
     * map lookups miss (equality would still hold — the bug would be
     * duplicated keys, not wrong values; reject up front). */
-  private def joinKeyable(schema: org.apache.spark.sql.types.StructType): Boolean = {
+  private[engine] def joinKeyable(schema: org.apache.spark.sql.types.StructType): Boolean = {
     import org.apache.spark.sql.types._
     def ok(dt: DataType): Boolean = dt match {
       case BinaryType => false

@@ -1111,12 +1111,37 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
       val (cut, _) = globalWindowCut(analyzed, boundary).getOrElse(
         throw new IllegalStateException("global-window cut missing at backfill"))
       // ONE base scan: the prefix materializes the input state; the
-      // suffix then evaluates over the state, not the source
-      val inputG = groupedCounts(GraftColumnBridge.ofRows(spark, cut))
-        .localCheckpoint(true)
+      // suffix then evaluates over the state, not the source. The state
+      // lands as a LocalRelation while bounded (round 15) so the very
+      // first epoch already folds driver-side and the backfill suffix
+      // plans exchange-free over coalesce(1); past the bound it latches
+      // to the distributed checkpoint.
+      val inputG = {
+        val p = groupedCounts(GraftColumnBridge.ofRows(spark, cut))
+        if (windowInputOversize) p.localCheckpoint(true)
+        else {
+          val f = boundedLocal(p)
+          if (!f.queryExecution.logical
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+            windowInputOversize = true
+          f
+        }
+      }
       windowInputState = Some(inputG)
-      val grouped = groupedCounts(
-        evalGlobalSuffix(analyzed, cut, expandCounts(inputG))).localCheckpoint(true)
+      val inputIsLocal = inputG.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      val backfillState =
+        if (inputIsLocal) expandCounts(inputG).coalesce(1) else expandCounts(inputG)
+      val groupedPlan = groupedCounts(evalGlobalSuffix(analyzed, cut, backfillState))
+      val grouped =
+        if (windowStateOversize) groupedPlan.localCheckpoint(true)
+        else {
+          val g = boundedLocal(groupedPlan)
+          if (!g.queryExecution.logical
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+            windowStateOversize = true
+          g
+        }
       cascadeInner = Some(grouped)
       val vis = expandCounts(grouped)
       snapshot = Some(vis)
@@ -1185,38 +1210,117 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
           throw new IllegalStateException("cut missing in retargeted plan"))
         GraftColumnBridge.ofRows(spark, c)
       }
-      val termFrames = parts.zipWithIndex.flatMap { case ((u, adds, dels), i) =>
-        Seq(groupedCounts(term(u, i, s"__gw_add_${u.viewName}", adds)),
-          groupedCounts(term(u, i, s"__gw_del_${u.viewName}", dels))
-            .withColumn(MaterializedView.CntCol, -col(MaterializedView.CntCol)))
+      // raw (ungrouped) signed terms for the driver fold; the grouped
+      // spellings below feed the distributed fold. Both bind the SAME
+      // analyzed cut subtrees — term() resolves the payload views at
+      // analysis time, so the two framings cannot diverge.
+      val rawTerms: Seq[(DataFrame, Long)] =
+        parts.zipWithIndex.flatMap { case ((u, adds, dels), i) =>
+          Seq((term(u, i, s"__gw_add_${u.viewName}", adds), 1L),
+            (term(u, i, s"__gw_del_${u.viewName}", dels), -1L))
+        }
+      val termFrames = rawTerms.map { case (df, sign) =>
+        val g = groupedCounts(df)
+        if (sign < 0) g.withColumn(MaterializedView.CntCol, -col(MaterializedView.CntCol))
+        else g
       }
       val stateCols = windowInputState.get.columns
         .filterNot(_ == MaterializedView.CntCol).toIndexedSeq
-      val foldedPlan = termFrames.foldLeft(windowInputState.get)(_ unionByName _)
-        .groupBy(stateCols.map(col): _*)
-        .agg(sum(col(MaterializedView.CntCol)).as(MaterializedView.CntCol))
-        .filter(col(MaterializedView.CntCol) > 0)
+      // Driver-local input fold (round 15, verdict #1): while the carried
+      // grouped input state is a LocalRelation (bounded, binary-free,
+      // CntCol last per groupedCounts layout), the distributed fold below
+      // re-shuffles the FULL state through the (state ∪ Δterms) hash
+      // aggregation every epoch — at the bench that was 65% of the
+      // entry's shuffle and 3 of its ~8 jobs (ShuffleProfile, r15).
+      // Instead: aggregate ONLY the delta terms distributed (delta-sized
+      // exchange), collect bounded, and fold by point arithmetic into a
+      // map keyed by the state row — the delta-join grouped-state-tier
+      // discipline. Refusal (oversize delta, negative-free check fails,
+      // misaligned layout) falls through to the distributed fold, which
+      // stays the 100 TB path.
+      val stateLocalRows: Option[Array[Row]] =
+        if (windowInputOversize || !joinKeyable(windowInputState.get.schema) ||
+            windowInputState.get.columns.lastOption
+              .forall(_ != MaterializedView.CntCol)) None
+        else windowInputState.get.queryExecution.logical match {
+          case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            Some(windowInputState.get.collect()) // LocalTableScan: no job
+          case _ => None
+        }
+      def localFold(stateRows: Array[Row]): Option[DataFrame] = {
+        import org.apache.spark.sql.functions.lit
+        // raw signed delta rows through coalesce(1): the prefix is linear
+        // (project/filter — no exchange), so this is ONE job, one task,
+        // zero shuffle; a distributed groupBy here would pay a delta-sized
+        // exchange plus take()'s multi-round job scaling every epoch.
+        // Grouping happens driver-side, in the fold map itself.
+        // select by NAME pins the retargeted cut's column order to the
+        // state layout before positional key extraction below
+        val signed = rawTerms.map { case (df, s) =>
+          df.select(stateCols.map(col): _*).withColumn("__gw_sign", lit(s))
+        }.reduce(_ unionByName _)
+        val deltaRows = signed.coalesce(1).limit(cascadeLocalMax + 1).collect()
+        if (deltaRows.length > cascadeLocalMax) return None // backfill-class epoch
+        val n = stateCols.length
+        val m = new scala.collection.mutable.LinkedHashMap[Row, Long]()
+        stateRows.foreach(r =>
+          m.update(Row.fromSeq((0 until n).map(r.get)), r.getLong(n)))
+        deltaRows.foreach { r =>
+          val k = Row.fromSeq((0 until n).map(r.get))
+          val c = m.getOrElse(k, 0L) + r.getLong(n)
+          // c <= 0 drops the key — exactly the distributed fold's
+          // `filter(cnt > 0)` (a net-negative key cannot survive there)
+          if (c <= 0L) m.remove(k) else m.update(k, c)
+        }
+        val rows = m.iterator.map { case (k, c) =>
+          Row.fromSeq(k.toSeq :+ c) }.toIndexedSeq
+        val df = localDf(rows, windowInputState.get.schema)
+        if (rows.length > cascadeLocalMax) {
+          windowInputOversize = true // outgrown: hand off distributed for good
+          Some(df.localCheckpoint(true))
+        } else Some(df)
+      }
       val folded = timed("input-fold")(
-        if (windowInputOversize) foldedPlan.localCheckpoint(true)
-        else {
-          val f = boundedLocal(foldedPlan)
-          if (!f.queryExecution.logical
-              .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-            windowInputOversize = true
-          f
+        stateLocalRows.flatMap(localFold).getOrElse {
+          val foldedPlan = termFrames.foldLeft(windowInputState.get)(_ unionByName _)
+            .groupBy(stateCols.map(col): _*)
+            .agg(sum(col(MaterializedView.CntCol)).as(MaterializedView.CntCol))
+            .filter(col(MaterializedView.CntCol) > 0)
+          if (windowInputOversize) foldedPlan.localCheckpoint(true)
+          else {
+            val f = boundedLocal(foldedPlan)
+            if (!f.queryExecution.logical
+                .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+              windowInputOversize = true
+            f
+          }
         })
       // suffix re-eval over the carried multiset ⊕ delta — the source
-      // relation is absent from this plan (no base re-scan)
+      // relation is absent from this plan (no base re-scan).
+      // Single-partition suffix (round 15, verdict #1): when the folded
+      // input state is a LocalRelation, coalesce(1) pins the physical
+      // partitioning to SinglePartition, which satisfies every
+      // non-broadcast required distribution — the global
+      // window/sort/aggregate suffix then plans with ZERO exchanges (one
+      // collect job, one task, no shuffle) instead of re-shuffling the
+      // carried state every epoch. An oversize state keeps the
+      // distributed suffix: at 100 TB the exchanges ARE the right plan —
+      // a single task would serialize output-sized work.
       val analyzed = spark.sql(cascadeStmt).queryExecution.analyzed
       val (cut, _) = globalWindowCut(analyzed, boundary).getOrElse(
         throw new IllegalStateException("global-window cut missing at epoch"))
+      val foldedIsLocal = folded.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      def suffixInput: DataFrame =
+        if (foldedIsLocal && !windowStateOversize) expandCounts(folded).coalesce(1)
+        else expandCounts(folded)
       val newG = timed("suffix-eval")(
         if (windowStateOversize)
-          groupedCounts(evalGlobalSuffix(analyzed, cut, expandCounts(folded)))
+          groupedCounts(evalGlobalSuffix(analyzed, cut, suffixInput))
             .localCheckpoint(true)
         else {
           val g = boundedLocal(groupedCounts(
-            evalGlobalSuffix(analyzed, cut, expandCounts(folded))))
+            evalGlobalSuffix(analyzed, cut, suffixInput)))
           if (!g.queryExecution.logical
               .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
             windowStateOversize = true

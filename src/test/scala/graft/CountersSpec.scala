@@ -39,7 +39,13 @@ class CountersSpec extends SparkSpec {
     // r14: join-state map tier + merged-face tier (PK dedup window gone)
     "s_mv_left_join_fold" -> (6.0, 261812L),
     "s_mv_window_maintain" -> (7.0, 246300L),
-    "s_mv_global_window" -> (7.25, 270113L),
+    // r15: driver-local input fold (raw signed terms through coalesce(1),
+    // point-folded into the state map) + single-partition suffix over the
+    // LocalRelation state — the MV's own epoch work is now exchange-free:
+    // 7.25 -> 4.0 jobs/epoch, 270113 -> 0 shuffle bytes. The pinned bytes
+    // keep a small allowance for AQE scheduling jitter on the shared
+    // changelog appends.
+    "s_mv_global_window" -> (4.0, 4096L),
     "s_mv_histogram_fold" -> (10.25, 511133L),
     // r14: the pkagg fold with driver tiers forced off — the measured
     // over-bound fallback shape (delta-segment persistence); vs the map
