@@ -129,8 +129,13 @@ final class ChangeLog(spark: SparkSession, rowSchema: () => StructType,
       }.toIndexedSeq
       val n = raw.length.toLong
       val staging = s"$spillDir/staging-$base"
-      spark.createDataFrame(java.util.Arrays.asList(stampedRows: _*), changeSchema)
-        .coalesce(1).write.mode("overwrite").parquet(staging)
+      // driver-side parquet write (round 15): the epoch's ops are already
+      // driver rows — the coalesce(1) Spark write spent ONE single-task
+      // job per epoch on pure scheduler overhead; LocalParquet produces
+      // the identical segment with zero jobs (falls back on failure)
+      if (!LocalParquet.write(spark, stampedRows, changeSchema, staging))
+        spark.createDataFrame(java.util.Arrays.asList(stampedRows: _*), changeSchema)
+          .coalesce(1).write.mode("overwrite").parquet(staging)
       val path = SegmentFiles.path(spillDir, base + 1, base + n, n)
       SegmentFiles.commit(staging, path)
       segments += ((base + 1, base + n, path, n))

@@ -1191,6 +1191,17 @@ private[engine] object DeltaAgg {
     guardMoments(frame, spec)
   }
 
+  /** Pin an all-LocalRelation-leaf plan to one partition so aggregations
+    * above plan exchange-free (round 15) — the Mv.pinLocal1 discipline;
+    * any distributed leaf (the at-scale path) keeps its plan. */
+  private def pinLocal1(df: DataFrame): DataFrame = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    if (leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+      df.coalesce(1)
+    else df
+  }
+
   /** Sign-negate a retraction partial for the union+re-sum fast path.
     * Sketch columns pass through un-negated (binary has no −1 product);
     * the caller's insert-only contract for HLL specs guarantees the DEL
@@ -1258,7 +1269,7 @@ private[engine] object DeltaAgg {
       // global aggregate over an empty input still yields its row
       // (count 0, sums NULL), exactly like the batch evaluation
       return guardMoments(
-        state.unionByName(addAux).unionByName(negateAux(delAux, spec))
+        pinLocal1(state.unionByName(addAux).unionByName(negateAux(delAux, spec)))
           .groupBy()
           .agg(combineAux(spec, auxCols.head), auxCols.tail.map(c =>
             combineAux(spec, c)): _*), spec)
@@ -1292,9 +1303,9 @@ private[engine] object DeltaAgg {
       keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
     val stateTouched = state.join(broadcast(kr), keyCond(state), "left_semi")
     val untouched = state.join(broadcast(kr), keyCond(state), "left_anti")
-    val resummed = guardMoments(stateTouched
+    val resummed = guardMoments(pinLocal1(stateTouched
       .unionByName(addAux)
-      .unionByName(negateAux(delAux, spec))
+      .unionByName(negateAux(delAux, spec)))
       .groupBy(keys.map(col): _*)
       .agg(combineAux(spec, auxCols.head), auxCols.tail.map(c =>
         combineAux(spec, c)): _*), spec)

@@ -688,8 +688,11 @@ final class LiveTable(
     // not leave a half-segment that restart recovery would index
     val staging = s"$segDir/staging-$minSeq"
     val path = SegmentFiles.path(segDir, minSeq, maxSeq, rows.size.toLong)
-    spark.createDataFrame(rows.toList.asJava, withSeq)
-      .coalesce(1).write.mode("overwrite").parquet(staging)
+    // driver-side parquet write (round 15): spill chunks are driver rows
+    // by construction — zero jobs; Spark write is the fallback
+    if (!LocalParquet.write(spark, rows, withSeq, staging))
+      spark.createDataFrame(rows.toList.asJava, withSeq)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
     SegmentFiles.commit(staging, path)
     segments += ((minSeq, maxSeq, path, rows.size.toLong))
   }
@@ -773,10 +776,53 @@ final class LiveTable(
     // readers bind PK tables, skipping compaction (state keeps growing,
     // always correct) beats silently severing their feed mid-stream.
     if (readerStreams.nonEmpty) return
-    rewriteHistory(identity, markMutated = false, emitRetractions = false)
+    if (!compactFromFace())
+      rewriteHistory(identity, markMutated = false, emitRetractions = false)
     lastCompactRows = math.max(segments.map(_._4).sum + allRows.size, 1L)
   }
   private var lastCompactRows = 0L
+
+  /** Driver-resident compaction (round 15): while the merged face is live,
+    * the compacted history IS the map's winner rows — write them (their
+    * `__seq` values untouched, so (version, __seq) tie-breaking state is
+    * bit-identical) as the single replacement segment in ONE coalesce(1)
+    * parquet job, retire the old segments and the memory tail, and KEEP
+    * the face. The old path went through [[rewriteHistory]], whose
+    * `invalidateMergedFace()` forced the next reader to re-seed through
+    * the distributed resolution window — a full-history exchange
+    * (3.99 MB, 63% of `s_mv_pkagg_fold`'s total shuffle and ALL of
+    * `s_mv_global_window`'s, ShuffleProfile r15) paid at every compaction
+    * even though an identity rewrite cannot change the winners the map
+    * already holds. Changelog untouched; `seq` counter untouched (no
+    * restamp — future appends already outrank every kept `__seq`).
+    * False = face not live (bulk-ingested history); caller keeps the
+    * distributed rewrite, which remains the at-scale path. */
+  private def compactFromFace(): Boolean = synchronized {
+    if (mergedFace.isEmpty) return false
+    val rows = mergedFace.get.valuesIterator.toIndexedSeq
+    if (rows.isEmpty) return false
+    val seqIdx = schema.length
+    var minSeq = Long.MaxValue
+    var maxSeq = Long.MinValue
+    rows.foreach { r =>
+      val s = r.getLong(seqIdx)
+      if (s < minSeq) minSeq = s
+      if (s > maxSeq) maxSeq = s
+    }
+    val staging = s"$segDir/staging-compact-$minSeq"
+    if (!LocalParquet.write(spark, rows, withSeq, staging))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), withSeq)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    val path = SegmentFiles.path(segDir, minSeq, maxSeq, rows.size.toLong)
+    SegmentFiles.commit(staging, path)
+    val retired = segments.map(_._3).toList
+    segments.clear()
+    allRows.clear()
+    segments += ((minSeq, maxSeq, path, rows.size.toLong))
+    refreshView()
+    retired.foreach(SegmentFiles.delete)
+    true
+  }
 
   /** Raw history row count (segments + tail) — spec probe for compaction. */
   private[graft] def historyRows: Long = synchronized {

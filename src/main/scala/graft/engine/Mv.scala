@@ -387,6 +387,47 @@ final class MaterializedView private[engine](
     * at bench scale). */
   private[engine] def keyJoin(left: DataFrame, keysDf: DataFrame, how: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // Driver-side probe (round 15): when both frames are LocalRelations
+    // (carried state tiers + touched-key frames — the steady-state epoch),
+    // the broadcast semi/anti spelling below still pays an AQE broadcast-
+    // materialization job per build plus a collect job per consumer; the
+    // hash probe here is job-free and returns a LocalRelation the
+    // optimizer keeps collapsing (Project/Filter over LocalRelation fold
+    // to LocalRelation, so downstream diffs collect with ZERO jobs).
+    // Gated on key types whose JVM equality matches SQL <=> (decimals
+    // normalize scale); float/double keys and any distributed frame (the
+    // 100 TB path) keep the broadcast join.
+    if (how == "left_semi" || how == "left_anti") {
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      lazy val typesOk = keyCols.forall(k => left.schema(k).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      })
+      if (left.queryExecution.optimizedPlan.isInstanceOf[LocalRelation] &&
+          keysDf.queryExecution.optimizedPlan.isInstanceOf[LocalRelation] &&
+          typesOk) {
+        def norm(v: Any): Any = v match {
+          case d: java.math.BigDecimal => d.stripTrailingZeros
+          case x => x
+        }
+        val lsch = left.schema
+        val kIdx = keyCols.map(lsch.fieldIndex)
+        // keysDf carries the key columns positionally in keyCols order
+        // (the broadcast spelling renames them positionally too)
+        val keySet = keysDf.collect().iterator
+          .map(_.toSeq.map(norm).toList).toSet
+        val want = how == "left_semi"
+        val kept = left.collect().iterator
+          .filter(r => keySet.contains(kIdx.map(i => norm(r.get(i))).toList) == want)
+          .toIndexedSeq
+        return localDf(kept, lsch)
+      }
+    }
     val kr = keysDf.toDF(keyCols.map(c => s"__k_$c"): _*)
     left.join(broadcast(kr),
       keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), how)
@@ -986,14 +1027,26 @@ final class MaterializedView private[engine](
           aggSubqNonLinear.contains(u.viewName.toLowerCase)
       val parts = changed.map { case (u, ops) =>
         val single = changed.size == 1 && !nonLin(u)
-        def slice(d: DataFrame) = if (single) d else d.localCheckpoint(true)
+        // driver-local epoch (round 15): ops served from the changelog
+        // tail cache is a LocalRelation, so each sign slice pins to ONE
+        // partition — every aux term above then plans exchange-free
+        // (SinglePartition satisfies the aggregation's required
+        // distribution): no per-exchange AQE stage job, no shuffle bytes.
+        // Distributed ops (oversize epochs — the 100 TB path) keep the
+        // multi-partition plan.
+        val opsLocal = ops.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+        def slice(d: DataFrame) = {
+          val s0 = if (single) d else d.localCheckpoint(true)
+          if (opsLocal) s0.coalesce(1) else s0
+        }
         val adds = slice(ops.filter(col("op").isin(
           Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op"))
         val dels = slice(ops.filter(col("op").isin(
           Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op"))
-        (u, adds, dels)
+        (u, adds, dels, opsLocal)
       }
-      parts.foreach { case (u, adds, dels) =>
+      parts.foreach { case (u, adds, dels, _) =>
         adds.createOrReplaceTempView(s"__da_add_${u.viewName}")
         tempViews += s"__da_add_${u.viewName}"
         dels.createOrReplaceTempView(s"__da_del_${u.viewName}")
@@ -1015,9 +1068,9 @@ final class MaterializedView private[engine](
           tempViews += s"__da_old_${u.viewName}"
         }
       }
-      val partials = parts.zipWithIndex.map { case ((u, adds, dels), i) =>
+      val partials = parts.zipWithIndex.map { case ((u, adds, dels, _), i) =>
         def laterOld(sql: String): String =
-          parts.drop(i + 1).foldLeft(sql) { case (s, (o, _, _)) =>
+          parts.drop(i + 1).foldLeft(sql) { case (s, (o, _, _, _)) =>
             retarget(s, o.viewName, s"__da_old_${o.viewName}")
           }
         if (nonLin(u)) {
@@ -1079,10 +1132,16 @@ final class MaterializedView private[engine](
       // then builds job-free, and the touched-key frame derives with no
       // distinct shuffle. Oversized epochs (backfill-class touch sets)
       // fall back to the distributed checkpoint spelling.
-      val bothPlan = partials.map(_._1).reduce(_ unionByName _)
+      val bothPlan0 = partials.map(_._1).reduce(_ unionByName _)
         .withColumn("__sgn", org.apache.spark.sql.functions.lit(1))
         .unionByName(partials.map(_._2).reduce(_ unionByName _)
           .withColumn("__sgn", org.apache.spark.sql.functions.lit(-1)))
+      // all-local epoch: the union's legs are single-partition
+      // exchange-free aggregates — fuse them into ONE partition so the
+      // bounded collect below is one single-task job (executeTake over k
+      // union legs pays a job per scan round)
+      val bothPlan =
+        if (parts.forall(_._4)) bothPlan0.coalesce(1) else bothPlan0
       val auxRows = timed("delta-aux")(
         bothPlan.limit(cascadeLocalMax + 1).collect())
       val (addAux, delAux, touchedLocal, touchedOuterLocal, localParts) =
@@ -1193,10 +1252,16 @@ final class MaterializedView private[engine](
         // join installs under the re-aggregation by construction —
         // Catalyst's pushdown would decline the broadcastable semi,
         // SPARK-37455, and re-aggregate the WHOLE state per epoch)
+        // pinLocal1 (round 15): with the aux state and touched frame both
+        // driver-resident, the restricted slice pins to one partition so
+        // the COUNT(DISTINCT)-finish re-aggregation above plans with zero
+        // exchanges — at the bench this was the whole of
+        // s_mv_histogram_fold's diff-collect shuffle (2.1 MB/replay) and
+        // most of its 5.875 jobs/epoch
         val (oldVisT, newVisT) =
           if (spec.isTwoLevel && keyCols.nonEmpty)
-            (DeltaAgg.visible(keyJoin(auxState.get, touched, "left_semi"), spec),
-             DeltaAgg.visible(keyJoin(newAux, touched, "left_semi"), spec))
+            (DeltaAgg.visible(pinLocal1(keyJoin(auxState.get, touched, "left_semi")), spec),
+             DeltaAgg.visible(pinLocal1(keyJoin(newAux, touched, "left_semi")), spec))
           else (restrict(cascadeInner.get), restrict(newInnerFull))
         emitKeyedDiffLocal(
           cascadeVisible(oldVisT),
@@ -1373,7 +1438,7 @@ final class MaterializedView private[engine](
       val probeMax =
         if (spec.isPureSigned && spec.stateKeys.nonEmpty) auxStateLocalMax
         else cascadeLocalMax
-      val rows = merged.limit(probeMax + 1).collect()
+      val rows = pinLocal1(merged).limit(probeMax + 1).collect()
       if (rows.length <= probeMax) {
         val local = localDf(rows.toIndexedSeq, merged.schema)
         if (spec.isPureSigned) seedAuxMap(rows.toIndexedSeq, merged.schema, spec)
@@ -1451,9 +1516,27 @@ final class MaterializedView private[engine](
     * first, or checkpoint-then-measure) would add a job to EVERY
     * steady-state epoch — the hot path this helper exists to thin. */
   private[engine] def boundedLocal(df: DataFrame): DataFrame = {
-    val rows = df.limit(cascadeLocalMax + 1).collect()
+    val rows = pinLocal1(df).limit(cascadeLocalMax + 1).collect()
     if (rows.length <= cascadeLocalMax) localDf(rows.toIndexedSeq, df.schema)
     else df.localCheckpoint(true)
+  }
+
+  /** Pin a plan whose every leaf is already driver-resident (LocalRelation
+    * — carried state tiers, changelog tail caches, touched-key frames) to
+    * ONE partition (round 15). SinglePartition satisfies every
+    * non-broadcast required distribution, so aggregates/sorts above plan
+    * with ZERO exchanges — no AQE stage job per exchange, no shuffle
+    * bytes — and a bounded limit-collect runs as one single-task job
+    * instead of executeTake's multi-round partition scaling. The gate is
+    * the scale guard: a frame with any distributed leaf (parquet scan,
+    * checkpointed state past the local bound — the 100 TB paths) keeps
+    * its multi-partition plan untouched. */
+  private[engine] def pinLocal1(df: DataFrame): DataFrame = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    if (leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+      df.coalesce(1)
+    else df
   }
 
   /** Emit a cascade epoch's keyed diff — driver-side when both sides fit

@@ -341,8 +341,15 @@ private[engine] trait TopNMvSupport { self: MaterializedView =>
       val newTouched = folded match {
         case Some((newAux, t)) =>
           auxState = Some(newAux)
-          timed("group-recompute")(boundedLocal(
-            keyJoin(DeltaAgg.visible(newAux, deltaAggSpec.get), t, "left_semi")))
+          // restrict BELOW the visible finish (round 15): the semi join
+          // keys on the outer keys, which are state-key columns, so the
+          // restriction is sound under the re-aggregation (deltaAggEpoch's
+          // own two-level discipline) — the old spelling evaluated the
+          // visible over the FULL aux state per epoch just to semi-join it
+          // down to the touched groups afterwards. pinLocal1 then plans
+          // the finish exchange-free over the driver-tier state.
+          timed("group-recompute")(boundedLocal(DeltaAgg.visible(
+            pinLocal1(keyJoin(newAux, t, "left_semi")), deltaAggSpec.get)))
         case None =>
           statementEvals += 1
           timed("group-recompute")(boundedLocal(

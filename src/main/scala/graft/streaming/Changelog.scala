@@ -307,14 +307,36 @@ object Changelog {
   private[graft] def diffPreferLocal(prev: DataFrame, next: DataFrame,
       keyCols: Seq[String], bound: Int): DataFrame = {
     val schema = next.schema
-    val local = {
+    def isLocalPlan(df: DataFrame) = df.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val local = if (isLocalPlan(prev) && isLocalPlan(next)) {
+      // both sides collapsed to LocalRelations (driver-tier state through
+      // the optimizer's Project/Filter folding, round 15): collect() is
+      // driver-side row conversion — the whole diff costs ZERO Spark jobs
+      val prevT = prev.collect()
+      val nextT = next.collect()
+      if (prevT.length > bound || nextT.length > bound) None
+      else localKeyedDiff(prevT.toIndexedSeq, nextT.toIndexedSeq,
+        keyCols.map(schema.fieldIndex).toArray, schema)
+    } else {
       // ONE side-tagged collect for both frames (the separate per-side
       // limit-collects were two jobs; both sides are delta-bounded by
       // construction, so the fused job is the same size class)
       val cols = schema.fieldNames.toIndexedSeq.map(col)
-      val tagged = prev.select(cols :+ lit(0).as("__side"): _*)
+      val both = prev.select(cols :+ lit(0).as("__side"): _*)
         .unionByName(next.select(cols :+ lit(1).as("__side"): _*))
-        .limit(2 * bound + 2).collect()
+      // all leaves driver-resident (carried state tiers, touched frames):
+      // one partition → the fused collect is ONE single-task job with no
+      // exchange, instead of executeTake scaling over the union's legs
+      // (round 15). Any distributed leaf keeps the multi-partition plan —
+      // the at-scale path.
+      val leaves = both.queryExecution.analyzed.collectLeaves()
+      val fused =
+        if (leaves.nonEmpty && leaves.forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+          both.coalesce(1)
+        else both
+      val tagged = fused.limit(2 * bound + 2).collect()
       val (prevT, nextT) = tagged.partition(_.getInt(schema.length) == 0)
       def untag(r: Row) = Row.fromSeq(r.toSeq.dropRight(1))
       if (prevT.length > bound || nextT.length > bound) None

@@ -378,6 +378,10 @@ class DeltaAggSpec extends SparkSpec {
       // and compacted to 3 winners, epoch 4 appended 3 more
       assert(t.historyRows == 6,
         s"history must have compacted to winners + tail, got ${t.historyRows}")
+      // round 15: identity compaction preserves the merged face (winners
+      // unchanged) — dropping it forced a distributed re-seed window over
+      // the full history on the next read
+      assert(t.faceIsLocal, "merged face must survive identity compaction")
       assert(mv.df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
         Set(("a", 2L, 44L), ("b", 1L, 400L)))
       // compaction must be physically invisible: the changelog carries only
