@@ -2006,13 +2006,22 @@ final class MaterializedView private[engine](
     var emitted = false
     var settled = false
     try {
-      // split each changed source's delta by sign once, eagerly (small)
+      // split each changed source's delta by sign once. Driver-local ops
+      // (the changelog tail cache, round 15) skip the eager checkpoint —
+      // a filtered LocalRelation re-collapses for free on every use, and
+      // the two checkpoint jobs per epoch were pure overhead — and pin to
+      // ONE partition so every join term above plans exchange-free.
+      // Distributed ops (oversize epochs) keep the checkpoint.
       val parts = changed.map { case (u, ops) =>
         val payload = ops.drop("rw_timestamp")
-        val adds = payload.filter(col("op").isin(
-          Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op").localCheckpoint(true)
-        val dels = payload.filter(col("op").isin(
-          Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op").localCheckpoint(true)
+        val opsLocal = ops.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+        def slice(d: DataFrame) =
+          if (opsLocal) d.coalesce(1) else d.localCheckpoint(true)
+        val adds = slice(payload.filter(col("op").isin(
+          Changelog.OpInsert, Changelog.OpUpdateInsert)).drop("op"))
+        val dels = slice(payload.filter(col("op").isin(
+          Changelog.OpDelete, Changelog.OpUpdateDelete)).drop("op"))
         (u, adds, dels)
       }
       // register delta views (broadcast-hinted) and, for sources after the
@@ -2102,7 +2111,11 @@ final class MaterializedView private[engine](
           Seq(plus, minus)
         }
       }
-      val netPlan = termFrames.reduce(_ union _)
+      // pinLocal1 below the netting aggregation (round 15): all-local
+      // terms (LocalRelation deltas x driver-tier faces) make the net's
+      // output-column exchange — 100% of s_mv_left_join_fold's remaining
+      // shuffle — pure overhead; distributed terms keep the shuffle
+      val netPlan = pinLocal1(termFrames.reduce(_ union _))
         .groupBy(outCols.map(col): _*).agg(sum(col("__d")).as("__d"))
         .filter(col("__d") =!= 0)
       // map tier engaged → land the (delta-proportional) net driver-side:
@@ -2155,10 +2168,10 @@ final class MaterializedView private[engine](
               timed("keyed-probe")(!ambDf.rdd.isEmpty())
           }
           if (ambiguous) None
-          else Some(Changelog.diff(
-            Some(net.filter(col("__d") < 0).select(outCols.map(col): _*)),
+          else Some(Changelog.diffPreferLocal(
+            net.filter(col("__d") < 0).select(outCols.map(col): _*),
             net.filter(col("__d") > 0).select(outCols.map(col): _*),
-            keyCols))
+            keyCols, cascadeLocalMax))
         }
       // state BEFORE ops: both read the same landed net, and ordering the
       // (fallible) state merge first means any failure enters the catch

@@ -541,10 +541,14 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
       }
     }
     if (!sliceOk) return false
-    // re-sessionize ONLY the slice: the statement over a LocalRelation —
-    // the exchange carries slice ∪ delta, never the full state
+    // re-sessionize ONLY the slice: the statement over a LocalRelation
+    // pinned to ONE partition (round 15) — SinglePartition satisfies the
+    // session aggregation's required distribution, so the slice re-run
+    // plans with zero exchanges (the slice∪delta co-location shuffle was
+    // 88% of s_mv_session_maintain's bytes) and the bounded collect is
+    // one single-task job
     val newAffected = try {
-      localDf((slice ++ addRows).toIndexedSeq, rawSchema)
+      localDf((slice ++ addRows).toIndexedSeq, rawSchema).coalesce(1)
         .createOrReplaceTempView(sessionSrcView)
       val rows = timed("session-slice")(
         spark.sql(sessionOuterSql).limit(sessionLocalDiffMax + 1).collect())

@@ -524,13 +524,25 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
     val cond = pes.zip(krPlan.output)
       .map { case (pe, k) => EqualNullSafe(pe, k): Expression }
       .reduce(And(_, _))
+    // single-partition anchor input (round 15): when every leaf is
+    // driver-resident (merged-face/memory-tail source + LocalRelation key
+    // frame), the restricted slice is delta-bounded — pin it to one
+    // partition UNDER the anchor so the Window/Aggregate plans with zero
+    // exchanges (the touched-slice co-location shuffle was 97% of
+    // s_mv_window_maintain's remaining bytes). A distributed leaf keeps
+    // the exchange — at 100 TB co-locating the re-rank input IS the plan.
+    def pin(p: LogicalPlan): LogicalPlan =
+      if ((plan.collectLeaves() ++ krPlan.collectLeaves()).forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+        org.apache.spark.sql.catalyst.plans.logical.Repartition(1, shuffle = false, p)
+      else p
     GraftColumnBridge.ofRows(spark, plan.transformUp {
       case n if n eq anchor =>
         anchor match {
           case a: Aggregate =>
-            a.copy(child = Join(a.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE))
+            a.copy(child = pin(Join(a.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE)))
           case win: org.apache.spark.sql.catalyst.plans.logical.Window =>
-            win.copy(child = Join(win.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE))
+            win.copy(child = pin(Join(win.child, krPlan, LeftSemi, Some(cond), JoinHint.NONE)))
         }
     })
   }
@@ -675,7 +687,7 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
       //    (over-touching recomputes idempotently).
       // boundedLocal inlined to keep the key ROWS — the local tier's map
       // lookups need them
-      val touchedRaw = changed.map { case (u, ops) =>
+      val touchedRaw = pinLocal1(changed.map { case (u, ops) =>
         if (u.viewName == primary.viewName)
           ops.select(windowPartKeys.indices
             .map(i => windowKeyCol(i).as(s"__k_$i")): _*)
@@ -688,7 +700,10 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
             .select(windowPartKeys.indices
               .map(i => windowKeyCol(i).as(s"__k_$i")): _*)
         }
-      }.reduce(_ unionByName _).distinct()
+        // pinLocal1 BELOW the distinct (round 15): local deltas + local
+        // faces make the key-dedup exchange and executeTake's extra scan
+        // round pure overhead; distributed inputs keep the shuffle
+      }.reduce(_ unionByName _)).distinct()
       val touchedRows = timed("touched-keys")(
         touchedRaw.limit(cascadeLocalMax + 1).collect())
       val touched =
