@@ -264,6 +264,34 @@ object Bench {
     } finally rw.close()
   }
 
+  /** Per-query parallelism observability (round 16, verdict #2): at sf0.1
+    * every batch query is overhead-bound (0.1–0.8 s walls), so an 8-core
+    * vs 32-core wall ratio is ≈1 and the driver's `suspect_cpus_ignored`
+    * heuristic false-fires every round. These two counters prove the CPU
+    * contract from the artifact alone, independent of wall noise:
+    * `sum_task_time_ms` (Σ executorRunTime over the query's tasks — flat
+    * across core counts for the same plan) and `max_concurrent_tasks`
+    * (peak simultaneously-running tasks — tracks `local[$cpus]`). Sampled
+    * OUTSIDE the timed window (reset before the timer starts, read after
+    * it stops); the timed path and the final-line format are unchanged —
+    * the fields ride the untimed `task_metrics` line. */
+  private final class TaskConcurrency extends org.apache.spark.scheduler.SparkListener {
+    val taskTime = new java.util.concurrent.atomic.AtomicLong
+    private val running = new java.util.concurrent.atomic.AtomicInteger
+    val maxRunning = new java.util.concurrent.atomic.AtomicInteger
+    override def onTaskStart(
+        t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+      val r = running.incrementAndGet()
+      maxRunning.getAndAccumulate(r, (a: Int, b: Int) => math.max(a, b))
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      running.decrementAndGet()
+      if (t.taskMetrics != null) taskTime.addAndGet(t.taskMetrics.executorRunTime)
+    }
+    def reset(): Unit = { taskTime.set(0); running.set(0); maxRunning.set(0) }
+  }
+
   /** Machine-calibration probes (round 15): rounds 11–14 each burned a
     * verdict cycle proving a wall-time swing was the machine hour, not the
     * code (counters flat, wall 1.3–8×). Emit two fixed-work clocks with
@@ -315,7 +343,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val taskMeters = new TaskConcurrency
+    spark.sparkContext.addSparkListener(taskMeters)
+    // (sum_task_time_ms, max_concurrent_tasks) of each query's min-wall run
+    val taskMetrics = scala.collection.mutable.LinkedHashMap[String, (Long, Int)]()
+    val minWall = scala.collection.mutable.HashMap[String, Double]()
+
     def run(name: String): Double = {
+      // drain the async listener bus so the previous run's task events
+      // cannot leak into this sample's counters (untimed)
+      org.apache.spark.GraftListenerBridge.waitListeners(spark.sparkContext)
+      taskMeters.reset()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -323,7 +361,14 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerBridge.waitListeners(spark.sparkContext)
+      // keep the metrics of the min-wall sample (the reported number)
+      if (sec < minWall.getOrElse(name, Double.MaxValue)) {
+        minWall(name) = sec
+        taskMetrics(name) = (taskMeters.taskTime.get, taskMeters.maxRunning.get)
+      }
+      sec
     }
 
     // min of n iterations per query: single-shot numbers at this scale carry
@@ -415,6 +460,14 @@ object Bench {
     // than ever shearing. Full per-iteration samples and the 7-field
     // streaming detail ride their own earlier lines.
     println(s"""{"metric":"samples","samples":$spread}""")
+    // parallelism proof per query (min-wall sample): sum_task_time_ms is
+    // core-count-invariant for a fixed plan; max_concurrent_tasks tracks
+    // local[$cpus] — so an 8-vs-32-core artifact pair demonstrates the
+    // CPU contract even where sub-second walls cannot (verdict #2)
+    val tmLine = taskMetrics.map { case (k, (ms, conc)) =>
+      s""""$k":{"sum_task_time_ms":$ms,"max_concurrent_tasks":$conc}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"task_metrics","cpus":"$cpus","queries":$tmLine}""")
     println(s"""{"metric":"streaming_detail","streaming":$streamingDetail}""")
     val cal = s""""calibration":{"cpu_st_sec":${fmt(calCpu)},"spark_tiny_sec":${fmt(calTiny)}}"""
     println(s"""{"metric":"calibration",$cal}""")

@@ -59,6 +59,33 @@ final class LiveTable(
 
   /** (minSeq, maxSeq, path, rowCount) per spilled segment, in seq order. */
   private val segments = ArrayBuffer[(Long, Long, String, Long)]()
+
+  /** Per-segment (min, max) of the single-column primary key, recorded for
+    * DRIVER-side segment writes (spill chunks, face compaction, pair
+    * merges — the rows are on the driver anyway), so touched-key probes
+    * can prune segments whose key range cannot overlap the flush's delta
+    * (guide §6: min/max stats pruning, lifted to the segment index so
+    * non-overlapping files are never even opened). Executor-written
+    * segments (bulk ingest, DML rewrite) and restart-recovered ones have
+    * no entry and are treated as always-overlapping — pruning is a
+    * key-superset-safe optimization, never a correctness dependency. */
+  private val segKeyRange = scala.collection.mutable.Map[String, (Any, Any)]()
+
+  private def recordKeyRange(path: String, rows: Seq[Row]): Unit = {
+    if (primaryKey.size != 1) return
+    val ord = graft.streaming.Changelog.localOrdering(
+      schema(primaryKey.head).dataType).getOrElse(return)
+    val keyIdx = schema.fieldIndex(primaryKey.head)
+    var lo: Any = null
+    var hi: Any = null
+    rows.foreach { r =>
+      val k = r.get(keyIdx)
+      if (k == null) return // NULL keys: leave the segment unprunable
+      if (lo == null || ord.lt(k, lo)) lo = k
+      if (hi == null || ord.gt(k, hi)) hi = k
+    }
+    if (lo != null) segKeyRange.update(path, (lo, hi))
+  }
   private def spillThreshold: Int =
     spark.conf.getOption("graft.table.spillThreshold").map(_.toInt).getOrElse(100000)
   // durable tables spill under dataDir (restorable); ephemeral tables spill
@@ -157,7 +184,7 @@ final class LiveTable(
         // LocalRelation over the tail and ran a distinct + broadcast-semi
         // collect job against it every flush (the dominant per-epoch cost
         // of the pkagg fold bench at ~0.7-0.9 s)
-        memoryChangelogDiff().getOrElse {
+        memoryChangelogDiff().getOrElse(prunedChangelogDiff().getOrElse {
           val keys = delta.select(primaryKey.map(col): _*).distinct()
           // fast path: collect the touched keys' RAW history once (bounded)
           // and resolve both sides driver-side — the distributed spelling
@@ -170,7 +197,7 @@ final class LiveTable(
             // driver diff replaces the full-outer join + sort jobs per flush
             graft.streaming.Changelog.diffPreferLocal(before, after, primaryKey, 50000)
           }
-        }
+        })
       }
     timedCl("tbl-changelog-append")(changeLog.appendDF(ops))
     clSeq = seq
@@ -215,6 +242,68 @@ final class LiveTable(
       .limit(bound + 1).collect()
     if (rows.length > bound) return None
     localDiffOfRows(rows.toIndexedSeq)
+  }
+
+  /** Key-range-pruned changelog diff once segments exist (round 16, guide
+    * §6): the post-spill diff previously semi-join-scanned the FULL raw
+    * history (every segment + tail) per flush to find the touched keys'
+    * prior versions. With the per-segment PK ranges recorded at driver
+    * write time, segments whose range cannot overlap the delta's key range
+    * are dropped from the probe — and when NO segment overlaps (the
+    * common append-mostly shape: fresh keys above every spilled range),
+    * the touched keys' entire history is the driver tail and the diff
+    * runs with ZERO jobs. Requires every unemitted delta row to still be
+    * tail-resident (spill keeps the newest half, so post-emit appends
+    * are; a bulk segment above clSeq falls back) and a single scalar PK.
+    * None → the caller's full-history spelling. */
+  private def prunedChangelogDiff(): Option[DataFrame] = {
+    import graft.streaming.Changelog
+    if (segments.isEmpty || primaryKey.size != 1) return None
+    val sch = withSeq
+    if (Changelog.localOrdering(
+          sch(versionColumn.getOrElse("__seq")).dataType).isEmpty)
+      return None
+    val pk = primaryKey.head
+    val keyOrd = Changelog.localOrdering(schema(pk).dataType)
+      .getOrElse(return None)
+    if (segments.last._2 > clSeq) return None // delta rows spilled: full path
+    val seqIdx = sch.fieldIndex("__seq")
+    val keyIdx = sch.fieldIndex(pk)
+    val touched = allRows.iterator.filter(_.getLong(seqIdx) > clSeq)
+      .map(_.get(keyIdx)).toSet
+    if (touched.isEmpty || touched.contains(null)) return None
+    var tMin: Any = null
+    var tMax: Any = null
+    touched.foreach { k =>
+      if (tMin == null || keyOrd.lt(k, tMin)) tMin = k
+      if (tMax == null || keyOrd.gt(k, tMax)) tMax = k
+    }
+    val overlapping = segments.filter { case (_, _, p, _) =>
+      segKeyRange.get(p) match {
+        case Some((lo, hi)) => !(keyOrd.gt(lo, tMax) || keyOrd.lt(hi, tMin))
+        case None => true // unknown range: never prune
+      }
+    }
+    if (overlapping.isEmpty)
+      // every touched key's full history is tail-resident: zero jobs
+      return localDiffOfRows(
+        allRows.filter(r => touched.contains(r.get(keyIdx))).toIndexedSeq)
+    if (overlapping.size == segments.size) return None // nothing pruned
+    // pruned probe: only overlapping segments + tail feed the bounded
+    // collect (key-superset-safe — a non-overlapping segment cannot hold
+    // a touched key's row, so every touched-key-restricted computation
+    // over the pruned history equals the full-history one)
+    val mem = spark.createDataFrame(allRows.toList.asJava, sch)
+    val pruned = spark.read.parquet(overlapping.map(_._3).toSeq: _*)
+      .unionByName(mem)
+    val keySchema = org.apache.spark.sql.types.StructType(Seq(schema(pk)))
+    val keys = spark.createDataFrame(java.util.Arrays.asList(
+      touched.iterator.map(k => Row(k)).toIndexedSeq: _*), keySchema)
+    Some(localChangelogDiff(pruned, keys).getOrElse {
+      val before = resolvedForKeys(pruned.filter(col("__seq") <= clSeq), keys)
+      val after = resolvedForKeys(pruned, keys)
+      graft.streaming.Changelog.diffPreferLocal(before, after, primaryKey, 50000)
+    })
   }
 
   /** Zero-job Insert-ops frame for a plain (no-PK) table whose unemitted
@@ -695,6 +784,7 @@ final class LiveTable(
         .coalesce(1).write.mode("overwrite").parquet(staging)
     SegmentFiles.commit(staging, path)
     segments += ((minSeq, maxSeq, path, rows.size.toLong))
+    recordKeyRange(path, rows)
   }
 
   /** Durable-mode close hook: spill the remaining in-memory tail so the
@@ -716,6 +806,7 @@ final class LiveTable(
     if (persistDir.isEmpty && segments.nonEmpty) {
       segments.foreach { case (_, _, p, _) => SegmentFiles.delete(p) }
       segments.clear()
+      segKeyRange.clear()
     }
     // clEnabled guard: purging an untouched log would force-create its
     // lazy temp dir just to empty it
@@ -765,22 +856,90 @@ final class LiveTable(
     * compaction a keyed table format runs in the background. */
   private[engine] def maybeCompact(): Unit = synchronized {
     if (primaryKey.isEmpty) return
-    val total = segments.map(_._4).sum + allRows.size
-    val floor = spark.conf.getOption("graft.table.compactThreshold")
-      .map(_.toLong).getOrElse(100000L)
-    if (total < floor || total < 2 * lastCompactRows) return
-    // rewriteHistory clears readerStreams and unlinks retired segments —
-    // safe from flush ONLY because streaming maintainers never bind PK
-    // tables (Mv.startModes routes them to cascade/batch modes). Guard
-    // that cross-file invariant loudly: if a future change lets streaming
+    // compaction clears readerStreams / unlinks retired segments — safe
+    // from flush ONLY because streaming maintainers never bind PK tables
+    // (Mv.startModes routes them to cascade/batch modes). Guard that
+    // cross-file invariant loudly: if a future change lets streaming
     // readers bind PK tables, skipping compaction (state keeps growing,
     // always correct) beats silently severing their feed mid-stream.
     if (readerStreams.nonEmpty) return
-    if (!compactFromFace())
-      rewriteHistory(identity, markMutated = false, emitRetractions = false)
-    lastCompactRows = math.max(segments.map(_._4).sum + allRows.size, 1L)
+    val total = segments.map(_._4).sum + allRows.size
+    val floor = spark.conf.getOption("graft.table.compactThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    if (total < floor) return
+    if (mergedFace.nonEmpty) {
+      // driver-tier face: the doubling-gated full collapse stays — it is
+      // one driver-side segment write, no distributed work at all
+      if (total < 2 * lastCompactRows) return
+      if (compactFromFace())
+        lastCompactRows = math.max(segments.map(_._4).sum + allRows.size, 1L)
+      return
+    }
+    // face-less histories (oversize latch / bulk-seeded): bounded
+    // incremental pair merges (round 16, verdict #3). The old path ran
+    // the doubling-gated DISTRIBUTED rewriteHistory(identity) over the
+    // FULL history inline with the flush — at the 1M-row ScaleProbe that
+    // was a 16-31 MB shuffle spike in the epoch window where the gate
+    // fired. Instead, merge ONE adjacent segment pair per flush, bounded
+    // by [[compactChunkRows]], driver-side (one narrow scan job, zero
+    // shuffle, LocalParquet write): no epoch ever pays more than the
+    // chunk bound, and amortized rewrite work per row is O(chunk/spill)
+    // — a small constant. A pair-local loser is a global loser (the
+    // winner rule is a total order per key), so dropping it is exactly
+    // what the full rewrite would do. Pairs whose combined size exceeds
+    // the chunk bound stay segmented: reclaiming them inline would
+    // reintroduce the spike; at cluster scale that residual is the
+    // background compactor's job, and reads stay delta-proportional via
+    // the key-range pruning above.
+    mergeAdjacentSegments()
   }
   private var lastCompactRows = 0L
+
+  /** Per-merge row bound of the incremental compactor: the pair's rows
+    * are briefly driver-resident (they were at spill time too). */
+  private def compactChunkRows: Long =
+    spark.conf.getOption("graft.table.compactChunkRows").map(_.toLong)
+      .getOrElse(2L * spillThreshold)
+
+  /** Merge the leftmost adjacent segment pair under [[compactChunkRows]]
+    * into one segment holding the pair's per-key winners. Seq bounds span
+    * the pair (monotone-seq invariant preserved); when the changelog is
+    * live only fully-emitted history merges (flush order makes that the
+    * rule — emitChangelog runs before maybeCompact). */
+  private def mergeAdjacentSegments(): Unit = {
+    if (segments.size < 2 || !mergedFaceAdmissible) return
+    val cap = compactChunkRows
+    val emittedTo = if (clEnabled) clSeq else Long.MaxValue
+    val idx = segments.indices.dropRight(1).find { i =>
+      segments(i)._4 + segments(i + 1)._4 <= cap &&
+        segments(i + 1)._2 <= emittedTo
+    }.getOrElse(return)
+    val (minA, _, pathA, _) = segments(idx)
+    val (_, maxB, pathB, _) = segments(idx + 1)
+    val rows = timedCl("tbl-compact-merge")(
+      spark.read.parquet(pathA, pathB).collect())
+    val keyIdx = primaryKey.map(withSeq.fieldIndex)
+    val ord = winnerOrdering.get
+    val m = new scala.collection.mutable.LinkedHashMap[List[Any], Row]()
+    rows.foreach(r => mergedPut(m, keyIdx, ord, r))
+    val winners = m.valuesIterator.toIndexedSeq
+    val path = SegmentFiles.path(segDir, minA, maxB, winners.size.toLong)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return
+    val staging = s"$segDir/staging-merge-$minA"
+    if (!LocalParquet.write(spark, winners, withSeq, staging))
+      spark.createDataFrame(java.util.Arrays.asList(winners: _*), withSeq)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    SegmentFiles.commit(staging, path)
+    segments.remove(idx, 2)
+    segments.insert(idx, (minA, maxB, path, winners.size.toLong))
+    recordKeyRange(path, winners)
+    segKeyRange -= pathA
+    segKeyRange -= pathB
+    // rebind the view BEFORE unlinking, like compactFromFace
+    refreshView()
+    SegmentFiles.delete(pathA)
+    SegmentFiles.delete(pathB)
+  }
 
   /** Driver-resident compaction (round 15): while the merged face is live,
     * the compacted history IS the map's winner rows — write them (their
@@ -803,22 +962,35 @@ final class LiveTable(
     if (rows.isEmpty) return false
     val seqIdx = schema.length
     var minSeq = Long.MaxValue
-    var maxSeq = Long.MinValue
     rows.foreach { r =>
       val s = r.getLong(seqIdx)
       if (s < minSeq) minSeq = s
-      if (s > maxSeq) maxSeq = s
     }
+    // the segment's max bound is the table's live seq HIGH-WATER, not the
+    // max surviving __seq: a losing row (stale-version upsert) can hold
+    // the global max, and naming the segment below it would (a) re-use seq
+    // values after restart recovery (weakening the monotone-seq invariant
+    // other paths rely on) and (b) let a no-new-winners doubling window
+    // reproduce the previous compacted segment's exact name, whose
+    // rename-commit onto the existing dir throws and wedges every
+    // subsequent flush in a permanent compact-retry loop
+    val maxBound = math.max(seq, rows.iterator.map(_.getLong(seqIdx)).max)
+    val path = SegmentFiles.path(segDir, minSeq, maxBound, rows.size.toLong)
+    if (segments.sizeIs == 1 && allRows.isEmpty && segments.head._3 == path)
+      return true // already exactly these winners — nothing to rewrite
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      return false // name collision with live history: restamping rewrite
     val staging = s"$segDir/staging-compact-$minSeq"
     if (!LocalParquet.write(spark, rows, withSeq, staging))
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), withSeq)
         .coalesce(1).write.mode("overwrite").parquet(staging)
-    val path = SegmentFiles.path(segDir, minSeq, maxSeq, rows.size.toLong)
     SegmentFiles.commit(staging, path)
     val retired = segments.map(_._3).toList
     segments.clear()
+    segKeyRange.clear()
     allRows.clear()
-    segments += ((minSeq, maxSeq, path, rows.size.toLong))
+    segments += ((minSeq, maxBound, path, rows.size.toLong))
+    recordKeyRange(path, rows)
     refreshView()
     retired.foreach(SegmentFiles.delete)
     true
@@ -861,6 +1033,7 @@ final class LiveTable(
     val n = acc.value.longValue()
     val retired = segments.map(_._3).toList
     segments.clear()
+    segKeyRange.clear()
     allRows.clear()
     if (n == 0) SegmentFiles.delete(staging)
     else {

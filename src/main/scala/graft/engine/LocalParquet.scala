@@ -85,6 +85,13 @@ private[engine] object LocalParquet {
   def write(spark: SparkSession, rows: Seq[Row], schema: StructType,
             dir: String): Boolean = {
     try {
+      // overwrite semantics, like the Spark write this replaces: staging
+      // names are seq-derived and can recur after a crash-between-write-
+      // and-commit restart (recovery resets seq), so a stale part file
+      // here would be renamed into the committed segment alongside the
+      // new one — duplicate rows / colliding __seq values
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        SegmentFiles.delete(dir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       val file = new Path(
         s"$dir/part-00000-${java.util.UUID.randomUUID()}.parquet")

@@ -407,7 +407,12 @@ final class MaterializedView private[engine](
              org.apache.spark.sql.types.TimestampNTZType |
              _: org.apache.spark.sql.types.DecimalType => true
         case _ => false
-      })
+      }) &&
+        // both frames must agree positionally: the probe compares boxed JVM
+        // values, while the broadcast <=> it replaces coerces mismatched
+        // numeric widths (Integer vs Long would silently never match here)
+        keysDf.schema.fields.map(_.dataType).toSeq ==
+          keyCols.map(k => left.schema(k).dataType)
       if (left.queryExecution.optimizedPlan.isInstanceOf[LocalRelation] &&
           keysDf.queryExecution.optimizedPlan.isInstanceOf[LocalRelation] &&
           typesOk) {
@@ -1258,11 +1263,25 @@ final class MaterializedView private[engine](
         // exchanges — at the bench this was the whole of
         // s_mv_histogram_fold's diff-collect shuffle (2.1 MB/replay) and
         // most of its 5.875 jobs/epoch
-        val (oldVisT, newVisT) =
-          if (spec.isTwoLevel && keyCols.nonEmpty)
-            (DeltaAgg.visible(pinLocal1(keyJoin(auxState.get, touched, "left_semi")), spec),
-             DeltaAgg.visible(pinLocal1(keyJoin(newAux, touched, "left_semi")), spec))
-          else (restrict(cascadeInner.get), restrict(newInnerFull))
+        val (oldVisT, newVisT) = overboundSlices match {
+          // over-bound epoch (round 16): the merge already collected the
+          // touched keys' old state rows and point-folded the new ones —
+          // the diff sides are those driver slices' visible projections
+          // (identical multisets to the state-scan spelling: visible is a
+          // per-row projection for single-level specs, so it commutes with
+          // the touched-key restriction; localKeyedDiff's key-sorted
+          // emission makes the ops byte-identical). Both sides are
+          // LocalRelations → the diff below runs with ZERO jobs, replacing
+          // two broadcast-semi scans of the full stacked state.
+          case Some((oldSlice, newSlice)) if !spec.isTwoLevel =>
+            overboundSlices = None
+            (DeltaAgg.visible(oldSlice, spec), DeltaAgg.visible(newSlice, spec))
+          case _ =>
+            if (spec.isTwoLevel && keyCols.nonEmpty)
+              (DeltaAgg.visible(pinLocal1(keyJoin(auxState.get, touched, "left_semi")), spec),
+               DeltaAgg.visible(pinLocal1(keyJoin(newAux, touched, "left_semi")), spec))
+            else (restrict(cascadeInner.get), restrict(newInnerFull))
+        }
         emitKeyedDiffLocal(
           cascadeVisible(oldVisT),
           cascadeVisible(newVisT),
@@ -1285,6 +1304,15 @@ final class MaterializedView private[engine](
     * persistence below. */
   private var auxOversize = false
   private var auxSegmentDepth = 0
+  /** Touched-slice pair (old state rows, folded new rows) of the LAST
+    * over-bound epoch merge, both driver-resident — set by
+    * [[overboundLocalMerge]] and consumed by [[deltaAggEpoch]]'s visible
+    * diff, which would otherwise re-run two broadcast-semi scans of the
+    * FULL stacked state (one per diff side) for rows the merge already
+    * holds (round 16; the over-bound epoch paid ~3 full-state scans).
+    * Cleared at every merge entry; None = diff keeps the state-scan
+    * spelling. */
+  private var overboundSlices: Option[(DataFrame, DataFrame)] = None
   /** Full-compaction cadence of the segment stack: each epoch adds one
     * broadcast anti join + a LocalRelation union layer over the base
     * checkpoint, so reads stay cheap at small depths; every Nth epoch the
@@ -1406,10 +1434,121 @@ final class MaterializedView private[engine](
     * stacks it over the carried frame with a broadcast anti join,
     * checkpointing flat every [[auxCompactEvery]] epochs; join-merge
     * (extremum/float) specs checkpoint directly. */
+  /** Over-bound driver-overlay state (round 16): the spilled-regime fast
+    * path previously re-executed a GROWING anti-join stack over the
+    * checkpointed state several times per epoch — the touched-slice
+    * re-sum's semi-join collect, the visible diff's two broadcast-semi
+    * collects, and one AQE broadcast build per stacked layer per
+    * execution (10.875 jobs/epoch, 841 KB shuffle at the bench). The
+    * overlay keeps the plan depth CONSTANT instead: `obBase` is the last
+    * flat checkpoint, `obOverlay` holds the current rows of every state
+    * key touched since then (driver-resident, delta-proportional), and
+    * `obTouched` the touched-key set including vanished keys, so the
+    * carried state is always `base ANTI-JOIN touched ∪ overlay` — one
+    * anti join, however many epochs have passed. */
+  private var obBase: Option[DataFrame] = None
+  private val obOverlay = new scala.collection.mutable.LinkedHashMap[Row, Array[Any]]()
+  private val obTouched = new scala.collection.mutable.LinkedHashSet[Row]()
+  /** The frame handed back to [[deltaAggEpoch]] last epoch — identity
+    * check that auxState was not replaced behind the overlay's back
+    * (durable restore, demote/recover); any mismatch re-bases. */
+  private var obReturned: Option[DataFrame] = None
+
+  /** Over-bound epoch merge for pure-signed specs with driver-resident
+    * partials: probe the BASE checkpoint once for the epoch's
+    * NEWLY-touched keys (the only cluster work — previously-touched keys'
+    * rows are already in the overlay), fold the partials by the aux-map
+    * tier's point arithmetic (overflow raises exactly like checkedCast →
+    * the caller's demote-to-recompute), and stash the (old, new) touched
+    * slices for [[deltaAggEpoch]]'s diff, which then runs entirely
+    * driver-side. Every [[auxCompactEvery]] epochs — or when the overlay
+    * outgrows [[cascadeLocalMax]] — the constant-depth plan checkpoints
+    * flat and becomes the next base. None = not admissible (join-merge
+    * spec, distributed partials, non-signed aux types) → the existing
+    * mergeParts spelling. */
+  private def overboundLocalMerge(spec: DeltaAgg.Spec,
+      touchedLocal: Option[DataFrame],
+      localParts: Option[(IndexedSeq[Row], IndexedSeq[Row])]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    if (!spec.isPureSigned || spec.stateKeys.isEmpty) return None
+    val (addRows, delRows) = localParts.getOrElse(return None)
+    val touched = touchedLocal.getOrElse(return None)
+    val state = auxState.get
+    val keys = spec.stateKeys
+    val nKeys = keys.length
+    val sch = state.schema
+    // positional layout check (state keys first, aux after — the aux-map
+    // tier's contract) + point-arithmetic type admission
+    if (sch.fields.take(nKeys).map(_.name).toSeq != keys) return None
+    val auxTypes = sch.fields.drop(nKeys).map(_.dataType).toIndexedSeq
+    if (!auxTypes.forall {
+      case LongType | DoubleType | _: DecimalType => true
+      case _ => false
+    }) return None
+    if (!obReturned.exists(_ eq state)) {
+      // first over-bound epoch, or auxState replaced externally: re-base
+      obOverlay.clear(); obTouched.clear()
+      obBase = Some(state)
+    }
+    val base = obBase.get
+    def keyRow(r: Row): Row = Row.fromSeq((0 until nKeys).map(r.get))
+    def withAux(k: Row, aux: Array[Any]): Row = Row.fromSeq(k.toSeq ++ aux)
+    // zero-job collect: the touched frame is a LocalRelation
+    val epochKeys = touched.collect().toIndexedSeq
+    val newKeys = epochKeys.filterNot(obTouched.contains)
+    // ONE bounded probe against the FLAT base for keys this overlay window
+    // has not seen (plain collect — the result is ≤ one state row per
+    // probed key; executeTake's scale-up rounds cost extra jobs)
+    val probed: IndexedSeq[Row] =
+      if (newKeys.isEmpty) IndexedSeq.empty
+      else {
+        val kr = localDf(newKeys, touched.schema)
+          .toDF(keys.map(k => s"__k_$k"): _*)
+        val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+        timed("state-touched")(
+          base.join(broadcast(kr), cond, "left_semi").collect()).toIndexedSeq
+      }
+    probed.foreach { r =>
+      obOverlay.update(keyRow(r),
+        Array.tabulate[Any](sch.length - nKeys)(j => r.get(nKeys + j)))
+    }
+    // old diff side: the epoch keys' pre-fold current rows (overlay rows
+    // for keys touched earlier, probed base rows for fresh ones; a key
+    // vanished in an earlier epoch correctly surfaces no row)
+    val oldRows = epochKeys.flatMap(k => obOverlay.get(k).map(withAux(k, _)))
+    foldIntoAuxMap(obOverlay, addRows, 1, nKeys, auxTypes)
+    foldIntoAuxMap(obOverlay, delRows, -1, nKeys, auxTypes)
+    epochKeys.foreach(obTouched.add)
+    val newRows = epochKeys.flatMap(k => obOverlay.get(k).map(withAux(k, _)))
+    overboundSlices = Some((localDf(oldRows, sch), localDf(newRows, sch)))
+    // carried state at CONSTANT plan depth: base minus every key the
+    // overlay window touched, plus the overlay's live rows
+    val tk = localDf(obTouched.toIndexedSeq, touched.schema)
+      .toDF(keys.map(k => s"__k_$k"): _*)
+    val antiCond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val overlayDf = localDf(
+      obOverlay.iterator.map { case (k, aux) => withAux(k, aux) }.toIndexedSeq, sch)
+    val stacked = base.join(broadcast(tk), antiCond, "left_anti")
+      .unionByName(overlayDf)
+    auxSegmentDepth += 1
+    val out =
+      if (auxSegmentDepth >= auxCompactEvery || obOverlay.size > cascadeLocalMax) {
+        auxSegmentDepth = 0
+        val ck = timed("state-merge")(stacked.localCheckpoint(true))
+        obBase = Some(ck)
+        obOverlay.clear(); obTouched.clear()
+        ck
+      } else stacked
+    obReturned = Some(out)
+    Some(out)
+  }
+
   private def mergeAuxState(spec: DeltaAgg.Spec, addAux: DataFrame,
       delAux: DataFrame, refetch: DataFrame => DataFrame,
       touchedLocal: Option[DataFrame],
       localParts: Option[(IndexedSeq[Row], IndexedSeq[Row])]): DataFrame = {
+    overboundSlices = None
     if (auxLocalMap.nonEmpty) localParts match {
       case Some((addRows, delRows)) if spec.isPureSigned =>
         val m = auxLocalMap.get
@@ -1448,7 +1587,8 @@ final class MaterializedView private[engine](
         auxSegmentDepth = 0
         merged.localCheckpoint(true)
       }
-    } else DeltaAgg.mergeParts(auxState.get, addAux, delAux, spec,
+    } else overboundLocalMerge(spec, touchedLocal, localParts).getOrElse(
+      DeltaAgg.mergeParts(auxState.get, addAux, delAux, spec,
         touchedLocal) match {
       case Some((untouched, resummed)) =>
         // touched slice is delta-sized — lands driver-side in the usual
@@ -1463,7 +1603,7 @@ final class MaterializedView private[engine](
       case None =>
         DeltaAgg.merge(auxState.get, addAux, delAux, spec, refetch,
           touchedLocal).localCheckpoint(true)
-    }
+    })
   }
 
   /** Downstream keys a cascade epoch must recompute: the statement

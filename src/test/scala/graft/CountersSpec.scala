@@ -49,9 +49,12 @@ class CountersSpec extends SparkSpec {
     "s_mv_global_window" -> (2.0, 4096L),
     "s_mv_histogram_fold" -> (2.625, 25458L),
     // the pkagg fold with driver tiers forced off — the measured
-    // over-bound fallback shape (delta-segment persistence, the 100 TB
-    // path); its delta collection still benefits from the local pins
-    "s_mv_pkagg_fold_overbound" -> (8.875, 105403L),
+    // over-bound fallback shape (the 100 TB path). Re-pinned for round
+    // 16's driver-overlay state: constant-depth base∪overlay plan, one
+    // base probe per NEWLY-touched key set, driver-side point fold and
+    // slice-reused visible diff — steady-state epochs are delta-aux only
+    // (the residual jobs/bytes are the every-8-epochs flat checkpoint)
+    "s_mv_pkagg_fold_overbound" -> (2.25, 15628L),
   )
 
   for (d <- Bench.streamDefs) {
