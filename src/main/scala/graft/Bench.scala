@@ -221,9 +221,14 @@ object Bench {
     import graft.engine.{ConnOptions, GraftEngine}
     import org.apache.spark.sql.functions.col
     // streaming parallelism sized to per-epoch delta volume (8), not the
-    // batch shuffle width (32) — see ConnOptions.streamShufflePartitions
-    val rw = GraftEngine.open(ConnOptions(streamShufflePartitions = Some(8)),
-      Some(spark))
+    // batch shuffle width (32) — see ConnOptions.streamShufflePartitions.
+    // SPARK_GRAFT_STREAM_PARTS is a dev-only measurement knob (round 16,
+    // verdict #6: quantify the SS stateful-agg exchange framing vs replay
+    // parallelism); the driver never sets it, so artifacts keep 8.
+    val streamParts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(_.toInt).getOrElse(8)
+    val rw = GraftEngine.open(
+      ConnOptions(streamShufflePartitions = Some(streamParts)), Some(spark))
     try {
       rw.createTable("bench_ev", eventsSchema,
         primaryKey = if (d.pkTable) Seq("event_id") else Nil)

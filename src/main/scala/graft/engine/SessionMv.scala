@@ -273,6 +273,25 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
     * frozen only grows, so the multiset diff degenerates to exactly one
     * Insert per closed session — final-only emission. */
   private[engine] def handleSessionDelta(delta: DataFrame): Unit = synchronized {
+    // single-collect epoch (round 16): while the affected-slice tier is
+    // live — which only happens in the no-watermark/no-cuts regime, where
+    // applyCuts is the identity — the epoch needs the delta ONLY as
+    // driver rows, so collect it once and skip the localCheckpoint, the
+    // two emptiness probes and the separate limit-collect: 4 untagged
+    // jobs per epoch at the bench, 83% of the session entry's job count
+    // (ShuffleProfile r16 attribution).
+    if (sessionRawLocal.nonEmpty && sessionCuts.isEmpty) {
+      val deltaRows = timed("delta-collect")(
+        delta.limit(sessionRawLocalMax + 1).collect())
+      if (deltaRows.isEmpty) return
+      if (deltaRows.length <= sessionRawLocalMax &&
+          sessionSliceEpoch(deltaRows.toIndexedSeq)) return
+      // slice refused (oversized delta, NULL event time, unorderable
+      // value): drop the tier and run THIS epoch through the distributed
+      // body below — the limit may have truncated the oversized delta, so
+      // the body re-materializes from the source batch.
+      sessionRawLocal = None
+    }
     val clone = delta.localCheckpoint(true)
     val d0 = spark.createDataFrame(clone.rdd, clone.schema)
     if (clone.rdd.isEmpty()) return
@@ -289,11 +308,10 @@ private[engine] trait SessionMvSupport { self: MaterializedView =>
       val deltaRows = d.limit(sessionRawLocalMax + 1).collect()
       if (deltaRows.length <= sessionRawLocalMax &&
           sessionSliceEpoch(deltaRows.toIndexedSeq)) return
-      // slice refused (oversized delta, NULL event time, unorderable
-      // value): this epoch takes the distributed spelling below — the
-      // buffer no longer reflects the post-epoch state, so drop it; the
-      // full path re-seeds when the state still fits. innerState is the
-      // tier's own (pre-delta) LocalRelation, so the union stays correct.
+      // (cuts-active tier refusal) — the buffer no longer reflects the
+      // post-epoch state, so drop it; the full path re-seeds when the
+      // state still fits. innerState is the tier's own (pre-delta)
+      // LocalRelation, so the union stays correct.
       sessionRawLocal = None
     }
     innerState = Some(innerState.map(_.union(d)).getOrElse(d).localCheckpoint(true))

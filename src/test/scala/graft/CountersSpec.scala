@@ -41,7 +41,10 @@ class CountersSpec extends SparkSpec {
   private val pinned: Map[String, (Double, Long)] = Map(
     "s_mv_tumble_maintain" -> (1.0, 171094L),
     "s_mv_cascade_epoch" -> (2.875, 191648L),
-    "s_mv_session_maintain" -> (5.25, 35502L),
+    // re-pinned for round 16's single-collect session epoch: while the
+    // affected-slice tier is live the delta is collected ONCE (no
+    // localCheckpoint, no emptiness probes, no second limit-collect)
+    "s_mv_session_maintain" -> (2.625, 35502L),
     "s_mv_topn_cascade" -> (5.125, 8286L),
     "s_mv_pkagg_fold" -> (1.875, 7814L),
     "s_mv_left_join_fold" -> (3.0, 4096L),
