@@ -348,13 +348,19 @@ private[engine] trait TopNMvSupport { self: MaterializedView =>
           // visible over the FULL aux state per epoch just to semi-join it
           // down to the touched groups afterwards. pinLocal1 then plans
           // the finish exchange-free over the driver-tier state.
-          timed("group-recompute")(boundedLocal(DeltaAgg.visible(
-            pinLocal1(keyJoin(newAux, t, "left_semi")), deltaAggSpec.get)))
+          DeltaAgg.visible(
+            pinLocal1(keyJoin(newAux, t, "left_semi")), deltaAggSpec.get)
         case None =>
           statementEvals += 1
-          timed("group-recompute")(boundedLocal(
-            keyJoin(spark.sql(cascadeStmt), touched, "left_semi")))
+          keyJoin(spark.sql(cascadeStmt), touched, "left_semi")
       }
+      // the recompute plan is NOT materialized here (round 16): `merged`
+      // is evaluated exactly once — by truncateGrouped's single ranked
+      // sort-limit — so collecting the recomputed groups first
+      // (boundedLocal) spent one whole Spark job per epoch just to hand
+      // the truncate a LocalRelation it didn't need; the kept state is
+      // rebuilt driver-side from the ranked prefix either way, so the
+      // carried innerState stays a LocalRelation for the next epoch.
       // drop ALL touched keys before unioning the recomputed rows: a
       // touched group with no recomputed row (all its inputs retracted)
       // must leave the carried state — update-mode streaming could never
