@@ -60,16 +60,19 @@ final class LiveTable(
   /** (minSeq, maxSeq, path, rowCount) per spilled segment, in seq order. */
   private val segments = ArrayBuffer[(Long, Long, String, Long)]()
 
-  /** Per-segment (min, max) of the single-column primary key, recorded for
-    * DRIVER-side segment writes (spill chunks, face compaction, pair
-    * merges — the rows are on the driver anyway), so touched-key probes
-    * can prune segments whose key range cannot overlap the flush's delta
-    * (guide §6: min/max stats pruning, lifted to the segment index so
-    * non-overlapping files are never even opened). Executor-written
-    * segments (bulk ingest, DML rewrite) and restart-recovered ones have
-    * no entry and are treated as always-overlapping — pruning is a
-    * key-superset-safe optimization, never a correctness dependency. */
-  private val segKeyRange = scala.collection.mutable.Map[String, (Any, Any)]()
+  /** Per-segment (min, max, distinct-within) of the single-column primary
+    * key, recorded for DRIVER-side segment writes (spill chunks, face
+    * compaction, pair merges — the rows are on the driver anyway), so
+    * touched-key probes can prune segments whose key range cannot overlap
+    * the flush's delta (guide §6: min/max stats pruning, lifted to the
+    * segment index so non-overlapping files are never even opened), and —
+    * round 16 — so [[disjointResolvedDF]] can skip upsert resolution
+    * outright for segments that provably hold their keys' ONLY rows.
+    * Executor-written segments (bulk ingest, DML rewrite) and
+    * restart-recovered ones have no entry and are treated as
+    * always-overlapping / possibly-duplicated — both uses are
+    * key-superset-safe optimizations, never correctness dependencies. */
+  private val segKeyRange = scala.collection.mutable.Map[String, (Any, Any, Boolean)]()
 
   private def recordKeyRange(path: String, rows: Seq[Row]): Unit = {
     if (primaryKey.size != 1) return
@@ -78,13 +81,16 @@ final class LiveTable(
     val keyIdx = schema.fieldIndex(primaryKey.head)
     var lo: Any = null
     var hi: Any = null
+    var unique = true
+    val seen = new scala.collection.mutable.HashSet[Any]()
     rows.foreach { r =>
       val k = r.get(keyIdx)
       if (k == null) return // NULL keys: leave the segment unprunable
+      if (unique && !seen.add(k)) unique = false
       if (lo == null || ord.lt(k, lo)) lo = k
       if (hi == null || ord.gt(k, hi)) hi = k
     }
-    if (lo != null) segKeyRange.update(path, (lo, hi))
+    if (lo != null) segKeyRange.update(path, (lo, hi, unique))
   }
   private def spillThreshold: Int =
     spark.conf.getOption("graft.table.spillThreshold").map(_.toInt).getOrElse(100000)
@@ -280,7 +286,7 @@ final class LiveTable(
     }
     val overlapping = segments.filter { case (_, _, p, _) =>
       segKeyRange.get(p) match {
-        case Some((lo, hi)) => !(keyOrd.gt(lo, tMax) || keyOrd.lt(hi, tMin))
+        case Some((lo, hi, _)) => !(keyOrd.gt(lo, tMax) || keyOrd.lt(hi, tMin))
         case None => true // unknown range: never prune
       }
     }
@@ -601,19 +607,109 @@ final class LiveTable(
         case None => ()
       }
     }
-    val base = rawHistoryDF
     val df =
-      if (primaryKey.isEmpty) base.drop("__seq")
-      else {
+      if (primaryKey.isEmpty) rawHistoryDF.drop("__seq")
+      else disjointResolvedDF().getOrElse {
         val ver = versionColumn.map(col).getOrElse(col("__seq"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(primaryKey.map(col): _*)
           .orderBy(ver.desc_nulls_last, col("__seq").desc)
-        base.withColumn("__rn", row_number().over(w))
+        rawHistoryDF.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__rn", "__seq")
       }
     df
+  }
+
+  /** Disjoint-segment batch face for the face-oversize regime (round 16,
+    * guide §2.4): the distributed spelling above re-resolves winners with
+    * a row_number window — a full-history hash exchange — on EVERY
+    * evaluation, which is what every window/session-cascade epoch, batch
+    * re-run MV and client fetch pays once the table outgrows
+    * [[mergedFaceMax]] (ScaleProbe window mode: ~22 bytes × history of
+    * shuffle per epoch, growing linearly forever). But upsert resolution
+    * only does work where a key has MORE than one version: a segment
+    * whose recorded key range overlaps no other segment's range and no
+    * tail key, and whose keys are distinct within it, provably holds the
+    * only row of every key it contains — those rows ARE their own
+    * winners and can bypass the window entirely. In the append-mostly
+    * shape a 100 TB table lives on (fresh keys per batch, compaction
+    * merging per-key winners), EVERY segment qualifies and the batch face
+    * plans as a plain parquet scan ∪ tail LocalRelation with ZERO
+    * exchanges. Keys with real duplicate history keep the exact window
+    * spelling, restricted to the overlapping segments. None = no segment
+    * provably disjoint (unknown ranges, overlapping upserts, multi-column
+    * or unorderable PK) → the caller's full-window spelling. */
+  private def disjointResolvedDF(): Option[DataFrame] = {
+    if (primaryKey.size != 1 || segments.isEmpty) return None
+    val pk = primaryKey.head
+    val keyOrd = graft.streaming.Changelog.localOrdering(schema(pk).dataType)
+      .getOrElse(return None)
+    // the memory tail participates as one pseudo-segment (a NULL tail key
+    // or an unorderable value refuses — superset-safe)
+    val sch = withSeq
+    val keyIdx = sch.fieldIndex(pk)
+    var tLo: Any = null
+    var tHi: Any = null
+    var tUnique = true
+    val seen = new scala.collection.mutable.HashSet[Any]()
+    allRows.foreach { r =>
+      val k = r.get(keyIdx)
+      if (k == null) return None
+      if (tUnique && !seen.add(k)) tUnique = false
+      if (tLo == null || keyOrd.lt(k, tLo)) tLo = k
+      if (tHi == null || keyOrd.gt(k, tHi)) tHi = k
+    }
+    // every segment must carry a recorded range: an unknown range overlaps
+    // everything, so nothing could be proven disjoint anyway
+    val ranges: IndexedSeq[(String, (Any, Any, Boolean))] =
+      segments.iterator.map { case (_, _, p, _) =>
+        segKeyRange.get(p) match {
+          case Some(r) => p -> r
+          case None => return None
+        }
+      }.toIndexedSeq ++
+        (if (tLo != null) IndexedSeq("" -> ((tLo, tHi, tUnique))) else Nil)
+    // sort by lo; segment i is disjoint from EVERY other interval iff
+    // max(hi) over all earlier-lo intervals < lo_i (nothing from the left
+    // reaches in) and lo_{i+1} > hi_i (every later interval starts past
+    // it — their los only grow). A neighbor-only check would miss a long
+    // early interval spanning past its immediate successor.
+    val sorted = ranges.sortWith((a, b) => keyOrd.lt(a._2._1, b._2._1))
+    val prefixMaxHi = sorted.scanLeft(null: Any) { case (m, (_, (_, hi, _))) =>
+      if (m == null || keyOrd.gt(hi, m)) hi else m
+    }
+    val clean = sorted.indices.filter { i =>
+      val (_, (lo, hi, unique)) = sorted(i)
+      unique &&
+        (i == 0 || keyOrd.lt(prefixMaxHi(i), lo)) &&
+        (i == sorted.length - 1 || keyOrd.gt(sorted(i + 1)._2._1, hi))
+    }.map(sorted(_)._1).toSet
+    if (!clean.exists(_.nonEmpty)) return None // no segment wins: keep one plan
+    val cleanPaths = segments.iterator.map(_._3).filter(clean).toSeq
+    val dirtyPaths = segments.iterator.map(_._3).filterNot(clean).toSeq
+    val cols = schema.fieldNames.toIndexedSeq.map(col)
+    val cleanDf = spark.read.parquet(cleanPaths: _*).select(cols: _*)
+    val mem = spark.createDataFrame(allRows.toList.asJava, sch)
+    val dirtySide =
+      if (dirtyPaths.isEmpty && clean("")) None
+      else {
+        val raw =
+          if (dirtyPaths.isEmpty) mem
+          else {
+            val d = spark.read.parquet(dirtyPaths: _*)
+            if (clean("")) d else d.unionByName(mem)
+          }
+        val ver = versionColumn.map(col).getOrElse(col("__seq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(primaryKey.map(col): _*)
+          .orderBy(ver.desc_nulls_last, col("__seq").desc)
+        Some(raw.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select(cols: _*))
+      }
+    val cleanAll =
+      if (clean("")) cleanDf.unionByName(mem.select(cols: _*)) else cleanDf
+    Some(dirtySide.map(cleanAll.unionByName).getOrElse(cleanAll))
   }
 
   private def withSeq: StructType =

@@ -94,6 +94,43 @@ class SegmentPruneSpec extends SparkSpec {
     } finally spark.conf.unset("graft.table.spillThreshold")
   }
 
+  test("disjoint spilled segments: batch face plans exchange-free and stays exact") {
+    spark.conf.set("graft.table.spillThreshold", "10")
+    try {
+      val rw = GraftEngine.open(ConnOptions(), Some(spark))
+      rw.createTable("dsj_t", schema, primaryKey = Seq("id"))
+      val t = rw.table("dsj_t").get
+      t.mergedFaceMax = 2 // latch the driver face oversize: distributed reads
+      (0L until 40L).grouped(4).foreach { g =>
+        t.insert(g.map(i => Row(i, s"g${i % 3}", i)).toSeq); rw.flush()
+      }
+      assert(!t.faceIsLocal, "face must be latched oversize for this test")
+      // append-only history: every segment's key range is disjoint and
+      // distinct-within, so upsert resolution must vanish from the plan —
+      // no row_number window, no hash exchange (round 16: the full-window
+      // spelling cost O(history) shuffle per evaluation, every epoch)
+      val plan = t.batchDF.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"disjoint-segment batch face must plan exchange-free, got:\n$plan")
+      assert(!plan.contains("row_number"),
+        s"disjoint-segment batch face must skip winner resolution, got:\n$plan")
+      val got = rw.fetch("SELECT CAST(id AS BIGINT) AS id FROM dsj_t ORDER BY id")
+        .map(_.getLong(0))
+      assert(got == (0L until 40L), s"face must hold all 40 rows, got $got")
+      // a real duplicate (upsert of a spilled key) must fall back to the
+      // window for the overlapping slice and resolve to the newest row
+      t.insert(Seq(Row(1L, "gX", 999L))); rw.flush()
+      val afterPlan = t.batchDF.queryExecution.executedPlan.toString
+      val v = rw.fetch("SELECT grp, CAST(v AS BIGINT) AS v FROM dsj_t WHERE id = 1")
+      assert(v.map(r => (r.getString(0), r.getLong(1))) == Seq(("gX", 999L)),
+        s"upserted key must resolve to the newest row, got $v " +
+          s"(plan was:\n$afterPlan)")
+      assert(rw.fetch("SELECT count(*) AS n FROM dsj_t").head.getLong(0) == 40L,
+        "row count must be unchanged by the upsert")
+      rw.close()
+    } finally spark.conf.unset("graft.table.spillThreshold")
+  }
+
   test("face-less compaction merges segment pairs without a full-history rewrite") {
     spark.conf.set("graft.table.spillThreshold", "10")
     spark.conf.set("graft.table.compactThreshold", "12")
