@@ -65,7 +65,7 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
     * [[cascadeLocalMax]], stop probing — merge straight to a checkpoint
     * (the probe would re-execute the merge plan every epoch only to
     * rediscover the overflow). */
-  private[engine] var windowStateOversize = false
+  private[graft] var windowStateOversize = false
   /** Window-cascade keyed local state tier (round 12): the carried
     * multiset, driver-resident and KEYED by the restriction-key tuple, so
     * an epoch replaces its touched slices by hash-map point writes and
@@ -786,6 +786,31 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
         unlocalizeWindowState(disable = false)
       }
 
+      // ---- over-bound overlay epoch (round 16, the pkagg driver-overlay
+      // discipline applied to the window-cascade grouped state): in the
+      // windowStateOversize regime the distributed tail below paid two
+      // full-state executions per epoch — the diff's semi-restricted scan
+      // and the state-merge's flat localCheckpoint — so epoch cost was
+      // O(state), not O(delta) (ScaleProbe window mode: ~14 jobs/epoch at
+      // 1M rows). The overlay keeps the carried frame at CONSTANT plan
+      // depth instead: wcBase is the last flat checkpoint, wcOverlay holds
+      // the current expanded rows of every partition key touched since it
+      // (driver-resident, delta-proportional), and the carried state plans
+      // as `base ANTI-JOIN touched ∪ overlay`. Only newly-touched keys
+      // probe the base (one bounded job); the diff runs driver-side with
+      // the SAME localMultisetDiff the local tier emits through. Flat
+      // checkpoints amortize to once per [[wcCompactEvery]] epochs. Any
+      // bound/orderability refusal falls through to the distributed tail
+      // below (state untouched — the overlay mutates only after its emit),
+      // whose flat checkpoint then re-bases the next overlay epoch via the
+      // wcReturned identity check.
+      if (windowStateOversize && touchedRows.length <= cascadeLocalMax &&
+          windowOverlayEpoch(recompute, touchedRows, touched)) {
+        emitted = true
+        settled = true
+        return
+      }
+
       val newPart = timed("group-recompute")(boundedLocal(recompute))
       val newG = groupedCounts(newPart)
       // the epoch's ops diff BOTH sides in their GROUPED representation
@@ -863,6 +888,141 @@ private[engine] trait WindowCascadeSupport { self: MaterializedView =>
       // merges state before emitting — so the offsets must stand.
       if (!settled && !emitted) restoreOffsets(prevOffsets)
     }
+  }
+
+  /** Over-bound overlay state for the window cascade (round 16; the
+    * delta-agg [[Mv]] overlay's discipline on the grouped multiset state).
+    * `wcBase` is the last flat checkpoint of the grouped state;
+    * `wcOverlay` holds the current EXPANDED output rows of every partition
+    * key touched since it (the local tier's representation, so the diff
+    * reuses [[Changelog.localMultisetDiff]] verbatim); `wcTouched` the
+    * touched-key set including vanished keys. The carried frame is always
+    * `base ANTI-JOIN touched ∪ overlay` — one anti join deep, however many
+    * epochs have passed. `wcReturned` is the identity of the frame last
+    * handed to `cascadeInner`: any mismatch (durable restore, repair path,
+    * distributed-tail epoch) re-bases. */
+  private var wcBase: Option[DataFrame] = None
+  private val wcOverlay =
+    new scala.collection.mutable.LinkedHashMap[Row, IndexedSeq[Row]]()
+  private val wcTouched = new scala.collection.mutable.LinkedHashSet[Row]()
+  private var wcReturned: Option[DataFrame] = None
+  private var wcEpochs = 0
+  private val wcCompactEvery = 8
+  /** Successful overlay epochs — spec probe that the over-bound fast path
+    * actually engaged (a silent refusal would fall back to the O(state)
+    * distributed tail and the test would still pass on values). */
+  private[graft] var windowOverlayEpochs = 0L
+
+  /** One over-bound overlay epoch. Computes everything up to the emit
+    * PURELY (a refusal returns false with no state mutated; the caller
+    * falls through to the distributed tail), emits the driver-side diff,
+    * then installs the constant-depth carried frame — flat-checkpointing
+    * it only every [[wcCompactEvery]] epochs (or when the overlay outgrows
+    * the driver budget). Epoch jobs in steady state: the touched-slice
+    * recompute collect, plus one bounded base probe when the delta names
+    * keys this overlay window has not seen. */
+  private def windowOverlayEpoch(recompute: DataFrame, touchedRows: Array[Row],
+      touched: DataFrame): Boolean = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val state = cascadeInner.get
+    val gSchema = state.schema // output cols + CntCol (groupedCounts layout)
+    val outSchema = org.apache.spark.sql.types.StructType(gSchema.fields.dropRight(1))
+    val n = outSchema.length
+    if (gSchema.fields.last.name != MaterializedView.CntCol) return false
+    if (!wcReturned.exists(_ eq state)) {
+      // first overlay epoch, or cascadeInner replaced externally: re-base
+      wcOverlay.clear(); wcTouched.clear(); wcEpochs = 0
+      wcBase = Some(state)
+    }
+    val base = wcBase.get
+    // 1. recomputed touched slice, state keys evaluated alongside (the
+    // local tier's spelling — ONE job, driver-bounded)
+    val withKeys = recompute.select(
+      outSchema.fieldNames.toIndexedSeq.map(col) ++
+        windowStateKeys.indices.map(i => windowStateKeyCol(i).as(s"__sk_$i")): _*)
+    val sliceRows = timed("group-recompute")(
+      withKeys.limit(windowLocalStateMax + 1).collect())
+    if (sliceRows.length > windowLocalStateMax) return false
+    val newByKey = groupSliceByKey(sliceRows, n)
+    // 2. the touched keys' OLD rows: overlay for keys this window has seen
+    // (a vanished key correctly surfaces no rows), one bounded grouped
+    // probe against the flat base for the fresh ones
+    val keyRows = touchedRows.toIndexedSeq
+    val fresh = keyRows.filterNot(wcTouched.contains)
+    val oldFresh = new scala.collection.mutable.LinkedHashMap[
+      Row, scala.collection.mutable.ArrayBuffer[Row]]()
+    if (fresh.nonEmpty) {
+      val kr = localDf(fresh, touched.schema)
+      val cond = windowStateKeys.indices
+        .map(i => windowStateKeyCol(i) <=> col(s"__k_$i")).reduce(_ && _)
+      val probe = base.join(broadcast(kr), cond, "left_semi").select(
+        gSchema.fieldNames.toIndexedSeq.map(col) ++
+          windowStateKeys.indices.map(i => windowStateKeyCol(i).as(s"__sk_$i")): _*)
+      val probed = timed("state-touched")(
+        probe.limit(windowLocalStateMax + 1).collect())
+      if (probed.length > windowLocalStateMax) return false
+      var expanded = 0L
+      probed.foreach { r =>
+        val key = Row.fromSeq((gSchema.length until r.length).map(r.get))
+        val out = Row.fromSeq((0 until n).map(r.get))
+        val cnt = r.getLong(n)
+        expanded += cnt
+        if (expanded > windowLocalStateMax) return false
+        val buf = oldFresh.getOrElseUpdate(key,
+          new scala.collection.mutable.ArrayBuffer[Row]())
+        var i = 0L
+        while (i < cnt) { buf += out; i += 1 }
+      }
+    }
+    val oldSlice = keyRows.flatMap { k =>
+      if (wcTouched.contains(k)) wcOverlay.getOrElse(k, IndexedSeq.empty[Row])
+      else oldFresh.get(k).map(_.toIndexedSeq).getOrElse(IndexedSeq.empty[Row])
+    }
+    val newSlice = newByKey.valuesIterator.flatten.toIndexedSeq
+    val opsRows = Changelog.localMultisetDiff(Some(oldSlice), newSlice, outSchema)
+      .getOrElse(return false) // unorderable output type: distributed tail
+    // ---- commit sequence. State (maps + any flat checkpoint, the only
+    // post-refusal Spark job) comes BEFORE the emit — the distributed
+    // tail's own discipline — so a checkpoint failure reaches the repair
+    // path with `emitted` still false and nothing is emitted twice; after
+    // the emit only assignments and lazy plan/view bindings remain. ----
+    keyRows.foreach { k =>
+      wcTouched.add(k)
+      newByKey.get(k) match {
+        case Some(rs) => wcOverlay.update(k, rs)
+        case None => wcOverlay.remove(k)
+      }
+    }
+    wcEpochs += 1
+    val touchedAll = localDf(wcTouched.toIndexedSeq, touched.schema)
+    val antiCond = windowStateKeys.indices
+      .map(i => windowStateKeyCol(i) <=> col(s"__k_$i")).reduce(_ && _)
+    // overlay rows back to the grouped representation (driver-side count)
+    val gCounts = new scala.collection.mutable.LinkedHashMap[Row, Long]()
+    wcOverlay.valuesIterator.foreach(_.foreach { r =>
+      gCounts.update(r, gCounts.getOrElse(r, 0L) + 1L)
+    })
+    val overlayDf = localDf(gCounts.iterator
+      .map { case (r, c) => Row.fromSeq(r.toSeq :+ c) }.toIndexedSeq, gSchema)
+    val carriedPlan = base.join(broadcast(touchedAll), antiCond, "left_anti")
+      .unionByName(overlayDf)
+    val carried =
+      if (wcEpochs >= wcCompactEvery ||
+          gCounts.size > cascadeLocalMax || wcTouched.size > cascadeLocalMax) {
+        val flat = timed("state-merge")(carriedPlan.localCheckpoint(true))
+        wcBase = Some(flat); wcOverlay.clear(); wcTouched.clear(); wcEpochs = 0
+        flat
+      } else carriedPlan
+    if (opsRows.nonEmpty)
+      timed("emitOps")(emitOps(localDf(opsRows.toIndexedSeq,
+        outSchema.add("op", org.apache.spark.sql.types.StringType))))
+    windowOverlayEpochs += 1
+    wcReturned = Some(carried)
+    cascadeInner = Some(carried)
+    val vis = expandCounts(carried)
+    snapshot = Some(vis)
+    vis.createOrReplaceTempView(viewName)
+    true
   }
 
   /** Degenerate-shape latch (round 13, verdict #6): a PARTITION BY key

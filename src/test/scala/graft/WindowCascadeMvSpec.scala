@@ -599,4 +599,59 @@ class WindowCascadeMvSpec extends SparkSpec {
     batchParity()
     rw.close()
   }
+
+  test("over-bound grouped state maintains through the driver overlay (round 16)") {
+    val rw = GraftEngine.open(ConnOptions(), Some(spark))
+    rw.createTable("wov_t", schema, primaryKey = Seq("id"))
+    rw.mv("SELECT id, grp, v, CAST(rank() OVER " +
+      "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS r FROM wov_t", "wov_mv")
+    val mv = rw.mvByName("wov_mv").get
+    assert(mv.isWindowCascadeMode)
+    // force the over-bound regime: the local tier refuses (total state
+    // exceeds 5 expanded rows) and the grouped state latches oversize past
+    // 10 rows — exactly the ScaleProbe 1M shape, shrunk to spec scale.
+    // Bounds are set BEFORE the first insert so backfill already refuses.
+    mv.windowLocalStateMax = 5
+    mv.cascadeLocalMax = 10
+    val t = rw.table("wov_t").get
+    def batchParity(tag: String): Unit = {
+      val got = mv.df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val want = rw.fetch("SELECT id, grp, v, CAST(rank() OVER " +
+        "(PARTITION BY grp ORDER BY v DESC, id) AS BIGINT) AS r FROM wov_t")
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"$tag: maintained $got != batch $want")
+    }
+    // 8 epochs of 3 rows in fresh partitions: state grows to 24 rows,
+    // far past both bounds — epochs past the latch must run through the
+    // overlay (constant-depth carried frame), including one wcCompactEvery
+    // flat re-base at epoch 8
+    for (e <- 0L until 8L) {
+      t.insert(Seq(Row(e * 10 + 1, s"g$e", 10L + e), Row(e * 10 + 2, s"g$e", 20L + e),
+        Row(e * 10 + 3, s"g$e", 5L + e)))
+      rw.flush()
+      batchParity(s"epoch $e")
+    }
+    assert(mv.windowStateOversize, "the grouped state must have latched oversize")
+    assert(mv.windowOverlayEpochs >= 4,
+      s"the overlay must carry the over-bound epochs, ran ${mv.windowOverlayEpochs}")
+    // revisit an OLD partition (keys the overlay window has not seen since
+    // its last re-base): the base probe supplies the old slice, the rank
+    // shifts inside g0 only
+    t.insert(Seq(Row(99L, "g0", 100L)))
+    rw.flush()
+    batchParity("old-partition revisit")
+    // upsert moving a row ACROSS partitions (retraction + insert in one
+    // delta): both partitions' slices replace through the overlay
+    t.insert(Seq(Row(2L, "g7", 1L)))
+    rw.flush()
+    batchParity("cross-partition upsert")
+    // DELETE inside an overlay-carried partition: the group's recompute
+    // names it and the vanished rows retract
+    rw.execute("DELETE FROM wov_t WHERE id = 99")
+    rw.flush()
+    batchParity("delete in carried partition")
+    assert(mv.isWindowCascadeMode, "mode must survive the over-bound epochs")
+    rw.close()
+  }
 }
